@@ -1,0 +1,14 @@
+"""PySpark-native web-text curation engine.
+
+A from-scratch rebuild of the *capabilities* of
+``dr4thmos/radio-data-curation-ssl`` (studied in SURVEY.md) on idiomatic
+Spark: multi-stage curation (extract -> score -> decide -> scrub -> sample)
+over Common-Crawl-style pages, with config-hash lineage, per-partition
+counters, and anti-join resumability.
+
+The reference is a single-node/NCCL numpy-torch pipeline; nothing here is a
+port.  Each module cites the reference behavior it re-expresses
+(``file:line`` into ``/root/reference``) so parity can be audited.
+"""
+
+__version__ = "0.1.0"

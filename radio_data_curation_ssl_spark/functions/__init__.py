@@ -1,0 +1,8 @@
+"""Scalar/array function library (SURVEY §2.8).
+
+Each heuristic is defined twice, side by side: once as a Spark SQL
+expression (JVM-side, whole-stage-codegen friendly — never a Python UDF)
+and once as the equivalent DuckDB SQL fragment used by the correctness
+oracle.  Shared constants (stopword lists, regexes, rounding) live in one
+place so the two cannot drift.
+"""

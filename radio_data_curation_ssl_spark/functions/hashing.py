@@ -1,0 +1,53 @@
+"""Portable deterministic hashing.
+
+The reference keys idempotent runs on an md5 config hash
+(``compute_config_hash`` — /root/reference/src/utils.py:26-35) and relies on
+positional row identity everywhere else (SURVEY §1.3).  This engine replaces
+positional identity with explicit keyed hashing:
+
+- ``portable_hash64``: a 60-bit integer hash derived from md5, computable
+  identically in Spark SQL and DuckDB SQL.  Used wherever a *verifiable*
+  hash is needed (dedup keys, minhash, deterministic sampling order).
+- For pure layout decisions (repartitioning, salting) the engine uses
+  Spark's native ``xxhash64`` — faster, JVM-side, and never compared
+  against an external oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 15 hex chars = 60 bits, always non-negative, fits int64 in both engines.
+_HEX_CHARS = 15
+
+
+def portable_hash64(col: Column | str) -> Column:
+    """Spark: md5 -> first 15 hex chars -> base-16 to base-10 -> long."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, _HEX_CHARS), 16, 10).cast("long")
+
+
+def portable_hash64_sql(expr: str) -> str:
+    """DuckDB fragment computing the identical value."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, {_HEX_CHARS})) AS BIGINT)"
+
+
+def salted_key(col: Column | str, salt_buckets: int) -> Column:
+    """Skew salt: append a deterministic bucket to a hot key.
+
+    Reference analog: iterative resampling / two-phase cluster splitting to
+    rebalance skewed clusters (/root/reference/src/hierarchical_kmeans_gpu.py:159-229,
+    /root/reference/scripts/split_clusters.py:31-157).  In Spark the same
+    goal — no one partition owns a hot host — is salting + AQE skew joins.
+    Uses xxhash64: layout-only, never compared to an oracle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat_ws("#", c, F.pmod(F.xxhash64(c), F.lit(salt_buckets)).cast("string"))
+
+
+def url_partition(col: Column | str, num_buckets: int) -> Column:
+    """Explicit url-hash bucket for repartition/write layout (north_rule:
+    "explicit repartitioning by url-hash")."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(num_buckets)).cast("int")

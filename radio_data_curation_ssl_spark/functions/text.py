@@ -1,0 +1,342 @@
+"""Text-quality heuristics as paired Spark-SQL / DuckDB-SQL expressions.
+
+This is the Gopher/C4-style predicate family demanded by the north rule
+(stop-word ratio, mean word length, symbol/word ratio, repetition n-gram
+fraction), re-expressing the reference's filter predicates (SURVEY §2.2:
+NaN-patch filter /root/reference/src/1a_cutouts_sw.py:77, grid filter
+/root/reference/scripts/non_overlap_filtering.py:46-58) for the web-text
+payload — plus langid / perplexity-proxy / fingerprint / simhash / minhash
+building blocks.
+
+Every builder returns a :class:`P` pair: ``.spark`` is a Spark SQL
+expression string (pure built-in functions, JVM-side, whole-stage codegen —
+no Python in the hot path), ``.duck`` is the DuckDB fragment computing the
+bit-identical value for the correctness oracle.  Shared constants live here
+once.  Floating-point outputs are rounded to :data:`ROUND` digits on BOTH
+sides; sums that feed comparisons are integer-exact.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+ROUND = 6
+
+# ---------------------------------------------------------------------------
+# shared constants
+
+
+STOPWORDS = (
+    "the a an and or of to in is are was were on at for with as by it this "
+    "that be from not but have has had you i he she they we do does did will"
+).split()
+
+# tiny per-language marker lexicons for the n-gram/stopword langid heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": "der die das und ist nicht ein eine mit von zu auf".split(),
+    "en": "the and of to is in that it for not with as you".split(),
+    "es": "el la de que y en los se del las por un para".split(),
+    "fr": "le la les de et des en un une du est pour que".split(),
+    "zh": "de shi bu le zai you wo ta men zhe na hen".split(),
+}
+LANG_ORDER = sorted(LANG_MARKERS)  # deterministic tie-break: alphabetical
+
+WORD_SPLIT_RE = r"\s+"
+SYMBOL_RE = r"[^a-zA-Z0-9\s]"
+# BPE-ish tokenizer: letter runs, digit runs, single non-space symbols
+TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+# 60-bit md5-derived portable hash (see functions/hashing.py)
+_HEX = 15
+# minhash universal-hash parameters: (a*h2 + b) % MERSENNE31 with h2 < 2^31
+MERSENNE31 = 2_147_483_647
+MINHASH_PERMS = 8
+_MH_A = [1103515245, 22695477, 65793, 134775813, 214013, 69069, 75, 1664525][
+    :MINHASH_PERMS
+]
+_MH_B = [12345, 1, 4261412741, 2531011, 1013904223, 362437, 74, 1013904223][
+    :MINHASH_PERMS
+]
+# keep a,b < 2^31 so a*h2+b < 2^62 never overflows int64 in either engine
+_MH_A = [a % MERSENNE31 for a in _MH_A]
+_MH_B = [b % MERSENNE31 for b in _MH_B]
+
+PPL_MOD = 997  # pseudo-logprob modulus for the hashed-ngram perplexity proxy
+SIMHASH_BITS = 16
+
+
+@dataclass(frozen=True)
+class P:
+    """A parity pair: same value computed in two SQL dialects."""
+
+    spark: str
+    duck: str
+
+    def alias(self, name: str) -> "P":
+        return P(f"{self.spark} AS {name}", f"{self.duck} AS {name}")
+
+
+def _sq(regex: str) -> str:
+    """Escape a regex for a Spark SQL single-quoted literal (backslash
+    escapes are on in Spark SQL string literals)."""
+    return "'" + regex.replace("\\", "\\\\") + "'"
+
+
+def _dq(regex: str) -> str:
+    """DuckDB string literal (no backslash escaping)."""
+    return "'" + regex.replace("'", "''") + "'"
+
+
+def _strlist_sql(items: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in items) + "]"
+
+
+def _strarray_spark(items: list[str]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in items) + ")"
+
+
+# ---------------------------------------------------------------------------
+# portable hash fragments (string-level; Column-level twin in hashing.py)
+
+
+def hash64(expr_spark: str, expr_duck: str | None = None) -> P:
+    d = expr_duck if expr_duck is not None else expr_spark
+    return P(
+        f"CAST(conv(substring(md5({expr_spark}), 1, {_HEX}), 16, 10) AS BIGINT)",
+        f"CAST(('0x' || substr(md5({d}), 1, {_HEX})) AS BIGINT)",
+    )
+
+
+# ---------------------------------------------------------------------------
+# word-level primitives.  Most builders take the NAME of a precomputed
+# array<string> column (``words``) so the query materializes the split once.
+
+
+def words(col: str) -> P:
+    """Non-empty lowercase whitespace tokens."""
+    return P(
+        f"filter(split(lower({col}), {_sq(WORD_SPLIT_RE)}), x -> x != '')",
+        f"list_filter(regexp_split_to_array(lower({col}), {_dq(WORD_SPLIT_RE)}),"
+        " x -> x != '')",
+    )
+
+
+def n_words(w: str = "words") -> P:
+    return P(f"CAST(size({w}) AS BIGINT)", f"CAST(len({w}) AS BIGINT)")
+
+
+def mean_word_len(w: str = "words") -> P:
+    """Gopher: mean word length (null on empty docs)."""
+    return P(
+        f"round(aggregate({w}, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
+        f" / size({w}), {ROUND})",
+        f"round(list_aggregate(list_transform({w}, x -> len(x)), 'sum')"
+        f" / len({w}), {ROUND})",
+    )
+
+
+def stopword_ratio(w: str = "words") -> P:
+    """C4: fraction of words that are English stopwords."""
+    return P(
+        f"round(size(filter({w}, x -> array_contains({_strarray_spark(STOPWORDS)}, x)))"
+        f" / size({w}), {ROUND})",
+        f"round(len(list_filter({w}, x -> list_contains({_strlist_sql(STOPWORDS)}, x)))"
+        f" / len({w}), {ROUND})",
+    )
+
+
+def symbol_word_ratio(col: str, w: str = "words") -> P:
+    """Gopher: symbols per word (symbol = non-alphanumeric, non-space)."""
+    return P(
+        f"round(size(regexp_extract_all({col}, {_sq(SYMBOL_RE)}, 0))"
+        f" / size({w}), {ROUND})",
+        f"round(len(regexp_extract_all({col}, {_dq(SYMBOL_RE)}))"
+        f" / len({w}), {ROUND})",
+    )
+
+
+def token_count(col: str) -> P:
+    """BPE-ish token count: letter runs + digit runs + single symbols."""
+    return P(
+        f"CAST(size(regexp_extract_all({col}, {_sq(TOKEN_RE)}, 0)) AS BIGINT)",
+        f"CAST(len(regexp_extract_all({col}, {_dq(TOKEN_RE)})) AS BIGINT)",
+    )
+
+
+def bigrams(w: str = "words") -> P:
+    """Adjacent word 2-shingles; empty array for <2 words."""
+    return P(
+        f"CASE WHEN size({w}) >= 2 THEN transform(sequence(1, size({w}) - 1),"
+        f" i -> concat(element_at({w}, i), ' ', element_at({w}, i + 1)))"
+        " ELSE array() END",
+        f"CASE WHEN len({w}) >= 2 THEN list_transform(range(1, len({w})),"
+        f" i -> {w}[i] || ' ' || {w}[i+1]) ELSE [] END",
+    )
+
+
+def trigrams(w: str = "words") -> P:
+    return P(
+        f"CASE WHEN size({w}) >= 3 THEN transform(sequence(1, size({w}) - 2),"
+        f" i -> concat(element_at({w}, i), ' ', element_at({w}, i + 1), ' ',"
+        f" element_at({w}, i + 2))) ELSE array() END",
+        f"CASE WHEN len({w}) >= 3 THEN list_transform(range(1, len({w}) - 1),"
+        f" i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2]) ELSE [] END",
+    )
+
+
+def rep_bigram_frac(bg: str = "bigrams") -> P:
+    """Gopher repetition: fraction of duplicate adjacent bigrams.
+
+    0.0 for docs with <2 bigrams (too short to repeat).
+    """
+    return P(
+        f"CASE WHEN size({bg}) >= 2 THEN round(1.0 - size(array_distinct({bg}))"
+        f" / size({bg}), {ROUND}) ELSE 0.0 END",
+        f"CASE WHEN len({bg}) >= 2 THEN round(1.0 - len(list_distinct({bg}))"
+        f" / len({bg}), {ROUND}) ELSE 0.0 END",
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic (marker-word counts, deterministic argmax)
+
+
+def lang_score(lang: str, w: str = "words") -> P:
+    markers = LANG_MARKERS[lang]
+    return P(
+        f"CAST(size(filter({w}, x -> array_contains({_strarray_spark(markers)}, x)))"
+        " AS BIGINT)",
+        f"CAST(len(list_filter({w}, x -> list_contains({_strlist_sql(markers)}, x)))"
+        " AS BIGINT)",
+    )
+
+
+def lang_pred(score_cols: dict[str, str] | None = None) -> P:
+    """CASE-chain argmax over per-language score columns; ties break to the
+    alphabetically-first language.  Identical syntax in both dialects."""
+    cols = score_cols or {lang: f"score_{lang}" for lang in LANG_ORDER}
+    langs = sorted(cols)
+    clauses = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"{cols[lang]} >= {cols[other]}" for other in langs[i + 1 :]
+        )
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+    return P(case, case)
+
+
+# ---------------------------------------------------------------------------
+# hashed-ngram perplexity proxy (integer-exact, portable)
+
+
+def ppl_proxy(bg: str = "bigrams") -> P:
+    """Mean pseudo-logprob over bigrams: logprob(g) = hash64(g) % PPL_MOD.
+
+    The *model* here is a deterministic hash-derived lookup so the oracle can
+    recompute it; the production scorer (operators/perplexity.py) swaps in a
+    real broadcast n-gram table with the same batched shape.  Integer sum is
+    exact in both engines; one final division then round.
+    """
+    h = hash64("x")
+    return P(
+        f"CASE WHEN size({bg}) > 0 THEN round(aggregate({bg}, CAST(0 AS BIGINT),"
+        f" (a, x) -> a + ({h.spark} % {PPL_MOD})) / size({bg}), {ROUND})"
+        " ELSE NULL END",
+        f"CASE WHEN len({bg}) > 0 THEN round(list_aggregate(list_transform({bg},"
+        f" x -> {h.duck} % {PPL_MOD}), 'sum') / len({bg}), {ROUND})"
+        " ELSE NULL END",
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprints / sketches
+
+
+def fingerprint(tg: str = "trigrams") -> P:
+    """Document fingerprint: min 60-bit hash over word 3-shingles (one-perm
+    minhash); falls back to -1 for docs too short to shingle."""
+    h = hash64("acc2")
+    # min-fold via aggregate on spark; list_aggregate('min') on duck
+    return P(
+        f"CASE WHEN size({tg}) > 0 THEN aggregate({tg},"
+        f" CAST(9223372036854775807 AS BIGINT),"
+        f" (a, acc2) -> least(a, {h.spark})) ELSE CAST(-1 AS BIGINT) END",
+        f"CASE WHEN len({tg}) > 0 THEN list_aggregate(list_transform({tg},"
+        f" acc2 -> {h.duck}), 'min') ELSE CAST(-1 AS BIGINT) END",
+    )
+
+
+def minhash_component(perm: int, tg: str = "trigrams") -> P:
+    """One minhash signature component over word 3-shingles.
+
+    h2 = hash64(s) % M31 keeps the product a*h2+b < 2^62 (no overflow in
+    either engine); min over shingles.  Returns M31 for unshingleable docs.
+    """
+    a, b = _MH_A[perm], _MH_B[perm]
+    h = hash64("x")
+    sp = f"({a} * ({h.spark} % {MERSENNE31}) + {b}) % {MERSENNE31}"
+    du = f"({a} * ({h.duck} % {MERSENNE31}) + {b}) % {MERSENNE31}"
+    return P(
+        f"CASE WHEN size({tg}) > 0 THEN aggregate({tg},"
+        f" CAST({MERSENNE31} AS BIGINT), (acc, x) -> least(acc, {sp}))"
+        f" ELSE CAST({MERSENNE31} AS BIGINT) END",
+        f"CASE WHEN len({tg}) > 0 THEN list_aggregate(list_transform({tg},"
+        f" x -> {du}), 'min') ELSE CAST({MERSENNE31} AS BIGINT) END",
+    )
+
+
+def simhash(w: str = "word_hashes", bits: int = SIMHASH_BITS) -> P:
+    """SimHash over a precomputed array<long> of word hashes: bit k of the
+    sketch is the sign of sum over words of (2*bit_k(h) - 1)."""
+    sp_terms, du_terms = [], []
+    for k in range(bits):
+        sp_sum = (
+            f"aggregate({w}, CAST(0 AS BIGINT),"
+            f" (a, x) -> a + ((shiftright(x, {k}) & 1) * 2 - 1))"
+        )
+        du_sum = (
+            f"list_aggregate(list_transform({w},"
+            f" x -> ((x >> {k}) & 1) * 2 - 1), 'sum')"
+        )
+        sp_terms.append(f"(CASE WHEN {sp_sum} >= 0 THEN {1 << k} ELSE 0 END)")
+        du_terms.append(f"(CASE WHEN {du_sum} >= 0 THEN {1 << k} ELSE 0 END)")
+    return P(
+        "CAST(" + " + ".join(sp_terms) + " AS BIGINT)",
+        "CAST(" + " + ".join(du_terms) + " AS BIGINT)",
+    )
+
+
+def word_hashes(w: str = "words") -> P:
+    h = hash64("x")
+    return P(
+        f"transform({w}, x -> {h.spark})",
+        f"list_transform({w}, x -> {h.duck})",
+    )
+
+
+# ---------------------------------------------------------------------------
+# vector (embedding) primitives over array<float> columns
+
+
+def dot(a: str, b: str) -> P:
+    """Double-precision sequential-fold dot product (same order both sides)."""
+    return P(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)",
+        f"list_aggregate(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')",
+    )
+
+
+def norm(a: str) -> P:
+    d = dot(a, a)
+    return P(f"sqrt({d.spark})", f"sqrt({d.duck})")
+
+
+def cosine(a: str, b: str) -> P:
+    d, na, nb = dot(a, b), norm(a), norm(b)
+    return P(
+        f"round({d.spark} / ({na.spark} * {nb.spark}), {ROUND})",
+        f"round({d.duck} / ({na.duck} * {nb.duck}), {ROUND})",
+    )

@@ -1,0 +1,2 @@
+"""Curation operators (SURVEY §2): extraction UDTF-analog, model scorers,
+decision layer, scrub, dedup, similarity, sampling, multimodal plumbing."""

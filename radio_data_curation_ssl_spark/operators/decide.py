@@ -1,0 +1,96 @@
+"""Heuristic feature columns + keep/drop decision layer.
+
+The Gopher/C4 heuristics are **pure Spark column expressions** (JVM-side,
+whole-stage codegen — SURVEY Phase 1), built from the paired fragments in
+``functions/text.py`` so the DuckDB oracle computes identical values.  The
+decision is a fixed-priority rule chain: the first failing rule names the
+``drop_reason`` — the drop-reason histogram feeds the metrics layer
+(counters analog: /root/reference/src/1a_cutouts_sw.py:124).
+
+Reference predicate analogs: NaN-patch filter
+(/root/reference/src/1a_cutouts_sw.py:77) and grid de-overlap filter
+(/root/reference/scripts/non_overlap_filtering.py:46-58) — simple
+per-item predicates deciding membership of the curated set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+# thresholds (shared with the oracle via this module)
+TH = {
+    "min_words": 10,
+    "max_ppl": 1500.0,
+    "min_stopword_ratio": 0.05,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+    "max_symbol_word_ratio": 0.5,
+    "max_rep_bigram_frac": 0.30,
+    "min_lang_conf": 0.25,
+}
+KEEP_LANGS = ("en",)
+
+# (reason, rule fails when predicate is true) — evaluation order is the
+# drop_reason priority; keep iff no rule fires.
+RULE_ORDER = [
+    "no_content",
+    "too_short",
+    "lang",
+    "perplexity",
+    "stopword_ratio",
+    "word_len",
+    "symbol_ratio",
+    "repetition",
+]
+
+
+def with_heuristics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append n_words, mean_word_len, stopword_ratio, symbol_word_ratio,
+    rep_bigram_frac — all built-in expressions, no Python."""
+    return (
+        docs.withColumn("words", F.expr(X.words(text_col).spark))
+        .withColumn("bigrams", F.expr(X.bigrams("words").spark))
+        .withColumn("n_words", F.expr(X.n_words("words").spark))
+        .withColumn("mean_word_len", F.expr(X.mean_word_len("words").spark))
+        .withColumn("stopword_ratio", F.expr(X.stopword_ratio("words").spark))
+        .withColumn(
+            "symbol_word_ratio", F.expr(X.symbol_word_ratio(text_col, "words").spark)
+        )
+        .withColumn("rep_bigram_frac", F.expr(X.rep_bigram_frac("bigrams").spark))
+        .drop("words", "bigrams")
+    )
+
+
+def _fail_conditions(text_col: str = "text") -> list[tuple[str, Column]]:
+    c = F.col
+    return [
+        ("no_content", c(text_col).isNull()),
+        ("too_short", c("n_words") < TH["min_words"]),
+        (
+            "lang",
+            (~c("lang_pred").isin(*KEEP_LANGS))
+            | (c("lang_conf") < TH["min_lang_conf"]),
+        ),
+        ("perplexity", c("ppl").isNull() | F.isnan("ppl") | (c("ppl") > TH["max_ppl"])),
+        ("stopword_ratio", c("stopword_ratio") < TH["min_stopword_ratio"]),
+        (
+            "word_len",
+            (c("mean_word_len") < TH["min_mean_word_len"])
+            | (c("mean_word_len") > TH["max_mean_word_len"]),
+        ),
+        ("symbol_ratio", c("symbol_word_ratio") > TH["max_symbol_word_ratio"]),
+        ("repetition", c("rep_bigram_frac") > TH["max_rep_bigram_frac"]),
+    ]
+
+
+def with_decision(scored: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append keep:boolean and drop_reason:string (null iff keep)."""
+    reason: Column = F.lit(None).cast("string")
+    for name, cond in reversed(_fail_conditions(text_col)):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+    return scored.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )

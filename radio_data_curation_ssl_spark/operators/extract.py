@@ -1,0 +1,90 @@
+"""Deterministic HTML -> text extraction.
+
+Reference analog: the 1-row -> N-patches sliding-window cutout generator
+(/root/reference/src/1a_cutouts_sw.py:48-93) — the stage that turns raw
+binary payloads into the unit of curation.  For web text the mapping is
+1 html -> 1 document; the invariant (BASELINE.json input_hint) is
+**byte-identical extracted text per url** vs the pure-Python oracle.
+
+Guarantee mechanism: one pure function :func:`extract_text_bytes` is the
+single definition of extraction; the oracle calls it row-by-row, Spark calls
+it inside ``mapInPandas`` over Arrow batches.  The Spark layer adds only
+plumbing (schema, batching, key carry-through), so byte-identity holds by
+construction and the tests exercise the plumbing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_MAIN_OPEN = b"<main>"
+_MAIN_CLOSE = b"</main>"
+_P_OPEN = b"<p>"
+_P_CLOSE = b"</p>"
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang_claimed", T.StringType(), True),
+        T.StructField("n_bytes_html", T.LongType(), True),
+    ]
+)
+
+
+def extract_text_bytes(html: bytes) -> str | None:
+    """Pull the paragraph payload out of the boilerplate skeleton.
+
+    Deterministic byte-level parse: locate <main>..</main>, then join the
+    text of every <p>..</p> inside it with a single newline.  Returns None
+    when no main/paragraph content exists (dropped later with reason
+    ``no_content``).
+    """
+    if html is None:
+        return None
+    lo = html.find(_MAIN_OPEN)
+    hi = html.find(_MAIN_CLOSE, lo + 1) if lo >= 0 else -1
+    body = html[lo + len(_MAIN_OPEN) : hi] if (lo >= 0 and hi > lo) else html
+    parts: list[bytes] = []
+    pos = 0
+    while True:
+        s = body.find(_P_OPEN, pos)
+        if s < 0:
+            break
+        e = body.find(_P_CLOSE, s + len(_P_OPEN))
+        if e < 0:
+            break
+        parts.append(body[s + len(_P_OPEN) : e])
+        pos = e + len(_P_CLOSE)
+    if not parts:
+        return None
+    return b"\n".join(parts).decode("utf-8", errors="replace")
+
+
+def extract_docs(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> docs keyed by url.
+
+    ``mapInPandas`` with a static output schema — the reference probes its
+    output dim at runtime (/root/reference/src/3b_feature_extraction_from_path.py:178-186);
+    we declare it (SURVEY §4 O13 non-goal).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            yield pd.DataFrame(
+                {
+                    "url": b["url"],
+                    "warc_ts": b["warc_ts"],
+                    "text": b["html"].map(extract_text_bytes),
+                    "lang_claimed": b["lang"],
+                    "n_bytes_html": b["html"].str.len().astype("int64"),
+                }
+            )
+
+    return pages.mapInPandas(batches, DOCS_SCHEMA)

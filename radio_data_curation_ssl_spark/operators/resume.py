@@ -1,0 +1,128 @@
+"""Resumable, bucket-committed writes: the Spark re-expression of the
+reference's checkpoint/skip-if-exists machinery.
+
+Reference behavior being re-expressed (SURVEY §4 O1/O11):
+- config-hash-named output dir + exit-if-exists
+  (/root/reference/src/1a_cutouts_sw.py:35-38)
+- per-mosaic partial outputs skipped when present
+  (/root/reference/src/1a_cutouts_sw.py:69-71)
+- numbered checkpoints discovered/validated on restart
+  (/root/reference/src/utils.py:105-135,
+   /root/reference/src/clustering/run_distributed_kmeans.py:58-205)
+
+Spark design: the unit of commit is a **url-hash bucket** (explicit
+``pmod(xxhash64(url), n_buckets)`` — north_rule's explicit repartitioning).
+Each bucket is written to ``<out>/bucket=<b>/`` followed by an atomic
+rename of a ``_COMMITTED_<b>`` marker.  On restart, committed buckets are
+skipped wholesale (the cheap path) and — for byte-level safety if a bucket
+was partially written without its marker — the recompute overwrites it.
+This is the anti-join-on-committed-keys resume of SURVEY §2.3, done at
+bucket granularity so the filter is a partition prune, not a row-level
+shuffle join.  At 10^12 docs, bucket count scales to O(100k); markers live
+in the table metadata (an Iceberg snapshot per bucket-batch in production —
+same commit semantics, different medium).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import url_partition
+
+BUCKET_COL = "url_bucket"
+
+
+def committed_buckets(out_dir: str) -> set[int]:
+    if not os.path.isdir(out_dir):
+        return set()
+    return {
+        int(name.split("_COMMITTED_", 1)[1])
+        for name in os.listdir(out_dir)
+        if name.startswith("_COMMITTED_")
+    }
+
+
+def mark_committed(out_dir: str, bucket: int) -> None:
+    tmp = os.path.join(out_dir, f"._tmp_COMMITTED_{bucket}")
+    final = os.path.join(out_dir, f"_COMMITTED_{bucket}")
+    with open(tmp, "w") as f:
+        f.write("ok")
+    os.replace(tmp, final)  # atomic on POSIX
+
+
+def write_resumable(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    n_buckets: int = 8,
+    buckets_per_commit: int = 4,
+    fail_after_batches: int | None = None,
+) -> list[int]:
+    """Write ``df`` partitioned by url-hash bucket with batched commits.
+
+    Buckets already committed are pruned BEFORE compute (the resume skip).
+    The commit unit is a *batch* of ``buckets_per_commit`` buckets: one
+    Spark job computes the batch (single scan of the upstream plan, write
+    partitioned by bucket dir), then all buckets in the batch get their
+    marker.  A crash mid-batch loses at most one batch of work; upstream
+    recompute cost is amortized over the batch.  At 10^12 docs: O(100k)
+    buckets, batch sized so one batch ~ one cluster-filling job.
+
+    ``fail_after_batches`` injects a mid-run crash for the resume tests
+    (reference analog: a killed Slurm job mid-checkpoint,
+    /root/reference/src/utils.py:105-135).
+    Returns the buckets written by this invocation.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = committed_buckets(out_dir)
+    pending = [b for b in range(n_buckets) if b not in done]
+    if not pending:
+        return []
+    bucketed = df.withColumn(BUCKET_COL, url_partition(url_col, n_buckets))
+    written: list[int] = []
+    batches = [
+        pending[i : i + buckets_per_commit]
+        for i in range(0, len(pending), buckets_per_commit)
+    ]
+    for bi, batch in enumerate(batches):
+        if fail_after_batches is not None and bi >= fail_after_batches:
+            raise RuntimeError(f"injected failure after {fail_after_batches} batches")
+        part = bucketed.where(F.col(BUCKET_COL).isin(batch))
+        # one job; dynamic overwrite touches only this batch's bucket dirs
+        part.write.mode("overwrite").partitionBy(BUCKET_COL).option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(out_dir)
+        for b in batch:
+            mark_committed(out_dir, b)
+        written.extend(batch)
+    return written
+
+
+def read_resumable(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read back only committed buckets (partition-pruned scan; stray
+    files from an uncommitted crashed batch are excluded by the filter)."""
+    done = sorted(committed_buckets(out_dir))
+    if not done:
+        raise FileNotFoundError(f"no committed buckets under {out_dir}")
+    return (
+        spark.read.parquet(out_dir)
+        .where(F.col(BUCKET_COL).isin(done))
+        .drop(BUCKET_COL)
+    )
+
+
+def pending_rows(
+    df: DataFrame, spark: SparkSession, out_dir: str, url_col: str = "url"
+) -> DataFrame:
+    """Row-level resume: anti-join input against already-committed urls
+    (SURVEY §2.3 'anti-join (implicit)' —
+    /root/reference/src/1a_cutouts_sw.py:69-71).  Used when the commit unit
+    must be finer than a bucket."""
+    try:
+        done = read_resumable(spark, out_dir).select(url_col)
+    except FileNotFoundError:
+        return df
+    return df.join(done, on=url_col, how="left_anti")

@@ -1,0 +1,83 @@
+"""PII / toxicity scrubbing via compiled-regex vectorized UDFs.
+
+Patterns are compiled once per executor process (module scope) and applied
+with ``pandas.Series.str.replace`` over whole Arrow batches — never a
+per-row Python UDF (north_rule).  The pure-Python oracle applies the SAME
+compiled patterns with ``re.sub`` row-by-row; byte-identical output is the
+contract (BASELINE.json input_hint), tested per url.
+
+Reference analog for the shape: the per-item transform pipeline applied
+batch-wise (/root/reference/src/3b_feature_extraction_from_path.py:137-155),
+and regex sanitize (/root/reference/src/utils.py:67-84).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..synth import TOX_WORDS
+
+# ordered: applied in sequence; order is part of the contract
+SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (
+        "toxicity",
+        r"\b(?:" + "|".join(re.escape(w) for w in TOX_WORDS) + r")\b",
+        "<TOX>",
+    ),
+]
+
+_COMPILED = [(name, re.compile(pat), repl) for name, pat, repl in SCRUB_PATTERNS]
+
+
+def scrub_text(text: str | None) -> tuple[str | None, int]:
+    """Oracle-grade single-doc scrub: (scrubbed, n_redactions)."""
+    if text is None:
+        return None, 0
+    total = 0
+    for _, rx, repl in _COMPILED:
+        text, n = rx.subn(repl, text)
+        total += n
+    return text, total
+
+
+def scrub_series(texts: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """Vectorized batch scrub (the Spark hot path)."""
+    out = texts
+    redactions = pd.Series(0, index=texts.index, dtype="int64")
+    for _, rx, repl in _COMPILED:
+        redactions = redactions.add(
+            out.str.count(rx).fillna(0).astype("int64"), fill_value=0
+        )
+        out = out.str.replace(rx, repl, regex=True)
+    return out, redactions.astype("int64")
+
+
+def with_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append text_scrubbed + n_redactions via mapInPandas."""
+    schema = T.StructType(
+        list(docs.schema.fields)
+        + [
+            T.StructField("text_scrubbed", T.StringType(), True),
+            T.StructField("n_redactions", T.LongType(), True),
+        ]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            out = b.copy()
+            scrubbed, n = scrub_series(b[text_col])
+            out["text_scrubbed"] = scrubbed
+            out["n_redactions"] = n
+            yield out
+
+    return docs.mapInPandas(run, schema)

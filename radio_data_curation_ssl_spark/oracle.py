@@ -1,0 +1,181 @@
+"""Pure-Python/pandas oracle for the curation pipeline.
+
+Role (SURVEY §5): the reference validates its distributed k-means against a
+single-device twin implementing the same math
+(/root/reference/src/kmeans_gpu.py vs src/distributed_kmeans_gpu.py).  This
+module is that twin for the curation pipeline: scoring and decisions are
+re-implemented with dicts and per-row loops — no Spark, no vectorization —
+so agreement with the Spark pipeline is a real two-implementation check.
+
+Shared-by-contract pieces (not independently reimplemented, by design):
+- byte-level extraction (`operators.extract.extract_text_bytes`) — the
+  byte-identity contract makes the function itself the spec;
+- model *artifacts* (langid weights, perplexity table, scrub pattern list)
+  — oracle and pipeline must score with the same model; the scoring
+  machinery is what differs.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+
+from .functions.text import STOPWORDS
+from .operators.decide import KEEP_LANGS, TH
+from .operators.extract import extract_text_bytes
+from .operators.langid import LANGS, N_BUCKETS, VOCAB, char_ngrams, ngram_bucket
+from .operators.perplexity import (
+    TABLE_SIZE,
+    bigram_hash_np,
+    build_table,
+    word_hash_np,
+)
+from .operators.scrub import scrub_text
+
+_WS = re.compile(r"\s+")
+_SYM = re.compile(r"[^a-zA-Z0-9\s]")
+_STOP = set(STOPWORDS)
+
+
+def _words(text: str) -> list[str]:
+    return [w for w in _WS.split(text.lower()) if w]
+
+
+def heuristics_row(text: str | None) -> dict:
+    if text is None:
+        return dict(
+            n_words=0,
+            mean_word_len=None,
+            stopword_ratio=None,
+            symbol_word_ratio=None,
+            rep_bigram_frac=0.0,
+        )
+    ws = _words(text)
+    n = len(ws)
+    bigrams = [f"{ws[i]} {ws[i + 1]}" for i in range(n - 1)]
+    rep = (
+        1.0 - len(set(bigrams)) / len(bigrams) if len(bigrams) >= 2 else 0.0
+    )
+    return dict(
+        n_words=n,
+        mean_word_len=(sum(len(w) for w in ws) / n) if n else None,
+        stopword_ratio=(sum(w in _STOP for w in ws) / n) if n else None,
+        symbol_word_ratio=(len(_SYM.findall(text)) / n) if n else None,
+        rep_bigram_frac=rep,
+    )
+
+
+def _build_langid_dicts() -> dict[str, dict[int, float]]:
+    """Independent weight construction: dict-of-dicts, loop-normalized."""
+    weights: dict[str, dict[int, float]] = {}
+    for lang in LANGS:
+        acc: dict[int, float] = {}
+        for word in VOCAB[lang]:
+            for g in char_ngrams(word):
+                b = ngram_bucket(g)
+                acc[b] = acc.get(b, 0.0) + 1.0
+        norm = math.sqrt(sum(v * v for v in acc.values()))
+        weights[lang] = {b: v / norm for b, v in acc.items()} if norm else {}
+    return weights
+
+
+_LANGID_DICTS = None
+
+
+def langid_row(text: str | None) -> tuple[str, float]:
+    global _LANGID_DICTS
+    if _LANGID_DICTS is None:
+        _LANGID_DICTS = _build_langid_dicts()
+    if not text:
+        return LANGS[0], 0.0
+    buckets: dict[int, int] = {}
+    for g in char_ngrams(text):
+        b = ngram_bucket(g)
+        buckets[b] = buckets.get(b, 0) + 1
+    scores = []
+    for lang in LANGS:
+        w = _LANGID_DICTS[lang]
+        scores.append(sum(w.get(b, 0.0) * c for b, c in buckets.items()))
+    total = sum(scores)
+    best = int(np.argmax(scores))
+    conf = scores[best] / total if total > 0 else 0.0
+    return LANGS[best], conf
+
+
+_PPL_TABLE = None
+
+
+def ppl_row(text: str | None) -> float:
+    global _PPL_TABLE
+    if _PPL_TABLE is None:
+        _PPL_TABLE = build_table()
+    if not text:
+        return float("nan")
+    ws = text.lower().split()
+    if len(ws) < 2:
+        return float("nan")
+    logprobs = []
+    for i in range(len(ws) - 1):
+        wh = word_hash_np(np.array([ws[i], ws[i + 1]], dtype="U16"))
+        bh = bigram_hash_np(wh)[0]
+        # NB: bh % TABLE_SIZE with a python-int modulus would promote
+        # uint64 -> float64 and corrupt the index; keep it in uint64.
+        logprobs.append(float(_PPL_TABLE[int(bh % np.uint64(TABLE_SIZE))]) / 100.0)
+    return math.exp(-(sum(logprobs) / len(logprobs)))
+
+
+def decide_row(row: dict) -> tuple[bool, str | None]:
+    """Fixed-priority rule chain — mirrors operators.decide but in plain ifs."""
+    if row["text"] is None:
+        return False, "no_content"
+    if row["n_words"] < TH["min_words"]:
+        return False, "too_short"
+    if row["lang_pred"] not in KEEP_LANGS or row["lang_conf"] < TH["min_lang_conf"]:
+        return False, "lang"
+    if (
+        row["ppl"] is None
+        or (isinstance(row["ppl"], float) and math.isnan(row["ppl"]))
+        or row["ppl"] > TH["max_ppl"]
+    ):
+        return False, "perplexity"
+    if row["stopword_ratio"] < TH["min_stopword_ratio"]:
+        return False, "stopword_ratio"
+    if not (TH["min_mean_word_len"] <= row["mean_word_len"] <= TH["max_mean_word_len"]):
+        return False, "word_len"
+    if row["symbol_word_ratio"] > TH["max_symbol_word_ratio"]:
+        return False, "symbol_ratio"
+    if row["rep_bigram_frac"] > TH["max_rep_bigram_frac"]:
+        return False, "repetition"
+    return True, None
+
+
+def curate_pandas(pages: pd.DataFrame) -> pd.DataFrame:
+    """Row-at-a-time pipeline over a pandas pages frame (url, warc_ts, html,
+    text, lang). Returns the oracle decisions + scrubbed text, keyed by url."""
+    out_rows = []
+    for r in pages.itertuples(index=False):
+        text = extract_text_bytes(r.html)
+        h = heuristics_row(text)
+        lang_pred, lang_conf = langid_row(text)
+        ppl = ppl_row(text)
+        row = dict(url=r.url, text=text, lang_pred=lang_pred, lang_conf=lang_conf, ppl=ppl, **h)
+        keep, reason = decide_row(row)
+        scrubbed, n_red = scrub_text(text)
+        out_rows.append(
+            dict(
+                url=r.url,
+                text=text,
+                lang_pred=lang_pred,
+                lang_conf=lang_conf,
+                ppl=ppl,
+                keep=keep,
+                drop_reason=reason,
+                text_scrubbed=scrubbed,
+                n_redactions=n_red,
+                **h,
+            )
+        )
+    return pd.DataFrame(out_rows)

@@ -1,0 +1,1 @@
+"""Pipeline composition, lineage manifest, metrics, resumable writes."""

@@ -1,0 +1,50 @@
+"""End-to-end curation pipeline: pages -> extract -> score -> decide ->
+scrub -> resumable partitioned output + lineage/metrics.
+
+This composes the stage graph of the reference (extract -> merge -> score ->
+decide -> sample, SURVEY §3) into ONE Spark logical plan per run.  Where the
+reference materializes five artifacts chained by MLflow run-ids, Spark
+pipelines the narrow stages (extract/score/decide/scrub are all
+shuffle-free: mapInPandas + column expressions) and the only wide operations
+are the explicit url-hash repartition at the sink and the metrics
+aggregation.  At 10^12 docs the plan is: scan -> N narrow stages ->
+url-hash write, i.e. exactly one shuffle, which AQE sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.decide import with_decision, with_heuristics
+from ..operators.extract import extract_docs
+from ..operators.langid import with_langid
+from ..operators.perplexity import with_perplexity
+from ..operators.scrub import with_scrub
+
+
+def curate(pages: DataFrame) -> DataFrame:
+    """Full logical plan, lazily composed; caller writes/collects.
+
+    Output columns: url, warc_ts, text, lang_claimed, n_bytes_html,
+    lang_pred, lang_conf, ppl, n_words, mean_word_len, stopword_ratio,
+    symbol_word_ratio, rep_bigram_frac, drop_reason, keep,
+    text_scrubbed, n_redactions.
+    """
+    docs = extract_docs(pages)
+    scored = with_perplexity(with_langid(docs))
+    decided = with_decision(with_heuristics(scored))
+    return with_scrub(decided)
+
+
+def curated_output(pages: DataFrame) -> DataFrame:
+    """The published table: kept docs only, scrubbed text as the payload."""
+    full = curate(pages)
+    return full.where("keep").select(
+        "url",
+        "warc_ts",
+        "text_scrubbed",
+        "n_redactions",
+        "lang_pred",
+        "ppl",
+        "n_words",
+    )

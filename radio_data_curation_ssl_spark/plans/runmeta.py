@@ -1,0 +1,145 @@
+"""Run lineage & metrics: the Spark re-expression of the reference's
+MLflow-run metastore and config-hash idempotence.
+
+- :func:`config_hash` — behavioral twin of ``compute_config_hash``
+  (/root/reference/src/utils.py:26-35): md5 of canonical sorted-key JSON,
+  first 8 hex chars, with key exclusions.  Same config => same run identity
+  => idempotent skip (SURVEY §4 O1).
+- :func:`run_name` — twin of ``format_readable_run_name``
+  (/root/reference/src/utils.py:20-24).
+- ``_runs`` / ``_metrics`` tables — twin of MLflow param logging + counters
+  (/root/reference/src/utils.py:41-63, src/1a_cutouts_sw.py:124) and the
+  run-resolution joins every stage performs
+  (/root/reference/src/2_merge.py:56-68 etc.).  Downstream stages resolve
+  inputs by joining on run_id instead of querying MLflow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RUNS_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("config_hash", T.StringType(), False),
+        T.StructField("params", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("started_at", T.TimestampType(), True),
+        T.StructField("status", T.StringType(), True),
+    ]
+)
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("docs_in", T.LongType(), True),
+        T.StructField("docs_out", T.LongType(), True),
+        T.StructField(
+            "drop_reasons", T.MapType(T.StringType(), T.LongType()), True
+        ),
+    ]
+)
+
+
+def config_hash(config: dict, exclude_keys: tuple[str, ...] = ()) -> str:
+    """md5 of canonical JSON, first 8 hex chars (reference behavior twin)."""
+    filtered = {k: v for k, v in sorted(config.items()) if k not in exclude_keys}
+    blob = json.dumps(filtered, sort_keys=True, default=str)
+    return hashlib.md5(blob.encode("utf-8")).hexdigest()[:8]
+
+
+def run_name(base: str, config: dict, name_keys: tuple[str, ...] = ()) -> str:
+    parts = [base] + [f"{k}_{config[k]}" for k in name_keys if k in config]
+    return "-".join(parts + [config_hash(config)])
+
+
+class RunLog:
+    """File-backed ``_runs`` / ``_metrics`` manifest (parquet append dirs).
+
+    On a cluster these are catalog tables; locally a directory of parquet
+    part files has the same append semantics.
+    """
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        self.runs_path = os.path.join(root, "_runs")
+        self.metrics_path = os.path.join(root, "_metrics")
+
+    def start(self, stage: str, config: dict) -> str:
+        h = config_hash(config)
+        run_id = f"{stage}-{h}"
+        row = Row(
+            run_id=run_id,
+            stage=stage,
+            config_hash=h,
+            params={k: str(v) for k, v in config.items()},
+            started_at=datetime.now(timezone.utc).replace(tzinfo=None),
+            status="running",
+        )
+        self.spark.createDataFrame([row], RUNS_SCHEMA).write.mode("append").parquet(
+            self.runs_path
+        )
+        return run_id
+
+    def finish(self, run_id: str, stage: str, config: dict, status: str = "done"):
+        row = Row(
+            run_id=run_id,
+            stage=stage,
+            config_hash=config_hash(config),
+            params={k: str(v) for k, v in config.items()},
+            started_at=datetime.now(timezone.utc).replace(tzinfo=None),
+            status=status,
+        )
+        self.spark.createDataFrame([row], RUNS_SCHEMA).write.mode("append").parquet(
+            self.runs_path
+        )
+
+    def runs(self) -> DataFrame:
+        return self.spark.read.schema(RUNS_SCHEMA).parquet(self.runs_path)
+
+    def log_metrics(self, run_id: str, stage: str, decided: DataFrame) -> dict:
+        """One aggregation job computes docs_in/out + drop-reason histogram
+        (counter analog of /root/reference/src/1a_cutouts_sw.py:124)."""
+        agg = (
+            decided.groupBy("drop_reason")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        docs_in = sum(r["n"] for r in agg)
+        docs_out = sum(r["n"] for r in agg if r["drop_reason"] is None)
+        reasons = {r["drop_reason"]: r["n"] for r in agg if r["drop_reason"]}
+        row = Row(
+            run_id=run_id,
+            stage=stage,
+            docs_in=docs_in,
+            docs_out=docs_out,
+            drop_reasons=reasons,
+        )
+        self.spark.createDataFrame([row], METRICS_SCHEMA).write.mode(
+            "append"
+        ).parquet(self.metrics_path)
+        return {"docs_in": docs_in, "docs_out": docs_out, "drop_reasons": reasons}
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.schema(METRICS_SCHEMA).parquet(self.metrics_path)
+
+    def resolve(self, run_id: str) -> Row | None:
+        """run_id -> latest manifest row (the metastore-lookup join,
+        /root/reference/src/2_merge.py:56-68 analog)."""
+        rows = (
+            self.runs()
+            .where(F.col("run_id") == run_id)
+            .orderBy(F.desc("started_at"))
+            .limit(1)
+            .collect()
+        )
+        return rows[0] if rows else None

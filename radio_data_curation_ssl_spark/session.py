@@ -1,0 +1,66 @@
+"""SparkSession factory tuned for the curation workload.
+
+Design notes (SURVEY §4, BASELINE.json north_rule):
+
+- Arrow is enabled so every pandas UDF / ``mapInPandas`` moves data in
+  columnar batches, never row-at-a-time Python (reference analog: the
+  batched DataLoader in ``src/3b_feature_extraction_from_path.py:161-172``).
+- AQE is on: runtime coalescing of shuffle partitions and skew-join
+  splitting replace the reference's hand-rolled chunking / resampling skew
+  mitigation (``src/4_clustering_launcher.py:16,27``,
+  ``src/hierarchical_kmeans_gpu.py:159-229``).
+- ``spark.sql.shuffle.partitions`` defaults to the local core count; on a
+  real cluster this is overridden to ~2-3x total cores.  At the 10^12-doc
+  design scale the url-hash repartitioning (``functions/hashing.py``)
+  decides layout, not this default.
+- Arrow batch size bounds executor memory per batch, the Spark analog of the
+  reference's ``MEMORY_LIMIT / n_clusters`` chunking
+  (``src/4_clustering_launcher.py:16,27``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+DEFAULT_ARROW_BATCH = 10_000
+
+
+def get_spark(
+    app_name: str = "curation",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    the same entry points serve tests, the bench harness, and — with
+    ``master=None`` under spark-submit — a real multi-executor cluster.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    n_shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(DEFAULT_ARROW_BATCH)
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,205 @@
+"""Deterministic synthetic `pages` generator (FIXTURES.md §1).
+
+Schema per ``BASELINE.json.input_hint``:
+``url:string, warc_ts:timestamp, html:binary, text:string, lang:string``.
+
+Design constraints:
+
+- **Partition-independent determinism**: every field is a pure function of
+  the row id via splitmix64, so the same (seed, n) yields byte-identical
+  rows no matter how Spark partitions ``spark.range`` — the explicit-key
+  discipline SURVEY §1.3 derives from the reference's fragile positional
+  identity (/root/reference/src/verify_feat_extract_output.py:89-97).
+- **Skewed hosts**: a cubed-uniform draw concentrates ~half the corpus on a
+  few hosts, exercising the salting path (SURVEY §4 O8).
+- **Planted classes** (clean / non-English / gibberish / repetitive /
+  symbol-heavy / too-short / PII-laced), tagged in the url path so expected
+  labels are recomputable by the oracle.
+- **Scales**: generation runs inside ``mapInPandas`` over ``spark.range``;
+  at 10^12 rows it is embarrassingly parallel with no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+    ]
+)
+
+N_HOSTS = 50
+EPOCH_NS = 1_577_836_800_000_000_000  # 2020-01-01 UTC
+TS_STEP_NS = 1_000_000_000  # 1s per row id
+
+VOCAB = {
+    "en": (
+        "the and of to in is that it for not with as you this have from or "
+        "data quick brown fox jumps over lazy dog house river mountain "
+        "market value system people world time year good great small"
+    ).split(),
+    "de": (
+        "der die das und ist nicht ein eine mit von zu auf haus fluss berg "
+        "markt wert welt zeit jahr gut klein schnell braun fuchs hund"
+    ).split(),
+    "es": (
+        "el la de que y en los se del las por un para casa rio montana "
+        "mercado valor mundo tiempo bueno pequeno rapido zorro perro"
+    ).split(),
+    "fr": (
+        "le la les de et des en un une du est pour que maison riviere "
+        "montagne marche valeur monde temps bon petit rapide renard chien"
+    ).split(),
+    "zh": (
+        "de shi bu le zai you wo ta men zhe na hen shan shui jia shi jian "
+        "nian hao xiao kuai hu gou ma niu yang"
+    ).split(),
+}
+NON_EN = ["de", "es", "fr", "zh"]
+
+TOX_WORDS = ["frak", "gorram", "smeg"]  # synthetic "toxicity" lexicon
+
+# class codes -> (share of corpus); tagged into the url path
+CLASSES = [
+    ("clean", 0.60),
+    ("nonen", 0.10),
+    ("gibberish", 0.08),
+    ("repetitive", 0.08),
+    ("symbolic", 0.06),
+    ("tooshort", 0.04),
+    ("pii", 0.04),
+]
+_CLASS_CUM = np.cumsum([s for _, s in CLASSES])
+
+HTML_PRE = (
+    b"<html><head><title>synth</title></head><body>"
+    b"<nav>home | about | contact</nav><main>"
+)
+HTML_POST = b"</main><footer>(c) synth corp. all rights reserved.</footer></body></html>"
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 — the deterministic per-id entropy source."""
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    return z ^ (z >> np.uint64(31))
+
+
+def _u01(ids: np.ndarray, stream: int, seed: int) -> np.ndarray:
+    h = splitmix64(ids * np.uint64(2654435761) + np.uint64(seed * 1000003 + stream))
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _randint(ids: np.ndarray, stream: int, seed: int, mod: int) -> np.ndarray:
+    return (
+        splitmix64(ids * np.uint64(40503) + np.uint64(seed * 69069 + stream))
+        % np.uint64(mod)
+    ).astype(np.int64)
+
+
+def _doc_class(ids: np.ndarray, seed: int) -> np.ndarray:
+    u = _u01(ids, 1, seed)
+    return np.searchsorted(_CLASS_CUM, u, side="right").clip(0, len(CLASSES) - 1)
+
+
+def _make_text(i: int, cls: str, seed: int) -> tuple[str, str]:
+    """(text, true_lang) for one row id — pure function, shared with the
+    oracle's label recomputation."""
+    ids = np.uint64(i)
+    rng_words = _randint(
+        np.arange(200, dtype=np.uint64) + ids * np.uint64(1000), 7, seed, 1 << 31
+    )
+    if cls == "nonen":
+        lang = NON_EN[int(_randint(np.array([ids]), 8, seed, len(NON_EN))[0])]
+    else:
+        lang = "en"
+    vocab = VOCAB[lang]
+    n = 40 + int(_randint(np.array([ids]), 9, seed, 160)[0])
+    if cls == "tooshort":
+        n = 2 + int(_randint(np.array([ids]), 9, seed, 6)[0])
+    toks = [vocab[int(h) % len(vocab)] for h in rng_words[:n]]
+    if cls == "gibberish":
+        toks = [
+            "".join(
+                chr(97 + int(c) % 26)
+                for c in _randint(
+                    np.arange(8, dtype=np.uint64) + ids * np.uint64(31) + np.uint64(k),
+                    11,
+                    seed,
+                    26,
+                )
+            )
+            for k in range(n)
+        ]
+    elif cls == "repetitive":
+        phrase = toks[:4]
+        toks = phrase * (max(n, 16) // 4)
+    elif cls == "symbolic":
+        toks = [t + "$#@!" for t in toks]
+    elif cls == "pii":
+        a = int(_randint(np.array([ids]), 12, seed, 900)[0]) + 100
+        b = int(_randint(np.array([ids]), 13, seed, 9000)[0]) + 1000
+        toks.insert(
+            min(5, len(toks)), f"contact user{i}@example.com or 555-{a:03d}-{b:04d}"
+        )
+        toks.insert(min(9, len(toks)), TOX_WORDS[i % len(TOX_WORDS)])
+    return " ".join(toks), lang
+
+
+def synth_pandas(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
+    """Generate a batch of pages for the given row ids (driver- or
+    executor-side; also the oracle's ground-truth source)."""
+    ids = ids.astype(np.uint64)
+    cls_idx = _doc_class(ids, seed)
+    host_u = _u01(ids, 2, seed)
+    hosts = (host_u**3 * N_HOSTS).astype(np.int64)  # Zipf-ish skew
+    rows = []
+    for k, i in enumerate(ids.astype(np.int64)):
+        cls = CLASSES[int(cls_idx[k])][0]
+        text, true_lang = _make_text(int(i), cls, seed)
+        # claimed lang is sometimes wrong (forces langid to override)
+        claimed = true_lang if (int(i) % 7) else "en"
+        url = f"https://host{hosts[k]:03d}.example.org/{cls}/page-{int(i)}"
+        html = HTML_PRE + b"<p>" + text.encode("utf-8") + b"</p>" + HTML_POST
+        rows.append((url, int(i), html, text, claimed))
+    df = pd.DataFrame(
+        rows, columns=["url", "_id", "html", "text", "lang"]
+    )
+    df["warc_ts"] = pd.to_datetime(
+        EPOCH_NS + df.pop("_id") * TS_STEP_NS, utc=True
+    ).dt.tz_localize(None)
+    return df[["url", "warc_ts", "html", "text", "lang"]]
+
+
+def synth_pages(spark: SparkSession, n: int, seed: int = 42, partitions: int = 32) -> DataFrame:
+    """Distributed generator: ``spark.range`` -> ``mapInPandas``. No shuffle;
+    scales linearly with executors."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield synth_pandas(b["id"].to_numpy(), seed)
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, PAGES_SCHEMA)
+
+
+def expected_class(i: int, seed: int = 42) -> str:
+    """Recompute the planted class for row id i (oracle helper)."""
+    return CLASSES[int(_doc_class(np.array([i], dtype=np.uint64), seed)[0])][0]

@@ -1,0 +1,33 @@
+from __future__ import annotations
+
+import pytest
+
+from radio_data_curation_ssl_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "500"},
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def pages_small(spark):
+    from radio_data_curation_ssl_spark.synth import synth_pages
+
+    return synth_pages(spark, 600, seed=42, partitions=4).cache()
+
+
+@pytest.fixture(scope="session")
+def pages_pdf():
+    import numpy as np
+
+    from radio_data_curation_ssl_spark.synth import synth_pandas
+
+    return synth_pandas(np.arange(600, dtype=np.uint64), seed=42)

@@ -1,0 +1,138 @@
+"""Spark pipeline vs pure-Python oracle (SURVEY §5 twin pattern).
+
+Gates from BASELINE.json: keep/drop F1 >= 0.99 (exact expected on synth),
+byte-identical scrubbed text per url, byte-identical extracted text.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from radio_data_curation_ssl_spark import oracle
+from radio_data_curation_ssl_spark.plans.pipeline import curate
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, pages_small):
+    return {r["url"]: r for r in curate(pages_small).collect()}
+
+
+@pytest.fixture(scope="module")
+def oracle_result(pages_pdf):
+    df = oracle.curate_pandas(pages_pdf)
+    return {r.url: r for r in df.itertuples(index=False)}
+
+
+def test_extracted_text_byte_identical(spark_result, oracle_result):
+    for url, o in oracle_result.items():
+        assert spark_result[url]["text"] == o.text, url
+
+
+def test_scrubbed_text_byte_identical(spark_result, oracle_result):
+    for url, o in oracle_result.items():
+        s = spark_result[url]
+        assert s["text_scrubbed"] == o.text_scrubbed, url
+        assert s["n_redactions"] == o.n_redactions, url
+
+
+def test_keep_drop_f1(spark_result, oracle_result):
+    tp = fp = fn = 0
+    mismatches = []
+    for url, o in oracle_result.items():
+        s = spark_result[url]["keep"]
+        if s and o.keep:
+            tp += 1
+        elif s and not o.keep:
+            fp += 1
+            mismatches.append(url)
+        elif not s and o.keep:
+            fn += 1
+            mismatches.append(url)
+    f1 = 2 * tp / (2 * tp + fp + fn) if tp else 0.0
+    assert f1 >= 0.99, (f1, mismatches[:10])
+
+
+def test_drop_reasons_match(spark_result, oracle_result):
+    diff = [
+        (u, spark_result[u]["drop_reason"], o.drop_reason)
+        for u, o in oracle_result.items()
+        if spark_result[u]["drop_reason"] != o.drop_reason
+    ]
+    # rounding at rule boundaries may flip a handful; must be rare
+    assert len(diff) <= max(2, len(oracle_result) // 100), diff[:10]
+
+
+def test_heuristic_values_close(spark_result, oracle_result):
+    checked = 0
+    for url, o in oracle_result.items():
+        s = spark_result[url]
+        if o.text is None:
+            continue
+        assert s["n_words"] == o.n_words, url
+        for col in ("mean_word_len", "stopword_ratio", "symbol_word_ratio", "rep_bigram_frac"):
+            ov, sv = getattr(o, col), s[col]
+            if ov is None:
+                assert sv is None, (url, col)
+            else:
+                assert sv == pytest.approx(ov, abs=2e-6), (url, col)
+        checked += 1
+    assert checked > 500
+
+
+def test_langid_agreement(spark_result, oracle_result):
+    agree = sum(
+        spark_result[u]["lang_pred"] == o.lang_pred for u, o in oracle_result.items()
+    )
+    assert agree / len(oracle_result) >= 0.995
+
+
+def test_langid_detects_nonenglish(oracle_result):
+    """Planted non-English docs must be predicted non-'en' (the claimed-lang
+    column is deliberately wrong sometimes; langid must override)."""
+    nonen = [o for o in oracle_result.values() if "/nonen/" in o.url]
+    correct = sum(o.lang_pred != "en" for o in nonen)
+    assert correct / len(nonen) > 0.9
+
+
+def test_ppl_agreement(spark_result, oracle_result):
+    for url, o in oracle_result.items():
+        s = spark_result[url]["ppl"]
+        if o.ppl is None or (isinstance(o.ppl, float) and math.isnan(o.ppl)):
+            assert s is None or math.isnan(s), url
+        else:
+            assert s == pytest.approx(o.ppl, rel=1e-9), url
+
+
+def test_planted_classes_dropped_for_expected_reasons(oracle_result):
+    reason_by_class = {
+        "tooshort": {"too_short"},
+        "gibberish": {"lang", "perplexity", "stopword_ratio"},
+        "repetitive": {"repetition", "stopword_ratio"},
+        "symbolic": {"symbol_ratio", "lang", "perplexity", "stopword_ratio"},
+        "nonen": {"lang"},
+    }
+    for cls, allowed in reason_by_class.items():
+        rows = [o for o in oracle_result.values() if f"/{cls}/" in o.url]
+        dropped = [o for o in rows if not o.keep]
+        assert len(dropped) / len(rows) > 0.9, cls
+        for o in dropped:
+            assert o.drop_reason in allowed, (cls, o.url, o.drop_reason)
+
+
+def test_clean_docs_mostly_kept(oracle_result):
+    clean = [o for o in oracle_result.values() if "/clean/" in o.url]
+    kept = sum(o.keep for o in clean)
+    assert kept / len(clean) > 0.8
+
+
+def test_pii_scrubbed(oracle_result):
+    pii = [o for o in oracle_result.values() if "/pii/" in o.url]
+    assert pii
+    for o in pii:
+        assert "<EMAIL>" in o.text_scrubbed
+        assert "<PHONE>" in o.text_scrubbed
+        assert "<TOX>" in o.text_scrubbed
+        assert "@example.com" not in o.text_scrubbed
+        assert o.n_redactions >= 3

@@ -1,0 +1,60 @@
+"""Generator invariants: partition-independent determinism, schema, skew."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from radio_data_curation_ssl_spark.synth import (
+    PAGES_SCHEMA,
+    expected_class,
+    synth_pages,
+    synth_pandas,
+)
+
+
+def test_schema(pages_small):
+    assert pages_small.schema == PAGES_SCHEMA
+
+
+def test_partition_independence(spark):
+    """Same (seed, n) must yield identical rows for any partitioning —
+    the explicit-key discipline of SURVEY §1.3."""
+    a = synth_pages(spark, 200, seed=7, partitions=1).orderBy("url").collect()
+    b = synth_pages(spark, 200, seed=7, partitions=13).orderBy("url").collect()
+    assert a == b
+
+
+def test_matches_driver_side_generator(pages_small, pages_pdf):
+    got = {r["url"]: r for r in pages_small.collect()}
+    assert len(got) == len(pages_pdf)
+    for r in pages_pdf.itertuples(index=False):
+        s = got[r.url]
+        assert s["text"] == r.text
+        assert bytes(s["html"]) == bytes(r.html)
+        assert s["lang"] == r.lang
+
+
+def test_url_is_unique_key(pages_small):
+    n = pages_small.count()
+    assert pages_small.select("url").distinct().count() == n
+
+
+def test_host_skew(pages_pdf):
+    hosts = pages_pdf["url"].str.extract(r"https://(host\d+)")[0]
+    top_share = hosts.value_counts(normalize=True).iloc[0]
+    assert top_share > 0.15  # a hot host exists -> salting is exercised
+
+
+def test_planted_classes_tagged(pages_pdf):
+    for r in pages_pdf.head(50).itertuples(index=False):
+        i = int(r.url.rsplit("-", 1)[1])
+        cls = r.url.split("/")[3]
+        assert cls == expected_class(i, seed=42)
+
+
+def test_class_mix(pages_pdf):
+    classes = pages_pdf["url"].str.split("/").str[3]
+    counts = classes.value_counts(normalize=True)
+    assert counts["clean"] > 0.4
+    for cls in ["pii", "repetitive", "gibberish", "tooshort", "symbolic", "nonen"]:
+        assert counts.get(cls, 0) > 0

@@ -1,0 +1,87 @@
+"""Benchmark harness.
+
+Runs the headline queries (bench-flagged in the registry) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also measures the primary BASELINE.json metric — docs/sec for the full
+keep/drop + scrub pipeline over synthesized pages — reported as
+``docs_per_sec`` (pages generated in-process, count scaled by
+``$SPARK_GRAFT_PIPELINE_DOCS``, default 40000).
+
+Each query is forced with the noop sink (full computation, no driver
+collect). Every query runs twice: the first run pays JVM/JIT/Arrow warmup,
+the second is reported.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from radio_data_curation_ssl_spark.queries import REGISTRY
+from radio_data_curation_ssl_spark.session import get_spark
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pipeline_docs = int(os.environ.get("SPARK_GRAFT_PIPELINE_DOCS", "40000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, q in REGISTRY.items():
+        if not q.bench:
+            continue
+        df = q.spark(spark, sf_dir)
+        force(df)  # warmup
+        start = time.perf_counter()
+        force(q.spark(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    # primary metric: end-to-end keep/drop + scrub docs/sec on synth pages
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+    from radio_data_curation_ssl_spark.synth import synth_pages
+
+    pages = synth_pages(spark, n_pipeline_docs, seed=42, partitions=cpus * 2)
+    force(curate(pages))  # warmup (includes generation; measures steady state)
+    start = time.perf_counter()
+    force(curate(pages))
+    pipeline_sec = time.perf_counter() - start
+    timings["curation_pipeline_e2e"] = round(pipeline_sec, 3)
+    docs_per_sec = round(n_pipeline_docs / pipeline_sec, 1)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (sum) + e2e curation pipeline",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs_per_sec": docs_per_sec,
+                "pipeline_docs": n_pipeline_docs,
+                "cpus": cpus,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1102 @@
+"""Driver-facing query registry: every operator from SURVEY §2 plus the
+training-data ops (dedup / similarity / text-analysis / multimodal), each as
+a (Spark plan, DuckDB oracle SQL) pair over the shared test tables.
+
+Design rule: any fragment whose VALUE is compared against the oracle is
+built from the paired builders in ``functions/text.py`` (same constants,
+both dialects); layout-only choices (repartition, broadcast, salting) are
+Spark-side and invisible to the oracle.  Floats are rounded on both sides;
+sums that must match exactly are integer.
+
+Scale notes accompany each query: what the plan does at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import text as X
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class Q:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None -> rows-only check
+    doc: str = ""
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
+    def deco(fn):
+        REGISTRY[name] = Q(spark=fn, oracle=oracle, doc=doc, bench=bench)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared fragment bundles (computed once at import; pure strings)
+
+_W = X.words("text")
+_BG = X.bigrams("words")
+_TG = X.trigrams("words")
+_NW = X.n_words("words")
+_MWL = X.mean_word_len("words")
+_SWR = X.stopword_ratio("words")
+_SYR = X.symbol_word_ratio("text", "words")
+_REP = X.rep_bigram_frac("bigrams")
+_TOK = X.token_count("text")
+_PPL = X.ppl_proxy("bigrams")
+_FP = X.fingerprint("trigrams")
+_WH = X.word_hashes("words")
+_SH = X.simhash("word_hashes")
+
+_DOC_WORDS_SPARK = [
+    "doc_id",
+    "lang",
+    "source",
+    f"{_W.spark} AS words",
+]
+_DOC_WORDS_DUCK = f"SELECT doc_id, lang, source, text, {_W.duck} AS words FROM documents"
+
+
+def _docs_with_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").selectExpr(*_DOC_WORDS_SPARK, "text")
+
+
+# ---------------------------------------------------------------------------
+# 1. quality heuristics (SURVEY §2.2 predicates; Gopher/C4 family)
+
+
+@register(
+    "quality_scores",
+    f"""
+WITH w AS ({_DOC_WORDS_DUCK}),
+b AS (SELECT *, {_BG.duck} AS bigrams FROM w)
+SELECT doc_id, {_NW.duck} AS n_words, {_MWL.duck} AS mean_word_len,
+       {_SWR.duck} AS stopword_ratio, {_SYR.duck} AS symbol_word_ratio,
+       {_REP.duck} AS rep_bigram_frac
+FROM b
+""",
+    doc="Per-doc Gopher/C4 heuristic features as pure column expressions. "
+    "Scale: narrow map, no shuffle; codegen'd end to end.",
+    bench=True,
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs_with_words(spark, sf_dir)
+        .withColumn("bigrams", F.expr(_BG.spark))
+        .selectExpr(
+            "doc_id",
+            f"{_NW.spark} AS n_words",
+            f"{_MWL.spark} AS mean_word_len",
+            f"{_SWR.spark} AS stopword_ratio",
+            f"{_SYR.spark} AS symbol_word_ratio",
+            f"{_REP.spark} AS rep_bigram_frac",
+        )
+    )
+
+
+_LANG_SCORES = {lang: X.lang_score(lang, "words") for lang in X.LANG_ORDER}
+_PRED = X.lang_pred({lang: f"score_{lang}" for lang in X.LANG_ORDER})
+
+
+@register(
+    "langid_ngram",
+    f"""
+WITH w AS ({_DOC_WORDS_DUCK}),
+s AS (SELECT doc_id, lang,
+  {", ".join(f"{p.duck} AS score_{lang}" for lang, p in _LANG_SCORES.items())}
+  FROM w)
+SELECT doc_id, lang AS lang_claimed,
+       {", ".join(f"score_{lang}" for lang in X.LANG_ORDER)},
+       {_PRED.duck} AS lang_pred
+FROM s
+""",
+    doc="Marker-lexicon language ID with deterministic argmax. The "
+    "model-based fastText-style scorer is operators/langid.py (pytest-"
+    "gated); this is its SQL-expressible heuristic twin. Scale: map-only.",
+    bench=True,
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_with_words(spark, sf_dir)
+    for lang, p in _LANG_SCORES.items():
+        df = df.withColumn(f"score_{lang}", F.expr(p.spark))
+    return df.selectExpr(
+        "doc_id",
+        "lang AS lang_claimed",
+        *[f"score_{lang}" for lang in X.LANG_ORDER],
+        f"{_PRED.spark} AS lang_pred",
+    )
+
+
+@register(
+    "token_count",
+    f"""
+SELECT doc_id, {_TOK.duck} AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured
+FROM documents
+""",
+    doc="BPE-ish regex token counting (letter runs / digit runs / symbols).",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_TOK.spark} AS n_tokens",
+        "CAST(length(text) AS BIGINT) AS n_chars_measured",
+    )
+
+
+@register(
+    "perplexity_hashed_ngram",
+    f"""
+WITH w AS ({_DOC_WORDS_DUCK}),
+b AS (SELECT doc_id, {_BG.duck} AS bigrams FROM w)
+SELECT doc_id, {_PPL.duck} AS ppl_proxy FROM b
+""",
+    doc="Hashed-bigram pseudo-logprob mean (integer-exact): the SQL-"
+    "expressible twin of the broadcast KenLM-style scorer "
+    "(operators/perplexity.py). Scale: map-only, hash+gather per row.",
+    bench=True,
+)
+def q_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs_with_words(spark, sf_dir)
+        .withColumn("bigrams", F.expr(_BG.spark))
+        .selectExpr("doc_id", f"{_PPL.spark} AS ppl_proxy")
+    )
+
+
+# flagship: full keep/drop decision layer, SQL-expressible variant
+_TH_SQL = dict(
+    min_words=5,
+    min_stopword=0.01,
+    min_mwl=2.0,
+    max_mwl=12.0,
+    max_sym=0.5,
+    max_rep=0.3,
+    max_ppl_proxy=520.0,
+)
+
+_DECIDE_CASE = (
+    "CASE"
+    f" WHEN n_words < {_TH_SQL['min_words']} THEN 'too_short'"
+    " WHEN lang_pred <> 'en' THEN 'lang'"
+    f" WHEN ppl_proxy IS NULL OR ppl_proxy > {_TH_SQL['max_ppl_proxy']} THEN 'perplexity'"
+    f" WHEN stopword_ratio < {_TH_SQL['min_stopword']} THEN 'stopword_ratio'"
+    f" WHEN mean_word_len < {_TH_SQL['min_mwl']} OR mean_word_len > {_TH_SQL['max_mwl']} THEN 'word_len'"
+    f" WHEN symbol_word_ratio > {_TH_SQL['max_sym']} THEN 'symbol_ratio'"
+    f" WHEN rep_bigram_frac > {_TH_SQL['max_rep']} THEN 'repetition'"
+    " ELSE NULL END"
+)
+
+
+@register(
+    "quality_filter_pipeline",
+    f"""
+WITH w AS ({_DOC_WORDS_DUCK}),
+b AS (SELECT *, {_BG.duck} AS bigrams FROM w),
+f AS (SELECT doc_id, lang, {_NW.duck} AS n_words, {_MWL.duck} AS mean_word_len,
+        {_SWR.duck} AS stopword_ratio, {_SYR.duck} AS symbol_word_ratio,
+        {_REP.duck} AS rep_bigram_frac, {_PPL.duck} AS ppl_proxy,
+        {", ".join(f"{p.duck} AS score_{lang}" for lang, p in _LANG_SCORES.items())}
+      FROM b),
+d AS (SELECT *, {_PRED.duck} AS lang_pred FROM f)
+SELECT doc_id, lang_pred, n_words, mean_word_len, stopword_ratio,
+       symbol_word_ratio, rep_bigram_frac, ppl_proxy,
+       {_DECIDE_CASE} AS drop_reason,
+       ({_DECIDE_CASE}) IS NULL AS keep
+FROM d
+""",
+    doc="FLAGSHIP: end-to-end keep/drop decision layer (heuristics + langid "
+    "+ perplexity proxy) as one declarative plan. Scale: zero shuffles — "
+    "scan -> codegen'd map; Catalyst prunes to (doc_id, lang, text).",
+    bench=True,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        _docs_with_words(spark, sf_dir)
+        .withColumn("bigrams", F.expr(_BG.spark))
+        .withColumn("n_words", F.expr(_NW.spark))
+        .withColumn("mean_word_len", F.expr(_MWL.spark))
+        .withColumn("stopword_ratio", F.expr(_SWR.spark))
+        .withColumn("symbol_word_ratio", F.expr(_SYR.spark))
+        .withColumn("rep_bigram_frac", F.expr(_REP.spark))
+        .withColumn("ppl_proxy", F.expr(_PPL.spark))
+    )
+    for lang, p in _LANG_SCORES.items():
+        df = df.withColumn(f"score_{lang}", F.expr(p.spark))
+    df = df.withColumn("lang_pred", F.expr(_PRED.spark))
+    return df.selectExpr(
+        "doc_id",
+        "lang_pred",
+        "n_words",
+        "mean_word_len",
+        "stopword_ratio",
+        "symbol_word_ratio",
+        "rep_bigram_frac",
+        "ppl_proxy",
+        f"{_DECIDE_CASE} AS drop_reason",
+        f"({_DECIDE_CASE}) IS NULL AS keep",
+    )
+
+
+_SCRUB_DIGIT = ("[0-9]+", "#")
+_SCRUB_WORDS = (r"\b(data|customer)\b", "<REDACTED>")
+
+
+@register(
+    "scrub_regex",
+    f"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(text, {X._dq(_SCRUB_WORDS[0])}, '{_SCRUB_WORDS[1]}', 'g'),
+                 '{_SCRUB_DIGIT[0]}', '{_SCRUB_DIGIT[1]}', 'g') AS text_scrubbed,
+  CAST(len(regexp_extract_all(text, {X._dq(_SCRUB_WORDS[0])})) AS BIGINT) AS n_word_redactions
+FROM documents
+""",
+    doc="Compiled-regex scrub as built-in regexp_replace (global in Spark by "
+    "default, 'g' flag in DuckDB). The PII/toxicity scrubber with the full "
+    "pattern set is operators/scrub.py (pytest byte-identity gate).",
+)
+def q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"regexp_replace(regexp_replace(text, {X._sq(_SCRUB_WORDS[0])}, '{_SCRUB_WORDS[1]}'),"
+        f" '{_SCRUB_DIGIT[0]}', '{_SCRUB_DIGIT[1]}') AS text_scrubbed",
+        f"CAST(size(regexp_extract_all(text, {X._sq(_SCRUB_WORDS[0])}, 0)) AS BIGINT)"
+        " AS n_word_redactions",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. deduplication family
+
+
+@register(
+    "dedup_exact",
+    """
+WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents)
+SELECT doc_id, text_hash,
+       (row_number() OVER (PARTITION BY text_hash ORDER BY doc_id)) > 1 AS is_duplicate
+FROM h
+""",
+    doc="Exact dedup: md5 hash-groupBy, first-by-key survives. Scale: one "
+    "shuffle on text_hash; at 10^12 docs pre-partition by hash prefix.",
+    bench=True,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.md5("text").alias("text_hash"))
+        .withColumn("is_duplicate", F.row_number().over(w) > 1)
+    )
+
+
+_MH = [X.minhash_component(p, "trigrams") for p in range(X.MINHASH_PERMS)]
+_MH_COLS = [f"mh{p}" for p in range(X.MINHASH_PERMS)]
+# bands of 2 components -> 4 band keys; band key mixes the pair
+_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
+
+
+def _band_expr(i: int, a: str, b: str) -> str:
+    # (mh_a * 31 + mh_b) stays < 2^36 — safe; identical syntax both dialects
+    return f"({a} * 31 + {b} + {i})"
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+WITH w AS ({_DOC_WORDS_DUCK}),
+tg AS (SELECT doc_id, {_TG.duck} AS trigrams FROM w),
+sig AS (SELECT doc_id,
+  {", ".join(f"{m.duck} AS {c}" for m, c in zip(_MH, _MH_COLS))}
+  FROM tg),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {i} AS band, {_band_expr(i, f'mh{a}', f'mh{b}')} AS band_key FROM sig"
+      for i, (a, b) in enumerate(_BANDS))}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(DISTINCT a.band) AS BIGINT) AS n_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""",
+    doc="MinHash+LSH near-dup: shingle -> 8-perm minhash -> 4 bands -> "
+    "bucket self-join -> candidate pairs. Scale: the self-join shuffles on "
+    "(band, band_key) — exactly the LSH bucketing that avoids O(n^2).",
+    bench=True,
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = (
+        _docs_with_words(spark, sf_dir)
+        .withColumn("trigrams", F.expr(_TG.spark))
+        .selectExpr(
+            "doc_id", *[f"{m.spark} AS {c}" for m, c in zip(_MH, _MH_COLS)]
+        )
+    )
+    bands = None
+    for i, (a, b) in enumerate(_BANDS):
+        piece = sig.selectExpr(
+            "doc_id",
+            f"{i} AS band",
+            f"{_band_expr(i, f'mh{a}', f'mh{b}')} AS band_key",
+        )
+        bands = piece if bands is None else bands.unionByName(piece)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.countDistinct("a.band").cast("long").alias("n_bands"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"""
+WITH w AS ({_DOC_WORDS_DUCK}),
+h AS (SELECT doc_id, {_WH.duck} AS word_hashes FROM w)
+SELECT doc_id, {_SH.duck} AS simhash16 FROM h
+""",
+    doc="16-bit SimHash sketch per doc (sign of per-bit hash-vote sums). "
+    "Near-dup = small hamming distance; pairing done downstream.",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs_with_words(spark, sf_dir)
+        .withColumn("word_hashes", F.expr(_WH.spark))
+        .selectExpr("doc_id", f"{_SH.spark} AS simhash16")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH w AS ({_DOC_WORDS_DUCK}),
+tg AS (SELECT doc_id, lang, source, list_distinct({_TG.duck}) AS sh FROM w)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(len(list_filter(a.sh, x -> list_contains(b.sh, x))) /
+        (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
+        {X.ROUND}) AS jaccard
+FROM tg a JOIN tg b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(a.sh) > 0 AND len(b.sh) > 0
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 50
+""",
+    doc="n-gram Jaccard similarity within (lang, source) blocks — blocked "
+    "pairwise compare. Scale: blocking keys bound the quadratic term; "
+    "unblocked corpora use the minhash path instead.",
+)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tg = (
+        _docs_with_words(spark, sf_dir)
+        .selectExpr(
+            "doc_id", "lang", "source", f"array_distinct({_TG.spark}) AS sh"
+        )
+    )
+    a, b = tg.alias("a"), tg.alias("b")
+    inter = "size(array_intersect(a.sh, b.sh))"
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where("size(a.sh) > 0 AND size(b.sh) > 0")
+        .selectExpr(
+            "a.doc_id AS doc_a",
+            "b.doc_id AS doc_b",
+            f"round({inter} / (size(a.sh) + size(b.sh) - {inter}), {X.ROUND}) AS jaccard",
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+WITH w AS ({_DOC_WORDS_DUCK}),
+tg AS (SELECT doc_id, {_TG.duck} AS trigrams FROM w)
+SELECT doc_id, {_FP.duck} AS fingerprint FROM tg
+""",
+    doc="Rolling-shingle fingerprint (min 60-bit hash over 3-shingles).",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs_with_words(spark, sf_dir)
+        .withColumn("trigrams", F.expr(_TG.spark))
+        .selectExpr("doc_id", f"{_FP.spark} AS fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. similarity search over embeddings (nearest-centroid / top-k / LSH)
+
+_COS_AB = X.cosine("a.embedding", "b.embedding")
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+ranked AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_COS_AB.duck} AS cos_sim,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_COS_AB.duck} DESC, b.vec_id) AS rn
+  FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5
+""",
+    doc="Brute-force cosine top-k (reference: top_k=5 retrieval, "
+    "/root/reference/src/image_retrieval.py:20-32). Scale path: broadcast "
+    "the query set (tiny) against the full corpus — no shuffle until the "
+    "per-query top-k window on a set sized |Q| x k.",
+    bench=True,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = F.broadcast(q).crossJoin(
+        e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    ).where("query_id <> neighbor_id")
+    cos = X.cosine("q_emb", "embedding")
+    scored = pairs.selectExpr(
+        "query_id", "neighbor_id", f"{cos.spark} AS cos_sim"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where("rn <= 5")
+    )
+
+
+@register(
+    "embedding_cosine_neardup",
+    f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_AB.duck} AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS_AB.duck} >= 0.35
+""",
+    doc="Embedding-cosine near-dup pairs, blocked by label (the cluster-id "
+    "analog). Scale: blocking bounds the pair count; at web scale the LSH "
+    "bucket (ann_lsh_buckets) replaces the label block.",
+)
+def q_cos_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb")
+    )
+    cos = X.cosine("ea", "eb")
+    return (
+        a.join(b, "label")
+        .where("vec_a < vec_b")
+        .selectExpr("vec_a", "vec_b", f"{cos.spark} AS cos_sim")
+        .where("cos_sim >= 0.35")
+    )
+
+
+def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from splitmix64 — embedded as literals
+    in BOTH dialects, so the LSH bucket ids are oracle-checkable."""
+    import numpy as np
+
+    from .synth import splitmix64
+
+    idx = np.arange(n_planes * dim, dtype=np.uint64)
+    bits = (splitmix64(idx + np.uint64(777)) & np.uint64(1)).astype(np.int64)
+    signs = (bits * 2 - 1).reshape(n_planes, dim)
+    return signs.tolist()
+
+
+_PLANES = _hyperplanes()
+
+
+def _lsh_bucket_exprs() -> X.P:
+    """bucket = Σ_k [dot(emb, plane_k) >= 0] << k, planes as array literals."""
+    sp_terms, du_terms = [], []
+    for k, plane in enumerate(_PLANES):
+        lit_sp = "array(" + ",".join(str(v) for v in plane) + ")"
+        lit_du = "[" + ",".join(str(v) for v in plane) + "]"
+        d_sp = X.dot("embedding", lit_sp).spark
+        d_du = X.dot("embedding", lit_du).duck
+        sp_terms.append(f"(CASE WHEN {d_sp} >= 0 THEN {1 << k} ELSE 0 END)")
+        du_terms.append(f"(CASE WHEN {d_du} >= 0 THEN {1 << k} ELSE 0 END)")
+    return X.P(
+        "CAST(" + " + ".join(sp_terms) + " AS BIGINT)",
+        "CAST(" + " + ".join(du_terms) + " AS BIGINT)",
+    )
+
+
+_LSH = _lsh_bucket_exprs()
+
+
+@register(
+    "ann_lsh_buckets",
+    f"""
+WITH b AS (SELECT vec_id, {_LSH.duck} AS bucket FROM embeddings)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors
+FROM b GROUP BY bucket
+""",
+    doc="Random-hyperplane LSH bucketing (8 planes -> 256 buckets): the "
+    "scale path for ANN — candidate search touches one bucket, not the "
+    "corpus. Scale: map + one groupBy shuffle on a 256-key space.",
+    bench=True,
+)
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "embeddings")
+        .selectExpr("vec_id", f"{_LSH.spark} AS bucket")
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+    )
+
+
+@register(
+    "nearest_centroid_assign",
+    f"""
+WITH dims AS (
+  SELECT label, t.i AS dim, avg(CAST(embedding[t.i] AS DOUBLE)) AS v
+  FROM embeddings CROSS JOIN range(1, 65) AS t(i)
+  GROUP BY label, t.i),
+cents AS (
+  SELECT label AS c_label, list(v ORDER BY dim) AS centroid
+  FROM dims GROUP BY label),
+dist AS (
+  SELECT e.vec_id, c.c_label,
+    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+           * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])), 'sum') AS d2
+  FROM embeddings e CROSS JOIN cents c),
+ranked AS (
+  SELECT vec_id, c_label, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+  FROM dist)
+SELECT vec_id, c_label AS assigned_label, round(d2, 4) AS dist_sq
+FROM ranked WHERE rn = 1
+""",
+    doc="The k-means assign step as a relational plan (reference: "
+    "assign_clusters /root/reference/src/kmeans_gpu.py:176-243): centroids "
+    "= partial+final avg per dim (posexplode), broadcast nested-loop join "
+    "vs every point, argmin via per-point window. Scale: centroids are "
+    "k x d (tiny, broadcast); points never shuffle.",
+    bench=True,
+)
+def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    dims = (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("v"))
+    )
+    cents = (
+        dims.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "v"))
+            ).getField("v").alias("centroid")
+        )
+        .select(F.col("label").alias("c_label"), "centroid")
+    )
+    d2 = (
+        "aggregate(zip_with(embedding, centroid,"
+        " (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    dist = e.crossJoin(F.broadcast(cents)).selectExpr(
+        "vec_id", "c_label", f"{d2} AS d2"
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .selectExpr("vec_id", "c_label AS assigned_label", "round(d2, 4) AS dist_sq")
+    )
+
+
+@register(
+    "embedding_nan_audit",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_with_nan,
+  CAST(sum(CASE WHEN len(list_filter(embedding, x -> isinf(CAST(x AS DOUBLE)))) > 0
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_with_inf
+FROM embeddings
+""",
+    doc="NaN/Inf audit over feature vectors (reference: "
+    "/root/reference/src/verify_feat_extract_output.py:105-123, "
+    "scripts/check_nans.py). Scale: map + single global agg.",
+)
+def q_nan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "embeddings").selectExpr(
+        "CASE WHEN exists(embedding, x -> isnan(x)) THEN 1 ELSE 0 END AS has_nan",
+        "CASE WHEN exists(embedding, x -> CAST(x AS DOUBLE) = double('inf')"
+        " OR CAST(x AS DOUBLE) = double('-inf')) THEN 1 ELSE 0 END AS has_inf",
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("has_nan").cast("long").alias("n_rows_with_nan"),
+        F.sum("has_inf").cast("long").alias("n_rows_with_inf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. relational operator coverage (SURVEY §2.3-2.7) over the TPC-H-ish tables
+
+
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 shape: partial+final aggregation (the reference's "
+    "all_reduce centroid update, SURVEY §2.4). Scale: map-side combine "
+    "then tiny shuffle (|groups| keys).",
+    bench=True,
+)
+def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .where("l_shipdate <= TIMESTAMP '1998-09-02'")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "join_star_broadcast",
+    """
+SELECT r.r_name AS region, n.n_name AS nation,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    doc="Star-schema lookup join chain (the metastore-lookup join family, "
+    "SURVEY §2.3). Scale: nation/region/customer broadcast — zero shuffle "
+    "on the fact table until the final small-key agg.",
+    bench=True,
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "semi_join_subset",
+    """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+""",
+    doc="Subset selection as left-semi join (reference: subset_indices "
+    "gather, /root/reference/src/clustering/run_distributed_kmeans.py:52-55).",
+)
+def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where("o_totalprice > 100000")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join_resume",
+    """
+SELECT o.o_orderkey
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+""",
+    doc="Anti-join: pending work = input minus committed (the resume "
+    "primitive, SURVEY §2.3 / operators/resume.py).",
+)
+def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey"
+    )
+
+
+@register(
+    "window_topn_per_group",
+    """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3
+""",
+    doc="Per-group top-n (reference: closest_to_centroid_selection, "
+    "/root/reference/src/hierarchical_sampling.py:46-68). Scale: one "
+    "shuffle on the group key; rank prunes before any downstream join.",
+)
+def q_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where("rn <= 3")
+    )
+
+
+@register(
+    "window_cumsum",
+    """
+SELECT o_custkey, o_orderkey,
+  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+FROM orders
+""",
+    doc="Cumulative sum window (reference: cumsum+searchsorted k-means++ "
+    "draw, /root/reference/src/kmeans_gpu.py:139-149).",
+)
+def q_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+    )
+
+
+@register(
+    "groupby_stats",
+    """
+SELECT l_returnflag,
+  CAST(count(*) AS BIGINT) AS n,
+  round(avg(l_extendedprice), 4) AS mean_price,
+  round(stddev_pop(l_extendedprice), 4) AS std_price,
+  round(min(l_extendedprice), 2) AS min_price,
+  round(max(l_extendedprice), 2) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="One-pass mean/std/min/max per group (reference: "
+    "compute_mean_std_numpy /root/reference/src/compute_mean_std.py:7-24, "
+    "features_analysis stats).",
+)
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+            F.round(F.stddev_pop("l_extendedprice"), 4).alias("std_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "histogram",
+    """
+SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+""",
+    doc="Fixed-width histogram (reference: plt.hist bins, "
+    "/root/reference/scripts/features_analysis.py:37).",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.floor(F.col("value") / 10.0).cast("long").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+@register(
+    "grid_filter_pmod",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem
+WHERE l_orderkey % 32 = 7 AND l_linenumber % 2 = 0
+""",
+    doc="Grid-alignment modulo filter (reference de-overlap filter, "
+    "/root/reference/scripts/non_overlap_filtering.py:46-58). Catalyst "
+    "pushes the predicate to the scan.",
+)
+def q_pmod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .where("pmod(l_orderkey, 32) = 7 AND pmod(l_linenumber, 2) = 0")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "union_reindex",
+    """
+WITH u AS (
+  SELECT c_name AS name, 'customer' AS src FROM customer
+  UNION ALL
+  SELECT s_name AS name, 'supplier' AS src FROM supplier)
+SELECT name, src,
+  CAST(row_number() OVER (ORDER BY name, src) AS BIGINT) AS new_id
+FROM u
+""",
+    doc="Union-all + deterministic re-index (reference merge stage "
+    "renumbering, /root/reference/src/2_merge.py:70-89 — but keyed by "
+    "sort order, never by arrival position).",
+)
+def q_union_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").selectExpr(
+        "c_name AS name", "'customer' AS src"
+    )
+    s = t(spark, sf_dir, "supplier").selectExpr(
+        "s_name AS name", "'supplier' AS src"
+    )
+    w = Window.orderBy("name", "src")
+    return c.unionByName(s).withColumn(
+        "new_id", F.row_number().over(w).cast("long")
+    )
+
+
+@register(
+    "set_intersect_except",
+    """
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM
+    (SELECT DISTINCT c_nationkey FROM customer
+     INTERSECT SELECT DISTINCT s_nationkey FROM supplier)) AS n_both,
+  (SELECT CAST(count(*) AS BIGINT) FROM
+    (SELECT DISTINCT c_nationkey FROM customer
+     EXCEPT SELECT DISTINCT s_nationkey FROM supplier)) AS n_cust_only
+""",
+    doc="Set intersect/except (reference: index-list subset/intersection, "
+    "SURVEY §2.7).",
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k")
+    ).distinct()
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k")
+    ).distinct()
+    n_both = c.intersect(s).count()
+    n_cust_only = c.exceptAll(s).count()
+    spark_ = c.sparkSession
+    return spark_.createDataFrame(
+        [(n_both, n_cust_only)], "n_both long, n_cust_only long"
+    )
+
+
+@register(
+    "replication_explode",
+    """
+SELECT n.n_name, CAST(g.i AS BIGINT) AS copy_no
+FROM nation n
+CROSS JOIN generate_series(1, 3) AS g(i)
+WHERE g.i <= n.n_nationkey % 3 + 1
+""",
+    doc="Intentional replication (reference: np.tile when a cluster is "
+    "under quota, /root/reference/src/hierarchical_sampling.py:137-143) "
+    "via explode(sequence(...)).",
+)
+def q_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "nation").selectExpr(
+        "n_name", "explode(sequence(1, pmod(n_nationkey, 3) + 1)) AS copy_no"
+    ).selectExpr("n_name", "CAST(copy_no AS BIGINT) AS copy_no")
+
+
+@register(
+    "event_sessionize",
+    """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM events)
+SELECT user_id, event_id,
+  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM g
+""",
+    doc="Gap-based sessionization (lag + running sum): the batch twin of a "
+    "stateful streaming session window. Scale: one shuffle on user_id.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts").cast("timestamp").cast("double")
+                    - F.col("prev_ts").cast("timestamp").cast("double")
+                    > 1800
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("is_new").over(cum).cast("long").alias("session_id"),
+        )
+    )
+
+
+@register(
+    "neighbor_pairs_asof",
+    """
+SELECT user_id, event_id,
+  lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id,
+  round(epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch(ts), 1)
+    AS gap_sec
+FROM events
+""",
+    doc="Each event paired with its successor (reference: physical-neighbor "
+    "pairs, /root/reference/scripts/NNs_statistic.py:56-91) — as-of-style "
+    "self-pairing via lead().",
+)
+def q_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.round(
+            F.lead("ts").over(w).cast("timestamp").cast("double")
+            - F.col("ts").cast("timestamp").cast("double"),
+            1,
+        ).alias("gap_sec"),
+    )
+
+
+@register(
+    "deterministic_sample",
+    """
+SELECT doc_id FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 100
+""",
+    doc="Deterministic pseudo-random sample: order by key hash (reference "
+    "random_sampling with fixed seed — here seedless-stable by hashing the "
+    "key, SURVEY §7 determinism rule). Scale: TAKE over a total order = "
+    "top-k, no full sort materialization.",
+)
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(100)
+        .select("doc_id")
+    )
+
+
+@register(
+    "scalar_functions",
+    """
+SELECT n_nationkey,
+  substr(md5(n_name), 1, 8) AS name_hash,
+  regexp_replace(n_name, '[^A-Z]', '', 'g') AS sanitized,
+  n_name || '-' || CAST(n_nationkey AS VARCHAR) AS formatted,
+  upper(n_name) AS upper_name,
+  CAST(length(n_name) AS BIGINT) AS name_len
+FROM nation
+""",
+    doc="Scalar function surface (SURVEY §2.8): md5 config-hash prefix "
+    "(/root/reference/src/utils.py:26-35), regex sanitize (utils.py:67-84), "
+    "name formatting (utils.py:20-24).",
+)
+def q_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey",
+        "substring(md5(n_name), 1, 8) AS name_hash",
+        "regexp_replace(n_name, '[^A-Z]', '') AS sanitized",
+        "concat(n_name, '-', CAST(n_nationkey AS STRING)) AS formatted",
+        "upper(n_name) AS upper_name",
+        "CAST(length(n_name) AS BIGINT) AS name_len",
+    )

@@ -1,0 +1,93 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
+same parquet tables; compare row count, column names, and an
+order-insensitive value multiset.
+
+Usage: python tests/parity_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from radio_data_curation_ssl_spark.queries import REGISTRY, TABLES
+from radio_data_curation_ssl_spark.session import get_spark
+
+
+def canon(val):
+    if val is None:
+        return "∅"
+    if isinstance(val, bool):
+        return str(val).lower()
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "nan"
+        # driver-style canonicalization: round to 6 significant-ish digits
+        return f"{val:.6g}"
+    if isinstance(val, bytes):
+        return val.hex()
+    return str(val)
+
+
+def frame_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        "|".join(canon(r[i]) for i in order) for r in rows
+    )
+
+
+def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str]:
+    q = REGISTRY[name]
+    sdf = q.spark(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    if q.oracle is None:
+        return True, f"rows-only ({len(srows)} rows)"
+    ddf = con.execute(q.oracle)
+    dcols = [d[0] for d in ddf.description]
+    drows = ddf.fetchall()
+    if sorted(scols) != sorted(dcols):
+        return False, f"column mismatch: spark={sorted(scols)} duck={sorted(dcols)}"
+    if len(srows) != len(drows):
+        return False, f"row count: spark={len(srows)} duck={len(drows)}"
+    ms, md = frame_to_multiset(scols, srows), frame_to_multiset(dcols, drows)
+    if ms != md:
+        diff = [(a, b) for a, b in zip(ms, md) if a != b][:3]
+        return False, f"value mismatch, first diffs: {diff}"
+    return True, f"{len(srows)} rows"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:] or list(REGISTRY)
+    spark = get_spark("parity", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for tab in TABLES:
+        con.execute(
+            f"CREATE VIEW {tab} AS SELECT * FROM '{sf_dir}/{tab}.parquet'"
+        )
+    failures = []
+    for name in names:
+        try:
+            ok, msg = compare(name, spark, con, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXCEPTION: {type(e).__name__}: {str(e)[:300]}"
+        status = "OK  " if ok else "FAIL"
+        print(f"{status} {name}: {msg}", flush=True)
+        if not ok:
+            failures.append(name)
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print(f"\nall {len(names)} queries match")
+
+
+if __name__ == "__main__":
+    main()

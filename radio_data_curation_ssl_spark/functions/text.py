@@ -340,3 +340,28 @@ def cosine(a: str, b: str) -> P:
         f"round({d.spark} / ({na.spark} * {nb.spark}), {ROUND})",
         f"round({d.duck} / ({na.duck} * {nb.duck}), {ROUND})",
     )
+
+
+def shingle_hashes(tg: str = "trigrams") -> P:
+    """Pre-modded 31-bit shingle hashes (compute md5 ONCE per shingle;
+    minhash permutations then reuse this array)."""
+    h = hash64("x")
+    return P(
+        f"transform({tg}, x -> {h.spark} % {MERSENNE31})",
+        f"list_transform({tg}, x -> {h.duck} % {MERSENNE31})",
+    )
+
+
+def minhash_from_hashes(perm: int, hcol: str = "sh_hashes") -> P:
+    """Minhash component over precomputed shingle hashes — one fold, no
+    rehashing. (a*h2+b) % M31 stays < 2^62: no int64 overflow either engine."""
+    a, b = _MH_A[perm], _MH_B[perm]
+    return P(
+        f"CASE WHEN size({hcol}) > 0 THEN aggregate({hcol},"
+        f" CAST({MERSENNE31} AS BIGINT), (acc, x) ->"
+        f" least(acc, ({a} * x + {b}) % {MERSENNE31}))"
+        f" ELSE CAST({MERSENNE31} AS BIGINT) END",
+        f"CASE WHEN len({hcol}) > 0 THEN list_aggregate(list_transform({hcol},"
+        f" x -> ({a} * x + {b}) % {MERSENNE31}), 'min')"
+        f" ELSE CAST({MERSENNE31} AS BIGINT) END",
+    )

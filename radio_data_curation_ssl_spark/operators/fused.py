@@ -1,0 +1,89 @@
+"""Fused Python scoring stage: extract + langid + perplexity + scrub in ONE
+``mapInPandas`` pass.
+
+Why: every ``mapInPandas`` operator is a JVM -> Python -> JVM Arrow
+round-trip; chaining five of them re-serializes the (string-heavy) rows five
+times.  Profiling at 20k docs: modular chain 566 docs/s vs ~4x that fused.
+The reference makes the same move — its extraction worker computes
+decode + transform + forward in one process pass per batch
+(/root/reference/src/3b_feature_extraction_from_path.py:161-209) rather
+than one pass per transform.
+
+The modular operators (extract.py, langid.py, perplexity.py, scrub.py)
+remain the unit-tested definition of each stage; this module composes their
+*batch kernels* (pure pandas/numpy functions) into one plan node.  Identity
+with the modular chain is pytest-gated.
+
+Heuristics + decision stay OUT of the fusion: they are pure Spark column
+expressions (JVM codegen) and cost nothing extra.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .extract import extract_text_bytes
+from .langid import LANGS, build_model, score_batch
+from .perplexity import build_table, score_texts
+from .scrub import scrub_series
+
+FUSED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang_claimed", T.StringType(), True),
+        T.StructField("n_bytes_html", T.LongType(), True),
+        T.StructField("lang_pred", T.StringType(), True),
+        T.StructField("lang_conf", T.DoubleType(), True),
+        T.StructField("ppl", T.DoubleType(), True),
+        T.StructField("text_scrubbed", T.StringType(), True),
+        T.StructField("n_redactions", T.LongType(), True),
+    ]
+)
+
+
+def score_scrub_batch(
+    b: pd.DataFrame, weights: np.ndarray, table: np.ndarray
+) -> pd.DataFrame:
+    """One Arrow batch through all Python kernels (shared with tests)."""
+    text = b["html"].map(extract_text_bytes)
+    filled = text.fillna("")
+    pred, conf = score_batch(filled, weights)
+    ppl = score_texts(text, table)
+    scrubbed, n_red = scrub_series(text)
+    return pd.DataFrame(
+        {
+            "url": b["url"],
+            "warc_ts": b["warc_ts"],
+            "text": text,
+            "lang_claimed": b["lang"],
+            "n_bytes_html": b["html"].str.len().astype("int64"),
+            "lang_pred": np.array(LANGS)[pred],
+            "lang_conf": conf,
+            "ppl": ppl,
+            "text_scrubbed": scrubbed,
+            "n_redactions": n_red,
+        }
+    )
+
+
+def extract_score_scrub(pages: DataFrame) -> DataFrame:
+    """pages -> fully Python-scored docs in a single Arrow round-trip.
+    Models broadcast once, deserialized once per task (iterator UDF)."""
+    spark = pages.sparkSession
+    bc_w = spark.sparkContext.broadcast(build_model())
+    bc_t = spark.sparkContext.broadcast(build_table())
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights, table = bc_w.value, bc_t.value
+        for b in it:
+            yield score_scrub_batch(b, weights, table)
+
+    return pages.mapInPandas(run, FUSED_SCHEMA)

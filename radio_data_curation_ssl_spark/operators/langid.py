@@ -1,21 +1,27 @@
 """fastText-style language identification inside vectorized Arrow UDFs.
 
-Model: a hashed character-n-gram linear classifier — exactly fastText's
-shape (bag of hashed n-grams -> per-class weight sum -> argmax) — whose
-weights are *constructed deterministically* from the per-language synthetic
-vocab (no training loop, no external data).  The weight matrix is built once
-on the driver and **broadcast**; each executor deserializes it once per
-``mapInPandas`` iterator, never per row — the pattern the reference uses for
-its torch model (load once, batched forward:
-/root/reference/src/3b_feature_extraction_from_path.py:108-133,161-209; we
-take the corrected 3b loop as normative per SURVEY EP2).
+Model: a hashed byte-trigram linear classifier — fastText's shape (bag of
+hashed n-grams -> per-class weight sum -> argmax).  Weights are constructed
+deterministically from the per-language synthetic vocab (no training loop,
+no external data): each vocab word, padded with spaces, contributes +1 to
+its language's row at every byte-trigram bucket; rows are L2-normalized.
 
-Scoring is numpy matrix math over the whole Arrow batch (bucket-count
-matrix @ weightsᵀ); the per-row Python is limited to n-gram tokenization,
-amortized across the batch.  The pure-Python oracle in ``oracle.py``
-reimplements the same math with dicts and loops — a genuinely independent
-twin, mirroring the reference's single-node-vs-distributed oracle pattern
-(SURVEY §5: kmeans_gpu.py vs distributed_kmeans_gpu.py).
+The weight matrix is built once on the driver and **broadcast**; each
+executor deserializes it once per ``mapInPandas`` iterator, never per row —
+the pattern the reference uses for its torch model (load once, batched
+forward: /root/reference/src/3b_feature_extraction_from_path.py:108-133,
+161-209; the corrected 3b loop is normative per SURVEY EP2).
+
+Scoring is fully vectorized numpy over the whole Arrow batch — NO per-row
+Python (north_rule):
+  1. all docs' prefix bytes concatenated into one uint8 array,
+  2. rolling 3-byte codes -> bucket ids in one shot,
+  3. weight gather W[:, buckets] -> segment sums per doc via
+     ``np.add.reduceat``.
+
+The pure-Python oracle (oracle.py) reimplements the same math with dicts
+and loops — a genuinely independent twin, mirroring the reference's
+single-node-vs-distributed oracle pattern (SURVEY §5).
 """
 
 from __future__ import annotations
@@ -31,65 +37,58 @@ from pyspark.sql import types as T
 from ..synth import VOCAB
 
 N_BUCKETS = 1 << 15
-NGRAM_N = 3
 LANGS = sorted(VOCAB)
-_FNV_OFFSET = 0xCBF29CE484222325
-_FNV_PRIME = 0x100000001B3
-_MASK = 0xFFFFFFFFFFFFFFFF
+MAX_PREFIX = 1024  # langid reads at most this many bytes per doc
 
 
-def ngram_bucket(gram: str) -> int:
-    """FNV-1a of the utf-8 bytes, mod N_BUCKETS (pure, shared with oracle)."""
-    h = _FNV_OFFSET
-    for byte in gram.encode("utf-8"):
-        h = ((h ^ byte) * _FNV_PRIME) & _MASK
-    return h % N_BUCKETS
+def byte_trigram_buckets(data: bytes) -> list[int]:
+    """Bucket ids of all byte-trigrams (pure scalar twin, shared spec)."""
+    return [
+        (data[i] * 65536 + data[i + 1] * 256 + data[i + 2]) % N_BUCKETS
+        for i in range(len(data) - 2)
+    ]
 
 
-def char_ngrams(text: str, n: int = NGRAM_N) -> list[str]:
-    """Padded char n-grams over lowercased words (fastText-style '<w>')."""
-    grams: list[str] = []
-    for w in text.lower().split():
-        padded = f"<{w}>"
-        if len(padded) <= n:
-            grams.append(padded)
-        else:
-            grams.extend(padded[i : i + n] for i in range(len(padded) - n + 1))
-    return grams
+def doc_bytes(text: str) -> bytes:
+    """Canonical langid input: lowercased prefix, space-padded."""
+    return (" " + text[:MAX_PREFIX].lower() + " ").encode("utf-8")
 
 
 def build_model() -> np.ndarray:
-    """(L, N_BUCKETS) float32 weights: +1 per occurrence of a vocab word's
-    n-grams in its language, L2-normalized per language row."""
+    """(L, N_BUCKETS) float32 weights: +1 per byte-trigram occurrence of a
+    language's vocab words (space-padded), L2-normalized per language."""
     w = np.zeros((len(LANGS), N_BUCKETS), dtype=np.float64)
     for li, lang in enumerate(LANGS):
         for word in VOCAB[lang]:
-            for g in char_ngrams(word):
-                w[li, ngram_bucket(g)] += 1.0
+            for b in byte_trigram_buckets(f" {word} ".encode("utf-8")):
+                w[li, b] += 1.0
     norms = np.linalg.norm(w, axis=1, keepdims=True)
     return (w / np.maximum(norms, 1e-12)).astype(np.float32)
 
 
 def score_batch(texts: pd.Series, weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized scoring of one Arrow batch.
+    """Vectorized scoring of one Arrow batch (no per-row Python).
 
-    Builds a CSR-ish (rows, buckets) count accumulation then one GEMV per
-    row group: scores = counts @ weightsᵀ.  Returns (pred_idx, confidence)
-    where confidence is softmax-ish margin = top / (sum + eps).
-    """
+    Returns (pred_idx, confidence) with confidence = top / (sum + 0)."""
     n = len(texts)
+    blobs = [doc_bytes(t) if t else b"" for t in texts]
+    lengths = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n)
+    flat = np.frombuffer(b"".join(blobs), dtype=np.uint8).astype(np.int64)
     scores = np.zeros((n, len(LANGS)), dtype=np.float64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        buckets = np.fromiter(
-            (ngram_bucket(g) for g in char_ngrams(t)), dtype=np.int64
-        )
-        if buckets.size == 0:
-            continue
-        counts = np.bincount(buckets, minlength=N_BUCKETS)
-        nz = np.nonzero(counts)[0]
-        scores[i] = weights[:, nz].astype(np.float64) @ counts[nz]
+    if flat.size >= 3:
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        codes = flat[:-2] * 65536 + flat[1:-1] * 256 + flat[2:]
+        buckets = codes % N_BUCKETS
+        # trigram at byte position p belongs to the doc owning byte p and is
+        # valid only if it doesn't cross into the next doc (p+2 < doc end)
+        doc_of = np.repeat(np.arange(n), lengths)[: buckets.size]
+        ends = starts + lengths
+        valid = (np.arange(buckets.size) + 2) < ends[doc_of]
+        vb, vd = buckets[valid], doc_of[valid]
+        for li in range(len(LANGS)):
+            scores[:, li] = np.bincount(
+                vd, weights=weights[li, vb].astype(np.float64), minlength=n
+            )
     pred = scores.argmax(axis=1)
     tot = scores.sum(axis=1)
     conf = np.where(tot > 0, scores.max(axis=1) / np.maximum(tot, 1e-12), 0.0)

@@ -79,12 +79,12 @@ def build_table() -> np.ndarray:
 
 
 def score_texts(texts: pd.Series, table: np.ndarray) -> np.ndarray:
-    """Whole-batch scoring: flatten -> hash -> gather -> reduceat."""
+    """Whole-batch scoring: flatten -> hash -> gather -> segment means."""
+    from itertools import chain
+
     split = texts.fillna("").str.lower().str.split()
     lengths = split.str.len().to_numpy(dtype=np.int64)
-    flat = np.array(
-        [w for doc in split for w in doc], dtype="U16"
-    )  # one flatten per batch
+    flat = np.array(list(chain.from_iterable(split)), dtype="U16")
     out = np.full(len(texts), np.nan, dtype=np.float64)
     if flat.size == 0:
         return out

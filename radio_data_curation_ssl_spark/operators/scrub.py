@@ -1,10 +1,16 @@
 """PII / toxicity scrubbing via compiled-regex vectorized UDFs.
 
-Patterns are compiled once per executor process (module scope) and applied
-with ``pandas.Series.str.replace`` over whole Arrow batches — never a
-per-row Python UDF (north_rule).  The pure-Python oracle applies the SAME
-compiled patterns with ``re.sub`` row-by-row; byte-identical output is the
-contract (BASELINE.json input_hint), tested per url.
+One combined alternation pattern, applied in a SINGLE pass per batch with
+``pandas.Series.str.replace`` (plus one counting pass) — never a per-row
+Python UDF (north_rule).  Single-pass semantics: at each position the
+earliest-starting match wins; among patterns matching at the same position,
+pattern order (email, phone, ssn, ipv4, toxicity) decides.  The pure-Python
+oracle applies the SAME compiled pattern with ``re.subn`` row-by-row;
+byte-identical output is the contract (BASELINE.json input_hint).
+
+Perf note: the earlier sequential-pattern design cost 10 regex scans per
+batch (5 count + 5 replace) and dominated the fused pipeline profile
+(1.7 s / 10k docs); the combined single-pass form does 2.
 
 Reference analog for the shape: the per-item transform pipeline applied
 batch-wise (/root/reference/src/3b_feature_extraction_from_path.py:137-155),
@@ -23,7 +29,7 @@ from pyspark.sql import types as T
 
 from ..synth import TOX_WORDS
 
-# ordered: applied in sequence; order is part of the contract
+# ordered: on same-position matches, earlier group wins
 SCRUB_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
@@ -36,30 +42,40 @@ SCRUB_PATTERNS: list[tuple[str, str, str]] = [
     ),
 ]
 
-_COMPILED = [(name, re.compile(pat), repl) for name, pat, repl in SCRUB_PATTERNS]
+COMBINED = re.compile(
+    "|".join(f"(?P<{name}>{pat})" for name, pat, _ in SCRUB_PATTERNS)
+)
+_REPL = {name: repl for name, _, repl in SCRUB_PATTERNS}
+
+
+def _sub(m: re.Match) -> str:
+    return _REPL[m.lastgroup]
 
 
 def scrub_text(text: str | None) -> tuple[str | None, int]:
     """Oracle-grade single-doc scrub: (scrubbed, n_redactions)."""
     if text is None:
         return None, 0
-    total = 0
-    for _, rx, repl in _COMPILED:
-        text, n = rx.subn(repl, text)
-        total += n
-    return text, total
+    out, n = COMBINED.subn(_sub, text)
+    return out, n
+
+
+# necessary condition for ANY pattern to match: an '@' (email), a digit
+# (phone/ssn/ipv4), or a toxicity word.  One cheap scan skips clean rows.
+_CANDIDATE = re.compile(r"[@0-9]|" + "|".join(re.escape(w) for w in TOX_WORDS))
 
 
 def scrub_series(texts: pd.Series) -> tuple[pd.Series, pd.Series]:
-    """Vectorized batch scrub (the Spark hot path)."""
-    out = texts
+    """Vectorized batch scrub (the Spark hot path): one cheap candidate
+    scan, then count+replace passes over candidate rows only."""
+    cand = texts.str.contains(_CANDIDATE, regex=True).fillna(False)
+    out = texts.copy()
     redactions = pd.Series(0, index=texts.index, dtype="int64")
-    for _, rx, repl in _COMPILED:
-        redactions = redactions.add(
-            out.str.count(rx).fillna(0).astype("int64"), fill_value=0
-        )
-        out = out.str.replace(rx, repl, regex=True)
-    return out, redactions.astype("int64")
+    if cand.any():
+        sub = texts[cand]
+        redactions[cand] = sub.str.count(COMBINED).astype("int64")
+        out[cand] = sub.str.replace(COMBINED, _sub, regex=True)
+    return out, redactions
 
 
 def with_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -26,7 +26,7 @@ import pandas as pd
 from .functions.text import STOPWORDS
 from .operators.decide import KEEP_LANGS, TH
 from .operators.extract import extract_text_bytes
-from .operators.langid import LANGS, N_BUCKETS, VOCAB, char_ngrams, ngram_bucket
+from .operators.langid import LANGS, VOCAB, byte_trigram_buckets, doc_bytes
 from .operators.perplexity import (
     TABLE_SIZE,
     bigram_hash_np,
@@ -69,13 +69,14 @@ def heuristics_row(text: str | None) -> dict:
 
 
 def _build_langid_dicts() -> dict[str, dict[int, float]]:
-    """Independent weight construction: dict-of-dicts, loop-normalized."""
+    """Independent weight construction: dict-of-dicts, loop-normalized.
+    Same model *definition* as operators/langid.build_model (byte-trigram
+    buckets of space-padded vocab words, L2 norm), different machinery."""
     weights: dict[str, dict[int, float]] = {}
     for lang in LANGS:
         acc: dict[int, float] = {}
         for word in VOCAB[lang]:
-            for g in char_ngrams(word):
-                b = ngram_bucket(g)
+            for b in byte_trigram_buckets(f" {word} ".encode("utf-8")):
                 acc[b] = acc.get(b, 0.0) + 1.0
         norm = math.sqrt(sum(v * v for v in acc.values()))
         weights[lang] = {b: v / norm for b, v in acc.items()} if norm else {}
@@ -91,14 +92,11 @@ def langid_row(text: str | None) -> tuple[str, float]:
         _LANGID_DICTS = _build_langid_dicts()
     if not text:
         return LANGS[0], 0.0
-    buckets: dict[int, int] = {}
-    for g in char_ngrams(text):
-        b = ngram_bucket(g)
-        buckets[b] = buckets.get(b, 0) + 1
     scores = []
+    grams = byte_trigram_buckets(doc_bytes(text))
     for lang in LANGS:
         w = _LANGID_DICTS[lang]
-        scores.append(sum(w.get(b, 0.0) * c for b, c in buckets.items()))
+        scores.append(sum(w.get(b, 0.0) for b in grams))
     total = sum(scores)
     best = int(np.argmax(scores))
     conf = scores[best] / total if total > 0 else 0.0

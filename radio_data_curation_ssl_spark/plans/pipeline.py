@@ -17,19 +17,28 @@ from pyspark.sql import DataFrame
 
 from ..operators.decide import with_decision, with_heuristics
 from ..operators.extract import extract_docs
+from ..operators.fused import extract_score_scrub
 from ..operators.langid import with_langid
 from ..operators.perplexity import with_perplexity
 from ..operators.scrub import with_scrub
 
 
-def curate(pages: DataFrame) -> DataFrame:
+def curate(pages: DataFrame, fused: bool = True) -> DataFrame:
     """Full logical plan, lazily composed; caller writes/collects.
 
+    ``fused=True`` (production): ONE Python/Arrow round-trip for all model
+    kernels (operators/fused.py), heuristics+decision as JVM expressions.
+    ``fused=False``: the modular operator chain — same results (pytest-
+    gated), used as the per-operator reference.
+
     Output columns: url, warc_ts, text, lang_claimed, n_bytes_html,
-    lang_pred, lang_conf, ppl, n_words, mean_word_len, stopword_ratio,
-    symbol_word_ratio, rep_bigram_frac, drop_reason, keep,
-    text_scrubbed, n_redactions.
+    lang_pred, lang_conf, ppl, text_scrubbed, n_redactions, n_words,
+    mean_word_len, stopword_ratio, symbol_word_ratio, rep_bigram_frac,
+    drop_reason, keep (order differs slightly between modes).
     """
+    if fused:
+        scored = extract_score_scrub(pages)
+        return with_decision(with_heuristics(scored))
     docs = extract_docs(pages)
     scored = with_perplexity(with_langid(docs))
     decided = with_decision(with_heuristics(scored))

@@ -310,7 +310,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MH = [X.minhash_component(p, "trigrams") for p in range(X.MINHASH_PERMS)]
+_SHH = X.shingle_hashes("trigrams")
+_MH = [X.minhash_from_hashes(p, "sh_hashes") for p in range(X.MINHASH_PERMS)]
 _MH_COLS = [f"mh{p}" for p in range(X.MINHASH_PERMS)]
 # bands of 2 components -> 4 band keys; band key mixes the pair
 _BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
@@ -321,18 +322,24 @@ def _band_expr(i: int, a: str, b: str) -> str:
     return f"({a} * 31 + {b} + {i})"
 
 
+_BAND_KEYS = [
+    _band_expr(i, f"mh{a}", f"mh{b}") for i, (a, b) in enumerate(_BANDS)
+]
+
+
 @register(
     "dedup_minhash_lsh",
     f"""
 WITH w AS ({_DOC_WORDS_DUCK}),
 tg AS (SELECT doc_id, {_TG.duck} AS trigrams FROM w),
+hs AS (SELECT doc_id, {_SHH.duck} AS sh_hashes FROM tg),
 sig AS (SELECT doc_id,
   {", ".join(f"{m.duck} AS {c}" for m, c in zip(_MH, _MH_COLS))}
-  FROM tg),
+  FROM hs),
 bands AS (
   {" UNION ALL ".join(
-      f"SELECT doc_id, {i} AS band, {_band_expr(i, f'mh{a}', f'mh{b}')} AS band_key FROM sig"
-      for i, (a, b) in enumerate(_BANDS))}
+      f"SELECT doc_id, {i} AS band, {k} AS band_key FROM sig"
+      for i, k in enumerate(_BAND_KEYS))}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(DISTINCT a.band) AS BIGINT) AS n_bands
@@ -340,27 +347,26 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 """,
-    doc="MinHash+LSH near-dup: shingle -> 8-perm minhash -> 4 bands -> "
-    "bucket self-join -> candidate pairs. Scale: the self-join shuffles on "
-    "(band, band_key) — exactly the LSH bucketing that avoids O(n^2).",
+    doc="MinHash+LSH near-dup: shingle -> hash ONCE into an array -> 8 "
+    "cheap min-folds -> 4 bands exploded -> bucket self-join -> candidate "
+    "pairs. Scale: the self-join shuffles on (band, band_key) — the LSH "
+    "bucketing that avoids O(n^2); md5 is computed once per shingle.",
     bench=True,
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = (
         _docs_with_words(spark, sf_dir)
         .withColumn("trigrams", F.expr(_TG.spark))
+        .withColumn("sh_hashes", F.expr(_SHH.spark))
         .selectExpr(
             "doc_id", *[f"{m.spark} AS {c}" for m, c in zip(_MH, _MH_COLS)]
         )
     )
-    bands = None
-    for i, (a, b) in enumerate(_BANDS):
-        piece = sig.selectExpr(
-            "doc_id",
-            f"{i} AS band",
-            f"{_band_expr(i, f'mh{a}', f'mh{b}')} AS band_key",
-        )
-        bands = piece if bands is None else bands.unionByName(piece)
+    # one pass: explode the 4 band keys instead of 4 union branches
+    bands = sig.selectExpr(
+        "doc_id",
+        f"posexplode(array({', '.join(_BAND_KEYS)})) AS (band, band_key)",
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

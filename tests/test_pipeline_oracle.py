@@ -109,7 +109,9 @@ def test_planted_classes_dropped_for_expected_reasons(oracle_result):
     reason_by_class = {
         "tooshort": {"too_short"},
         "gibberish": {"lang", "perplexity", "stopword_ratio"},
-        "repetitive": {"repetition", "stopword_ratio"},
+        # a 4-word repeated phrase is a tiny langid sample — 'lang' is a
+        # legitimate first-failing rule for some seeds
+        "repetitive": {"repetition", "stopword_ratio", "lang"},
         "symbolic": {"symbol_ratio", "lang", "perplexity", "stopword_ratio"},
         "nonen": {"lang"},
     }
@@ -136,3 +138,26 @@ def test_pii_scrubbed(oracle_result):
         assert "<TOX>" in o.text_scrubbed
         assert "@example.com" not in o.text_scrubbed
         assert o.n_redactions >= 3
+
+
+def test_fused_equals_modular(spark, pages_small):
+    """The fused single-pass plan must equal the modular operator chain."""
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+
+    cols = [
+        "url", "text", "lang_pred", "lang_conf", "ppl", "n_words",
+        "mean_word_len", "stopword_ratio", "symbol_word_ratio",
+        "rep_bigram_frac", "drop_reason", "keep", "text_scrubbed",
+        "n_redactions",
+    ]
+    fused = {r["url"]: r for r in curate(pages_small, fused=True).select(cols).collect()}
+    modular = {r["url"]: r for r in curate(pages_small, fused=False).select(cols).collect()}
+    assert fused.keys() == modular.keys()
+    for url, fr in fused.items():
+        mr = modular[url]
+        for c in cols:
+            fv, mv = fr[c], mr[c]
+            if isinstance(fv, float) and isinstance(mv, float):
+                assert fv == pytest.approx(mv, rel=1e-12, nan_ok=True), (url, c)
+            else:
+                assert fv == mv, (url, c)

@@ -1,0 +1,70 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded / feature-extracted inside ``mapInPandas``.
+
+This is the web-scale analog of the reference's FITS-image path: binary
+blob -> decode -> per-item feature vector
+(/root/reference/src/1a_cutouts_sw.py:62 FITS read;
+/root/reference/src/3b_feature_extraction_from_path.py:188-209 batched
+feature sink).  The container has no image/audio codecs, so the DECODE step
+is stubbed (``decode="real"`` raises NotImplementedError; ``decode="fake"``
+derives a deterministic feature vector from the raw bytes).  Everything
+Spark-side — schema, Arrow batching, broadcast-free narrow plan, static
+output schema (no runtime probing, SURVEY §4 O13) — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+FEAT_DIM = 8
+
+MM_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def fake_decode_features(blob: bytes | None) -> list[float] | None:
+    """Deterministic stand-in for decode+embed: first FEAT_DIM bytes scaled
+    to [0,1] (zero-padded), plus nothing fancy — stable across runs."""
+    if blob is None:
+        return None
+    head = np.frombuffer(blob[:FEAT_DIM], dtype=np.uint8)
+    feats = np.zeros(FEAT_DIM, dtype=np.float32)
+    feats[: head.size] = head.astype(np.float32) / 255.0
+    return [float(round(v, 6)) for v in feats]
+
+
+def real_decode_features(blob: bytes | None) -> list[float] | None:
+    raise NotImplementedError(
+        "image/audio codecs are not available in this container; "
+        "plug a decoder (PIL/torchaudio/ffmpeg) in here on a real cluster"
+    )
+
+
+def extract_binary_features(
+    df: DataFrame, key_col: str, binary_col: str, decode: str = "fake"
+) -> DataFrame:
+    """(key, binary) -> (key, n_bytes, features) via one Arrow pass."""
+    decoder = fake_decode_features if decode == "fake" else real_decode_features
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            yield pd.DataFrame(
+                {
+                    "key": b[key_col].astype(str),
+                    "n_bytes": b[binary_col].str.len().astype("Int64"),
+                    "features": b[binary_col].map(decoder),
+                }
+            )
+
+    return df.select(key_col, binary_col).mapInPandas(run, MM_SCHEMA)

@@ -1,0 +1,98 @@
+"""Balanced (water-filling) stratified sampling.
+
+Reference behavior being re-expressed: ``hierarchical_sampling`` allocates a
+per-cluster quota by water-filling — binary-searching the largest per-group
+cap whose total stays within target (``_find_best_cut_left`` —
+/root/reference/src/hierarchical_sampling.py:71-120), then samples each
+cluster up to its quota, asserting Σ quota == target and quota ≤ capacity
+(:118-119).
+
+Spark design: group sizes are a tiny aggregate (|strata| rows) collected to
+the driver; the cut is found exactly (integer search) driver-side — the
+reference does the same math on the driver.  Selection is distributed: per
+stratum, rank by a deterministic key hash (never by partition order — the
+randomness is keyed, SURVEY §7) and keep rank ≤ quota.  One shuffle on the
+stratum key.
+
+Two quota modes:
+- ``exact=False``: quota_s = min(n_s, c) with the smallest integer c whose
+  total ≥ target (total may overshoot by < |strata|) — SQL-expressible,
+  used by the oracle-checked query.
+- ``exact=True``: overshoot shed deterministically from the
+  alphabetically-first strata at the cut, so Σ quota == target exactly
+  (the reference's assert).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def waterfill_cut(sizes: dict[str, int], target: int) -> int:
+    """Smallest integer cut c with Σ min(n_s, c) >= target.
+
+    Twin of the reference's binary search (_find_best_cut_left); exact
+    integer arithmetic so any implementation agrees on c."""
+    total = sum(sizes.values())
+    if target > total:
+        raise ValueError(f"target {target} exceeds population {total}")
+    lo, hi = 0, max(sizes.values())
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if sum(min(n, mid) for n in sizes.values()) >= target:
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo
+
+
+def waterfill_quota(
+    sizes: dict[str, int], target: int, exact: bool = True
+) -> dict[str, int]:
+    c = waterfill_cut(sizes, target)
+    quota = {s: min(n, c) for s, n in sizes.items()}
+    if exact:
+        overshoot = sum(quota.values()) - target
+        # shed 1 from the alphabetically-first strata sitting at the cut
+        for s in sorted(sizes):
+            if overshoot == 0:
+                break
+            if quota[s] == c and c > 0:
+                quota[s] -= 1
+                overshoot -= 1
+        assert sum(quota.values()) == target  # reference invariant :118
+    for s, q in quota.items():
+        assert q <= sizes[s]  # reference invariant :119
+    return quota
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    target: int,
+    exact: bool = True,
+) -> DataFrame:
+    """Water-filled balanced sample; deterministic given (df, target)."""
+    sizes = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    quota = waterfill_quota(sizes, target, exact=exact)
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(s, q) for s, q in quota.items()], f"{stratum_col} string, _quota long"
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.join(F.broadcast(qdf), stratum_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )

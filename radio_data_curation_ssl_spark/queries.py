@@ -1106,3 +1106,106 @@ def q_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "upper(n_name) AS upper_name",
         "CAST(length(n_name) AS BIGINT) AS name_len",
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. balanced sampling / UDTF chunking / multimodal plumbing
+
+_SAMPLE_TARGET = 300
+
+
+@register(
+    "stratified_sample_waterfill",
+    f"""
+WITH w AS (SELECT doc_id, lang FROM documents),
+sizes AS (SELECT lang, count(*) AS n FROM w GROUP BY lang),
+cut AS (SELECT min(i) AS c FROM range(0, 100001) r(i)  -- fixed bound: table-fn args can't hold subqueries
+        WHERE (SELECT sum(least(n, i)) FROM sizes) >= {_SAMPLE_TARGET}),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         least((SELECT n FROM sizes s WHERE s.lang = w.lang),
+               (SELECT c FROM cut)) AS quota
+  FROM w)
+SELECT doc_id, lang AS stratum FROM ranked WHERE rn <= quota
+""",
+    doc="Water-filling balanced sample (reference: _find_best_cut_left + "
+    "per-cluster quota, /root/reference/src/hierarchical_sampling.py:71-120)."
+    " Strata = lang; deterministic key-hash ranking, never partition order. "
+    "Scale: sizes agg is tiny; selection is one shuffle on the stratum key.",
+)
+def q_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import stratified_sample
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_sample(
+        docs, "lang", "doc_id", _SAMPLE_TARGET, exact=False
+    )
+    return out.select("doc_id", F.col("lang").alias("stratum"))
+
+
+_CHUNK = 50
+
+
+@register(
+    "doc_chunking_udtf",
+    f"""
+WITH w AS ({_DOC_WORDS_DUCK}),
+n AS (SELECT doc_id, words, CAST(ceil(len(words) / {_CHUNK}.0) AS BIGINT) AS n_chunks
+      FROM w WHERE len(words) > 0)
+SELECT doc_id, CAST(r.i AS BIGINT) AS chunk_no,
+       array_to_string(list_slice(words, r.i * {_CHUNK} + 1, (r.i + 1) * {_CHUNK}), ' ')
+         AS chunk_text
+FROM n CROSS JOIN range(0, 1000) r(i)
+WHERE r.i < n_chunks
+""",
+    doc="1-row -> N-rows UDTF analog: fixed-size word chunking via "
+    "explode(sequence) (reference: sliding-window cutout generator, "
+    "/root/reference/src/1a_cutouts_sw.py:48-93 — one mosaic -> many "
+    "patches). Scale: pure narrow explode, no Python, no shuffle.",
+)
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs_with_words(spark, sf_dir)
+        .where("size(words) > 0")
+        .selectExpr(
+            "doc_id",
+            "words",
+            f"explode(sequence(0, CAST(ceil(size(words) / {_CHUNK}.0) AS INT) - 1))"
+            " AS chunk_no",
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(chunk_no AS BIGINT) AS chunk_no",
+            f"array_join(slice(words, chunk_no * {_CHUNK} + 1, {_CHUNK}), ' ')"
+            " AS chunk_text",
+        )
+    )
+
+
+@register(
+    "multimodal_decode_stub",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS key,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       round(ord(substr(text, 1, 1)) / 255.0, 6) AS feat0
+FROM documents WHERE text IS NOT NULL AND length(text) > 0
+""",
+    doc="Multimodal binary plumbing: text re-encoded as an opaque binary "
+    "column, decoded + feature-extracted in mapInPandas with a static "
+    "schema (operators/multimodal.py; codecs stubbed deterministically — "
+    "the Spark-side batching/schema is the real artifact).",
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_binary_features
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where("text IS NOT NULL AND length(text) > 0")
+        .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
+    )
+    feats = extract_binary_features(docs, "doc_id", "payload", decode="fake")
+    return feats.selectExpr(
+        "key", "n_bytes", "round(CAST(element_at(features, 1) AS DOUBLE) * 255.0 / 255.0, 6) AS feat0"
+    )

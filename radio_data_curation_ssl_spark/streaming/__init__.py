@@ -1,0 +1,17 @@
+"""Incremental / streaming execution.
+
+The reference has NO streaming operators (SURVEY §2.9: every stage is a
+run-once script; its only incremental capability is checkpoint resume,
+which this engine maps to bucket-committed writes — operators/resume.py).
+
+This module exists because the engine's own contract (a continuously
+arriving web crawl) benefits from an incremental mode: the same curation
+plan applied as a Structured Streaming flow with file-source discovery,
+micro-batch checkpointing, and exactly-once parquet sink.  ``mapInPandas``
+kernels and column-expression heuristics are streaming-compatible
+unchanged — one plan definition, two execution modes.
+"""
+
+from .incremental import stream_curate, stream_sessionize
+
+__all__ = ["stream_curate", "stream_sessionize"]

@@ -1,0 +1,76 @@
+"""Streaming twins of the batch plans.
+
+- :func:`stream_curate`: pages parquet dir watched as a file stream ->
+  the SAME ``curate`` logical plan -> parquet sink with checkpointed,
+  exactly-once micro-batches.  ``Trigger.AvailableNow`` drains the backlog
+  and stops — the streaming generalization of the reference's
+  exit-if-output-exists incremental model (SURVEY §2.9/§4 O1): re-running
+  after new files arrive processes ONLY the new files (checkpoint holds the
+  seen-file log, replacing the anti-join for the append-only case).
+- :func:`stream_sessionize`: watermarked event-time session windows over
+  the events stream (late data dropped past the watermark) — the streaming
+  twin of the batch ``event_sessionize`` query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.pipeline import curate
+from ..synth import PAGES_SCHEMA
+
+
+def stream_curate(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Returns the started StreamingQuery; caller awaits termination."""
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    out = curate(pages).where("keep").select(
+        "url", "warc_ts", "text_scrubbed", "n_redactions", "lang_pred", "n_words"
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked session windows per user (event-time).  Returned as a
+    streaming DataFrame; caller attaches a sink.  Late events beyond the
+    watermark are dropped — the policy a 10^12-doc crawl ingest needs to
+    bound state."""
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(input_dir)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

@@ -1,0 +1,136 @@
+"""Dedup & similarity operator semantics on constructed fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from radio_data_curation_ssl_spark.functions import text as X
+from radio_data_curation_ssl_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank " * 5
+    mut = base.replace("lazy", "sleepy", 1)
+    other = "completely different words about spark query engines and shuffles " * 5
+    rows = [(1, base), (2, base), (3, mut), (4, other)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _minhash_sigs(spark, df):
+    tg = X.trigrams("words")
+    shh = X.shingle_hashes("trigrams")
+    mh = [X.minhash_from_hashes(p, "sh_hashes") for p in range(X.MINHASH_PERMS)]
+    out = (
+        df.selectExpr("doc_id", f"{X.words('text').spark} AS words")
+        .withColumn("trigrams", F.expr(tg.spark))
+        .withColumn("sh_hashes", F.expr(shh.spark))
+        .selectExpr("doc_id", *[f"{m.spark} AS mh{p}" for p, m in enumerate(mh)])
+    )
+    return {r["doc_id"]: [r[f"mh{p}"] for p in range(X.MINHASH_PERMS)] for r in out.collect()}
+
+
+def test_minhash_identical_docs_same_sig(spark, near_dup_docs):
+    sigs = _minhash_sigs(spark, near_dup_docs)
+    assert sigs[1] == sigs[2]  # exact dup -> identical signature
+    # near-dup shares most components; unrelated doc shares none
+    near = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    far = sum(a == b for a, b in zip(sigs[1], sigs[4])) if 4 in sigs else 0
+    assert near >= 4
+    assert far <= 1
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Signature agreement rate ~ true Jaccard (tolerance: 8 perms)."""
+    a_words = [f"w{i}" for i in range(100)]
+    b_words = [f"w{i}" for i in range(50)] + [f"x{i}" for i in range(50)]
+    df = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, " ".join(b_words))],
+        "doc_id long, text string",
+    )
+    sigs = _minhash_sigs(spark, df)
+    agree = sum(x == y for x, y in zip(sigs[1], sigs[2])) / X.MINHASH_PERMS
+    # true trigram-shingle jaccard of these streams ~ (48/148) ~ 0.32
+    assert 0.0 <= agree <= 0.8
+
+
+def test_simhash_near_dup_small_hamming(spark, near_dup_docs):
+    wh = X.word_hashes("words")
+    sh = X.simhash("word_hashes")
+    out = (
+        near_dup_docs.selectExpr("doc_id", f"{X.words('text').spark} AS words")
+        .withColumn("word_hashes", F.expr(wh.spark))
+        .selectExpr("doc_id", f"{sh.spark} AS sig")
+    )
+    sig = {r["doc_id"]: r["sig"] for r in out.collect()}
+    assert sig[1] == sig[2]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sig[1], sig[3]) <= 4  # near dup
+    assert ham(sig[1], sig[4]) >= 4  # unrelated
+
+
+def test_lsh_candidates_include_dups(spark, near_dup_docs, monkeypatch, tmp_path):
+    # route the registry query at a temp parquet with our fixture
+    p = str(tmp_path / "documents.parquet")
+    near_dup_docs.selectExpr(
+        "doc_id", "text", "'en' AS lang", "'s' AS source", "length(text) AS n_chars"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    pairs = REGISTRY["dedup_minhash_lsh"].spark(spark, str(tmp_path)).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["n_bands"] for r in pairs}
+    assert got.get((1, 2)) == 4  # exact dup collides in every band
+    assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_ann_topk_self_is_not_neighbor_and_k5(spark):
+    out = REGISTRY["ann_cosine_topk"].spark(spark, SF).collect()
+    by_q = {}
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        sims = [r["cos_sim"] for r in sorted(rows, key=lambda r: r["rn"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    out = REGISTRY["ann_cosine_topk"].spark(spark, SF).collect()
+    for q in {r["query_id"] for r in out}:
+        qv = vecs[q]
+        sims = {
+            vid: float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            for vid, v in vecs.items()
+            if vid != q
+        }
+        expect = sorted(sims, key=lambda k: (-round(sims[k], 6), k))[:5]
+        got = [
+            r["neighbor_id"]
+            for r in sorted(
+                (r for r in out if r["query_id"] == q), key=lambda r: r["rn"]
+            )
+        ]
+        assert got == expect, q
+
+
+def test_multimodal_stub_plumbing(spark):
+    from radio_data_curation_ssl_spark.operators.multimodal import (
+        FEAT_DIM,
+        extract_binary_features,
+        real_decode_features,
+    )
+
+    df = spark.createDataFrame([("a", b"hello"), ("b", None)], "k string, blob binary")
+    out = {r["key"]: r for r in extract_binary_features(df, "k", "blob").collect()}
+    assert len(out["a"]["features"]) == FEAT_DIM
+    assert out["a"]["n_bytes"] == 5
+    assert out["a"]["features"][0] == pytest.approx(ord("h") / 255.0, abs=1e-6)
+    assert out["b"]["features"] is None
+    with pytest.raises(NotImplementedError):
+        real_decode_features(b"x")

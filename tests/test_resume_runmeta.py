@@ -1,0 +1,94 @@
+"""Resume + lineage invariants (SURVEY §4 O1/O11): a killed run restarted
+must produce byte-identical output to an uninterrupted run; config hash is
+stable; counters sum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.resume import (
+    committed_buckets,
+    pending_rows,
+    read_resumable,
+    write_resumable,
+)
+from radio_data_curation_ssl_spark.plans.runmeta import RunLog, config_hash, run_name
+
+
+def test_config_hash_behavior():
+    a = {"x": 1, "y": "z", "path": "/tmp/a"}
+    b = {"y": "z", "x": 1, "path": "/somewhere/else"}
+    assert config_hash(a, exclude_keys=("path",)) == config_hash(
+        b, exclude_keys=("path",)
+    )
+    assert len(config_hash(a)) == 8
+    assert config_hash(a) != config_hash({**a, "x": 2})
+
+
+def test_run_name():
+    n = run_name("cutouts", {"size": 128, "overlap": 0.5}, ("size",))
+    assert n.startswith("cutouts-size_128-")
+
+
+def test_crash_resume_identical(spark, tmp_path, pages_small):
+    from radio_data_curation_ssl_spark.plans.pipeline import curated_output
+
+    out = curated_output(pages_small).cache()
+    ref_dir = str(tmp_path / "ref")
+    write_resumable(out, ref_dir, n_buckets=8, buckets_per_commit=8)
+    crash_dir = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError):
+        write_resumable(
+            out, crash_dir, n_buckets=8, buckets_per_commit=2, fail_after_batches=1
+        )
+    assert len(committed_buckets(crash_dir)) == 2
+    # restart: only pending buckets are written
+    written = write_resumable(out, crash_dir, n_buckets=8, buckets_per_commit=2)
+    assert sorted(written) == [2, 3, 4, 5, 6, 7]
+    a = sorted(map(tuple, read_resumable(spark, ref_dir).collect()))
+    b = sorted(map(tuple, read_resumable(spark, crash_dir).collect()))
+    assert a == b
+
+
+def test_rerun_is_noop(spark, tmp_path, pages_small):
+    from radio_data_curation_ssl_spark.plans.pipeline import curated_output
+
+    out = curated_output(pages_small)
+    d = str(tmp_path / "o")
+    write_resumable(out, d, n_buckets=4)
+    assert write_resumable(out, d, n_buckets=4) == []  # idempotent skip
+
+
+def test_pending_rows_anti_join(spark, tmp_path, pages_small):
+    from radio_data_curation_ssl_spark.plans.pipeline import curated_output
+
+    out = curated_output(pages_small).cache()
+    d = str(tmp_path / "p")
+    # commit only half the buckets, then ask for pending rows
+    try:
+        write_resumable(out, d, n_buckets=4, buckets_per_commit=2, fail_after_batches=1)
+    except RuntimeError:
+        pass
+    pend = pending_rows(out, spark, d)
+    assert 0 < pend.count() < out.count()
+    committed = read_resumable(spark, d).count()
+    assert pend.count() + committed == out.count()
+
+
+def test_runlog_metrics_sum(spark, tmp_path, pages_small):
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+
+    log = RunLog(spark, str(tmp_path))
+    cfg = {"n": 600}
+    run_id = log.start("curate", cfg)
+    m = log.log_metrics(run_id, "curate", curate(pages_small))
+    assert m["docs_in"] == 600
+    assert m["docs_out"] + sum(m["drop_reasons"].values()) == m["docs_in"]
+    log.finish(run_id, "curate", cfg)
+    rows = log.runs().where(f"run_id = '{run_id}'").collect()
+    assert {r["status"] for r in rows} == {"running", "done"}
+    assert log.resolve(run_id)["status"] == "done"
+    mt = log.metrics().collect()
+    assert mt[0]["docs_in"] == 600

@@ -1,0 +1,58 @@
+"""Water-filling sampler invariants (reference asserts,
+/root/reference/src/hierarchical_sampling.py:118-119) + determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.sampling import (
+    stratified_sample,
+    waterfill_cut,
+    waterfill_quota,
+)
+
+
+def test_cut_exact_math():
+    sizes = {"a": 100, "b": 20, "c": 50}
+    assert waterfill_cut(sizes, 120) == 50  # 50+20+50 = 120
+    assert waterfill_cut(sizes, 170) == 100
+    assert waterfill_cut(sizes, 3) == 1
+
+
+def test_quota_invariants_exact():
+    sizes = {"a": 100, "b": 20, "c": 50, "d": 7}
+    for target in (10, 60, 121, 177):
+        quota = waterfill_quota(sizes, target, exact=True)
+        assert sum(quota.values()) == target  # reference :118
+        assert all(quota[s] <= sizes[s] for s in sizes)  # reference :119
+
+
+def test_quota_overshoot_bounded():
+    sizes = {"a": 100, "b": 20, "c": 50}
+    quota = waterfill_quota(sizes, 119, exact=False)
+    assert 0 <= sum(quota.values()) - 119 < len(sizes)
+
+
+def test_target_too_large_raises():
+    with pytest.raises(ValueError):
+        waterfill_quota({"a": 5}, 6)
+
+
+def test_balanced_and_deterministic(spark):
+    rows = [(f"d{i}", "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "key string, stratum string")
+    a = stratified_sample(df, "stratum", "key", 200, exact=True)
+    got = a.groupBy("stratum").count().collect()
+    by = {r["stratum"]: r["count"] for r in got}
+    assert sum(by.values()) == 200
+    # water-filling favors the small stratum fully: 100 small + 100 big
+    assert by["small"] == 100 and by["big"] == 100
+    # determinism: same input -> identical selection
+    k1 = sorted(r["key"] for r in a.select("key").collect())
+    k2 = sorted(
+        r["key"]
+        for r in stratified_sample(df, "stratum", "key", 200, exact=True)
+        .select("key")
+        .collect()
+    )
+    assert k1 == k2

@@ -1,0 +1,59 @@
+"""Streaming twins: incremental curation processes only new files on
+restart; watermarked sessionization aggregates event time."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from radio_data_curation_ssl_spark.streaming import stream_curate, stream_sessionize
+from radio_data_curation_ssl_spark.synth import synth_pandas
+
+
+def _write_pages(spark, pdf, path):
+    spark.createDataFrame(pdf).write.mode("append").parquet(path)
+
+
+def test_stream_curate_incremental(spark, tmp_path):
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_pages(spark, synth_pandas(np.arange(0, 200, dtype=np.uint64)), indir)
+    q = stream_curate(spark, indir, outdir, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(outdir).count()
+    assert n1 > 0
+    # new files arrive; restart processes ONLY them (checkpointed file log)
+    _write_pages(spark, synth_pandas(np.arange(200, 400, dtype=np.uint64)), indir)
+    q2 = stream_curate(spark, indir, outdir, ckpt)
+    q2.awaitTermination(120)
+    out = spark.read.parquet(outdir)
+    n2 = out.count()
+    assert n2 > n1
+    # exactly-once: urls unique even across the two runs
+    assert out.select("url").distinct().count() == n2
+    # equivalence with the batch plan over the full input
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+
+    batch = curate(spark.read.parquet(indir)).where("keep")
+    assert batch.count() == n2
+
+
+def test_stream_sessionize(spark, tmp_path):
+    indir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck2")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.mode(
+        "append"
+    ).parquet(indir)
+    sessions = stream_sessionize(spark, indir, ckpt)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess").collect()
+    assert len(got) > 0
+    total = sum(r["n_events"] for r in got)
+    assert total == 1000  # every event lands in exactly one session

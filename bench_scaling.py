@@ -1,0 +1,153 @@
+"""Two-parallelism scaling gate (BASELINE.json north_rule).
+
+The rule requires throughput scaling efficiency >= 0.8 from N to 4N
+executors.  This sandbox has no multi-node cluster, so per the driver's
+instruction the evidence is the SAME job at two local parallelism levels —
+``local[8]`` vs ``local[32]`` — on identical input:
+
+    efficiency = (docs/sec at 32 cores) / (4 x docs/sec at 8 cores)
+
+Each level runs in its own subprocess (fresh JVM — no shared-context
+contamination), warms up once, then times the identical fused curation
+pipeline (extract + langid + perplexity + heuristics + decide + scrub) over
+``N`` deterministic synthetic pages with identical partitioning (128
+partitions, so both levels have >= 4 waves of tasks).
+
+Results are appended to BENCH/BASELINE.md and printed as one JSON line.
+
+Usage: python bench_scaling.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+WORKER = r"""
+import json, sys, time
+from radio_data_curation_ssl_spark.session import get_spark
+from radio_data_curation_ssl_spark.plans.pipeline import curate
+
+cpus, n, pages_dir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+# small synthetic files + the default 4MB file-open cost would coalesce the
+# scan into a handful of input partitions, capping BOTH levels at the same
+# parallelism; size splits so the scan yields ~128 partitions.
+spark = get_spark(
+    "scaling",
+    master=f"local[{cpus}]",
+    shuffle_partitions=128,
+    extra_conf={
+        "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
+        "spark.sql.files.openCostInBytes": "0",
+    },
+)
+spark.sparkContext.setLogLevel("ERROR")
+# timed job = scan parquet -> curate (ONE python stage per task).  The
+# input is pre-materialized: timing a chained generator would let low
+# parallelism levels borrow extra python worker processes and skew the
+# ratio.
+pages = spark.read.parquet(pages_dir)
+df = curate(pages)
+df.write.format("noop").mode("overwrite").save()  # warmup (JIT, Arrow, model bcast)
+best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    best = min(best, time.perf_counter() - t0)
+print(json.dumps({"cpus": cpus, "sec": round(best, 3),
+                  "docs_per_sec": round(n / best, 1)}))
+spark.stop()
+"""
+
+GEN = r"""
+import sys
+from radio_data_curation_ssl_spark.session import get_spark
+from radio_data_curation_ssl_spark.synth import synth_pages
+n, pages_dir = int(sys.argv[1]), sys.argv[2]
+spark = get_spark("gen", master="local[32]")
+spark.sparkContext.setLogLevel("ERROR")
+synth_pages(spark, n, seed=42, partitions=128).write.mode("overwrite").parquet(pages_dir)
+spark.stop()
+"""
+
+
+def _sub(code: str, *args: str, pin_cpus: int | None = None) -> str:
+    # Pin the whole process tree (JVM + forked python workers) to the
+    # level's core count: a `local[8]` Spark still runs python workers and
+    # JVM expression threads BEYOND its 8 task slots, so without pinning
+    # the low level borrows extra physical cores and the measured ratio
+    # understates true scaling.  Pinning = an honest "8-core executor host".
+    cmd = [sys.executable, "-c", code, *args]
+    if pin_cpus is not None:
+        cmd = ["taskset", "-c", f"0-{pin_cpus - 1}"] + cmd
+    out = subprocess.run(
+        cmd,
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=1800,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return out.stdout
+
+
+def run_level(cpus: int, n: int, pages_dir: str) -> dict:
+    return json.loads(
+        _sub(WORKER, str(cpus), str(n), pages_dir, pin_cpus=cpus)
+        .strip()
+        .splitlines()[-1]
+    )
+
+
+def main() -> None:
+    import tempfile
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    lo_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    hi_cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    pages_dir = os.path.join(tempfile.gettempdir(), f"scaling_pages_{n}")
+    _sub(GEN, str(n), pages_dir)
+    lo = run_level(lo_cpus, n, pages_dir)
+    hi = run_level(hi_cpus, n, pages_dir)
+    eff = round(hi["docs_per_sec"] / (4 * lo["docs_per_sec"]), 3)
+    result = {
+        "metric": f"scaling efficiency local[{lo_cpus}] -> local[{hi_cpus}]",
+        "value": eff,
+        "unit": "ratio",
+        "n_docs": n,
+        "low": lo,
+        "high": hi,
+        "passes_0.8_gate": eff >= 0.8,
+    }
+    print(json.dumps(result), flush=True)
+    os.makedirs("BENCH", exist_ok=True)
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"""
+## Scaling run {stamp}
+
+Same job (fused curation pipeline: extract + langid + perplexity +
+heuristics + decide + scrub over {n:,} deterministic synthetic pages,
+128 partitions) at two parallelism levels, fresh JVM each, whole process
+tree CPU-pinned to the level's core count (an honest "N-core executor
+host" — Spark's python workers otherwise borrow cores beyond the task
+slots):
+
+| level | wall sec | docs/sec |
+|---|---|---|
+| local[{lo['cpus']}]  | {lo['sec']} | {lo['docs_per_sec']:,} |
+| local[{hi['cpus']}] | {hi['sec']} | {hi['docs_per_sec']:,} |
+
+**Scaling efficiency ({lo['cpus']} -> {hi['cpus']} cores, i.e. N -> 4N): {eff}**
+(gate: >= 0.8 -> {"PASS" if eff >= 0.8 else "FAIL"})
+"""
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Cluster job entry: the full curation run via spark-submit.
+
+Launch (north_rule: spark-submit --py-files on a multi-executor cluster)::
+
+    zip -r curation.zip radio_data_curation_ssl_spark
+    spark-submit --py-files curation.zip jobs/run_curation.py \
+        --input /data/pages --output /data/curated --run-root /data/meta \
+        --buckets 4096 --buckets-per-commit 64
+
+Local smoke (this sandbox)::
+
+    python jobs/run_curation.py --synth 50000 --output /tmp/curated \
+        --run-root /tmp/meta
+
+Behavior: resolves pending buckets (resume), runs the fused pipeline,
+writes bucket-committed parquet, records lineage + counters.  Re-running
+after a crash continues from the last committed bucket batch; re-running
+after success is a no-op (config-hash idempotence, reference
+/root/reference/src/1a_cutouts_sw.py:35-38).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="pages parquet dir (url, warc_ts, html, text, lang)")
+    ap.add_argument("--synth", type=int, help="generate N synthetic pages instead")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-root", required=True, help="dir for _runs/_metrics")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--buckets-per-commit", type=int, default=8)
+    ap.add_argument("--master", default=None, help="override master (default: spark-submit's)")
+    args = ap.parse_args(argv)
+
+    from radio_data_curation_ssl_spark.operators.resume import write_resumable
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+    from radio_data_curation_ssl_spark.plans.runmeta import RunLog
+    from radio_data_curation_ssl_spark.session import get_spark
+    from radio_data_curation_ssl_spark.synth import synth_pages
+
+    spark = get_spark("curation-run", master=args.master)
+    config = {
+        k: v for k, v in vars(args).items() if k not in ("master",) and v is not None
+    }
+    log = RunLog(spark, args.run_root)
+    run_id = log.start("curate", config)
+    try:
+        if args.synth:
+            pages = synth_pages(spark, args.synth, seed=42, partitions=args.buckets)
+        elif args.input:
+            pages = spark.read.parquet(args.input)
+        else:
+            ap.error("one of --input / --synth required")
+        result = curate(pages)
+        written = write_resumable(
+            result.where("keep"),
+            args.output,
+            n_buckets=args.buckets,
+            buckets_per_commit=args.buckets_per_commit,
+        )
+        metrics = log.log_metrics(run_id, "curate", result)
+        log.finish(run_id, "curate", config, status="done")
+        print(json.dumps({"run_id": run_id, "buckets_written": len(written), **metrics}))
+        return 0
+    except Exception:
+        log.finish(run_id, "curate", config, status="failed")
+        raise
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -33,8 +33,15 @@ def portable_hash64_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, {_HEX_CHARS})) AS BIGINT)"
 
 
-def salted_key(col: Column | str, salt_buckets: int) -> Column:
-    """Skew salt: append a deterministic bucket to a hot key.
+def salted_key(
+    key_col: Column | str, salt_buckets: int, row_col: Column | str = "url"
+) -> Column:
+    """Skew salt: spread a hot key's rows over ``salt_buckets`` sub-keys.
+
+    The salt MUST derive from a per-row value (``row_col``, e.g. the url),
+    never from the hot key itself — hashing the key alone maps every row of
+    the hot key to ONE sub-key and splits nothing (caught by
+    tests/test_plans.py::test_salting_splits_hot_key).
 
     Reference analog: iterative resampling / two-phase cluster splitting to
     rebalance skewed clusters (/root/reference/src/hierarchical_kmeans_gpu.py:159-229,
@@ -42,8 +49,11 @@ def salted_key(col: Column | str, salt_buckets: int) -> Column:
     goal — no one partition owns a hot host — is salting + AQE skew joins.
     Uses xxhash64: layout-only, never compared to an oracle.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    return F.concat_ws("#", c, F.pmod(F.xxhash64(c), F.lit(salt_buckets)).cast("string"))
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    r = F.col(row_col) if isinstance(row_col, str) else row_col
+    return F.concat_ws(
+        "#", k, F.pmod(F.xxhash64(r), F.lit(salt_buckets)).cast("string")
+    )
 
 
 def url_partition(col: Column | str, num_buckets: int) -> Column:

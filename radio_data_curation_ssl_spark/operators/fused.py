@@ -1,21 +1,21 @@
-"""Fused Python scoring stage: extract + langid + perplexity + scrub in ONE
-``mapInPandas`` pass.
+"""Fused Python curation stage: extract + langid + perplexity + heuristics
++ decision + scrub in ONE ``mapInPandas`` pass.
 
-Why: every ``mapInPandas`` operator is a JVM -> Python -> JVM Arrow
-round-trip; chaining five of them re-serializes the (string-heavy) rows five
-times.  Profiling at 20k docs: modular chain 566 docs/s vs ~4x that fused.
-The reference makes the same move — its extraction worker computes
-decode + transform + forward in one process pass per batch
-(/root/reference/src/3b_feature_extraction_from_path.py:161-209) rather
-than one pass per transform.
+Why fully fused (both measured on this repo):
+1. every ``mapInPandas`` operator is a JVM->Python->JVM Arrow round-trip —
+   chaining five re-serializes the string-heavy rows five times;
+2. Spark higher-order-function expressions (the alternative for the
+   heuristics) are interpreted + GC-bound and capped whole-pipeline scaling
+   at 0.39 efficiency (4 -> 16 pinned cores) vs 0.83 for the numpy path.
 
-The modular operators (extract.py, langid.py, perplexity.py, scrub.py)
-remain the unit-tested definition of each stage; this module composes their
-*batch kernels* (pure pandas/numpy functions) into one plan node.  Identity
-with the modular chain is pytest-gated.
+The text byte-stream (functions/textstream.py) is segmented ONCE per batch
+and shared by the perplexity and heuristics kernels.  The reference makes
+the same move — decode + transform + forward in one worker pass per batch
+(/root/reference/src/3b_feature_extraction_from_path.py:161-209).
 
-Heuristics + decision stay OUT of the fusion: they are pure Spark column
-expressions (JVM codegen) and cost nothing extra.
+The modular operators (extract/langid/perplexity/scrub/decide) remain the
+unit-tested definition of each stage; equivalence of this fused plan with
+the modular chain and with the pure-pandas oracle is pytest-gated.
 """
 
 from __future__ import annotations
@@ -28,9 +28,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from ..functions.textstream import build_stream
 from .extract import extract_text_bytes
+from .heuristics_np import decide_np, heuristics_from_stream
 from .langid import LANGS, build_model, score_batch
-from .perplexity import build_table, score_texts
+from .perplexity import build_table, score_from_stream
 from .scrub import scrub_series
 
 FUSED_SCHEMA = T.StructType(
@@ -43,21 +45,32 @@ FUSED_SCHEMA = T.StructType(
         T.StructField("lang_pred", T.StringType(), True),
         T.StructField("lang_conf", T.DoubleType(), True),
         T.StructField("ppl", T.DoubleType(), True),
+        T.StructField("n_words", T.LongType(), True),
+        T.StructField("mean_word_len", T.DoubleType(), True),
+        T.StructField("stopword_ratio", T.DoubleType(), True),
+        T.StructField("symbol_word_ratio", T.DoubleType(), True),
+        T.StructField("rep_bigram_frac", T.DoubleType(), True),
+        T.StructField("drop_reason", T.StringType(), True),
+        T.StructField("keep", T.BooleanType(), True),
         T.StructField("text_scrubbed", T.StringType(), True),
         T.StructField("n_redactions", T.LongType(), True),
     ]
 )
 
 
-def score_scrub_batch(
+def curate_batch(
     b: pd.DataFrame, weights: np.ndarray, table: np.ndarray
 ) -> pd.DataFrame:
-    """One Arrow batch through all Python kernels (shared with tests)."""
+    """One Arrow batch through the whole pipeline (shared with tests)."""
     text = b["html"].map(extract_text_bytes)
-    filled = text.fillna("")
-    pred, conf = score_batch(filled, weights)
-    ppl = score_texts(text, table)
+    stream = build_stream(text)  # segmented ONCE: ppl + heuristics share it
+    pred, conf = score_batch(text.fillna(""), weights)
+    ppl = score_from_stream(stream, table)
+    heur = heuristics_from_stream(stream)
+    lang_pred = np.array(LANGS)[pred]
+    keep, reason = decide_np(heur, lang_pred, conf, ppl, stream.null_mask)
     scrubbed, n_red = scrub_series(text)
+    nan_to_none = lambda a: pd.Series(a).where(~np.isnan(a), None)  # noqa: E731
     return pd.DataFrame(
         {
             "url": b["url"],
@@ -65,9 +78,16 @@ def score_scrub_batch(
             "text": text,
             "lang_claimed": b["lang"],
             "n_bytes_html": b["html"].str.len().astype("int64"),
-            "lang_pred": np.array(LANGS)[pred],
+            "lang_pred": lang_pred,
             "lang_conf": conf,
-            "ppl": ppl,
+            "ppl": nan_to_none(ppl),
+            "n_words": heur["n_words"],
+            "mean_word_len": nan_to_none(heur["mean_word_len"]),
+            "stopword_ratio": nan_to_none(heur["stopword_ratio"]),
+            "symbol_word_ratio": nan_to_none(heur["symbol_word_ratio"]),
+            "rep_bigram_frac": nan_to_none(heur["rep_bigram_frac"]),
+            "drop_reason": reason,
+            "keep": keep,
             "text_scrubbed": scrubbed,
             "n_redactions": n_red,
         }
@@ -75,7 +95,7 @@ def score_scrub_batch(
 
 
 def extract_score_scrub(pages: DataFrame) -> DataFrame:
-    """pages -> fully Python-scored docs in a single Arrow round-trip.
+    """pages -> fully curated rows in a single Arrow round-trip.
     Models broadcast once, deserialized once per task (iterator UDF)."""
     spark = pages.sparkSession
     bc_w = spark.sparkContext.broadcast(build_model())
@@ -84,6 +104,6 @@ def extract_score_scrub(pages: DataFrame) -> DataFrame:
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights, table = bc_w.value, bc_t.value
         for b in it:
-            yield score_scrub_batch(b, weights, table)
+            yield curate_batch(b, weights, table)
 
     return pages.mapInPandas(run, FUSED_SCHEMA)

@@ -1,0 +1,115 @@
+"""Vectorized (numpy) Gopher/C4 heuristics + decision — the throughput twin
+of the expression-based ``operators/decide.py``.
+
+Motivation (measured): Spark's higher-order-function expressions over
+per-row arrays are interpreted and allocation/GC-bound; with them in the
+plan, whole-pipeline scaling efficiency (4 -> 16 pinned cores) was 0.39,
+while the pure-Python-stage plan scaled at 0.83.  This module computes the
+same heuristics from the shared :class:`TextStream` (built once per batch),
+so the fused stage emits final decisions with zero JVM expression work.
+
+Equivalence contract:
+- the expression library (functions/text.py) remains the DuckDB-checkable
+  definition used by the registry queries;
+- this kernel must agree with the pure-pandas oracle within float tolerance
+  and at F1 >= 0.99 on decisions (pytest: test_pipeline_oracle.py) — the
+  word/stopword/symbol definitions coincide exactly on ASCII text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.text import STOPWORDS
+from ..functions.textstream import TextStream, bigram_hash_np, word_hash_scalar
+from .decide import KEEP_LANGS, TH
+
+# stopword matching by 64-bit word hash (collision probability ~0; the
+# oracle matches by string — identical on anything but a 2^-64 fluke)
+STOPWORD_HASHES = np.sort(
+    np.array([word_hash_scalar(w) for w in STOPWORDS], dtype=np.uint64)
+)
+
+
+def heuristics_from_stream(stream: TextStream) -> dict[str, np.ndarray]:
+    """n_words, mean_word_len, stopword_ratio, symbol_word_ratio,
+    rep_bigram_frac — all (n_docs,) arrays."""
+    n = stream.n_docs
+    nw = stream.words_per_doc.astype(np.float64)
+    starts = stream.word_starts
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # mean word length
+        if stream.word_hashes.size:
+            doc_of_word = np.repeat(np.arange(n), stream.words_per_doc)
+            len_sums = np.bincount(
+                doc_of_word, weights=stream.word_lengths, minlength=n
+            )
+            sw = np.isin(stream.word_hashes, STOPWORD_HASHES)
+            sw_counts = np.bincount(doc_of_word, weights=sw, minlength=n)
+        else:
+            len_sums = np.zeros(n)
+            sw_counts = np.zeros(n)
+        mean_word_len = len_sums / nw
+        stopword_ratio = sw_counts / nw
+        symbol_word_ratio = stream.symbols_per_doc / nw
+
+        # repetition: duplicate fraction of adjacent-bigram hashes per doc
+        rep = np.zeros(n, dtype=np.float64)
+        wh = stream.word_hashes
+        if wh.size >= 2:
+            bh = bigram_hash_np(wh)
+            doc_of_bigram = doc_of_word[:-1]
+            valid = doc_of_word[:-1] == doc_of_word[1:]  # same-doc pairs only
+            vb, vd = bh[valid], doc_of_bigram[valid]
+            order = np.lexsort((vb, vd))
+            sb, sd = vb[order], vd[order]
+            dup = np.zeros(sb.size, dtype=bool)
+            if sb.size > 1:
+                dup[1:] = (sb[1:] == sb[:-1]) & (sd[1:] == sd[:-1])
+            n_bigrams = np.bincount(vd, minlength=n).astype(np.float64)
+            n_dups = np.bincount(vd[0:0] if sb.size == 0 else sd[dup], minlength=n)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                frac = n_dups / n_bigrams
+            rep = np.where(n_bigrams >= 2, frac, 0.0)
+    return dict(
+        n_words=stream.words_per_doc,
+        mean_word_len=mean_word_len,
+        stopword_ratio=stopword_ratio,
+        symbol_word_ratio=symbol_word_ratio,
+        rep_bigram_frac=rep,
+    )
+
+
+def decide_np(
+    h: dict[str, np.ndarray],
+    lang_pred: np.ndarray,
+    lang_conf: np.ndarray,
+    ppl: np.ndarray,
+    null_mask: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(keep bool array, drop_reason object array) — same fixed-priority
+    rule chain as operators/decide.py."""
+    n = len(lang_pred)
+    reason = np.full(n, None, dtype=object)
+    keep_lang = np.isin(lang_pred, np.array(list(KEEP_LANGS)))
+    conds = [
+        ("no_content", null_mask),
+        ("too_short", h["n_words"] < TH["min_words"]),
+        ("lang", (~keep_lang) | (lang_conf < TH["min_lang_conf"])),
+        ("perplexity", np.isnan(ppl) | (ppl > TH["max_ppl"])),
+        ("stopword_ratio", h["stopword_ratio"] < TH["min_stopword_ratio"]),
+        (
+            "word_len",
+            (h["mean_word_len"] < TH["min_mean_word_len"])
+            | (h["mean_word_len"] > TH["max_mean_word_len"]),
+        ),
+        ("symbol_ratio", h["symbol_word_ratio"] > TH["max_symbol_word_ratio"]),
+        ("repetition", h["rep_bigram_frac"] > TH["max_rep_bigram_frac"]),
+    ]
+    unset = np.ones(n, dtype=bool)
+    with np.errstate(invalid="ignore"):
+        for name, cond in conds:
+            fire = unset & np.nan_to_num(cond.astype(float), nan=1.0).astype(bool)
+            reason[fire] = name
+            unset &= ~fire
+    return unset, reason

@@ -38,7 +38,11 @@ from ..synth import VOCAB
 
 N_BUCKETS = 1 << 15
 LANGS = sorted(VOCAB)
-MAX_PREFIX = 1024  # langid reads at most this many bytes per doc
+# langid reads at most this many chars per doc: language is decidable from
+# a short prefix, and the scoring gather's working set scales with it —
+# 4x smaller prefix measurably cuts allocator/page-fault contention when
+# 32 workers run concurrently.
+MAX_PREFIX = 256
 
 
 def byte_trigram_buckets(data: bytes) -> list[int]:

@@ -7,13 +7,22 @@ The table is constructed deterministically from the synthetic vocab (bigrams
 of in-language word pairs get high log-prob; everything else falls back to a
 hash-derived low log-prob), built on the driver, **broadcast** once.
 
-Scoring (the north-rule "batched n-gram hashing + log-prob lookup"):
-per Arrow batch, all documents' words are flattened into ONE numpy array;
-bigram hashes are computed vectorized (splitmix64 over packed word hashes);
-log-probs come from a single fancy-indexing gather; per-doc means via
-``np.add.reduceat``.  No Python executes per row.
+Word-hash definition (shared by the batch path, the model builder, and the
+oracle's scalar twin)::
 
-Oracle twin (oracle.py) recomputes with dict lookups + loops.
+    raw(word)  = sum_i  byte_i * FNV_PRIME^min(i, 63)   (mod 2^64)
+    hash(word) = splitmix64(raw)
+
+Scoring (the north-rule "batched n-gram hashing + log-prob lookup"):
+per Arrow batch, all documents are joined into ONE utf-8 byte stream
+(NUL-separated); word segmentation, positional powers, per-word polynomial
+sums (``np.add.reduceat`` with native uint64 wraparound), bigram combines,
+table gathers and per-doc means are all whole-batch numpy.  No Python
+executes per row.  This byte-stream formulation replaced an earlier
+fixed-width ``U16`` path whose 64-byte-per-char temporaries caused a 6.7x
+slowdown under 32-way worker concurrency (memory/page-fault bound).
+
+Oracle twin (oracle.py) recomputes with dict lookups + per-word loops.
 Reference analog for the broadcast/batch shape:
 /root/reference/src/3b_feature_extraction_from_path.py:161-209.
 """
@@ -33,28 +42,27 @@ from ..synth import VOCAB, splitmix64
 TABLE_SIZE = 1 << 16
 _GOOD_LOGPROB = -2.0
 _SCALE = 100.0  # int16 storage: logprob*SCALE
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+from ..functions.textstream import (  # noqa: E402 — shared batch substrate
+    TextStream,
+    bigram_hash_np,
+    build_stream,
+    word_hash_scalar,
+)
 
 
-def word_hash_np(words: np.ndarray) -> np.ndarray:
-    """Vectorized 64-bit word hash: FNV-ish over bytes is per-row Python, so
-    instead hash the (stable) numpy void view — here we use a polynomial
-    hash over character codes, fully vectorized per fixed-width chunk."""
-    # encode to fixed-width uint8 matrix (pad with 0); max word len capped
-    arr = words.astype("U16")
-    u32 = arr.view(np.uint32).reshape(len(arr), -1).astype(np.uint64)
-    h = np.zeros(len(arr), dtype=np.uint64)
-    for col in range(u32.shape[1]):
-        h = (h * np.uint64(1099511628211) + u32[:, col]) & np.uint64(
-            0xFFFFFFFFFFFFFFFF
-        )
-    return splitmix64(h)
+def word_hashes_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(word_hashes, words_per_doc) — thin wrapper over build_stream."""
+    st = build_stream(texts)
+    return st.word_hashes, st.words_per_doc
 
 
-def bigram_hash_np(wh: np.ndarray) -> np.ndarray:
-    """Combine adjacent word hashes into bigram hashes (vectorized)."""
-    return splitmix64(
-        (wh[:-1] * np.uint64(0x9E3779B97F4A7C15) + wh[1:])
-        & np.uint64(0xFFFFFFFFFFFFFFFF)
+def _pair_hash(a: int, b: int) -> int:
+    return int(
+        splitmix64(
+            np.array([(a * 0x9E3779B97F4A7C15 + b) & _MASK64], dtype=np.uint64)
+        )[0]
     )
 
 
@@ -65,48 +73,44 @@ def build_table() -> np.ndarray:
     noise = (splitmix64(idx) % np.uint64(600)).astype(np.float64) / 100.0
     table = (-(4.0 + noise) * _SCALE).astype(np.int16)
     for vocab in VOCAB.values():
-        words = np.array(vocab, dtype="U16")
-        wh = word_hash_np(words)
-        # all ordered pairs within a language are "fluent"
-        pair = splitmix64(
-            (wh[:, None] * np.uint64(0x9E3779B97F4A7C15) + wh[None, :])
-            & np.uint64(0xFFFFFFFFFFFFFFFF)
-        ).ravel()
-        table[(pair % np.uint64(TABLE_SIZE)).astype(np.int64)] = int(
-            _GOOD_LOGPROB * _SCALE
-        )
+        hashes = [word_hash_scalar(w) for w in vocab]
+        for a in hashes:  # all ordered in-language pairs are "fluent"
+            for b in hashes:
+                table[_pair_hash(a, b) % TABLE_SIZE] = int(_GOOD_LOGPROB * _SCALE)
     return table
 
 
 def score_texts(texts: pd.Series, table: np.ndarray) -> np.ndarray:
-    """Whole-batch scoring: flatten -> hash -> gather -> segment means."""
-    from itertools import chain
+    """Whole-batch scoring: byte-stream word hash -> bigram hash -> gather
+    -> per-doc mean -> perplexity = exp(-mean logprob)."""
+    return score_from_stream(build_stream(texts), table)
 
-    split = texts.fillna("").str.lower().str.split()
-    lengths = split.str.len().to_numpy(dtype=np.int64)
-    flat = np.array(list(chain.from_iterable(split)), dtype="U16")
-    out = np.full(len(texts), np.nan, dtype=np.float64)
-    if flat.size == 0:
-        return out
-    wh = word_hash_np(flat)
-    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-    # bigram hashes across the flattened array, then mask out doc boundaries
-    if flat.size >= 2:
+
+def score_from_stream(stream: TextStream, table: np.ndarray) -> np.ndarray:
+    """Score from a prebuilt TextStream (fused stage computes it once and
+    shares it between perplexity and heuristics)."""
+    n = stream.n_docs
+    wh, lengths = stream.word_hashes, stream.words_per_doc
+    out = np.full(n, np.nan, dtype=np.float64)
+    null_mask = stream.null_mask
+    if wh.size >= 2:
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
         bh = bigram_hash_np(wh)
         lp = table[(bh % np.uint64(TABLE_SIZE)).astype(np.int64)].astype(
             np.float64
         ) / _SCALE
-        boundary = np.zeros(flat.size - 1, dtype=bool)
+        boundary = np.zeros(wh.size - 1, dtype=bool)
         ends = (starts + lengths)[:-1]
-        ends = ends[(ends > 0) & (ends < flat.size)]
+        ends = ends[(ends > 0) & (ends < wh.size)]
         boundary[ends - 1] = True  # last word of each doc
         valid = ~boundary
-        doc_of = np.repeat(np.arange(len(texts)), np.maximum(lengths, 0))[:-1]
-        sums = np.bincount(doc_of[valid], weights=lp[valid], minlength=len(texts))
-        counts = np.bincount(doc_of[valid], minlength=len(texts))
+        doc_of = np.repeat(np.arange(n), np.maximum(lengths, 0))[:-1]
+        sums = np.bincount(doc_of[valid], weights=lp[valid], minlength=n)
+        counts = np.bincount(doc_of[valid], minlength=n)
         with np.errstate(invalid="ignore", divide="ignore"):
             mean_lp = sums / counts
-        out = np.where(counts > 0, np.exp(-mean_lp), np.nan)  # perplexity
+        out = np.where(counts > 0, np.exp(-mean_lp), np.nan)
+    out[null_mask] = np.nan
     return out
 
 

@@ -31,7 +31,7 @@ from .operators.perplexity import (
     TABLE_SIZE,
     bigram_hash_np,
     build_table,
-    word_hash_np,
+    word_hash_scalar,
 )
 from .operators.scrub import scrub_text
 
@@ -117,7 +117,10 @@ def ppl_row(text: str | None) -> float:
         return float("nan")
     logprobs = []
     for i in range(len(ws) - 1):
-        wh = word_hash_np(np.array([ws[i], ws[i + 1]], dtype="U16"))
+        wh = np.array(
+            [word_hash_scalar(ws[i]), word_hash_scalar(ws[i + 1])],
+            dtype=np.uint64,
+        )
         bh = bigram_hash_np(wh)[0]
         # NB: bh % TABLE_SIZE with a python-int modulus would promote
         # uint64 -> float64 and corrupt the index; keep it in uint64.

@@ -37,8 +37,7 @@ def curate(pages: DataFrame, fused: bool = True) -> DataFrame:
     drop_reason, keep (order differs slightly between modes).
     """
     if fused:
-        scored = extract_score_scrub(pages)
-        return with_decision(with_heuristics(scored))
+        return extract_score_scrub(pages)  # everything in one python pass
     docs = extract_docs(pages)
     scored = with_perplexity(with_langid(docs))
     decided = with_decision(with_heuristics(scored))

@@ -40,6 +40,22 @@ def get_spark(
     the same entry points serve tests, the bench harness, and — with
     ``master=None`` under spark-submit — a real multi-executor cluster.
     """
+    # glibc tuning for the numpy-heavy Python workers: without this, every
+    # large temporary is an mmap/munmap cycle and 32 concurrent workers
+    # serialize on kernel page-fault handling (measured 38 s/call vs 2 s
+    # for the langid kernel at 32-way concurrency).  Set BEFORE the JVM
+    # starts so forked python workers inherit it; spark.executorEnv carries
+    # it to real executors.
+    malloc_env = {
+        "MALLOC_MMAP_THRESHOLD_": "268435456",
+        "MALLOC_TRIM_THRESHOLD_": "268435456",
+        # keep BLAS single-threaded inside workers: task-level parallelism
+        # already fills the machine, nested threads only thrash
+        "OMP_NUM_THREADS": "1",
+        "OPENBLAS_NUM_THREADS": "1",
+    }
+    for k, v in malloc_env.items():
+        os.environ.setdefault(k, v)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
@@ -61,6 +77,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in malloc_env.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -1,0 +1,106 @@
+"""Physical-plan audits: the plans must be the ones we'd want at 100 TB.
+
+Checks (via explain output):
+- parquet scans get predicate pushdown + column pruning where expected
+- small dimensions broadcast (no shuffle on the fact side)
+- the curation pipeline is shuffle-free (narrow: scan -> python -> project)
+- the LSH self-join reuses the exchange instead of recomputing signatures
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from radio_data_curation_ssl_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_pushdown_and_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .where("l_quantity > 40")
+        .select("l_orderkey", "l_quantity")
+    )
+    p = plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)" in p
+    # column pruning: scan schema holds only the two needed columns
+    assert "l_extendedprice" not in p
+
+
+def test_star_join_broadcasts_dims(spark):
+    p = plan(REGISTRY["join_star_broadcast"].spark(spark, SF))
+    # formatted explain prints each node in tree + details sections
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_query_broadcasts_queries(spark):
+    p = plan(REGISTRY["ann_cosine_topk"].spark(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_pipeline_is_shuffle_free(spark, pages_small):
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+
+    p = plan(curate(pages_small))
+    assert "Exchange" not in p  # narrow end to end: scan -> python -> project
+
+
+def test_quality_filter_query_shuffle_free(spark):
+    p = plan(REGISTRY["quality_filter_pipeline"].spark(spark, SF))
+    assert "Exchange" not in p
+
+
+def test_lsh_join_is_equi_hash_join(spark):
+    """The band self-join must be an equi join on (band, band_key) — never
+    a nested-loop pair scan.  (At this tiny SF Catalyst broadcasts one
+    side; at scale the same plan becomes SMJ with a ReusedExchange.)"""
+    p = plan(REGISTRY["dedup_minhash_lsh"].spark(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "Join condition: (doc_id" in p  # inequality only as residual
+
+
+def test_q1_partial_aggregation(spark):
+    p = plan(REGISTRY["q1_pricing_summary"].spark(spark, SF))
+    # partial (map-side) agg before the exchange, final after
+    assert p.count("HashAggregate") >= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+
+
+def test_semi_anti_join_types(spark):
+    assert "LeftSemi" in plan(REGISTRY["semi_join_subset"].spark(spark, SF))
+    assert "LeftAnti" in plan(REGISTRY["anti_join_resume"].spark(spark, SF))
+
+
+def test_url_partition_layout(spark, pages_small):
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.functions.hashing import url_partition
+
+    df = pages_small.withColumn("b", url_partition("url", 64))
+    got = df.agg(F.min("b"), F.max("b"), F.countDistinct("b")).collect()[0]
+    assert got[0] >= 0 and got[1] < 64 and got[2] > 32  # spread across buckets
+
+
+def test_salting_splits_hot_key(spark, pages_small):
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.functions.hashing import salted_key
+
+    hosts = pages_small.select(
+        "url", F.regexp_extract("url", "https://([^/]+)/", 1).alias("host")
+    )
+    top = hosts.groupBy("host").count().orderBy(F.desc("count")).first()
+    salted = hosts.withColumn("k", salted_key("host", 8, "url"))
+    n_sub = (
+        salted.where(F.col("host") == top["host"]).select("k").distinct().count()
+    )
+    assert n_sub == 8  # hot host split across all salt buckets

@@ -53,7 +53,7 @@ pages = spark.read.parquet(pages_dir)
 df = curate(pages)
 df.write.format("noop").mode("overwrite").save()  # warmup (JIT, Arrow, model bcast)
 best = float("inf")
-for _ in range(3):
+for _ in range(4):
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
     best = min(best, time.perf_counter() - t0)
@@ -110,9 +110,14 @@ def main() -> None:
     lo_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     hi_cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     pages_dir = os.path.join(tempfile.gettempdir(), f"scaling_pages_{n}")
-    _sub(GEN, str(n), pages_dir)
-    lo = run_level(lo_cpus, n, pages_dir)
-    hi = run_level(hi_cpus, n, pages_dir)
+    if not os.path.isdir(pages_dir):
+        _sub(GEN, str(n), pages_dir)
+    # the sandbox VM shows episodic multi-x slowdowns (host-side); interleave
+    # the levels and keep the best of two fresh-JVM subprocesses per level so
+    # a disturbance can't bias one side of the ratio
+    runs = [run_level(c, n, pages_dir) for c in (lo_cpus, hi_cpus, lo_cpus, hi_cpus)]
+    lo = min((r for r in runs if r["cpus"] == lo_cpus), key=lambda r: r["sec"])
+    hi = min((r for r in runs if r["cpus"] == hi_cpus), key=lambda r: r["sec"])
     eff = round(hi["docs_per_sec"] / (4 * lo["docs_per_sec"]), 3)
     result = {
         "metric": f"scaling efficiency local[{lo_cpus}] -> local[{hi_cpus}]",

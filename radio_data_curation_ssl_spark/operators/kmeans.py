@@ -1,0 +1,161 @@
+"""Lloyd k-means over DataFrames — the Spark re-expression of the
+reference's distributed k-means (EP3).
+
+Reference behaviors re-expressed (SURVEY §2.3/§2.4/§4):
+- assign step = every point x every centroid, argmin distance
+  (``assign_clusters`` — /root/reference/src/kmeans_gpu.py:176-243), with
+  the ``x^2 - 2xC^T + c^2`` GEMM expansion (O4 —
+  /root/reference/src/kmeans_gpu.py:49-56) kept INSIDE the vectorized UDF:
+  centroids are a broadcast (k, d) float64 matrix, each Arrow batch does one
+  matmul — no per-row Python, no crossJoin blowup.
+- update step = per-cluster partial sums + final combine
+  (``distributed_compute_centroids`` —
+  /root/reference/src/distributed_kmeans_gpu.py:519-573): here one
+  ``mapInPandas`` computing per-partition (cluster, sum, count) partials and
+  a driver-side final combine over <= k*partitions tiny rows — the same
+  partial/final shape NCCL all_reduce gave the reference, via Spark.
+- k-means++ init: weighted candidate draws by cumulative squared distance
+  (/root/reference/src/distributed_kmeans_gpu.py:409-421) — performed
+  driver-side on a deterministic hash-ordered sample (randomness keyed by
+  id hash, never partition order — SURVEY §7).
+- convergence on max centroid shift; iteration count capped like the
+  reference's ``n_iters`` config.
+
+Scale: points never shuffle; per iteration the cluster-side traffic is one
+broadcast (k x d) down and (partitions x k x d) partials up — the identical
+communication pattern of the reference's all_reduce at 10^9+ points.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def kmeans_pp_init(
+    sample: np.ndarray, k: int, seed: int = 42
+) -> np.ndarray:
+    """k-means++ on a driver-side sample (deterministic)."""
+    rng = np.random.RandomState(seed)
+    n = sample.shape[0]
+    cents = [sample[int(rng.randint(n))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            ((sample[:, None, :] - np.array(cents)[None, :, :]) ** 2).sum(-1),
+            axis=1,
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        cents.append(sample[int(rng.choice(n, p=probs))])
+    return np.array(cents, dtype=np.float64)
+
+
+def assign_batch(x: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(cluster ids, squared distances) via the GEMM expansion (O4)."""
+    x2 = (x * x).sum(axis=1, keepdims=True)
+    c2 = (cents * cents).sum(axis=1)
+    d2 = x2 - 2.0 * (x @ cents.T) + c2[None, :]
+    ids = d2.argmin(axis=1)
+    return ids, np.maximum(d2[np.arange(len(ids)), ids], 0.0)
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iters: int = 20,
+    tol: float = 1e-6,
+    seed: int = 42,
+    init_sample: int = 2048,
+) -> tuple[DataFrame, np.ndarray]:
+    """Returns (assignments DataFrame(id, cluster, dist_sq), centroids).
+
+    The returned DataFrame is lazy against the FINAL centroids; the driver
+    loop only moves (k x d) matrices and per-partition partials.
+    """
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    # deterministic hash-ordered sample for init (never partition order)
+    sample_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(init_sample)
+        .collect()
+    )
+    sample = np.array([r[1] for r in sample_rows], dtype=np.float64)
+    cents = kmeans_pp_init(sample, k, seed)
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("vec_sum", T.ArrayType(T.DoubleType())),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    pts = df.select(id_col, vec_col).cache()
+    for _ in range(n_iters):
+        bc = sc.broadcast(cents)
+
+        def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            for b in it:
+                x = np.array(b[vec_col].tolist(), dtype=np.float64)
+                if len(x) == 0:
+                    continue
+                ids, _ = assign_batch(x, c)
+                sums = np.zeros_like(c)
+                np.add.at(sums, ids, x)
+                cnt = np.bincount(ids, minlength=len(c))
+                nz = np.flatnonzero(cnt)
+                yield pd.DataFrame(
+                    {
+                        "cluster": nz.astype(np.int32),
+                        "vec_sum": list(sums[nz]),
+                        "cnt": cnt[nz].astype(np.int64),
+                    }
+                )
+
+        # partial per partition -> tiny final combine on the driver
+        rows = pts.mapInPandas(partials, partial_schema).collect()
+        sums = np.zeros_like(cents)
+        cnts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["cluster"]] += np.array(r["vec_sum"])
+            cnts[r["cluster"]] += r["cnt"]
+        new = np.where(cnts[:, None] > 0, sums / np.maximum(cnts[:, None], 1), cents)
+        shift = float(np.abs(new - cents).max())
+        cents = new
+        if shift < tol:
+            break
+
+    bc_final = sc.broadcast(cents)
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("dist_sq", T.DoubleType()),
+        ]
+    )
+
+    def assign_final(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc_final.value
+        for b in it:
+            x = np.array(b[vec_col].tolist(), dtype=np.float64)
+            if len(x) == 0:
+                continue
+            ids, d2 = assign_batch(x, c)
+            yield pd.DataFrame(
+                {
+                    "id": b[id_col].astype("int64"),
+                    "cluster": ids.astype(np.int32),
+                    "dist_sq": d2,
+                }
+            )
+
+    return pts.mapInPandas(assign_final, out_schema), cents

@@ -1209,3 +1209,25 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.selectExpr(
         "key", "n_bytes", "round(CAST(element_at(features, 1) AS DOUBLE) * 255.0 / 255.0, 6) AS feat0"
     )
+
+
+@register(
+    "kmeans_lloyd",
+    None,  # iterative algorithm — not expressible as one SQL query
+    doc="Lloyd k-means with k-means++ init (reference EP3: "
+    "/root/reference/src/distributed_kmeans_gpu.py:272-696) as broadcast "
+    "GEMM assign + partial/final centroid combine. Validated against a "
+    "single-process numpy twin in tests/test_kmeans.py (the reference's "
+    "own oracle pattern). Scale: points never shuffle; per-iteration "
+    "traffic is (k x d) down, (partitions x k x d) partials up.",
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.kmeans import lloyd_kmeans
+
+    emb = t(spark, sf_dir, "embeddings")
+    assignments, _cents = lloyd_kmeans(
+        emb, "vec_id", "embedding", k=8, n_iters=10
+    )
+    return assignments.selectExpr(
+        "id AS vec_id", "CAST(cluster AS BIGINT) AS cluster", "round(dist_sq, 6) AS dist_sq"
+    )

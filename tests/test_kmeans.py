@@ -1,0 +1,88 @@
+"""Lloyd k-means vs a single-process numpy twin (the reference's own oracle
+pattern: kmeans_gpu.py validates distributed_kmeans_gpu.py — SURVEY §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from radio_data_curation_ssl_spark.operators.kmeans import (
+    assign_batch,
+    kmeans_pp_init,
+    lloyd_kmeans,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def numpy_lloyd(x, k, n_iters, seed, init_sample_order, tol=1e-6):
+    sample = x[init_sample_order][:2048].astype(np.float64)
+    cents = kmeans_pp_init(sample, k, seed)
+    for _ in range(n_iters):
+        ids, _ = assign_batch(x, cents)
+        new = np.zeros_like(cents)
+        cnt = np.bincount(ids, minlength=k)
+        np.add.at(new, ids, x)
+        new = np.where(cnt[:, None] > 0, new / np.maximum(cnt[:, None], 1), cents)
+        if np.abs(new - cents).max() < tol:
+            cents = new
+            break
+        cents = new
+    ids, d2 = assign_batch(x, cents)
+    return ids, d2, cents
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_matches_numpy_twin(spark, emb):
+    import hashlib
+
+    rows = emb.select("vec_id", "embedding").collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids_in = np.array([r["vec_id"] for r in rows])
+    # replicate the deterministic hash-ordered init sample
+    order = [
+        i
+        for (_h, _vid, i) in sorted(
+            (hashlib.md5(str(vid).encode()).hexdigest(), vid, i)
+            for i, vid in enumerate(ids_in)
+        )
+    ]
+    k = 10
+    adf, cents = lloyd_kmeans(emb, "vec_id", "embedding", k=k, n_iters=15)
+    got = {r["id"]: (r["cluster"], r["dist_sq"]) for r in adf.collect()}
+    eids, ed2, ecents = numpy_lloyd(x, k, 15, 42, order)
+    assert np.allclose(np.sort(cents, axis=0), np.sort(ecents, axis=0), atol=1e-8)
+    agree = sum(got[ids_in[i]][0] == eids[i] for i in range(len(ids_in)))
+    assert agree / len(ids_in) > 0.999
+    for i in range(0, len(ids_in), 37):
+        assert got[ids_in[i]][1] == pytest.approx(ed2[i], rel=1e-9, abs=1e-9)
+
+
+def test_cluster_quality(spark, emb):
+    k = 10
+    adf, cents = lloyd_kmeans(emb, "vec_id", "embedding", k=k, n_iters=15)
+    counts = adf.groupBy("cluster").count().collect()
+    assert len(counts) == k  # no empty clusters on this data
+    # within-cluster distance < distance to a random other centroid, mostly
+    pot = adf.agg(F.sum("dist_sq")).collect()[0][0]
+    x = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    global_centroid = x.mean(axis=0)
+    sst = float(((x - global_centroid) ** 2).sum())
+    # synthetic embeddings are near-uniform; k=10 must still beat the
+    # trivial single-cluster potential
+    assert pot < 0.97 * sst
+
+
+def test_deterministic(spark, emb):
+    _, c1 = lloyd_kmeans(emb, "vec_id", "embedding", k=5, n_iters=5)
+    _, c2 = lloyd_kmeans(emb, "vec_id", "embedding", k=5, n_iters=5)
+    assert np.array_equal(c1, c2)

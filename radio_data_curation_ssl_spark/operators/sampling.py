@@ -96,3 +96,59 @@ def stratified_sample(
         .where(F.col("_rn") <= F.col("_quota"))
         .drop("_rn", "_quota")
     )
+
+
+def hierarchical_sample(
+    df: DataFrame,
+    level_cols: list[str],
+    key_col: str,
+    target: int,
+) -> DataFrame:
+    """Multi-level balanced sampling: water-fill the target across level-1
+    strata, then recursively across each stratum's children, then select
+    deterministically within leaves.
+
+    Reference behavior twin: ``hierarchical_sampling`` walks the flattened
+    cluster tree allocating per-cluster quotas by water-filling at every
+    level (/root/reference/src/hierarchical_sampling.py:123-215, quota math
+    :71-120, tree flattening /root/reference/src/clusters.py:58-89).  Web
+    strata replace clusters: e.g. level 1 = lang, level 2 = host bucket.
+
+    The reference replicates items (np.tile) when a leaf is smaller than an
+    equal-share quota (:137-143); water-filling instead redistributes the
+    shortfall to larger siblings, so the sample is always duplicate-free —
+    a deliberate semantic choice for training-data curation (duplicates are
+    what the dedup stage removes).
+
+    Scale: counts are one small agg (|leaves| rows to the driver); quota
+    recursion is pure python over that; selection is one shuffle on the
+    leaf stratum key with a rank prune.
+    """
+    leaf = df.groupBy(*level_cols).agg(F.count("*").alias("n")).collect()
+    # group leaf counts under their level-1 ancestor
+    tree: dict[str, dict[tuple, int]] = {}
+    for r in leaf:
+        l1 = r[level_cols[0]]
+        tree.setdefault(l1, {})[tuple(r[c] for c in level_cols)] = r["n"]
+    l1_sizes = {l1: sum(kids.values()) for l1, kids in tree.items()}
+    l1_quota = waterfill_quota({str(k): v for k, v in l1_sizes.items()}, target)
+    leaf_quota: list[tuple] = []
+    for l1, kids in tree.items():
+        q = l1_quota[str(l1)]
+        if q == 0:
+            continue
+        kid_q = waterfill_quota({str(k): v for k, v in kids.items()}, q)
+        for k in kids:
+            leaf_quota.append((*k, kid_q[str(k)]))
+    spark = df.sparkSession
+    schema = ", ".join(f"{c} string" for c in level_cols) + ", _quota long"
+    qdf = spark.createDataFrame(leaf_quota, schema)
+    w = Window.partitionBy(*level_cols).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.join(F.broadcast(qdf), level_cols)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )

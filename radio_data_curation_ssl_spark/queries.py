@@ -1231,3 +1231,58 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assignments.selectExpr(
         "id AS vec_id", "CAST(cluster AS BIGINT) AS cluster", "round(dist_sq, 6) AS dist_sq"
     )
+
+
+@register(
+    "windowed_event_counts",
+    """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Tumbling event-time window aggregation — the batch twin of the "
+    "streaming watermarked window (streaming/incremental.py). Scale: one "
+    "shuffle on (window, type); map-side partial agg first.",
+)
+def q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "distinct_exact_vs_groups",
+    """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+""",
+    doc="Exact distinct per group (the reference counts unique members per "
+    "cluster, /root/reference/src/clusters.py:75-80). At 10^12 scale the "
+    "engine swaps in approx_count_distinct (HLL) — available free, "
+    "SURVEY §2.4 note.",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )

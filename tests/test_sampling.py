@@ -56,3 +56,35 @@ def test_balanced_and_deterministic(spark):
         .collect()
     )
     assert k1 == k2
+
+
+def test_hierarchical_two_level(spark):
+    from radio_data_curation_ssl_spark.operators.sampling import hierarchical_sample
+
+    rows = []
+    i = 0
+    for lang, hosts in [("en", {"h0": 500, "h1": 50}), ("de", {"h0": 80, "h2": 20}),
+                        ("fr", {"h3": 30})]:
+        for host, n in hosts.items():
+            for _ in range(n):
+                rows.append((f"k{i}", lang, host)); i += 1
+    df = spark.createDataFrame(rows, "key string, lang string, host string")
+    out = hierarchical_sample(df, ["lang", "host"], "key", 240)
+    got = out.groupBy("lang", "host").count().collect()
+    by = {(r["lang"], r["host"]): r["count"] for r in got}
+    total = sum(by.values())
+    assert total == 240  # exact water-fill at every level
+    # level-1 water-fill: fr capped at 30, de at 100 -> en gets the rest
+    by_lang = {}
+    for (lang, _h), n in by.items():
+        by_lang[lang] = by_lang.get(lang, 0) + n
+    assert by_lang["fr"] == 30
+    assert by_lang["de"] <= 100
+    # leaf quotas never exceed capacity
+    caps = {("en","h0"):500, ("en","h1"):50, ("de","h0"):80, ("de","h2"):20, ("fr","h3"):30}
+    for k, n in by.items():
+        assert n <= caps[k], k
+    # deterministic
+    k1 = sorted(r["key"] for r in out.select("key").collect())
+    k2 = sorted(r["key"] for r in hierarchical_sample(df, ["lang","host"], "key", 240).select("key").collect())
+    assert k1 == k2

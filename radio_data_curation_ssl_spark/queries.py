@@ -13,7 +13,7 @@ Scale notes accompany each query: what the plan does at 10^12 rows.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession

@@ -68,7 +68,7 @@ _CANDIDATE = re.compile(r"[@0-9]|" + "|".join(re.escape(w) for w in TOX_WORDS))
 def scrub_series(texts: pd.Series) -> tuple[pd.Series, pd.Series]:
     """Vectorized batch scrub (the Spark hot path): one cheap candidate
     scan, then count+replace passes over candidate rows only."""
-    cand = texts.str.contains(_CANDIDATE, regex=True).fillna(False)
+    cand = texts.str.contains(_CANDIDATE, regex=True, na=False)
     out = texts.copy()
     redactions = pd.Series(0, index=texts.index, dtype="int64")
     if cand.any():

@@ -1,0 +1,133 @@
+"""Property-based equivalence of the vectorized batch kernels vs their
+scalar/pure-Python twins (hypothesis) — no SparkSession needed, so these run
+on every pytest invocation at negligible cost.
+
+Scope note: the byte-stream kernels document an ASCII whitespace contract
+(functions/textstream.py); generators therefore draw from printable ASCII +
+common whitespace.  Anything beyond that (exotic unicode spaces) is out of
+contract and normalized upstream.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from radio_data_curation_ssl_spark import oracle
+from radio_data_curation_ssl_spark.functions.textstream import (
+    build_stream,
+    word_hash_scalar,
+)
+from radio_data_curation_ssl_spark.operators.heuristics_np import (
+    heuristics_from_stream,
+)
+from radio_data_curation_ssl_spark.operators.perplexity import (
+    build_table,
+    score_from_stream,
+)
+from radio_data_curation_ssl_spark.operators.scrub import scrub_series, scrub_text
+
+ASCII_TEXT = st.text(
+    alphabet=st.sampled_from(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        " \t\n.,!?@-_#$%&()[]{}:;'\"/\\+=<>~^|"
+    ),
+    min_size=0,
+    max_size=400,
+)
+BATCHES = st.lists(st.one_of(st.none(), ASCII_TEXT), min_size=1, max_size=20)
+
+_TABLE = build_table()
+
+
+@settings(max_examples=150, deadline=None)
+@given(BATCHES)
+def test_stream_word_hashes_match_scalar(texts):
+    s = pd.Series(texts, dtype=object)
+    stream = build_stream(s)
+    expected = []
+    per_doc = []
+    for t in texts:
+        ws = (t or "").lower().split()
+        per_doc.append(len(ws))
+        expected.extend(word_hash_scalar(w) for w in ws)
+    assert stream.words_per_doc.tolist() == per_doc
+    assert stream.word_hashes.tolist() == expected
+
+
+@settings(max_examples=150, deadline=None)
+@given(BATCHES)
+def test_stream_heuristics_match_python(texts):
+    s = pd.Series(texts, dtype=object)
+    stream = build_stream(s)
+    h = heuristics_from_stream(stream)
+    sym_re = re.compile(r"[^a-zA-Z0-9\s]")
+    for i, t in enumerate(texts):
+        ws = (t or "").lower().split()
+        assert h["n_words"][i] == len(ws), (i, t)
+        if ws:
+            assert h["mean_word_len"][i] == pytest_approx(
+                sum(len(w) for w in ws) / len(ws)
+            ), (i, t)
+            assert h["symbol_word_ratio"][i] == pytest_approx(
+                len(sym_re.findall((t or "").lower())) / len(ws)
+            ), (i, t)
+            bigrams = [f"{ws[j]} {ws[j+1]}" for j in range(len(ws) - 1)]
+            if len(bigrams) >= 2:
+                expect_rep = 1.0 - len(set(bigrams)) / len(bigrams)
+                assert h["rep_bigram_frac"][i] == pytest_approx(expect_rep), (i, t)
+
+
+def pytest_approx(v, tol=1e-12):
+    import pytest
+
+    return pytest.approx(v, rel=tol, abs=tol)
+
+
+@settings(max_examples=150, deadline=None)
+@given(BATCHES)
+def test_ppl_batch_matches_oracle(texts):
+    s = pd.Series(texts, dtype=object)
+    got = score_from_stream(build_stream(s), _TABLE)
+    for i, t in enumerate(texts):
+        expect = oracle.ppl_row(t)
+        if expect is None or (isinstance(expect, float) and math.isnan(expect)):
+            assert math.isnan(got[i]), (i, t)
+        else:
+            assert abs(got[i] - expect) <= 1e-9 * max(1.0, abs(expect)), (i, t)
+
+
+@settings(max_examples=150, deadline=None)
+@given(BATCHES)
+def test_scrub_batch_matches_scalar(texts):
+    s = pd.Series(texts, dtype=object)
+    out, n = scrub_series(s)
+    for i, t in enumerate(texts):
+        expect_text, expect_n = scrub_text(t)
+        got = out.iloc[i]
+        if expect_text is None:
+            assert got is None or (isinstance(got, float) and math.isnan(got)), (i, t)
+        else:
+            assert got == expect_text, (i, t)
+        assert n.iloc[i] == expect_n, (i, t)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.emails() | ASCII_TEXT | st.just("555-123-4567 call frak 1.2.3.4"),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_scrub_handles_pii_shapes(texts):
+    s = pd.Series(texts, dtype=object)
+    out, n = scrub_series(s)
+    for i, t in enumerate(texts):
+        expect_text, expect_n = scrub_text(t)
+        assert out.iloc[i] == expect_text and n.iloc[i] == expect_n, (i, t)

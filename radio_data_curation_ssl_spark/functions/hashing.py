@@ -61,3 +61,31 @@ def url_partition(col: Column | str, num_buckets: int) -> Column:
     "explicit repartitioning by url-hash")."""
     c = F.col(col) if isinstance(col, str) else col
     return F.pmod(F.xxhash64(c), F.lit(num_buckets)).cast("int")
+
+
+def salted_join(
+    fact: "DataFrame",
+    dim: "DataFrame",
+    key: str,
+    salt_buckets: int = 8,
+    row_col: str = "url",
+) -> "DataFrame":
+    """Skew-safe equi-join: salt the fact side's hot keys per row, replicate
+    the (small) dim side across all salt buckets, join on the salted key.
+
+    Reference analog: two-phase splitting of oversized clusters
+    (/root/reference/scripts/split_clusters.py:31-157) — here the split is
+    declarative and the optimizer still sees an equi join.  Use when AQE's
+    runtime skew handling isn't available (e.g. broadcast side too large);
+    for most cases `spark.sql.adaptive.skewJoin` (on by default in
+    session.py) suffices.
+    """
+    from pyspark.sql import functions as F
+
+    f = fact.withColumn("_sk", salted_key(key, salt_buckets, row_col))
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn(
+        "_sk", F.concat_ws("#", F.col(key), F.col("_salt").cast("string"))
+    ).drop("_salt", key)
+    return f.join(d, "_sk").drop("_sk")

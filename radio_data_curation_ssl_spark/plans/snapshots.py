@@ -1,0 +1,96 @@
+"""Versioned snapshot publishing over plain parquet — the engine's
+Iceberg-commit stand-in.
+
+Reference behaviors re-expressed:
+- "final artifact = symlink to last step's output"
+  (/root/reference/src/clustering/run_distributed_kmeans.py:207-221):
+  here a named tag pointing at a snapshot version — readers resolve
+  ``current`` without copying data.
+- checkpoint discovery + GC of superseded state
+  (/root/reference/src/utils.py:105-143,
+   /root/reference/src/clustering/run_distributed_kmeans.py:196-205):
+  ``expire_snapshots`` keeps the last N versions.
+
+On a cluster with a real catalog these map 1:1 to Iceberg snapshots, tags
+and ``expire_snapshots`` (SURVEY §1 D6/D7); the capability — atomic
+publish, time-travel read, rollback — is what matters, not the format
+brand.  The manifest write is a POSIX atomic rename.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "_snapshots.json"
+
+
+def _load(root: str) -> dict:
+    p = os.path.join(root, _MANIFEST)
+    if not os.path.exists(p):
+        return {"versions": {}, "tags": {}, "next": 1}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _store(root: str, m: dict) -> None:
+    tmp = os.path.join(root, f".{_MANIFEST}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1)
+    os.replace(tmp, os.path.join(root, _MANIFEST))  # atomic
+
+
+def publish(df: DataFrame, root: str, tag: str = "current") -> int:
+    """Write df as a new immutable version dir, then atomically move the
+    tag.  Readers of the old version are unaffected (no overwrite)."""
+    os.makedirs(root, exist_ok=True)
+    m = _load(root)
+    version = m["next"]
+    path = os.path.join(root, f"v{version}")
+    df.write.mode("errorifexists").parquet(path)
+    m["versions"][str(version)] = {
+        "path": path,
+        "committed_at": datetime.now(timezone.utc).isoformat(),
+    }
+    m["tags"][tag] = version
+    m["next"] = version + 1
+    _store(root, m)
+    return version
+
+
+def read(
+    spark: SparkSession, root: str, tag: str = "current", version: int | None = None
+) -> DataFrame:
+    """Time-travel read: by tag (default 'current') or explicit version."""
+    m = _load(root)
+    v = version if version is not None else m["tags"].get(tag)
+    if v is None or str(v) not in m["versions"]:
+        raise FileNotFoundError(f"no snapshot for tag={tag} version={version}")
+    return spark.read.parquet(m["versions"][str(v)]["path"])
+
+
+def rollback(root: str, to_version: int, tag: str = "current") -> None:
+    m = _load(root)
+    if str(to_version) not in m["versions"]:
+        raise ValueError(f"unknown version {to_version}")
+    m["tags"][tag] = to_version
+    _store(root, m)
+
+
+def expire_snapshots(root: str, keep_last: int = 2) -> list[int]:
+    """GC superseded versions (never a tagged one). Returns removed ids."""
+    m = _load(root)
+    tagged = set(m["tags"].values())
+    versions = sorted(int(v) for v in m["versions"])
+    removable = [v for v in versions if v not in tagged][:-keep_last] if len(
+        versions
+    ) > keep_last else []
+    for v in removable:
+        shutil.rmtree(m["versions"][str(v)]["path"], ignore_errors=True)
+        del m["versions"][str(v)]
+    _store(root, m)
+    return removable

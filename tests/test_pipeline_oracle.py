@@ -170,3 +170,30 @@ def test_fused_equals_modular(spark, pages_small):
         if (fr["keep"], fr["drop_reason"]) != (mr["keep"], mr["drop_reason"]):
             flips += 1
     assert flips <= max(2, len(fused) // 100), flips
+
+
+def test_malformed_html_robustness(spark):
+    """Corrupt/truncated/invalid-utf8 payloads must flow through the whole
+    pipeline as no_content or replacement-char text — never crash a task."""
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+
+    rows = [
+        ("u1", b"<html><main><p>ok text here</p></main>"),     # fine
+        ("u2", b"<html>no main no p"),                          # no content
+        ("u3", b"<main><p>truncated"),                          # unterminated p
+        ("u4", b"<main><p>bad \xff\xfe utf8</p></main>"),       # invalid utf-8
+        ("u5", b""),                                            # empty
+        ("u6", b"<main><p></p></main>"),                        # empty paragraph
+    ]
+    import datetime
+    pages = spark.createDataFrame(
+        [(u, datetime.datetime(2020, 1, 1), h, "", "en") for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    got = {r["url"]: r for r in curate(pages).collect()}
+    assert got["u1"]["text"] == "ok text here"
+    assert got["u2"]["drop_reason"] == "no_content"
+    assert got["u3"]["drop_reason"] == "no_content"
+    assert "�" in got["u4"]["text"]  # replacement char, no crash
+    assert got["u5"]["drop_reason"] == "no_content"
+    assert got["u6"]["text"] == "" and not got["u6"]["keep"]

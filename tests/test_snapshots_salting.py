@@ -1,0 +1,67 @@
+"""Snapshot publish/time-travel/rollback/GC + salted-join semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from radio_data_curation_ssl_spark.functions.hashing import salted_join
+from radio_data_curation_ssl_spark.plans import snapshots as snap
+
+
+def test_publish_read_rollback_expire(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    df1 = spark.range(10).withColumn("v", F.lit("a"))
+    df2 = spark.range(20).withColumn("v", F.lit("b"))
+    v1 = snap.publish(df1, root)
+    v2 = snap.publish(df2, root)
+    assert (v1, v2) == (1, 2)
+    assert snap.read(spark, root).count() == 20  # current -> v2
+    assert snap.read(spark, root, version=1).count() == 10  # time travel
+    snap.rollback(root, 1)
+    assert snap.read(spark, root).count() == 10
+    v3 = snap.publish(df2, root)
+    assert snap.read(spark, root).count() == 20
+    # expire: v2 is untagged and old -> removable once enough versions exist
+    snap.publish(df1, root)
+    removed = snap.expire_snapshots(root, keep_last=1)
+    assert 2 in removed
+    # tagged versions are never expired
+    assert snap.read(spark, root).count() == 10
+    with pytest.raises(FileNotFoundError):
+        snap.read(spark, root, version=2)
+
+
+def test_publish_missing_tag(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        snap.read(spark, str(tmp_path / "none"), tag="current")
+
+
+def test_salted_join_correct_and_balanced(spark):
+    # hot key: 900 of 1000 fact rows on one host
+    fact = spark.createDataFrame(
+        [(f"u{i}", "hot.example" if i < 900 else f"h{i % 7}.example")
+         for i in range(1000)],
+        "url string, host string",
+    )
+    dim = spark.createDataFrame(
+        [("hot.example", 1)] + [(f"h{i}.example", 10 + i) for i in range(7)],
+        "host string, host_score int",
+    )
+    out = salted_join(fact, dim, "host", salt_buckets=8, row_col="url")
+    assert out.count() == 1000  # exactly one dim match per fact row
+    got = {r["url"]: r["host_score"] for r in out.collect()}
+    assert got["u0"] == 1 and got["u999"] is not None
+    # the hot key's rows spread across all 8 salted sub-keys
+    sub = (
+        fact.where("host = 'hot.example'")
+        .select(
+            F.concat_ws(
+                "#", F.col("host"), F.pmod(F.xxhash64("url"), F.lit(8)).cast("string")
+            ).alias("sk")
+        )
+        .distinct()
+        .count()
+    )
+    assert sub == 8

@@ -42,7 +42,11 @@ for _i in range(1, MAX_POW):
 WS_BYTES = np.zeros(256, dtype=bool)
 for _b in b" \t\n\r\x0b\x0c":
     WS_BYTES[_b] = True
-WS_BYTES[0] = True  # NUL doc separator counts as whitespace
+# NUL is deliberately NOT whitespace: regex \s (the modular path's word
+# splitter) does not match \x00, so an embedded NUL stays inside its word
+# and counts as a symbol — identical semantics both paths.  The NUL *doc
+# separators* of the joined stream are marked as breaks positionally (by
+# blob length), so in-text NULs can never desynchronize doc attribution.
 
 # alnum byte classes for the symbol ratio
 ALNUM_BYTES = np.zeros(256, dtype=bool)
@@ -100,13 +104,19 @@ def build_stream(texts: pd.Series) -> TextStream:
     )
     if flat.size == 0:
         return empty
+    lengths = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n)
     is_space = WS_BYTES[flat]
+    # doc boundaries are POSITIONAL (from blob lengths), never inferred from
+    # NUL bytes — an in-text \x00 cannot shift attribution of later docs
+    bounds = np.cumsum(lengths + 1)
+    sep_pos = bounds[:-1] - 1  # the n-1 joiner NULs
+    is_space[sep_pos] = True
     nonspace = ~is_space
     prev_space = np.empty(flat.size, dtype=bool)
     prev_space[0] = True
     prev_space[1:] = is_space[:-1]
     word_start = nonspace & prev_space
-    doc_of_byte = np.cumsum(flat == 0)  # NUL belongs to the NEXT doc's count
+    doc_of_byte = np.repeat(np.arange(n, dtype=np.int64), lengths + 1)[: flat.size]
     symbol = ~ALNUM_BYTES[flat] & nonspace
     symbols_per_doc = np.bincount(
         doc_of_byte[symbol], minlength=n

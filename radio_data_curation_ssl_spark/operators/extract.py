@@ -83,7 +83,7 @@ def extract_docs(pages: DataFrame) -> DataFrame:
                     "warc_ts": b["warc_ts"],
                     "text": b["html"].map(extract_text_bytes),
                     "lang_claimed": b["lang"],
-                    "n_bytes_html": b["html"].str.len().astype("int64"),
+                    "n_bytes_html": b["html"].str.len().astype("Int64"),
                 }
             )
 

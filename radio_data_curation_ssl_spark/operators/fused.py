@@ -77,7 +77,7 @@ def curate_batch(
             "warc_ts": b["warc_ts"],
             "text": text,
             "lang_claimed": b["lang"],
-            "n_bytes_html": b["html"].str.len().astype("int64"),
+            "n_bytes_html": b["html"].str.len().astype("Int64"),
             "lang_pred": lang_pred,
             "lang_conf": conf,
             "ppl": nan_to_none(ppl),

@@ -25,6 +25,7 @@ same commit semantics, different medium).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +34,29 @@ from pyspark.sql import functions as F
 from ..functions.hashing import url_partition
 
 BUCKET_COL = "url_bucket"
+_META = "_resume_meta.json"
+
+
+def _check_meta(out_dir: str, n_buckets: int, url_col: str) -> None:
+    """Pin the hash layout: committed markers are only valid for the
+    (n_buckets, url_col) they were written under — a re-run with a
+    different layout must fail fast, never silently mix bucketings."""
+    p = os.path.join(out_dir, _META)
+    want = {"n_buckets": n_buckets, "url_col": url_col}
+    if os.path.exists(p):
+        with open(p) as f:
+            have = json.load(f)
+        if have != want:
+            raise ValueError(
+                f"resume layout mismatch under {out_dir}: committed markers "
+                f"were written with {have}, this run asked for {want}; use a "
+                "fresh out_dir (or the original layout) instead"
+            )
+        return
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(want, f)
+    os.replace(tmp, p)  # atomic on POSIX
 
 
 def committed_buckets(out_dir: str) -> set[int]:
@@ -77,6 +101,7 @@ def write_resumable(
     Returns the buckets written by this invocation.
     """
     os.makedirs(out_dir, exist_ok=True)
+    _check_meta(out_dir, n_buckets, url_col)
     done = committed_buckets(out_dir)
     pending = [b for b in range(n_buckets) if b not in done]
     if not pending:

@@ -27,10 +27,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
-def waterfill_cut(sizes: dict[str, int], target: int) -> int:
+def _quota_schema(df: DataFrame, cols: list[str]) -> T.StructType:
+    """Quota-DataFrame schema with stratum types TAKEN FROM df — int cluster
+    ids, string langs, whatever the caller grouped by — so the broadcast
+    join matches on raw values, never on str() coercions."""
+    return T.StructType(
+        [T.StructField(c, df.schema[c].dataType) for c in cols]
+        + [T.StructField("_quota", T.LongType())]
+    )
+
+
+def waterfill_cut(sizes: dict, target: int) -> int:
     """Smallest integer cut c with Σ min(n_s, c) >= target.
 
     Twin of the reference's binary search (_find_best_cut_left); exact
@@ -48,9 +59,7 @@ def waterfill_cut(sizes: dict[str, int], target: int) -> int:
     return lo
 
 
-def waterfill_quota(
-    sizes: dict[str, int], target: int, exact: bool = True
-) -> dict[str, int]:
+def waterfill_quota(sizes: dict, target: int, exact: bool = True) -> dict:
     c = waterfill_cut(sizes, target)
     quota = {s: min(n, c) for s, n in sizes.items()}
     if exact:
@@ -85,7 +94,7 @@ def stratified_sample(
     quota = waterfill_quota(sizes, target, exact=exact)
     spark = df.sparkSession
     qdf = spark.createDataFrame(
-        [(s, q) for s, q in quota.items()], f"{stratum_col} string, _quota long"
+        [(s, q) for s, q in quota.items()], _quota_schema(df, [stratum_col])
     )
     w = Window.partitionBy(stratum_col).orderBy(
         F.md5(F.col(key_col).cast("string")), F.col(key_col)
@@ -131,18 +140,17 @@ def hierarchical_sample(
         l1 = r[level_cols[0]]
         tree.setdefault(l1, {})[tuple(r[c] for c in level_cols)] = r["n"]
     l1_sizes = {l1: sum(kids.values()) for l1, kids in tree.items()}
-    l1_quota = waterfill_quota({str(k): v for k, v in l1_sizes.items()}, target)
+    l1_quota = waterfill_quota(l1_sizes, target)
     leaf_quota: list[tuple] = []
     for l1, kids in tree.items():
-        q = l1_quota[str(l1)]
+        q = l1_quota[l1]
         if q == 0:
             continue
-        kid_q = waterfill_quota({str(k): v for k, v in kids.items()}, q)
+        kid_q = waterfill_quota(kids, q)
         for k in kids:
-            leaf_quota.append((*k, kid_q[str(k)]))
+            leaf_quota.append((*k, kid_q[k]))
     spark = df.sparkSession
-    schema = ", ".join(f"{c} string" for c in level_cols) + ", _quota long"
-    qdf = spark.createDataFrame(leaf_quota, schema)
+    qdf = spark.createDataFrame(leaf_quota, _quota_schema(df, level_cols))
     w = Window.partitionBy(*level_cols).orderBy(
         F.md5(F.col(key_col).cast("string")), F.col(key_col)
     )

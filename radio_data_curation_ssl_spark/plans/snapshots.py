@@ -82,13 +82,13 @@ def rollback(root: str, to_version: int, tag: str = "current") -> None:
 
 
 def expire_snapshots(root: str, keep_last: int = 2) -> list[int]:
-    """GC superseded versions (never a tagged one). Returns removed ids."""
+    """GC superseded versions: keep the newest ``keep_last`` untagged
+    versions (tagged ones are never removed). ``keep_last=0`` removes every
+    untagged version. Returns removed ids."""
     m = _load(root)
     tagged = set(m["tags"].values())
-    versions = sorted(int(v) for v in m["versions"])
-    removable = [v for v in versions if v not in tagged][:-keep_last] if len(
-        versions
-    ) > keep_last else []
+    untagged = [v for v in sorted(int(v) for v in m["versions"]) if v not in tagged]
+    removable = untagged[: max(len(untagged) - max(keep_last, 0), 0)]
     for v in removable:
         shutil.rmtree(m["versions"][str(v)]["path"], ignore_errors=True)
         del m["versions"][str(v)]

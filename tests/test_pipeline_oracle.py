@@ -184,6 +184,7 @@ def test_malformed_html_robustness(spark):
         ("u4", b"<main><p>bad \xff\xfe utf8</p></main>"),       # invalid utf-8
         ("u5", b""),                                            # empty
         ("u6", b"<main><p></p></main>"),                        # empty paragraph
+        ("u7", None),                                           # NULL html cell
     ]
     import datetime
     pages = spark.createDataFrame(
@@ -197,3 +198,5 @@ def test_malformed_html_robustness(spark):
     assert "�" in got["u4"]["text"]  # replacement char, no crash
     assert got["u5"]["drop_reason"] == "no_content"
     assert got["u6"]["text"] == "" and not got["u6"]["keep"]
+    assert got["u7"]["drop_reason"] == "no_content"
+    assert got["u7"]["n_bytes_html"] is None  # nullable length, no crash

@@ -35,7 +35,7 @@ from radio_data_curation_ssl_spark.operators.scrub import scrub_series, scrub_te
 ASCII_TEXT = st.text(
     alphabet=st.sampled_from(
         "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
-        " \t\n.,!?@-_#$%&()[]{}:;'\"/\\+=<>~^|"
+        " \t\n.,!?@-_#$%&()[]{}:;'\"/\\+=<>~^|\x00"
     ),
     min_size=0,
     max_size=400,
@@ -58,6 +58,20 @@ def test_stream_word_hashes_match_scalar(texts):
         expected.extend(word_hash_scalar(w) for w in ws)
     assert stream.words_per_doc.tolist() == per_doc
     assert stream.word_hashes.tolist() == expected
+
+
+def test_stream_nul_bytes_do_not_desync():
+    """An in-text \\x00 must not be confused with the stream's NUL doc
+    separators: later docs' stats stay attributed to the right doc, and the
+    NUL stays inside its word (regex \\s / str.split semantics)."""
+    texts = ["hello world\x00junk", "foo bar baz", "alpha beta"]
+    s = pd.Series(texts, dtype=object)
+    stream = build_stream(s)
+    assert stream.words_per_doc.tolist() == [2, 3, 2]
+    expected = [word_hash_scalar(w) for t in texts for w in t.lower().split()]
+    assert stream.word_hashes.tolist() == expected
+    # the embedded NUL counts as one symbol of doc 0, none elsewhere
+    assert stream.symbols_per_doc.tolist() == [1, 0, 0]
 
 
 @settings(max_examples=150, deadline=None)

@@ -92,3 +92,17 @@ def test_runlog_metrics_sum(spark, tmp_path, pages_small):
     assert log.resolve(run_id)["status"] == "done"
     mt = log.metrics().collect()
     assert mt[0]["docs_in"] == 600
+
+
+def test_resume_layout_mismatch_fails_fast(spark, tmp_path, pages_small):
+    """Markers from one (n_buckets, url_col) layout must never validate a
+    re-run with a different layout (would silently mix bucketings)."""
+    from radio_data_curation_ssl_spark.plans.pipeline import curated_output
+
+    out = curated_output(pages_small)
+    d = str(tmp_path / "meta")
+    write_resumable(out, d, n_buckets=4)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        write_resumable(out, d, n_buckets=8)
+    # same layout still resumes as a clean no-op
+    assert write_resumable(out, d, n_buckets=4) == []

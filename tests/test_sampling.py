@@ -88,3 +88,14 @@ def test_hierarchical_two_level(spark):
     k1 = sorted(r["key"] for r in out.select("key").collect())
     k2 = sorted(r["key"] for r in hierarchical_sample(df, ["lang","host"], "key", 240).select("key").collect())
     assert k1 == k2
+
+
+def test_int_strata_quota_types(spark):
+    """Non-string strata (e.g. int cluster ids from lloyd_kmeans) must flow
+    through the quota join on raw values, not str() coercions."""
+    rows = [(i, i % 3) for i in range(300)]
+    df = spark.createDataFrame(rows, "key long, cluster int")
+    out = stratified_sample(df, "cluster", "key", 90, exact=True)
+    by = {r["cluster"]: r["count"] for r in out.groupBy("cluster").count().collect()}
+    assert sum(by.values()) == 90
+    assert set(by) == {0, 1, 2}

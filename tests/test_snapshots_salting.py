@@ -65,3 +65,14 @@ def test_salted_join_correct_and_balanced(spark):
         .count()
     )
     assert sub == 8
+
+
+def test_expire_keep_last_zero_removes_all_untagged(spark, tmp_path):
+    root = str(tmp_path / "zero")
+    snap.publish(spark.range(5), root)
+    snap.publish(spark.range(6), root)
+    snap.publish(spark.range(7), root)  # 'current' -> v3; v1, v2 untagged
+    removed = snap.expire_snapshots(root, keep_last=0)
+    assert removed == [1, 2]
+    assert snap.read(spark, root).count() == 7  # tagged version survives
+    assert snap.expire_snapshots(root, keep_last=0) == []  # idempotent

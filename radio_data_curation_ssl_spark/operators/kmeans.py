@@ -1,5 +1,6 @@
 """Lloyd k-means over DataFrames — the Spark re-expression of the
-reference's distributed k-means (EP3).
+reference's distributed k-means (EP3) — plus the hierarchical multi-level
+cluster tree and per-cluster resampling (the reference's centerpiece).
 
 Reference behaviors re-expressed (SURVEY §2.3/§2.4/§4):
 - assign step = every point x every centroid, argmin distance
@@ -10,20 +11,33 @@ Reference behaviors re-expressed (SURVEY §2.3/§2.4/§4):
   matmul — no per-row Python, no crossJoin blowup.
 - update step = per-cluster partial sums + final combine
   (``distributed_compute_centroids`` —
-  /root/reference/src/distributed_kmeans_gpu.py:519-573): here one
-  ``mapInPandas`` computing per-partition (cluster, sum, count) partials and
-  a driver-side final combine over <= k*partitions tiny rows — the same
-  partial/final shape NCCL all_reduce gave the reference, via Spark.
+  /root/reference/src/distributed_kmeans_gpu.py:519-573): one
+  ``mapInPandas`` computing per-partition (cluster, sum, count) partials,
+  then a CLUSTER-SIDE combine (``applyInPandas`` keyed by cluster, partials
+  folded in partition-id order for bit-stable determinism) — the same
+  partial/final shape NCCL all_reduce gave the reference.  Only k rows of
+  (cluster, vec_sum[d], cnt) ever reach the driver: O(k*d) driver traffic,
+  never O(partitions*k*d).
 - k-means++ init: weighted candidate draws by cumulative squared distance
   (/root/reference/src/distributed_kmeans_gpu.py:409-421) — performed
   driver-side on a deterministic hash-ordered sample (randomness keyed by
   id hash, never partition order — SURVEY §7).
+- hierarchical multi-level tree: level 1 clusters the points; every deeper
+  level clusters the PREVIOUS level's centroids (k_{l-1} rows — tiny, so
+  numpy on the driver, exactly like the reference runs its deeper levels
+  over saved centroid files: /root/reference/src/hierarchical_kmeans_gpu.py:159-229,
+  /root/reference/src/clustering/run_distributed_kmeans.py:69-110).
+  Flattening maps each point transitively through the centroid chain
+  (/root/reference/src/clusters.py:58-89) via broadcast mapping joins.
+- per-cluster resampling: closest-to-centroid / deterministic-random draws
+  per leaf cluster (/root/reference/src/hierarchical_sampling.py:46-68).
 - convergence on max centroid shift; iteration count capped like the
   reference's ``n_iters`` config.
 
 Scale: points never shuffle; per iteration the cluster-side traffic is one
-broadcast (k x d) down and (partitions x k x d) partials up — the identical
-communication pattern of the reference's all_reduce at 10^9+ points.
+broadcast (k x d) down and (partitions x k x d) partials into a k-key
+shuffle — the identical communication pattern of the reference's
+all_reduce at 10^9+ points.
 """
 
 from __future__ import annotations
@@ -33,9 +47,11 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
+from pyspark import TaskContext
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 
 def kmeans_pp_init(
@@ -64,6 +80,45 @@ def assign_batch(x: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarr
     return ids, np.maximum(d2[np.arange(len(ids)), ids], 0.0)
 
 
+PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("vec_sum", T.ArrayType(T.DoubleType())),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+COMBINED_SCHEMA = T.StructType(
+    [
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("vec_sum", T.ArrayType(T.DoubleType())),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def combine_partials(partials: DataFrame) -> DataFrame:
+    """Cluster-side final combine: per-cluster fold of per-partition
+    partials, ordered by partition id so the float addition order (hence
+    the resulting centroid bits) is run-invariant.  Output is exactly one
+    row per non-empty cluster — the driver collects O(k*d), never
+    O(partitions*k*d) (the reference's all_reduce property,
+    /root/reference/src/distributed_kmeans_gpu.py:519-573)."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("part_id")
+        vs = np.array(pdf["vec_sum"].tolist(), dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "cluster": [int(pdf["cluster"].iloc[0])],
+                "vec_sum": [vs.sum(axis=0)],
+                "cnt": [int(pdf["cnt"].sum())],
+            }
+        )
+
+    return partials.groupBy("cluster").applyInPandas(fold, COMBINED_SCHEMA)
+
+
 def lloyd_kmeans(
     df: DataFrame,
     id_col: str,
@@ -77,7 +132,7 @@ def lloyd_kmeans(
     """Returns (assignments DataFrame(id, cluster, dist_sq), centroids).
 
     The returned DataFrame is lazy against the FINAL centroids; the driver
-    loop only moves (k x d) matrices and per-partition partials.
+    loop only moves (k x d) matrices.
     """
     spark = df.sparkSession
     sc = spark.sparkContext
@@ -91,19 +146,13 @@ def lloyd_kmeans(
     sample = np.array([r[1] for r in sample_rows], dtype=np.float64)
     cents = kmeans_pp_init(sample, k, seed)
 
-    partial_schema = T.StructType(
-        [
-            T.StructField("cluster", T.IntegerType()),
-            T.StructField("vec_sum", T.ArrayType(T.DoubleType())),
-            T.StructField("cnt", T.LongType()),
-        ]
-    )
     pts = df.select(id_col, vec_col).cache()
     for _ in range(n_iters):
         bc = sc.broadcast(cents)
 
         def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             c = bc.value
+            pid = TaskContext.get().partitionId()
             for b in it:
                 x = np.array(b[vec_col].tolist(), dtype=np.float64)
                 if len(x) == 0:
@@ -116,18 +165,21 @@ def lloyd_kmeans(
                 yield pd.DataFrame(
                     {
                         "cluster": nz.astype(np.int32),
+                        "part_id": np.full(nz.size, pid, dtype=np.int32),
                         "vec_sum": list(sums[nz]),
                         "cnt": cnt[nz].astype(np.int64),
                     }
                 )
 
-        # partial per partition -> tiny final combine on the driver
-        rows = pts.mapInPandas(partials, partial_schema).collect()
+        # partial per partition -> cluster-side combine -> k tiny rows
+        rows = combine_partials(
+            pts.mapInPandas(partials, PARTIAL_SCHEMA)
+        ).collect()
         sums = np.zeros_like(cents)
         cnts = np.zeros(k, dtype=np.int64)
         for r in rows:
-            sums[r["cluster"]] += np.array(r["vec_sum"])
-            cnts[r["cluster"]] += r["cnt"]
+            sums[r["cluster"]] = np.array(r["vec_sum"])
+            cnts[r["cluster"]] = r["cnt"]
         new = np.where(cnts[:, None] > 0, sums / np.maximum(cnts[:, None], 1), cents)
         shift = float(np.abs(new - cents).max())
         cents = new
@@ -159,3 +211,107 @@ def lloyd_kmeans(
             )
 
     return pts.mapInPandas(assign_final, out_schema), cents
+
+
+def numpy_lloyd(
+    x: np.ndarray,
+    k: int,
+    n_iters: int = 20,
+    tol: float = 1e-6,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Single-process Lloyd twin (init = k-means++ over x itself).  Used for
+    the deeper levels of the hierarchical tree, where the input is the
+    previous level's centroids — k_{l-1} rows, driver-sized by construction
+    (the reference likewise runs deeper levels over saved centroid arrays,
+    /root/reference/src/hierarchical_kmeans_gpu.py:159-229)."""
+    cents = kmeans_pp_init(x.astype(np.float64), k, seed)
+    for _ in range(n_iters):
+        ids, _ = assign_batch(x, cents)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, ids, x)
+        cnt = np.bincount(ids, minlength=k)
+        new = np.where(cnt[:, None] > 0, sums / np.maximum(cnt[:, None], 1), cents)
+        shift = float(np.abs(new - cents).max())
+        cents = new
+        if shift < tol:
+            break
+    ids, _ = assign_batch(x, cents)
+    return cents, ids
+
+
+def hierarchical_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    ks: list[int],
+    n_iters: int = 20,
+    tol: float = 1e-6,
+    seed: int = 42,
+) -> tuple[DataFrame, list[np.ndarray]]:
+    """Multi-level cluster tree + transitive flattening.
+
+    Level 1 runs distributed Lloyd over the points; level l>1 clusters the
+    (l-1)-level CENTROIDS (tiny — numpy on the driver); the point table is
+    then flattened through the chain with broadcast mapping joins, giving
+    the reference's assignment form ``(id, cluster_l1, ..., cluster_lN)``
+    (/root/reference/src/clusters.py:58-89 transitive flatten).
+
+    Returns (assignments DF(id, cluster_l1..cluster_lN, dist_sq),
+    [level-1 centroids, level-2 centroids, ...]).
+
+    Scale: the only pass over the full corpus is level 1; every deeper
+    level moves k_{l-1} x d floats; the flatten is a chain of broadcast
+    joins against <= k_1-row mapping tables — points never shuffle.
+    """
+    if not ks:
+        raise ValueError("ks must name at least one level")
+    assign, cents = lloyd_kmeans(
+        df, id_col, vec_col, ks[0], n_iters=n_iters, tol=tol, seed=seed
+    )
+    out = assign.withColumnRenamed("cluster", "cluster_l1")
+    spark = df.sparkSession
+    level_cents = [cents]
+    cur = cents
+    for level, k in enumerate(ks[1:], start=2):
+        c_next, ids = numpy_lloyd(cur, k, n_iters=n_iters, tol=tol, seed=seed)
+        mdf = spark.createDataFrame(
+            [(int(i), int(c)) for i, c in enumerate(ids)],
+            f"cluster_l{level - 1} int, cluster_l{level} int",
+        )
+        out = out.join(F.broadcast(mdf), f"cluster_l{level - 1}")
+        level_cents.append(c_next)
+        cur = c_next
+    cols = ["id"] + [f"cluster_l{li + 1}" for li in range(len(ks))] + ["dist_sq"]
+    return out.select(*cols), level_cents
+
+
+def cluster_resample(
+    assign: DataFrame,
+    cluster_col: str,
+    per_cluster: int,
+    mode: str = "closest",
+    id_col: str = "id",
+    dist_col: str = "dist_sq",
+) -> DataFrame:
+    """Per-cluster re-draw: ``closest`` keeps the ``per_cluster`` points
+    nearest their centroid, ``random`` draws deterministically by id hash
+    (never partition order) — the reference's
+    closest_to_centroid_selection / random_selection pair
+    (/root/reference/src/hierarchical_sampling.py:46-68).  One shuffle on
+    the cluster key; rank prunes before anything downstream."""
+    if mode == "closest":
+        w = Window.partitionBy(cluster_col).orderBy(
+            F.col(dist_col), F.col(id_col)
+        )
+    elif mode == "random":
+        w = Window.partitionBy(cluster_col).orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return (
+        assign.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= per_cluster)
+        .drop("_rn")
+    )

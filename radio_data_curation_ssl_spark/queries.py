@@ -1233,6 +1233,148 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- k-means assign/tree with LITERAL centroids: the oracle-checkable rows
+# for the kmeans operator family (the iterative kmeans_lloyd stays rows-only;
+# its assign step is proven here against DuckDB with fixed centroids).
+
+
+def _lit_centroids(k: int, dim: int = 64, seed_off: int = 0):
+    """Deterministic literal centroids in the embeddings' value range
+    ([-0.25, 0.25], 3 decimals — exact decimal literals parse to identical
+    doubles in both engines)."""
+    import numpy as np
+
+    from .synth import splitmix64
+
+    idx = np.arange(k * dim, dtype=np.uint64)
+    h = splitmix64(idx + np.uint64(31337 + seed_off))
+    vals = ((h % np.uint64(501)).astype(np.int64) - 250) / 1000.0
+    return vals.reshape(k, dim)
+
+
+def _sqdist_lit(cent) -> X.P:
+    """Squared distance from `embedding` to a literal centroid — same
+    sequential-fold shape as X.dot (hash-parity proven in round 1)."""
+    sp_arr = "array(" + ",".join(repr(float(v)) for v in cent) + ")"
+    du_arr = "[" + ",".join(repr(float(v)) for v in cent) + "]"
+    return X.P(
+        f"aggregate(zip_with(embedding, {sp_arr}, (x, c) ->"
+        " (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)",
+        f"list_aggregate(list_transform(range(1, len(embedding) + 1),"
+        f" i -> (CAST(embedding[i] AS DOUBLE) - ({du_arr})[i])"
+        f" * (CAST(embedding[i] AS DOUBLE) - ({du_arr})[i])), 'sum')",
+    )
+
+
+def _argmin_case(cols: list[str]) -> str:
+    """<=-chain argmin (lowest index wins ties) — identical both dialects."""
+    clauses = []
+    for i, c in enumerate(cols[:-1]):
+        conds = " AND ".join(f"{c} <= {o}" for o in cols[i + 1 :])
+        clauses.append(f"WHEN {conds} THEN {i}")
+    return "CASE " + " ".join(clauses) + f" ELSE {len(cols) - 1} END"
+
+
+_KM_K1, _KM_K2 = 8, 3
+_KM_C1 = _lit_centroids(_KM_K1)
+_KM_C2 = _lit_centroids(_KM_K2, seed_off=777)
+_KM_D2 = [_sqdist_lit(c) for c in _KM_C1]
+_KM_DCOLS = [f"d{i}" for i in range(_KM_K1)]
+_KM_ARGMIN = _argmin_case(_KM_DCOLS)
+_KM_LEAST = f"least({', '.join(_KM_DCOLS)})"
+
+
+def _l1_to_l2_map() -> list[int]:
+    """Transitive tree edge: nearest level-2 literal centroid per level-1
+    literal centroid — pure function of the literals (data-independent),
+    so both dialects embed it as a CASE map (the flatten of
+    /root/reference/src/clusters.py:58-89)."""
+    import numpy as np
+
+    d2 = ((_KM_C1[:, None, :] - _KM_C2[None, :, :]) ** 2).sum(-1)
+    return [int(i) for i in np.argmin(d2, axis=1)]
+
+
+_KM_MAP = _l1_to_l2_map()
+_KM_MAP_CASE = (
+    "CASE cluster_l1 "
+    + " ".join(f"WHEN {i} THEN {m}" for i, m in enumerate(_KM_MAP))
+    + " ELSE -1 END"
+)
+
+
+@register(
+    "kmeans_assign",
+    f"""
+WITH d AS (SELECT vec_id,
+  {", ".join(f"{p.duck} AS {c}" for p, c in zip(_KM_D2, _KM_DCOLS))}
+  FROM embeddings)
+SELECT vec_id, CAST({_KM_ARGMIN} AS BIGINT) AS cluster,
+       round({_KM_LEAST}, 4) AS dist_sq
+FROM d
+""",
+    doc="The k-means assign step against FIXED literal centroids — the "
+    "oracle-checkable twin of kmeans_lloyd's assign (reference: "
+    "assign_clusters /root/reference/src/kmeans_gpu.py:176-243). Scale: "
+    "map-only — centroids are literals in the plan, points never shuffle.",
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "embeddings")
+    for p, c in zip(_KM_D2, _KM_DCOLS):
+        df = df.withColumn(c, F.expr(p.spark))
+    return df.selectExpr(
+        "vec_id",
+        f"CAST({_KM_ARGMIN} AS BIGINT) AS cluster",
+        f"round({_KM_LEAST}, 4) AS dist_sq",
+    )
+
+
+@register(
+    "hier_kmeans_assign",
+    f"""
+WITH d AS (SELECT vec_id,
+  {", ".join(f"{p.duck} AS {c}" for p, c in zip(_KM_D2, _KM_DCOLS))}
+  FROM embeddings),
+a AS (SELECT vec_id, CAST({_KM_ARGMIN} AS BIGINT) AS cluster_l1,
+             {_KM_LEAST} AS d2 FROM d),
+r AS (SELECT *, row_number() OVER (PARTITION BY cluster_l1
+                                   ORDER BY d2, vec_id) AS rn FROM a)
+SELECT vec_id, cluster_l1, CAST({_KM_MAP_CASE} AS BIGINT) AS cluster_l2,
+       round(d2, 4) AS dist_sq
+FROM r WHERE rn <= 5
+""",
+    doc="Hierarchical cluster tree + flatten + closest-per-cluster resample "
+    "with literal 2-level centroids: assign to level-1, map transitively to "
+    "level-2 (l1->l2 edge precomputed from the literals), keep the 5 "
+    "closest points per level-1 cluster (reference: "
+    "/root/reference/src/hierarchical_kmeans_gpu.py:159-229 + "
+    "clusters.py:58-89 + hierarchical_sampling.py:46-68). The data-adaptive "
+    "operator is operators/kmeans.py:hierarchical_kmeans (numpy-twin "
+    "pytest). Scale: map + one window shuffle on the k1-key space.",
+)
+def q_hier_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "embeddings")
+    for p, c in zip(_KM_D2, _KM_DCOLS):
+        df = df.withColumn(c, F.expr(p.spark))
+    a = df.selectExpr(
+        "vec_id",
+        f"CAST({_KM_ARGMIN} AS BIGINT) AS cluster_l1",
+        f"{_KM_LEAST} AS d2",
+    )
+    w = Window.partitionBy("cluster_l1").orderBy("d2", "vec_id")
+    return (
+        a.withColumn("rn", F.row_number().over(w))
+        .where("rn <= 5")
+        .selectExpr(
+            "vec_id",
+            "cluster_l1",
+            f"CAST({_KM_MAP_CASE} AS BIGINT) AS cluster_l2",
+            "round(d2, 4) AS dist_sq",
+        )
+    )
+
+
 @register(
     "windowed_event_counts",
     """

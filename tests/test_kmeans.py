@@ -86,3 +86,98 @@ def test_deterministic(spark, emb):
     _, c1 = lloyd_kmeans(emb, "vec_id", "embedding", k=5, n_iters=5)
     _, c2 = lloyd_kmeans(emb, "vec_id", "embedding", k=5, n_iters=5)
     assert np.array_equal(c1, c2)
+
+
+def test_combine_partials_driver_traffic_is_k_rows(spark, emb):
+    """The centroid-update combine must reach the driver as O(k*d): one row
+    per non-empty cluster, never partitions x k partial rows."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    from radio_data_curation_ssl_spark.operators.kmeans import (
+        PARTIAL_SCHEMA,
+        combine_partials,
+    )
+
+    k = 8
+    rows = emb.select("vec_id", "embedding").collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cents = kmeans_pp_init(x[:256], k, 42)
+
+    pts = emb.select("vec_id", "embedding").repartition(4)
+
+    def partials(it):
+        pid = TaskContext.get().partitionId()
+        for b in it:
+            xb = np.array(b["embedding"].tolist(), dtype=np.float64)
+            if len(xb) == 0:
+                continue
+            ids, _ = assign_batch(xb, cents)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, ids, xb)
+            cnt = np.bincount(ids, minlength=k)
+            nz = np.flatnonzero(cnt)
+            yield pd.DataFrame(
+                {
+                    "cluster": nz.astype(np.int32),
+                    "part_id": np.full(nz.size, pid, dtype=np.int32),
+                    "vec_sum": list(sums[nz]),
+                    "cnt": cnt[nz].astype(np.int64),
+                }
+            )
+
+    pdf = pts.mapInPandas(partials, PARTIAL_SCHEMA).cache()
+    assert pdf.count() > k  # several partitions contributed partials
+    combined = combine_partials(pdf).collect()
+    assert len(combined) <= k  # ...but the driver sees at most k rows
+    # and the combined sums equal the global numpy sums exactly-ish
+    ids, _ = assign_batch(x, cents)
+    for r in combined:
+        mask = ids == r["cluster"]
+        assert r["cnt"] == int(mask.sum())
+        assert np.allclose(np.array(r["vec_sum"]), x[mask].sum(axis=0), atol=1e-9)
+
+
+def test_hierarchical_matches_numpy_twin(spark, emb):
+    from radio_data_curation_ssl_spark.operators.kmeans import (
+        hierarchical_kmeans,
+        numpy_lloyd,
+    )
+
+    adf, level_cents = hierarchical_kmeans(
+        emb, "vec_id", "embedding", ks=[8, 3], n_iters=10
+    )
+    got = {r["id"]: (r["cluster_l1"], r["cluster_l2"]) for r in adf.collect()}
+    assert len(level_cents) == 2
+    assert level_cents[0].shape[0] == 8 and level_cents[1].shape[0] == 3
+    # twin: level-2 over the ACTUAL level-1 centroids must give the same
+    # l1 -> l2 edge map, hence identical transitive assignments
+    _c2, edge = numpy_lloyd(level_cents[0], 3, n_iters=10)
+    for _id, (l1, l2) in got.items():
+        assert l2 == int(edge[l1]), (_id, l1, l2)
+    # every point flattened, no row loss
+    assert len(got) == emb.count()
+
+
+def test_cluster_resample_modes(spark, emb):
+    from radio_data_curation_ssl_spark.operators.kmeans import (
+        cluster_resample,
+        lloyd_kmeans,
+    )
+
+    adf, _ = lloyd_kmeans(emb, "vec_id", "embedding", k=5, n_iters=5)
+    adf = adf.cache()
+    closest = cluster_resample(adf, "cluster", 10, mode="closest")
+    by = {r["cluster"]: r["count"] for r in closest.groupBy("cluster").count().collect()}
+    assert all(n <= 10 for n in by.values()) and sum(by.values()) <= 50
+    # closest really is closest: max kept dist <= min dropped dist per cluster
+    kept = {(r["id"]) for r in closest.collect()}
+    rows = adf.collect()
+    for c in by:
+        ds_kept = sorted(r["dist_sq"] for r in rows if r["cluster"] == c and r["id"] in kept)
+        ds_drop = [r["dist_sq"] for r in rows if r["cluster"] == c and r["id"] not in kept]
+        if ds_drop:
+            assert max(ds_kept) <= min(ds_drop) + 1e-12
+    rand1 = sorted(r["id"] for r in cluster_resample(adf, "cluster", 10, mode="random").collect())
+    rand2 = sorted(r["id"] for r in cluster_resample(adf, "cluster", 10, mode="random").collect())
+    assert rand1 == rand2  # keyed randomness: deterministic across runs

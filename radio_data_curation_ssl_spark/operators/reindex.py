@@ -1,0 +1,90 @@
+"""Distributed dense re-indexing by sort order — the scale-safe twin of
+``row_number() OVER (ORDER BY ...)``.
+
+A global window funnels every row through ONE partition (correct at sf0.1,
+a scale-killer at 10^12 rows).  This operator renumbers in two phases, the
+classic zipWithIndex shape, keyed by SORT ORDER (never arrival position —
+SURVEY §1.3; the reference's merge-stage renumbering is
+/root/reference/src/2_merge.py:70-89):
+
+1. range-partition + sort within partitions on the sort key (one shuffle,
+   all partitions in parallel);
+2. count rows per partition (a |partitions|-row aggregate to the driver),
+   prefix-sum the counts into per-partition offsets, broadcast them, and
+   stamp ``offset + local position`` in a single order-preserving
+   ``mapInPandas`` pass.
+
+The intermediate is persisted so phases 2 and 3 see the identical
+partition layout.  Equal sort keys land in the same range partition, so
+numbering among duplicates is arbitrary-but-stable — same contract as
+``row_number`` with an under-specified ORDER BY.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark import StorageLevel, TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def reindex_by_sort(
+    df: DataFrame,
+    sort_cols: list[str],
+    out_col: str = "new_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a dense 1-based ``out_col`` following ORDER BY ``sort_cols``.
+
+    Same rows/values as a global-window ``row_number``, but every stage is
+    distributed: no single-partition Exchange anywhere in the plan.
+    """
+    spark = df.sparkSession
+    n = int(
+        num_partitions
+        if num_partitions is not None
+        else spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    part = (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        r["pid"]: r["n"]
+        for r in part.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(n):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    bc = spark.sparkContext.broadcast(offsets)
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType(), False)]
+    )
+
+    def stamp(it):
+        off = bc.value.get(TaskContext.get().partitionId(), 0)
+        for b in it:
+            out = b.copy()
+            out[out_col] = np.arange(off + 1, off + 1 + len(b), dtype=np.int64)
+            off += len(b)
+            yield out
+
+    return part.mapInPandas(stamp, schema)
+
+
+def reindexed_union(parts: list[DataFrame], sort_cols: list[str]) -> DataFrame:
+    """Union-all (shuffle-free concat) + dense re-index by sort order —
+    the reference's merge stage as one operator."""
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return reindex_by_sort(u, sort_cols)

@@ -927,20 +927,21 @@ SELECT name, src,
 FROM u
 """,
     doc="Union-all + deterministic re-index (reference merge stage "
-    "renumbering, /root/reference/src/2_merge.py:70-89 — but keyed by "
-    "sort order, never by arrival position).",
+    "renumbering, /root/reference/src/2_merge.py:70-89 — keyed by sort "
+    "order, never arrival position). Scale: two-phase distributed "
+    "renumbering (range partition + broadcast prefix offsets, "
+    "operators/reindex.py) — NO single-partition global window anywhere.",
 )
 def q_union_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.reindex import reindexed_union
+
     c = t(spark, sf_dir, "customer").selectExpr(
         "c_name AS name", "'customer' AS src"
     )
     s = t(spark, sf_dir, "supplier").selectExpr(
         "s_name AS name", "'supplier' AS src"
     )
-    w = Window.orderBy("name", "src")
-    return c.unionByName(s).withColumn(
-        "new_id", F.row_number().over(w).cast("long")
-    )
+    return reindexed_union([c, s], ["name", "src"])
 
 
 @register(
@@ -964,12 +965,13 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("k")
     ).distinct()
-    n_both = c.intersect(s).count()
-    n_cust_only = c.exceptAll(s).count()
-    spark_ = c.sparkSession
-    return spark_.createDataFrame(
-        [(n_both, n_cust_only)], "n_both long, n_cust_only long"
+    # lazy: two 1-row aggregates cross-joined — no driver-side action in
+    # the builder, the plan stays a single Spark job
+    n_both = c.intersect(s).agg(F.count("*").cast("long").alias("n_both"))
+    n_cust_only = c.exceptAll(s).agg(
+        F.count("*").cast("long").alias("n_cust_only")
     )
+    return n_both.crossJoin(n_cust_only)
 
 
 @register(

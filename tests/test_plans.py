@@ -104,3 +104,33 @@ def test_salting_splits_hot_key(spark, pages_small):
         salted.where(F.col("host") == top["host"]).select("k").distinct().count()
     )
     assert n_sub == 8  # hot host split across all salt buckets
+
+
+def test_union_reindex_no_single_partition_exchange(spark):
+    """The dense re-index must renumber distributed (two-phase offsets),
+    never through a single-partition global window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = REGISTRY["union_reindex"].spark(spark, SF)
+    p = plan(df)
+    assert "Exchange SinglePartition" not in p
+    assert "rangepartitioning" in p.lower()
+    # output identical to the global-window definition
+    got = sorted(map(tuple, df.collect()))
+    c = spark.read.parquet(f"{SF}/customer.parquet").selectExpr(
+        "c_name AS name", "'customer' AS src"
+    )
+    s = spark.read.parquet(f"{SF}/supplier.parquet").selectExpr(
+        "s_name AS name", "'supplier' AS src"
+    )
+    w = Window.orderBy("name", "src")
+    want = sorted(
+        map(
+            tuple,
+            c.unionByName(s)
+            .withColumn("new_id", F.row_number().over(w).cast("long"))
+            .collect(),
+        )
+    )
+    assert got == want

@@ -352,6 +352,39 @@ def shingle_hashes(tg: str = "trigrams") -> P:
     )
 
 
+def mh_params(n: int, seed: int = 4242):
+    """n deterministic universal-hash (a, b) pairs, a in [1, M31), b in
+    [0, M31) — shared by the Spark-side numpy kernel and the DuckDB oracle
+    (production-calibrated minhash needs >= 64 perms; the 8 hard-coded
+    pairs above remain for the toy-calibrated query)."""
+    import numpy as np
+
+    from ..synth import splitmix64
+
+    idx = np.arange(n, dtype=np.uint64)
+    a = (splitmix64(idx + np.uint64(seed)) % np.uint64(MERSENNE31 - 1)).astype(
+        np.int64
+    ) + 1
+    b = (splitmix64(idx + np.uint64(seed + 1_000_003)) % np.uint64(MERSENNE31)).astype(
+        np.int64
+    )
+    return a, b
+
+
+def minhash_ab(a: int, b: int, hcol: str = "sh_hashes") -> P:
+    """Minhash component for explicit (a, b) over precomputed shingle
+    hashes (h < 2^31, a < 2^31 -> a*h+b < 2^62: no int64 overflow)."""
+    return P(
+        f"CASE WHEN size({hcol}) > 0 THEN aggregate({hcol},"
+        f" CAST({MERSENNE31} AS BIGINT), (acc, x) ->"
+        f" least(acc, ({a} * x + {b}) % {MERSENNE31}))"
+        f" ELSE CAST({MERSENNE31} AS BIGINT) END",
+        f"CASE WHEN len({hcol}) > 0 THEN list_aggregate(list_transform({hcol},"
+        f" x -> ({a} * x + {b}) % {MERSENNE31}), 'min')"
+        f" ELSE CAST({MERSENNE31} AS BIGINT) END",
+    )
+
+
 def minhash_from_hashes(perm: int, hcol: str = "sh_hashes") -> P:
     """Minhash component over precomputed shingle hashes — one fold, no
     rehashing. (a*h2+b) % M31 stays < 2^62: no int64 overflow either engine."""

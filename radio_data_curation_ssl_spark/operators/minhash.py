@@ -1,0 +1,138 @@
+"""Production-calibrated MinHash+LSH near-duplicate detection.
+
+Calibration (vs the round-1 toy query's 8 perms / 4 bands of 2):
+``N_PERMS = 64`` signature components banded as ``N_BANDS = 16`` bands of
+``BAND_R = 4`` rows — the S-curve crosses 50% collision probability at
+Jaccard ~= (1/16)^(1/4) = 0.5, with <2% miss probability at J >= 0.7
+(real web pipelines run 128 perms / 9x13; the shape is identical).
+
+Pipeline (the shape real dedup uses — candidates are LSH-bucketed, then
+VERIFIED by exact Jaccard, so precision is controlled, unlike raw band
+collisions; reference neighbor-validation analog:
+/root/reference/src/image_retrieval.py:20-32):
+
+1. shingle -> 31-bit hashes ONCE per doc (JVM-side md5 expression, the
+   same paired fragment the oracle uses);
+2. 64 min-folds + band-key packing in ONE vectorized numpy pass per Arrow
+   batch (``np.minimum.reduceat`` over the concatenated shingle stream —
+   no per-row Python, no 64 interpreted SQL folds in the hot path);
+3. explode 16 band keys, self-join on (band, band_key) — the equi-join
+   that avoids O(n^2);
+4. distinct candidate pairs -> join back to distinct-shingle sets ->
+   exact Jaccard -> threshold filter.
+
+Scale: one shuffle on (band, band_key) for candidates, one hash-join back
+to the (doc_id, set) table for the rerank; everything else is narrow.
+Skewed buckets (boilerplate-identical docs) are exactly the hot keys AQE
+skew-join splits; the band key space is 2^46 so quantization itself never
+concentrates keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import text as X
+
+N_PERMS = 64
+BAND_R = 4
+N_BANDS = N_PERMS // BAND_R
+_A, _B = X.mh_params(N_PERMS)
+_M31 = np.int64(X.MERSENNE31)
+
+
+def band_keys_batch(lists) -> list[list[int]]:
+    """(n,) ragged int31 shingle-hash lists -> (n, N_BANDS) band keys.
+
+    One concatenated stream + ``minimum.reduceat`` per perm block: memory
+    traffic O(total shingles x N_PERMS), zero per-row Python loops.
+    Caller guarantees every list is non-empty (empty docs are filtered
+    before banding — they have no shingles to be similar BY)."""
+    n = len(lists)
+    lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=n)
+    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in lists])
+    # (N_PERMS, S) universal hashes; a, h < 2^31 so a*h+b < 2^62 fits int64
+    vals = (_A[:, None] * flat[None, :] + _B[:, None]) % _M31
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    sigs = np.minimum.reduceat(vals, starts, axis=1)  # (N_PERMS, n)
+    keys = sigs.reshape(N_BANDS, BAND_R, n)
+    packed = keys[:, 0, :]
+    for j in range(1, BAND_R):
+        packed = packed * np.int64(31) + keys[:, j, :]  # < 2^46, no overflow
+    return [packed[:, i].tolist() for i in range(n)]
+
+
+def signature_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """docs(doc_id, text) -> (doc_id, band, band_key) exploded rows."""
+    w = X.words(text_col)
+    tg = X.trigrams("words")
+    shh = X.shingle_hashes("trigrams")
+    hashed = (
+        docs.selectExpr("doc_id", f"{w.spark} AS words")
+        .selectExpr("doc_id", f"{tg.spark} AS trigrams")
+        .selectExpr("doc_id", f"{shh.spark} AS sh_hashes")
+        .where("size(sh_hashes) > 0")
+    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_keys(sh: pd.Series) -> pd.Series:
+        if len(sh) == 0:
+            return pd.Series([], dtype=object)
+        return pd.Series(band_keys_batch(sh.tolist()))
+
+    return hashed.select(
+        "doc_id",
+        F.posexplode(band_keys("sh_hashes")).alias("band", "band_key"),
+    )
+
+
+def shingle_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """docs -> (doc_id, sh) distinct-trigram sets for the exact rerank."""
+    w = X.words(text_col)
+    tg = X.trigrams("words")
+    return (
+        docs.selectExpr("doc_id", f"{w.spark} AS words")
+        .selectExpr("doc_id", f"array_distinct({tg.spark}) AS sh")
+        .where("size(sh) > 0")
+    )
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) pairs with exact Jaccard >= threshold among
+    LSH band-collision candidates."""
+    bands = signature_bands(docs, text_col)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = shingle_sets(docs, text_col)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = "size(array_intersect(sh_a, sh_b))"
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"{inter} / (size(sh_a) + size(sh_b) - {inter}) AS j",
+        )
+        .where(f"j >= {threshold}")
+        .selectExpr("doc_a", "doc_b", f"round(j, {X.ROUND}) AS jaccard")
+    )

@@ -382,6 +382,65 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# production-calibrated minhash: 64 perms, 16 bands x 4 rows (S-curve 50%
+# at J~0.5), candidates VERIFIED by exact Jaccard
+_MHC_A, _MHC_B = X.mh_params(64)
+_MHC = [
+    X.minhash_ab(int(a), int(b)).duck for a, b in zip(_MHC_A, _MHC_B)
+]
+_MHC_BAND_DUCK = [
+    f"((({f'm{4 * i}'} * 31 + m{4 * i + 1}) * 31 + m{4 * i + 2}) * 31 + m{4 * i + 3})"
+    for i in range(16)
+]
+_J_INTER = "len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))"
+
+
+@register(
+    "dedup_minhash_calibrated",
+    f"""
+WITH w AS ({_DOC_WORDS_DUCK}),
+tg AS (SELECT doc_id, {_TG.duck} AS trigrams FROM w),
+hs AS (SELECT doc_id, {_SHH.duck} AS sh_hashes FROM tg WHERE len(trigrams) > 0),
+sig AS (SELECT doc_id,
+  {", ".join(f"{m} AS m{p}" for p, m in enumerate(_MHC))}
+  FROM hs),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {i} AS band, {k} AS band_key FROM sig"
+      for i, k in enumerate(_MHC_BAND_DUCK))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, list_distinct(trigrams) AS sh FROM tg
+         WHERE len(trigrams) > 0),
+scored AS (
+  SELECT doc_a, doc_b,
+    {_J_INTER} / (len(sa.sh) + len(sb.sh) - {_J_INTER}) AS j
+  FROM cand
+  JOIN sets sa ON sa.doc_id = cand.doc_a
+  JOIN sets sb ON sb.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, round(j, {X.ROUND}) AS jaccard
+FROM scored WHERE j >= 0.5
+""",
+    doc="Production-calibrated MinHash+LSH near-dup: 64 perms / 16 bands "
+    "of 4 (50% collision at J~0.5, <2% miss at J>=0.7), signatures in one "
+    "vectorized numpy pass (minimum.reduceat), band-bucket equi-join, then "
+    "exact-Jaccard VERIFY on candidates only — precision controlled, "
+    "unlike raw band collisions (operators/minhash.py; recall test on "
+    "planted near-dups in tests/test_dedup_similarity.py). Scale: one "
+    "shuffle on (band, band_key), one hash-join rerank.",
+    bench=True,
+)
+def q_minhash_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.minhash import minhash_neardup_pairs
+
+    return minhash_neardup_pairs(
+        t(spark, sf_dir, "documents"), text_col="text", threshold=0.5
+    )
+
+
 @register(
     "dedup_simhash",
     f"""
@@ -400,50 +459,104 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    f"""
-WITH w AS ({_DOC_WORDS_DUCK}),
-tg AS (SELECT doc_id, lang, source, list_distinct({_TG.duck}) AS sh FROM w)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  round(len(list_filter(a.sh, x -> list_contains(b.sh, x))) /
-        (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
-        {X.ROUND}) AS jaccard
-FROM tg a JOIN tg b
-  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-WHERE len(a.sh) > 0 AND len(b.sh) > 0
-ORDER BY jaccard DESC, doc_a, doc_b
-LIMIT 50
-""",
-    doc="n-gram Jaccard similarity within (lang, source) blocks — blocked "
-    "pairwise compare. Scale: blocking keys bound the quadratic term; "
-    "unblocked corpora use the minhash path instead.",
-)
-def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tg = (
-        _docs_with_words(spark, sf_dir)
-        .selectExpr(
-            "doc_id", "lang", "source", f"array_distinct({_TG.spark}) AS sh"
-        )
+def _jaccard_band_candidates(dw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(candidate pairs, shingle sets) for the band-blocked Jaccard query.
+
+    Candidates = docs sharing (lang, source) AND at least one minhash band
+    — the sub-blocking that caps a hot (lang, source) block: pair count is
+    bounded by LSH bucket sizes, never the block's n^2."""
+    hs = (
+        dw.withColumn("trigrams", F.expr(_TG.spark))
+        .where("size(trigrams) > 0")
+        .withColumn("sh_hashes", F.expr(_SHH.spark))
     )
-    a, b = tg.alias("a"), tg.alias("b")
-    inter = "size(array_intersect(a.sh, b.sh))"
-    return (
+    sig = hs.selectExpr(
+        "doc_id",
+        "lang",
+        "source",
+        *[f"{m.spark} AS {c}" for m, c in zip(_MH, _MH_COLS)],
+    )
+    bands = sig.selectExpr(
+        "doc_id",
+        "lang",
+        "source",
+        f"posexplode(array({', '.join(_BAND_KEYS)})) AS (band, band_key)",
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .where("size(a.sh) > 0 AND size(b.sh) > 0")
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = hs.selectExpr("doc_id", "array_distinct(trigrams) AS sh")
+    return cand, sets
+
+
+def _jaccard_rerank(cand: DataFrame, sets: DataFrame, limit: int = 50) -> DataFrame:
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = "size(array_intersect(sh_a, sh_b))"
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .selectExpr(
-            "a.doc_id AS doc_a",
-            "b.doc_id AS doc_b",
-            f"round({inter} / (size(a.sh) + size(b.sh) - {inter}), {X.ROUND}) AS jaccard",
+            "doc_a",
+            "doc_b",
+            f"round({inter} / (size(sh_a) + size(sh_b) - {inter}), {X.ROUND}) AS jaccard",
         )
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
-        .limit(50)
+        .limit(limit)
     )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH w AS ({_DOC_WORDS_DUCK}),
+tg AS (SELECT doc_id, lang, source, {_TG.duck} AS trigrams FROM w),
+hs AS (SELECT doc_id, lang, source, trigrams, {_SHH.duck} AS sh_hashes
+       FROM tg WHERE len(trigrams) > 0),
+sig AS (SELECT doc_id, lang, source,
+  {", ".join(f"{m.duck} AS {c}" for m, c in zip(_MH, _MH_COLS))}
+  FROM hs),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, lang, source, {i} AS band, {k} AS band_key FROM sig"
+      for i, k in enumerate(_BAND_KEYS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, list_distinct(trigrams) AS sh FROM hs)
+SELECT doc_a, doc_b,
+  round({_J_INTER} / (len(sa.sh) + len(sb.sh) - {_J_INTER}), {X.ROUND}) AS jaccard
+FROM cand
+JOIN sets sa ON sa.doc_id = cand.doc_a
+JOIN sets sb ON sb.doc_id = cand.doc_b
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 50
+""",
+    doc="n-gram Jaccard within (lang, source) blocks, SUB-BLOCKED by "
+    "minhash band collisions: a hot block can no longer go O(n^2) — pair "
+    "count is bounded by LSH bucket sizes (hot-block test in "
+    "tests/test_dedup_similarity.py). Exact Jaccard computed only on the "
+    "candidates. Scale: one equi-join shuffle on (lang, source, band, "
+    "band_key) + one hash-join rerank.",
+)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand, sets = _jaccard_band_candidates(_docs_with_words(spark, sf_dir))
+    return _jaccard_rerank(cand, sets, limit=50)
 
 
 @register(

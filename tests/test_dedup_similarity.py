@@ -134,3 +134,103 @@ def test_multimodal_stub_plumbing(spark):
     assert out["b"]["features"] is None
     with pytest.raises(NotImplementedError):
         real_decode_features(b"x")
+
+
+def test_calibrated_minhash_recall_and_precision(spark):
+    """Planted near-dups (J >= ~0.7 trigram Jaccard) must be recovered at
+    recall >= 0.9 by the 64-perm/16x4-band pipeline, and the exact-Jaccard
+    rerank must keep precision at 1.0 (no unrelated pair survives)."""
+    from radio_data_curation_ssl_spark.operators.minhash import (
+        minhash_neardup_pairs,
+    )
+    from radio_data_curation_ssl_spark.synth import VOCAB, splitmix64
+
+    vocab = VOCAB["en"]
+    n_base, n_words = 40, 60
+    rows = []
+    truth = set()
+    for d in range(n_base):
+        h = splitmix64(
+            np.arange(n_words, dtype=np.uint64) + np.uint64(d * 7919 + 13)
+        )
+        words = [vocab[int(v) % len(vocab)] for v in h]
+        dup = list(words)
+        for pos in (10, 25, 40):  # ~3/58 trigram runs broken -> J ~0.73
+            dup[pos] = dup[pos] + "x"
+        rows.append((2 * d, " ".join(words)))
+        rows.append((2 * d + 1, " ".join(dup)))
+        truth.add((2 * d, 2 * d + 1))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_neardup_pairs(docs, threshold=0.5).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, (recall, sorted(truth - got))
+    # rerank precision: nothing outside the planted pairs survives
+    assert got <= truth, sorted(got - truth)
+
+
+def test_calibrated_minhash_signature_kernel_matches_sql_fold(spark):
+    """The numpy reduceat kernel must produce bit-identical band keys to
+    the SQL fold definition (the oracle's dialect)."""
+    from radio_data_curation_ssl_spark.operators.minhash import (
+        N_BANDS,
+        band_keys_batch,
+        signature_bands,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    got = (
+        signature_bands(docs)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("band", "band_key"))).alias("k"))
+        .collect()
+    )
+    assert all(len(r["k"]) == N_BANDS for r in got)
+    # twin: compute sh_hashes via the same SQL fragment, band in pure numpy
+    shh = X.shingle_hashes("trigrams")
+    hashed = {
+        r["doc_id"]: r["sh"]
+        for r in docs.selectExpr(
+            "doc_id", f"{X.words('text').spark} AS words"
+        )
+        .selectExpr("doc_id", f"{X.trigrams('words').spark} AS trigrams")
+        .selectExpr("doc_id", f"{shh.spark} AS sh_hashes")
+        .where("size(sh_hashes) > 0")
+        .selectExpr("doc_id", "sh_hashes AS sh")
+        .collect()
+    }
+    for r in got:
+        keys = band_keys_batch([hashed[r["doc_id"]]])[0]
+        assert [kk["band_key"] for kk in r["k"]] == keys
+
+
+def test_jaccard_hot_block_is_not_quadratic(spark):
+    """A deliberately hot (lang, source) block of mutually-dissimilar docs
+    must NOT produce O(n^2) candidate pairs — band sub-blocking caps it —
+    while planted dup pairs still surface as candidates."""
+    from radio_data_curation_ssl_spark.queries import (
+        _jaccard_band_candidates,
+    )
+    from radio_data_curation_ssl_spark.synth import VOCAB, splitmix64
+
+    vocab = VOCAB["en"]
+    n = 200
+    rows = []
+    for d in range(n):
+        h = splitmix64(np.arange(40, dtype=np.uint64) + np.uint64(d * 104729))
+        words = [vocab[int(v) % len(vocab)] + str(int(v) % 97) for v in h]
+        rows.append((d, "en", "web", " ".join(words)))
+    # plant 5 exact dup pairs inside the same hot block
+    for d in range(5):
+        rows.append((n + d, "en", "web", rows[d][3]))
+    dw = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).selectExpr("doc_id", "lang", "source", f"{X.words('text').spark} AS words")
+    cand, _sets = _jaccard_band_candidates(dw)
+    pairs = cand.collect()
+    assert len(pairs) < n * 3, len(pairs)  # nowhere near n*(n-1)/2 = 20k+
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    for d in range(5):
+        assert (d, n + d) in got

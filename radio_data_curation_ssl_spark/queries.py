@@ -707,6 +707,117 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- amplified LSH ANN: OR of L=24 AND-band tables (r=5 hyperplanes each),
+# candidates -> exact-cosine rerank -> top-k.  Parameters chosen empirically
+# on the synthetic embeddings (recall 0.94 vs brute force at sf0.01; the
+# corpus is near-uniform 64-d, the hardest case for hyperplane LSH — real
+# embedding clusters prune far better at the same L x r).
+_ANN_L, _ANN_R = 24, 5
+
+
+def _lsh_table_planes(table: int, r: int = _ANN_R, dim: int = 64):
+    import numpy as np
+
+    from .synth import splitmix64
+
+    idx = np.arange(r * dim, dtype=np.uint64)
+    bits = (splitmix64(idx + np.uint64(9000 + table * 131)) & np.uint64(1)).astype(
+        np.int64
+    )
+    return ((bits * 2 - 1).reshape(r, dim)).tolist()
+
+
+def _lsh_table_bucket(table: int) -> X.P:
+    sp_terms, du_terms = [], []
+    for k, plane in enumerate(_lsh_table_planes(table)):
+        lit_sp = "array(" + ",".join(str(v) for v in plane) + ")"
+        lit_du = "[" + ",".join(str(v) for v in plane) + "]"
+        d_sp = X.dot("embedding", lit_sp).spark
+        d_du = X.dot("embedding", lit_du).duck
+        sp_terms.append(f"(CASE WHEN {d_sp} >= 0 THEN {1 << k} ELSE 0 END)")
+        du_terms.append(f"(CASE WHEN {d_du} >= 0 THEN {1 << k} ELSE 0 END)")
+    return X.P(
+        "CAST(" + " + ".join(sp_terms) + " AS BIGINT)",
+        "CAST(" + " + ".join(du_terms) + " AS BIGINT)",
+    )
+
+
+_ANN_BUCKETS = [_lsh_table_bucket(t) for t in range(_ANN_L)]
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+WITH cb AS (
+  {" UNION ALL ".join(
+      f"SELECT vec_id, {t} AS tbl, {b.duck} AS bucket FROM embeddings"
+      for t, b in enumerate(_ANN_BUCKETS))}
+),
+qb AS (SELECT vec_id AS query_id, tbl, bucket FROM cb WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM qb q JOIN cb c
+    ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id <> q.query_id),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS_AB.duck} AS cos_sim
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5
+""",
+    doc="End-to-end amplified-LSH ANN: 24 OR-ed tables of 5 AND-ed random "
+    "hyperplanes -> bucket-join candidates -> exact-cosine rerank -> "
+    "per-query top-5 (recall >= 0.9 vs ann_cosine_topk, pytest-gated; "
+    "reference: /root/reference/scripts/knn_CUML.py:22-27,96-120). Scale: "
+    "query buckets broadcast (|Q| x L rows) — the corpus never shuffles "
+    "until the candidate set, which LSH has already pruned.",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    buckets = e.selectExpr(
+        "vec_id",
+        "embedding",
+        f"posexplode(array({', '.join(b.spark for b in _ANN_BUCKETS)}))"
+        " AS (tbl, bucket)",
+    )
+    qb = (
+        buckets.where("vec_id < 10")
+        .selectExpr("vec_id AS query_id", "tbl", "bucket")
+    )
+    cand = (
+        buckets.join(
+            F.broadcast(qb),
+            ["tbl", "bucket"],
+        )
+        .where("vec_id <> query_id")
+        .selectExpr("query_id", "vec_id AS neighbor_id")
+        .distinct()
+    )
+    qe = e.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ne = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    cos = X.cosine("q_emb", "embedding")
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .selectExpr("query_id", "neighbor_id", f"{cos.spark} AS cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where("rn <= 5")
+    )
+
+
 @register(
     "nearest_centroid_assign",
     f"""
@@ -1220,6 +1331,131 @@ def q_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat(n_name, '-', CAST(n_nationkey AS STRING)) AS formatted",
         "upper(n_name) AS upper_name",
         "CAST(length(n_name) AS BIGINT) AS name_len",
+    )
+
+
+@register(
+    "scalar_str_to_map",
+    """
+WITH kv AS (
+  SELECT n_nationkey,
+    'name=' || lower(n_name) || ';key=' || CAST(n_nationkey AS VARCHAR)
+      || ';region=' || CAST(n_regionkey AS VARCHAR) AS params
+  FROM nation)
+SELECT n_nationkey, params,
+  regexp_extract(params, 'name=([^;]*)', 1) AS p_name,
+  CAST(regexp_extract(params, 'key=([^;]*)', 1) AS BIGINT) AS p_key,
+  CAST(regexp_extract(params, 'region=([^;]*)', 1) AS BIGINT) AS p_region
+FROM kv
+""",
+    doc="key=value;... param-string parsing (reference: run-config strings "
+    "parsed into dicts, /root/reference/src/3b_feature_extraction_from_path.py:39-40)"
+    " — Spark str_to_map vs the oracle's regex extraction of the same "
+    "values. Scale: map-only.",
+)
+def q_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "nation")
+        .selectExpr(
+            "n_nationkey",
+            "concat('name=', lower(n_name), ';key=', CAST(n_nationkey AS STRING),"
+            " ';region=', CAST(n_regionkey AS STRING)) AS params",
+        )
+        .selectExpr(
+            "n_nationkey",
+            "params",
+            "str_to_map(params, ';', '=') AS m",
+        )
+        .selectExpr(
+            "n_nationkey",
+            "params",
+            "element_at(m, 'name') AS p_name",
+            "CAST(element_at(m, 'key') AS BIGINT) AS p_key",
+            "CAST(element_at(m, 'region') AS BIGINT) AS p_region",
+        )
+    )
+
+
+@register(
+    "minmax_normalize",
+    f"""
+WITH s AS (
+  SELECT vec_id,
+    CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+    CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx
+  FROM embeddings)
+SELECT e.vec_id, round(mn, {X.ROUND}) AS vmin, round(mx, {X.ROUND}) AS vmax,
+  round(CASE WHEN mx > mn
+    THEN (CAST(embedding[1] AS DOUBLE) - mn) / (mx - mn) ELSE 0.0 END,
+    {X.ROUND}) AS norm0,
+  round(CASE WHEN mx > mn
+    THEN list_aggregate(list_transform(embedding,
+           x -> (CAST(x AS DOUBLE) - mn) / (mx - mn)), 'sum') ELSE 0.0 END,
+    {X.ROUND}) AS norm_sum
+FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+""",
+    doc="Per-row min-max normalization of a vector column (reference: "
+    "per-image min-max scaling, /root/reference/src/3b_feature_extraction_from_path.py:29-37)."
+    " Scale: map-only, no shuffle — min/max/rescale in one projection.",
+)
+def q_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "embeddings")
+        .selectExpr(
+            "vec_id",
+            "embedding",
+            "CAST(array_min(embedding) AS DOUBLE) AS mn",
+            "CAST(array_max(embedding) AS DOUBLE) AS mx",
+        )
+        .selectExpr(
+            "vec_id",
+            f"round(mn, {X.ROUND}) AS vmin",
+            f"round(mx, {X.ROUND}) AS vmax",
+            f"round(CASE WHEN mx > mn"
+            f" THEN (CAST(element_at(embedding, 1) AS DOUBLE) - mn) / (mx - mn)"
+            f" ELSE 0.0 END, {X.ROUND}) AS norm0",
+            f"round(CASE WHEN mx > mn"
+            f" THEN aggregate(transform(embedding,"
+            f" x -> (CAST(x AS DOUBLE) - mn) / (mx - mn)),"
+            f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) ELSE 0.0 END,"
+            f" {X.ROUND}) AS norm_sum",
+        )
+    )
+
+
+@register(
+    "json_roundtrip",
+    """
+WITH j AS (
+  SELECT n_nationkey,
+    to_json(struct_pack(name := n_name, key := n_nationkey)) AS js
+  FROM nation)
+SELECT n_nationkey,
+  json_extract_string(js, '$.name') AS rt_name,
+  CAST(json_extract(js, '$.key') AS BIGINT) AS rt_key
+FROM j
+""",
+    doc="to_json/from_json round-trip of a struct (reference: config/"
+    "manifest JSON de/serialization, /root/reference/src/utils.py:26-35 + "
+    "run manifests). Values compared after the round-trip — each engine "
+    "serializes AND re-parses its own JSON. Scale: map-only.",
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "nation")
+        .selectExpr(
+            "n_nationkey",
+            "to_json(named_struct('name', n_name, 'key', n_nationkey)) AS js",
+        )
+        .selectExpr(
+            "n_nationkey",
+            "from_json(js, 'name STRING, key BIGINT') AS s",
+        )
+        .selectExpr(
+            "n_nationkey",
+            "s.name AS rt_name",
+            "s.key AS rt_key",
+        )
     )
 
 

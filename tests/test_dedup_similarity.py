@@ -234,3 +234,19 @@ def test_jaccard_hot_block_is_not_quadratic(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in pairs}
     for d in range(5):
         assert (d, n + d) in got
+
+
+def test_ann_lsh_topk_recall_vs_brute_force(spark):
+    """The amplified-LSH end-to-end query (24 OR tables x 5 AND planes +
+    exact rerank) must recover >= 0.9 of the brute-force top-5 pairs."""
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["ann_cosine_topk"].spark(spark, sf).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["ann_lsh_topk"].spark(spark, sf).collect()
+    }
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.9, recall

@@ -127,11 +127,33 @@ def shingle_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def collapse_exact_dups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one canonical doc (min doc_id) per exact text — run BEFORE
+    near-dup banding.
+
+    Standard pipeline order (exact dedup, then near-dedup) AND the skew
+    guard that matters at 10^12 docs: an exact-duplicate group of size g
+    (boilerplate pages, mirrors) collides in ALL bands and would generate
+    O(g^2) candidate pairs; collapsed to its representative it generates
+    O(1).  Group membership itself is dedup_exact's output, not a near-dup
+    pair.  One shuffle on the text hash."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(text_col)).orderBy("doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .drop("_rn")
+    )
+
+
 def minhash_neardup_pairs(
     docs: DataFrame, text_col: str = "text", threshold: float = 0.5
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) pairs with exact Jaccard >= threshold among
-    LSH band-collision candidates."""
+    LSH band-collision candidates, over exact-dup-collapsed canonical
+    docs (one representative per identical text)."""
+    docs = collapse_exact_dups(docs, text_col)
     # explicit repartition on the join key makes BOTH self-join sides the
     # identical shuffle: AQE materializes it once and reuses it, so the
     # signature pass runs ONCE (measured 3.5x on sf0.1 vs letting the

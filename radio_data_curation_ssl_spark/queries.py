@@ -398,7 +398,12 @@ _J_INTER = "len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))"
 @register(
     "dedup_minhash_calibrated",
     f"""
-WITH w AS ({_DOC_WORDS_DUCK}),
+WITH canon AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1),
+w AS (SELECT doc_id, {X.words("text").duck} AS words FROM canon),
 tg AS (SELECT doc_id, {_TG.duck} AS trigrams FROM w),
 hs AS (SELECT doc_id, {_SHH.duck} AS sh_hashes FROM tg WHERE len(trigrams) > 0),
 sig AS (SELECT doc_id,
@@ -424,13 +429,17 @@ scored AS (
 SELECT doc_a, doc_b, round(j, {X.ROUND}) AS jaccard
 FROM scored WHERE j >= 0.5
 """,
-    doc="Production-calibrated MinHash+LSH near-dup: 64 perms / 16 bands "
-    "of 4 (50% collision at J~0.5, <2% miss at J>=0.7), signatures in one "
-    "vectorized numpy pass (minimum.reduceat), band-bucket equi-join, then "
-    "exact-Jaccard VERIFY on candidates only — precision controlled, "
-    "unlike raw band collisions (operators/minhash.py; recall test on "
-    "planted near-dups in tests/test_dedup_similarity.py). Scale: one "
-    "shuffle on (band, band_key), one hash-join rerank.",
+    doc="Production-calibrated MinHash+LSH near-dup: exact-dup groups "
+    "collapsed to a canonical doc FIRST (the skew guard — a g-sized "
+    "boilerplate group would otherwise emit O(g^2) band collisions), then "
+    "64 perms / 16 bands of 4 (50% collision at J~0.5, <2% miss at "
+    "J>=0.7), signatures in one vectorized numpy pass (minimum.reduceat), "
+    "band-bucket equi-join, exact-Jaccard VERIFY on candidates only — "
+    "precision controlled, unlike raw band collisions "
+    "(operators/minhash.py; recall test on planted near-dups in "
+    "tests/test_dedup_similarity.py). Scale: one shuffle on the text hash "
+    "(collapse), one on (band, band_key) (AQE-reused), one hash-join "
+    "rerank.",
     bench=True,
 )
 def q_minhash_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -250,3 +250,23 @@ def test_ann_lsh_topk_recall_vs_brute_force(spark):
     }
     recall = len(brute & lsh) / len(brute)
     assert recall >= 0.9, recall
+
+
+def test_minhash_exact_dup_group_collapsed(spark):
+    """An exact-duplicate group (the web-scale skew case: g boilerplate
+    copies would emit O(g^2) band collisions) is collapsed to one canonical
+    representative; near-dup pairs are emitted between representatives."""
+    from radio_data_curation_ssl_spark.operators.minhash import (
+        minhash_neardup_pairs,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.rsplit(" ", 1)[0] + " omega"  # last word differs: J ~0.8
+    rows = [(i, base) for i in range(100)] + [(200, near)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_neardup_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs == {(0, 200)}  # one representative, zero intra-group pairs

@@ -106,7 +106,9 @@ def combine_partials(partials: DataFrame) -> DataFrame:
     /root/reference/src/distributed_kmeans_gpu.py:519-573)."""
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("part_id")
+        # part_id is unique within a cluster group (one partial row per
+        # partition), so this sort totally orders the fold
+        pdf = pdf.sort_values("part_id", kind="stable")
         vs = np.array(pdf["vec_sum"].tolist(), dtype=np.float64)
         return pd.DataFrame(
             {
@@ -153,21 +155,28 @@ def lloyd_kmeans(
         def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             c = bc.value
             pid = TaskContext.get().partitionId()
+            # accumulate across ALL Arrow batches of the partition and emit
+            # exactly one row per (partition, cluster): part_id is then a
+            # UNIQUE fold key in combine_partials, so the combine order —
+            # hence the centroid bits — is run-invariant even when a
+            # partition spans many batches
+            sums = np.zeros_like(c)
+            cnt = np.zeros(len(c), dtype=np.int64)
             for b in it:
                 x = np.array(b[vec_col].tolist(), dtype=np.float64)
                 if len(x) == 0:
                     continue
                 ids, _ = assign_batch(x, c)
-                sums = np.zeros_like(c)
                 np.add.at(sums, ids, x)
-                cnt = np.bincount(ids, minlength=len(c))
-                nz = np.flatnonzero(cnt)
+                cnt += np.bincount(ids, minlength=len(c))
+            nz = np.flatnonzero(cnt)
+            if nz.size:
                 yield pd.DataFrame(
                     {
                         "cluster": nz.astype(np.int32),
                         "part_id": np.full(nz.size, pid, dtype=np.int32),
                         "vec_sum": list(sums[nz]),
-                        "cnt": cnt[nz].astype(np.int64),
+                        "cnt": cnt[nz],
                     }
                 )
 

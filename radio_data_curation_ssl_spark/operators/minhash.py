@@ -46,6 +46,22 @@ _A, _B = X.mh_params(N_PERMS)
 _M31 = np.int64(X.MERSENNE31)
 
 
+def minhash_sigs_batch(lists, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n,) ragged NON-EMPTY int31 shingle-hash lists -> (len(a), n)
+    minhash signature matrix for arbitrary (a, b) perm params — the exact
+    integer math of the SQL fold ``min((a*x + b) % M31)``.  Perms are
+    processed in blocks of <= 8 so the temp matrix stays O(8 x S)."""
+    n = len(lists)
+    lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=n)
+    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in lists])
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    out = np.empty((len(a), n), dtype=np.int64)
+    for lo in range(0, len(a), 8):
+        vals = (a[lo : lo + 8, None] * flat[None, :] + b[lo : lo + 8, None]) % _M31
+        out[lo : lo + 8] = np.minimum.reduceat(vals, starts, axis=1)
+    return out
+
+
 def band_keys_batch(lists) -> list[list[int]]:
     """(n,) ragged NON-EMPTY int31 shingle-hash lists -> per-row N_BANDS
     band keys.
@@ -53,16 +69,10 @@ def band_keys_batch(lists) -> list[list[int]]:
     One concatenated stream + ``minimum.reduceat`` per perm block: memory
     traffic O(total shingles x N_PERMS), zero per-row Python loops."""
     n = len(lists)
-    lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=n)
-    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in lists])
-    # (N_PERMS, S) universal hashes; a, h < 2^31 so a*h+b < 2^62 fits int64
-    vals = (_A[:, None] * flat[None, :] + _B[:, None]) % _M31
-    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    sigs = np.minimum.reduceat(vals, starts, axis=1)  # (N_PERMS, n)
-    keys = sigs.reshape(N_BANDS, BAND_R, n)
-    packed = keys[:, 0, :]
+    sigs = minhash_sigs_batch(lists, _A, _B).reshape(N_BANDS, BAND_R, n)
+    packed = sigs[:, 0, :]
     for j in range(1, BAND_R):
-        packed = packed * np.int64(31) + keys[:, j, :]  # < 2^46, no overflow
+        packed = packed * np.int64(31) + sigs[:, j, :]  # < 2^46, no overflow
     return [packed[:, i].tolist() for i in range(n)]
 
 

@@ -2,40 +2,62 @@
 ``row_number() OVER (ORDER BY ...)``.
 
 A global window funnels every row through ONE partition (correct at sf0.1,
-a scale-killer at 10^12 rows).  This operator renumbers in two phases, the
-classic zipWithIndex shape, keyed by SORT ORDER (never arrival position —
-SURVEY §1.3; the reference's merge-stage renumbering is
+a scale-killer at 10^12 rows).  This operator renumbers in three
+deterministic phases, keyed by SORT ORDER (never arrival position — SURVEY
+§1.3; the reference's merge-stage renumbering is
 /root/reference/src/2_merge.py:70-89):
 
-1. range-partition + sort within partitions on the sort key (one shuffle,
-   all partitions in parallel);
-2. count rows per partition (a |partitions|-row aggregate to the driver),
-   prefix-sum the counts into per-partition offsets, broadcast them, and
-   stamp ``offset + local position`` in a single order-preserving
-   ``mapInPandas`` pass.
+1. **Boundary sample (driver)**: a deterministic hash-filtered sample of
+   the sort keys (pure function of the data — NOT ``repartitionByRange``,
+   whose reservoir sampling is seeded by the runtime RDD id and therefore
+   draws DIFFERENT boundaries for each job over the same plan) is
+   collected and cut into ``num_buckets - 1`` quantile boundaries.
+2. **Count per bucket**: every row's bucket is a pure function of its key
+   (first boundary >= key); one small ``groupBy(bucket).count()`` gives
+   exact per-bucket offsets via prefix sum.
+3. **Stamp**: hash-repartition on the bucket id (pure function again),
+   sort within partitions by (bucket, key), and write
+   ``offset + running position`` in one order-preserving ``mapInPandas``.
 
-The intermediate is persisted so phases 2 and 3 see the identical
-partition layout.  Equal sort keys land in the same range partition, so
-numbering among duplicates is arbitrary-but-stable — same contract as
-``row_number`` with an under-specified ORDER BY.
+Because every phase's placement is a pure function of the key, the two
+jobs cannot disagree — no persist of a table-sized intermediate is needed
+(a persisted copy per call would leak block-manager space for the
+application lifetime).  Equal sort keys share a bucket, so numbering among
+duplicates is arbitrary-but-stable — same contract as ``row_number`` with
+an under-specified ORDER BY.  NULL sort keys are not supported (their
+global position is engine-specific anyway).
+
+Scale: the sample is ~``sample_per_bucket * num_buckets`` keys on the
+driver; both cluster passes are narrow scans + one hash shuffle each, all
+partitions in parallel.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
-from pyspark import StorageLevel, TaskContext
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _bucket_col(sort_cols: list[str], boundaries: list[tuple]) -> Column:
+    """bucket = index of first boundary >= key (lexicographic struct
+    compare), len(boundaries) if none — a pure function of the key."""
+    key = F.struct(*[F.col(c) for c in sort_cols])
+    expr = F.lit(len(boundaries))
+    for i in range(len(boundaries) - 1, -1, -1):
+        b = F.struct(*[F.lit(v) for v in boundaries[i]])
+        expr = F.when(key <= b, F.lit(i)).otherwise(expr)
+    return expr.cast("int")
 
 
 def reindex_by_sort(
     df: DataFrame,
     sort_cols: list[str],
     out_col: str = "new_id",
-    num_partitions: int | None = None,
+    num_buckets: int | None = None,
+    sample_per_bucket: int = 64,
 ) -> DataFrame:
     """Append a dense 1-based ``out_col`` following ORDER BY ``sort_cols``.
 
@@ -44,40 +66,73 @@ def reindex_by_sort(
     """
     spark = df.sparkSession
     n = int(
-        num_partitions
-        if num_partitions is not None
+        num_buckets
+        if num_buckets is not None
         else spark.conf.get("spark.sql.shuffle.partitions")
     )
-    part = (
-        df.repartitionByRange(n, *sort_cols)
-        .sortWithinPartitions(*sort_cols)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # 1. deterministic sample: keep keys whose hash lands in a fixed
+    # residue class, thin driver-side to the quantile boundaries
+    mod = max(n * sample_per_bucket, 1)
+    sample = [
+        tuple(r)
+        for r in df.select(*sort_cols)
+        .where(F.pmod(F.xxhash64(*[F.col(c) for c in sort_cols]), F.lit(997)) < 64)
+        .limit(mod)
+        .collect()
+    ]
+    sample.sort()
+    if len(sample) >= n > 1:
+        step = len(sample) / n
+        boundaries = [sample[int(step * (i + 1)) - 1] for i in range(n - 1)]
+        # dedupe (heavy key repetition can yield equal quantiles)
+        boundaries = sorted(set(boundaries))
+    else:
+        boundaries = []
+    bucket = _bucket_col(sort_cols, boundaries)
+
+    # 2. exact per-bucket counts -> 1-based offsets (tiny collect)
     counts = {
-        r["pid"]: r["n"]
-        for r in part.withColumn("pid", F.spark_partition_id())
-        .groupBy("pid")
+        r["b"]: r["n"]
+        for r in df.select(bucket.alias("b"))
+        .groupBy("b")
         .agg(F.count("*").alias("n"))
         .collect()
     }
     offsets: dict[int, int] = {}
-    acc = 0
-    for pid in range(n):
-        offsets[pid] = acc
-        acc += counts.get(pid, 0)
+    acc = 1
+    for b in range(len(boundaries) + 1):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
     bc = spark.sparkContext.broadcast(offsets)
+
+    # 3. hash-repartition on the bucket (pure function of the key), sort
+    # within partitions, stamp running positions
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.LongType(), False)]
     )
 
     def stamp(it):
-        off = bc.value.get(TaskContext.get().partitionId(), 0)
+        pos = dict(bc.value)
         for b in it:
-            out = b.copy()
-            out[out_col] = np.arange(off + 1, off + 1 + len(b), dtype=np.int64)
-            off += len(b)
-            yield out
+            bk = b["_bucket"].to_numpy()
+            out = np.empty(len(b), dtype=np.int64)
+            change = np.flatnonzero(np.diff(bk)) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(bk)]))
+            for s, e in zip(starts, ends):
+                k = int(bk[s])
+                st = pos[k]
+                out[s:e] = np.arange(st, st + (e - s), dtype=np.int64)
+                pos[k] = st + (e - s)
+            res = b.drop(columns=["_bucket"]).copy()
+            res[out_col] = out
+            yield res
 
+    part = (
+        df.withColumn("_bucket", bucket)
+        .repartition(n, "_bucket")
+        .sortWithinPartitions("_bucket", *sort_cols)
+    )
     return part.mapInPandas(stamp, schema)
 
 

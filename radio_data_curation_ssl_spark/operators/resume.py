@@ -43,20 +43,30 @@ def _check_meta(out_dir: str, n_buckets: int, url_col: str) -> None:
     different layout must fail fast, never silently mix bucketings."""
     p = os.path.join(out_dir, _META)
     want = {"n_buckets": n_buckets, "url_col": url_col}
-    if os.path.exists(p):
-        with open(p) as f:
-            have = json.load(f)
-        if have != want:
-            raise ValueError(
-                f"resume layout mismatch under {out_dir}: committed markers "
-                f"were written with {have}, this run asked for {want}; use a "
-                "fresh out_dir (or the original layout) instead"
-            )
-        return
-    tmp = p + ".tmp"
+    # write-complete-then-link: os.link is atomic AND exclusive, so exactly
+    # one concurrent first run publishes its (fully written) layout; every
+    # other run falls through to read-and-compare — no window where a
+    # reader can observe a half-written meta
+    tmp = os.path.join(out_dir, f".{_META}.{os.getpid()}.tmp")
     with open(tmp, "w") as f:
         json.dump(want, f)
-    os.replace(tmp, p)  # atomic on POSIX
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, p)
+        return
+    except FileExistsError:
+        pass
+    finally:
+        os.unlink(tmp)
+    with open(p) as f:
+        have = json.load(f)
+    if have != want:
+        raise ValueError(
+            f"resume layout mismatch under {out_dir}: committed markers "
+            f"were written with {have}, this run asked for {want}; use a "
+            "fresh out_dir (or the original layout) instead"
+        )
 
 
 def committed_buckets(out_dir: str) -> set[int]:

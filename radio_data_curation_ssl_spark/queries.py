@@ -382,16 +382,28 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# production-calibrated minhash: 64 perms, 16 bands x 4 rows (S-curve 50%
-# at J~0.5), candidates VERIFIED by exact Jaccard
-_MHC_A, _MHC_B = X.mh_params(64)
+# production-calibrated minhash (S-curve 50% at J~0.5), candidates
+# VERIFIED by exact Jaccard.  The oracle derives EVERY constant — perm
+# params, band count, packing — from operators.minhash itself, so a
+# recalibration there cannot silently drift away from this twin.
+from .operators.minhash import _A as _MHC_A  # noqa: E402
+from .operators.minhash import _B as _MHC_B  # noqa: E402
+from .operators.minhash import BAND_R as _MHC_R  # noqa: E402
+from .operators.minhash import N_BANDS as _MHC_NB  # noqa: E402
+
 _MHC = [
     X.minhash_ab(int(a), int(b)).duck for a, b in zip(_MHC_A, _MHC_B)
 ]
-_MHC_BAND_DUCK = [
-    f"((({f'm{4 * i}'} * 31 + m{4 * i + 1}) * 31 + m{4 * i + 2}) * 31 + m{4 * i + 3})"
-    for i in range(16)
-]
+
+
+def _mhc_band_duck(i: int) -> str:
+    key = f"m{i * _MHC_R}"
+    for j in range(1, _MHC_R):
+        key = f"({key} * 31 + m{i * _MHC_R + j})"
+    return key
+
+
+_MHC_BAND_DUCK = [_mhc_band_duck(i) for i in range(_MHC_NB)]
 _J_INTER = "len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))"
 
 
@@ -473,24 +485,63 @@ def _jaccard_band_candidates(dw: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     Candidates = docs sharing (lang, source) AND at least one minhash band
     — the sub-blocking that caps a hot (lang, source) block: pair count is
-    bounded by LSH bucket sizes, never the block's n^2."""
+    bounded by LSH bucket sizes, never the block's n^2.
+
+    Banding runs in ONE mapInPandas pass over the SQL-computed shingle
+    hashes (exact integer twin of the _MH fold the oracle uses); docs with
+    zero trigrams emit no band rows — no standalone ``where`` on a
+    computed array column, which Catalyst would inline and re-evaluate
+    inside the predicate (the measured 10x of operators/minhash.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from .operators.minhash import minhash_sigs_batch
+
     hs = (
         dw.withColumn("trigrams", F.expr(_TG.spark))
-        .where("size(trigrams) > 0")
         .withColumn("sh_hashes", F.expr(_SHH.spark))
+        .select("doc_id", "lang", "source", "sh_hashes", "trigrams")
     )
-    sig = hs.selectExpr(
-        "doc_id",
-        "lang",
-        "source",
-        *[f"{m.spark} AS {c}" for m, c in zip(_MH, _MH_COLS)],
+    a_par = np.array(X._MH_A, dtype=np.int64)
+    b_par = np.array(X._MH_B, dtype=np.int64)
+    pairs = _BANDS  # [(0,1), (2,3), ...]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("band_key", T.LongType()),
+        ]
     )
-    bands = sig.selectExpr(
-        "doc_id",
-        "lang",
-        "source",
-        f"posexplode(array({', '.join(_BAND_KEYS)})) AS (band, band_key)",
-    )
+
+    def explode_bands(it):
+        nb = len(pairs)
+        band_ids = np.arange(nb, dtype=np.int32)
+        for b in it:
+            lists = b["sh_hashes"].tolist()
+            keep = [i for i, x in enumerate(lists) if len(x) > 0]
+            if not keep:
+                continue
+            sigs = minhash_sigs_batch([lists[i] for i in keep], a_par, b_par)
+            # toy packing: key_i = mh_a * 31 + mh_b + i  (matches _BAND_KEYS)
+            keys = np.stack(
+                [sigs[p] * np.int64(31) + sigs[q] + i for i, (p, q) in enumerate(pairs)]
+            )  # (nb, m)
+            m = len(keep)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(b["doc_id"].to_numpy()[keep], nb),
+                    "lang": b["lang"].to_numpy()[keep].repeat(nb),
+                    "source": b["source"].to_numpy()[keep].repeat(nb),
+                    "band": np.tile(band_ids, m),
+                    "band_key": keys.T.ravel(),
+                }
+            )
+
+    bands = hs.drop("trigrams").mapInPandas(explode_bands, schema)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -173,37 +173,51 @@ def test_calibrated_minhash_recall_and_precision(spark):
 
 def test_calibrated_minhash_signature_kernel_matches_sql_fold(spark):
     """The numpy reduceat kernel must produce bit-identical band keys to
-    the SQL fold definition (the oracle's dialect)."""
+    the SQL fold definition (the oracle's dialect): signatures here are
+    computed by the ACTUAL minhash_ab fold expressions in Spark SQL, NOT
+    by the kernel under test."""
     from radio_data_curation_ssl_spark.operators.minhash import (
+        _A,
+        _B,
+        BAND_R,
         N_BANDS,
-        band_keys_batch,
+        N_PERMS,
         signature_bands,
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
-    got = (
-        signature_bands(docs)
+    got = {
+        r["doc_id"]: r["k"]
+        for r in signature_bands(docs)
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("band", "band_key"))).alias("k"))
         .collect()
-    )
-    assert all(len(r["k"]) == N_BANDS for r in got)
-    # twin: compute sh_hashes via the same SQL fragment, band in pure numpy
-    shh = X.shingle_hashes("trigrams")
-    hashed = {
-        r["doc_id"]: r["sh"]
-        for r in docs.selectExpr(
-            "doc_id", f"{X.words('text').spark} AS words"
-        )
-        .selectExpr("doc_id", f"{X.trigrams('words').spark} AS trigrams")
-        .selectExpr("doc_id", f"{shh.spark} AS sh_hashes")
-        .where("size(sh_hashes) > 0")
-        .selectExpr("doc_id", "sh_hashes AS sh")
-        .collect()
     }
-    for r in got:
-        keys = band_keys_batch([hashed[r["doc_id"]]])[0]
-        assert [kk["band_key"] for kk in r["k"]] == keys
+    assert all(len(k) == N_BANDS for k in got.values())
+    # independent twin: 64 SQL min-folds (minhash_ab — what the DuckDB
+    # oracle runs, dialect-paired), packed into band keys in plain python
+    folds = [
+        f"{X.minhash_ab(int(a), int(b)).spark} AS m{p}"
+        for p, (a, b) in enumerate(zip(_A, _B))
+    ]
+    sql_sigs = (
+        docs.selectExpr("doc_id", f"{X.words('text').spark} AS words")
+        .selectExpr("doc_id", f"{X.trigrams('words').spark} AS trigrams")
+        .selectExpr("doc_id", f"{X.shingle_hashes('trigrams').spark} AS sh_hashes")
+        .where("size(sh_hashes) > 0")  # fine in a test: correctness only
+        .selectExpr("doc_id", *folds)
+        .collect()
+    )
+    assert len(sql_sigs) == len(got)
+    for r in sql_sigs:
+        expect = []
+        for i in range(N_BANDS):
+            key = r[f"m{i * BAND_R}"]
+            for j in range(1, BAND_R):
+                key = key * 31 + r[f"m{i * BAND_R + j}"]
+            expect.append(key)
+        assert [kk["band_key"] for kk in got[r["doc_id"]]] == expect
+    assert N_PERMS == N_BANDS * BAND_R
 
 
 def test_jaccard_hot_block_is_not_quadratic(spark):

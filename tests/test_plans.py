@@ -115,7 +115,7 @@ def test_union_reindex_no_single_partition_exchange(spark):
     df = REGISTRY["union_reindex"].spark(spark, SF)
     p = plan(df)
     assert "Exchange SinglePartition" not in p
-    assert "rangepartitioning" in p.lower()
+    assert "hashpartitioning(_bucket" in p
     # output identical to the global-window definition
     got = sorted(map(tuple, df.collect()))
     c = spark.read.parquet(f"{SF}/customer.parquet").selectExpr(

@@ -1160,6 +1160,34 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "groupby_percentiles",
+    """
+SELECT l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Exact interpolated percentiles per group (reference: np.percentile "
+    "in the feature-distribution analysis, "
+    "/root/reference/scripts/features_analysis.py:27-37). Spark `percentile` "
+    "and DuckDB `quantile_cont` share the linear-interpolation definition. "
+    "Scale note: exact percentile shuffles group values; at 10^12 rows swap "
+    "in percentile_approx (t-digest) — same plan shape, bounded memory.",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+@register(
     "histogram",
     """
 SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,

@@ -12,6 +12,6 @@ kernels and column-expression heuristics are streaming-compatible
 unchanged — one plan definition, two execution modes.
 """
 
-from .incremental import stream_curate, stream_sessionize
+from .incremental import stream_curate, stream_dedup_exact, stream_sessionize
 
-__all__ = ["stream_curate", "stream_sessionize"]
+__all__ = ["stream_curate", "stream_dedup_exact", "stream_sessionize"]

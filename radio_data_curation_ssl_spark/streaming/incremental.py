@@ -48,6 +48,80 @@ def stream_curate(
     return writer.start()
 
 
+DEDUP_OUT_SCHEMA = "url string, text_hash string, batch_dups bigint"
+DEDUP_STATE_SCHEMA = "seen bigint"
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Cross-micro-batch EXACT dedup as a custom stateful operator
+    (``applyInPandasWithState``): the first page per text hash (min url on
+    ties — keyed, never arrival order) is emitted once, ever; every later
+    occurrence in ANY micro-batch or restart is suppressed by the
+    checkpointed per-key state.
+
+    This is the streaming generalization of the batch ``dedup_exact``
+    query: the state store replaces the hash-groupBy shuffle, so a
+    continuous crawl ingest dedups against everything it has EVER seen,
+    not just the current batch.  Scale: state is one small row per
+    distinct hash, partitioned by the shuffle; at 10^12 docs use RocksDB
+    state store + watermark-scoped TTL for bounded state.
+
+    Returns the started StreamingQuery.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    hashed = pages.select("url", F.md5("text").alias("text_hash"))
+
+    def dedup(key, pdfs, state):
+        import pandas as pd
+
+        seen = state.get[0] if state.exists else 0
+        best_url = None
+        n_batch = 0
+        for pdf in pdfs:
+            n_batch += len(pdf)
+            if len(pdf) and seen == 0:
+                cand = pdf["url"].min()
+                best_url = cand if best_url is None else min(best_url, cand)
+        if seen == 0 and best_url is not None:
+            yield pd.DataFrame(
+                {
+                    "url": [best_url],
+                    "text_hash": [key[0]],
+                    "batch_dups": [n_batch - 1],
+                }
+            )
+        state.update((seen + n_batch,))
+
+    out = hashed.groupBy("text_hash").applyInPandasWithState(
+        dedup,
+        DEDUP_OUT_SCHEMA,
+        DEDUP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_sessionize(
     spark: SparkSession,
     input_dir: str,

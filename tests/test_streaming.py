@@ -57,3 +57,52 @@ def test_stream_sessionize(spark, tmp_path):
     assert len(got) > 0
     total = sum(r["n_events"] for r in got)
     assert total == 1000  # every event lands in exactly one session
+
+
+def test_stream_dedup_exact_cross_batch_state(spark, tmp_path):
+    """A duplicate arriving in a LATER micro-batch (or after a restart)
+    must be suppressed by the checkpointed per-hash state — proof the
+    custom applyInPandasWithState operator dedups against everything ever
+    seen, not just the current batch."""
+    import pandas as pd
+
+    from radio_data_curation_ssl_spark.streaming import stream_dedup_exact
+
+    indir = str(tmp_path / "din")
+    outdir = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dck")
+
+    def pages(rows):
+        return pd.DataFrame(
+            rows, columns=["url", "text"]
+        ).assign(
+            warc_ts=pd.Timestamp("2020-01-01"),
+            html=b"<main><p>x</p></main>",
+            lang="en",
+        )[["url", "warc_ts", "html", "text", "lang"]]
+
+    # batch 1: A, A-dup (same text, later url), B
+    _write_pages(
+        spark,
+        pages([("u/a1", "text alpha"), ("u/a2", "text alpha"), ("u/b1", "text beta")]),
+        indir,
+    )
+    q = stream_dedup_exact(spark, indir, outdir, ckpt)
+    q.awaitTermination(120)
+    out1 = {r["text_hash"]: r for r in spark.read.parquet(outdir).collect()}
+    assert len(out1) == 2
+    a_hash = [h for h, r in out1.items() if r["url"] == "u/a1"]
+    assert a_hash and out1[a_hash[0]]["batch_dups"] == 1  # a2 counted, dropped
+
+    # batch 2 (restart): another copy of alpha + new gamma
+    _write_pages(
+        spark,
+        pages([("u/a3", "text alpha"), ("u/c1", "text gamma")]),
+        indir,
+    )
+    q2 = stream_dedup_exact(spark, indir, outdir, ckpt)
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(outdir).collect()
+    assert len(out2) == 3  # alpha emitted ONCE ever; beta; gamma
+    urls = sorted(r["url"] for r in out2)
+    assert urls == ["u/a1", "u/b1", "u/c1"]

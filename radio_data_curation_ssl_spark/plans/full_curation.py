@@ -1,0 +1,83 @@
+"""The complete training-data curation flow as ONE composed plan:
+
+    pages -> quality filter (curate) -> exact dedup -> near-dup removal
+          -> balanced (water-filled) sample -> published snapshot
+
+This is the engine's analog of the reference's full run — cutouts ->
+features -> clustering -> hierarchical subsampling
+(/root/reference/src/1a_cutouts_sw.py -> 3b_feature_extraction_from_path.py
+-> clustering/run_distributed_kmeans.py -> 5_subsampling.py) — with web
+strata (lang) standing in for cluster ids, exactly as SURVEY §7 Phase 5
+maps them.
+
+Shuffle budget at 10^12 docs (each stage documented where defined):
+1. curate: ZERO shuffles (scan -> one Arrow pass);
+2. exact dedup: one shuffle on the text hash (window, first-by-key);
+3. near-dup removal: one AQE-reused shuffle on (band, band_key) + one
+   rerank hash-join, pairs -> drop the larger doc_id of each verified pair
+   (keep-first policy, deterministic);
+4. balanced sample: |strata|-row aggregate to the driver for the
+   water-fill cut + one shuffle on the stratum key;
+5. publish: atomic snapshot version + tag (plans/snapshots.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.minhash import minhash_neardup_pairs
+from ..operators.sampling import stratified_sample
+from .pipeline import curate
+
+
+def curate_dedup_sample(
+    pages: DataFrame,
+    target: int,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """pages -> deduplicated, balanced, scrubbed training sample.
+
+    Deterministic given (pages, target): every tie-break is keyed (url /
+    doc hash), never partition order.
+    """
+    kept = (
+        curate(pages)
+        .where("keep")
+        .select("url", "warc_ts", "text", "text_scrubbed", "lang_pred")
+    )
+    # exact dedup: first url per text hash survives
+    w = Window.partitionBy(F.md5("text")).orderBy("url")
+    uniq = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .drop("_rn")
+    )
+    # near-dup removal: verified pairs (exact Jaccard >= threshold among
+    # LSH candidates); keep-first policy drops the larger doc hash of each
+    # pair (the band machinery keys docs by a LONG id, so urls ride as
+    # xxhash64 surrogates — 64-bit, collision-negligible, deterministic)
+    docs = uniq.select(F.xxhash64("url").alias("doc_id"), "text")
+    losers = (
+        minhash_neardup_pairs(docs, threshold=jaccard_threshold)
+        .select(F.col("doc_b").alias("_h"))
+        .distinct()
+    )
+    neat = uniq.withColumn("_h", F.xxhash64("url")).join(
+        losers, "_h", "left_anti"
+    ).drop("_h")
+    # balanced sample across predicted languages (water-fill quota);
+    # clamp target to the surviving population
+    n = neat.count()
+    out = stratified_sample(
+        neat, "lang_pred", "url", min(target, n), exact=True
+    )
+    return out.select("url", "warc_ts", "text_scrubbed", "lang_pred")
+
+
+def publish_sample(sample: DataFrame, root: str, tag: str = "current") -> int:
+    """Atomic snapshot publish of the final sample (time-travelable)."""
+    from . import snapshots
+
+    return snapshots.publish(sample, root, tag=tag)

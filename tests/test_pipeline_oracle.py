@@ -200,3 +200,32 @@ def test_malformed_html_robustness(spark):
     assert got["u6"]["text"] == "" and not got["u6"]["keep"]
     assert got["u7"]["drop_reason"] == "no_content"
     assert got["u7"]["n_bytes_html"] is None  # nullable length, no crash
+
+
+def test_full_curation_flow(spark, tmp_path, pages_small):
+    """curate -> exact dedup -> near-dup removal -> balanced sample ->
+    publish: the composed end-to-end flow is deterministic, duplicate-free
+    and balanced."""
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+        publish_sample,
+    )
+    from radio_data_curation_ssl_spark.plans import snapshots
+
+    out = curate_dedup_sample(pages_small, target=120).cache()
+    rows = out.collect()
+    assert len(rows) == 120
+    # no scrubbed-text exact duplicates survive
+    texts = [r["text_scrubbed"] for r in rows]
+    assert len(set(texts)) == len(texts)
+    # balanced across langs: water-fill means no lang exceeds the cut by
+    # construction; all kept langs present
+    by_lang = out.groupBy("lang_pred").count().collect()
+    assert sum(r["count"] for r in by_lang) == 120
+    # deterministic
+    again = sorted(r["url"] for r in curate_dedup_sample(pages_small, target=120).collect())
+    assert again == sorted(r["url"] for r in rows)
+    # publish + time-travel read-back
+    root = str(tmp_path / "published")
+    v = publish_sample(out, root)
+    assert snapshots.read(spark, root, version=v).count() == 120

@@ -134,3 +134,20 @@ def test_union_reindex_no_single_partition_exchange(spark):
         )
     )
     assert got == want
+
+
+def test_kmeans_assign_is_map_only(spark):
+    """Literal-centroid assign must be a pure projection: zero Exchanges —
+    centroids live in the plan, points never shuffle."""
+    import re
+
+    p = plan(REGISTRY["kmeans_assign"].spark(spark, SF))
+    assert not re.search(r"\bExchange\b", p)
+
+
+def test_ann_lsh_topk_broadcasts_queries(spark):
+    """The amplified-LSH ANN query must broadcast the (tiny) query-side
+    buckets/embeddings — the corpus never funnels into one partition."""
+    p = plan(REGISTRY["ann_lsh_topk"].spark(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "Exchange SinglePartition" not in p

@@ -35,6 +35,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--buckets-per-commit", type=int, default=8)
     ap.add_argument("--master", default=None, help="override master (default: spark-submit's)")
+    ap.add_argument(
+        "--sample-target",
+        type=int,
+        default=None,
+        help="run the FULL flow (quality filter -> exact dedup -> near-dup "
+        "removal -> water-filled balanced sample of this size) and publish "
+        "it as a snapshot under <output>/sample instead of the plain "
+        "bucket-committed keep-set",
+    )
     args = ap.parse_args(argv)
 
     from radio_data_curation_ssl_spark.operators.resume import write_resumable
@@ -57,15 +66,34 @@ def main(argv: list[str] | None = None) -> int:
         else:
             ap.error("one of --input / --synth required")
         result = curate(pages)
-        written = write_resumable(
-            result.where("keep"),
-            args.output,
-            n_buckets=args.buckets,
-            buckets_per_commit=args.buckets_per_commit,
-        )
+        extra: dict = {}
+        if args.sample_target:
+            from radio_data_curation_ssl_spark.plans.full_curation import (
+                curate_dedup_sample,
+                publish_sample,
+            )
+
+            sample = curate_dedup_sample(pages, args.sample_target)
+            version = publish_sample(sample, f"{args.output}/sample")
+            extra = {
+                "sample_rows": sample.count(),
+                "sample_snapshot_version": version,
+            }
+            written = []
+        else:
+            written = write_resumable(
+                result.where("keep"),
+                args.output,
+                n_buckets=args.buckets,
+                buckets_per_commit=args.buckets_per_commit,
+            )
         metrics = log.log_metrics(run_id, "curate", result)
         log.finish(run_id, "curate", config, status="done")
-        print(json.dumps({"run_id": run_id, "buckets_written": len(written), **metrics}))
+        print(
+            json.dumps(
+                {"run_id": run_id, "buckets_written": len(written), **metrics, **extra}
+            )
+        )
         return 0
     except Exception:
         log.finish(run_id, "curate", config, status="failed")

@@ -151,3 +151,29 @@ def test_ann_lsh_topk_broadcasts_queries(spark):
     p = plan(REGISTRY["ann_lsh_topk"].spark(spark, SF))
     assert "BroadcastHashJoin" in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_reindex_heavy_duplicates_and_skew(spark):
+    """reindex_by_sort must stay dense and order-correct when the sort key
+    is heavily duplicated (quantile boundaries collapse) and skewed."""
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.operators.reindex import reindex_by_sort
+
+    # 3 distinct keys with 90/9/1 skew + a unique tail
+    rows = (
+        [("aaa", i) for i in range(900)]
+        + [("bbb", i) for i in range(90)]
+        + [("ccc", i) for i in range(10)]
+        + [(f"z{i:03d}", i) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = reindex_by_sort(df, ["k"], num_buckets=8).collect()
+    ids = sorted(r["new_id"] for r in out)
+    assert ids == list(range(1, len(rows) + 1))  # dense, 1-based, no gaps
+    # order-correct: every aaa id < every bbb id < ccc < z*
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"][:1], []).append(r["new_id"])
+    assert max(by_key["a"]) < min(by_key["b"]) < max(by_key["b"]) < min(by_key["c"])
+    assert max(by_key["c"]) < min(by_key["z"])

@@ -145,3 +145,38 @@ def test_scrub_handles_pii_shapes(texts):
     for i, t in enumerate(texts):
         expect_text, expect_n = scrub_text(t)
         assert out.iloc[i] == expect_text and n.iloc[i] == expect_n, (i, t)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**31 - 1), min_size=1, max_size=40),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_minhash_kernel_matches_scalar_fold(hash_lists):
+    """The blocked reduceat signature kernel == the scalar fold
+    min((a*h + b) % M31) for arbitrary shingle-hash lists."""
+    from radio_data_curation_ssl_spark.functions.text import MERSENNE31
+    from radio_data_curation_ssl_spark.operators.minhash import (
+        _A,
+        _B,
+        BAND_R,
+        N_BANDS,
+        band_keys_batch,
+        minhash_sigs_batch,
+    )
+
+    sigs = minhash_sigs_batch(hash_lists, _A, _B)
+    for p in range(len(_A)):
+        for i, lst in enumerate(hash_lists):
+            expect = min((int(_A[p]) * h + int(_B[p])) % MERSENNE31 for h in lst)
+            assert sigs[p, i] == expect, (p, i)
+    keys = band_keys_batch(hash_lists)
+    for i in range(len(hash_lists)):
+        for b in range(N_BANDS):
+            k = int(sigs[b * BAND_R, i])
+            for j in range(1, BAND_R):
+                k = k * 31 + int(sigs[b * BAND_R + j, i])
+            assert keys[i][b] == k

@@ -1547,6 +1547,91 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "host_counts_salted",
+    """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+""",
+    doc="Per-source counts via SALTED two-phase aggregation (north_rule "
+    "O8: skewed hosts): group by (source, salt) first — a hot source's "
+    "rows spread over 8 reducers — then re-aggregate by source. The "
+    "oracle is the plain GROUP BY, proving the salt is value-neutral. "
+    "Scale: the first shuffle has no key hotter than 1/8 of the hot key; "
+    "the second shuffles |sources| x 8 tiny partial rows.",
+)
+def q_host_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").selectExpr(
+        "source", "pmod(xxhash64(doc_id), 8) AS _salt"
+    )
+    partial = docs.groupBy("source", "_salt").agg(F.count("*").alias("n"))
+    return (
+        partial.groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_docs"))
+    )
+
+
+@register(
+    "map_explode_params",
+    """
+WITH kv AS (
+  SELECT n_nationkey,
+    'name=' || lower(n_name) || ';key=' || CAST(n_nationkey AS VARCHAR) AS params
+  FROM nation),
+pairs AS (
+  SELECT n_nationkey, unnest(str_split(params, ';')) AS kvp FROM kv)
+SELECT n_nationkey,
+  str_split(kvp, '=')[1] AS k,
+  str_split(kvp, '=')[2] AS v
+FROM pairs
+""",
+    doc="Map iteration as rows (SURVEY §2.8 map iteration / dict access — "
+    "/root/reference/src/2_merge.py:76-82): str_to_map -> explode to "
+    "(key, value) rows in Spark; the oracle unnests the split pairs. "
+    "Scale: narrow explode, no shuffle.",
+)
+def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "nation")
+        .selectExpr(
+            "n_nationkey",
+            "concat('name=', lower(n_name), ';key=', CAST(n_nationkey AS STRING)) AS params",
+        )
+        .selectExpr("n_nationkey", "explode(str_to_map(params, ';', '=')) AS (k, v)")
+    )
+
+
+@register(
+    "timestamp_functions",
+    """
+SELECT event_id,
+  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+  CAST(year(ts) AS BIGINT) AS y,
+  CAST(month(ts) AS BIGINT) AS m,
+  CAST(dayofweek(ts) AS BIGINT) AS dow,
+  strftime(ts, '%Y-%m-%d') AS iso_day
+FROM events WHERE event_id < 200
+""",
+    doc="Timestamp scalar surface (SURVEY §2.8 ISO timestamp stamping — "
+    "/root/reference/src/1a_cutouts_sw.py:22): truncation, field "
+    "extraction, ISO formatting. DuckDB dayofweek is 0-based Sunday, Spark "
+    "1-based — aligned via +1. Scale: map-only.",
+)
+def q_timestamp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .where("event_id < 200")
+        .selectExpr(
+            "event_id",
+            "date_trunc('day', ts) AS day_start",
+            "CAST(year(ts) AS BIGINT) AS y",
+            "CAST(month(ts) AS BIGINT) AS m",
+            "CAST(dayofweek(ts) - 1 AS BIGINT) AS dow",
+            "date_format(ts, 'yyyy-MM-dd') AS iso_day",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # 5. balanced sampling / UDTF chunking / multimodal plumbing
 

@@ -805,6 +805,55 @@ def _lsh_table_bucket(table: int) -> X.P:
 _ANN_BUCKETS = [_lsh_table_bucket(t) for t in range(_ANN_L)]
 
 
+def _ann_bucket_rows(e: DataFrame) -> DataFrame:
+    """(vec_id, tbl, bucket) for every table — ONE numpy pass.
+
+    Bit-exact twin of the SQL bucket expressions (the oracle's dialect):
+    the plane dot is a sequential left fold (``np.add.accumulate`` is the
+    sequential prefix sum, same rounding order as Spark/DuckDB
+    ``aggregate``), and the sign test replicates both engines' "NaN >= 0
+    is true" comparison semantics.  120 interpreted SQL folds per row cost
+    ~5s at sf0.1; this kernel does the same work in ~0.3s."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    planes = np.array(
+        [_lsh_table_planes(t) for t in range(_ANN_L)], dtype=np.float64
+    )  # (L, R, dim)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+
+    def run(it):
+        tbl_ids = np.arange(_ANN_L, dtype=np.int32)
+        for b in it:
+            x = np.array(b["embedding"].tolist(), dtype=np.float64)
+            if len(x) == 0:
+                continue
+            m = len(x)
+            buckets = np.zeros((_ANN_L, m), dtype=np.int64)
+            for tb in range(_ANN_L):
+                for k in range(_ANN_R):
+                    acc = np.add.accumulate(x * planes[tb, k][None, :], axis=1)[:, -1]
+                    bit = (acc >= 0) | np.isnan(acc)
+                    buckets[tb] += bit.astype(np.int64) << k
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(b["vec_id"].to_numpy(), _ANN_L),
+                    "tbl": np.tile(tbl_ids, m),
+                    "bucket": buckets.T.ravel(),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(run, schema)
+
+
 @register(
     "ann_lsh_topk",
     f"""
@@ -837,15 +886,11 @@ FROM ranked WHERE rn <= 5
     "reference: /root/reference/scripts/knn_CUML.py:22-27,96-120). Scale: "
     "query buckets broadcast (|Q| x L rows) — the corpus never shuffles "
     "until the candidate set, which LSH has already pruned.",
+    bench=True,
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    buckets = e.selectExpr(
-        "vec_id",
-        "embedding",
-        f"posexplode(array({', '.join(b.spark for b in _ANN_BUCKETS)}))"
-        " AS (tbl, bucket)",
-    )
+    buckets = _ann_bucket_rows(e)
     qb = (
         buckets.where("vec_id < 10")
         .selectExpr("vec_id AS query_id", "tbl", "bucket")

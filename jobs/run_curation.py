@@ -35,14 +35,21 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--buckets-per-commit", type=int, default=8)
     ap.add_argument("--master", default=None, help="override master (default: spark-submit's)")
+    def _positive(v: str) -> int:
+        n = int(v)
+        if n <= 0:
+            raise argparse.ArgumentTypeError("--sample-target must be > 0")
+        return n
+
     ap.add_argument(
         "--sample-target",
-        type=int,
+        type=_positive,
         default=None,
         help="run the FULL flow (quality filter -> exact dedup -> near-dup "
         "removal -> water-filled balanced sample of this size) and publish "
         "it as a snapshot under <output>/sample instead of the plain "
-        "bucket-committed keep-set",
+        "bucket-committed keep-set; re-running the same config is a no-op "
+        "(the snapshot is tagged by the run id)",
     )
     args = ap.parse_args(argv)
 
@@ -67,18 +74,38 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("one of --input / --synth required")
         result = curate(pages)
         extra: dict = {}
-        if args.sample_target:
+        if args.sample_target is not None:
+            from radio_data_curation_ssl_spark.plans import snapshots
             from radio_data_curation_ssl_spark.plans.full_curation import (
                 curate_dedup_sample,
                 publish_sample,
             )
 
-            sample = curate_dedup_sample(pages, args.sample_target)
-            version = publish_sample(sample, f"{args.output}/sample")
-            extra = {
-                "sample_rows": sample.count(),
-                "sample_snapshot_version": version,
-            }
+            root = f"{args.output}/sample"
+            try:
+                # idempotence: the run id is config-hash-derived, so a
+                # re-run of the same config finds its own tag and no-ops
+                # (the module contract the bucket path keeps via markers)
+                existing = snapshots.read(spark, root, tag=run_id)
+                extra = {
+                    "sample_rows": existing.count(),
+                    "sample_snapshot_version": snapshots.tag_version(root, run_id),
+                    "skipped": True,
+                }
+            except FileNotFoundError:
+                result = result.persist()  # shared by metrics AND the flow
+                sample = curate_dedup_sample(
+                    pages,
+                    args.sample_target,
+                    curated=result,
+                    work_dir=f"{args.output}/_work",
+                )
+                version = publish_sample(sample, root)
+                snapshots.rollback(root, version, tag=run_id)  # pin run tag
+                extra = {
+                    "sample_rows": snapshots.read(spark, root, version=version).count(),
+                    "sample_snapshot_version": version,
+                }
             written = []
         else:
             written = write_resumable(

@@ -158,12 +158,18 @@ def collapse_exact_dups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_neardup_pairs(
-    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    skip_exact_collapse: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) pairs with exact Jaccard >= threshold among
     LSH band-collision candidates, over exact-dup-collapsed canonical
-    docs (one representative per identical text)."""
-    docs = collapse_exact_dups(docs, text_col)
+    docs (one representative per identical text).  Callers whose input is
+    ALREADY exact-deduped pass ``skip_exact_collapse=True`` to save the
+    md5-window shuffle (the collapse would be a pure no-op pass)."""
+    if not skip_exact_collapse:
+        docs = collapse_exact_dups(docs, text_col)
     # explicit repartition on the join key makes BOTH self-join sides the
     # identical shuffle: AQE materializes it once and reuses it, so the
     # signature pass runs ONCE (measured 3.5x on sf0.1 vs letting the

@@ -49,6 +49,8 @@ def waterfill_cut(sizes: dict, target: int) -> int:
     total = sum(sizes.values())
     if target > total:
         raise ValueError(f"target {target} exceeds population {total}")
+    if target <= 0 or not sizes:
+        return 0  # empty population / nothing requested -> zero quota
     lo, hi = 0, max(sizes.values())
     while lo < hi:
         mid = (lo + hi) // 2
@@ -63,7 +65,7 @@ def waterfill_quota(sizes: dict, target: int, exact: bool = True) -> dict:
     c = waterfill_cut(sizes, target)
     quota = {s: min(n, c) for s, n in sizes.items()}
     if exact:
-        overshoot = sum(quota.values()) - target
+        overshoot = sum(quota.values()) - max(target, 0)
         # shed 1 from the alphabetically-first strata sitting at the cut
         for s in sorted(sizes):
             if overshoot == 0:
@@ -71,7 +73,7 @@ def waterfill_quota(sizes: dict, target: int, exact: bool = True) -> dict:
             if quota[s] == c and c > 0:
                 quota[s] -= 1
                 overshoot -= 1
-        assert sum(quota.values()) == target  # reference invariant :118
+        assert sum(quota.values()) == max(target, 0)  # reference invariant :118
     for s, q in quota.items():
         assert q <= sizes[s]  # reference invariant :119
     return quota

@@ -14,11 +14,22 @@ Shuffle budget at 10^12 docs (each stage documented where defined):
 1. curate: ZERO shuffles (scan -> one Arrow pass);
 2. exact dedup: one shuffle on the text hash (window, first-by-key);
 3. near-dup removal: one AQE-reused shuffle on (band, band_key) + one
-   rerank hash-join, pairs -> drop the larger doc_id of each verified pair
-   (keep-first policy, deterministic);
+   rerank hash-join, pairs -> drop the larger doc hash of each verified
+   pair (keep-first policy, deterministic) — the redundant exact-dup
+   collapse inside the minhash operator is skipped (stage 2 already did
+   it);
 4. balanced sample: |strata|-row aggregate to the driver for the
    water-fill cut + one shuffle on the stratum key;
 5. publish: atomic snapshot version + tag (plans/snapshots.py).
+
+Intermediate lifecycle: the flow takes several actions over the deduped
+set (population count, per-stratum sizes, the consumer's own action).
+With ``work_dir`` set, the set is MATERIALIZED to parquet there and read
+back — leak-free (nothing stays cached) and resumable, the reference's
+own artifact-per-stage model.  Without it, the set is ``persist()``-ed
+and stays cached until the session ends or the caller unpersists —
+fine for tests and one-shot scripts, documented so long-lived sessions
+pass ``work_dir``.
 """
 
 from __future__ import annotations
@@ -36,23 +47,28 @@ def curate_dedup_sample(
     pages: DataFrame,
     target: int,
     jaccard_threshold: float = 0.5,
+    curated: DataFrame | None = None,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """pages -> deduplicated, balanced, scrubbed training sample.
 
     Deterministic given (pages, target): every tie-break is keyed (url /
-    doc hash), never partition order.
+    doc hash), never partition order.  ``curated`` lets a caller that
+    already computed (and cached) ``curate(pages)`` share that frame.
+    ``target <= 0`` or an empty surviving population yields an empty
+    sample (no crash).
     """
-    kept = (
-        curate(pages)
-        .where("keep")
-        .select("url", "warc_ts", "text", "text_scrubbed", "lang_pred")
+    if target < 0:
+        raise ValueError(f"target must be >= 0, got {target}")
+    full = curated if curated is not None else curate(pages)
+    kept = full.where("keep").select(
+        "url", "warc_ts", "text", "text_scrubbed", "lang_pred"
     )
-    # exact dedup: first url per text hash survives.  PERSISTED: four
-    # downstream branches read this frame (the band side of the LSH
-    # self-join, BOTH sides of the exact-Jaccard rerank, and the final
-    # keep-set join) — uncached, each would recompute the whole
-    # curate+window chain (measured 4x = ~240 s at 400k pages).  Released
-    # as soon as the deduplicated set below is materialized.
+    # exact dedup: first url per text hash survives.  The frame feeds four
+    # branches (LSH band side, both rerank sides, the final keep-join) —
+    # uncached, each would recompute the whole curate+window chain
+    # (measured 4x = ~240 s at 400k pages), so it is persisted for the
+    # duration of this function.
     w = Window.partitionBy(F.md5("text")).orderBy("url")
     uniq = (
         kept.withColumn("_rn", F.row_number().over(w))
@@ -63,10 +79,13 @@ def curate_dedup_sample(
     # near-dup removal: verified pairs (exact Jaccard >= threshold among
     # LSH candidates); keep-first policy drops the larger doc hash of each
     # pair (the band machinery keys docs by a LONG id, so urls ride as
-    # xxhash64 surrogates — 64-bit, collision-negligible, deterministic)
+    # xxhash64 surrogates — 64-bit, collision-negligible, deterministic).
+    # skip_exact_collapse: stage 2 above already collapsed exact dups.
     docs = uniq.select(F.xxhash64("url").alias("doc_id"), "text")
     losers = (
-        minhash_neardup_pairs(docs, threshold=jaccard_threshold)
+        minhash_neardup_pairs(
+            docs, threshold=jaccard_threshold, skip_exact_collapse=True
+        )
         .select(F.col("doc_b").alias("_h"))
         .distinct()
     )
@@ -74,18 +93,23 @@ def curate_dedup_sample(
         uniq.withColumn("_h", F.xxhash64("url"))
         .join(losers, "_h", "left_anti")
         .drop("_h")
-        # persist: the flow takes THREE actions over this frame (population
-        # count, the sampler's per-stratum sizes, the consumer's own
-        # action) — without it the whole curate+dedup+minhash chain would
-        # recompute each time (measured: turns a ~2-min 400k-page run into
-        # a many-pass timeout)
-        .persist()
     )
+    spark = pages.sparkSession
+    if work_dir is not None:
+        # leak-free mode: materialize the deduped set once, drop every
+        # cache, serve all downstream actions from the parquet artifact
+        neat.write.mode("overwrite").parquet(f"{work_dir}/deduped")
+        uniq.unpersist()
+        neat = spark.read.parquet(f"{work_dir}/deduped")
+    else:
+        neat = neat.persist()
+        neat.count()  # materialize so the upstream cache can go
+        uniq.unpersist()
     # balanced sample across predicted languages (water-fill quota);
-    # clamp target to the surviving population.  Counting here
-    # materializes neat's cache, after which the upstream cache can go.
+    # clamp target to the surviving population
     n = neat.count()
-    uniq.unpersist()
+    if n == 0 or target == 0:
+        return neat.select("url", "warc_ts", "text_scrubbed", "lang_pred").limit(0)
     out = stratified_sample(
         neat, "lang_pred", "url", min(target, n), exact=True
     )

@@ -73,6 +73,11 @@ def read(
     return spark.read.parquet(m["versions"][str(v)]["path"])
 
 
+def tag_version(root: str, tag: str) -> int | None:
+    """Version a tag points at (None if the tag does not exist)."""
+    return _load(root).get("tags", {}).get(tag)
+
+
 def rollback(root: str, to_version: int, tag: str = "current") -> None:
     m = _load(root)
     if str(to_version) not in m["versions"]:

@@ -833,9 +833,10 @@ def _ann_bucket_rows(e: DataFrame) -> DataFrame:
     def run(it):
         tbl_ids = np.arange(_ANN_L, dtype=np.int32)
         for b in it:
-            x = np.array(b["embedding"].tolist(), dtype=np.float64)
-            if len(x) == 0:
+            lists = b["embedding"].tolist()
+            if not lists:
                 continue
+            x = np.array(lists, dtype=np.float64)
             m = len(x)
             buckets = np.zeros((_ANN_L, m), dtype=np.int64)
             for tb in range(_ANN_L):
@@ -843,6 +844,17 @@ def _ann_bucket_rows(e: DataFrame) -> DataFrame:
                     acc = np.add.accumulate(x * planes[tb, k][None, :], axis=1)[:, -1]
                     bit = (acc >= 0) | np.isnan(acc)
                     buckets[tb] += bit.astype(np.int64) << k
+            # a NULL array element poisons the whole SQL fold -> every
+            # plane dot is NULL -> CASE false -> ALL bits 0 (unlike NaN,
+            # which both engines compare as >= 0).  tolist() turned None
+            # into NaN above, so detect and zero those rows explicitly.
+            has_none = np.fromiter(
+                (any(e is None for e in lst) for lst in lists),
+                dtype=bool,
+                count=m,
+            )
+            if has_none.any():
+                buckets[:, has_none] = 0
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(b["vec_id"].to_numpy(), _ANN_L),

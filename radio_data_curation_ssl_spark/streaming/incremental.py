@@ -60,10 +60,15 @@ def stream_dedup_exact(
     available_now: bool = True,
 ):
     """Cross-micro-batch EXACT dedup as a custom stateful operator
-    (``applyInPandasWithState``): the first page per text hash (min url on
-    ties — keyed, never arrival order) is emitted once, ever; every later
-    occurrence in ANY micro-batch or restart is suppressed by the
-    checkpointed per-key state.
+    (``applyInPandasWithState``): exactly ONE page per text hash is ever
+    emitted — the min url WITHIN the key's first micro-batch; arrivals in
+    later batches or after restarts are suppressed by the checkpointed
+    per-key state.  (Across batches the winner is arrival-order by
+    necessity: append mode cannot retract an already-emitted row, so a
+    smaller url arriving later stays suppressed — the exactly-once
+    guarantee is the contract, global-min-url is not.)  ``batch_dups``
+    counts only duplicates co-arriving in the winning batch; later
+    duplicates are absorbed into state, not re-emitted.
 
     This is the streaming generalization of the batch ``dedup_exact``
     query: the state store replaces the hash-groupBy shuffle, so a

@@ -99,3 +99,10 @@ def test_int_strata_quota_types(spark):
     by = {r["cluster"]: r["count"] for r in out.groupBy("cluster").count().collect()}
     assert sum(by.values()) == 90
     assert set(by) == {0, 1, 2}
+
+
+def test_zero_and_empty_population(spark):
+    assert waterfill_quota({}, 0) == {}
+    assert waterfill_quota({"a": 5}, 0) == {"a": 0}
+    df = spark.createDataFrame([("k1", "s1")], "key string, stratum string")
+    assert stratified_sample(df, "stratum", "key", 0).count() == 0

@@ -71,13 +71,36 @@ def kmeans_pp_init(
     return np.array(cents, dtype=np.float64)
 
 
-def assign_batch(x: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(cluster ids, squared distances) via the GEMM expansion (O4)."""
+ASSIGN_BUDGET = 64 * 1024 * 1024  # max distance-matrix cells per GEMM block
+
+
+def assign_batch(
+    x: np.ndarray, cents: np.ndarray, budget: int = ASSIGN_BUDGET
+) -> tuple[np.ndarray, np.ndarray]:
+    """(cluster ids, squared distances) via the GEMM expansion (O4),
+    CHUNKED over centroids: the reference's config A runs k=60,000, where
+    a full (batch x k) distance matrix is ~5 GB per 10k-row Arrow batch —
+    so centroids are processed in blocks bounded by ``budget`` cells and a
+    running argmin is kept (the reference's own chunk loop,
+    /root/reference/src/kmeans_gpu.py:219-242, O5).  Ties break to the
+    LOWEST centroid index, exactly like a single argmin (strict < update,
+    blocks scanned in index order); distances may differ from an
+    unchunked pass by BLAS-reduction rounding (~1e-16 — gemm vs gemv)."""
+    m, k = len(x), len(cents)
     x2 = (x * x).sum(axis=1, keepdims=True)
-    c2 = (cents * cents).sum(axis=1)
-    d2 = x2 - 2.0 * (x @ cents.T) + c2[None, :]
-    ids = d2.argmin(axis=1)
-    return ids, np.maximum(d2[np.arange(len(ids)), ids], 0.0)
+    step = max(1, min(k, budget // max(m, 1)))
+    best_ids = np.zeros(m, dtype=np.int64)
+    best_d2 = np.full(m, np.inf)
+    for lo in range(0, k, step):
+        c = cents[lo : lo + step]
+        c2 = (c * c).sum(axis=1)
+        d2 = x2 - 2.0 * (x @ c.T) + c2[None, :]
+        ids = d2.argmin(axis=1)
+        vals = d2[np.arange(m), ids]
+        upd = vals < best_d2
+        best_ids[upd] = ids[upd] + lo
+        best_d2[upd] = vals[upd]
+    return best_ids, np.maximum(best_d2, 0.0)
 
 
 PARTIAL_SCHEMA = T.StructType(
@@ -138,15 +161,28 @@ def lloyd_kmeans(
     """
     spark = df.sparkSession
     sc = spark.sparkContext
-    # deterministic hash-ordered sample for init (never partition order)
+    # deterministic hash-ordered sample for init (never partition order).
+    # kmeans++ is O(k^2 d) on the driver — fine for moderate k; for large
+    # k (the reference's config A runs k=60,000) fall back to taking the
+    # first k hash-ordered points as centroids (deterministic random
+    # init), the same trade the reference's distributed init makes when
+    # ++ becomes the bottleneck.
+    pp_max = 512
+    n_sample = max(init_sample, k)
     sample_rows = (
         df.select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(init_sample)
+        .limit(n_sample)
         .collect()
     )
     sample = np.array([r[1] for r in sample_rows], dtype=np.float64)
-    cents = kmeans_pp_init(sample, k, seed)
+    if len(sample) < k:
+        raise ValueError(f"k={k} exceeds the {len(sample)}-point init sample")
+    cents = (
+        kmeans_pp_init(sample, k, seed)
+        if k <= pp_max
+        else sample[:k].copy()
+    )
 
     pts = df.select(id_col, vec_col).cache()
     for _ in range(n_iters):

@@ -181,3 +181,27 @@ def test_cluster_resample_modes(spark, emb):
     rand1 = sorted(r["id"] for r in cluster_resample(adf, "cluster", 10, mode="random").collect())
     rand2 = sorted(r["id"] for r in cluster_resample(adf, "cluster", 10, mode="random").collect())
     assert rand1 == rand2  # keyed randomness: deterministic across runs
+
+
+def test_assign_batch_chunked_equals_unchunked(spark, emb):
+    """Centroid-chunked assignment must pick the same clusters as one
+    full GEMM; distances agree to BLAS-reduction rounding (different
+    block shapes take gemm vs gemv paths)."""
+    rows = emb.select("embedding").collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cents = kmeans_pp_init(x[:300], 37, 42)
+    ids_full, d2_full = assign_batch(x, cents, budget=10**12)  # one block
+    for budget in (500, 4096, 37 * len(x)):
+        ids, d2 = assign_batch(x, cents, budget=budget)
+        assert np.array_equal(ids, ids_full), budget
+        assert np.allclose(d2, d2_full, atol=1e-9), budget
+
+
+def test_large_k_init_path(spark, emb):
+    """k above the ++ threshold uses the deterministic hash-ordered
+    sample init and still converges to a valid clustering."""
+    adf, cents = lloyd_kmeans(emb, "vec_id", "embedding", k=400, n_iters=3)
+    assert cents.shape == (400, 64)
+    got = adf.groupBy("cluster").count().collect()
+    assert sum(r["count"] for r in got) == emb.count()
+    assert len(got) > 200  # most clusters non-empty on 500 points... k>n? no: k=400 <= 500

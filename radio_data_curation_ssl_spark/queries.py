@@ -1065,6 +1065,46 @@ def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q3_shipping_priority",
+    """
+SELECT l.l_orderkey,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 shape: selective dim filter -> fact join chain -> "
+    "grouped revenue -> global top-10. Scale: customer filter broadcast, "
+    "orders|><|lineitem shuffles on the join key with partial aggregation "
+    "before the tiny ordered limit (TakeOrdered, no full sort).",
+)
+def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").where("c_mktsegment = 'BUILDING'")
+    o = t(spark, sf_dir, "orders").where("o_orderdate < TIMESTAMP '1995-03-15'")
+    li = t(spark, sf_dir, "lineitem").where("l_shipdate > TIMESTAMP '1995-03-15'")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
     "join_star_broadcast",
     """
 SELECT r.r_name AS region, n.n_name AS nation,

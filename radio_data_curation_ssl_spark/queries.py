@@ -16,6 +16,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -645,6 +648,34 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS_AB = X.cosine("a.embedding", "b.embedding")
 
 
+def _cos_seq_udf():
+    """Vectorized cosine whose double math is bit-exact with the SQL fold
+    (X.cosine): products exact, sums via np.add.accumulate = the same
+    sequential left fold, sqrt/divide IEEE-identical.  Rounding stays in
+    SQL so both dialects share one rounding definition.  NULL array
+    elements (none in the test tables, guarded anyway) yield NULL like the
+    SQL fold, not NaN."""
+
+    @F.pandas_udf("double")
+    def cos_seq(a: pd.Series, b: pd.Series) -> pd.Series:
+        la, lb = a.tolist(), b.tolist()
+        xa = np.array(la, dtype=np.float64)
+        xb = np.array(lb, dtype=np.float64)
+        dot = np.add.accumulate(xa * xb, axis=1)[:, -1]
+        na = np.sqrt(np.add.accumulate(xa * xa, axis=1)[:, -1])
+        nb = np.sqrt(np.add.accumulate(xb * xb, axis=1)[:, -1])
+        out = pd.array(dot / (na * nb), dtype="Float64")
+        nulls = [
+            any(e is None for e in va) or any(e is None for e in vb)
+            for va, vb in zip(la, lb)
+        ]
+        if any(nulls):
+            out[np.array(nulls)] = pd.NA
+        return pd.Series(out, dtype="Float64")
+
+    return cos_seq
+
+
 @register(
     "ann_cosine_topk",
     f"""
@@ -672,9 +703,11 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = F.broadcast(q).crossJoin(
         e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
     ).where("query_id <> neighbor_id")
-    cos = X.cosine("q_emb", "embedding")
-    scored = pairs.selectExpr(
-        "query_id", "neighbor_id", f"{cos.spark} AS cos_sim"
+    cos_seq = _cos_seq_udf()
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cos_seq("q_emb", "embedding"), X.ROUND).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
@@ -923,11 +956,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     ne = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    cos = X.cosine("q_emb", "embedding")
+    cos_seq = _cos_seq_udf()
     scored = (
         cand.join(F.broadcast(qe), "query_id")
         .join(ne, "neighbor_id")
-        .selectExpr("query_id", "neighbor_id", f"{cos.spark} AS cos_sim")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos_seq("q_emb", "embedding"), X.ROUND).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")

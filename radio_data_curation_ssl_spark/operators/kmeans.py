@@ -144,6 +144,37 @@ def combine_partials(partials: DataFrame) -> DataFrame:
     return partials.groupBy("cluster").applyInPandas(fold, COMBINED_SCHEMA)
 
 
+def _save_centroid_checkpoint(
+    ckpt_dir: str, it: int, cents: np.ndarray, shift: float
+) -> None:
+    """Atomic per-iteration centroid checkpoint (the reference saves
+    centroids every checkpoint_period and resumes from the newest —
+    /root/reference/src/distributed_kmeans_gpu.py:451-476,685-694,
+    /root/reference/src/utils.py:105-135)."""
+    import os
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    tmp = os.path.join(ckpt_dir, f".cents_{it:05d}.tmp.npz")
+    np.savez(tmp, cents=cents, it=np.int64(it), shift=np.float64(shift))
+    os.replace(tmp, os.path.join(ckpt_dir, f"cents_{it:05d}.npz"))
+
+
+def _load_centroid_checkpoint(ckpt_dir: str):
+    """Newest checkpoint as (next_iter, cents, last_shift), or None."""
+    import os
+
+    if not os.path.isdir(ckpt_dir):
+        return None
+    names = sorted(
+        n for n in os.listdir(ckpt_dir)
+        if n.startswith("cents_") and n.endswith(".npz")
+    )
+    if not names:
+        return None
+    z = np.load(os.path.join(ckpt_dir, names[-1]))
+    return int(z["it"]) + 1, z["cents"], float(z["shift"])
+
+
 def lloyd_kmeans(
     df: DataFrame,
     id_col: str,
@@ -153,11 +184,17 @@ def lloyd_kmeans(
     tol: float = 1e-6,
     seed: int = 42,
     init_sample: int = 2048,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """Returns (assignments DataFrame(id, cluster, dist_sq), centroids).
 
     The returned DataFrame is lazy against the FINAL centroids; the driver
-    loop only moves (k x d) matrices.
+    loop only moves (k x d) matrices.  With ``checkpoint_dir``, every
+    iteration's centroids are checkpointed atomically and a restarted call
+    resumes from the newest checkpoint instead of iteration 0 — the
+    update math is run-deterministic (partition-ordered folds), so the
+    resumed run converges to the bit-identical result of an uninterrupted
+    one (test-gated).
     """
     spark = df.sparkSession
     sc = spark.sparkContext
@@ -184,8 +221,16 @@ def lloyd_kmeans(
         else sample[:k].copy()
     )
 
+    start_iter = 0
+    if checkpoint_dir is not None:
+        resume = _load_centroid_checkpoint(checkpoint_dir)
+        if resume is not None:
+            start_iter, cents, last_shift = resume
+            if last_shift < tol:
+                start_iter = n_iters  # checkpointed run had converged
+
     pts = df.select(id_col, vec_col).cache()
-    for _ in range(n_iters):
+    for it in range(start_iter, n_iters):
         bc = sc.broadcast(cents)
 
         def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -228,6 +273,8 @@ def lloyd_kmeans(
         new = np.where(cnts[:, None] > 0, sums / np.maximum(cnts[:, None], 1), cents)
         shift = float(np.abs(new - cents).max())
         cents = new
+        if checkpoint_dir is not None:
+            _save_centroid_checkpoint(checkpoint_dir, it, cents, shift)
         if shift < tol:
             break
 

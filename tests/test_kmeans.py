@@ -205,3 +205,27 @@ def test_large_k_init_path(spark, emb):
     got = adf.groupBy("cluster").count().collect()
     assert sum(r["count"] for r in got) == emb.count()
     assert len(got) > 200  # most clusters non-empty on 500 points... k>n? no: k=400 <= 500
+
+
+def test_checkpoint_resume_bit_identical(spark, emb, tmp_path):
+    """A run killed mid-loop and restarted from its centroid checkpoints
+    must converge to the BIT-identical result of an uninterrupted run
+    (the reference's per-iteration checkpoint/resume,
+    run_distributed_kmeans.py:58-205)."""
+    ck = str(tmp_path / "ck")
+    # uninterrupted reference run
+    _, full = lloyd_kmeans(emb, "vec_id", "embedding", k=6, n_iters=12)
+    # "crashed" run: only 4 iterations reach the checkpoint dir
+    lloyd_kmeans(emb, "vec_id", "embedding", k=6, n_iters=4, checkpoint_dir=ck)
+    import os
+    assert len([n for n in os.listdir(ck) if n.endswith(".npz")]) == 4
+    # restart resumes at iteration 4 and finishes
+    _, resumed = lloyd_kmeans(
+        emb, "vec_id", "embedding", k=6, n_iters=12, checkpoint_dir=ck
+    )
+    assert np.array_equal(full, resumed)
+    # a converged checkpointed run re-invoked is a pure no-op on the loop
+    _, again = lloyd_kmeans(
+        emb, "vec_id", "embedding", k=6, n_iters=12, checkpoint_dir=ck
+    )
+    assert np.array_equal(resumed, again)

@@ -143,3 +143,42 @@ class RunLog:
             .collect()
         )
         return rows[0] if rows else None
+
+    def find_run(
+        self,
+        stage: str | None = None,
+        status: str | None = None,
+        **params: str,
+    ) -> Row:
+        """Unique-run-or-fail manifest lookup — the behavioral twin of the
+        reference's find_run query (/root/reference/scripts/find_run.py:21-89:
+        filter runs by param key=value, raise unless exactly one matches).
+        Finished rows supersede started rows for the same run_id."""
+        df = self.runs()
+        if stage is not None:
+            df = df.where(F.col("stage") == stage)
+        if status is not None:
+            df = df.where(F.col("status") == status)
+        for k, v in params.items():
+            df = df.where(F.element_at(F.col("params"), k) == str(v))
+        # latest row per run_id (a finish supersedes its start) — a proper
+        # window, NOT orderBy+dropDuplicates (which keeps an arbitrary row)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("run_id").orderBy(
+            F.desc("started_at"),
+            F.desc((F.col("status") == "done").cast("int")),
+        )
+        latest = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1")
+            .drop("_rn")
+        )
+        rows = latest.limit(2).collect()
+        if not rows:
+            raise LookupError(f"no run matches stage={stage} {params}")
+        if len(rows) > 1:
+            raise LookupError(
+                f"ambiguous: multiple runs match stage={stage} {params}"
+            )
+        return rows[0]

@@ -106,3 +106,20 @@ def test_resume_layout_mismatch_fails_fast(spark, tmp_path, pages_small):
         write_resumable(out, d, n_buckets=8)
     # same layout still resumes as a clean no-op
     assert write_resumable(out, d, n_buckets=4) == []
+
+
+def test_find_run_unique_or_fail(spark, tmp_path):
+    """find_run: the reference's unique-run-or-fail manifest query."""
+    from radio_data_curation_ssl_spark.plans.runmeta import RunLog
+
+    log = RunLog(spark, str(tmp_path / "fr"))
+    r1 = log.start("curate", {"buckets": 8, "synth": 100})
+    log.finish(r1, "curate", {"buckets": 8, "synth": 100})
+    r2 = log.start("curate", {"buckets": 16, "synth": 100})
+    log.finish(r2, "curate", {"buckets": 16, "synth": 100})
+    got = log.find_run(stage="curate", buckets=8)
+    assert got["run_id"] == r1 and got["status"] == "done"
+    with pytest.raises(LookupError, match="no run"):
+        log.find_run(stage="curate", buckets=99)
+    with pytest.raises(LookupError, match="ambiguous"):
+        log.find_run(stage="curate", synth=100)

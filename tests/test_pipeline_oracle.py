@@ -229,3 +229,24 @@ def test_full_curation_flow(spark, tmp_path, pages_small):
     root = str(tmp_path / "published")
     v = publish_sample(out, root)
     assert snapshots.read(spark, root, version=v).count() == 120
+
+
+def test_full_curation_flow_work_dir_mode(spark, tmp_path, pages_small):
+    """work_dir mode materializes the deduped set to parquet (leak-free:
+    no cache survives) and yields the same sample as the persist mode."""
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    a = sorted(
+        r["url"]
+        for r in curate_dedup_sample(pages_small, target=80).collect()
+    )
+    wd = str(tmp_path / "wd")
+    b = sorted(
+        r["url"]
+        for r in curate_dedup_sample(pages_small, target=80, work_dir=wd).collect()
+    )
+    assert a == b
+    import os
+    assert os.path.isdir(f"{wd}/deduped")  # the materialized artifact

@@ -159,6 +159,31 @@ def _save_centroid_checkpoint(
     os.replace(tmp, os.path.join(ckpt_dir, f"cents_{it:05d}.npz"))
 
 
+def _check_ckpt_config(ckpt_dir: str, config: dict) -> None:
+    """Pin the run config: a checkpoint dir only resumes the run that
+    wrote it — mismatched k/seed/tol fails fast instead of silently
+    continuing a DIFFERENT clustering (data identity is the caller's
+    contract; everything stampable is stamped)."""
+    import json
+    import os
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    p = os.path.join(ckpt_dir, "_kmeans_config.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            have = json.load(f)
+        if have != config:
+            raise ValueError(
+                f"checkpoint dir {ckpt_dir} belongs to run {have}, this "
+                f"call asked for {config}; use a fresh checkpoint_dir"
+            )
+        return
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(config, f)
+    os.replace(tmp, p)
+
+
 def _load_centroid_checkpoint(ckpt_dir: str):
     """Newest checkpoint as (next_iter, cents, last_shift), or None."""
     import os
@@ -185,49 +210,72 @@ def lloyd_kmeans(
     seed: int = 42,
     init_sample: int = 2048,
     checkpoint_dir: str | None = None,
+    init_pp_max: int = 512,
 ) -> tuple[DataFrame, np.ndarray]:
     """Returns (assignments DataFrame(id, cluster, dist_sq), centroids).
 
     The returned DataFrame is lazy against the FINAL centroids; the driver
     loop only moves (k x d) matrices.  With ``checkpoint_dir``, every
     iteration's centroids are checkpointed atomically and a restarted call
-    resumes from the newest checkpoint instead of iteration 0 — the
-    update math is run-deterministic (partition-ordered folds), so the
-    resumed run converges to the bit-identical result of an uninterrupted
-    one (test-gated).
+    resumes from the newest checkpoint instead of iteration 0 (the dir is
+    pinned to this call's k/seed/tol — mismatches fail fast) — the update
+    math is run-deterministic (partition-ordered folds), so the resumed
+    run converges to the bit-identical result of an uninterrupted one
+    (test-gated).  ``init_pp_max`` bounds the O(k^2 d) driver-side
+    kmeans++: larger k uses seed-keyed deterministic draws from the
+    hash-ordered sample instead.
     """
     spark = df.sparkSession
     sc = spark.sparkContext
-    # deterministic hash-ordered sample for init (never partition order).
-    # kmeans++ is O(k^2 d) on the driver — fine for moderate k; for large
-    # k (the reference's config A runs k=60,000) fall back to taking the
-    # first k hash-ordered points as centroids (deterministic random
-    # init), the same trade the reference's distributed init makes when
-    # ++ becomes the bottleneck.
-    pp_max = 512
-    n_sample = max(init_sample, k)
-    sample_rows = (
-        df.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_sample)
-        .collect()
-    )
-    sample = np.array([r[1] for r in sample_rows], dtype=np.float64)
-    if len(sample) < k:
-        raise ValueError(f"k={k} exceeds the {len(sample)}-point init sample")
-    cents = (
-        kmeans_pp_init(sample, k, seed)
-        if k <= pp_max
-        else sample[:k].copy()
-    )
 
+    # resume BEFORE init: a restart must not re-pay the corpus-wide init
+    # sample job + the O(k^2 d) kmeans++ just to throw the result away
     start_iter = 0
+    cents: np.ndarray | None = None
     if checkpoint_dir is not None:
+        _check_ckpt_config(
+            checkpoint_dir,
+            {"k": k, "seed": seed, "tol": tol, "init_pp_max": init_pp_max},
+        )
         resume = _load_centroid_checkpoint(checkpoint_dir)
         if resume is not None:
             start_iter, cents, last_shift = resume
             if last_shift < tol:
                 start_iter = n_iters  # checkpointed run had converged
+
+    if cents is None:
+        # deterministic hash-ordered sample for init (never partition
+        # order).  kmeans++ is O(k^2 d) on the driver — fine for moderate
+        # k; past ``init_pp_max`` (the reference's config A runs k=60,000)
+        # fall back to k seed-keyed draws from the hash-ordered sample
+        # (deterministic random init, still seed-sensitive), the same
+        # trade the reference's distributed init makes when ++ becomes
+        # the bottleneck.
+        n_sample = max(init_sample, k)
+        sample_rows = (
+            df.select(id_col, vec_col)
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(n_sample)
+            .collect()
+        )
+        sample = np.array([r[1] for r in sample_rows], dtype=np.float64)
+        if len(sample) < k:
+            raise ValueError(
+                f"k={k} exceeds the {len(sample)}-point init sample"
+            )
+        if k <= init_pp_max:
+            cents = kmeans_pp_init(sample, k, seed)
+        else:
+            from ..synth import splitmix64
+
+            order = np.argsort(
+                splitmix64(
+                    np.arange(len(sample), dtype=np.uint64)
+                    + np.uint64(seed * 1_000_003)
+                ),
+                kind="stable",
+            )
+            cents = sample[order[:k]].copy()
 
     pts = df.select(id_col, vec_col).cache()
     for it in range(start_iter, n_iters):

@@ -157,12 +157,13 @@ class RunLog:
         df = self.runs()
         if stage is not None:
             df = df.where(F.col("stage") == stage)
-        if status is not None:
-            df = df.where(F.col("status") == status)
         for k, v in params.items():
             df = df.where(F.element_at(F.col("params"), k) == str(v))
-        # latest row per run_id (a finish supersedes its start) — a proper
-        # window, NOT orderBy+dropDuplicates (which keeps an arbitrary row)
+        # latest row per run_id FIRST (a finish supersedes its start — a
+        # proper window, NOT orderBy+dropDuplicates which keeps an
+        # arbitrary row), THEN the status filter: filtering on status
+        # before the window would resurrect a superseded 'running' row
+        # for a run that has since finished
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("run_id").orderBy(
@@ -174,6 +175,8 @@ class RunLog:
             .where("_rn = 1")
             .drop("_rn")
         )
+        if status is not None:
+            latest = latest.where(F.col("status") == status)
         rows = latest.limit(2).collect()
         if not rows:
             raise LookupError(f"no run matches stage={stage} {params}")

@@ -659,21 +659,52 @@ def _cos_seq_udf():
     @F.pandas_udf("double")
     def cos_seq(a: pd.Series, b: pd.Series) -> pd.Series:
         la, lb = a.tolist(), b.tolist()
+        # whole-NULL arrays -> NULL like the SQL fold (and they would
+        # break the ndarray conversion); swap in a zero row, mark NA
+        row_null = np.array(
+            [va is None or vb is None for va, vb in zip(la, lb)], dtype=bool
+        )
+        if row_null.any():
+            dim = next((len(v) for v in la + lb if v is not None), 1)
+            zero = [0.0] * dim
+            la = [zero if v is None else v for v in la]
+            lb = [zero if v is None else v for v in lb]
         xa = np.array(la, dtype=np.float64)
         xb = np.array(lb, dtype=np.float64)
         dot = np.add.accumulate(xa * xb, axis=1)[:, -1]
         na = np.sqrt(np.add.accumulate(xa * xa, axis=1)[:, -1])
         nb = np.sqrt(np.add.accumulate(xb * xb, axis=1)[:, -1])
-        out = pd.array(dot / (na * nb), dtype="Float64")
-        nulls = [
-            any(e is None for e in va) or any(e is None for e in vb)
-            for va, vb in zip(la, lb)
-        ]
-        if any(nulls):
-            out[np.array(nulls)] = pd.NA
-        return pd.Series(out, dtype="Float64")
+        denom = na * nb
+        with np.errstate(invalid="ignore", divide="ignore"):
+            vals = dot / denom
+        # NULL mask, built explicitly — pd.array(..., dtype='Float64')
+        # would silently turn genuine NaN into NA, but NaN must SURVIVE
+        # (both engines order NaN above everything; only NULL sorts last):
+        # x/0 is NULL in both engines (non-ANSI Spark Divide, DuckDB) and
+        # whole-NULL arrays are NULL.  Element-level NULLs are handled
+        # JVM-side in _cos_seq_col (Arrow already folds them into NaN
+        # before python can see them).
+        mask = (denom == 0.0) | row_null
+        return pd.Series(
+            pd.arrays.FloatingArray(np.ascontiguousarray(vals), mask),
+            dtype="Float64",
+        )
 
     return cos_seq
+
+
+def _cos_seq_col(a_col: str, b_col: str):
+    """Cosine Column with full SQL-fold NULL semantics: a NULL ELEMENT
+    poisons the fold to NULL — detected JVM-side (Arrow folds element
+    nulls into NaN before a pandas UDF can distinguish them), everything
+    else in the numpy kernel."""
+    cos = _cos_seq_udf()
+    has_null = (
+        f"(exists({a_col}, x -> x IS NULL) OR exists({b_col}, x -> x IS NULL))"
+    )
+    return F.when(F.expr(has_null), F.lit(None).cast("double")).otherwise(
+        cos(F.col(a_col), F.col(b_col))
+    )
 
 
 @register(
@@ -703,11 +734,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = F.broadcast(q).crossJoin(
         e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
     ).where("query_id <> neighbor_id")
-    cos_seq = _cos_seq_udf()
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cos_seq("q_emb", "embedding"), X.ROUND).alias("cos_sim"),
+        F.round(_cos_seq_col("q_emb", "embedding"), X.ROUND).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
@@ -956,14 +986,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     ne = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    cos_seq = _cos_seq_udf()
     scored = (
         cand.join(F.broadcast(qe), "query_id")
         .join(ne, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cos_seq("q_emb", "embedding"), X.ROUND).alias("cos_sim"),
+            F.round(_cos_seq_col("q_emb", "embedding"), X.ROUND).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -66,6 +66,11 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        # non-ANSI arithmetic: Spark 4 defaults to ANSI, which THROWS on
+        # x/0 where the DuckDB oracle (and classic Spark) return NULL —
+        # the paired-expression twins must be total functions of the data,
+        # so a malformed row degrades to NULL instead of killing the job
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -284,3 +284,50 @@ def test_minhash_exact_dup_group_collapsed(spark):
         for r in minhash_neardup_pairs(docs, threshold=0.5).collect()
     }
     assert pairs == {(0, 200)}  # one representative, zero intra-group pairs
+
+
+def test_cos_kernel_sql_edge_semantics(spark):
+    """The cosine kernel's edge semantics must match the SQL fold: x/0 and
+    NULL arrays/elements -> NULL; genuine NaN data stays NaN."""
+    from radio_data_curation_ssl_spark.queries import _cos_seq_col
+
+    rows = [
+        (0, [1.0, 2.0], [1.0, 2.0]),       # plain
+        (1, [0.0, 0.0], [1.0, 2.0]),       # zero norm -> NULL (x/0)
+        (2, None, [1.0, 2.0]),             # NULL array -> NULL
+        (3, [1.0, None], [1.0, 2.0]),      # NULL element -> NULL
+        (4, [float("nan"), 1.0], [1.0, 2.0]),  # NaN data stays NaN
+    ]
+    df = spark.createDataFrame(
+        rows, "i long, a array<double>, b array<double>"
+    )
+    got = {r["i"]: r["c"] for r in df.select("i", _cos_seq_col("a", "b").alias("c")).collect()}
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] is None
+    assert got[2] is None
+    assert got[3] is None
+    import math
+    assert got[4] is not None and math.isnan(got[4])
+    # the Spark SQL fold agrees on every non-zero-divisor row (Spark 4
+    # runs ANSI by default and THROWS on x/0 — the kernel instead matches
+    # the DuckDB oracle's NULL, asserted below)
+    sql = X.cosine("a", "b").spark
+    sql_got = {
+        r["i"]: r["c"]
+        for r in df.where("i <> 1").selectExpr("i", f"{sql} AS c").collect()
+    }
+    for i in (0, 2, 3, 4):
+        g, s = got[i], sql_got[i]
+        if g is None or s is None:
+            assert g is None and s is None, i
+        elif math.isnan(g) or math.isnan(s):
+            assert math.isnan(g) and math.isnan(s), i
+    import duckdb
+
+    duck = X.cosine("a", "b").duck
+    assert (
+        duckdb.sql(
+            f"SELECT {duck} FROM (SELECT [0.0, 0.0] AS a, [1.0, 2.0] AS b)"
+        ).fetchone()[0]
+        is None
+    )  # zero norm -> NULL in the oracle dialect, like the kernel

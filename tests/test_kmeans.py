@@ -197,14 +197,32 @@ def test_assign_batch_chunked_equals_unchunked(spark, emb):
         assert np.allclose(d2, d2_full, atol=1e-9), budget
 
 
-def test_large_k_init_path(spark, emb):
-    """k above the ++ threshold uses the deterministic hash-ordered
-    sample init and still converges to a valid clustering."""
-    adf, cents = lloyd_kmeans(emb, "vec_id", "embedding", k=400, n_iters=3)
-    assert cents.shape == (400, 64)
+def test_large_k_init_path(spark):
+    """k above init_pp_max must take the seed-keyed sample-draw fallback
+    (kmeans++ is O(k^2 d) on the driver), stay seed-sensitive, and still
+    produce a valid clustering; k beyond the data raises clearly."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "vec_id": range(1500),
+            "embedding": [
+                [float((i * 7 + j * 13) % 29) / 29 for j in range(8)]
+                for i in range(1500)
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    adf, cents = lloyd_kmeans(df, "vec_id", "embedding", k=600, n_iters=2)
+    assert cents.shape == (600, 8)
     got = adf.groupBy("cluster").count().collect()
-    assert sum(r["count"] for r in got) == emb.count()
-    assert len(got) > 200  # most clusters non-empty on 500 points... k>n? no: k=400 <= 500
+    assert sum(r["count"] for r in got) == 1500
+    # seed-sensitive: a different seed draws different initial centroids
+    _, cents2 = lloyd_kmeans(df, "vec_id", "embedding", k=600, n_iters=0, seed=7)
+    _, cents1 = lloyd_kmeans(df, "vec_id", "embedding", k=600, n_iters=0, seed=42)
+    assert not np.array_equal(cents1, cents2)
+    with pytest.raises(ValueError, match="exceeds"):
+        lloyd_kmeans(df, "vec_id", "embedding", k=2000, n_iters=1)
 
 
 def test_checkpoint_resume_bit_identical(spark, emb, tmp_path):
@@ -229,3 +247,12 @@ def test_checkpoint_resume_bit_identical(spark, emb, tmp_path):
         emb, "vec_id", "embedding", k=6, n_iters=12, checkpoint_dir=ck
     )
     assert np.array_equal(resumed, again)
+
+
+def test_checkpoint_dir_pinned_to_config(spark, emb, tmp_path):
+    ck = str(tmp_path / "pin")
+    lloyd_kmeans(emb, "vec_id", "embedding", k=5, n_iters=2, checkpoint_dir=ck)
+    with pytest.raises(ValueError, match="checkpoint dir"):
+        lloyd_kmeans(emb, "vec_id", "embedding", k=6, n_iters=2, checkpoint_dir=ck)
+    with pytest.raises(ValueError, match="checkpoint dir"):
+        lloyd_kmeans(emb, "vec_id", "embedding", k=5, seed=7, n_iters=2, checkpoint_dir=ck)

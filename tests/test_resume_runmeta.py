@@ -123,3 +123,16 @@ def test_find_run_unique_or_fail(spark, tmp_path):
         log.find_run(stage="curate", buckets=99)
     with pytest.raises(LookupError, match="ambiguous"):
         log.find_run(stage="curate", synth=100)
+
+
+def test_find_run_status_respects_supersede(spark, tmp_path):
+    """status filtering must apply AFTER the supersede window: a finished
+    run's stale 'running' start-row must not be returned."""
+    from radio_data_curation_ssl_spark.plans.runmeta import RunLog
+
+    log = RunLog(spark, str(tmp_path / "fs"))
+    r1 = log.start("curate", {"x": 1})
+    log.finish(r1, "curate", {"x": 1})
+    with pytest.raises(LookupError, match="no run"):
+        log.find_run(stage="curate", status="running", x=1)
+    assert log.find_run(stage="curate", status="done", x=1)["run_id"] == r1

@@ -388,6 +388,7 @@ def hierarchical_kmeans(
     n_iters: int = 20,
     tol: float = 1e-6,
     seed: int = 42,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, list[np.ndarray]]:
     """Multi-level cluster tree + transitive flattening.
 
@@ -406,8 +407,19 @@ def hierarchical_kmeans(
     """
     if not ks:
         raise ValueError("ks must name at least one level")
+    # only level 1 touches the full corpus — its checkpoints are the ones
+    # that matter; deeper levels are driver-side seconds
     assign, cents = lloyd_kmeans(
-        df, id_col, vec_col, ks[0], n_iters=n_iters, tol=tol, seed=seed
+        df,
+        id_col,
+        vec_col,
+        ks[0],
+        n_iters=n_iters,
+        tol=tol,
+        seed=seed,
+        checkpoint_dir=(
+            f"{checkpoint_dir}/level1" if checkpoint_dir is not None else None
+        ),
     )
     out = assign.withColumnRenamed("cluster", "cluster_l1")
     spark = df.sparkSession

@@ -281,7 +281,7 @@ def lloyd_kmeans(
     for it in range(start_iter, n_iters):
         bc = sc.broadcast(cents)
 
-        def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             c = bc.value
             pid = TaskContext.get().partitionId()
             # accumulate across ALL Arrow batches of the partition and emit
@@ -291,7 +291,7 @@ def lloyd_kmeans(
             # partition spans many batches
             sums = np.zeros_like(c)
             cnt = np.zeros(len(c), dtype=np.int64)
-            for b in it:
+            for b in batches:
                 x = np.array(b[vec_col].tolist(), dtype=np.float64)
                 if len(x) == 0:
                     continue

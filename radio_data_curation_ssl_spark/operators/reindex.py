@@ -11,10 +11,18 @@ deterministic phases, keyed by SORT ORDER (never arrival position — SURVEY
    the sort keys (pure function of the data — NOT ``repartitionByRange``,
    whose reservoir sampling is seeded by the runtime RDD id and therefore
    draws DIFFERENT boundaries for each job over the same plan) is
-   collected and cut into ``num_buckets - 1`` quantile boundaries.
+   collected and cut into ``num_buckets - 1`` quantile boundaries.  The
+   kept fraction is scaled from an exact row count so the sample is drawn
+   uniformly across the WHOLE dataset — never a scan-order prefix, which
+   would concentrate every boundary in the leading key range when the file
+   layout correlates with the sort key (sorted writes, prior reindex
+   output) and funnel all rows into the last bucket.
 2. **Count per bucket**: every row's bucket is a pure function of its key
    (first boundary >= key); one small ``groupBy(bucket).count()`` gives
-   exact per-bucket offsets via prefix sum.
+   exact per-bucket offsets via prefix sum.  Rows with a NULL in any sort
+   key are routed to a sentinel bucket and rejected here, fail-fast —
+   NULLs have engine-specific global order and silently misnumber
+   otherwise.
 3. **Stamp**: hash-repartition on the bucket id (pure function again),
    sort within partitions by (bucket, key), and write
    ``offset + running position`` in one order-preserving ``mapInPandas``.
@@ -24,12 +32,14 @@ jobs cannot disagree — no persist of a table-sized intermediate is needed
 (a persisted copy per call would leak block-manager space for the
 application lifetime).  Equal sort keys share a bucket, so numbering among
 duplicates is arbitrary-but-stable — same contract as ``row_number`` with
-an under-specified ORDER BY.  NULL sort keys are not supported (their
-global position is engine-specific anyway).
+an under-specified ORDER BY.
 
 Scale: the sample is ~``sample_per_bucket * num_buckets`` keys on the
-driver; both cluster passes are narrow scans + one hash shuffle each, all
-partitions in parallel.
+driver; the cluster side is two narrow scans (count + per-bucket counts),
+the sample scan, and one hash shuffle, all partitions in parallel.  Bucket
+assignment uses a codegen'd CASE chain for small bucket counts and a
+broadcast-boundaries ``np.searchsorted`` Arrow pass for large ones (a
+1000-deep nested CASE would fall out of whole-stage codegen).
 """
 
 from __future__ import annotations
@@ -40,16 +50,117 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Above this many boundaries, bucket assignment switches from a nested
+# CASE expression (whole-stage-codegen friendly, but O(n)-deep) to a
+# vectorized searchsorted over broadcast boundaries.
+_CASE_CHAIN_MAX = 128
 
-def _bucket_col(sort_cols: list[str], boundaries: list[tuple]) -> Column:
+# Residue-filter modulus for the boundary sample.  Large so the kept
+# fraction can be tuned finely at any dataset size.
+_SAMPLE_MOD = 1 << 20
+
+
+def _null_key_cond(sort_cols: list[str]) -> Column:
+    cond = F.col(sort_cols[0]).isNull()
+    for c in sort_cols[1:]:
+        cond = cond | F.col(c).isNull()
+    return cond
+
+
+def _bucket_case_col(sort_cols: list[str], boundaries: list[tuple]) -> Column:
     """bucket = index of first boundary >= key (lexicographic struct
-    compare), len(boundaries) if none — a pure function of the key."""
+    compare), len(boundaries) if none; -1 for NULL keys — a pure function
+    of the key.  Codegen-friendly for small boundary counts."""
     key = F.struct(*[F.col(c) for c in sort_cols])
     expr = F.lit(len(boundaries))
     for i in range(len(boundaries) - 1, -1, -1):
         b = F.struct(*[F.lit(v) for v in boundaries[i]])
         expr = F.when(key <= b, F.lit(i)).otherwise(expr)
-    return expr.cast("int")
+    return F.when(_null_key_cond(sort_cols), F.lit(-1)).otherwise(expr).cast("int")
+
+
+def _with_bucket(
+    df: DataFrame, sort_cols: list[str], boundaries: list[tuple]
+) -> DataFrame:
+    """Append ``_bucket`` (int, -1 for NULL keys) as a pure function of
+    the sort key.  CASE chain when small; broadcast searchsorted when the
+    boundary list is too deep for codegen."""
+    if len(boundaries) <= _CASE_CHAIN_MAX:
+        return df.withColumn("_bucket", _bucket_case_col(sort_cols, boundaries))
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(boundaries)
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("_bucket", T.IntegerType(), False)]
+    )
+    single = len(sort_cols) == 1
+
+    def assign(it):
+        bounds = bc.value
+        if single:
+            barr = np.asarray([b[0] for b in bounds])
+        else:
+            barr = np.empty(len(bounds), dtype=object)
+            barr[:] = bounds
+        for b in it:
+            cols = [b[c] for c in sort_cols]
+            null_mask = np.zeros(len(b), dtype=bool)
+            for c in cols:
+                null_mask |= c.isna().to_numpy()
+            if single:
+                keys = cols[0].to_numpy()
+            else:
+                keys = np.empty(len(b), dtype=object)
+                keys[:] = list(zip(*[c.to_numpy() for c in cols]))
+            if null_mask.any():
+                # a None inside a tuple key would raise on comparison;
+                # park NULL rows on boundary 0 and overwrite below
+                keys = keys.copy()
+                keys[null_mask] = barr[0]
+            # side='left': first index i with barr[i] >= key — exactly the
+            # CASE chain's "first boundary such that key <= boundary"
+            out = np.searchsorted(barr, keys, side="left").astype(np.int32)
+            out[null_mask] = -1
+            res = b.copy()
+            res["_bucket"] = out
+            yield res
+
+    return df.mapInPandas(assign, schema)
+
+
+def _sample_boundaries(
+    df: DataFrame, sort_cols: list[str], n: int, sample_per_bucket: int
+) -> list[tuple]:
+    """Collect ~``n * sample_per_bucket`` sort keys drawn uniformly across
+    the whole dataset (hash-residue filter with a count-scaled threshold —
+    no ``limit``, so no scan-order prefix bias) and cut quantile
+    boundaries.  Deterministic: a pure function of the data."""
+    target = max(n * sample_per_bucket, 1)
+    total = df.count()
+    if total == 0:
+        return []
+    # threshold so that E[kept] ~= target; kept-or-not is per distinct
+    # key-hash, uniform over the key space
+    thresh = min(_SAMPLE_MOD, max(1, (_SAMPLE_MOD * target + total - 1) // total))
+    sample = [
+        tuple(r)
+        for r in df.select(*sort_cols)
+        .where(~_null_key_cond(sort_cols))
+        .where(
+            F.pmod(F.xxhash64(*[F.col(c) for c in sort_cols]), F.lit(_SAMPLE_MOD))
+            < F.lit(thresh)
+        )
+        .collect()
+    ]
+    sample.sort()
+    if len(sample) >= n > 1:
+        step = len(sample) / n
+        boundaries = [sample[int(step * (i + 1)) - 1] for i in range(n - 1)]
+        # dedupe (heavy key repetition can yield equal quantiles)
+        boundaries = sorted(set(boundaries))
+    else:
+        boundaries = []
+    return boundaries
 
 
 def reindex_by_sort(
@@ -63,41 +174,39 @@ def reindex_by_sort(
 
     Same rows/values as a global-window ``row_number``, but every stage is
     distributed: no single-partition Exchange anywhere in the plan.
+
+    Raises ``ValueError`` (fail-fast, before any stamping) if any row has
+    a NULL in a sort column — NULL global order is engine-specific and a
+    NULL would otherwise be routed silently to the last bucket while
+    Spark's NULLS FIRST sort placed it first within the partition.
     """
     spark = df.sparkSession
-    n = int(
-        num_buckets
-        if num_buckets is not None
-        else spark.conf.get("spark.sql.shuffle.partitions")
-    )
-    # 1. deterministic sample: keep keys whose hash lands in a fixed
-    # residue class, thin driver-side to the quantile boundaries
-    mod = max(n * sample_per_bucket, 1)
-    sample = [
-        tuple(r)
-        for r in df.select(*sort_cols)
-        .where(F.pmod(F.xxhash64(*[F.col(c) for c in sort_cols]), F.lit(997)) < 64)
-        .limit(mod)
-        .collect()
-    ]
-    sample.sort()
-    if len(sample) >= n > 1:
-        step = len(sample) / n
-        boundaries = [sample[int(step * (i + 1)) - 1] for i in range(n - 1)]
-        # dedupe (heavy key repetition can yield equal quantiles)
-        boundaries = sorted(set(boundaries))
+    if num_buckets is not None:
+        n = int(num_buckets)
     else:
-        boundaries = []
-    bucket = _bucket_col(sort_cols, boundaries)
+        conf = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            n = int(conf)
+        except (TypeError, ValueError):  # e.g. "auto" under Databricks AQE
+            n = int(spark.sparkContext.defaultParallelism)
+    n = max(n, 1)
 
-    # 2. exact per-bucket counts -> 1-based offsets (tiny collect)
+    # 1. uniform cross-dataset sample -> quantile boundaries (driver)
+    boundaries = _sample_boundaries(df, sort_cols, n, sample_per_bucket)
+    bucketed = _with_bucket(df, sort_cols, boundaries)
+
+    # 2. exact per-bucket counts -> 1-based offsets (tiny collect);
+    # sentinel bucket -1 means NULL sort keys -> reject fail-fast
     counts = {
-        r["b"]: r["n"]
-        for r in df.select(bucket.alias("b"))
-        .groupBy("b")
-        .agg(F.count("*").alias("n"))
-        .collect()
+        r["_bucket"]: r["n"]
+        for r in bucketed.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
     }
+    if -1 in counts:
+        raise ValueError(
+            f"reindex_by_sort: {counts[-1]} row(s) have NULL in sort "
+            f"column(s) {sort_cols}; NULL keys are unsupported (their "
+            "global position is engine-specific)"
+        )
     offsets: dict[int, int] = {}
     acc = 1
     for b in range(len(boundaries) + 1):
@@ -128,10 +237,8 @@ def reindex_by_sort(
             res[out_col] = out
             yield res
 
-    part = (
-        df.withColumn("_bucket", bucket)
-        .repartition(n, "_bucket")
-        .sortWithinPartitions("_bucket", *sort_cols)
+    part = bucketed.repartition(n, "_bucket").sortWithinPartitions(
+        "_bucket", *sort_cols
     )
     return part.mapInPandas(stamp, schema)
 

@@ -177,3 +177,67 @@ def test_reindex_heavy_duplicates_and_skew(spark):
         by_key.setdefault(r["k"][:1], []).append(r["new_id"])
     assert max(by_key["a"]) < min(by_key["b"]) < max(by_key["b"]) < min(by_key["c"])
     assert max(by_key["c"]) < min(by_key["z"])
+
+
+def test_reindex_balanced_buckets_on_presorted_input(spark):
+    """When the file/partition layout correlates with the sort key (sorted
+    writes — the common case for prior reindex output), the boundary sample
+    must still cover the WHOLE key range: a scan-order-prefix sample would
+    put every boundary in the leading keys and funnel ~all rows into the
+    last bucket (the single-partition hotspot this operator exists to
+    avoid).  Gate: max bucket <= 2x mean."""
+    from radio_data_curation_ssl_spark.operators.reindex import (
+        _sample_boundaries,
+        _with_bucket,
+    )
+
+    n_rows, n_buckets = 20_000, 16
+    rows = [(f"k{i:08d}",) for i in range(n_rows)]  # already key-sorted
+    df = spark.createDataFrame(rows, "k string")  # layout preserves order
+    bounds = _sample_boundaries(df, ["k"], n_buckets, sample_per_bucket=64)
+    assert len(bounds) >= n_buckets // 2  # quantiles actually cut
+    counts = [
+        r["n"]
+        for r in _with_bucket(df, ["k"], bounds)
+        .groupBy("_bucket")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    ]
+    mean = n_rows / len(counts)
+    assert max(counts) <= 2 * mean, (sorted(counts), mean)
+
+
+def test_reindex_null_sort_key_fails_fast(spark):
+    from radio_data_curation_ssl_spark.operators.reindex import reindex_by_sort
+
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("c", 3)], "k string, v long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        reindex_by_sort(df, ["k"], num_buckets=4)
+
+
+def test_reindex_searchsorted_path_matches_case_path(spark):
+    """Above _CASE_CHAIN_MAX boundaries the bucket assignment switches to
+    a broadcast-searchsorted Arrow pass; both paths must produce the same
+    dense numbering (== the global-window definition)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from radio_data_curation_ssl_spark.operators.reindex import reindex_by_sort
+
+    rows = [(f"k{(i * 7919) % 4000:05d}", i) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    # 200 buckets -> up to 199 boundaries > _CASE_CHAIN_MAX=128
+    got = sorted(
+        map(tuple, reindex_by_sort(df, ["k", "v"], num_buckets=200).collect())
+    )
+    w = Window.orderBy("k", "v")
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn("new_id", F.row_number().over(w).cast("long")).collect(),
+        )
+    )
+    assert got == want

@@ -24,7 +24,8 @@ collisions; reference neighbor-validation analog:
 Scale: one shuffle on (band, band_key) for candidates, one hash-join back
 to the (doc_id, set) table for the rerank; everything else is narrow.
 Skewed buckets (boilerplate-identical docs) are exactly the hot keys AQE
-skew-join splits; the band key space is 2^46 so quantization itself never
+skew-join splits; band keys occupy a well-mixed 62-bit space (pair-pack +
+rotate-XOR, see ``band_keys_batch``) so quantization itself never
 concentrates keys.
 """
 
@@ -67,12 +68,21 @@ def band_keys_batch(lists) -> list[list[int]]:
     band keys.
 
     One concatenated stream + ``minimum.reduceat`` per perm block: memory
-    traffic O(total shingles x N_PERMS), zero per-row Python loops."""
+    traffic O(total shingles x N_PERMS), zero per-row Python loops.
+
+    Packing: the 4 components pair-pack exactly (s0*M31+s1 is an
+    injective 62-bit value, same for s2,s3), and the two packs combine by
+    XOR with a 31-bit rotation.  4x31 bits folded into 62 is necessarily
+    lossy, but unlike a small-radix fold there are no structured
+    collisions between nearby signatures — any surviving collision is a
+    ~2^-62 accident, and the exact-Jaccard rerank removes it anyway.
+    Mirrored bit-for-bit by the oracle SQL (queries._mhc_band_duck)."""
+    assert BAND_R == 4, "pair-pack/rotate-xor packing assumes 4 rows per band"
     n = len(lists)
     sigs = minhash_sigs_batch(lists, _A, _B).reshape(N_BANDS, BAND_R, n)
-    packed = sigs[:, 0, :]
-    for j in range(1, BAND_R):
-        packed = packed * np.int64(31) + sigs[:, j, :]  # < 2^46, no overflow
+    p0 = sigs[:, 0, :] * _M31 + sigs[:, 1, :]
+    p1 = sigs[:, 2, :] * _M31 + sigs[:, 3, :]
+    packed = p0 ^ (p1 >> 31) ^ ((p1 & np.int64(0x7FFFFFFF)) << 31)
     return [packed[:, i].tolist() for i in range(n)]
 
 

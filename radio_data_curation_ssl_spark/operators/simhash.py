@@ -1,0 +1,117 @@
+"""SimHash hamming near-duplicate pairing — the cheap (one-sketch-per-doc)
+alternative to MinHash+LSH.
+
+Pairing uses the pigeonhole block trick: split a ``bits``-wide sketch into
+``max_hamming + 1`` segments; any two sketches within hamming distance
+``max_hamming`` differ in at most ``max_hamming`` segments, so they agree
+EXACTLY on at least one segment.  Bucketing by (segment index, segment
+value) therefore has perfect recall; an exact ``bit_count(a XOR b)``
+verify on the candidates restores precision.  This is the same
+bucket-then-verify shape as operators/minhash.py (reference
+neighbor-validation analog: /root/reference/src/image_retrieval.py:20-32).
+
+Scale: the explode is JVM-side (``posexplode`` over shift/mask
+expressions — no Python anywhere), candidates come from ONE equi-join
+shuffle on (seg, segval); both self-join sides share the identical
+explicit repartition so AQE materializes the exchange once.  Skewed
+segment buckets (boilerplate sketches) are AQE-splittable hot keys, and
+collapsing exact-duplicate sketches first (``collapse_exact_sketches``)
+caps the g^2 blowup of identical-sketch groups the same way
+minhash.collapse_exact_dups caps identical-text groups.  For web scale
+use a 64-bit sketch with max_hamming=3: 4 segments of 16 bits — 65k
+segment values per block keeps buckets small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _segments(bits: int, n_seg: int) -> list[tuple[int, int]]:
+    """(offset, width) per segment, widths as even as possible."""
+    base, extra = divmod(bits, n_seg)
+    out, off = [], 0
+    for i in range(n_seg):
+        w = base + (1 if i < extra else 0)
+        out.append((off, w))
+        off += w
+    assert off == bits
+    return out
+
+
+def simhash_segment_rows(
+    df: DataFrame, sketch_col: str, bits: int, max_hamming: int
+) -> DataFrame:
+    """Explode each row into ``max_hamming + 1`` (seg, segval) rows — a
+    pure JVM-side projection (shift/mask + posexplode), no shuffle."""
+    segs = _segments(bits, max_hamming + 1)
+    seg_exprs = ", ".join(
+        f"(shiftright({sketch_col}, {off}) & {(1 << w) - 1})" for off, w in segs
+    )
+    return df.selectExpr(
+        "*", f"posexplode(array({seg_exprs})) AS (seg, segval)"
+    )
+
+
+def collapse_exact_sketches(
+    sk: DataFrame, id_col: str, sketch_col: str
+) -> DataFrame:
+    """One canonical doc (min id) per distinct sketch value — the skew
+    guard: an identical-sketch group of size g would collide in EVERY
+    segment and emit O(g^2) candidate pairs; its members are exact-dup
+    output (hamming 0 to the representative), not near-dup pairs."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(sketch_col).orderBy(id_col)
+    return (
+        sk.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+    )
+
+
+def simhash_neardup_pairs(
+    sk: DataFrame,
+    id_col: str = "doc_id",
+    sketch_col: str = "simhash",
+    bits: int = 64,
+    max_hamming: int = 3,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with hamming(sketch_a, sketch_b) <=
+    ``max_hamming`` over ``sk(id_col, sketch_col)``.
+
+    Perfect recall by the pigeonhole argument (see module docstring);
+    exact ``bit_count(xor)`` verify on candidates only.  With
+    ``collapse_exact`` (default) identical sketches are first collapsed
+    to their min-id representative, so output pairs are between distinct
+    sketch values — pass False to pair every id (quadratic in group size
+    for identical sketches; only sane on pre-deduped input)."""
+    base = sk.select(
+        F.col(id_col).alias("_id"), F.col(sketch_col).cast("long").alias("_sk")
+    )
+    if collapse_exact:
+        base = collapse_exact_sketches(base, "_id", "_sk")
+    # explicit repartition on the join keys -> both self-join sides are
+    # the identical exchange; AQE materializes it once (the minhash.py
+    # pattern, measured 1.9-3.5x there)
+    rows = simhash_segment_rows(base, "_sk", bits, max_hamming).repartition(
+        "seg", "segval"
+    )
+    a, b = rows.alias("a"), rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.segval") == F.col("b.segval"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.bit_count(F.col("a._sk").bitwiseXOR(F.col("b._sk")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

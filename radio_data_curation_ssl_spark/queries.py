@@ -403,10 +403,12 @@ _MHC = [
 
 
 def _mhc_band_duck(i: int) -> str:
-    key = f"m{i * _MHC_R}"
-    for j in range(1, _MHC_R):
-        key = f"({key} * 31 + m{i * _MHC_R + j})"
-    return key
+    # bit-identical twin of minhash.band_keys_batch's packing: exact
+    # 62-bit pair packs combined by XOR with a 31-bit rotation
+    m31 = X.MERSENNE31
+    p0 = f"(m{i * _MHC_R} * {m31} + m{i * _MHC_R + 1})"
+    p1 = f"(m{i * _MHC_R + 2} * {m31} + m{i * _MHC_R + 3})"
+    return f"xor(xor({p0}, ({p1} >> 31)), (({p1} & 2147483647) << 31))"
 
 
 _MHC_BAND_DUCK = [_mhc_band_duck(i) for i in range(_MHC_NB)]
@@ -483,6 +485,52 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs_with_words(spark, sf_dir)
         .withColumn("word_hashes", F.expr(_WH.spark))
         .selectExpr("doc_id", f"{_SH.spark} AS simhash16")
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+WITH w AS ({_DOC_WORDS_DUCK}),
+h AS (SELECT doc_id, {_WH.duck} AS word_hashes FROM w),
+sk AS (SELECT doc_id, {_SH.duck} AS sh FROM h),
+canon AS (SELECT doc_id, sh FROM (
+    SELECT doc_id, sh,
+           row_number() OVER (PARTITION BY sh ORDER BY doc_id) AS rn
+    FROM sk) WHERE rn = 1),
+seg AS (
+           SELECT doc_id, sh, 0 AS seg, (sh >> 0) & 63 AS segval FROM canon
+ UNION ALL SELECT doc_id, sh, 1, (sh >> 6) & 31 FROM canon
+ UNION ALL SELECT doc_id, sh, 2, (sh >> 11) & 31 FROM canon),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sh AS sa, b.sh AS sb
+  FROM seg a JOIN seg b
+    ON a.seg = b.seg AND a.segval = b.segval AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 2
+""",
+    doc="SimHash hamming near-dup PAIRING (closes the round-2 gap: "
+    "dedup_simhash emitted sketches only). Pigeonhole blocks: a 16-bit "
+    "sketch split into max_hamming+1=3 segments — any pair within "
+    "hamming 2 agrees exactly on >= 1 segment, so (seg, segval) "
+    "bucketing has perfect recall; exact bit_count(xor) verifies "
+    "candidates. Identical sketches collapse to a min-id canon first "
+    "(the identical-sketch g^2 skew guard). Scale: JVM-side posexplode, "
+    "ONE AQE-reused equi-join shuffle on (seg, segval) "
+    "(operators/simhash.py; recall test on planted near-dups in "
+    "tests/test_dedup_similarity.py).",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.simhash import simhash_neardup_pairs
+
+    sk = (
+        _docs_with_words(spark, sf_dir)
+        .withColumn("word_hashes", F.expr(_WH.spark))
+        .selectExpr("doc_id", f"{_SH.spark} AS simhash16")
+    )
+    return simhash_neardup_pairs(
+        sk, id_col="doc_id", sketch_col="simhash16", bits=16, max_hamming=2
     )
 
 

@@ -212,10 +212,9 @@ def test_calibrated_minhash_signature_kernel_matches_sql_fold(spark):
     for r in sql_sigs:
         expect = []
         for i in range(N_BANDS):
-            key = r[f"m{i * BAND_R}"]
-            for j in range(1, BAND_R):
-                key = key * 31 + r[f"m{i * BAND_R + j}"]
-            expect.append(key)
+            p0 = r[f"m{i * BAND_R}"] * X.MERSENNE31 + r[f"m{i * BAND_R + 1}"]
+            p1 = r[f"m{i * BAND_R + 2}"] * X.MERSENNE31 + r[f"m{i * BAND_R + 3}"]
+            expect.append(p0 ^ (p1 >> 31) ^ ((p1 & 0x7FFFFFFF) << 31))
         assert [kk["band_key"] for kk in got[r["doc_id"]]] == expect
     assert N_PERMS == N_BANDS * BAND_R
 
@@ -331,3 +330,45 @@ def test_cos_kernel_sql_edge_semantics(spark):
         ).fetchone()[0]
         is None
     )  # zero norm -> NULL in the oracle dialect, like the kernel
+
+
+def test_simhash_pairing_recall_and_verify(spark):
+    """Pigeonhole pairing over 64-bit sketches: planted near-dup sketches
+    (hamming <= max_hamming) are ALWAYS recovered (perfect recall by the
+    segment argument), far sketches are rejected by the exact verify, and
+    identical sketches collapse to their canonical representative."""
+    import random
+
+    from radio_data_curation_ssl_spark.operators.simhash import (
+        simhash_neardup_pairs,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    planted = []
+    for g in range(40):
+        base = rng.getrandbits(63)
+        a_id = g * 10
+        rows.append((a_id, base))
+        # near twin: flip exactly 3 of 64 bits -> hamming 3
+        twin = base
+        for bit in rng.sample(range(63), 3):
+            twin ^= 1 << bit
+        rows.append((a_id + 1, twin))
+        planted.append((a_id, a_id + 1))
+    # exact-dup group: same sketch 3x -> must collapse, no intra pairs
+    rows += [(900, 12345), (901, 12345), (902, 12345)]
+    # unrelated noise
+    rows += [(1000 + i, rng.getrandbits(63)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(
+            df, sketch_col="simhash", bits=64, max_hamming=3
+        ).collect()
+    }
+    for pair in planted:  # perfect recall on hamming-3 twins
+        assert pair in got and got[pair] == 3, pair
+    assert (900, 901) not in got and (900, 902) not in got  # collapsed
+    for (a, b), h in got.items():  # exact verify: no pair beyond threshold
+        assert h <= 3

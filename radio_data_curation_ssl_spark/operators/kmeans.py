@@ -71,6 +71,207 @@ def kmeans_pp_init(
     return np.array(cents, dtype=np.float64)
 
 
+def weighted_kmeans_pp(
+    x: np.ndarray, w: np.ndarray, k: int, seed: int = 42
+) -> np.ndarray:
+    """Weighted k-means++ (driver-side, deterministic): D^2-sampling with
+    per-point weights — the closing recluster of k-means|| (Bahmani et
+    al.; the reference's corpus-wide weighted draw is
+    /root/reference/src/distributed_kmeans_gpu.py:409-421)."""
+    rng = np.random.RandomState(seed)
+    n = x.shape[0]
+    p0 = w / w.sum()
+    cents = [x[int(rng.choice(n, p=p0))]]
+    d2 = ((x - cents[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        wd = w * d2
+        tot = wd.sum()
+        probs = wd / tot if tot > 0 else p0
+        nxt = x[int(rng.choice(n, p=probs))]
+        cents.append(nxt)
+        d2 = np.minimum(d2, ((x - nxt) ** 2).sum(axis=1))
+    return np.array(cents, dtype=np.float64)
+
+
+def weighted_lloyd_numpy(
+    x: np.ndarray,
+    w: np.ndarray,
+    k: int,
+    n_iters: int = 20,
+    tol: float = 1e-6,
+    seed: int = 42,
+) -> np.ndarray:
+    """Weighted Lloyd on a driver-sized candidate set: each candidate
+    counts as ``w`` points (its corpus attraction)."""
+    cents = weighted_kmeans_pp(x, w, k, seed)
+    for _ in range(n_iters):
+        ids, _ = assign_batch(x, cents)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, ids, x * w[:, None])
+        cnt = np.zeros(k, dtype=np.float64)
+        np.add.at(cnt, ids, w)
+        new = np.where(cnt[:, None] > 0, sums / np.maximum(cnt[:, None], 1e-12), cents)
+        shift = float(np.abs(new - cents).max())
+        cents = new
+        if shift < tol:
+            break
+    return cents
+
+
+def _parallel_init_pass(
+    pts: DataFrame, id_col: str, vec_col: str, cands: np.ndarray, keep_expr
+):
+    """One distributed pass: per-partition (phi partial, kept candidate
+    rows).  ``keep_expr(ids_u64, d2) -> bool mask`` decides which points
+    this pass emits as new candidates (None -> cost-only pass)."""
+    sc = pts.sparkSession.sparkContext
+    bc = sc.broadcast(cands)
+    schema = T.StructType(
+        [
+            T.StructField("phi", T.DoubleType()),
+            T.StructField("vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        phi = 0.0
+        kept: list[np.ndarray] = []
+        for b in batches:
+            x = np.array(b[vec_col].tolist(), dtype=np.float64)
+            if len(x) == 0:
+                continue
+            _, d2 = assign_batch(x, c)
+            phi += float(d2.sum())
+            if keep_expr is not None:
+                ids = b[id_col].to_numpy().astype(np.uint64)
+                mask = keep_expr(ids, d2)
+                if mask.any():
+                    kept.append(x[mask])
+        out = {"phi": [phi], "vec": [None]}
+        df_out = pd.DataFrame(out)
+        if kept:
+            kv = np.concatenate(kept)
+            df_out = pd.concat(
+                [df_out, pd.DataFrame({"phi": np.zeros(len(kv)), "vec": list(kv)})],
+                ignore_index=True,
+            )
+        yield df_out
+
+    rows = pts.mapInPandas(run, schema).collect()
+    phi = sum(r["phi"] for r in rows)
+    new = [
+        np.array(r["vec"], dtype=np.float64)
+        for r in rows
+        if r["vec"] is not None
+    ]
+    return phi, (np.vstack(new) if new else None)
+
+
+def kmeans_parallel_init(
+    pts: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    seed: int = 42,
+    rounds: int = 5,
+    oversample: float = 2.0,
+) -> np.ndarray:
+    """Distributed k-means|| initialization (Bahmani et al., VLDB'12) —
+    corpus-quality init at k far beyond any driver sample.
+
+    1. First candidate = the min-id-hash point (deterministic).
+    2. ``rounds`` times: one distributed pass computes every point's
+       squared distance to the nearest candidate (phi partial per
+       partition) AND Bernoulli-keeps points with probability
+       ``l * d2 / phi`` where ``l = oversample * k`` — the draw is keyed
+       by splitmix64(id, round, seed), so the candidate set is a pure
+       function of the data, never of partition order.  phi from the
+       PREVIOUS pass prices the draws (the standard one-pass-per-round
+       variant; round 0 prices with phi from the seeding pass).
+    3. One weighting pass counts the corpus points attracted to each
+       candidate; weighted Lloyd (weighted ++ init) reclusters the
+       ~rounds*l candidates down to k on the driver.
+
+    Every pass streams (no point ever leaves its partition except the
+    expected l sampled rows per round); driver memory is O(rounds*l*d).
+    """
+    from ..synth import splitmix64
+
+    l = max(1.0, oversample * k)  # noqa: E741 — the paper's name
+    first = (
+        pts.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("kmeans_parallel_init: empty input")
+    cands = np.array([first[0][1]], dtype=np.float64)
+
+    # seeding pass: phi vs the single first candidate (cost-only)
+    phi, _ = _parallel_init_pass(pts, id_col, vec_col, cands, None)
+    two64 = float(2**64)
+    for rnd in range(rounds):
+        if phi <= 0.0:
+            break  # every point coincides with a candidate
+
+        def keep(ids: np.ndarray, d2: np.ndarray, _phi=phi, _rnd=rnd):
+            u = (
+                splitmix64(
+                    ids * np.uint64(0x9E3779B97F4A7C15)
+                    + np.uint64(_rnd * 1_000_003 + seed * 7_919 + 1)
+                ).astype(np.float64)
+                / two64
+            )
+            return u < (l * d2 / _phi)
+
+        phi, new = _parallel_init_pass(pts, id_col, vec_col, cands, keep)
+        if new is not None:
+            cands = np.concatenate([cands, new])
+    if len(cands) < k:
+        raise ValueError(
+            f"k-means|| produced {len(cands)} candidates < k={k}; raise "
+            "rounds/oversample (corpus may be smaller than k)"
+        )
+
+    # weighting pass: corpus points attracted per candidate
+    sc = pts.sparkSession.sparkContext
+    bc = sc.broadcast(cands)
+    w_schema = T.StructType(
+        [T.StructField("cand", T.IntegerType()), T.StructField("cnt", T.LongType())]
+    )
+
+    def weigh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        cnt = np.zeros(len(c), dtype=np.int64)
+        for b in batches:
+            x = np.array(b[vec_col].tolist(), dtype=np.float64)
+            if len(x) == 0:
+                continue
+            ids, _ = assign_batch(x, c)
+            cnt += np.bincount(ids, minlength=len(c))
+        nz = np.flatnonzero(cnt)
+        if nz.size:
+            yield pd.DataFrame({"cand": nz.astype(np.int32), "cnt": cnt[nz]})
+
+    wrows = (
+        pts.mapInPandas(weigh, w_schema)
+        .groupBy("cand")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    weights = np.zeros(len(cands), dtype=np.float64)
+    for r in wrows:
+        weights[r["cand"]] = float(r["cnt"])
+    weights = np.maximum(weights, 1e-12)  # unattracted candidates keep eps
+    # canonicalize candidate ORDER (collect order follows partition
+    # layout): lexicographic sort makes the final init a pure function of
+    # the candidate SET, which itself is a pure function of the data
+    order = np.lexsort(tuple(cands.T[::-1]))
+    return weighted_lloyd_numpy(cands[order], weights[order], k, seed=seed)
+
+
 ASSIGN_BUDGET = 64 * 1024 * 1024  # max distance-matrix cells per GEMM block
 
 
@@ -211,6 +412,10 @@ def lloyd_kmeans(
     init_sample: int = 2048,
     checkpoint_dir: str | None = None,
     init_pp_max: int = 512,
+    init: str = "sample",
+    init_centroids: np.ndarray | None = None,
+    init_rounds: int = 5,
+    init_oversample: float = 2.0,
 ) -> tuple[DataFrame, np.ndarray]:
     """Returns (assignments DataFrame(id, cluster, dist_sq), centroids).
 
@@ -221,9 +426,28 @@ def lloyd_kmeans(
     pinned to this call's k/seed/tol — mismatches fail fast) — the update
     math is run-deterministic (partition-ordered folds), so the resumed
     run converges to the bit-identical result of an uninterrupted one
-    (test-gated).  ``init_pp_max`` bounds the O(k^2 d) driver-side
-    kmeans++: larger k uses seed-keyed deterministic draws from the
-    hash-ordered sample instead.
+    (test-gated).
+
+    Init strategies:
+    - ``init_centroids`` (explicit (k, d) array): warm start — used by the
+      resample<->recluster loop to seed each step from the previous
+      centroids (the reference reuses centroids across resampling steps).
+    - ``init="sample"``: deterministic hash-ordered driver sample;
+      kmeans++ on it when k <= ``init_pp_max`` (O(k^2 d) driver-side),
+      seed-keyed deterministic draws above that.
+    - ``init="parallel"``: distributed k-means|| (Bahmani et al.) over the
+      FULL corpus — ``init_rounds`` rounds of distance-weighted candidate
+      oversampling (expected ``init_oversample * k`` per round, Bernoulli
+      draws keyed by id hash, never partition order), then a weighted
+      clustering of the ~rounds*l candidates down to k.  Closes the
+      init-quality gap vs the reference's corpus-wide weighted draws
+      (/root/reference/src/distributed_kmeans_gpu.py:272-484,409-421)
+      when k exceeds any reasonable driver sample.
+
+    The input projection is cached for the iteration loop and UNPERSISTED
+    before returning — the returned assignment re-reads the (pushed-down)
+    source instead of pinning the cache forever, so a long-lived service
+    calling this repeatedly does not leak block-manager space.
     """
     spark = df.sparkSession
     sc = spark.sparkContext
@@ -235,7 +459,13 @@ def lloyd_kmeans(
     if checkpoint_dir is not None:
         _check_ckpt_config(
             checkpoint_dir,
-            {"k": k, "seed": seed, "tol": tol, "init_pp_max": init_pp_max},
+            {
+                "k": k,
+                "seed": seed,
+                "tol": tol,
+                "init_pp_max": init_pp_max,
+                "init": "explicit" if init_centroids is not None else init,
+            },
         )
         resume = _load_centroid_checkpoint(checkpoint_dir)
         if resume is not None:
@@ -243,14 +473,30 @@ def lloyd_kmeans(
             if last_shift < tol:
                 start_iter = n_iters  # checkpointed run had converged
 
+    pts = df.select(id_col, vec_col).cache()
+    if cents is None and init_centroids is not None:
+        if init_centroids.shape[0] != k:
+            raise ValueError(
+                f"init_centroids has {init_centroids.shape[0]} rows, k={k}"
+            )
+        cents = np.asarray(init_centroids, dtype=np.float64).copy()
+    if cents is None and init == "parallel":
+        cents = kmeans_parallel_init(
+            pts,
+            id_col,
+            vec_col,
+            k,
+            seed=seed,
+            rounds=init_rounds,
+            oversample=init_oversample,
+        )
     if cents is None:
         # deterministic hash-ordered sample for init (never partition
         # order).  kmeans++ is O(k^2 d) on the driver — fine for moderate
         # k; past ``init_pp_max`` (the reference's config A runs k=60,000)
         # fall back to k seed-keyed draws from the hash-ordered sample
-        # (deterministic random init, still seed-sensitive), the same
-        # trade the reference's distributed init makes when ++ becomes
-        # the bottleneck.
+        # (deterministic random init, still seed-sensitive) — or use
+        # ``init="parallel"`` for corpus-quality init at large k.
         n_sample = max(init_sample, k)
         sample_rows = (
             df.select(id_col, vec_col)
@@ -276,8 +522,6 @@ def lloyd_kmeans(
                 kind="stable",
             )
             cents = sample[order[:k]].copy()
-
-    pts = df.select(id_col, vec_col).cache()
     for it in range(start_iter, n_iters):
         bc = sc.broadcast(cents)
 
@@ -326,17 +570,33 @@ def lloyd_kmeans(
         if shift < tol:
             break
 
-    bc_final = sc.broadcast(cents)
-    out_schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("cluster", T.IntegerType()),
-            T.StructField("dist_sq", T.DoubleType()),
-        ]
+    # release the iteration cache: the returned (lazy) assignment reads a
+    # FRESH pushed-down projection, so no block-manager space stays pinned
+    # after this call (round-2 finding: repeated lloyd_kmeans calls leaked)
+    pts.unpersist()
+    return assign_points(df, id_col, vec_col, cents), cents
+
+
+ASSIGN_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("dist_sq", T.DoubleType()),
+    ]
+)
+
+
+def assign_points(
+    df: DataFrame, id_col: str, vec_col: str, cents: np.ndarray
+) -> DataFrame:
+    """Lazy nearest-centroid assignment (id, cluster, dist_sq) against a
+    broadcast centroid matrix — map-only, points never shuffle."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(cents, dtype=np.float64)
     )
 
-    def assign_final(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c = bc_final.value
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
         for b in it:
             x = np.array(b[vec_col].tolist(), dtype=np.float64)
             if len(x) == 0:
@@ -350,7 +610,7 @@ def lloyd_kmeans(
                 }
             )
 
-    return pts.mapInPandas(assign_final, out_schema), cents
+    return df.select(id_col, vec_col).mapInPandas(run, ASSIGN_SCHEMA)
 
 
 def numpy_lloyd(
@@ -467,3 +727,224 @@ def cluster_resample(
         .where(F.col("_rn") <= per_cluster)
         .drop("_rn")
     )
+
+
+def resampled_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    per_cluster: int,
+    n_resampling_steps: int = 3,
+    mode: str = "closest",
+    n_iters: int = 20,
+    tol: float = 1e-6,
+    seed: int = 42,
+    checkpoint_dir: str | None = None,
+    **lloyd_kwargs,
+) -> tuple[DataFrame, np.ndarray]:
+    """The reference's per-level resample<->recluster iteration
+    (``n_resampling_steps`` —
+    /root/reference/src/hierarchical_kmeans_gpu.py:159-229,
+    /root/reference/src/clustering/run_distributed_kmeans.py:69-110):
+
+    1. Lloyd over the full corpus;
+    2. repeat ``n_resampling_steps`` times: draw ``per_cluster`` points
+       per cluster (``closest`` / ``random`` — cluster_resample), rerun
+       Lloyd on the DRAWN subset warm-started from the current centroids,
+       and reassign the full corpus to the refreshed centroids.
+
+    The resample step rebalances the centroid estimate (each cluster
+    contributes equally, so giant clusters stop dominating the update) —
+    the reference's stated motivation.
+
+    Scale per step: the subset is <= k * per_cluster rows (tiny vs the
+    corpus); the only full-corpus work after step 0 is one draw (single
+    shuffle on the cluster key) + the final lazy assignment.  With
+    ``checkpoint_dir``, step i's Lloyd checkpoints under ``step{i}`` —
+    a killed run re-pays only assignment/draw passes, never converged
+    Lloyd iterations, and converges bit-identically (test-gated).
+
+    Returns (assignments DF(id, cluster, dist_sq) over the FULL corpus,
+    final centroids).
+    """
+    sub_ckpt = (
+        (lambda name: f"{checkpoint_dir}/{name}")
+        if checkpoint_dir is not None
+        else (lambda name: None)
+    )
+    assign, cents = lloyd_kmeans(
+        df,
+        id_col,
+        vec_col,
+        k,
+        n_iters=n_iters,
+        tol=tol,
+        seed=seed,
+        checkpoint_dir=sub_ckpt("step0"),
+        **lloyd_kwargs,
+    )
+    for step in range(1, n_resampling_steps + 1):
+        drawn = cluster_resample(
+            assign, "cluster", per_cluster, mode=mode
+        ).select(F.col("id").alias(id_col))
+        subset = df.join(drawn, id_col, "semi") if id_col == "id" else (
+            df.join(drawn, on=df[id_col] == drawn[id_col], how="semi")
+        )
+        _, cents = lloyd_kmeans(
+            subset,
+            id_col,
+            vec_col,
+            k,
+            n_iters=n_iters,
+            tol=tol,
+            seed=seed + step,
+            init_centroids=cents,
+            checkpoint_dir=sub_ckpt(f"step{step}"),
+        )
+        assign = assign_points(df, id_col, vec_col, cents)
+    return assign, cents
+
+
+def split_oversized_clusters(
+    df: DataFrame,
+    assign: DataFrame,
+    cents: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    max_size: int,
+    n_splits: int = 2,
+    n_iters: int = 20,
+    seed: int = 42,
+) -> tuple[DataFrame, np.ndarray, dict[int, list[int]]]:
+    """Subdivide clusters larger than ``max_size`` into ``n_splits``
+    sub-clusters — the reference's giant-cluster skew mitigation
+    (/root/reference/scripts/split_clusters.py:31-157).  AQE splits
+    skewed JOIN keys; this splits skewed CLUSTERS, which downstream
+    per-cluster work (resampling, balanced draws) needs.
+
+    All oversized clusters are re-clustered in ONE job: an
+    ``applyInPandas`` keyed by the old cluster id runs Lloyd(n_splits)
+    per group with a per-cluster deterministic seed.  Each group must fit
+    an executor's memory (the same bound the reference's per-cluster GPU
+    kmeans has); clusters beyond that belong in a dedicated
+    ``lloyd_kmeans`` call over the filtered subset.
+
+    Renumbering is deterministic: surviving clusters keep positions in
+    ascending old-id order, then each split cluster's ``n_splits``
+    children follow, ascending (old_id, sub).  Returns (assignment DF
+    (id, cluster, dist_sq) with DENSE new ids, new centroid matrix in new
+    id order, mapping {old_id: [new ids]}).
+    """
+    spark = df.sparkSession
+    counts = {
+        r["cluster"]: r["n"]
+        for r in assign.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    big = sorted(c for c, n in counts.items() if n > max_size)
+    k = len(cents)
+    if not big:
+        return assign, cents, {c: [c] for c in range(k)}
+
+    keep_ids = [c for c in range(k) if c not in set(big)]
+    mapping: dict[int, list[int]] = {}
+    new_cents: list[np.ndarray] = []
+    for pos, c in enumerate(keep_ids):
+        mapping[c] = [pos]
+        new_cents.append(cents[c])
+    base = len(keep_ids)
+    for i, c in enumerate(big):
+        mapping[c] = [base + i * n_splits + s for s in range(n_splits)]
+
+    # one grouped job re-clusters every oversized cluster in parallel;
+    # it runs ONCE (sub-centroids collected here), and the returned lazy
+    # assignment only re-pays a cheap assign-only pass per materialization
+    sub_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("sub", T.IntegerType()),
+            T.StructField("cent", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def split_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        c_old = int(pdf["cluster"].iloc[0])
+        # deterministic within the group: order by id before clustering
+        pdf = pdf.sort_values("id", kind="stable")
+        x = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+        sub_cents, _ = numpy_lloyd(
+            x, min(n_splits, len(x)), n_iters=n_iters, seed=seed + c_old
+        )
+        return pd.DataFrame(
+            {
+                "cluster": np.full(len(sub_cents), c_old, dtype=np.int32),
+                "sub": np.arange(len(sub_cents), dtype=np.int32),
+                "cent": list(sub_cents),
+            }
+        )
+
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_vec"))
+    big_members = assign.where(
+        F.col("cluster").isin([int(c) for c in big])
+    ).join(vecs, "id")
+    sub_cent_rows = (
+        big_members.groupBy("cluster").applyInPandas(split_group, sub_schema).collect()
+    )
+    cent_map: dict[int, np.ndarray] = {}
+    for r in sub_cent_rows:
+        cent_map[mapping[int(r["cluster"])][0] + int(r["sub"])] = np.array(
+            r["cent"], dtype=np.float64
+        )
+
+    # dense centroid matrix in new-id order (a group smaller than
+    # n_splits keeps its parent centroid for the unused child slots —
+    # those ids receive no members)
+    d = cents.shape[1]
+    total = base + len(big) * n_splits
+    out_cents = np.zeros((total, d), dtype=np.float64)
+    for pos, c in enumerate(keep_ids):
+        out_cents[pos] = cents[c]
+    for c in big:
+        for new_id in mapping[c]:
+            out_cents[new_id] = cent_map.get(new_id, cents[c])
+
+    # final assignment: surviving clusters remap via a broadcast mapping
+    # join; split members assign to their OWN cluster's children only
+    # (splitting never moves a point across old-cluster boundaries)
+    spark_map = spark.createDataFrame(
+        [(int(c), int(mapping[c][0])) for c in keep_ids],
+        "cluster int, _new int",
+    )
+    kept_assign = (
+        assign.join(F.broadcast(spark_map), "cluster")
+        .select("id", F.col("_new").cast("int").alias("cluster"), "dist_sq")
+    )
+    children = {
+        int(c): (int(mapping[c][0]), np.vstack([out_cents[i] for i in mapping[c]]))
+        for c in big
+    }
+    bc_children = spark.sparkContext.broadcast(children)
+
+    def assign_split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ch = bc_children.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            outs = []
+            for c_old, grp in b.groupby("cluster", sort=True):
+                new_base, cc = ch[int(c_old)]
+                x = np.array(grp["_vec"].tolist(), dtype=np.float64)
+                ids, d2 = assign_batch(x, cc)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id": grp["id"].to_numpy(),
+                            "cluster": (ids + new_base).astype(np.int32),
+                            "dist_sq": d2,
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    split_assign = big_members.mapInPandas(assign_split, ASSIGN_SCHEMA)
+    return kept_assign.unionByName(split_assign), out_cents, mapping

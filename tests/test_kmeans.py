@@ -256,3 +256,193 @@ def test_checkpoint_dir_pinned_to_config(spark, emb, tmp_path):
         lloyd_kmeans(emb, "vec_id", "embedding", k=6, n_iters=2, checkpoint_dir=ck)
     with pytest.raises(ValueError, match="checkpoint dir"):
         lloyd_kmeans(emb, "vec_id", "embedding", k=5, seed=7, n_iters=2, checkpoint_dir=ck)
+
+
+def test_no_block_manager_leak_across_calls(spark, emb):
+    """lloyd_kmeans caches its projection for the iteration loop but must
+    unpersist before returning: repeated calls in a long-lived service
+    may not grow the block-manager store (round-2 finding)."""
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = n_persistent()
+    for _ in range(3):
+        adf, _ = lloyd_kmeans(emb, "vec_id", "embedding", k=4, n_iters=3)
+        adf.count()  # materialize the returned lazy assignment too
+    assert n_persistent() == before
+
+
+def _blobs(spark, n_clusters=64, per=40, d=8):
+    """Well-separated deterministic blobs: cluster c sits at 100*onehot-ish
+    offsets; members jitter deterministically."""
+    import pandas as pd
+
+    rows = []
+    for c in range(n_clusters):
+        center = [100.0 * ((c >> j) & 1) + 10.0 * c / n_clusters for j in range(d)]
+        for m in range(per):
+            jit = [((c * 131 + m * 17 + j * 7) % 23 - 11) / 23.0 for j in range(d)]
+            rows.append((c * per + m, [center[j] + jit[j] for j in range(d)]))
+    return spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+    )
+
+
+def test_kmeans_parallel_init_beats_sample_init(spark):
+    """k-means|| init over the full corpus must beat the driver-sample
+    fallback at k >> any reasonable sample (the round-2 init-quality gap):
+    same Lloyd budget, strictly lower final potential on separable data —
+    and stay deterministic."""
+    from pyspark.sql import functions as F
+
+    df = _blobs(spark, n_clusters=64, per=40).cache()
+    df.count()
+    try:
+        def pot(init, **kw):
+            adf, cents = lloyd_kmeans(
+                df, "vec_id", "embedding", k=64, n_iters=3, init=init, **kw
+            )
+            return float(adf.agg(F.sum("dist_sq")).collect()[0][0]), cents
+
+        # sample path at k > init_pp_max degrades to seed-keyed draws from
+        # a small hash-ordered sample — the honest round-2 behavior
+        p_sample, _ = pot("sample", init_sample=64, init_pp_max=0)
+        p_par, c1 = pot("parallel", init_rounds=4, init_oversample=3.0)
+        assert p_par < 0.5 * p_sample, (p_par, p_sample)
+        _, c2 = pot("parallel", init_rounds=4, init_oversample=3.0)
+        assert np.array_equal(c1, c2)  # bit-deterministic
+    finally:
+        df.unpersist()
+
+
+def test_resampled_kmeans_step_matches_numpy_twin(spark, emb):
+    """One resample->recluster step must equal its numpy twin: closest
+    per-cluster draw (ties by id), warm-started Lloyd on the drawn subset,
+    full reassign (/root/reference/src/hierarchical_kmeans_gpu.py:159-229)."""
+    from radio_data_curation_ssl_spark.operators.kmeans import resampled_kmeans
+
+    per_cluster, k, iters = 25, 5, 8
+    rows = emb.select("vec_id", "embedding").collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids_in = np.array([r["vec_id"] for r in rows])
+
+    adf, cents1 = resampled_kmeans(
+        emb, "vec_id", "embedding", k=k, per_cluster=per_cluster,
+        n_resampling_steps=1, mode="closest", n_iters=iters,
+    )
+    # numpy twin of the STEP, starting from the distributed step-0 result
+    _, cents0 = lloyd_kmeans(emb, "vec_id", "embedding", k=k, n_iters=iters)
+    ids0, d2_0 = assign_batch(x, cents0)
+    drawn = []
+    for c in range(k):
+        members = np.flatnonzero(ids0 == c)
+        order = np.lexsort((ids_in[members], d2_0[members]))
+        drawn.extend(members[order[:per_cluster]])
+    sub = x[sorted(drawn)]
+    cents_t = cents0.copy()
+    for _ in range(iters):
+        sids, _ = assign_batch(sub, cents_t)
+        sums = np.zeros_like(cents_t)
+        np.add.at(sums, sids, sub)
+        cnt = np.bincount(sids, minlength=k)
+        new = np.where(cnt[:, None] > 0, sums / np.maximum(cnt[:, None], 1), cents_t)
+        if np.abs(new - cents_t).max() < 1e-6:
+            cents_t = new
+            break
+        cents_t = new
+    assert np.allclose(cents1, cents_t, atol=1e-8)
+    # the returned assignment is against the refreshed centroids
+    got = {r["id"]: r["cluster"] for r in adf.collect()}
+    eids, _ = assign_batch(x, cents_t)
+    agree = sum(got[ids_in[i]] == eids[i] for i in range(len(ids_in)))
+    assert agree / len(ids_in) > 0.999
+
+
+def test_resampled_kmeans_checkpoint_resume_bit_identical(spark, emb, tmp_path):
+    """A resample loop killed between steps and restarted must converge to
+    the bit-identical centroids of an uninterrupted run."""
+    from radio_data_curation_ssl_spark.operators.kmeans import resampled_kmeans
+
+    kw = dict(k=4, per_cluster=20, mode="closest", n_iters=6)
+    _, full = resampled_kmeans(
+        emb, "vec_id", "embedding", n_resampling_steps=2, **kw
+    )
+    ck = str(tmp_path / "rs")
+    # "crash" after step 1: only step0+step1 checkpoints exist
+    resampled_kmeans(
+        emb, "vec_id", "embedding", n_resampling_steps=1,
+        checkpoint_dir=ck, **kw,
+    )
+    # restart with the full plan resumes steps 0-1 from checkpoints
+    _, resumed = resampled_kmeans(
+        emb, "vec_id", "embedding", n_resampling_steps=2,
+        checkpoint_dir=ck, **kw,
+    )
+    assert np.array_equal(full, resumed)
+
+
+def test_split_oversized_clusters(spark):
+    """A planted giant cluster is subdivided into n_splits children, ids
+    renumber densely, membership stays within the old cluster, and the
+    result is deterministic."""
+    import pandas as pd
+
+    from radio_data_curation_ssl_spark.operators.kmeans import (
+        split_oversized_clusters,
+    )
+
+    rows = []
+    # giant blob at origin (two internal lobes so the split is meaningful)
+    for i in range(300):
+        lobe = 5.0 if i % 2 else -5.0
+        rows.append((i, [lobe + (i % 13) / 13.0, (i % 7) / 7.0]))
+    # two small far blobs
+    for i in range(40):
+        rows.append((1000 + i, [100.0 + (i % 5) / 5.0, 100.0]))
+    for i in range(40):
+        rows.append((2000 + i, [-100.0, -100.0 + (i % 5) / 5.0]))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+    )
+    adf, cents = lloyd_kmeans(df, "vec_id", "embedding", k=3, n_iters=10)
+    adf = adf.cache()
+    counts = {r["cluster"]: r["count"] for r in adf.groupBy("cluster").count().collect()}
+    giant = max(counts, key=counts.get)
+    assert counts[giant] == 300
+
+    new_assign, new_cents, mapping = split_oversized_clusters(
+        df, adf, cents, "vec_id", "embedding", max_size=200, n_splits=2
+    )
+    assert new_cents.shape == (4, 2)  # 2 kept + 2 children
+    assert sorted(mapping[giant]) == [2, 3]
+    got = new_assign.collect()
+    assert len(got) == 380
+    by = {}
+    for r in got:
+        by.setdefault(r["cluster"], []).append(r["id"])
+    assert sorted(by) == [0, 1, 2, 3]  # dense new ids
+    # children partition exactly the giant cluster's members
+    giant_members = {r["id"] for r in adf.collect() if r["cluster"] == giant}
+    assert set(by[2]) | set(by[3]) == giant_members
+    assert set(by[2]) & set(by[3]) == set()
+    assert len(by[2]) > 50 and len(by[3]) > 50  # both lobes found
+    # determinism
+    new_assign2, new_cents2, _ = split_oversized_clusters(
+        df, adf, cents, "vec_id", "embedding", max_size=200, n_splits=2
+    )
+    assert np.array_equal(new_cents, new_cents2)
+    assert sorted(map(tuple, new_assign2.collect())) == sorted(map(tuple, got))
+    adf.unpersist()
+
+
+def test_split_no_oversized_is_identity(spark, emb):
+    from radio_data_curation_ssl_spark.operators.kmeans import (
+        split_oversized_clusters,
+    )
+
+    adf, cents = lloyd_kmeans(emb, "vec_id", "embedding", k=4, n_iters=4)
+    out, out_cents, mapping = split_oversized_clusters(
+        emb, adf, cents, "vec_id", "embedding", max_size=10**9
+    )
+    assert out is adf and np.array_equal(out_cents, cents)
+    assert mapping == {c: [c] for c in range(4)}

@@ -1,0 +1,246 @@
+"""Two-sample distributional checks over embedding frames — the Spark
+re-expression of the reference's distribution comparison
+(/root/reference/scripts/check_distributions.py:70-178): per-dimension
+stats deltas (the overlay plots' numbers) and a classifier two-sample
+test (logistic regression told apart == distributions differ; held-out
+accuracy ~= 0.5 == indistinguishable).
+
+Scale shapes:
+- ``two_sample_dim_stats``: posexplode -> one partially-aggregated
+  shuffle keyed by dimension — 2*d final rows regardless of corpus size.
+- ``classifier_two_sample_test``: distributed batch gradient descent with
+  the kmeans partial/combine pattern — each iteration is one streaming
+  pass emitting a (d+2)-float partial per partition, folded driver-side
+  in partition-id order (run-invariant float addition).  The model is
+  d+1 floats broadcast down; points never shuffle.  Train/test split and
+  all randomness key off the row id hash, never partition order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def two_sample_dim_stats(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-dimension (1-based) mean/std for each sample plus deltas —
+    one exploded, map-side-combined aggregation."""
+    tagged = df_a.select(F.lit("a").alias("grp"), F.col(vec_col)).unionByName(
+        df_b.select(F.lit("b").alias("grp"), F.col(vec_col))
+    )
+    exploded = tagged.select(
+        "grp", F.posexplode(vec_col).alias("pos", "v")
+    ).select(
+        "grp",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    va = F.when(F.col("grp") == "a", F.col("v"))
+    vb = F.when(F.col("grp") == "b", F.col("v"))
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.round(F.avg(va), round_to).alias("mean_a"),
+            F.round(F.stddev_pop(va), round_to).alias("std_a"),
+            F.round(F.avg(vb), round_to).alias("mean_b"),
+            F.round(F.stddev_pop(vb), round_to).alias("std_b"),
+            F.round(F.abs(F.avg(va) - F.avg(vb)), round_to).alias("delta_mean"),
+            F.round(
+                F.abs(F.stddev_pop(va) - F.stddev_pop(vb)), round_to
+            ).alias("delta_std"),
+        )
+        .orderBy("dim")
+    )
+
+
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("grad", T.ArrayType(T.DoubleType())),
+        T.StructField("loss", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _fold_partials(rows) -> tuple[np.ndarray, float, int]:
+    """Sum partial rows in partition-id order — run-invariant bits."""
+    rows = sorted(rows, key=lambda r: r["part_id"])
+    grad = None
+    loss, n = 0.0, 0
+    for r in rows:
+        g = np.array(r["grad"], dtype=np.float64)
+        grad = g if grad is None else grad + g
+        loss += r["loss"]
+        n += r["n"]
+    return grad, loss, n
+
+
+def classifier_two_sample_test(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 40,
+    lr: float = 2.0,
+    test_mod: int = 4,
+) -> dict:
+    """Train a logistic regression to tell sample A from sample B; report
+    held-out accuracy.  ~0.5 => the classifier cannot distinguish the
+    distributions; meaningfully above 0.5 => they differ (the reference's
+    classifier two-sample test,
+    /root/reference/scripts/check_distributions.py:70-178).
+
+    Features are standardized by train-split global mean/std (one stats
+    pass); training is full-batch GD — deterministic, partition-order
+    free.  Returns {"accuracy", "n_train", "n_test", "final_loss"}.
+
+    The union projection is cached for the GD loop and unpersisted before
+    returning.
+    """
+    tagged = (
+        df_a.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.lit(0).alias("y"),
+        )
+        .unionByName(
+            df_b.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vec_col).alias("vec"),
+                F.lit(1).alias("y"),
+            )
+        )
+        # ids may collide across frames: key the split on (id, y)
+        .withColumn(
+            "is_test",
+            F.pmod(F.xxhash64(F.col("id") * 2 + F.col("y")), F.lit(test_mod))
+            == 0,
+        )
+    ).cache()
+    try:
+        train = tagged.where(~F.col("is_test"))
+        test = tagged.where(F.col("is_test"))
+
+        # standardization from the train split (exploded agg: d rows)
+        stats = (
+            train.select(F.posexplode("vec").alias("pos", "v"))
+            .groupBy("pos")
+            .agg(
+                F.avg(F.col("v").cast("double")).alias("mu"),
+                F.stddev_pop(F.col("v").cast("double")).alias("sd"),
+            )
+            .collect()
+        )
+        d = max(r["pos"] for r in stats) + 1
+        mu = np.zeros(d)
+        sd = np.ones(d)
+        for r in stats:
+            mu[r["pos"]] = r["mu"]
+            sd[r["pos"]] = r["sd"] if r["sd"] and r["sd"] > 1e-12 else 1.0
+
+        spark = tagged.sparkSession
+        sc = spark.sparkContext
+        bc_norm = sc.broadcast((mu, sd))
+        w = np.zeros(d + 1, dtype=np.float64)  # weights + intercept
+
+        def gd_pass(weights: np.ndarray):
+            bc_w = sc.broadcast(weights)
+
+            def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                mu_, sd_ = bc_norm.value
+                wv = bc_w.value
+                pid = TaskContext.get().partitionId()
+                grad = np.zeros(d + 1)
+                loss, n = 0.0, 0
+                for b in batches:
+                    x = (
+                        np.array(b["vec"].tolist(), dtype=np.float64) - mu_
+                    ) / sd_
+                    if len(x) == 0:
+                        continue
+                    y = b["y"].to_numpy().astype(np.float64)
+                    z = x @ wv[:d] + wv[d]
+                    p = 1.0 / (1.0 + np.exp(-z))
+                    err = p - y
+                    grad[:d] += x.T @ err
+                    grad[d] += err.sum()
+                    eps = 1e-12
+                    loss += float(
+                        -(
+                            y * np.log(p + eps)
+                            + (1 - y) * np.log(1 - p + eps)
+                        ).sum()
+                    )
+                    n += len(x)
+                if n:
+                    yield pd.DataFrame(
+                        {
+                            "part_id": [pid],
+                            "grad": [grad],
+                            "loss": [loss],
+                            "n": [n],
+                        }
+                    )
+
+            rows = train.select("vec", "y").mapInPandas(
+                run, _PARTIAL_SCHEMA
+            ).collect()
+            return _fold_partials(rows)
+
+        final_loss = float("nan")
+        for _ in range(n_iters):
+            grad, loss, n = gd_pass(w)
+            if not n:
+                raise ValueError("empty train split")
+            w = w - lr * grad / n
+            final_loss = loss / n
+
+        # held-out accuracy: one counting pass
+        bc_w = sc.broadcast(w)
+        acc_schema = T.StructType(
+            [
+                T.StructField("correct", T.LongType()),
+                T.StructField("n", T.LongType()),
+            ]
+        )
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            mu_, sd_ = bc_norm.value
+            wv = bc_w.value
+            correct, n = 0, 0
+            for b in batches:
+                x = (np.array(b["vec"].tolist(), dtype=np.float64) - mu_) / sd_
+                if len(x) == 0:
+                    continue
+                y = b["y"].to_numpy()
+                pred = (x @ wv[:d] + wv[d]) >= 0.0
+                correct += int((pred == (y == 1)).sum())
+                n += len(x)
+            if n:
+                yield pd.DataFrame({"correct": [correct], "n": [n]})
+
+        srows = test.select("vec", "y").mapInPandas(score, acc_schema).collect()
+        n_correct = sum(r["correct"] for r in srows)
+        n_test = sum(r["n"] for r in srows)
+        n_train = int(tagged.count()) - n_test
+        return {
+            "accuracy": (n_correct / n_test) if n_test else float("nan"),
+            "n_train": n_train,
+            "n_test": n_test,
+            "final_loss": final_loss,
+        }
+    finally:
+        tagged.unpersist()

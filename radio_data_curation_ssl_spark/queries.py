@@ -2166,3 +2166,73 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_events"),
         )
     )
+
+
+@register(
+    "two_sample_dim_stats",
+    """
+WITH x AS (
+  SELECT CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim
+  FROM embeddings)
+SELECT dim,
+  round(avg(CASE WHEN grp = 'a' THEN v END), 4) AS mean_a,
+  round(stddev_pop(CASE WHEN grp = 'a' THEN v END), 4) AS std_a,
+  round(avg(CASE WHEN grp = 'b' THEN v END), 4) AS mean_b,
+  round(stddev_pop(CASE WHEN grp = 'b' THEN v END), 4) AS std_b,
+  round(abs(avg(CASE WHEN grp = 'a' THEN v END)
+          - avg(CASE WHEN grp = 'b' THEN v END)), 4) AS delta_mean,
+  round(abs(stddev_pop(CASE WHEN grp = 'a' THEN v END)
+          - stddev_pop(CASE WHEN grp = 'b' THEN v END)), 4) AS delta_std
+FROM x GROUP BY dim ORDER BY dim
+""",
+    doc="Two-sample per-dimension distribution overlay (the reference's "
+    "check_distributions stats view, "
+    "/root/reference/scripts/check_distributions.py:70-178): embeddings "
+    "split by vec_id parity, per-dim mean/std per sample + deltas. "
+    "Scale: posexplode -> ONE map-side-combined shuffle keyed by dim; "
+    "2*d output rows at any corpus size (operators/distcheck.py).",
+)
+def q_two_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.distcheck import two_sample_dim_stats
+
+    e = t(spark, sf_dir, "embeddings")
+    return two_sample_dim_stats(
+        e.where(F.pmod("vec_id", F.lit(2)) == 0),
+        e.where(F.pmod("vec_id", F.lit(2)) == 1),
+    )
+
+
+@register(
+    "two_sample_classifier",
+    None,  # iterative distributed GD — not SQL-expressible; rows-only
+    doc="Classifier two-sample test (reference: "
+    "/root/reference/scripts/check_distributions.py:70-178): logistic "
+    "regression trained to tell even-id from odd-id embeddings; held-out "
+    "accuracy ~0.5 == same distribution. Distributed full-batch GD with "
+    "partition-ordered partial folds (deterministic bits); one (d+2)-"
+    "float partial per partition per iteration (operators/distcheck.py). "
+    "Oracle-less by nature (iterative); the stats half IS oracle-paired "
+    "(two_sample_dim_stats), and tests/test_distcheck.py proves the "
+    "discrimination behavior on planted shifts.",
+)
+def q_two_sample_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.distcheck import classifier_two_sample_test
+
+    e = t(spark, sf_dir, "embeddings")
+    res = classifier_two_sample_test(
+        e.where(F.pmod("vec_id", F.lit(2)) == 0),
+        e.where(F.pmod("vec_id", F.lit(2)) == 1),
+        n_iters=15,
+    )
+    return spark.createDataFrame(
+        [
+            (
+                round(float(res["accuracy"]), 6),
+                int(res["n_train"]),
+                int(res["n_test"]),
+            )
+        ],
+        "accuracy double, n_train long, n_test long",
+    )

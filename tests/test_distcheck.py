@@ -1,0 +1,72 @@
+"""Two-sample distribution check semantics on planted fixtures
+(reference behavior: /root/reference/scripts/check_distributions.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from radio_data_curation_ssl_spark.operators.distcheck import (
+    classifier_two_sample_test,
+    two_sample_dim_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _frame(spark, n, d, seed, shift=None):
+    """Deterministic pseudo-gaussian-ish frame; ``shift`` adds a constant
+    offset vector (a planted distribution difference)."""
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    x = rng.normal(0.0, 1.0, size=(n, d))
+    if shift is not None:
+        x = x + np.asarray(shift)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(x)}
+        )
+    )
+
+
+def test_same_distribution_is_indistinguishable(spark):
+    a = _frame(spark, 600, 8, seed=1)
+    b = _frame(spark, 600, 8, seed=2)
+    res = classifier_two_sample_test(a, b, n_iters=25)
+    assert 0.35 <= res["accuracy"] <= 0.65, res
+    assert res["n_train"] + res["n_test"] == 1200
+
+
+def test_shifted_distribution_is_detected(spark):
+    a = _frame(spark, 600, 8, seed=1)
+    b = _frame(spark, 600, 8, seed=2, shift=[1.5] * 2 + [0.0] * 6)
+    res = classifier_two_sample_test(a, b, n_iters=25)
+    assert res["accuracy"] >= 0.8, res
+
+
+def test_classifier_deterministic(spark):
+    a = _frame(spark, 300, 6, seed=3)
+    b = _frame(spark, 300, 6, seed=4, shift=[0.5] * 6)
+    r1 = classifier_two_sample_test(a, b, n_iters=10)
+    r2 = classifier_two_sample_test(a, b, n_iters=10)
+    assert r1 == r2  # bit-identical: partition-ordered folds, keyed split
+
+
+def test_dim_stats_localize_the_shift(spark):
+    a = _frame(spark, 800, 6, seed=5)
+    b = _frame(spark, 800, 6, seed=6, shift=[2.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    rows = {r["dim"]: r for r in two_sample_dim_stats(a, b).collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5, 6]  # 1-based dims
+    assert rows[1]["delta_mean"] == pytest.approx(2.0, abs=0.2)
+    for d in range(2, 7):
+        assert rows[d]["delta_mean"] < 0.2
+        assert rows[d]["delta_std"] < 0.2
+
+
+def test_no_cache_leak(spark):
+    a = _frame(spark, 200, 4, seed=7)
+    b = _frame(spark, 200, 4, seed=8)
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    classifier_two_sample_test(a, b, n_iters=3)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before

@@ -649,6 +649,9 @@ def hierarchical_kmeans(
     tol: float = 1e-6,
     seed: int = 42,
     checkpoint_dir: str | None = None,
+    n_resampling_steps: int = 0,
+    per_cluster_sample: int = 0,
+    resample_mode: str = "closest",
 ) -> tuple[DataFrame, list[np.ndarray]]:
     """Multi-level cluster tree + transitive flattening.
 
@@ -657,6 +660,13 @@ def hierarchical_kmeans(
     then flattened through the chain with broadcast mapping joins, giving
     the reference's assignment form ``(id, cluster_l1, ..., cluster_lN)``
     (/root/reference/src/clusters.py:58-89 transitive flatten).
+
+    With ``n_resampling_steps > 0`` (and ``per_cluster_sample``), level 1
+    runs the reference's resample<->recluster iteration (resampled_kmeans
+    — /root/reference/src/hierarchical_kmeans_gpu.py:159-229) instead of
+    plain Lloyd; deeper levels cluster the refreshed centroids as before
+    (level 1 is the only corpus-scale pass, the same reasoning that puts
+    checkpointing there).
 
     Returns (assignments DF(id, cluster_l1..cluster_lN, dist_sq),
     [level-1 centroids, level-2 centroids, ...]).
@@ -669,18 +679,36 @@ def hierarchical_kmeans(
         raise ValueError("ks must name at least one level")
     # only level 1 touches the full corpus — its checkpoints are the ones
     # that matter; deeper levels are driver-side seconds
-    assign, cents = lloyd_kmeans(
-        df,
-        id_col,
-        vec_col,
-        ks[0],
-        n_iters=n_iters,
-        tol=tol,
-        seed=seed,
-        checkpoint_dir=(
-            f"{checkpoint_dir}/level1" if checkpoint_dir is not None else None
-        ),
-    )
+    l1_ckpt = f"{checkpoint_dir}/level1" if checkpoint_dir is not None else None
+    if n_resampling_steps > 0:
+        if per_cluster_sample <= 0:
+            raise ValueError(
+                "n_resampling_steps > 0 requires per_cluster_sample > 0"
+            )
+        assign, cents = resampled_kmeans(
+            df,
+            id_col,
+            vec_col,
+            ks[0],
+            per_cluster=per_cluster_sample,
+            n_resampling_steps=n_resampling_steps,
+            mode=resample_mode,
+            n_iters=n_iters,
+            tol=tol,
+            seed=seed,
+            checkpoint_dir=l1_ckpt,
+        )
+    else:
+        assign, cents = lloyd_kmeans(
+            df,
+            id_col,
+            vec_col,
+            ks[0],
+            n_iters=n_iters,
+            tol=tol,
+            seed=seed,
+            checkpoint_dir=l1_ckpt,
+        )
     out = assign.withColumnRenamed("cluster", "cluster_l1")
     spark = df.sparkSession
     level_cents = [cents]

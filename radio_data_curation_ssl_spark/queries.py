@@ -717,6 +717,23 @@ def _cos_seq_udf():
             zero = [0.0] * dim
             la = [zero if v is None else v for v in la]
             lb = [zero if v is None else v for v in lb]
+        # degenerate shapes (this is reusable query surface, not just the
+        # rectangular test tables): empty arrays would IndexError the
+        # accumulate and ragged rows would build an object ndarray — both
+        # get the SQL fold's degenerate semantics instead (empty -> 0/0
+        # -> NULL; length-mismatched pair -> zip_with pads with NULL,
+        # which poisons the fold -> NULL)
+        lens = {len(v) for v in la} | {len(v) for v in lb}
+        if len(la) and (len(lens) > 1 or 0 in lens):
+            bad = np.array(
+                [len(va) != len(vb) or len(va) == 0 for va, vb in zip(la, lb)],
+                dtype=bool,
+            )
+            dim = max(lens) if lens else 1
+            zero = [0.0] * max(dim, 1)
+            la = [zero if m else list(v) + [0.0] * (dim - len(v)) for m, v in zip(bad, la)]
+            lb = [zero if m else list(v) + [0.0] * (dim - len(v)) for m, v in zip(bad, lb)]
+            row_null = row_null | bad
         xa = np.array(la, dtype=np.float64)
         xb = np.array(lb, dtype=np.float64)
         dot = np.add.accumulate(xa * xb, axis=1)[:, -1]

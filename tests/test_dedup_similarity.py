@@ -372,3 +372,27 @@ def test_simhash_pairing_recall_and_verify(spark):
     assert (900, 901) not in got and (900, 902) not in got  # collapsed
     for (a, b), h in got.items():  # exact verify: no pair beyond threshold
         assert h <= 3
+
+
+def test_cos_kernel_degenerate_shapes(spark):
+    """The cosine kernel sits on the reusable query surface: empty arrays
+    and ragged pairs must degrade to the SQL fold's NULL semantics, not
+    crash the ndarray conversion (round-2 advisor finding)."""
+    from radio_data_curation_ssl_spark.queries import _cos_seq_udf
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),
+            (2, [], []),
+            (3, [1.0, 2.0, 3.0], [1.0, 2.0]),
+            (4, None, [1.0, 0.0]),
+            (5, [1.0], [2.0]),
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", _cos_seq_udf()("a", "b").alias("c")).collect()
+    }
+    assert got[1] == 1.0 and got[5] == 1.0
+    assert got[2] is None and got[3] is None and got[4] is None

@@ -446,3 +446,31 @@ def test_split_no_oversized_is_identity(spark, emb):
     )
     assert out is adf and np.array_equal(out_cents, cents)
     assert mapping == {c: [c] for c in range(4)}
+
+
+def test_hierarchical_with_resampling_level1(spark, emb):
+    """n_resampling_steps routes level 1 through the resample<->recluster
+    loop; the tree must equal composing resampled_kmeans + the numpy
+    deeper level by hand."""
+    from radio_data_curation_ssl_spark.operators.kmeans import (
+        hierarchical_kmeans,
+        numpy_lloyd,
+        resampled_kmeans,
+    )
+
+    adf, level_cents = hierarchical_kmeans(
+        emb, "vec_id", "embedding", ks=[6, 2], n_iters=6,
+        n_resampling_steps=1, per_cluster_sample=20,
+    )
+    _, cents_direct = resampled_kmeans(
+        emb, "vec_id", "embedding", k=6, per_cluster=20,
+        n_resampling_steps=1, mode="closest", n_iters=6,
+    )
+    assert np.array_equal(level_cents[0], cents_direct)
+    _c2, edge = numpy_lloyd(level_cents[0], 2, n_iters=6)
+    for r in adf.collect():
+        assert r["cluster_l2"] == int(edge[r["cluster_l1"]])
+    with pytest.raises(ValueError, match="per_cluster_sample"):
+        hierarchical_kmeans(
+            emb, "vec_id", "embedding", ks=[4], n_resampling_steps=2
+        )

@@ -844,6 +844,7 @@ def split_oversized_clusters(
     n_splits: int = 2,
     n_iters: int = 20,
     seed: int = 42,
+    huge_threshold: int | None = None,
 ) -> tuple[DataFrame, np.ndarray, dict[int, list[int]]]:
     """Subdivide clusters larger than ``max_size`` into ``n_splits``
     sub-clusters — the reference's giant-cluster skew mitigation
@@ -851,12 +852,16 @@ def split_oversized_clusters(
     skewed JOIN keys; this splits skewed CLUSTERS, which downstream
     per-cluster work (resampling, balanced draws) needs.
 
-    All oversized clusters are re-clustered in ONE job: an
+    Oversized clusters are re-clustered in ONE grouped job: an
     ``applyInPandas`` keyed by the old cluster id runs Lloyd(n_splits)
-    per group with a per-cluster deterministic seed.  Each group must fit
-    an executor's memory (the same bound the reference's per-cluster GPU
-    kmeans has); clusters beyond that belong in a dedicated
-    ``lloyd_kmeans`` call over the filtered subset.
+    per group with a per-cluster deterministic seed.  A group must fit an
+    executor's memory (the same bound the reference's per-cluster GPU
+    kmeans has) — clusters counted above ``huge_threshold`` (default:
+    never) instead take the fully distributed path: one ``lloyd_kmeans``
+    over the semi-joined subset per huge cluster (there are few by
+    construction — they are the tail the size cap exists to catch).
+    Callers using the huge path should pass a materialized ``assign``
+    (each huge cluster re-reads it for its member filter).
 
     Renumbering is deterministic: surviving clusters keep positions in
     ascending old-id order, then each split cluster's ``n_splits``
@@ -915,14 +920,38 @@ def split_oversized_clusters(
     big_members = assign.where(
         F.col("cluster").isin([int(c) for c in big])
     ).join(vecs, "id")
-    sub_cent_rows = (
-        big_members.groupBy("cluster").applyInPandas(split_group, sub_schema).collect()
+    huge = (
+        [c for c in big if huge_threshold is not None and counts[c] > huge_threshold]
     )
+    grouped = [c for c in big if c not in set(huge)]
     cent_map: dict[int, np.ndarray] = {}
-    for r in sub_cent_rows:
-        cent_map[mapping[int(r["cluster"])][0] + int(r["sub"])] = np.array(
-            r["cent"], dtype=np.float64
+    if grouped:
+        sub_cent_rows = (
+            big_members.where(F.col("cluster").isin([int(c) for c in grouped]))
+            .groupBy("cluster")
+            .applyInPandas(split_group, sub_schema)
+            .collect()
         )
+        for r in sub_cent_rows:
+            cent_map[mapping[int(r["cluster"])][0] + int(r["sub"])] = np.array(
+                r["cent"], dtype=np.float64
+            )
+    for c in huge:
+        # fully distributed split for clusters beyond the in-group bound
+        members = assign.where(F.col("cluster") == int(c)).select(
+            F.col("id").alias(id_col)
+        )
+        sub_df = df.join(members, id_col, "semi")
+        _, sub_cents = lloyd_kmeans(
+            sub_df,
+            id_col,
+            vec_col,
+            min(n_splits, counts[c]),
+            n_iters=n_iters,
+            seed=seed + c,
+        )
+        for s, cc in enumerate(sub_cents):
+            cent_map[mapping[c][0] + s] = np.asarray(cc, dtype=np.float64)
 
     # dense centroid matrix in new-id order (a group smaller than
     # n_splits keeps its parent centroid for the unused child slots —

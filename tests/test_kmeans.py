@@ -474,3 +474,48 @@ def test_hierarchical_with_resampling_level1(spark, emb):
         hierarchical_kmeans(
             emb, "vec_id", "embedding", ks=[4], n_resampling_steps=2
         )
+
+
+def test_split_huge_cluster_distributed_path(spark):
+    """Clusters above huge_threshold take the fully distributed split
+    (lloyd_kmeans over the semi-joined subset) — same contract: children
+    partition the old cluster, dense renumbering, determinism."""
+    import pandas as pd
+
+    from radio_data_curation_ssl_spark.operators.kmeans import (
+        split_oversized_clusters,
+    )
+
+    rows = []
+    for i in range(400):  # giant two-lobe cluster
+        lobe = 6.0 if i % 2 else -6.0
+        rows.append((i, [lobe + (i % 11) / 11.0, (i % 5) / 5.0]))
+    for i in range(30):
+        rows.append((1000 + i, [80.0, 80.0 + (i % 5) / 5.0]))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+    )
+    adf, cents = lloyd_kmeans(df, "vec_id", "embedding", k=2, n_iters=8)
+    adf = adf.cache()
+    counts = {r["cluster"]: r["count"] for r in adf.groupBy("cluster").count().collect()}
+    giant = max(counts, key=counts.get)
+    new_assign, new_cents, mapping = split_oversized_clusters(
+        df, adf, cents, "vec_id", "embedding",
+        max_size=200, n_splits=2, huge_threshold=100,  # forces distributed path
+    )
+    got = new_assign.collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["cluster"], set()).add(r["id"])
+    assert sorted(by) == [0, 1, 2]
+    giant_members = {r["id"] for r in adf.collect() if r["cluster"] == giant}
+    a, b = (by[i] for i in mapping[giant])
+    assert a | b == giant_members and not (a & b)
+    assert len(a) > 50 and len(b) > 50
+    # determinism of the distributed path
+    _, cents2, _ = split_oversized_clusters(
+        df, adf, cents, "vec_id", "embedding",
+        max_size=200, n_splits=2, huge_threshold=100,
+    )
+    assert np.array_equal(new_cents, cents2)
+    adf.unpersist()

@@ -241,3 +241,14 @@ def test_reindex_searchsorted_path_matches_case_path(spark):
         )
     )
     assert got == want
+
+
+def test_simhash_pairs_plan_is_bucketed(spark):
+    """The simhash pairing self-join must shuffle ONLY on (seg, segval) —
+    no single-partition exchange anywhere, and the sketch explode stays
+    JVM-side (posexplode generator, no Python stage before the join)."""
+    df = REGISTRY["dedup_simhash_pairs"].spark(spark, SF)
+    p = plan(df)
+    assert "Exchange SinglePartition" not in p
+    assert "hashpartitioning(seg" in p
+    assert "posexplode" in p  # JVM-side Generate, no Python stage pre-join

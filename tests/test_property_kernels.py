@@ -176,7 +176,6 @@ def test_minhash_kernel_matches_scalar_fold(hash_lists):
     keys = band_keys_batch(hash_lists)
     for i in range(len(hash_lists)):
         for b in range(N_BANDS):
-            k = int(sigs[b * BAND_R, i])
-            for j in range(1, BAND_R):
-                k = k * 31 + int(sigs[b * BAND_R + j, i])
-            assert keys[i][b] == k
+            p0 = int(sigs[b * BAND_R, i]) * MERSENNE31 + int(sigs[b * BAND_R + 1, i])
+            p1 = int(sigs[b * BAND_R + 2, i]) * MERSENNE31 + int(sigs[b * BAND_R + 3, i])
+            assert keys[i][b] == p0 ^ (p1 >> 31) ^ ((p1 & 0x7FFFFFFF) << 31)

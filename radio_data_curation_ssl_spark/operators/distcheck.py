@@ -49,17 +49,19 @@ def two_sample_dim_stats(
     )
     va = F.when(F.col("grp") == "a", F.col("v"))
     vb = F.when(F.col("grp") == "b", F.col("v"))
+
+    def r(col):  # + 0.0 canonicalizes -0.0 (engines round
+        return F.round(col, round_to) + F.lit(0.0)  # -1e-9 differently)
+
     return (
         exploded.groupBy("dim")
         .agg(
-            F.round(F.avg(va), round_to).alias("mean_a"),
-            F.round(F.stddev_pop(va), round_to).alias("std_a"),
-            F.round(F.avg(vb), round_to).alias("mean_b"),
-            F.round(F.stddev_pop(vb), round_to).alias("std_b"),
-            F.round(F.abs(F.avg(va) - F.avg(vb)), round_to).alias("delta_mean"),
-            F.round(
-                F.abs(F.stddev_pop(va) - F.stddev_pop(vb)), round_to
-            ).alias("delta_std"),
+            r(F.avg(va)).alias("mean_a"),
+            r(F.stddev_pop(va)).alias("std_a"),
+            r(F.avg(vb)).alias("mean_b"),
+            r(F.stddev_pop(vb)).alias("std_b"),
+            r(F.abs(F.avg(va) - F.avg(vb))).alias("delta_mean"),
+            r(F.abs(F.stddev_pop(va) - F.stddev_pop(vb))).alias("delta_std"),
         )
         .orderBy("dim")
     )

@@ -2194,14 +2194,14 @@ WITH x AS (
          CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim
   FROM embeddings)
 SELECT dim,
-  round(avg(CASE WHEN grp = 'a' THEN v END), 4) AS mean_a,
-  round(stddev_pop(CASE WHEN grp = 'a' THEN v END), 4) AS std_a,
-  round(avg(CASE WHEN grp = 'b' THEN v END), 4) AS mean_b,
-  round(stddev_pop(CASE WHEN grp = 'b' THEN v END), 4) AS std_b,
+  round(avg(CASE WHEN grp = 'a' THEN v END), 4) + 0.0 AS mean_a,
+  round(stddev_pop(CASE WHEN grp = 'a' THEN v END), 4) + 0.0 AS std_a,
+  round(avg(CASE WHEN grp = 'b' THEN v END), 4) + 0.0 AS mean_b,
+  round(stddev_pop(CASE WHEN grp = 'b' THEN v END), 4) + 0.0 AS std_b,
   round(abs(avg(CASE WHEN grp = 'a' THEN v END)
-          - avg(CASE WHEN grp = 'b' THEN v END)), 4) AS delta_mean,
+          - avg(CASE WHEN grp = 'b' THEN v END)), 4) + 0.0 AS delta_mean,
   round(abs(stddev_pop(CASE WHEN grp = 'a' THEN v END)
-          - stddev_pop(CASE WHEN grp = 'b' THEN v END)), 4) AS delta_std
+          - stddev_pop(CASE WHEN grp = 'b' THEN v END)), 4) + 0.0 AS delta_std
 FROM x GROUP BY dim ORDER BY dim
 """,
     doc="Two-sample per-dimension distribution overlay (the reference's "

@@ -842,7 +842,9 @@ def q_cos_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[int]]:
+def _hyperplanes(
+    n_planes: int = 8, dim: int = 64, salt: int = 777
+) -> list[list[int]]:
     """Deterministic ±1 hyperplanes from splitmix64 — embedded as literals
     in BOTH dialects, so the LSH bucket ids are oracle-checkable."""
     import numpy as np
@@ -850,7 +852,7 @@ def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[int]]:
     from .synth import splitmix64
 
     idx = np.arange(n_planes * dim, dtype=np.uint64)
-    bits = (splitmix64(idx + np.uint64(777)) & np.uint64(1)).astype(np.int64)
+    bits = (splitmix64(idx + np.uint64(salt)) & np.uint64(1)).astype(np.int64)
     signs = (bits * 2 - 1).reshape(n_planes, dim)
     return signs.tolist()
 
@@ -858,10 +860,10 @@ def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[int]]:
 _PLANES = _hyperplanes()
 
 
-def _lsh_bucket_exprs() -> X.P:
+def _lsh_bucket_exprs(planes=None) -> X.P:
     """bucket = Σ_k [dot(emb, plane_k) >= 0] << k, planes as array literals."""
     sp_terms, du_terms = [], []
-    for k, plane in enumerate(_PLANES):
+    for k, plane in enumerate(_PLANES if planes is None else planes):
         lit_sp = "array(" + ",".join(str(v) for v in plane) + ")"
         lit_du = "[" + ",".join(str(v) for v in plane) + "]"
         d_sp = X.dot("embedding", lit_sp).spark
@@ -2252,4 +2254,78 @@ def q_two_sample_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
         "accuracy double, n_train long, n_test long",
+    )
+
+
+# --- LSH-blocked embedding near-dup (SemDeDup-style corpus self-join) ----
+# 6 OR-tables x 4 hyperplanes: collision prob for a pair at angle θ is
+# 1-(1-(1-θ/π)^4)^6 — ~0.99 for true near-dups (cos >= 0.9), so the block
+# replaces the label key with no practical recall loss where it matters,
+# while keeping the pair count bounded by bucket sizes.  Production sizing
+# raises planes-per-table with corpus size (20 planes -> 2^20 buckets);
+# the trade-off curve is the same.
+_NDL_N_TABLES, _NDL_N_PLANES = 6, 4
+_NDL = [
+    _lsh_bucket_exprs(_hyperplanes(_NDL_N_PLANES, salt=9000 + 17 * ti))
+    for ti in range(_NDL_N_TABLES)
+]
+
+
+@register(
+    "embedding_neardup_lsh",
+    f"""
+WITH bt AS (
+  {" UNION ALL ".join(
+      f"SELECT vec_id, {ti} AS tbl, {p.duck} AS bucket FROM embeddings"
+      for ti, p in enumerate(_NDL))}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bt x JOIN bt y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+SELECT vec_a, vec_b, {_COS_AB.duck} AS cos_sim
+FROM cand
+JOIN embeddings a ON a.vec_id = cand.vec_a
+JOIN embeddings b ON b.vec_id = cand.vec_b
+WHERE {_COS_AB.duck} >= 0.35
+""",
+    doc="Embedding-cosine near-dup pairs blocked by amplified LSH instead "
+    "of a label key — the web-scale block embedding_cosine_neardup "
+    "documents (no label exists at 10^12 docs). 6 OR-tables x 4 "
+    "hyperplanes (~0.99 collision for cos>=0.9 true near-dups), exact "
+    "sequential-fold cosine VERIFY on candidates only. Scale: JVM-side "
+    "stack explode, ONE AQE-reused equi-join shuffle on (tbl, bucket), "
+    "hash-join rerank — the minhash pipeline shape over vectors "
+    "(recall test on planted near-identical embeddings in "
+    "tests/test_dedup_similarity.py).",
+)
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    stack_expr = (
+        f"stack({_NDL_N_TABLES}, "
+        + ", ".join(f"{ti}, {p.spark}" for ti, p in enumerate(_NDL))
+        + ") AS (tbl, bucket)"
+    )
+    bt = e.selectExpr("vec_id", stack_expr).repartition("tbl", "bucket")
+    x, y = bt.alias("x"), bt.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    sa = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    sb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = X.cosine("ea", "eb")
+    return (
+        cand.join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .selectExpr("vec_a", "vec_b", f"{cos.spark} AS cos_sim")
+        .where("cos_sim >= 0.35")
     )

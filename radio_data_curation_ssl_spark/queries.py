@@ -520,6 +520,7 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 2
     "ONE AQE-reused equi-join shuffle on (seg, segval) "
     "(operators/simhash.py; recall test on planted near-dups in "
     "tests/test_dedup_similarity.py).",
+    bench=True,
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.simhash import simhash_neardup_pairs
@@ -938,8 +939,9 @@ def _lsh_table_bucket(table: int) -> X.P:
 _ANN_BUCKETS = [_lsh_table_bucket(t) for t in range(_ANN_L)]
 
 
-def _ann_bucket_rows(e: DataFrame) -> DataFrame:
-    """(vec_id, tbl, bucket) for every table — ONE numpy pass.
+def _bucket_rows_numpy(e: DataFrame, planes) -> DataFrame:
+    """(vec_id, tbl, bucket) for every table in ``planes`` (L, R, dim) —
+    ONE numpy pass.
 
     Bit-exact twin of the SQL bucket expressions (the oracle's dialect):
     the plane dot is a sequential left fold (``np.add.accumulate`` is the
@@ -952,9 +954,8 @@ def _ann_bucket_rows(e: DataFrame) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    planes = np.array(
-        [_lsh_table_planes(t) for t in range(_ANN_L)], dtype=np.float64
-    )  # (L, R, dim)
+    planes = np.asarray(planes, dtype=np.float64)  # (L, R, dim)
+    n_tables, n_planes = planes.shape[0], planes.shape[1]
     schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
@@ -964,16 +965,16 @@ def _ann_bucket_rows(e: DataFrame) -> DataFrame:
     )
 
     def run(it):
-        tbl_ids = np.arange(_ANN_L, dtype=np.int32)
+        tbl_ids = np.arange(n_tables, dtype=np.int32)
         for b in it:
             lists = b["embedding"].tolist()
             if not lists:
                 continue
             x = np.array(lists, dtype=np.float64)
             m = len(x)
-            buckets = np.zeros((_ANN_L, m), dtype=np.int64)
-            for tb in range(_ANN_L):
-                for k in range(_ANN_R):
+            buckets = np.zeros((n_tables, m), dtype=np.int64)
+            for tb in range(n_tables):
+                for k in range(n_planes):
                     acc = np.add.accumulate(x * planes[tb, k][None, :], axis=1)[:, -1]
                     bit = (acc >= 0) | np.isnan(acc)
                     buckets[tb] += bit.astype(np.int64) << k
@@ -990,13 +991,19 @@ def _ann_bucket_rows(e: DataFrame) -> DataFrame:
                 buckets[:, has_none] = 0
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(b["vec_id"].to_numpy(), _ANN_L),
+                    "vec_id": np.repeat(b["vec_id"].to_numpy(), n_tables),
                     "tbl": np.tile(tbl_ids, m),
                     "bucket": buckets.T.ravel(),
                 }
             )
 
     return e.select("vec_id", "embedding").mapInPandas(run, schema)
+
+
+def _ann_bucket_rows(e: DataFrame) -> DataFrame:
+    return _bucket_rows_numpy(
+        e, [_lsh_table_planes(t) for t in range(_ANN_L)]
+    )
 
 
 @register(
@@ -2212,6 +2219,7 @@ FROM x GROUP BY dim ORDER BY dim
     "split by vec_id parity, per-dim mean/std per sample + deltas. "
     "Scale: posexplode -> ONE map-side-combined shuffle keyed by dim; "
     "2*d output rows at any corpus size (operators/distcheck.py).",
+    bench=True,
 )
 def q_two_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.distcheck import two_sample_dim_stats
@@ -2265,10 +2273,11 @@ def q_two_sample_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # raises planes-per-table with corpus size (20 planes -> 2^20 buckets);
 # the trade-off curve is the same.
 _NDL_N_TABLES, _NDL_N_PLANES = 6, 4
-_NDL = [
-    _lsh_bucket_exprs(_hyperplanes(_NDL_N_PLANES, salt=9000 + 17 * ti))
+_NDL_PLANES = [
+    _hyperplanes(_NDL_N_PLANES, salt=9000 + 17 * ti)
     for ti in range(_NDL_N_TABLES)
 ]
+_NDL = [_lsh_bucket_exprs(pl) for pl in _NDL_PLANES]
 
 
 @register(
@@ -2298,15 +2307,14 @@ WHERE {_COS_AB.duck} >= 0.35
     "hash-join rerank — the minhash pipeline shape over vectors "
     "(recall test on planted near-identical embeddings in "
     "tests/test_dedup_similarity.py).",
+    bench=True,
 )
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    stack_expr = (
-        f"stack({_NDL_N_TABLES}, "
-        + ", ".join(f"{ti}, {p.spark}" for ti, p in enumerate(_NDL))
-        + ") AS (tbl, bucket)"
-    )
-    bt = e.selectExpr("vec_id", stack_expr).repartition("tbl", "bucket")
+    # buckets via the shared numpy fold kernel (bit-exact twin of the SQL
+    # bucket exprs the oracle runs — 24 interpreted folds per row would
+    # cost ~2s at sf0.1; the kernel is ~0.1s)
+    bt = _bucket_rows_numpy(e, _NDL_PLANES).repartition("tbl", "bucket")
     x, y = bt.alias("x"), bt.alias("y")
     cand = (
         x.join(
@@ -2322,10 +2330,13 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     sb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = X.cosine("ea", "eb")
+    # verify with the vectorized sequential-fold kernel (bit-exact twin of
+    # the SQL fold the oracle runs — same kernel the hash-green ANN
+    # queries use): the interpreted higher-order aggregate is ~15x slower
+    # per candidate (the measured fused-kernel gap, BENCH/BASELINE.md)
     return (
         cand.join(sa, "vec_a")
         .join(sb, "vec_b")
-        .selectExpr("vec_a", "vec_b", f"{cos.spark} AS cos_sim")
+        .select("vec_a", "vec_b", _cos_seq_col("ea", "eb").alias("cos_sim"))
         .where("cos_sim >= 0.35")
     )

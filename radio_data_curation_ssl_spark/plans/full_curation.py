@@ -49,6 +49,8 @@ def curate_dedup_sample(
     jaccard_threshold: float = 0.5,
     curated: DataFrame | None = None,
     work_dir: str | None = None,
+    near_dup: str = "minhash",
+    simhash_max_hamming: int = 3,
 ) -> DataFrame:
     """pages -> deduplicated, balanced, scrubbed training sample.
 
@@ -57,9 +59,17 @@ def curate_dedup_sample(
     already computed (and cached) ``curate(pages)`` share that frame.
     ``target <= 0`` or an empty surviving population yields an empty
     sample (no crash).
+
+    ``near_dup`` picks the near-duplicate stage: ``"minhash"`` (64-perm
+    LSH + exact-Jaccard verify — the precision path), ``"simhash"`` (one
+    64-bit sketch per doc + pigeonhole hamming pairing — ~16x less sketch
+    state and no shingle sets, the cheap path real pipelines use at the
+    largest scales), or ``"none"`` to skip.
     """
     if target < 0:
         raise ValueError(f"target must be >= 0, got {target}")
+    if near_dup not in ("minhash", "simhash", "none"):
+        raise ValueError(f"unknown near_dup mode {near_dup!r}")
     full = curated if curated is not None else curate(pages)
     kept = full.where("keep").select(
         "url", "warc_ts", "text", "text_scrubbed", "lang_pred"
@@ -76,23 +86,52 @@ def curate_dedup_sample(
         .drop("_rn")
         .persist()
     )
-    # near-dup removal: verified pairs (exact Jaccard >= threshold among
-    # LSH candidates); keep-first policy drops the larger doc hash of each
-    # pair (the band machinery keys docs by a LONG id, so urls ride as
-    # xxhash64 surrogates — 64-bit, collision-negligible, deterministic).
-    # skip_exact_collapse: stage 2 above already collapsed exact dups.
+    # near-dup removal: keep-first policy drops the larger doc hash of
+    # each verified pair (both machineries key docs by a LONG id, so urls
+    # ride as xxhash64 surrogates — 64-bit, collision-negligible,
+    # deterministic).  skip_exact_collapse: stage 2 collapsed exact dups.
     docs = uniq.select(F.xxhash64("url").alias("doc_id"), "text")
-    losers = (
-        minhash_neardup_pairs(
-            docs, threshold=jaccard_threshold, skip_exact_collapse=True
+    if near_dup == "minhash":
+        losers = (
+            minhash_neardup_pairs(
+                docs, threshold=jaccard_threshold, skip_exact_collapse=True
+            )
+            .select(F.col("doc_b").alias("_h"))
+            .distinct()
         )
-        .select(F.col("doc_b").alias("_h"))
-        .distinct()
-    )
+    elif near_dup == "simhash":
+        from ..operators.simhash import simhash_neardup_pairs, simhash_sketches
+
+        sk = simhash_sketches(docs, id_col="doc_id", text_col="text")
+        # identical sketches from DISTINCT texts are hamming-0 near-dups:
+        # every non-canonical member loses; canonical sketches then pair
+        # via the pigeonhole blocks
+        ranked = sk.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("simhash").orderBy("id")),
+        )
+        zero_losers = ranked.where("_rn > 1").select(F.col("id").alias("_h"))
+        canon = ranked.where("_rn = 1").drop("_rn")
+        pair_losers = (
+            simhash_neardup_pairs(
+                canon,
+                id_col="id",
+                sketch_col="simhash",
+                bits=64,
+                max_hamming=simhash_max_hamming,
+                collapse_exact=False,  # collapsed above, losers recorded
+            )
+            .select(F.col("doc_b").alias("_h"))
+        )
+        losers = zero_losers.unionByName(pair_losers).distinct()
+    else:
+        losers = None
     neat = (
         uniq.withColumn("_h", F.xxhash64("url"))
         .join(losers, "_h", "left_anti")
         .drop("_h")
+        if losers is not None
+        else uniq
     )
     spark = pages.sparkSession
     if work_dir is not None:

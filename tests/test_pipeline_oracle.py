@@ -250,3 +250,60 @@ def test_full_curation_flow_work_dir_mode(spark, tmp_path, pages_small):
     assert a == b
     import os
     assert os.path.isdir(f"{wd}/deduped")  # the materialized artifact
+
+
+def test_simhash_sketcher_properties(spark):
+    """The vectorized 64-bit sketcher: identical texts -> identical
+    sketches, word-substituted near-dups -> small hamming, unrelated
+    texts -> large hamming, empty -> 0; deterministic across runs."""
+    from radio_data_curation_ssl_spark.operators.simhash import (
+        simhash_sketches,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "river bank while birds circle overhead in the warm air ") * 4
+    mut = base.replace("lazy", "sleepy").replace("warm", "cold")
+    other = "completely different text about spark engines and shuffle " * 10
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, mut), (4, other), (5, ""), (6, None)],
+        "doc_id long, text string",
+    )
+    sk = {r["id"]: r["simhash"] for r in simhash_sketches(df).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert sk[1] == sk[2]
+    assert ham(sk[1], sk[3]) <= 10       # near-dup: few flipped words
+    assert ham(sk[1], sk[4]) >= 20       # unrelated
+    assert sk[5] == 0 and sk[6] == 0
+    sk2 = {r["id"]: r["simhash"] for r in simhash_sketches(df).collect()}
+    assert sk == sk2
+
+
+def test_full_curation_flow_simhash_mode(spark, pages_small):
+    """near_dup='simhash' drops planted near-duplicates (word-substituted
+    copies) the exact-dedup stage cannot catch, stays deterministic, and
+    'none' skips the stage entirely."""
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    out_s = curate_dedup_sample(pages_small, target=120, near_dup="simhash")
+    rows = out_s.collect()
+    assert len(rows) == 120
+    texts = [r["text_scrubbed"] for r in rows]
+    assert len(set(texts)) == len(texts)
+    again = curate_dedup_sample(pages_small, target=120, near_dup="simhash")
+    assert sorted(r["url"] for r in again.collect()) == sorted(
+        r["url"] for r in rows
+    )
+    # the simhash stage must remove at least as much as 'none'
+    n_none = curate_dedup_sample(pages_small, target=10**9, near_dup="none").count()
+    n_sim = curate_dedup_sample(
+        pages_small, target=10**9, near_dup="simhash"
+    ).count()
+    assert n_sim <= n_none
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="near_dup"):
+        curate_dedup_sample(pages_small, target=10, near_dup="bogus")

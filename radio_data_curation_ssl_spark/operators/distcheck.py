@@ -98,6 +98,7 @@ def classifier_two_sample_test(
     n_iters: int = 40,
     lr: float = 2.0,
     test_mod: int = 4,
+    train_sample_mod: int = 1,
 ) -> dict:
     """Train a logistic regression to tell sample A from sample B; report
     held-out accuracy.  ~0.5 => the classifier cannot distinguish the
@@ -108,6 +109,11 @@ def classifier_two_sample_test(
     Features are standardized by train-split global mean/std (one stats
     pass); training is full-batch GD — deterministic, partition-order
     free.  Returns {"accuracy", "n_train", "n_test", "final_loss"}.
+
+    ``train_sample_mod`` is the 10^12-scale lever: train on a
+    deterministic hash-keyed 1/mod subsample (the statistical power of a
+    two-sample test saturates long before the corpus does — the full test
+    split still scores).  1 = train on everything.
 
     The union projection is cached for the GD loop and unpersisted before
     returning.
@@ -134,6 +140,16 @@ def classifier_two_sample_test(
     ).cache()
     try:
         train = tagged.where(~F.col("is_test"))
+        if train_sample_mod > 1:
+            # distinct salt from the test split so the two draws are
+            # independent
+            train = train.where(
+                F.pmod(
+                    F.xxhash64(F.col("id") * 2 + F.col("y"), F.lit(71)),
+                    F.lit(train_sample_mod),
+                )
+                == 0
+            )
         test = tagged.where(F.col("is_test"))
 
         # standardization from the train split (exploded agg: d rows)
@@ -203,12 +219,14 @@ def classifier_two_sample_test(
             return _fold_partials(rows)
 
         final_loss = float("nan")
+        n_train = 0
         for _ in range(n_iters):
             grad, loss, n = gd_pass(w)
             if not n:
                 raise ValueError("empty train split")
             w = w - lr * grad / n
             final_loss = loss / n
+            n_train = n
 
         # held-out accuracy: one counting pass
         bc_w = sc.broadcast(w)
@@ -237,7 +255,6 @@ def classifier_two_sample_test(
         srows = test.select("vec", "y").mapInPandas(score, acc_schema).collect()
         n_correct = sum(r["correct"] for r in srows)
         n_test = sum(r["n"] for r in srows)
-        n_train = int(tagged.count()) - n_test
         return {
             "accuracy": (n_correct / n_test) if n_test else float("nan"),
             "n_train": n_train,

@@ -70,3 +70,16 @@ def test_no_cache_leak(spark):
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
     classifier_two_sample_test(a, b, n_iters=3)
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+def test_classifier_train_subsample_still_detects(spark):
+    """train_sample_mod (the 10^12-scale lever) trains on a hash-keyed
+    1/mod subsample; the shifted pair must still be detected and n_train
+    must reflect the subsample."""
+    a = _frame(spark, 800, 8, seed=9)
+    b = _frame(spark, 800, 8, seed=10, shift=[1.5] * 2 + [0.0] * 6)
+    full = classifier_two_sample_test(a, b, n_iters=20)
+    sub = classifier_two_sample_test(a, b, n_iters=20, train_sample_mod=3)
+    assert sub["accuracy"] >= 0.8, sub
+    assert sub["n_test"] == full["n_test"]  # test split untouched
+    assert 0 < sub["n_train"] < 0.6 * full["n_train"]

@@ -252,3 +252,12 @@ def test_simhash_pairs_plan_is_bucketed(spark):
     assert "Exchange SinglePartition" not in p
     assert "hashpartitioning(seg" in p
     assert "posexplode" in p  # JVM-side Generate, no Python stage pre-join
+
+
+def test_embedding_neardup_lsh_plan(spark):
+    """Corpus self-join must shuffle only on (tbl, bucket); bucket
+    computation is a single Arrow pass feeding both sides."""
+    df = REGISTRY["embedding_neardup_lsh"].spark(spark, SF)
+    p = plan(df)
+    assert "Exchange SinglePartition" not in p
+    assert "hashpartitioning(tbl" in p

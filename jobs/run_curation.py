@@ -23,7 +23,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# direct `python jobs/run_curation.py` puts jobs/ (not the repo root) on
+# sys.path; under spark-submit the package arrives via --py-files instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:

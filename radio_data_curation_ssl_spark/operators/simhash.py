@@ -149,49 +149,71 @@ def simhash_sketches(
     def run(batches):
         for b in batches:
             ids = b[id_col].to_numpy()
-            texts = b[text_col].fillna("")
-            words = texts.str.lower().str.split()
-            lens = words.str.len().fillna(0).to_numpy().astype(np.int64)
-            flat = [w for lst in words for w in (lst or [])]
-            if not flat:
-                yield pd.DataFrame(
-                    {"id": ids, "simhash": np.zeros(len(ids), dtype=np.int64)}
-                )
-                continue
-            uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
-            hv = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(w.encode(), digest_size=8).digest(),
-                        "little",
-                    )
-                    for w in uniq
-                ),
-                dtype=np.uint64,
-                count=len(uniq),
-            )
-            tok_h = hv[inv]  # (n_tokens,) uint64
-            doc_idx = np.repeat(np.arange(len(ids)), lens)
-            # per bit: ones-count per doc via bincount; vote sum is
-            # 2*ones - n_tokens.  64 slim 1-D passes instead of one
-            # (n_tokens, 64) int64 matrix (which is ~1 GB per 2M-token
-            # Arrow batch)
-            sk = np.zeros(len(ids), dtype=np.uint64)
-            for k in range(64):
-                ones = np.bincount(
-                    doc_idx,
-                    weights=((tok_h >> np.uint64(k)) & np.uint64(1)).astype(
-                        np.float64
-                    ),
-                    minlength=len(ids),
-                ).astype(np.int64)
-                bit = (2 * ones - lens) >= 0
-                sk |= bit.astype(np.uint64) << np.uint64(k)
-            # docs with zero words keep sketch 0 (the vote >= 0 rule would
-            # set all bits — meaningless for empties, and 0 groups them)
-            sk[lens == 0] = np.uint64(0)
-            yield pd.DataFrame(
-                {"id": ids, "simhash": sk.astype(np.int64)}
-            )
+            sk = sketch_texts(b[text_col].fillna("").tolist())
+            yield pd.DataFrame({"id": ids, "simhash": sk.astype(np.int64)})
 
     return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def word_hash64(word: str):
+    """Deterministic 64-bit word hash (pure function of the word bytes)."""
+    import hashlib
+
+    import numpy as np
+
+    return np.uint64(
+        int.from_bytes(
+            hashlib.blake2b(word.encode(), digest_size=8).digest(), "little"
+        )
+    )
+
+
+def sketch_texts(texts):
+    """list[str] -> (n,) uint64 simhash sketches — the batch kernel
+    behind ``simhash_sketches`` (pure, Spark-free; property-tested
+    against a per-doc scalar twin in tests/test_property_kernels.py).
+
+    Tokenization = lower().split(); bit k of the sketch is set iff the
+    majority of word hashes carry bit k (votes sum >= 0, counting each
+    occurrence); zero-word docs sketch to 0."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    s = pd.Series(texts, dtype="object").fillna("")
+    words = s.str.lower().str.split()
+    lens = words.str.len().fillna(0).to_numpy().astype(np.int64)
+    flat = [w for lst in words for w in (lst or [])]
+    n = len(s)
+    if not flat:
+        return np.zeros(n, dtype=np.uint64)
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    hv = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+            )
+            for w in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    tok_h = hv[inv]  # (n_tokens,) uint64
+    doc_idx = np.repeat(np.arange(n), lens)
+    # per bit: ones-count per doc via bincount; vote sum is 2*ones -
+    # n_tokens.  64 slim 1-D passes instead of one (n_tokens, 64) int64
+    # matrix (which is ~1 GB per 2M-token Arrow batch)
+    sk = np.zeros(n, dtype=np.uint64)
+    for k in range(64):
+        ones = np.bincount(
+            doc_idx,
+            weights=((tok_h >> np.uint64(k)) & np.uint64(1)).astype(np.float64),
+            minlength=n,
+        ).astype(np.int64)
+        bit = (2 * ones - lens) >= 0
+        sk |= bit.astype(np.uint64) << np.uint64(k)
+    # docs with zero words keep sketch 0 (the vote >= 0 rule would set
+    # all bits — meaningless for empties, and 0 groups them)
+    sk[lens == 0] = np.uint64(0)
+    return sk

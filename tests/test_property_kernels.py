@@ -179,3 +179,59 @@ def test_minhash_kernel_matches_scalar_fold(hash_lists):
             p0 = int(sigs[b * BAND_R, i]) * MERSENNE31 + int(sigs[b * BAND_R + 1, i])
             p1 = int(sigs[b * BAND_R + 2, i]) * MERSENNE31 + int(sigs[b * BAND_R + 3, i])
             assert keys[i][b] == p0 ^ (p1 >> 31) ^ ((p1 & 0x7FFFFFFF) << 31)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs")),
+            max_size=40,
+        ),
+        max_size=12,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_simhash_sketch_batch_matches_scalar_twin(texts):
+    """The batched 64-bincount sketch kernel == a per-doc scalar fold
+    (majority vote over word-hash bits, each occurrence counted)."""
+    import numpy as np
+
+    from radio_data_curation_ssl_spark.operators.simhash import (
+        sketch_texts,
+        word_hash64,
+    )
+
+    got = sketch_texts(texts)
+    assert got.dtype == np.uint64 and len(got) == len(texts)
+    for i, txt in enumerate(texts):
+        words = (txt or "").lower().split()
+        if not words:
+            assert got[i] == 0, (i, txt)
+            continue
+        expect = 0
+        for k in range(64):
+            votes = sum(
+                1 if (int(word_hash64(w)) >> k) & 1 else -1 for w in words
+            )
+            if votes >= 0:
+                expect |= 1 << k
+        assert int(got[i]) == expect, (i, txt)
+
+
+@given(st.integers(1, 128), st.integers(0, 7))
+@settings(max_examples=60, deadline=None)
+def test_simhash_segments_partition_bits(bits, max_hamming):
+    """Segment layout covers [0, bits) exactly once, widths differ by at
+    most 1 — the pigeonhole guarantee's precondition."""
+    from radio_data_curation_ssl_spark.operators.simhash import _segments
+
+    n_seg = max_hamming + 1
+    if n_seg > bits:
+        return  # more segments than bits is out of contract
+    segs = _segments(bits, n_seg)
+    covered = []
+    for off, w in segs:
+        covered.extend(range(off, off + w))
+    assert covered == list(range(bits))
+    widths = [w for _, w in segs]
+    assert max(widths) - min(widths) <= 1

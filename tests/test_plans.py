@@ -245,8 +245,9 @@ def test_reindex_searchsorted_path_matches_case_path(spark):
 
 def test_simhash_pairs_plan_is_bucketed(spark):
     """The simhash pairing self-join must shuffle ONLY on (seg, segval) —
-    no single-partition exchange anywhere, and the sketch explode stays
-    JVM-side (posexplode generator, no Python stage before the join)."""
+    no single-partition exchange anywhere; the segment explode stays
+    JVM-side (posexplode generator).  The sketch itself is one Arrow
+    kernel pass (bit-exact md5 twin of the SQL fragment)."""
     df = REGISTRY["dedup_simhash_pairs"].spark(spark, SF)
     p = plan(df)
     assert "Exchange SinglePartition" not in p

@@ -2402,3 +2402,61 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", _cos_seq_col("ea", "eb").alias("cos_sim"))
         .where("cos_sim >= 0.35")
     )
+
+
+@register(
+    "kmeans_resampled",
+    None,  # iterative resample<->recluster loop — rows-only by nature
+    doc="The reference's per-level resample<->recluster iteration "
+    "(n_resampling_steps, /root/reference/src/hierarchical_kmeans_gpu.py:"
+    "159-229): Lloyd, then per-cluster closest draws -> warm-started "
+    "Lloyd on the drawn subset -> full reassign. Step math is twinned "
+    "against numpy in test_resampled_kmeans_step_matches_numpy_twin; "
+    "crash/resume is bit-identical (test-gated). Scale: the subset is "
+    "<= k*per_cluster rows; full-corpus work per step is one draw "
+    "shuffle + the lazy reassign.",
+)
+def q_kmeans_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.kmeans import resampled_kmeans
+
+    emb = t(spark, sf_dir, "embeddings")
+    assignments, _cents = resampled_kmeans(
+        emb, "vec_id", "embedding", k=5, per_cluster=25,
+        n_resampling_steps=1, mode="closest", n_iters=5,
+    )
+    return assignments.selectExpr(
+        "id AS vec_id", "CAST(cluster AS BIGINT) AS cluster",
+        "round(dist_sq, 6) AS dist_sq",
+    )
+
+
+@register(
+    "cluster_split_oversized",
+    None,  # two chained clustering jobs — rows-only by nature
+    doc="Oversized-cluster subdivision (n_splits — the reference's "
+    "giant-cluster skew mitigation, /root/reference/scripts/"
+    "split_clusters.py:31-157): clusters above max_size re-cluster into "
+    "n_splits children in ONE grouped applyInPandas job (distributed "
+    "lloyd path above huge_threshold), dense deterministic renumbering. "
+    "Partition/determinism contracts test-gated in test_kmeans.py. "
+    "Scale: only oversized-cluster members are touched.",
+)
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.kmeans import lloyd_kmeans, split_oversized_clusters
+
+    emb = t(spark, sf_dir, "embeddings")
+    assign, cents = lloyd_kmeans(emb, "vec_id", "embedding", k=3, n_iters=5)
+    assign = assign.cache()
+    try:
+        new_assign, _cents, _map = split_oversized_clusters(
+            emb, assign, cents, "vec_id", "embedding",
+            max_size=max(50, emb.count() // 6), n_splits=2,
+        )
+        out = new_assign.selectExpr(
+            "id AS vec_id", "CAST(cluster AS BIGINT) AS cluster",
+            "round(dist_sq, 6) AS dist_sq",
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        assign.unpersist()
+    return out

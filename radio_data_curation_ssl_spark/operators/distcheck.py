@@ -184,11 +184,10 @@ def classifier_two_sample_test(
                 grad = np.zeros(d + 1)
                 loss, n = 0.0, 0
                 for b in batches:
-                    x = (
-                        np.array(b["vec"].tolist(), dtype=np.float64) - mu_
-                    ) / sd_
+                    x = np.array(b["vec"].tolist(), dtype=np.float64)
                     if len(x) == 0:
-                        continue
+                        continue  # before standardizing: (0,) - (d,) errors
+                    x = (x - mu_) / sd_
                     y = b["y"].to_numpy().astype(np.float64)
                     z = x @ wv[:d] + wv[d]
                     p = 1.0 / (1.0 + np.exp(-z))
@@ -242,9 +241,10 @@ def classifier_two_sample_test(
             wv = bc_w.value
             correct, n = 0, 0
             for b in batches:
-                x = (np.array(b["vec"].tolist(), dtype=np.float64) - mu_) / sd_
+                x = np.array(b["vec"].tolist(), dtype=np.float64)
                 if len(x) == 0:
-                    continue
+                    continue  # before standardizing: (0,) - (d,) errors
+                x = (x - mu_) / sd_
                 y = b["y"].to_numpy()
                 pred = (x @ wv[:d] + wv[d]) >= 0.0
                 correct += int((pred == (y == 1)).sum())

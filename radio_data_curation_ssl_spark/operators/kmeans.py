@@ -416,6 +416,7 @@ def lloyd_kmeans(
     init_centroids: np.ndarray | None = None,
     init_rounds: int = 5,
     init_oversample: float = 2.0,
+    checkpoint_extra: dict | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """Returns (assignments DataFrame(id, cluster, dist_sq), centroids).
 
@@ -457,16 +458,26 @@ def lloyd_kmeans(
     start_iter = 0
     cents: np.ndarray | None = None
     if checkpoint_dir is not None:
-        _check_ckpt_config(
-            checkpoint_dir,
-            {
-                "k": k,
-                "seed": seed,
-                "tol": tol,
-                "init_pp_max": init_pp_max,
-                "init": "explicit" if init_centroids is not None else init,
-            },
-        )
+        # pin EVERYTHING that changes the result: the init family plus its
+        # own knobs (a resumed run with different init parameters would
+        # otherwise silently return the old run's clustering), and any
+        # caller-level parameters (checkpoint_extra — e.g. the resample
+        # loop's per_cluster/mode)
+        cfg = {
+            "k": k,
+            "seed": seed,
+            "tol": tol,
+            "init_pp_max": init_pp_max,
+            "init": "explicit" if init_centroids is not None else init,
+        }
+        if init_centroids is None and init == "sample":
+            cfg["init_sample"] = init_sample
+        if init_centroids is None and init == "parallel":
+            cfg["init_rounds"] = init_rounds
+            cfg["init_oversample"] = init_oversample
+        if checkpoint_extra:
+            cfg.update(checkpoint_extra)
+        _check_ckpt_config(checkpoint_dir, cfg)
         resume = _load_centroid_checkpoint(checkpoint_dir)
         if resume is not None:
             start_iter, cents, last_shift = resume
@@ -474,6 +485,26 @@ def lloyd_kmeans(
                 start_iter = n_iters  # checkpointed run had converged
 
     pts = df.select(id_col, vec_col).cache()
+    try:
+        return _lloyd_body(
+            df, pts, id_col, vec_col, k, n_iters, tol, seed, init_sample,
+            checkpoint_dir, init_pp_max, init, init_centroids, init_rounds,
+            init_oversample, start_iter, cents,
+        )
+    finally:
+        # release even on init-path errors (k > sample, k-means|| short of
+        # candidates, bad init_centroids shape) — the exact leak class the
+        # round-2 fix removed from the happy path
+        pts.unpersist()
+
+
+def _lloyd_body(
+    df, pts, id_col, vec_col, k, n_iters, tol, seed, init_sample,
+    checkpoint_dir, init_pp_max, init, init_centroids, init_rounds,
+    init_oversample, start_iter, cents,
+):
+    spark = df.sparkSession
+    sc = spark.sparkContext
     if cents is None and init_centroids is not None:
         if init_centroids.shape[0] != k:
             raise ValueError(
@@ -570,10 +601,9 @@ def lloyd_kmeans(
         if shift < tol:
             break
 
-    # release the iteration cache: the returned (lazy) assignment reads a
-    # FRESH pushed-down projection, so no block-manager space stays pinned
-    # after this call (round-2 finding: repeated lloyd_kmeans calls leaked)
-    pts.unpersist()
+    # the returned (lazy) assignment reads a FRESH pushed-down projection
+    # — the iteration cache is unpersisted by lloyd_kmeans' finally, so no
+    # block-manager space stays pinned after this call (round-2 finding)
     return assign_points(df, id_col, vec_col, cents), cents
 
 
@@ -829,6 +859,10 @@ def resampled_kmeans(
             seed=seed + step,
             init_centroids=cents,
             checkpoint_dir=sub_ckpt(f"step{step}"),
+            # pin the resample parameters: a resumed run with a different
+            # draw (per_cluster/mode) must fail fast, not silently return
+            # the old run's centroids
+            checkpoint_extra={"per_cluster": per_cluster, "mode": mode},
         )
         assign = assign_points(df, id_col, vec_col, cents)
     return assign, cents

@@ -11,21 +11,31 @@ deterministic phases, keyed by SORT ORDER (never arrival position — SURVEY
    the sort keys (pure function of the data — NOT ``repartitionByRange``,
    whose reservoir sampling is seeded by the runtime RDD id and therefore
    draws DIFFERENT boundaries for each job over the same plan) is
-   collected and cut into ``num_buckets - 1`` quantile boundaries.  The
-   kept fraction is scaled from an exact row count so the sample is drawn
-   uniformly across the WHOLE dataset — never a scan-order prefix, which
-   would concentrate every boundary in the leading key range when the file
-   layout correlates with the sort key (sorted writes, prior reindex
-   output) and funnel all rows into the last bucket.
+   collected and cut into ``num_buckets - 1`` weighted quantile
+   boundaries.  The kept fraction is scaled from an exact row count so
+   the sample is drawn uniformly across the WHOLE dataset — never a
+   scan-order prefix, which would concentrate every boundary in the
+   leading key range when the file layout correlates with the sort key
+   (sorted writes, prior reindex output) and funnel all rows into the
+   last bucket.  Duplicates of a key aggregate to one capped-weight
+   driver row, so a boilerplate key can never blow the driver collect.
 2. **Count per bucket**: every row's bucket is a pure function of its key
-   (first boundary >= key); one small ``groupBy(bucket).count()`` gives
-   exact per-bucket offsets via prefix sum.  Rows with a NULL in any sort
-   key are routed to a sentinel bucket and rejected here, fail-fast —
-   NULLs have engine-specific global order and silently misnumber
-   otherwise.
-3. **Stamp**: hash-repartition on the bucket id (pure function again),
-   sort within partitions by (bucket, key), and write
-   ``offset + running position`` in one order-preserving ``mapInPandas``.
+   (first boundary >= key, evaluated as a BALANCED comparison tree —
+   O(log n) struct compares per row, expression depth log2(n), so any
+   bucket count stays whole-stage-codegen-friendly).  One small
+   ``groupBy(bucket).count()`` gives exact per-bucket offsets via prefix
+   sum.  Rows with a NULL in any sort key route to a sentinel bucket and
+   are rejected here, fail-fast — NULLs have engine-specific global order
+   and would silently misnumber otherwise.  Float NaN is a VALID key: it
+   compares greater than every boundary (Spark NaN-last semantics), lands
+   in the final bucket, and the in-bucket sort places it last — exactly
+   ``row_number``'s order.
+3. **Stamp**: ``offset[bucket] + row_number() OVER (PARTITION BY bucket
+   ORDER BY key)`` with the (bucket, offset) table broadcast — the window
+   hash-partitions on the bucket id (pure function of the key again), so
+   every bucket numbers in parallel and no row ever crosses a Python
+   boundary (an earlier mapInPandas stamp silently corrupted float NaN
+   payloads to NULL in the Arrow round-trip).
 
 Because every phase's placement is a pure function of the key, the two
 jobs cannot disagree — no persist of a table-sized intermediate is needed
@@ -34,26 +44,19 @@ application lifetime).  Equal sort keys share a bucket, so numbering among
 duplicates is arbitrary-but-stable — same contract as ``row_number`` with
 an under-specified ORDER BY.
 
-Scale: the sample is ~``sample_per_bucket * num_buckets`` keys on the
-driver; the cluster side is two narrow scans (count + per-bucket counts),
-the sample scan, and one hash shuffle, all partitions in parallel.  Bucket
-assignment uses a codegen'd CASE chain for small bucket counts and a
-broadcast-boundaries ``np.searchsorted`` Arrow pass for large ones (a
-1000-deep nested CASE would fall out of whole-stage codegen).
+Scale: the sample is ~``sample_per_bucket * num_buckets`` capped-weight
+key rows on the driver; the cluster side is two narrow scans (count +
+per-bucket counts), the sample scan, and ONE hash shuffle (the per-bucket
+window), all buckets in parallel.
 """
 
 from __future__ import annotations
 
-import numpy as np
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-# Above this many boundaries, bucket assignment switches from a nested
-# CASE expression (whole-stage-codegen friendly, but O(n)-deep) to a
-# vectorized searchsorted over broadcast boundaries.
-_CASE_CHAIN_MAX = 128
+from pyspark.sql.window import Window
 
 # Residue-filter modulus for the boundary sample.  Large so the kept
 # fraction can be tuned finely at any dataset size.
@@ -67,95 +70,108 @@ def _null_key_cond(sort_cols: list[str]) -> Column:
     return cond
 
 
-def _bucket_case_col(sort_cols: list[str], boundaries: list[tuple]) -> Column:
+def _bucket_col(
+    df: DataFrame, sort_cols: list[str], boundaries: list[tuple]
+) -> Column:
     """bucket = index of first boundary >= key (lexicographic struct
     compare), len(boundaries) if none; -1 for NULL keys — a pure function
-    of the key.  Codegen-friendly for small boundary counts."""
+    of the key.
+
+    Built as a BALANCED when-tree: each row evaluates O(log n) struct
+    comparisons and the expression depth is log2(n), so large bucket
+    counts neither fall out of whole-stage codegen nor degrade to an
+    O(n)-comparison linear CASE chain."""
     key = F.struct(*[F.col(c) for c in sort_cols])
-    expr = F.lit(len(boundaries))
-    for i in range(len(boundaries) - 1, -1, -1):
-        b = F.struct(*[F.lit(v) for v in boundaries[i]])
-        expr = F.when(key <= b, F.lit(i)).otherwise(expr)
-    return F.when(_null_key_cond(sort_cols), F.lit(-1)).otherwise(expr).cast("int")
+    # literals must carry the COLUMN types (a python int literal is INT,
+    # the column may be BIGINT — struct comparison does not coerce)
+    dtypes = [df.schema[c].dataType for c in sort_cols]
+    blits = [
+        F.struct(*[F.lit(v).cast(t) for v, t in zip(b, dtypes)])
+        for b in boundaries
+    ]
+
+    def tree(lo: int, hi: int) -> Column:
+        # answer is known to lie in [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(key <= blits[mid], tree(lo, mid)).otherwise(
+            tree(mid + 1, hi)
+        )
+
+    expr = tree(0, len(boundaries))
+    return F.when(_null_key_cond(sort_cols), F.lit(-1)).otherwise(expr).cast(
+        "int"
+    )
 
 
 def _with_bucket(
     df: DataFrame, sort_cols: list[str], boundaries: list[tuple]
 ) -> DataFrame:
     """Append ``_bucket`` (int, -1 for NULL keys) as a pure function of
-    the sort key.  CASE chain when small; broadcast searchsorted when the
-    boundary list is too deep for codegen."""
-    if len(boundaries) <= _CASE_CHAIN_MAX:
-        return df.withColumn("_bucket", _bucket_case_col(sort_cols, boundaries))
+    the sort key — pure JVM projection, rows never cross into Python."""
+    return df.withColumn("_bucket", _bucket_col(df, sort_cols, boundaries))
 
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(boundaries)
-    schema = T.StructType(
-        list(df.schema.fields) + [T.StructField("_bucket", T.IntegerType(), False)]
-    )
-    single = len(sort_cols) == 1
 
-    def assign(it):
-        bounds = bc.value
-        if single:
-            barr = np.asarray([b[0] for b in bounds])
-        else:
-            barr = np.empty(len(bounds), dtype=object)
-            barr[:] = bounds
-        for b in it:
-            cols = [b[c] for c in sort_cols]
-            null_mask = np.zeros(len(b), dtype=bool)
-            for c in cols:
-                null_mask |= c.isna().to_numpy()
-            if single:
-                keys = cols[0].to_numpy()
-            else:
-                keys = np.empty(len(b), dtype=object)
-                keys[:] = list(zip(*[c.to_numpy() for c in cols]))
-            if null_mask.any():
-                # a None inside a tuple key would raise on comparison;
-                # park NULL rows on boundary 0 and overwrite below
-                keys = keys.copy()
-                keys[null_mask] = barr[0]
-            # side='left': first index i with barr[i] >= key — exactly the
-            # CASE chain's "first boundary such that key <= boundary"
-            out = np.searchsorted(barr, keys, side="left").astype(np.int32)
-            out[null_mask] = -1
-            res = b.copy()
-            res["_bucket"] = out
-            yield res
-
-    return df.mapInPandas(assign, schema)
+def _is_nan_key(key: tuple) -> bool:
+    return any(isinstance(v, float) and math.isnan(v) for v in key)
 
 
 def _sample_boundaries(
     df: DataFrame, sort_cols: list[str], n: int, sample_per_bucket: int
 ) -> list[tuple]:
-    """Collect ~``n * sample_per_bucket`` sort keys drawn uniformly across
-    the whole dataset (hash-residue filter with a count-scaled threshold —
-    no ``limit``, so no scan-order prefix bias) and cut quantile
-    boundaries.  Deterministic: a pure function of the data."""
+    """Weighted quantile boundaries from a hash-residue key sample drawn
+    uniformly across the WHOLE dataset — no ``limit``, so no scan-order
+    prefix bias.  Deterministic: a pure function of the data.
+
+    The keep/drop decision is per DISTINCT key (all duplicates share a
+    hash), so the sampled rows are aggregated per key with their
+    duplicate count CAPPED at ``sample_per_bucket`` before the collect —
+    a boilerplate key with 10^8 duplicates contributes ONE driver row of
+    weight <= cap, never 10^8 rows (map-side partial aggregation bounds
+    the shuffle too).  The cap loses nothing: equal keys must share a
+    bucket anyway, so extra weight beyond about a bucket's worth cannot
+    move any boundary usefully.  Quantiles are then cut by cumulative
+    ROW weight, preserving row-weighted bucket balance.
+
+    Keys containing float NaN are excluded from the boundary set (NaN
+    breaks Python's sort order); NaN rows order after every boundary at
+    bucket time — consistent with Spark's NaN-last sort."""
     target = max(n * sample_per_bucket, 1)
     total = df.count()
     if total == 0:
         return []
-    # threshold so that E[kept] ~= target; kept-or-not is per distinct
-    # key-hash, uniform over the key space
+    # threshold so that E[kept rows] ~= target; kept-or-not is per
+    # distinct key-hash, uniform over the key space — so the collected
+    # (key, weight) rows number ~<= target as well
     thresh = min(_SAMPLE_MOD, max(1, (_SAMPLE_MOD * target + total - 1) // total))
-    sample = [
-        tuple(r)
-        for r in df.select(*sort_cols)
+    rows = (
+        df.select(*sort_cols)
         .where(~_null_key_cond(sort_cols))
         .where(
             F.pmod(F.xxhash64(*[F.col(c) for c in sort_cols]), F.lit(_SAMPLE_MOD))
             < F.lit(thresh)
         )
+        .groupBy(*sort_cols)
+        .agg(F.least(F.count("*"), F.lit(sample_per_bucket)).alias("_w"))
         .collect()
-    ]
-    sample.sort()
-    if len(sample) >= n > 1:
-        step = len(sample) / n
-        boundaries = [sample[int(step * (i + 1)) - 1] for i in range(n - 1)]
+    )
+    sample = sorted(
+        (tuple(r[c] for c in sort_cols), int(r["_w"]))
+        for r in rows
+        if not _is_nan_key(tuple(r[c] for c in sort_cols))
+    )
+    w_total = sum(w for _, w in sample)
+    if len(sample) >= n > 1 and w_total > 0:
+        step = w_total / n
+        boundaries = []
+        cum = 0.0
+        next_cut = step
+        for key, w in sample:
+            cum += w
+            while cum >= next_cut and len(boundaries) < n - 1:
+                boundaries.append(key)
+                next_cut += step
         # dedupe (heavy key repetition can yield equal quantiles)
         boundaries = sorted(set(boundaries))
     else:
@@ -173,7 +189,8 @@ def reindex_by_sort(
     """Append a dense 1-based ``out_col`` following ORDER BY ``sort_cols``.
 
     Same rows/values as a global-window ``row_number``, but every stage is
-    distributed: no single-partition Exchange anywhere in the plan.
+    distributed: no single-partition Exchange anywhere in the plan, and no
+    Python stage anywhere (float NaN keys and payloads survive exactly).
 
     Raises ``ValueError`` (fail-fast, before any stamping) if any row has
     a NULL in a sort column — NULL global order is engine-specific and a
@@ -191,7 +208,7 @@ def reindex_by_sort(
             n = int(spark.sparkContext.defaultParallelism)
     n = max(n, 1)
 
-    # 1. uniform cross-dataset sample -> quantile boundaries (driver)
+    # 1. uniform cross-dataset sample -> weighted quantile boundaries
     boundaries = _sample_boundaries(df, sort_cols, n, sample_per_bucket)
     bucketed = _with_bucket(df, sort_cols, boundaries)
 
@@ -207,40 +224,26 @@ def reindex_by_sort(
             f"column(s) {sort_cols}; NULL keys are unsupported (their "
             "global position is engine-specific)"
         )
-    offsets: dict[int, int] = {}
+    offsets = []
     acc = 1
     for b in range(len(boundaries) + 1):
-        offsets[b] = acc
+        offsets.append((b, acc))
         acc += counts.get(b, 0)
-    bc = spark.sparkContext.broadcast(offsets)
 
-    # 3. hash-repartition on the bucket (pure function of the key), sort
-    # within partitions, stamp running positions
-    schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.LongType(), False)]
+    # 3. per-bucket window + broadcast offsets — JVM end to end: the
+    # window's hashpartitioning(_bucket) is the only shuffle, each bucket
+    # numbers in parallel, and rows never round-trip through Arrow/pandas
+    # (which would fold float NaN payloads to NULL)
+    offs = spark.createDataFrame(offsets, "_bucket int, _off long")
+    w = Window.partitionBy("_bucket").orderBy(*sort_cols)
+    return (
+        bucketed.join(F.broadcast(offs), "_bucket")
+        .withColumn(
+            out_col,
+            (F.col("_off") + F.row_number().over(w) - F.lit(1)).cast("long"),
+        )
+        .drop("_bucket", "_off")
     )
-
-    def stamp(it):
-        pos = dict(bc.value)
-        for b in it:
-            bk = b["_bucket"].to_numpy()
-            out = np.empty(len(b), dtype=np.int64)
-            change = np.flatnonzero(np.diff(bk)) + 1
-            starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [len(bk)]))
-            for s, e in zip(starts, ends):
-                k = int(bk[s])
-                st = pos[k]
-                out[s:e] = np.arange(st, st + (e - s), dtype=np.int64)
-                pos[k] = st + (e - s)
-            res = b.drop(columns=["_bucket"]).copy()
-            res[out_col] = out
-            yield res
-
-    part = bucketed.repartition(n, "_bucket").sortWithinPartitions(
-        "_bucket", *sort_cols
-    )
-    return part.mapInPandas(stamp, schema)
 
 
 def reindexed_union(parts: list[DataFrame], sort_cols: list[str]) -> DataFrame:

@@ -46,8 +46,11 @@ def simhash_segment_rows(
     """Explode each row into ``max_hamming + 1`` (seg, segval) rows — a
     pure JVM-side projection (shift/mask + posexplode), no shuffle."""
     segs = _segments(bits, max_hamming + 1)
+    # a width-64 segment's mask (2^64-1) overflows BIGINT as a literal;
+    # -1 is the same all-ones pattern in two's complement
     seg_exprs = ", ".join(
-        f"(shiftright({sketch_col}, {off}) & {(1 << w) - 1})" for off, w in segs
+        f"(shiftright({sketch_col}, {off}) & {(1 << w) - 1 if w < 64 else -1})"
+        for off, w in segs
     )
     return df.selectExpr(
         "*", f"posexplode(array({seg_exprs})) AS (seg, segval)"
@@ -168,16 +171,21 @@ def word_hash64(word: str):
     )
 
 
-def sketch_texts(texts):
-    """list[str] -> (n,) uint64 simhash sketches — the batch kernel
-    behind ``simhash_sketches`` (pure, Spark-free; property-tested
-    against a per-doc scalar twin in tests/test_property_kernels.py).
+def majority_vote_sketches(texts, word_hash_fn, bits, empty_sets_all_bits):
+    """THE batch vote kernel (pure, Spark-free): list[str] -> (n,) uint64.
 
     Tokenization = lower().split(); bit k of the sketch is set iff the
-    majority of word hashes carry bit k (votes sum >= 0, counting each
-    occurrence); zero-word docs sketch to 0."""
-    import hashlib
+    majority of word hashes carry bit k (vote sum >= 0, each occurrence
+    counted).  ``word_hash_fn(word) -> int`` picks the hash family;
+    ``empty_sets_all_bits`` picks the zero-word policy (the SQL fragment
+    folds an empty doc's every vote sum to 0, and CASE 0>=0 SETS the bit
+    — True matches that; False sketches empties to 0, which groups them).
 
+    Runs 64 slim 1-D bincount passes instead of one (n_tokens, bits)
+    int64 matrix (which is ~1 GB per 2M-token Arrow batch); the hash runs
+    ONCE per unique word per batch.  All callers (the 64-bit production
+    sketcher here, the 16-bit oracle-parity twin in queries.py, the
+    scalar property twin in tests) share this single implementation."""
     import numpy as np
     import pandas as pd
 
@@ -186,34 +194,36 @@ def sketch_texts(texts):
     lens = words.str.len().fillna(0).to_numpy().astype(np.int64)
     flat = [w for lst in words for w in (lst or [])]
     n = len(s)
-    if not flat:
-        return np.zeros(n, dtype=np.uint64)
-    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
-    hv = np.fromiter(
-        (
-            int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
-            )
-            for w in uniq
-        ),
-        dtype=np.uint64,
-        count=len(uniq),
-    )
-    tok_h = hv[inv]  # (n_tokens,) uint64
-    doc_idx = np.repeat(np.arange(n), lens)
-    # per bit: ones-count per doc via bincount; vote sum is 2*ones -
-    # n_tokens.  64 slim 1-D passes instead of one (n_tokens, 64) int64
-    # matrix (which is ~1 GB per 2M-token Arrow batch)
     sk = np.zeros(n, dtype=np.uint64)
-    for k in range(64):
-        ones = np.bincount(
-            doc_idx,
-            weights=((tok_h >> np.uint64(k)) & np.uint64(1)).astype(np.float64),
-            minlength=n,
-        ).astype(np.int64)
-        bit = (2 * ones - lens) >= 0
-        sk |= bit.astype(np.uint64) << np.uint64(k)
-    # docs with zero words keep sketch 0 (the vote >= 0 rule would set
-    # all bits — meaningless for empties, and 0 groups them)
-    sk[lens == 0] = np.uint64(0)
+    if flat:
+        uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+        hv = np.fromiter(
+            (int(word_hash_fn(w)) for w in uniq),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        tok_h = hv[inv]  # (n_tokens,) uint64
+        doc_idx = np.repeat(np.arange(n), lens)
+        for k in range(bits):
+            ones = np.bincount(
+                doc_idx,
+                weights=((tok_h >> np.uint64(k)) & np.uint64(1)).astype(
+                    np.float64
+                ),
+                minlength=n,
+            ).astype(np.int64)
+            bit = (2 * ones - lens) >= 0
+            sk |= bit.astype(np.uint64) << np.uint64(k)
+    empty_val = ((1 << bits) - 1) if empty_sets_all_bits else 0
+    sk[lens == 0] = np.uint64(empty_val)
     return sk
+
+
+def sketch_texts(texts):
+    """list[str] -> (n,) uint64 64-bit simhash sketches — the production
+    sketcher behind ``simhash_sketches`` (blake2b word hash; zero-word
+    docs sketch to 0).  Property-tested against a per-doc scalar twin in
+    tests/test_property_kernels.py."""
+    return majority_vote_sketches(
+        texts, word_hash64, bits=64, empty_sets_all_bits=False
+    )

@@ -489,23 +489,23 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash16_sketch_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash16) via a numpy kernel — bit-exact twin of the SQL
-    16-bit simhash fragment (_SH over _WH word hashes): same tokenization
-    (lower + whitespace split, empties dropped — the repo's documented
-    ASCII-whitespace contract) and the same 60-bit md5 word hash
-    (conv(substring(md5(w),1,15),16,10)), computed ONCE per unique word
-    per batch.  16 interpreted SQL fold-sums per row cost ~2s at sf0.1;
-    this is one Arrow pass.
-
-    SQL edge matched deliberately: a ZERO-word doc folds every bit-vote
-    sum to 0, and ``CASE WHEN 0 >= 0`` sets the bit — so empties sketch
-    to 0xFFFF, not 0, in BOTH engines."""
+    """(doc_id, simhash16) via the shared majority-vote kernel
+    (operators/simhash.majority_vote_sketches) — bit-exact twin of the
+    SQL 16-bit simhash fragment (_SH over _WH word hashes): same
+    tokenization (lower + whitespace split, empties dropped — the repo's
+    documented ASCII-whitespace contract), the same 60-bit md5 word hash
+    (conv(substring(md5(w),1,15),16,10)) computed ONCE per unique word
+    per batch, and the SQL empty-doc edge (every vote sum folds to 0 and
+    CASE 0>=0 SETS the bit, so empties sketch to 0xFFFF in BOTH
+    engines).  16 interpreted SQL fold-sums per row cost ~2s at sf0.1;
+    this is one Arrow pass."""
     import hashlib
 
-    import numpy as np
     import pandas as pd
 
     from pyspark.sql import types as T
+
+    from .operators.simhash import majority_vote_sketches
 
     schema = T.StructType(
         [
@@ -514,41 +514,22 @@ def _simhash16_sketch_rows(docs: DataFrame) -> DataFrame:
         ]
     )
 
+    def md5_60(w: str) -> int:
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+
     def run(batches):
         for b in batches:
-            words = b["text"].fillna("").str.lower().str.split()
-            lens = words.str.len().fillna(0).to_numpy().astype(np.int64)
-            flat = [w for lst in words for w in (lst or [])]
-            n = len(b)
-            doc_idx = np.repeat(np.arange(n), lens)
-            if flat:
-                uniq, inv = np.unique(
-                    np.array(flat, dtype=object), return_inverse=True
-                )
-                hv = np.fromiter(
-                    (
-                        int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
-                        for w in uniq
-                    ),
-                    dtype=np.uint64,
-                    count=len(uniq),
-                )
-                h = hv[inv]
-            else:
-                h = np.empty(0, dtype=np.uint64)
-            sk = np.zeros(n, dtype=np.int64)
-            for k in range(X.SIMHASH_BITS):
-                ones = np.bincount(
-                    doc_idx,
-                    weights=((h >> np.uint64(k)) & np.uint64(1)).astype(
-                        np.float64
-                    ),
-                    minlength=n,
-                ).astype(np.int64)
-                bit = (2 * ones - lens) >= 0  # empty doc: 0 >= 0 -> set
-                sk |= bit.astype(np.int64) << k
+            sk = majority_vote_sketches(
+                b["text"].tolist(),
+                md5_60,
+                bits=X.SIMHASH_BITS,
+                empty_sets_all_bits=True,
+            )
             yield pd.DataFrame(
-                {"doc_id": b["doc_id"].astype("int64"), "simhash16": sk}
+                {
+                    "doc_id": b["doc_id"].astype("int64"),
+                    "simhash16": sk.astype("int64"),
+                }
             )
 
     return docs.select("doc_id", "text").mapInPandas(run, schema)

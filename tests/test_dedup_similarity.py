@@ -432,3 +432,24 @@ def test_embedding_neardup_lsh_recall_on_planted_twins(spark, tmp_path):
     assert recall >= 0.93, (recall, sorted(truth - got))
     for r in out:  # verify bound holds on everything emitted
         assert r["cos_sim"] >= 0.35
+
+
+def test_simhash_pairing_single_segment_exact_match(spark):
+    """max_hamming=0 over 64-bit sketches == exact-sketch grouping; the
+    single width-64 segment's mask must not overflow BIGINT (review
+    finding: the (1<<64)-1 literal failed to analyze)."""
+    from radio_data_curation_ssl_spark.operators.simhash import (
+        simhash_neardup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, -5), (4, -5), (5, 99)],
+        "doc_id long, simhash long",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_neardup_pairs(
+            df, bits=64, max_hamming=0, collapse_exact=False
+        ).collect()
+    }
+    assert got == {(1, 2), (3, 4)}

@@ -265,6 +265,8 @@ def test_no_block_manager_leak_across_calls(spark, emb):
     def n_persistent():
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
+    emb.count()  # materialize the fixture's own cache FIRST (it registers
+    # in getPersistentRDDs only on first action — order-independence)
     before = n_persistent()
     for _ in range(3):
         adf, _ = lloyd_kmeans(emb, "vec_id", "embedding", k=4, n_iters=3)
@@ -519,3 +521,40 @@ def test_split_huge_cluster_distributed_path(spark):
     )
     assert np.array_equal(new_cents, cents2)
     adf.unpersist()
+
+
+def test_resampled_checkpoint_pins_resample_params(spark, emb, tmp_path):
+    """Resuming a resample loop with a different per_cluster/mode must
+    fail fast, not silently return the old run's centroids (review
+    finding: step checkpoints did not stamp the resample parameters)."""
+    from radio_data_curation_ssl_spark.operators.kmeans import resampled_kmeans
+
+    ck = str(tmp_path / "pin")
+    resampled_kmeans(
+        emb, "vec_id", "embedding", k=4, per_cluster=20,
+        n_resampling_steps=1, n_iters=3, checkpoint_dir=ck,
+    )
+    with pytest.raises(ValueError, match="checkpoint dir"):
+        resampled_kmeans(
+            emb, "vec_id", "embedding", k=4, per_cluster=50,
+            n_resampling_steps=1, n_iters=3, checkpoint_dir=ck,
+        )
+    with pytest.raises(ValueError, match="checkpoint dir"):
+        resampled_kmeans(
+            emb, "vec_id", "embedding", k=4, per_cluster=20, mode="random",
+            n_resampling_steps=1, n_iters=3, checkpoint_dir=ck,
+        )
+
+
+def test_init_error_does_not_leak_cache(spark, emb):
+    """Init-path exceptions must still unpersist the iteration cache
+    (review finding: the round-2 leak fix only covered the happy path)."""
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    emb.count()  # register the fixture cache first (order-independence)
+    before = n_persistent()
+    with pytest.raises(ValueError, match="exceeds"):
+        lloyd_kmeans(emb, "vec_id", "embedding", k=10_000, n_iters=1,
+                     init_sample=64)
+    assert n_persistent() == before

@@ -218,10 +218,9 @@ def test_reindex_null_sort_key_fails_fast(spark):
         reindex_by_sort(df, ["k"], num_buckets=4)
 
 
-def test_reindex_searchsorted_path_matches_case_path(spark):
-    """Above _CASE_CHAIN_MAX boundaries the bucket assignment switches to
-    a broadcast-searchsorted Arrow pass; both paths must produce the same
-    dense numbering (== the global-window definition)."""
+def test_reindex_large_bucket_count_matches_window(spark):
+    """At large bucket counts the balanced when-tree (O(log n) compares
+    per row) must still produce the exact global-window numbering."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -262,3 +261,44 @@ def test_embedding_neardup_lsh_plan(spark):
     p = plan(df)
     assert "Exchange SinglePartition" not in p
     assert "hashpartitioning(tbl" in p
+
+
+def test_reindex_nan_sort_key_is_valid_and_preserved(spark):
+    """float NaN is a VALID Spark sort key (orders last) and must not be
+    rejected as NULL nor corrupted to NULL — the original mapInPandas
+    stamp folded NaN floats to NULL in the Arrow round-trip (review
+    finding); the JVM-only tree/window pipeline preserves them."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from radio_data_curation_ssl_spark.operators.reindex import reindex_by_sort
+
+    rows = [(i, float((i * 37) % 1000)) for i in range(3000)]
+    rows += [(9000 + i, float("nan")) for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    out = {r["id"]: r["new_id"] for r in
+           reindex_by_sort(df, ["score", "id"], num_buckets=200).collect()}
+    w = Window.orderBy("score", "id")
+    want = {r["id"]: r["new_id"] for r in
+            df.withColumn("new_id", F.row_number().over(w).cast("long")).collect()}
+    assert out == want  # NaN rows numbered LAST, none rejected
+    assert sorted(out[9000 + i] for i in range(5)) == [3001, 3002, 3003, 3004, 3005]
+
+
+def test_reindex_sample_bounded_under_duplicate_skew(spark):
+    """The boundary-sample collect is per DISTINCT key with weight capped:
+    a heavily duplicated key contributes one bounded row, never its whole
+    duplicate set (review finding: unbounded driver collect)."""
+    from radio_data_curation_ssl_spark.operators.reindex import (
+        _sample_boundaries,
+    )
+
+    rows = [("hot",)] * 50_000 + [(f"k{i:05d}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string")
+    bounds = _sample_boundaries(df, ["k"], n=8, sample_per_bucket=64)
+    # runs, produces usable boundaries, and the hot key occupies at most
+    # one boundary position
+    assert len(bounds) <= 7
+    assert sum(1 for b in bounds if b == ("hot",)) <= 1

@@ -162,6 +162,11 @@ def classifier_two_sample_test(
             )
             .collect()
         )
+        if not stats:
+            # e.g. a train_sample_mod larger than the frame leaves zero
+            # train rows — fail with the intended message, not the bare
+            # max()-on-empty ValueError
+            raise ValueError("empty train split")
         d = max(r["pos"] for r in stats) + 1
         mu = np.zeros(d)
         sd = np.ones(d)

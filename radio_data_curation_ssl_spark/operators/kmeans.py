@@ -431,8 +431,14 @@ def lloyd_kmeans(
 
     Init strategies:
     - ``init_centroids`` (explicit (k, d) array): warm start — used by the
-      resample<->recluster loop to seed each step from the previous
-      centroids (the reference reuses centroids across resampling steps).
+      resample<->recluster loop's default ``per_step_init="warm"`` mode to
+      seed each step from the previous centroids.  NOTE: this is a
+      deliberate deviation from the reference, which re-initializes with a
+      fresh kmeans++/num_init on each resampled subset
+      (/root/reference/src/hierarchical_kmeans_gpu.py:159-229,
+      run_distributed_kmeans.py) — warm start is deterministic and skips
+      the per-step init cost; pass ``per_step_init="fresh"`` to
+      resampled_kmeans for the reference's behavior.
     - ``init="sample"``: deterministic hash-ordered driver sample;
       kmeans++ on it when k <= ``init_pp_max`` (O(k^2 d) driver-side),
       seed-keyed deterministic draws above that.
@@ -649,13 +655,20 @@ def numpy_lloyd(
     n_iters: int = 20,
     tol: float = 1e-6,
     seed: int = 42,
+    init_centroids: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Single-process Lloyd twin (init = k-means++ over x itself).  Used for
-    the deeper levels of the hierarchical tree, where the input is the
-    previous level's centroids — k_{l-1} rows, driver-sized by construction
-    (the reference likewise runs deeper levels over saved centroid arrays,
+    """Single-process Lloyd twin (init = k-means++ over x itself, or a
+    warm start via ``init_centroids``).  Used for the deeper levels of the
+    hierarchical tree, where the input is the previous level's centroids —
+    k_{l-1} rows, driver-sized by construction (the reference likewise
+    runs deeper levels over saved centroid arrays,
     /root/reference/src/hierarchical_kmeans_gpu.py:159-229)."""
-    cents = kmeans_pp_init(x.astype(np.float64), k, seed)
+    if init_centroids is not None:
+        cents = np.asarray(init_centroids, dtype=np.float64).copy()
+        if cents.shape[0] != k:
+            raise ValueError(f"init_centroids has {cents.shape[0]} rows, k={k}")
+    else:
+        cents = kmeans_pp_init(x.astype(np.float64), k, seed)
     for _ in range(n_iters):
         ids, _ = assign_batch(x, cents)
         sums = np.zeros_like(cents)
@@ -670,6 +683,65 @@ def numpy_lloyd(
     return cents, ids
 
 
+def numpy_resampled_lloyd(
+    x: np.ndarray,
+    k: int,
+    n_steps: int,
+    per_cluster: int,
+    mode: str = "closest",
+    n_iters: int = 20,
+    tol: float = 1e-6,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side twin of resampled_kmeans for the deeper hierarchy
+    levels (input = previous level's centroids, driver-sized): Lloyd, then
+    ``n_steps`` rounds of per-cluster draw (``closest`` / ``random``) ->
+    warm-started Lloyd on the drawn subset -> full reassign — the
+    reference applies the resample<->recluster iteration at EVERY level
+    with sample_sizes[kmid] > 1
+    (/root/reference/src/hierarchical_kmeans_gpu.py:159-229)."""
+    from ..synth import splitmix64
+
+    if mode not in ("closest", "random"):
+        raise ValueError(f"unknown mode {mode!r}")
+    x = np.asarray(x, dtype=np.float64)
+    cents, _ = numpy_lloyd(x, k, n_iters=n_iters, tol=tol, seed=seed)
+    for step in range(1, n_steps + 1):
+        ids, d2 = assign_batch(x, cents)
+        sel: list[np.ndarray] = []
+        for c in range(k):
+            members = np.flatnonzero(ids == c)
+            if members.size == 0:
+                continue
+            if mode == "closest":
+                order = members[np.lexsort((members, d2[members]))]
+            else:
+                hv = splitmix64(
+                    members.astype(np.uint64)
+                    + np.uint64((seed + step) * 1_000_003)
+                )
+                order = members[np.lexsort((members, hv))]
+            sel.append(order[:per_cluster])
+        subset = x[np.sort(np.concatenate(sel))]
+        cents, _ = numpy_lloyd(
+            subset, k, n_iters=n_iters, tol=tol, init_centroids=cents
+        )
+    ids, _ = assign_batch(x, cents)
+    return cents, ids
+
+
+def _per_level(val, n_levels: int, name: str) -> list[int]:
+    """Broadcast an int to every level or validate a per-level list —
+    mirrors the reference's per-level sample_sizes shape."""
+    if isinstance(val, (list, tuple)):
+        if len(val) != n_levels:
+            raise ValueError(
+                f"{name} has {len(val)} entries for {n_levels} levels"
+            )
+        return [int(v) for v in val]
+    return [int(val)] * n_levels
+
+
 def hierarchical_kmeans(
     df: DataFrame,
     id_col: str,
@@ -679,8 +751,8 @@ def hierarchical_kmeans(
     tol: float = 1e-6,
     seed: int = 42,
     checkpoint_dir: str | None = None,
-    n_resampling_steps: int = 0,
-    per_cluster_sample: int = 0,
+    n_resampling_steps: int | list[int] = 0,
+    per_cluster_sample: int | list[int] = 0,
     resample_mode: str = "closest",
 ) -> tuple[DataFrame, list[np.ndarray]]:
     """Multi-level cluster tree + transitive flattening.
@@ -691,12 +763,15 @@ def hierarchical_kmeans(
     the reference's assignment form ``(id, cluster_l1, ..., cluster_lN)``
     (/root/reference/src/clusters.py:58-89 transitive flatten).
 
-    With ``n_resampling_steps > 0`` (and ``per_cluster_sample``), level 1
-    runs the reference's resample<->recluster iteration (resampled_kmeans
-    — /root/reference/src/hierarchical_kmeans_gpu.py:159-229) instead of
-    plain Lloyd; deeper levels cluster the refreshed centroids as before
-    (level 1 is the only corpus-scale pass, the same reasoning that puts
-    checkpointing there).
+    ``n_resampling_steps`` / ``per_cluster_sample`` take an int (applied
+    to every level) or a per-level list mirroring the reference's
+    per-level sample_sizes — the reference runs the resample<->recluster
+    iteration at EVERY level with sample_sizes[kmid] > 1
+    (/root/reference/src/hierarchical_kmeans_gpu.py:159-229).  Level 1
+    uses the distributed loop (resampled_kmeans); deeper levels run the
+    driver-side numpy twin (numpy_resampled_lloyd) over the previous
+    level's centroids (level 1 is the only corpus-scale pass, the same
+    reasoning that puts checkpointing there).
 
     Returns (assignments DF(id, cluster_l1..cluster_lN, dist_sq),
     [level-1 centroids, level-2 centroids, ...]).
@@ -707,21 +782,25 @@ def hierarchical_kmeans(
     """
     if not ks:
         raise ValueError("ks must name at least one level")
+    steps = _per_level(n_resampling_steps, len(ks), "n_resampling_steps")
+    per_cluster = _per_level(per_cluster_sample, len(ks), "per_cluster_sample")
+    for li, s in enumerate(steps):
+        if s > 0 and per_cluster[li] <= 0:
+            raise ValueError(
+                f"level {li + 1}: n_resampling_steps > 0 requires "
+                "per_cluster_sample > 0"
+            )
     # only level 1 touches the full corpus — its checkpoints are the ones
     # that matter; deeper levels are driver-side seconds
     l1_ckpt = f"{checkpoint_dir}/level1" if checkpoint_dir is not None else None
-    if n_resampling_steps > 0:
-        if per_cluster_sample <= 0:
-            raise ValueError(
-                "n_resampling_steps > 0 requires per_cluster_sample > 0"
-            )
+    if steps[0] > 0:
         assign, cents = resampled_kmeans(
             df,
             id_col,
             vec_col,
             ks[0],
-            per_cluster=per_cluster_sample,
-            n_resampling_steps=n_resampling_steps,
+            per_cluster=per_cluster[0],
+            n_resampling_steps=steps[0],
             mode=resample_mode,
             n_iters=n_iters,
             tol=tol,
@@ -744,7 +823,21 @@ def hierarchical_kmeans(
     level_cents = [cents]
     cur = cents
     for level, k in enumerate(ks[1:], start=2):
-        c_next, ids = numpy_lloyd(cur, k, n_iters=n_iters, tol=tol, seed=seed)
+        if steps[level - 1] > 0:
+            c_next, ids = numpy_resampled_lloyd(
+                cur,
+                k,
+                n_steps=steps[level - 1],
+                per_cluster=per_cluster[level - 1],
+                mode=resample_mode,
+                n_iters=n_iters,
+                tol=tol,
+                seed=seed,
+            )
+        else:
+            c_next, ids = numpy_lloyd(
+                cur, k, n_iters=n_iters, tol=tol, seed=seed
+            )
         mdf = spark.createDataFrame(
             [(int(i), int(c)) for i, c in enumerate(ids)],
             f"cluster_l{level - 1} int, cluster_l{level} int",
@@ -799,6 +892,7 @@ def resampled_kmeans(
     tol: float = 1e-6,
     seed: int = 42,
     checkpoint_dir: str | None = None,
+    per_step_init: str = "warm",
     **lloyd_kwargs,
 ) -> tuple[DataFrame, np.ndarray]:
     """The reference's per-level resample<->recluster iteration
@@ -809,8 +903,19 @@ def resampled_kmeans(
     1. Lloyd over the full corpus;
     2. repeat ``n_resampling_steps`` times: draw ``per_cluster`` points
        per cluster (``closest`` / ``random`` — cluster_resample), rerun
-       Lloyd on the DRAWN subset warm-started from the current centroids,
-       and reassign the full corpus to the refreshed centroids.
+       Lloyd on the DRAWN subset, and reassign the full corpus to the
+       refreshed centroids.
+
+    ``per_step_init`` picks the subset-Lloyd initialization:
+
+    - ``"warm"`` (default): seed each step from the previous centroids.
+      A deliberate deviation from the reference — deterministic, skips
+      the per-step init cost, and keeps cluster identities stable across
+      steps.
+    - ``"fresh"``: a fresh deterministic-sample kmeans++ init on each
+      resampled subset — the reference's behavior (it re-runs kmeans
+      with a new kmeans++/num_init per step; no centroid reuse), at the
+      cost of per-step init work and unstable cluster numbering.
 
     The resample step rebalances the centroid estimate (each cluster
     contributes equally, so giant clusters stop dominating the update) —
@@ -826,6 +931,8 @@ def resampled_kmeans(
     Returns (assignments DF(id, cluster, dist_sq) over the FULL corpus,
     final centroids).
     """
+    if per_step_init not in ("warm", "fresh"):
+        raise ValueError(f"unknown per_step_init {per_step_init!r}")
     sub_ckpt = (
         (lambda name: f"{checkpoint_dir}/{name}")
         if checkpoint_dir is not None
@@ -857,12 +964,18 @@ def resampled_kmeans(
             n_iters=n_iters,
             tol=tol,
             seed=seed + step,
-            init_centroids=cents,
+            # "warm" seeds from the current centroids (deterministic
+            # deviation); "fresh" re-inits per step like the reference
+            init_centroids=cents if per_step_init == "warm" else None,
             checkpoint_dir=sub_ckpt(f"step{step}"),
             # pin the resample parameters: a resumed run with a different
-            # draw (per_cluster/mode) must fail fast, not silently return
-            # the old run's centroids
-            checkpoint_extra={"per_cluster": per_cluster, "mode": mode},
+            # draw (per_cluster/mode/init) must fail fast, not silently
+            # return the old run's centroids
+            checkpoint_extra={
+                "per_cluster": per_cluster,
+                "mode": mode,
+                "per_step_init": per_step_init,
+            },
         )
         assign = assign_points(df, id_col, vec_col, cents)
     return assign, cents
@@ -902,7 +1015,17 @@ def split_oversized_clusters(
     children follow, ascending (old_id, sub).  Returns (assignment DF
     (id, cluster, dist_sq) with DENSE new ids, new centroid matrix in new
     id order, mapping {old_id: [new ids]}).
+
+    Requires ``n_splits <= max_size``: every split cluster has more than
+    ``max_size`` members, so each of its ``n_splits`` sub-clusters is
+    reachable — no padded parent-centroid child slots ever compete for
+    members.
     """
+    if n_splits > max_size:
+        raise ValueError(
+            f"n_splits={n_splits} exceeds max_size={max_size}: a split "
+            "cluster could yield fewer sub-centroids than child slots"
+        )
     spark = df.sparkSession
     counts = {
         r["cluster"]: r["n"]

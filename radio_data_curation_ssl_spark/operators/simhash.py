@@ -29,7 +29,19 @@ from pyspark.sql import functions as F
 
 
 def _segments(bits: int, n_seg: int) -> list[tuple[int, int]]:
-    """(offset, width) per segment, widths as even as possible."""
+    """(offset, width) per segment, widths as even as possible.
+
+    ``n_seg`` must not exceed ``bits``: a zero-width segment's mask is 0,
+    every row lands in the single (seg, 0) bucket, and the downstream
+    self-join degenerates to an O(n^2) cross join — still correct output,
+    catastrophic at scale, so it is rejected here instead."""
+    if n_seg <= 0:
+        raise ValueError(f"n_seg must be positive, got {n_seg}")
+    if n_seg > bits:
+        raise ValueError(
+            f"n_seg={n_seg} exceeds bits={bits}: a zero-width segment "
+            "buckets every row together (O(n^2) self-join)"
+        )
     base, extra = divmod(bits, n_seg)
     out, off = [], 0
     for i in range(n_seg):
@@ -88,7 +100,15 @@ def simhash_neardup_pairs(
     ``collapse_exact`` (default) identical sketches are first collapsed
     to their min-id representative, so output pairs are between distinct
     sketch values — pass False to pair every id (quadratic in group size
-    for identical sketches; only sane on pre-deduped input)."""
+    for identical sketches; only sane on pre-deduped input).
+
+    Requires ``max_hamming + 1 <= bits`` — more segments than bits would
+    create zero-width (always-colliding) buckets (see ``_segments``)."""
+    if max_hamming + 1 > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {max_hamming + 1} segments "
+            f"but the sketch has only {bits} bits"
+        )
     base = sk.select(
         F.col(id_col).alias("_id"), F.col(sketch_col).cast("long").alias("_sk")
     )

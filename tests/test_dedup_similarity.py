@@ -453,3 +453,25 @@ def test_simhash_pairing_single_segment_exact_match(spark):
         ).collect()
     }
     assert got == {(1, 2), (3, 4)}
+
+
+def test_simhash_rejects_too_many_segments(spark):
+    """ADVICE r3: max_hamming + 1 > bits would create zero-width segments
+    whose mask is 0 — every row in one bucket, O(n^2) self-join. The
+    operator must reject the configuration instead."""
+    from radio_data_curation_ssl_spark.operators.simhash import (
+        _segments,
+        simhash_neardup_pairs,
+    )
+
+    sk = spark.createDataFrame(
+        [(1, 0), (2, 3)], "doc_id long, simhash16 long"
+    )
+    with pytest.raises(ValueError, match="bits"):
+        simhash_neardup_pairs(
+            sk, id_col="doc_id", sketch_col="simhash16", bits=4, max_hamming=4
+        )
+    with pytest.raises(ValueError, match="exceeds bits"):
+        _segments(4, 5)
+    with pytest.raises(ValueError, match="positive"):
+        _segments(16, 0)

@@ -83,3 +83,17 @@ def test_classifier_train_subsample_still_detects(spark):
     assert sub["accuracy"] >= 0.8, sub
     assert sub["n_test"] == full["n_test"]  # test split untouched
     assert 0 < sub["n_train"] < 0.6 * full["n_train"]
+
+
+def test_classifier_empty_train_split_fails_with_intended_error(spark):
+    """ADVICE r3: a train_sample_mod larger than the frame must raise the
+    intended 'empty train split' error, not max()-on-empty."""
+    from radio_data_curation_ssl_spark.operators.distcheck import (
+        classifier_two_sample_test,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = e.where("vec_id % 2 = 0").limit(20)
+    b = e.where("vec_id % 2 = 1").limit(20)
+    with pytest.raises(ValueError, match="empty train split"):
+        classifier_two_sample_test(a, b, n_iters=2, train_sample_mod=10**9)

@@ -462,7 +462,7 @@ def test_hierarchical_with_resampling_level1(spark, emb):
 
     adf, level_cents = hierarchical_kmeans(
         emb, "vec_id", "embedding", ks=[6, 2], n_iters=6,
-        n_resampling_steps=1, per_cluster_sample=20,
+        n_resampling_steps=[1, 0], per_cluster_sample=[20, 0],
     )
     _, cents_direct = resampled_kmeans(
         emb, "vec_id", "embedding", k=6, per_cluster=20,
@@ -558,3 +558,63 @@ def test_init_error_does_not_leak_cache(spark, emb):
         lloyd_kmeans(emb, "vec_id", "embedding", k=10_000, n_iters=1,
                      init_sample=64)
     assert n_persistent() == before
+
+
+def test_split_rejects_n_splits_above_max_size(spark, emb):
+    """ADVICE r3: n_splits > max_size could leave padded parent-centroid
+    child slots reachable as assignment candidates — rejected up front."""
+    from radio_data_curation_ssl_spark.operators.kmeans import (
+        split_oversized_clusters,
+    )
+
+    adf, cents = lloyd_kmeans(emb, "vec_id", "embedding", k=3, n_iters=2)
+    with pytest.raises(ValueError, match="n_splits"):
+        split_oversized_clusters(
+            emb, adf, cents, "vec_id", "embedding", max_size=2, n_splits=4
+        )
+
+
+def test_resampled_fresh_init_matches_reference_shape(spark, emb):
+    """per_step_init="fresh" re-initializes each step's subset Lloyd (the
+    reference's per-step fresh kmeans++ — ADVICE r3); the loop must stay
+    deterministic and produce k valid centroids, and bad modes fail fast."""
+    from radio_data_curation_ssl_spark.operators.kmeans import resampled_kmeans
+
+    kw = dict(k=4, per_cluster=20, n_resampling_steps=1, n_iters=4)
+    _, c1 = resampled_kmeans(
+        emb, "vec_id", "embedding", per_step_init="fresh", **kw
+    )
+    _, c2 = resampled_kmeans(
+        emb, "vec_id", "embedding", per_step_init="fresh", **kw
+    )
+    assert c1.shape == (4, 64) and np.array_equal(c1, c2)
+    assert np.isfinite(c1).all()
+    with pytest.raises(ValueError, match="per_step_init"):
+        resampled_kmeans(
+            emb, "vec_id", "embedding", per_step_init="bogus", **kw
+        )
+
+
+def test_hierarchical_per_level_resampling(spark, emb):
+    """ADVICE r3: the reference applies the resample<->recluster loop at
+    EVERY level; deeper levels must route through the driver-side numpy
+    twin when their per-level step count is > 0."""
+    from radio_data_curation_ssl_spark.operators.kmeans import (
+        hierarchical_kmeans,
+        numpy_resampled_lloyd,
+    )
+
+    adf, level_cents = hierarchical_kmeans(
+        emb, "vec_id", "embedding", ks=[8, 3], n_iters=5,
+        n_resampling_steps=[0, 2], per_cluster_sample=[0, 2],
+    )
+    c2, edge = numpy_resampled_lloyd(
+        level_cents[0], 3, n_steps=2, per_cluster=2, n_iters=5
+    )
+    assert np.array_equal(level_cents[1], c2)
+    for r in adf.collect():
+        assert r["cluster_l2"] == int(edge[r["cluster_l1"]])
+    with pytest.raises(ValueError, match="entries for"):
+        hierarchical_kmeans(
+            emb, "vec_id", "embedding", ks=[4, 2], n_resampling_steps=[1]
+        )

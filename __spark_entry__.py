@@ -23,8 +23,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.spark for name, q in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered full-oracle first, rows-only (iterative, no SQL twin) last:
+    the driver's correctness gate samples the first entries in order, so
+    every oracle-paired query must sit ahead of the oracle-less ones
+    (round-3 verdict: registry ordering starved the correctness check).
+    """
+    items = list(REGISTRY.items())
+    ordered = [it for it in items if it[1].oracle] + [
+        it for it in items if not it[1].oracle
+    ]
+    return {name: q.spark for name, q in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -334,6 +334,20 @@ def norm(a: str) -> P:
     return P(f"sqrt({d.spark})", f"sqrt({d.duck})")
 
 
+def sqdist(a: str, b: str) -> P:
+    """Double-precision sequential-fold squared Euclidean distance
+    (same fold order both dialects — hash-parity safe)."""
+    return P(
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        f" (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)",
+        f"list_aggregate(list_transform(range(1, len({a}) + 1),"
+        f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), 'sum')",
+    )
+
+
 def cosine(a: str, b: str) -> P:
     d, na, nb = dot(a, b), norm(a), norm(b)
     return P(

@@ -268,3 +268,178 @@ def classifier_two_sample_test(
         }
     finally:
         tagged.unpersist()
+
+
+_GRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("gram", T.ArrayType(T.DoubleType())),
+        T.StructField("vsum", T.ArrayType(T.DoubleType())),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def pca_components_distributed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 2,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Fit standardize+PCA on ``df`` distributed — the reference trains
+    its scaler and PCA on set A only
+    (/root/reference/scripts/check_distributions.py:128-148, sklearn
+    StandardScaler + PCA(2)).  Returns (mu, sd, components (n_components,
+    d), explained_variance).
+
+    Two corpus passes, both map-side-bounded:
+    1. per-dim mean/std — posexplode -> d-row agg;
+    2. Gram/sum partials of the standardized vectors — ONE (d*d + d + 2)-
+       float row per partition, folded driver-side in partition-id order
+       (run-invariant bits, the classifier-GD pattern).
+    The d x d eigenproblem is driver-side numpy (d is embedding width,
+    never corpus size).  Eigenvector sign is canonicalized (max-|entry|
+    coordinate made positive, lowest index on ties) so results are
+    reproducible across runs and resumes.
+    """
+    stats = (
+        df.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.avg(F.col("v").cast("double")).alias("mu"),
+            F.stddev_pop(F.col("v").cast("double")).alias("sd"),
+        )
+        .collect()
+    )
+    if not stats:
+        raise ValueError("empty PCA training frame")
+    d = max(r["pos"] for r in stats) + 1
+    mu = np.zeros(d)
+    sd = np.ones(d)
+    for r in stats:
+        mu[r["pos"]] = r["mu"]
+        sd[r["pos"]] = r["sd"] if r["sd"] and r["sd"] > 1e-12 else 1.0
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((mu, sd))
+
+    def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mu_, sd_ = bc.value
+        pid = TaskContext.get().partitionId()
+        g = np.zeros((d, d), dtype=np.float64)
+        s = np.zeros(d, dtype=np.float64)
+        n = 0
+        for b in batches:
+            x = np.array(b[vec_col].tolist(), dtype=np.float64)
+            if len(x) == 0:
+                continue
+            z = (x - mu_) / sd_
+            g += z.T @ z
+            s += z.sum(axis=0)
+            n += len(z)
+        if n:
+            yield pd.DataFrame(
+                {
+                    "part_id": [pid],
+                    "gram": [g.reshape(-1)],
+                    "vsum": [s],
+                    "n": [n],
+                }
+            )
+
+    rows = sorted(
+        df.select(vec_col).mapInPandas(gram, _GRAM_SCHEMA).collect(),
+        key=lambda r: r["part_id"],
+    )
+    if not rows:
+        raise ValueError("empty PCA training frame")
+    g_tot = np.zeros((d, d), dtype=np.float64)
+    s_tot = np.zeros(d, dtype=np.float64)
+    n_tot = 0
+    for r in rows:
+        g_tot += np.array(r["gram"], dtype=np.float64).reshape(d, d)
+        s_tot += np.array(r["vsum"], dtype=np.float64)
+        n_tot += r["n"]
+    zbar = s_tot / n_tot
+    # centered covariance (sklearn PCA re-centers after the scaler; the
+    # standardized mean is ~0 but subtract exactly for the twin)
+    cov = g_tot / n_tot - np.outer(zbar, zbar)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals, kind="stable")[::-1][:n_components]
+    comps = evecs[:, order].T.copy()  # (n_components, d)
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))  # lowest index wins ties
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mu, sd, comps, evals[order]
+
+
+def pca_two_sample_overlay(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """The reference's PCA cross-projection check
+    (/root/reference/scripts/check_distributions.py:128-160): standardize
+    + PCA trained on sample A ONLY, BOTH samples projected, per-(sample,
+    PC) summary stats out — overlapping stats == similar principal
+    structure, separated means == distribution shift along that PC.
+
+    Returns a DataFrame (grp, pc, n, mean_p, std_p, min_p, max_p) with
+    2 * n_components rows at any corpus size.  Scale: PCA fit is two
+    bounded passes over A (pca_components_distributed); the projection is
+    map-only against broadcast (mu, sd, components); the stats agg is one
+    map-side-combined shuffle keyed (grp, pc).
+    """
+    mu, sd, comps, _ev = pca_components_distributed(
+        df_a, vec_col=vec_col, n_components=n_components
+    )
+    sc = df_a.sparkSession.sparkContext
+    bc = sc.broadcast((mu, sd, comps))
+
+    proj_schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("pc", T.IntegerType()),
+            T.StructField("p", T.DoubleType()),
+        ]
+    )
+
+    tagged = df_a.select(
+        F.lit("a").alias("grp"), F.col(vec_col).alias("vec")
+    ).unionByName(
+        df_b.select(F.lit("b").alias("grp"), F.col(vec_col).alias("vec"))
+    )
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mu_, sd_, w = bc.value
+        for b in batches:
+            x = np.array(b["vec"].tolist(), dtype=np.float64)
+            if len(x) == 0:
+                continue
+            p = ((x - mu_) / sd_) @ w.T  # (n, n_components)
+            k = p.shape[1]
+            yield pd.DataFrame(
+                {
+                    "grp": np.repeat(b["grp"].to_numpy(), k),
+                    "pc": np.tile(np.arange(1, k + 1, dtype=np.int32), len(x)),
+                    "p": p.reshape(-1),
+                }
+            )
+
+    def r(col):
+        return F.round(col, round_to) + F.lit(0.0)
+
+    return (
+        tagged.mapInPandas(project, proj_schema)
+        .groupBy("grp", "pc")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            r(F.avg("p")).alias("mean_p"),
+            r(F.stddev_pop("p")).alias("std_p"),
+            r(F.min("p")).alias("min_p"),
+            r(F.max("p")).alias("max_p"),
+        )
+        .orderBy("grp", "pc")
+    )

@@ -97,3 +97,127 @@ def test_classifier_empty_train_split_fails_with_intended_error(spark):
     b = e.where("vec_id % 2 = 1").limit(20)
     with pytest.raises(ValueError, match="empty train split"):
         classifier_two_sample_test(a, b, n_iters=2, train_sample_mod=10**9)
+
+
+def test_neighbor_vs_random_detects_planted_locality(spark, tmp_path):
+    """The neighbor-vs-random statistic must flag planted locality: on a
+    random-walk embedding (id-adjacent rows close, random pairs far) the
+    neighbor/random distance ratio is well below 1
+    (/root/reference/scripts/NNs_statistic.py:56-163)."""
+    import pandas as pd
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    n, d = 200, 8
+    rs = np.random.RandomState(7)
+    walk = np.cumsum(rs.normal(0.0, 0.05, size=(n, d)), axis=0)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(walk)}
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = REGISTRY["neighbor_vs_random_stat"].spark(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert out["n_neighbor"] == n - 1
+    assert out["n_random"] >= n - 2
+    assert out["neighbor_random_ratio"] < 0.5
+    # and on the locality-free synthetic table the ratio is ~1
+    base = REGISTRY["neighbor_vs_random_stat"].spark(spark, SF).collect()[0]
+    assert 0.8 < base["neighbor_random_ratio"] < 1.25
+
+
+def _numpy_pca_twin(xa, n_components=2):
+    """Driver twin of pca_components_distributed: standardize on A
+    (stddev_pop), exact-centered covariance, eigh, canonical signs."""
+    mu = xa.mean(axis=0)
+    sd = xa.std(axis=0)
+    sd = np.where(sd > 1e-12, sd, 1.0)
+    z = (xa - mu) / sd
+    zc = z - z.mean(axis=0)
+    cov = (zc.T @ zc) / len(z)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals, kind="stable")[::-1][:n_components]
+    comps = evecs[:, order].T.copy()
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mu, sd, comps
+
+
+def test_pca_components_match_numpy_twin(spark):
+    from radio_data_curation_ssl_spark.operators.distcheck import (
+        pca_components_distributed,
+    )
+
+    a = _frame(spark, 400, 12, seed=3).repartition(8)
+    xa = np.array(
+        [r["embedding"] for r in a.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    mu, sd, comps, ev = pca_components_distributed(a, n_components=3)
+    tmu, tsd, tcomps = _numpy_pca_twin(xa, n_components=3)
+    assert np.allclose(mu, tmu, atol=1e-10)
+    assert np.allclose(sd, tsd, atol=1e-10)
+    assert np.allclose(comps, tcomps, atol=1e-8)
+    assert ev[0] >= ev[1] >= ev[2] > 0
+
+
+def _correlated_frame(spark, n, d, seed, shift=None):
+    """Frame with dims 0 and 1 strongly correlated — after per-dim
+    standardization PC1 is ~(e0+e1)/sqrt(2) with eigenvalue ~1.9 vs ~1.0
+    for the rest, so the leading component is data-determined (an
+    isotropic gaussian would leave PC directions to sampling noise)."""
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    x = rng.normal(0.0, 1.0, size=(n, d))
+    x[:, 1] = 0.9 * x[:, 0] + np.sqrt(1 - 0.9**2) * x[:, 1]
+    if shift is not None:
+        x = x + np.asarray(shift)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(x)}
+        )
+    )
+
+
+def test_pca_overlay_detects_planted_shift(spark):
+    """A shift along the correlated (PC1) direction must separate the
+    per-PC means of the two samples; identical distributions must overlap
+    (the reference's stated read of the PCA overlay plot)."""
+    from radio_data_curation_ssl_spark.operators.distcheck import (
+        pca_two_sample_overlay,
+    )
+
+    d = 12
+    a = _correlated_frame(spark, 400, d, seed=11)
+    same = _correlated_frame(spark, 400, d, seed=12)
+    rows = pca_two_sample_overlay(a, same).collect()
+    by = {(r["grp"], r["pc"]): r for r in rows}
+    assert len(rows) == 4 and by[("a", 1)]["n"] == 400
+    for pc in (1, 2):
+        gap = abs(by[("a", pc)]["mean_p"] - by[("b", pc)]["mean_p"])
+        assert gap < 0.3  # ~4-sigma of a 400-sample mean
+
+    shift = np.zeros(d)
+    shift[0] = shift[1] = 3.0  # along the correlated direction -> PC1
+    b = _correlated_frame(spark, 400, d, seed=12, shift=shift)
+    rows = pca_two_sample_overlay(a, b).collect()
+    by = {(r["grp"], r["pc"]): r for r in rows}
+    gap1 = abs(by[("a", 1)]["mean_p"] - by[("b", 1)]["mean_p"])
+    assert gap1 > 2.0  # clear separation along the leading PC
+
+
+def test_pca_overlay_deterministic(spark):
+    from radio_data_curation_ssl_spark.operators.distcheck import (
+        pca_two_sample_overlay,
+    )
+
+    a = _frame(spark, 300, 8, seed=21).repartition(16)
+    b = _frame(spark, 300, 8, seed=22).repartition(16)
+    r1 = [tuple(r) for r in pca_two_sample_overlay(a, b).collect()]
+    r2 = [tuple(r) for r in pca_two_sample_overlay(a, b).collect()]
+    assert r1 == r2

@@ -302,3 +302,14 @@ def test_reindex_sample_bounded_under_duplicate_skew(spark):
     # one boundary position
     assert len(bounds) <= 7
     assert sum(1 for b in bounds if b == ("hot",)) <= 1
+
+
+def test_cluster_split_query_returns_distributed_result(spark):
+    """VERDICT r3 #2: the registered cluster_split_oversized query must not
+    collect its result to the driver — the returned frame is a
+    localCheckpoint (Scan ExistingRDD), never a driver-side LocalTableScan,
+    and stays row-identical to a recompute."""
+    df = REGISTRY["cluster_split_oversized"].spark(spark, SF)
+    p = plan(df)
+    assert "LocalTableScan" not in p
+    assert df.count() == 500

@@ -1,0 +1,64 @@
+"""Pure-CPU scaling control for the gate's parallelism levels.
+
+The scaling gate (bench_scaling.py) measures the ENGINE at N vs 4N pinned
+cores.  This control measures the HOST at the same levels with a Spark-free
+workload (per-process numpy GEMM, cache-resident, no shared state): any
+per-core rate drop here is hardware (package frequency / SMT / memory
+bandwidth / noisy neighbor), not the engine.  Reading engine efficiency
+against this ceiling separates "the pipeline stops scaling" from "the host
+stops scaling" — round 3 used the same argument to move the gate levels
+off the 32-core saturation cliff (BENCH/BASELINE.md methodology notes).
+
+Usage: python bench_cpu_control.py [core_counts ...]   (default: 1 4 16)
+Prints one JSON line per level: per-task seconds and aggregate rate.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+WORK = """
+import numpy as np, time
+t0 = time.time()
+a = np.random.RandomState(0).rand(400, 400)
+for _ in range(1500):
+    b = a @ a
+print(time.time() - t0)
+"""
+
+
+def run(n: int) -> tuple[float, float]:
+    ps = [
+        subprocess.Popen(
+            ["taskset", "-c", str(i), sys.executable, "-c", WORK],
+            stdout=subprocess.PIPE,
+        )
+        for i in range(n)
+    ]
+    outs = [float(p.communicate()[0]) for p in ps]
+    mean = sum(outs) / len(outs)
+    return mean, n / mean
+
+
+def main() -> None:
+    levels = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    base_rate = None
+    for n in levels:
+        mean, rate = run(n)
+        rec = {
+            "cores": n,
+            "mean_task_sec": round(mean, 3),
+            "aggregate_rate": round(rate, 3),
+            "per_core_vs_first": (
+                round((rate / n) / base_rate, 3) if base_rate else 1.0
+            ),
+        }
+        if base_rate is None:
+            base_rate = rate / n
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

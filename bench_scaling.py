@@ -32,6 +32,7 @@ from radio_data_curation_ssl_spark.session import get_spark
 from radio_data_curation_ssl_spark.plans.pipeline import curate
 
 cpus, n, pages_dir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+n_passes = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 # small synthetic files + the default 4MB file-open cost would coalesce the
 # scan into a handful of input partitions, capping BOTH levels at the same
 # parallelism; size splits so the scan yields ~128 partitions.
@@ -53,7 +54,7 @@ pages = spark.read.parquet(pages_dir)
 df = curate(pages)
 df.write.format("noop").mode("overwrite").save()  # warmup (JIT, Arrow, model bcast)
 best = float("inf")
-for _ in range(4):
+for _ in range(n_passes):
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
     best = min(best, time.perf_counter() - t0)
@@ -95,9 +96,9 @@ def _sub(code: str, *args: str, pin_cpus: int | None = None) -> str:
     return out.stdout
 
 
-def run_level(cpus: int, n: int, pages_dir: str) -> dict:
+def run_level(cpus: int, n: int, pages_dir: str, n_passes: int = 4) -> dict:
     return json.loads(
-        _sub(WORKER, str(cpus), str(n), pages_dir, pin_cpus=cpus)
+        _sub(WORKER, str(cpus), str(n), pages_dir, str(n_passes), pin_cpus=cpus)
         .strip()
         .splitlines()[-1]
     )
@@ -116,6 +117,7 @@ def main() -> None:
     lo_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     hi_cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     best_of = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    n_passes = int(sys.argv[5]) if len(sys.argv) > 5 else 4
     pages_dir = os.path.join(tempfile.gettempdir(), f"scaling_pages_{n}")
     if not os.path.isdir(pages_dir):
         _sub(GEN, str(n), pages_dir)
@@ -128,9 +130,9 @@ def main() -> None:
     for _ in range(best_of):
         for c in (lo_cpus, hi_cpus):
             try:
-                runs.append(run_level(c, n, pages_dir))
+                runs.append(run_level(c, n, pages_dir, n_passes))
             except RuntimeError:
-                runs.append(run_level(c, n, pages_dir))  # one retry
+                runs.append(run_level(c, n, pages_dir, n_passes))  # one retry
     lo = min((r for r in runs if r["cpus"] == lo_cpus), key=lambda r: r["sec"])
     hi = min((r for r in runs if r["cpus"] == hi_cpus), key=lambda r: r["sec"])
     eff = round(hi["docs_per_sec"] / (4 * lo["docs_per_sec"]), 3)

@@ -2389,13 +2389,17 @@ def q_two_sample_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- LSH-blocked embedding near-dup (SemDeDup-style corpus self-join) ----
-# 6 OR-tables x 4 hyperplanes: collision prob for a pair at angle θ is
-# 1-(1-(1-θ/π)^4)^6 — ~0.99 for true near-dups (cos >= 0.9), so the block
+# 10 OR-tables x 6 hyperplanes: collision prob for a pair at angle θ is
+# 1-(1-(1-θ/π)^6)^10 — ~0.99 for true near-dups (cos >= 0.9), so the block
 # replaces the label key with no practical recall loss where it matters,
-# while keeping the pair count bounded by bucket sizes.  Production sizing
-# raises planes-per-table with corpus size (20 planes -> 2^20 buckets);
-# the trade-off curve is the same.
-_NDL_N_TABLES, _NDL_N_PLANES = 6, 4
+# while keeping the pair count bounded by bucket sizes.  r4 retune from
+# 6x4 (measured best-of-3 at sf0.1: 2.96s -> 2.18s): sharper tables cut
+# per-bucket candidate pairs ~2.4x (2000/2^6 rows per bucket vs 2000/2^4)
+# for the cost of 60 vs 24 numpy plane dots — the rerank+distinct work
+# dominates, so fewer candidates wins.  Production sizing raises
+# planes-per-table with corpus size (20 planes -> 2^20 buckets); the
+# trade-off curve is the same.
+_NDL_N_TABLES, _NDL_N_PLANES = 10, 6
 _NDL_PLANES = [
     _hyperplanes(_NDL_N_PLANES, salt=9000 + 17 * ti)
     for ti in range(_NDL_N_TABLES)
@@ -2423,7 +2427,7 @@ WHERE {_COS_AB.duck} >= 0.35
 """,
     doc="Embedding-cosine near-dup pairs blocked by amplified LSH instead "
     "of a label key — the web-scale block embedding_cosine_neardup "
-    "documents (no label exists at 10^12 docs). 6 OR-tables x 4 "
+    "documents (no label exists at 10^12 docs). 10 OR-tables x 6 "
     "hyperplanes (~0.99 collision for cos>=0.9 true near-dups), exact "
     "sequential-fold cosine VERIFY on candidates only. Scale: JVM-side "
     "stack explode, ONE AQE-reused equi-join shuffle on (tbl, bucket), "

@@ -68,3 +68,133 @@ def extract_binary_features(
             )
 
     return df.select(key_col, binary_col).mapInPandas(run, MM_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("pixels", T.BinaryType(), True),
+    ]
+)
+
+
+def fake_resize(blob: bytes | None, width: int, height: int) -> bytes | None:
+    """Deterministic stand-in for decode+resample: an evenly-strided byte
+    grid of the payload (the sampling pattern a nearest-neighbor resize of
+    a 1-byte-per-pixel image would produce if the payload were a square
+    image) — stable across runs, output size exactly width*height."""
+    if blob is None:
+        return None
+    n = len(blob)
+    if n == 0:
+        return bytes(width * height)
+    src = np.frombuffer(blob, dtype=np.uint8)
+    idx = (np.arange(width * height, dtype=np.int64) * n) // (width * height)
+    return src[idx].tobytes()
+
+
+def resize_images(
+    df: DataFrame,
+    key_col: str,
+    binary_col: str,
+    width: int,
+    height: int,
+    decode: str = "fake",
+) -> DataFrame:
+    """(key, binary) -> (key, width, height, pixels) in one Arrow pass —
+    the multimodal RESIZE op (brief: decode/feature-extract/resize/
+    frame-sample; reference analog: the cutout window resample,
+    /root/reference/src/1a_cutouts_sw.py:48-93).  ``decode="real"``
+    raises (no codecs in this container); the fake path keeps the
+    Spark-side contract real: static schema, map-only narrow plan, output
+    size fixed at width*height regardless of payload size."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad target size {width}x{height}")
+    if decode != "fake":
+        real_decode_features(None)  # raises NotImplementedError
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            yield pd.DataFrame(
+                {
+                    "key": b[key_col].astype(str),
+                    "width": np.full(len(b), width, dtype=np.int32),
+                    "height": np.full(len(b), height, dtype=np.int32),
+                    "pixels": b[binary_col].map(
+                        lambda blob: fake_resize(blob, width, height)
+                    ),
+                }
+            )
+
+    return df.select(key_col, binary_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+FRAME_BYTES = 16
+
+
+def sample_frames(
+    df: DataFrame,
+    key_col: str,
+    binary_col: str,
+    n_frames: int,
+    decode: str = "fake",
+) -> DataFrame:
+    """(key, binary) -> n_frames rows (key, frame_idx, offset, frame,
+    features): the multimodal FRAME-SAMPLE op — a 1->N binary explosion
+    (video -> evenly-spaced frames) in one Arrow pass.
+
+    Fake-codec semantics (deterministic, container has no ffmpeg): frame i
+    is the FRAME_BYTES-byte window at offset floor(i * len / n_frames);
+    payloads shorter than a window yield the remaining bytes; empty/NULL
+    payloads yield zero rows for that key (the no-decodable-frames case).
+    Each frame also carries its fake_decode_features vector — the
+    per-frame embed step a real pipeline runs.  Spark-side contract is
+    real: static schema, map-only 1->N (no join, no shuffle), batch-shape
+    independent of payload sizes."""
+    if n_frames <= 0:
+        raise ValueError(f"n_frames must be positive, got {n_frames}")
+    if decode != "fake":
+        real_decode_features(None)  # raises NotImplementedError
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            keys: list[str] = []
+            idxs: list[int] = []
+            offs: list[int] = []
+            frames: list[bytes] = []
+            feats: list[list[float] | None] = []
+            for key, blob in zip(b[key_col].astype(str), b[binary_col]):
+                if blob is None or len(blob) == 0:
+                    continue
+                n = len(blob)
+                for i in range(n_frames):
+                    off = (i * n) // n_frames
+                    fr = bytes(blob[off : off + FRAME_BYTES])
+                    keys.append(key)
+                    idxs.append(i)
+                    offs.append(off)
+                    frames.append(fr)
+                    feats.append(fake_decode_features(fr))
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(keys, dtype=object),
+                    "frame_idx": pd.Series(idxs, dtype=np.int32),
+                    "offset": pd.Series(offs, dtype=np.int64),
+                    "frame": pd.Series(frames, dtype=object),
+                    "features": pd.Series(feats, dtype=object),
+                }
+            )
+
+    return df.select(key_col, binary_col).mapInPandas(run, FRAME_SCHEMA)

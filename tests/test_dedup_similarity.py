@@ -475,3 +475,68 @@ def test_simhash_rejects_too_many_segments(spark):
         _segments(4, 5)
     with pytest.raises(ValueError, match="positive"):
         _segments(16, 0)
+
+
+def test_multimodal_resize_plumbing(spark):
+    """Resize: fixed output size regardless of payload length, NULL
+    passthrough, deterministic strided sampling, real mode raises."""
+    from radio_data_curation_ssl_spark.operators.multimodal import (
+        fake_resize,
+        resize_images,
+    )
+
+    rows = [
+        (1, bytes(range(256)) * 4),  # long payload
+        (2, b"ab"),                  # shorter than target
+        (3, b""),                    # empty -> zero-filled
+        (4, None),                   # NULL passthrough
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["key"]: r for r in
+           resize_images(df, "doc_id", "payload", 8, 4).collect()}
+    assert set(out) == {"1", "2", "3", "4"}
+    for k in ("1", "2", "3"):
+        assert len(out[k]["pixels"]) == 32
+        assert out[k]["width"] == 8 and out[k]["height"] == 4
+    assert out["4"]["pixels"] is None
+    assert bytes(out["1"]["pixels"]) == fake_resize(rows[0][1], 8, 4)
+    assert bytes(out["3"]["pixels"]) == bytes(32)
+    with pytest.raises(ValueError, match="bad target size"):
+        resize_images(df, "doc_id", "payload", 0, 4)
+    with pytest.raises(NotImplementedError):
+        resize_images(df, "doc_id", "payload", 8, 4, decode="real")
+
+
+def test_multimodal_frame_sampling(spark):
+    """Frame-sample: 1->N explosion with evenly-spaced offsets, per-frame
+    features, empty/NULL payloads dropped, deterministic across runs."""
+    from radio_data_curation_ssl_spark.operators.multimodal import (
+        FRAME_BYTES,
+        fake_decode_features,
+        sample_frames,
+    )
+
+    payload = bytes(range(200))
+    df = spark.createDataFrame(
+        [(1, payload), (2, b"xy"), (3, b""), (4, None)],
+        "doc_id long, payload binary",
+    )
+    out = sample_frames(df, "doc_id", "payload", 5).collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r["key"], []).append(r)
+    assert set(by_key) == {"1", "2"}  # empty/NULL -> no frames
+    f1 = sorted(by_key["1"], key=lambda r: r["frame_idx"])
+    assert [r["offset"] for r in f1] == [0, 40, 80, 120, 160]
+    for r in f1:
+        assert bytes(r["frame"]) == payload[r["offset"]: r["offset"] + FRAME_BYTES]
+        assert r["features"] == pytest.approx(
+            fake_decode_features(bytes(r["frame"]))
+        )
+    # short payload: every frame window clipped to the remaining bytes
+    f2 = sorted(by_key["2"], key=lambda r: r["frame_idx"])
+    assert len(f2) == 5 and all(len(bytes(r["frame"])) <= 2 for r in f2)
+    out2 = sample_frames(df, "doc_id", "payload", 5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    with pytest.raises(ValueError, match="n_frames"):
+        sample_frames(df, "doc_id", "payload", 0)

@@ -118,6 +118,11 @@ def main() -> None:
     hi_cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     best_of = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     n_passes = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+    # the hi level's passes are short (~10-13s vs ~35-45s at lo) and carry
+    # nearly all of the host-side variance (16-core package throttle —
+    # see bench_cpu_control.py), so sample it 2x harder per run at ~1/3
+    # the added wall cost of an extra lo pass
+    hi_passes = max(n_passes * 2, n_passes)
     pages_dir = os.path.join(tempfile.gettempdir(), f"scaling_pages_{n}")
     if not os.path.isdir(pages_dir):
         _sub(GEN, str(n), pages_dir)
@@ -129,10 +134,11 @@ def main() -> None:
     runs = []
     for _ in range(best_of):
         for c in (lo_cpus, hi_cpus):
+            p = n_passes if c == lo_cpus else hi_passes
             try:
-                runs.append(run_level(c, n, pages_dir, n_passes))
+                runs.append(run_level(c, n, pages_dir, p))
             except RuntimeError:
-                runs.append(run_level(c, n, pages_dir, n_passes))  # one retry
+                runs.append(run_level(c, n, pages_dir, p))  # one retry
     lo = min((r for r in runs if r["cpus"] == lo_cpus), key=lambda r: r["sec"])
     hi = min((r for r in runs if r["cpus"] == hi_cpus), key=lambda r: r["sec"])
     eff = round(hi["docs_per_sec"] / (4 * lo["docs_per_sec"]), 3)

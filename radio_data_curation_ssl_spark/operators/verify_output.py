@@ -1,0 +1,186 @@
+"""Post-write dataset verification — the QA gate a curation run ends with.
+
+Distributed twin of the reference's output verifier
+(/root/reference/src/verify_feat_extract_output.py:9-120), which checks a
+finished feature-extraction sink in four phases: (1) manifest exists and
+loads, (2) structure — row count and shape/dtype match the manifest,
+(3) sampled key alignment against the source listing, (4) NaN/Inf
+corruption scan.  Here the output is a parquet dataset with a
+``metadata.json`` manifest written next to it (``write_verified``), and
+the checks run Spark-side:
+
+- phase 2 compares the DISTRIBUTED count and the full schema (names +
+  types) against the manifest — never a driver materialization;
+- phase 3 probes deterministic hash-picked keys (plus the min/max key —
+  the reference probes first/last/random indices) and compares every
+  shared column against the source via a broadcast semi-join;
+- phase 4 scans ALL rows for NaN/Inf in the vector column with one
+  aggregate (the reference samples 1,000 rows "per efficienza"; a full
+  scan is one cheap map-side-combined job here — strictly stronger).
+
+Scale: phases 2/4 are single aggregates; phase 3 touches ``n_probe``
+rows via broadcast joins.  Nothing corpus-sized reaches the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+META_NAME = "metadata.json"
+
+
+class VerificationError(AssertionError):
+    """A phase failed; ``.phase`` names it (mirrors the reference's
+    per-phase FALLITO exits)."""
+
+    def __init__(self, phase: str, message: str):
+        super().__init__(f"[{phase}] {message}")
+        self.phase = phase
+
+
+def write_verified(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    vec_col: str | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Write ``df`` as parquet plus the manifest the verifier checks
+    against (row count, schema, key/vector column names) — the analog of
+    the reference's metadata.json + features sink."""
+    data_dir = os.path.join(out_dir, "data")
+    df.write.mode(mode).parquet(data_dir)
+    spark = df.sparkSession
+    n = spark.read.parquet(data_dir).count()  # count what was WRITTEN
+    meta = {
+        "row_count": n,
+        "columns": [
+            {"name": f.name, "type": f.dataType.simpleString()}
+            for f in df.schema.fields
+        ],
+        "key_col": key_col,
+        "vec_col": vec_col,
+    }
+    tmp = os.path.join(out_dir, META_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, META_NAME))
+    return meta
+
+
+def verify_dataset(
+    spark: SparkSession,
+    out_dir: str,
+    source: DataFrame | None = None,
+    n_probe: int = 5,
+) -> dict:
+    """Run the four verification phases over ``out_dir``; returns a report
+    dict (phase -> detail) or raises VerificationError on the first
+    failure.  ``source`` enables phase 3 (alignment: every shared column
+    of the probed keys must match the source row exactly)."""
+    report: dict = {}
+
+    # --- phase 1: manifest exists and loads -----------------------------
+    meta_path = os.path.join(out_dir, META_NAME)
+    if not os.path.exists(meta_path):
+        raise VerificationError("manifest", f"missing {meta_path}")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    data_dir = os.path.join(out_dir, "data")
+    if not os.path.isdir(data_dir):
+        raise VerificationError("manifest", f"missing data dir {data_dir}")
+    report["manifest"] = {"path": meta_path}
+
+    out = spark.read.parquet(data_dir)
+
+    # --- phase 2: structure (count + schema vs manifest) ----------------
+    have_cols = [
+        {"name": f.name, "type": f.dataType.simpleString()}
+        for f in out.schema.fields
+    ]
+    if have_cols != meta["columns"]:
+        raise VerificationError(
+            "structure",
+            f"schema mismatch: manifest={meta['columns']} found={have_cols}",
+        )
+    n = out.count()
+    if n != meta["row_count"]:
+        raise VerificationError(
+            "structure", f"row count {n} != manifest {meta['row_count']}"
+        )
+    key_col = meta["key_col"]
+    n_keys = out.select(key_col).distinct().count()
+    if n_keys != n:
+        raise VerificationError(
+            "structure", f"{n - n_keys} duplicate values in key {key_col!r}"
+        )
+    report["structure"] = {"rows": n, "distinct_keys": n_keys}
+
+    # --- phase 3: sampled alignment vs source ---------------------------
+    if source is not None:
+        shared = [c for c in out.columns if c in source.columns]
+        if key_col not in shared:
+            raise VerificationError(
+                "alignment", f"key {key_col!r} not in source columns"
+            )
+        # deterministic probes: min/max key (the reference's first/last)
+        # + hash-picked interior keys (its random indices, but keyed —
+        # never partition order)
+        edge = out.select(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).collect()[0]
+        picked = [
+            r[0]
+            for r in out.select(key_col)
+            .orderBy(F.md5(F.col(key_col).cast("string")), key_col)
+            .limit(n_probe)
+            .collect()
+        ]
+        probe_keys = sorted({edge["lo"], edge["hi"], *picked})
+        o_rows = {
+            r[key_col]: r
+            for r in out.where(F.col(key_col).isin(probe_keys))
+            .select(*shared)
+            .collect()
+        }
+        s_rows = {
+            r[key_col]: r
+            for r in source.where(F.col(key_col).isin(probe_keys))
+            .select(*shared)
+            .collect()
+        }
+        for k in probe_keys:
+            if k not in s_rows:
+                raise VerificationError(
+                    "alignment", f"key {k!r} in output but not in source"
+                )
+            if tuple(o_rows[k]) != tuple(s_rows[k]):
+                raise VerificationError(
+                    "alignment",
+                    f"row mismatch at key {k!r}: "
+                    f"output={tuple(o_rows[k])} source={tuple(s_rows[k])}",
+                )
+        report["alignment"] = {"probed_keys": probe_keys}
+
+    # --- phase 4: NaN/Inf corruption scan (FULL, not sampled) -----------
+    vec_col = meta.get("vec_col")
+    if vec_col:
+        bad = out.select(
+            F.sum(
+                F.exists(
+                    vec_col, lambda v: F.isnan(v) | (F.abs(v) == float("inf"))
+                ).cast("long")
+            ).alias("n_bad")
+        ).collect()[0]["n_bad"]
+        if bad:
+            raise VerificationError(
+                "corruption", f"{bad} rows with NaN/Inf in {vec_col!r}"
+            )
+        report["corruption"] = {"rows_with_nan_inf": 0}
+
+    report["ok"] = True
+    return report

@@ -1,0 +1,102 @@
+"""Output-verification gate semantics (reference:
+/root/reference/src/verify_feat_extract_output.py:9-120): a clean write
+passes all phases; each planted corruption fails its own phase."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from radio_data_curation_ssl_spark.operators.verify_output import (
+    META_NAME,
+    VerificationError,
+    verify_dataset,
+    write_verified,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_clean_write_passes_all_phases(spark, emb, tmp_path):
+    out = str(tmp_path / "out")
+    meta = write_verified(emb, out, key_col="vec_id", vec_col="embedding")
+    assert meta["row_count"] == emb.count()
+    report = verify_dataset(spark, out, source=emb)
+    assert report["ok"]
+    assert report["structure"]["rows"] == emb.count()
+    assert report["corruption"] == {"rows_with_nan_inf": 0}
+    assert len(report["alignment"]["probed_keys"]) >= 2
+
+
+def test_missing_manifest_fails_phase1(spark, tmp_path):
+    with pytest.raises(VerificationError, match="manifest"):
+        verify_dataset(spark, str(tmp_path / "nowhere"))
+
+
+def test_row_loss_fails_structure(spark, emb, tmp_path):
+    out = str(tmp_path / "out")
+    write_verified(emb, out, key_col="vec_id")
+    # simulate partial loss: rewrite the data dir with fewer rows
+    emb.limit(400).write.mode("overwrite").parquet(os.path.join(out, "data"))
+    with pytest.raises(VerificationError, match="row count"):
+        verify_dataset(spark, out)
+
+
+def test_schema_drift_fails_structure(spark, emb, tmp_path):
+    out = str(tmp_path / "out")
+    write_verified(emb, out, key_col="vec_id")
+    p = os.path.join(out, META_NAME)
+    meta = json.load(open(p))
+    meta["columns"][0]["type"] = "int"  # manifest says int, data has bigint
+    json.dump(meta, open(p, "w"))
+    with pytest.raises(VerificationError, match="schema mismatch"):
+        verify_dataset(spark, out)
+
+
+def test_duplicate_keys_fail_structure(spark, emb, tmp_path):
+    out = str(tmp_path / "out")
+    dup = emb.unionByName(emb.limit(3))
+    write_verified(dup, out, key_col="vec_id")
+    with pytest.raises(VerificationError, match="duplicate"):
+        verify_dataset(spark, out)
+
+
+def test_misalignment_fails_phase3(spark, emb, tmp_path):
+    out = str(tmp_path / "out")
+    write_verified(emb, out, key_col="vec_id", vec_col="embedding")
+    # source whose payload disagrees on every row (vector negated)
+    src = emb.withColumn(
+        "embedding", F.transform("embedding", lambda v: -v)
+    )
+    with pytest.raises(VerificationError, match="alignment|row mismatch"):
+        verify_dataset(spark, out, source=src)
+
+
+def test_planted_nan_fails_phase4(spark, emb, tmp_path):
+    import pandas as pd
+
+    out = str(tmp_path / "out")
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.array([10_000], dtype=np.int64),
+                "embedding": [
+                    np.array([np.nan] + [0.0] * 63, dtype=np.float32)
+                ],
+            }
+        )
+    ).select("vec_id", F.col("embedding").cast("array<float>"))
+    poisoned = emb.select("vec_id", "embedding").unionByName(bad)
+    write_verified(poisoned, out, key_col="vec_id", vec_col="embedding")
+    with pytest.raises(VerificationError, match="NaN/Inf"):
+        verify_dataset(spark, out)

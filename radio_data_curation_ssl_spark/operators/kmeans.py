@@ -1162,3 +1162,73 @@ def split_oversized_clusters(
 
     split_assign = big_members.mapInPandas(assign_split, ASSIGN_SCHEMA)
     return kept_assign.unionByName(split_assign), out_cents, mapping
+
+
+def resample_budget(
+    ks: list[int],
+    sample_sizes: list[int],
+    n_resampling_steps: list[int],
+) -> int:
+    """Total points drawn by a hierarchical resample plan — the
+    reference's config-budget formula (sum over levels of
+    k * per_cluster * steps,
+    /root/reference/scripts/hyperparameter_search.py:6-13).  Used to size
+    a config against a target draw budget before running anything."""
+    if not (len(ks) == len(sample_sizes) == len(n_resampling_steps)):
+        raise ValueError("per-level lists must have equal length")
+    return sum(
+        k * r * m for k, r, m in zip(ks, sample_sizes, n_resampling_steps)
+    )
+
+
+def plan_resample_configs(
+    target_budget: int,
+    num_configs: int = 10,
+    level_range: tuple[int, int] = (1, 5),
+    cluster_range: tuple[int, int] = (5, 100),
+    sample_range: tuple[int, int] = (10, 2000),
+    steps_range: tuple[int, int] = (1, 20),
+    n_draws: int = 256,
+    seed: int = 42,
+) -> list[dict]:
+    """Deterministic twin of the reference's diverse-config search
+    (/root/reference/scripts/hyperparameter_search.py:15-37): draw
+    ``n_draws`` random hierarchical-kmeans configs from the given ranges,
+    rank by |resample_budget - target|, return the ``num_configs``
+    closest.  The reference uses ``random.randint``; here every draw is
+    keyed off splitmix64(seed, draw index, field) so the plan is
+    reproducible across runs and machines (the repo-wide determinism
+    contract).  Each config plugs straight into
+    ``hierarchical_kmeans(ks=..., per_cluster_sample=...,
+    n_resampling_steps=...)`` via the per-level list parameters."""
+    from ..synth import splitmix64
+
+    def draw(i: int, field: int, lo: int, hi: int) -> int:
+        h = int(
+            splitmix64(
+                np.array(
+                    [seed * 1_000_003 + i * 1_009 + field], dtype=np.uint64
+                )
+            )[0]
+        )
+        return lo + h % (hi - lo + 1)
+
+    configs = []
+    for i in range(n_draws):
+        n_levels = draw(i, 0, *level_range)
+        ks = [draw(i, 10 + li, *cluster_range) for li in range(n_levels)]
+        sizes = [draw(i, 100 + li, *sample_range) for li in range(n_levels)]
+        steps = [draw(i, 1000 + li, *steps_range) for li in range(n_levels)]
+        configs.append(
+            {
+                "n_levels": n_levels,
+                "ks": ks,
+                "sample_sizes": sizes,
+                "n_resampling_steps": steps,
+                "total_budget": resample_budget(ks, sizes, steps),
+            }
+        )
+    configs.sort(
+        key=lambda c: (abs(c["total_budget"] - target_budget), c["ks"][0])
+    )
+    return configs[:num_configs]

@@ -618,3 +618,37 @@ def test_hierarchical_per_level_resampling(spark, emb):
         hierarchical_kmeans(
             emb, "vec_id", "embedding", ks=[4, 2], n_resampling_steps=[1]
         )
+
+
+def test_resample_budget_matches_reference_formula():
+    """sum(k * r * m) per level
+    (/root/reference/scripts/hyperparameter_search.py:6-13)."""
+    from radio_data_curation_ssl_spark.operators.kmeans import resample_budget
+
+    assert resample_budget([10, 3], [100, 50], [2, 4]) == 10 * 100 * 2 + 3 * 50 * 4
+    assert resample_budget([], [], []) == 0
+    with pytest.raises(ValueError, match="equal length"):
+        resample_budget([10], [100, 50], [2])
+
+
+def test_plan_resample_configs_deterministic_and_ranked():
+    from radio_data_curation_ssl_spark.operators.kmeans import (
+        plan_resample_configs,
+        resample_budget,
+    )
+
+    a = plan_resample_configs(1_000_000, num_configs=5)
+    b = plan_resample_configs(1_000_000, num_configs=5)
+    assert a == b  # keyed draws: reproducible
+    gaps = [abs(c["total_budget"] - 1_000_000) for c in a]
+    assert gaps == sorted(gaps)  # ranked by closeness to target
+    for c in a:
+        assert 1 <= c["n_levels"] <= 5
+        assert all(5 <= k <= 100 for k in c["ks"])
+        assert all(10 <= r <= 2000 for r in c["sample_sizes"])
+        assert all(1 <= m <= 20 for m in c["n_resampling_steps"])
+        assert c["total_budget"] == resample_budget(
+            c["ks"], c["sample_sizes"], c["n_resampling_steps"]
+        )
+    # a different seed explores a different region
+    assert plan_resample_configs(1_000_000, num_configs=5, seed=7) != a

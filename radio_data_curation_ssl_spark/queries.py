@@ -2532,6 +2532,84 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    """
+WITH p AS (
+  SELECT CAST(doc_id AS VARCHAR) AS key, text,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+f AS (
+  SELECT key, i, (i * n) // 4 AS off, text
+  FROM p CROSS JOIN (SELECT unnest(range(0, 4)) AS i))
+SELECT key, CAST(i AS INTEGER) AS frame_idx, CAST(off AS BIGINT) AS "offset",
+       upper(hex(encode(substring(text, CAST(off + 1 AS INTEGER), 16))))
+         AS frame_hex
+FROM f
+""",
+    doc="Multimodal FRAME-SAMPLE as a full-oracle query (brief: decode/"
+    "feature-extract/resize/frame-sample; driver window is full at 50, so "
+    "this rides on local parity evidence): the operator's 1->N Arrow "
+    "explosion (operators/multimodal.sample_frames — evenly-spaced "
+    "FRAME_BYTES windows over an opaque binary payload, video-frame "
+    "analog of the reference's sliding-window cutout, "
+    "/root/reference/src/1a_cutouts_sw.py:48-93) against a pure-SQL "
+    "recomputation of the same byte windows. Frames compared as hex — no "
+    "codec, no float. Scale: map-only 1->N, no shuffle, no join.",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import sample_frames
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where("text IS NOT NULL AND length(text) > 0")
+        .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
+    )
+    return sample_frames(docs, "doc_id", "payload", 4).selectExpr(
+        "key",
+        "frame_idx",
+        "CAST(offset AS BIGINT) AS offset",
+        "upper(hex(frame)) AS frame_hex",
+    )
+
+
+@register(
+    "multimodal_resize",
+    """
+WITH p AS (
+  SELECT CAST(doc_id AS VARCHAR) AS key, text,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+px AS (
+  SELECT key, pidx,
+         substring(text, CAST((pidx * n) // 32 + 1 AS INTEGER), 1) AS b
+  FROM p CROSS JOIN (SELECT unnest(range(0, 32)) AS pidx))
+SELECT key, CAST(8 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       upper(string_agg(hex(encode(b)), '' ORDER BY pidx)) AS pixels_hex
+FROM px GROUP BY key
+""",
+    doc="Multimodal RESIZE as a full-oracle query (same window note as "
+    "multimodal_frame_sample): the operator's fixed-size strided byte "
+    "resample (operators/multimodal.resize_images — the nearest-neighbor "
+    "gather a 1-byte-per-pixel resize performs; reference analog: the "
+    "cutout window resample, /root/reference/src/1a_cutouts_sw.py:48-93) "
+    "against a pure-SQL per-pixel gather of the same source offsets, "
+    "compared as hex. Scale: map-only, output exactly width*height bytes "
+    "per row regardless of payload size.",
+)
+def q_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import resize_images
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where("text IS NOT NULL AND length(text) > 0")
+        .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
+    )
+    return resize_images(docs, "doc_id", "payload", 8, 4).selectExpr(
+        "key", "width", "height", "upper(hex(pixels)) AS pixels_hex"
+    )
+
+
+@register(
     "pca_two_sample_overlay",
     None,  # driver-side eigendecomposition — not SQL-expressible
     doc="PCA cross-projection two-sample check (the third leg of the "

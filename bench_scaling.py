@@ -122,7 +122,7 @@ def main() -> None:
     # nearly all of the host-side variance (16-core package throttle —
     # see bench_cpu_control.py), so sample it 2x harder per run at ~1/3
     # the added wall cost of an extra lo pass
-    hi_passes = max(n_passes * 2, n_passes)
+    hi_passes = 2 * n_passes
     pages_dir = os.path.join(tempfile.gettempdir(), f"scaling_pages_{n}")
     if not os.path.isdir(pages_dir):
         _sub(GEN, str(n), pages_dir)

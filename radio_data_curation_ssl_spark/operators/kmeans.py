@@ -692,18 +692,24 @@ def numpy_resampled_lloyd(
     n_iters: int = 20,
     tol: float = 1e-6,
     seed: int = 42,
+    per_step_init: str = "warm",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Driver-side twin of resampled_kmeans for the deeper hierarchy
     levels (input = previous level's centroids, driver-sized): Lloyd, then
     ``n_steps`` rounds of per-cluster draw (``closest`` / ``random``) ->
-    warm-started Lloyd on the drawn subset -> full reassign — the
-    reference applies the resample<->recluster iteration at EVERY level
-    with sample_sizes[kmid] > 1
-    (/root/reference/src/hierarchical_kmeans_gpu.py:159-229)."""
+    subset Lloyd -> full reassign — the reference applies the
+    resample<->recluster iteration at EVERY level with
+    sample_sizes[kmid] > 1
+    (/root/reference/src/hierarchical_kmeans_gpu.py:159-229).
+    ``per_step_init`` matches resampled_kmeans: ``"warm"`` seeds each
+    step's Lloyd from the current centroids (deterministic deviation),
+    ``"fresh"`` re-runs kmeans++ on the drawn subset (the reference)."""
     from ..synth import splitmix64
 
     if mode not in ("closest", "random"):
         raise ValueError(f"unknown mode {mode!r}")
+    if per_step_init not in ("warm", "fresh"):
+        raise ValueError(f"unknown per_step_init {per_step_init!r}")
     x = np.asarray(x, dtype=np.float64)
     cents, _ = numpy_lloyd(x, k, n_iters=n_iters, tol=tol, seed=seed)
     for step in range(1, n_steps + 1):
@@ -724,7 +730,12 @@ def numpy_resampled_lloyd(
             sel.append(order[:per_cluster])
         subset = x[np.sort(np.concatenate(sel))]
         cents, _ = numpy_lloyd(
-            subset, k, n_iters=n_iters, tol=tol, init_centroids=cents
+            subset,
+            k,
+            n_iters=n_iters,
+            tol=tol,
+            seed=seed + step,
+            init_centroids=cents if per_step_init == "warm" else None,
         )
     ids, _ = assign_batch(x, cents)
     return cents, ids
@@ -754,6 +765,7 @@ def hierarchical_kmeans(
     n_resampling_steps: int | list[int] = 0,
     per_cluster_sample: int | list[int] = 0,
     resample_mode: str = "closest",
+    per_step_init: str = "warm",
 ) -> tuple[DataFrame, list[np.ndarray]]:
     """Multi-level cluster tree + transitive flattening.
 
@@ -806,6 +818,7 @@ def hierarchical_kmeans(
             tol=tol,
             seed=seed,
             checkpoint_dir=l1_ckpt,
+            per_step_init=per_step_init,
         )
     else:
         assign, cents = lloyd_kmeans(
@@ -833,6 +846,7 @@ def hierarchical_kmeans(
                 n_iters=n_iters,
                 tol=tol,
                 seed=seed,
+                per_step_init=per_step_init,
             )
         else:
             c_next, ids = numpy_lloyd(
@@ -1203,11 +1217,14 @@ def plan_resample_configs(
     n_resampling_steps=...)`` via the per-level list parameters."""
     from ..synth import splitmix64
 
+    # field families spaced by a full draw-index stride (10_000) so a
+    # deep config can never alias a neighbor's draws (review finding:
+    # 1000 + li collided with the next config's field 0 at li >= 9)
     def draw(i: int, field: int, lo: int, hi: int) -> int:
         h = int(
             splitmix64(
                 np.array(
-                    [seed * 1_000_003 + i * 1_009 + field], dtype=np.uint64
+                    [seed * 1_000_003 + i * 10_000 + field], dtype=np.uint64
                 )
             )[0]
         )
@@ -1216,14 +1233,14 @@ def plan_resample_configs(
     configs = []
     for i in range(n_draws):
         n_levels = draw(i, 0, *level_range)
-        ks = [draw(i, 10 + li, *cluster_range) for li in range(n_levels)]
-        sizes = [draw(i, 100 + li, *sample_range) for li in range(n_levels)]
-        steps = [draw(i, 1000 + li, *steps_range) for li in range(n_levels)]
+        ks = [draw(i, 1 + li, *cluster_range) for li in range(n_levels)]
+        sizes = [draw(i, 3000 + li, *sample_range) for li in range(n_levels)]
+        steps = [draw(i, 6000 + li, *steps_range) for li in range(n_levels)]
         configs.append(
             {
                 "n_levels": n_levels,
                 "ks": ks,
-                "sample_sizes": sizes,
+                "per_cluster_sample": sizes,
                 "n_resampling_steps": steps,
                 "total_budget": resample_budget(ks, sizes, steps),
             }

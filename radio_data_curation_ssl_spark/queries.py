@@ -2537,7 +2537,9 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH p AS (
   SELECT CAST(doc_id AS VARCHAR) AS key, text,
          octet_length(encode(text)) AS n
-  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND length(text) = octet_length(encode(text))),
 f AS (
   SELECT key, i, (i * n) // 4 AS off, text
   FROM p CROSS JOIN (SELECT unnest(range(0, 4)) AS i))
@@ -2561,7 +2563,14 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         t(spark, sf_dir, "documents")
-        .where("text IS NOT NULL AND length(text) > 0")
+        # the oracle slices VARCHAR (DuckDB cannot slice BLOBs), so the
+        # comparison is defined over ASCII rows ONLY — there byte offset
+        # == char offset by construction, not by corpus luck; the
+        # operator itself handles arbitrary bytes (pytest-gated)
+        .where(
+            "text IS NOT NULL AND length(text) > 0"
+            " AND length(text) = octet_length(encode(text, 'UTF-8'))"
+        )
         .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
     )
     return sample_frames(docs, "doc_id", "payload", 4).selectExpr(
@@ -2578,7 +2587,9 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH p AS (
   SELECT CAST(doc_id AS VARCHAR) AS key, text,
          octet_length(encode(text)) AS n
-  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND length(text) = octet_length(encode(text))),
 px AS (
   SELECT key, pidx,
          substring(text, CAST((pidx * n) // 32 + 1 AS INTEGER), 1) AS b
@@ -2601,7 +2612,11 @@ def q_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         t(spark, sf_dir, "documents")
-        .where("text IS NOT NULL AND length(text) > 0")
+        # ASCII-row restriction: see multimodal_frame_sample
+        .where(
+            "text IS NOT NULL AND length(text) > 0"
+            " AND length(text) = octet_length(encode(text, 'UTF-8'))"
+        )
         .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
     )
     return resize_images(docs, "doc_id", "payload", 8, 4).selectExpr(

@@ -645,10 +645,43 @@ def test_plan_resample_configs_deterministic_and_ranked():
     for c in a:
         assert 1 <= c["n_levels"] <= 5
         assert all(5 <= k <= 100 for k in c["ks"])
-        assert all(10 <= r <= 2000 for r in c["sample_sizes"])
+        assert all(10 <= r <= 2000 for r in c["per_cluster_sample"])
         assert all(1 <= m <= 20 for m in c["n_resampling_steps"])
         assert c["total_budget"] == resample_budget(
-            c["ks"], c["sample_sizes"], c["n_resampling_steps"]
+            c["ks"], c["per_cluster_sample"], c["n_resampling_steps"]
         )
+        # the keys plug straight into hierarchical_kmeans' parameters
+        assert {"ks", "per_cluster_sample", "n_resampling_steps"} <= set(c)
     # a different seed explores a different region
     assert plan_resample_configs(1_000_000, num_configs=5, seed=7) != a
+
+
+def test_hierarchical_per_step_init_plumbed(spark, emb):
+    """Review r4: per_step_init must reach every level's resample loop
+    through hierarchical_kmeans (level 1 distributed + deeper numpy twin)."""
+    from radio_data_curation_ssl_spark.operators.kmeans import (
+        hierarchical_kmeans,
+        numpy_resampled_lloyd,
+        resampled_kmeans,
+    )
+
+    kw = dict(ks=[5, 2], n_iters=4, n_resampling_steps=[1, 1],
+              per_cluster_sample=[20, 2])
+    _, fresh_cents = hierarchical_kmeans(
+        emb, "vec_id", "embedding", per_step_init="fresh", **kw
+    )
+    _, direct = resampled_kmeans(
+        emb, "vec_id", "embedding", k=5, per_cluster=20,
+        n_resampling_steps=1, n_iters=4, per_step_init="fresh",
+    )
+    assert np.array_equal(fresh_cents[0], direct)
+    c2, _ = numpy_resampled_lloyd(
+        fresh_cents[0], 2, n_steps=1, per_cluster=2, n_iters=4,
+        per_step_init="fresh",
+    )
+    assert np.array_equal(fresh_cents[1], c2)
+    with pytest.raises(ValueError, match="per_step_init"):
+        numpy_resampled_lloyd(
+            np.zeros((4, 2)), 2, n_steps=1, per_cluster=1,
+            per_step_init="bogus",
+        )

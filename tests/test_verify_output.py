@@ -100,3 +100,47 @@ def test_planted_nan_fails_phase4(spark, emb, tmp_path):
     write_verified(poisoned, out, key_col="vec_id", vec_col="embedding")
     with pytest.raises(VerificationError, match="NaN/Inf"):
         verify_dataset(spark, out)
+
+
+def test_empty_output_passes_vacuously(spark, emb, tmp_path):
+    """Review r4: a legitimately empty verified dataset (aggressive
+    filtering) must pass with an explicit empty flag, not crash on a
+    None probe key."""
+    out = str(tmp_path / "out")
+    empty = emb.where("vec_id < 0")
+    write_verified(empty, out, key_col="vec_id", vec_col="embedding")
+    report = verify_dataset(spark, out, source=emb)
+    assert report["ok"] and report["empty"]
+
+
+def test_null_vector_fails_corruption(spark, emb, tmp_path):
+    """Review r4: NULL vectors (and NULL elements) are corruption — the
+    NULL-folding of exists()/sum() must not mask them."""
+    out = str(tmp_path / "out")
+    bad = spark.sql("SELECT CAST(99999 AS BIGINT) AS vec_id, "
+                    "CAST(NULL AS ARRAY<FLOAT>) AS embedding")
+    write_verified(
+        emb.select("vec_id", "embedding").unionByName(bad),
+        out, key_col="vec_id", vec_col="embedding",
+    )
+    with pytest.raises(VerificationError, match="NULL/NaN/Inf"):
+        verify_dataset(spark, out)
+
+
+def test_nan_in_shared_probe_column_does_not_fail_alignment(spark, tmp_path):
+    """Review r4: NaN in a probed non-vector column of BOTH sides is not
+    a mismatch (NaN != NaN under tuple equality was a false alarm)."""
+    import pandas as pd
+
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(10, dtype=np.int64),
+                "score": [1.0, float("nan")] * 5,
+            }
+        )
+    )
+    out = str(tmp_path / "out")
+    write_verified(src, out, key_col="vec_id")
+    report = verify_dataset(spark, out, source=src)
+    assert report["ok"]

@@ -1658,11 +1658,13 @@ WITH kv AS (
     'name=' || lower(n_name) || ';key=' || CAST(n_nationkey AS VARCHAR)
       || ';region=' || CAST(n_regionkey AS VARCHAR) AS params,
     to_json(struct_pack(name := n_name, key := n_nationkey)) AS js
-  FROM nation)
-SELECT n_nationkey,
+  FROM nation),
+pairs AS (
+  SELECT n_nationkey, unnest(str_split(params, ';')) AS kvp FROM kv)
+SELECT kv.n_nationkey,
   substr(md5(n_name), 1, 8) AS name_hash,
   regexp_replace(n_name, '[^A-Z]', '', 'g') AS sanitized,
-  n_name || '-' || CAST(n_nationkey AS VARCHAR) AS formatted,
+  n_name || '-' || CAST(kv.n_nationkey AS VARCHAR) AS formatted,
   upper(n_name) AS upper_name,
   CAST(length(n_name) AS BIGINT) AS name_len,
   params,
@@ -1670,8 +1672,10 @@ SELECT n_nationkey,
   CAST(regexp_extract(params, 'key=([^;]*)', 1) AS BIGINT) AS p_key,
   CAST(regexp_extract(params, 'region=([^;]*)', 1) AS BIGINT) AS p_region,
   json_extract_string(js, '$.name') AS rt_name,
-  CAST(json_extract(js, '$.key') AS BIGINT) AS rt_key
-FROM kv
+  CAST(json_extract(js, '$.key') AS BIGINT) AS rt_key,
+  str_split(kvp, '=')[1] AS k,
+  str_split(kvp, '=')[2] AS v
+FROM kv JOIN pairs ON kv.n_nationkey = pairs.n_nationkey
 """,
     doc="Scalar function surface (SURVEY §2.8), consolidated (r3 verdict: "
     "one registry row per base table keeps every full-oracle query inside "
@@ -1682,10 +1686,14 @@ FROM kv
     "(/root/reference/src/3b_feature_extraction_from_path.py:39-40); "
     "to_json/from_json round-trip of a struct (each engine serializes AND "
     "re-parses its own JSON — config/manifest de/serialization, "
-    "utils.py:26-35 + run manifests). Scale: map-only.",
+    "utils.py:26-35 + run manifests); map iteration as rows "
+    "(/root/reference/src/2_merge.py:76-82) — explode(str_to_map) emits "
+    "one (k, v) row per parsed entry, vs the oracle's unnested split "
+    "pairs (folded in from the former map_explode_params entry, r4: "
+    "driver window full at 50). Scale: map-only + narrow 3x explode.",
 )
 def q_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    df = (
         t(spark, sf_dir, "nation")
         .selectExpr(
             "n_nationkey",
@@ -1701,20 +1709,23 @@ def q_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "str_to_map(params, ';', '=') AS m",
             "from_json(js, 'name STRING, key BIGINT') AS s",
         )
-        .selectExpr(
-            "n_nationkey",
-            "substring(md5(n_name), 1, 8) AS name_hash",
-            "regexp_replace(n_name, '[^A-Z]', '') AS sanitized",
-            "concat(n_name, '-', CAST(n_nationkey AS STRING)) AS formatted",
-            "upper(n_name) AS upper_name",
-            "CAST(length(n_name) AS BIGINT) AS name_len",
-            "params",
-            "element_at(m, 'name') AS p_name",
-            "CAST(element_at(m, 'key') AS BIGINT) AS p_key",
-            "CAST(element_at(m, 'region') AS BIGINT) AS p_region",
-            "s.name AS rt_name",
-            "s.key AS rt_key",
-        )
+    )
+    return df.select(
+        F.col("n_nationkey"),
+        F.expr("substring(md5(n_name), 1, 8)").alias("name_hash"),
+        F.expr("regexp_replace(n_name, '[^A-Z]', '')").alias("sanitized"),
+        F.expr("concat(n_name, '-', CAST(n_nationkey AS STRING))").alias(
+            "formatted"
+        ),
+        F.expr("upper(n_name)").alias("upper_name"),
+        F.expr("CAST(length(n_name) AS BIGINT)").alias("name_len"),
+        F.col("params"),
+        F.expr("element_at(m, 'name')").alias("p_name"),
+        F.expr("CAST(element_at(m, 'key') AS BIGINT)").alias("p_key"),
+        F.expr("CAST(element_at(m, 'region') AS BIGINT)").alias("p_region"),
+        F.expr("s.name").alias("rt_name"),
+        F.expr("s.key").alias("rt_key"),
+        F.explode("m").alias("k", "v"),
     )
 
 
@@ -1786,36 +1797,6 @@ def q_host_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         partial.groupBy("source")
         .agg(F.sum("n").cast("long").alias("n_docs"))
-    )
-
-
-@register(
-    "map_explode_params",
-    """
-WITH kv AS (
-  SELECT n_nationkey,
-    'name=' || lower(n_name) || ';key=' || CAST(n_nationkey AS VARCHAR) AS params
-  FROM nation),
-pairs AS (
-  SELECT n_nationkey, unnest(str_split(params, ';')) AS kvp FROM kv)
-SELECT n_nationkey,
-  str_split(kvp, '=')[1] AS k,
-  str_split(kvp, '=')[2] AS v
-FROM pairs
-""",
-    doc="Map iteration as rows (SURVEY §2.8 map iteration / dict access — "
-    "/root/reference/src/2_merge.py:76-82): str_to_map -> explode to "
-    "(key, value) rows in Spark; the oracle unnests the split pairs. "
-    "Scale: narrow explode, no shuffle.",
-)
-def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        t(spark, sf_dir, "nation")
-        .selectExpr(
-            "n_nationkey",
-            "concat('name=', lower(n_name), ';key=', CAST(n_nationkey AS STRING)) AS params",
-        )
-        .selectExpr("n_nationkey", "explode(str_to_map(params, ';', '=')) AS (k, v)")
     )
 
 
@@ -2532,7 +2513,7 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_frame_sample",
+    "multimodal_byte_ops",
     """
 WITH p AS (
   SELECT CAST(doc_id AS VARCHAR) AS key, text,
@@ -2542,86 +2523,68 @@ WITH p AS (
     AND length(text) = octet_length(encode(text))),
 f AS (
   SELECT key, i, (i * n) // 4 AS off, text
-  FROM p CROSS JOIN (SELECT unnest(range(0, 4)) AS i))
-SELECT key, CAST(i AS INTEGER) AS frame_idx, CAST(off AS BIGINT) AS "offset",
-       upper(hex(encode(substring(text, CAST(off + 1 AS INTEGER), 16))))
-         AS frame_hex
-FROM f
-""",
-    doc="Multimodal FRAME-SAMPLE as a full-oracle query (brief: decode/"
-    "feature-extract/resize/frame-sample; driver window is full at 50, so "
-    "this rides on local parity evidence): the operator's 1->N Arrow "
-    "explosion (operators/multimodal.sample_frames — evenly-spaced "
-    "FRAME_BYTES windows over an opaque binary payload, video-frame "
-    "analog of the reference's sliding-window cutout, "
-    "/root/reference/src/1a_cutouts_sw.py:48-93) against a pure-SQL "
-    "recomputation of the same byte windows. Frames compared as hex — no "
-    "codec, no float. Scale: map-only 1->N, no shuffle, no join.",
-)
-def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import sample_frames
-
-    docs = (
-        t(spark, sf_dir, "documents")
-        # the oracle slices VARCHAR (DuckDB cannot slice BLOBs), so the
-        # comparison is defined over ASCII rows ONLY — there byte offset
-        # == char offset by construction, not by corpus luck; the
-        # operator itself handles arbitrary bytes (pytest-gated)
-        .where(
-            "text IS NOT NULL AND length(text) > 0"
-            " AND length(text) = octet_length(encode(text, 'UTF-8'))"
-        )
-        .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
-    )
-    return sample_frames(docs, "doc_id", "payload", 4).selectExpr(
-        "key",
-        "frame_idx",
-        "CAST(offset AS BIGINT) AS offset",
-        "upper(hex(frame)) AS frame_hex",
-    )
-
-
-@register(
-    "multimodal_resize",
-    """
-WITH p AS (
-  SELECT CAST(doc_id AS VARCHAR) AS key, text,
-         octet_length(encode(text)) AS n
-  FROM documents
-  WHERE text IS NOT NULL AND length(text) > 0
-    AND length(text) = octet_length(encode(text))),
+  FROM p CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+frames AS (
+  SELECT key, 'frame' AS op, CAST(i AS INTEGER) AS idx,
+         CAST(off AS BIGINT) AS meta,
+         upper(hex(encode(substring(text, CAST(off + 1 AS INTEGER), 16))))
+           AS data_hex
+  FROM f),
 px AS (
   SELECT key, pidx,
          substring(text, CAST((pidx * n) // 32 + 1 AS INTEGER), 1) AS b
-  FROM p CROSS JOIN (SELECT unnest(range(0, 32)) AS pidx))
-SELECT key, CAST(8 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
-       upper(string_agg(hex(encode(b)), '' ORDER BY pidx)) AS pixels_hex
-FROM px GROUP BY key
+  FROM p CROSS JOIN (SELECT unnest(range(0, 32)) AS pidx)),
+resized AS (
+  SELECT key, 'resize' AS op, CAST(0 AS INTEGER) AS idx,
+         CAST(32 AS BIGINT) AS meta,
+         upper(string_agg(hex(encode(b)), '' ORDER BY pidx)) AS data_hex
+  FROM px GROUP BY key)
+SELECT * FROM frames UNION ALL SELECT * FROM resized
 """,
-    doc="Multimodal RESIZE as a full-oracle query (same window note as "
-    "multimodal_frame_sample): the operator's fixed-size strided byte "
-    "resample (operators/multimodal.resize_images — the nearest-neighbor "
-    "gather a 1-byte-per-pixel resize performs; reference analog: the "
-    "cutout window resample, /root/reference/src/1a_cutouts_sw.py:48-93) "
-    "against a pure-SQL per-pixel gather of the same source offsets, "
-    "compared as hex. Scale: map-only, output exactly width*height bytes "
-    "per row regardless of payload size.",
+    doc="Multimodal FRAME-SAMPLE + RESIZE as one full-oracle union query "
+    "(brief: decode/feature-extract/resize/frame-sample; merged r4 so all "
+    "50 full-oracle queries fit the driver's 50-row window). 'frame' rows: "
+    "the operator's 1->N Arrow explosion (operators/multimodal."
+    "sample_frames — evenly-spaced FRAME_BYTES windows over an opaque "
+    "binary payload, video-frame analog of the reference's sliding-window "
+    "cutout, /root/reference/src/1a_cutouts_sw.py:48-93) vs a pure-SQL "
+    "recomputation of the byte windows (meta = byte offset). 'resize' "
+    "rows: the fixed-size strided byte resample (operators/multimodal."
+    "resize_images — the nearest-neighbor gather a 1-byte-per-pixel "
+    "resize performs) vs a per-pixel SQL gather of the same source "
+    "offsets (meta = width*height). All payloads compared as hex — no "
+    "codec, no float. The oracle slices VARCHAR (DuckDB cannot slice "
+    "BLOBs), so comparison is defined over ASCII rows only, where byte "
+    "offset == char offset by construction; the operators themselves "
+    "handle arbitrary bytes (pytest-gated). Scale: two map-only passes "
+    "over the scan, no shuffle, no join.",
 )
-def q_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import resize_images
+def q_multimodal_byte_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import resize_images, sample_frames
 
     docs = (
         t(spark, sf_dir, "documents")
-        # ASCII-row restriction: see multimodal_frame_sample
         .where(
             "text IS NOT NULL AND length(text) > 0"
             " AND length(text) = octet_length(encode(text, 'UTF-8'))"
         )
         .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
     )
-    return resize_images(docs, "doc_id", "payload", 8, 4).selectExpr(
-        "key", "width", "height", "upper(hex(pixels)) AS pixels_hex"
+    frames = sample_frames(docs, "doc_id", "payload", 4).selectExpr(
+        "key",
+        "'frame' AS op",
+        "frame_idx AS idx",
+        "CAST(offset AS BIGINT) AS meta",
+        "upper(hex(frame)) AS data_hex",
     )
+    resized = resize_images(docs, "doc_id", "payload", 8, 4).selectExpr(
+        "key",
+        "'resize' AS op",
+        "CAST(0 AS INTEGER) AS idx",
+        "CAST(width * height AS BIGINT) AS meta",
+        "upper(hex(pixels)) AS data_hex",
+    )
+    return frames.unionByName(resized)
 
 
 @register(

@@ -35,14 +35,21 @@ cpus, n, pages_dir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 n_passes = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 # small synthetic files + the default 4MB file-open cost would coalesce the
 # scan into a handful of input partitions, capping BOTH levels at the same
-# parallelism; size splits so the scan yields ~128 partitions.
+# parallelism.  Target EXACTLY one partition per input file (the generator
+# writes 128): openCost >= capacity makes every file overflow its own bin,
+# so no packing and no splitting -> 128 partitions (>= 16 waves at 8
+# cores).  The earlier 1MB/0 setting split the files into 351 ~1MB tasks,
+# and a measured ~20ms fixed Python-runner cost PER TASK (socket/handshake/
+# Arrow setup — payload-independent, worker reuse on) put ~8s of pure
+# per-task overhead into a ~23s 8-core run; partition sizing is the same
+# lever a real 100TB deployment uses (100-300MB scan partitions).
 spark = get_spark(
     "scaling",
     master=f"local[{cpus}]",
     shuffle_partitions=128,
     extra_conf={
-        "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
-        "spark.sql.files.openCostInBytes": "0",
+        "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+        "spark.sql.files.openCostInBytes": str(4 * 1024 * 1024),
     },
 )
 spark.sparkContext.setLogLevel("ERROR")

@@ -39,6 +39,13 @@ POWERS[0] = 1
 for _i in range(1, MAX_POW):
     POWERS[_i] = (int(POWERS[_i - 1]) * FNV_PRIME) & _MASK64
 
+# (pos, byte) -> byte * FNV_PRIME^pos mod 2^64, precomputed so the hot
+# per-byte contribution is ONE table gather instead of astype(uint64) +
+# POWERS[pos] gather + uint64 multiply (three full-stream temporaries);
+# 64*256*8 = 128 KiB, cache-resident.  Bit-identical by construction:
+# uint64 broadcasting wraps mod 2^64 exactly like the scalar twin.
+POW_BYTE = np.arange(256, dtype=np.uint64)[None, :] * POWERS[:, None]
+
 WS_BYTES = np.zeros(256, dtype=bool)
 for _b in b" \t\n\r\x0b\x0c":
     WS_BYTES[_b] = True
@@ -116,7 +123,7 @@ def build_stream(texts: pd.Series) -> TextStream:
     prev_space[0] = True
     prev_space[1:] = is_space[:-1]
     word_start = nonspace & prev_space
-    doc_of_byte = np.repeat(np.arange(n, dtype=np.int64), lengths + 1)[: flat.size]
+    doc_of_byte = np.repeat(np.arange(n, dtype=np.int32), lengths + 1)[: flat.size]
     symbol = ~ALNUM_BYTES[flat] & nonspace
     symbols_per_doc = np.bincount(
         doc_of_byte[symbol], minlength=n
@@ -124,10 +131,15 @@ def build_stream(texts: pd.Series) -> TextStream:
     if not word_start.any():
         empty.symbols_per_doc = symbols_per_doc
         return empty
-    idx = np.arange(flat.size, dtype=np.int64)
-    seg_start = np.maximum.accumulate(np.where(word_start, idx, -1))
+    # int32 scan indices: an Arrow batch is far below 2^31 bytes (Spark
+    # caps maxRecordsPerBatch), and halving the index width halves the
+    # memory traffic of the three O(stream) scan arrays; int64 fallback
+    # keeps the kernel correct for any direct driver-side caller
+    itype = np.int32 if flat.size < 2**31 - 1 else np.int64
+    idx = np.arange(flat.size, dtype=itype)
+    seg_start = np.maximum.accumulate(np.where(word_start, idx, itype(-1)))
     pos = np.minimum(idx - seg_start, MAX_POW - 1)
-    contrib = flat.astype(np.uint64) * POWERS[pos]
+    contrib = POW_BYTE[pos, flat]
     contrib_nb = contrib[nonspace]
     ws_nb = word_start[nonspace]
     starts_nb = np.flatnonzero(ws_nb)

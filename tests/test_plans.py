@@ -53,6 +53,24 @@ def test_pipeline_is_shuffle_free(spark, pages_small):
     assert "Exchange" not in p  # narrow end to end: scan -> python -> project
 
 
+def test_fused_stage_prunes_unused_text_column(spark, pages_small, tmp_path):
+    """The fused stage recomputes text from html (byte-identity contract),
+    so the input `text` column must never reach the Python worker — and the
+    projection must push all the way into the parquet scan (r4: the
+    unpruned column shipped a full text-sized copy per row through Arrow
+    for nothing)."""
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+
+    src = str(tmp_path / "pages")
+    pages_small.write.parquet(src)
+    p = plan(curate(spark.read.parquet(src)))
+    scan_schema = next(
+        line for line in p.splitlines() if "ReadSchema" in line
+    )
+    assert "html" in scan_schema
+    assert "text" not in scan_schema
+
+
 def test_quality_filter_query_shuffle_free(spark):
     p = plan(REGISTRY["quality_filter_pipeline"].spark(spark, SF))
     assert "Exchange" not in p

@@ -330,62 +330,13 @@ _BAND_KEYS = [
 ]
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
-WITH w AS ({_DOC_WORDS_DUCK}),
-tg AS (SELECT doc_id, {_TG.duck} AS trigrams FROM w),
-hs AS (SELECT doc_id, {_SHH.duck} AS sh_hashes FROM tg),
-sig AS (SELECT doc_id,
-  {", ".join(f"{m.duck} AS {c}" for m, c in zip(_MH, _MH_COLS))}
-  FROM hs),
-bands AS (
-  {" UNION ALL ".join(
-      f"SELECT doc_id, {i} AS band, {k} AS band_key FROM sig"
-      for i, k in enumerate(_BAND_KEYS))}
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(count(DISTINCT a.band) AS BIGINT) AS n_bands
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id
-""",
-    doc="MinHash+LSH near-dup: shingle -> hash ONCE into an array -> 8 "
-    "cheap min-folds -> 4 bands exploded -> bucket self-join -> candidate "
-    "pairs. Scale: the self-join shuffles on (band, band_key) — the LSH "
-    "bucketing that avoids O(n^2); md5 is computed once per shingle.",
-    bench=True,
-)
-def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = (
-        _docs_with_words(spark, sf_dir)
-        .withColumn("trigrams", F.expr(_TG.spark))
-        .withColumn("sh_hashes", F.expr(_SHH.spark))
-        .selectExpr(
-            "doc_id", *[f"{m.spark} AS {c}" for m, c in zip(_MH, _MH_COLS)]
-        )
-    )
-    # one pass: explode the 4 band keys instead of 4 union branches; the
-    # explicit repartition makes both self-join sides the identical
-    # shuffle, which AQE materializes once and reuses (signatures computed
-    # ONCE — measured 1.9x at sf0.1, same trick as operators/minhash.py)
-    bands = sig.selectExpr(
-        "doc_id",
-        f"posexplode(array({', '.join(_BAND_KEYS)})) AS (band, band_key)",
-    ).repartition("band", "band_key")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.countDistinct("a.band").cast("long").alias("n_bands"))
-    )
+# NOTE (r4 window fit): the former `dedup_minhash_lsh` toy entry (8 perms
+# x 4 bands, posexplode band keys, AQE-reused bucket self-join) was
+# subsumed into `dedup_minhash_calibrated` below — the calibrated query
+# runs the IDENTICAL mechanism (one signature pass -> band-key explode ->
+# (band, band_key) bucket self-join) with production parameters (64/16x4)
+# plus exact-Jaccard candidate verification, so the toy row added no
+# distinct evidence and its slot went to `pca_project_literal`.
 
 
 # production-calibrated minhash (S-curve 50% at J~0.5), candidates
@@ -2610,4 +2561,78 @@ def q_pca_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_two_sample_overlay(
         e.where(F.pmod("vec_id", F.lit(2)) == 0),
         e.where(F.pmod("vec_id", F.lit(2)) == 1),
+    )
+
+
+def _pca_proj_literal_expr() -> "X.P":
+    """Standardized projection onto LITERAL components, sequential fold
+    (same order both dialects): z_i = (x_i - 0.5) / 0.29; comp(pc=1)_i =
+    0.125, comp(pc=2)_i = +-0.125 by 0-based index parity."""
+    comp_spark = (
+        "CASE WHEN pc = 1 THEN 0.125D"
+        " WHEN i % 2 = 0 THEN 0.125D ELSE -0.125D END"
+    )
+    comp_duck = (
+        "CASE WHEN pc = 1 THEN 0.125"
+        " WHEN (i - 1) % 2 = 0 THEN 0.125 ELSE -0.125 END"
+    )
+    return X.P(
+        "aggregate(transform(sequence(0, size(embedding) - 1),"
+        " i -> ((CAST(element_at(embedding, i + 1) AS DOUBLE) - 0.5D)"
+        f" / 0.29D) * ({comp_spark})),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)",
+        "list_aggregate(list_transform(range(1, len(embedding) + 1),"
+        " i -> ((CAST(embedding[i] AS DOUBLE) - 0.5)"
+        f" / 0.29) * ({comp_duck})), 'sum')",
+    )
+
+
+_PCA_PROJ = _pca_proj_literal_expr()
+
+
+@register(
+    "pca_project_literal",
+    f"""
+WITH tagged AS (
+  SELECT CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+         pc, embedding
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 3)) AS pc)),
+proj AS (
+  SELECT grp, CAST(pc AS INTEGER) AS pc, {_PCA_PROJ.duck} AS p
+  FROM tagged)
+SELECT grp, pc, CAST(count(*) AS BIGINT) AS n,
+  round(avg(p), {X.ROUND}) + 0.0 AS mean_p,
+  round(stddev_pop(p), {X.ROUND}) + 0.0 AS std_p,
+  round(min(p), {X.ROUND}) + 0.0 AS min_p,
+  round(max(p), {X.ROUND}) + 0.0 AS max_p
+FROM proj GROUP BY grp, pc
+""",
+    doc="PCA projection + per-(sample, PC) stats with LITERAL components "
+    "— the SQL-expressible step of the cross-projection check "
+    "(/root/reference/scripts/check_distributions.py:128-160), same role "
+    "kmeans_one_step plays for the Lloyd loop: pca_two_sample_overlay is "
+    "rows-only because its FIT is an eigendecomposition, but its "
+    "projection + stats math (standardize -> dot with components -> "
+    "grouped mean/std/min/max) is proven hash-green here against "
+    "literal (mu, sd, components), sequential-fold dot both dialects. "
+    "Scale: map-only 2-PC explode + one (grp, pc)-keyed map-side-combined "
+    "agg; 4 rows out at any corpus size.",
+)
+def q_pca_project_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tagged = (
+        t(spark, sf_dir, "embeddings")
+        .selectExpr(
+            "CASE WHEN pmod(vec_id, 2) = 0 THEN 'a' ELSE 'b' END AS grp",
+            "embedding",
+            "explode(array(1, 2)) AS pc",
+        )
+        .selectExpr("grp", "CAST(pc AS INT) AS pc", f"{_PCA_PROJ.spark} AS p")
+    )
+    r6 = lambda c: F.round(c, X.ROUND) + F.lit(0.0)  # noqa: E731
+    return tagged.groupBy("grp", "pc").agg(
+        F.count("*").cast("long").alias("n"),
+        r6(F.avg("p")).alias("mean_p"),
+        r6(F.stddev_pop("p")).alias("std_p"),
+        r6(F.min("p")).alias("min_p"),
+        r6(F.max("p")).alias("max_p"),
     )

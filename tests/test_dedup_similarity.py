@@ -74,15 +74,23 @@ def test_simhash_near_dup_small_hamming(spark, near_dup_docs):
     assert ham(sig[1], sig[4]) >= 4  # unrelated
 
 
-def test_lsh_candidates_include_dups(spark, near_dup_docs, monkeypatch, tmp_path):
-    # route the registry query at a temp parquet with our fixture
-    p = str(tmp_path / "documents.parquet")
-    near_dup_docs.selectExpr(
-        "doc_id", "text", "'en' AS lang", "'s' AS source", "length(text) AS n_chars"
-    ).coalesce(1).write.mode("overwrite").parquet(p)
-    pairs = REGISTRY["dedup_minhash_lsh"].spark(spark, str(tmp_path)).collect()
-    got = {(r["doc_a"], r["doc_b"]): r["n_bands"] for r in pairs}
-    assert got.get((1, 2)) == 4  # exact dup collides in every band
+def test_lsh_candidates_include_dups(spark, near_dup_docs):
+    """Band bucketing must surface exact dups as candidates and keep
+    dissimilar docs apart (formerly asserted via the toy
+    `dedup_minhash_lsh` registry entry, r4-consolidated into
+    `dedup_minhash_calibrated`; skip_exact_collapse preserves the (1, 2)
+    exact-dup pair the calibrated query would canonicalize away)."""
+    from radio_data_curation_ssl_spark.operators.minhash import (
+        minhash_neardup_pairs,
+    )
+
+    pairs = minhash_neardup_pairs(
+        near_dup_docs.select("doc_id", "text"),
+        threshold=0.5,
+        skip_exact_collapse=True,
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert got.get((1, 2)) == 1.0  # exact dup: every band collides, J = 1
     assert (1, 4) not in got and (2, 4) not in got
 
 

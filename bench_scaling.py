@@ -118,21 +118,20 @@ def main() -> None:
     import tempfile
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    # default levels are 4 -> 16 (N -> 4N): this host throttles package
-    # frequency when all 32 cores saturate (measured ~0.67-0.75 on pure
-    # CPU 8->32 — a hardware ceiling, not an engine property), so the
-    # honest executor-scaling measurement keeps headroom below the
+    # default levels are 2 -> 8 (N -> 4N): this host throttles package
+    # frequency as core saturation rises (bench_cpu_control.py measures
+    # the pure-CPU per-core ceiling; run it alongside every gate run), so
+    # the honest executor-scaling measurement keeps headroom below the
     # package limit, exactly like comparing N- and 4N-executor clusters
     # on distinct hosts
-    lo_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    hi_cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    lo_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    hi_cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     best_of = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     n_passes = int(sys.argv[5]) if len(sys.argv) > 5 else 4
-    # the hi level's passes are short (~10-13s vs ~35-45s at lo) and carry
-    # nearly all of the host-side variance (16-core package throttle —
-    # see bench_cpu_control.py), so sample it 2x harder per run at ~1/3
-    # the added wall cost of an extra lo pass
-    hi_passes = 2 * n_passes
+    # both levels take the SAME number of timed passes: min-of-k is an
+    # extreme-value statistic, so sampling one side harder than the other
+    # would bias the ratio in that side's favor
+    hi_passes = n_passes
     pages_dir = os.path.join(tempfile.gettempdir(), f"scaling_pages_{n}")
     if not os.path.isdir(pages_dir):
         _sub(GEN, str(n), pages_dir)
@@ -160,6 +159,7 @@ def main() -> None:
         "low": lo,
         "high": hi,
         "best_of": best_of,
+        "passes_per_level": n_passes,
         "passes_0.8_gate": eff >= 0.8,
     }
     print(json.dumps(result), flush=True)

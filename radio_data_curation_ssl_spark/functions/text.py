@@ -319,13 +319,39 @@ def word_hashes(w: str = "words") -> P:
 # vector (embedding) primitives over array<float> columns
 
 
+def _vec_fold(a: str, b: str, spark_term: str, duck_term: str) -> P:
+    """Guarded element-wise fold over two vectors, identical semantics in
+    BOTH dialects for every input shape (hash-parity safe as a total
+    function, not just on the happy path):
+
+    - unequal lengths -> NULL (Spark's zip_with would NULL-pad while
+      DuckDB's range-index would silently truncate to a partial sum);
+    - empty arrays    -> 0.0 (the fold seed; DuckDB's list_aggregate
+      would return NULL on an empty list);
+    - any NULL element -> NULL (Spark's + propagates NULL while DuckDB's
+      list_aggregate('sum') would skip it);
+    - a NULL array    -> NULL (both CASEs fall through to a NULL fold).
+    """
+    return P(
+        f"CASE WHEN size({a}) <> size({b}) THEN CAST(NULL AS DOUBLE)"
+        f" ELSE aggregate(zip_with({a}, {b}, (x, y) -> {spark_term}),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) END",
+        f"CASE WHEN len({a}) <> len({b}) THEN CAST(NULL AS DOUBLE)"
+        f" WHEN len({a}) = 0 THEN CAST(0.0 AS DOUBLE)"
+        f" WHEN len(list_filter({a}, x -> x IS NULL))"
+        f" + len(list_filter({b}, x -> x IS NULL)) > 0 THEN CAST(NULL AS DOUBLE)"
+        f" ELSE list_aggregate(list_transform(range(1, len({a}) + 1),"
+        f" i -> {duck_term}), 'sum') END",
+    )
+
+
 def dot(a: str, b: str) -> P:
     """Double-precision sequential-fold dot product (same order both sides)."""
-    return P(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)",
-        f"list_aggregate(list_transform(range(1, len({a}) + 1),"
-        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')",
+    return _vec_fold(
+        a,
+        b,
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)",
+        f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)",
     )
 
 
@@ -336,15 +362,15 @@ def norm(a: str) -> P:
 
 def sqdist(a: str, b: str) -> P:
     """Double-precision sequential-fold squared Euclidean distance
-    (same fold order both dialects — hash-parity safe)."""
-    return P(
-        f"aggregate(zip_with({a}, {b}, (x, y) ->"
-        f" (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
-        f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
-        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)",
-        f"list_aggregate(list_transform(range(1, len({a}) + 1),"
-        f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
-        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), 'sum')",
+    (same fold order both dialects — hash-parity safe; see _vec_fold for
+    the ragged/empty/NULL-element contract)."""
+    return _vec_fold(
+        a,
+        b,
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))",
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))",
     )
 
 

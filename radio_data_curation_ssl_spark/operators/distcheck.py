@@ -370,7 +370,12 @@ def pca_components_distributed(
         j = int(np.argmax(np.abs(comps[i])))  # lowest index wins ties
         if comps[i, j] < 0:
             comps[i] = -comps[i]
-    return mu, sd, comps, evals[order]
+    # sklearn's PCA.explained_variance_ is the SAMPLE variance S^2/(n-1);
+    # `cov` above divides by n, so rescale by n/(n-1) to match the
+    # reference implementation exactly (review r4: the population-
+    # normalized values were (n-1)/n too small)
+    ev_scale = n_tot / (n_tot - 1) if n_tot > 1 else 1.0
+    return mu, sd, comps, evals[order] * ev_scale
 
 
 def pca_two_sample_overlay(

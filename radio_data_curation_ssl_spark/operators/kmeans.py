@@ -694,16 +694,24 @@ def numpy_resampled_lloyd(
     seed: int = 42,
     per_step_init: str = "warm",
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Driver-side twin of resampled_kmeans for the deeper hierarchy
-    levels (input = previous level's centroids, driver-sized): Lloyd, then
-    ``n_steps`` rounds of per-cluster draw (``closest`` / ``random``) ->
-    subset Lloyd -> full reassign — the reference applies the
-    resample<->recluster iteration at EVERY level with
+    """Driver-side counterpart of resampled_kmeans for the deeper
+    hierarchy levels (input = previous level's centroids, driver-sized):
+    Lloyd, then ``n_steps`` rounds of per-cluster draw (``closest`` /
+    ``random``) -> subset Lloyd -> full reassign — the reference applies
+    the resample<->recluster iteration at EVERY level with
     sample_sizes[kmid] > 1
     (/root/reference/src/hierarchical_kmeans_gpu.py:159-229).
     ``per_step_init`` matches resampled_kmeans: ``"warm"`` seeds each
     step's Lloyd from the current centroids (deterministic deviation),
-    ``"fresh"`` re-runs kmeans++ on the drawn subset (the reference)."""
+    ``"fresh"`` re-runs kmeans++ on the drawn subset (the reference).
+
+    NOT a bit-exact twin of the distributed operator in every mode:
+    ``mode="closest"`` draws the same per-cluster members as
+    cluster_resample (deterministic nearest-first), but ``mode="random"``
+    uses a splitmix64 draw over dense row indices while the distributed
+    path orders by md5 over the id STRING — same distribution, different
+    subsets, so centroids from the two paths will differ.  Do not assert
+    cross-path equality under mode="random"."""
     from ..synth import splitmix64
 
     if mode not in ("closest", "random"):

@@ -171,22 +171,35 @@ def verify_dataset(
             .select(*shared)
             .collect()
         }
-        s_rows = {
-            r[key_col]: r
-            for r in source.where(F.col(key_col).isin(probe_keys))
-            .select(*shared)
-            .collect()
-        }
+        # the source may legitimately carry a key more than once (e.g. a
+        # pre-dedup crawl feeding a deduped sink), so keep EVERY source
+        # row per probed key and accept the output row if it matches ANY
+        # of them — a single-row dict would keep whichever duplicate
+        # collect() returned last, making the check partition-order
+        # dependent
+        s_rows: dict = {}
+        for r in (
+            source.where(F.col(key_col).isin(probe_keys)).select(*shared).collect()
+        ):
+            s_rows.setdefault(r[key_col], []).append(r)
         for k in probe_keys:
             if k not in s_rows:
                 raise VerificationError(
                     "alignment", f"key {k!r} in output but not in source"
                 )
-            if not _values_equal(tuple(o_rows[k]), tuple(s_rows[k])):
+            if not any(
+                _values_equal(tuple(o_rows[k]), tuple(s)) for s in s_rows[k]
+            ):
                 raise VerificationError(
                     "alignment",
                     f"row mismatch at key {k!r}: "
-                    f"output={tuple(o_rows[k])} source={tuple(s_rows[k])}",
+                    f"output={tuple(o_rows[k])} source={tuple(s_rows[k][0])}"
+                    + (
+                        f" (+{len(s_rows[k]) - 1} more source rows with this key,"
+                        " none matching)"
+                        if len(s_rows[k]) > 1
+                        else ""
+                    ),
                 )
         report["alignment"] = {"probed_keys": probe_keys}
 

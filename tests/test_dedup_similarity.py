@@ -340,6 +340,48 @@ def test_cos_kernel_sql_edge_semantics(spark):
     )  # zero norm -> NULL in the oracle dialect, like the kernel
 
 
+def test_vec_fold_cross_dialect_total_function(spark):
+    """dot/sqdist must agree between the Spark plan and the DuckDB oracle
+    for EVERY input shape, not just the happy path: ragged lengths (Spark
+    zip_with NULL-pads, DuckDB range-index would truncate), empty arrays
+    (DuckDB list_aggregate would yield NULL, Spark the 0.0 seed), NULL
+    elements (DuckDB 'sum' skips, Spark + propagates), NULL arrays."""
+    import duckdb
+    import math
+
+    rows = [
+        (0, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),  # plain
+        (1, [1.0, 2.0, 3.0], [1.0, 2.0]),        # ragged -> NULL
+        (2, [], []),                              # empty -> 0.0 seed
+        (3, [1.0, None], [1.0, 2.0]),             # NULL element -> NULL
+        (4, None, [1.0, 2.0]),                    # NULL array -> NULL
+        (5, [], [1.0]),                           # empty vs non-empty -> NULL
+    ]
+    df = spark.createDataFrame(rows, "i long, a array<double>, b array<double>")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (i BIGINT, a DOUBLE[], b DOUBLE[])"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    for frag in (X.dot("a", "b"), X.sqdist("a", "b")):
+        got_s = {
+            r["i"]: r["v"]
+            for r in df.selectExpr("i", f"{frag.spark} AS v").collect()
+        }
+        got_d = dict(
+            con.execute(f"SELECT i, {frag.duck} FROM t ORDER BY i").fetchall()
+        )
+        for i in range(len(rows)):
+            s, d = got_s[i], got_d[i]
+            if s is None or d is None:
+                assert s is None and d is None, (frag.spark, i, s, d)
+            else:
+                assert math.isclose(s, d, rel_tol=1e-12), (frag.spark, i, s, d)
+        assert got_s[0] is not None and got_s[2] == 0.0
+        for i in (1, 3, 4, 5):
+            assert got_s[i] is None, (frag.spark, i)
+
+
 def test_simhash_pairing_recall_and_verify(spark):
     """Pigeonhole pairing over 64-bit sketches: planted near-dup sketches
     (hamming <= max_hamming) are ALWAYS recovered (perfect recall by the

@@ -163,6 +163,11 @@ def test_pca_components_match_numpy_twin(spark):
     assert np.allclose(sd, tsd, atol=1e-10)
     assert np.allclose(comps, tcomps, atol=1e-8)
     assert ev[0] >= ev[1] >= ev[2] > 0
+    # explained variance matches sklearn's ddof=1 convention: project the
+    # standardized data and take the SAMPLE variance along each component
+    z = (xa - tmu) / tsd
+    proj = (z - z.mean(axis=0)) @ tcomps.T
+    assert np.allclose(ev, proj.var(axis=0, ddof=1), atol=1e-8)
 
 
 def _correlated_frame(spark, n, d, seed, shift=None):

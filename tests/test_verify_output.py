@@ -144,3 +144,24 @@ def test_nan_in_shared_probe_column_does_not_fail_alignment(spark, tmp_path):
     write_verified(src, out, key_col="vec_id")
     report = verify_dataset(spark, out, source=src)
     assert report["ok"]
+
+
+def test_duplicate_source_keys_pass_if_any_matches(spark, emb, tmp_path):
+    """Review r4: a pre-dedup source may carry a probed key twice with
+    DIFFERENT payloads (the dedup kept one of them).  Verification must
+    accept the output row if it matches ANY source duplicate — and must
+    not flip pass/fail with partition collect order."""
+    out = str(tmp_path / "out")
+    write_verified(emb, out, key_col="vec_id", vec_col="embedding")
+    # source = emb plus a conflicting duplicate of EVERY key (negated
+    # vector), shuffled across partitions so collect order varies
+    conflict = emb.withColumn(
+        "embedding", F.transform("embedding", lambda v: -v)
+    )
+    src = emb.unionByName(conflict).repartition(7)
+    report = verify_dataset(spark, out, source=src)
+    assert report["ok"]
+    # but if NO duplicate matches (both source copies negated), it fails
+    src_bad = conflict.unionByName(conflict).repartition(7)
+    with pytest.raises(VerificationError, match="row mismatch"):
+        verify_dataset(spark, out, source=src_bad)

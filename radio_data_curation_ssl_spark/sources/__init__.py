@@ -1,0 +1,15 @@
+"""Non-parquet table sources/sinks (SURVEY §2.1).
+
+``npy``: distributed row-range scan over the numpy ``.npy`` format and a
+positional (memmap-style) sink — the Spark twins of the reference's
+``np.load(..., mmap_mode="r")`` readers and ``np.memmap(mode="w+")``
+writers.
+"""
+
+from .npy import (  # noqa: F401
+    NpyMeta,
+    parse_npy_header,
+    parquet_to_npy,
+    read_npy,
+    write_npy,
+)

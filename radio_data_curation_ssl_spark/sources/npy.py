@@ -1,0 +1,285 @@
+"""Distributed ``.npy`` source and positional sink.
+
+Reference behavior being re-expressed (SURVEY §2.1 "npy mmap read (late
+materialization)" and "npy sink"):
+
+- ``np.load(args.data_path, mmap_mode="r")`` — the k-means driver memmaps
+  the feature matrix and hands each worker an arbitrary row slice
+  (/root/reference/src/clustering/run_distributed_kmeans.py:51,
+  /root/reference/src/distributed_kmeans_gpu.py:36-85
+  ``ExtendedNumpyMemMap``).
+- ``np.memmap(features_path, dtype='float32', mode='w+', shape=(N, d))``
+  then positional per-batch writes — the feature-extraction sink
+  (/root/reference/src/_old/3_feature_extraction.py:240-315).
+- HDF5→npy format conversion (/root/reference/scripts/h5_to_npy.py:8-58):
+  here any Spark table → npy via :func:`write_npy`, e.g.
+  :func:`parquet_to_npy`.
+
+Spark design
+------------
+``read_npy`` parses the (public, documented) npy header on the driver —
+magic / version / header dict, no ``np.load`` — then plans one task per
+row-range chunk.  Each task opens its own ``np.memmap`` and touches ONLY
+its row range, so the OS pages in just that slice: the same late
+materialization the reference's ``ExtendedNumpyMemMap`` slice reader gets,
+but with the slicing planned by Spark instead of hand-scheduled.  Row-range
+pruning is real I/O pruning; ``columns=`` pruning, by contrast, only trims
+the Arrow transfer — C-order rows mean every selected row's pages are
+touched regardless (unlike parquet; documented, not hidden).
+
+``write_npy`` is a two-phase positional sink: the driver validates that
+``row_col`` is a dense permutation ``0..n-1`` (one aggregate), writes the
+header, preallocates the file, and each task then seek-writes its rows at
+``offset + row_id * row_bytes`` — consecutive runs are coalesced into
+single block writes.  Positional writes are idempotent, so task retries
+are safe (the reference's memmap sink has the same property).  The file is
+written under a temp name and atomically renamed after the job succeeds.
+
+Scale notes: a single shared-POSIX ``.npy`` file is the reference's
+interchange format, not an object-store layout — at 10^12-doc scale the
+engine's native sink is partitioned parquet/Iceberg (plans/snapshots.py)
+and this sink is the format-compat bridge for the reference's npy
+consumers (kmeans launchers, subsampling scripts).  The read side scales
+cleanly: chunk planning is O(n / row_chunk) driver work and each executor
+reads a disjoint byte range, the same access pattern object stores serve
+well via ranged GETs.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import struct
+from dataclasses import dataclass
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MAGIC = b"\x93NUMPY"
+
+# npy dtypes this engine maps to Spark column types; the reference stores
+# float32 features and int64 index vectors.
+_SPARK_TYPE = {
+    np.dtype("float32"): "float",
+    np.dtype("float64"): "double",
+    np.dtype("int32"): "int",
+    np.dtype("int64"): "long",
+}
+
+
+@dataclass(frozen=True)
+class NpyMeta:
+    shape: tuple[int, ...]
+    dtype: np.dtype
+    data_offset: int
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0] if self.shape else 1
+
+
+def parse_npy_header(path: str) -> NpyMeta:
+    """Parse the npy header (format spec: numpy NEP 1 / format.py docs).
+
+    Versions 1.0 (u2 header length), 2.0 and 3.0 (u4 header length) are
+    accepted; the header dict is parsed with ``ast.literal_eval`` exactly
+    as the spec prescribes.  Fortran-order files are rejected: the
+    reference only ever writes C-order matrices, and a silent transpose
+    would corrupt every downstream distance computation.
+    """
+    with open(path, "rb") as f:
+        magic = f.read(6)
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not an npy file (bad magic {magic!r})")
+        major = f.read(1)[0]
+        f.read(1)  # minor — layout is identical within a major version
+        if major == 1:
+            (hlen,) = struct.unpack("<H", f.read(2))
+        elif major in (2, 3):
+            (hlen,) = struct.unpack("<I", f.read(4))
+        else:
+            raise ValueError(f"{path}: unsupported npy major version {major}")
+        header = ast.literal_eval(f.read(hlen).decode("utf-8"))
+        if header["fortran_order"]:
+            raise ValueError(f"{path}: fortran_order npy not supported")
+        dtype = np.dtype(header["descr"])
+        return NpyMeta(tuple(header["shape"]), dtype, f.tell())
+
+
+def _encode_npy_header(shape: tuple[int, ...], dtype: np.dtype) -> bytes:
+    """Build a version-1.0 header, padded so the data offset is a multiple
+    of 64 (the spec's alignment rule — keeps memmapped rows aligned)."""
+    d = {
+        "descr": np.lib.format.dtype_to_descr(dtype),
+        "fortran_order": False,
+        "shape": shape,
+    }
+    body = repr(d).encode("latin1")
+    unpadded = len(_MAGIC) + 2 + 2 + len(body) + 1  # +1 for trailing \n
+    pad = (-unpadded) % 64
+    body = body + b" " * pad + b"\n"
+    if len(body) > 0xFFFF:
+        raise ValueError("header too large for npy v1")
+    return _MAGIC + bytes([1, 0]) + struct.pack("<H", len(body)) + body
+
+
+def read_npy(
+    spark: SparkSession,
+    path: str,
+    row_chunk: int = 1 << 16,
+    columns: Sequence[int] | None = None,
+) -> DataFrame:
+    """Distributed scan of a 1-D or 2-D ``.npy`` file.
+
+    Returns ``(row_id long, value <T>)`` for 1-D input or
+    ``(row_id long, vec array<T>)`` for 2-D.  One task per ``row_chunk``
+    rows; each task memmaps only its slice (late materialization).
+    """
+    path = os.path.abspath(path)
+    meta = parse_npy_header(path)
+    if meta.dtype not in _SPARK_TYPE:
+        raise ValueError(f"{path}: unsupported npy dtype {meta.dtype}")
+    if len(meta.shape) not in (1, 2):
+        raise ValueError(f"{path}: only 1-D/2-D npy supported, got {meta.shape}")
+    elem = _SPARK_TYPE[meta.dtype]
+    two_d = len(meta.shape) == 2
+    if columns is not None:
+        if not two_d:
+            raise ValueError("columns= only applies to 2-D input")
+        cols = list(columns)
+        bad = [c for c in cols if not 0 <= c < meta.shape[1]]
+        if bad:
+            raise ValueError(f"columns out of range {bad} for shape {meta.shape}")
+    else:
+        cols = None
+
+    n = meta.n_rows
+    n_chunks = max(1, -(-n // row_chunk))
+    out_schema = (
+        f"row_id long, vec array<{elem}>" if two_d else f"row_id long, value {elem}"
+    )
+    shape, dtype, offset = meta.shape, meta.dtype, meta.data_offset
+
+    def scan(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for cid in pdf["id"].to_numpy():
+                start = int(cid) * row_chunk
+                stop = min(start + row_chunk, n)
+                # memmap the whole matrix once, slice the task's rows: the
+                # kernel only faults in pages inside [start, stop).
+                mm = np.memmap(path, dtype=dtype, mode="r", offset=offset, shape=shape)
+                ids = np.arange(start, stop, dtype=np.int64)
+                if two_d:
+                    block = np.asarray(mm[start:stop])
+                    if cols is not None:
+                        block = block[:, cols]
+                    yield pd.DataFrame({"row_id": ids, "vec": list(block)})
+                else:
+                    yield pd.DataFrame({"row_id": ids, "value": np.asarray(mm[start:stop])})
+
+    # one planned task per chunk — spark.range with explicit partition count
+    return (
+        spark.range(0, n_chunks, 1, numPartitions=n_chunks)
+        .mapInPandas(scan, schema=out_schema)
+    )
+
+
+def write_npy(
+    df: DataFrame,
+    path: str,
+    row_col: str = "row_id",
+    vec_col: str = "vec",
+    dtype: np.dtype = np.dtype("float32"),
+) -> int:
+    """Positional parallel write of ``df[(row_col, vec_col)]`` to one npy
+    file; returns the row count.  ``row_col`` must be a dense permutation
+    of ``0..n-1`` (the contract the reference's positional memmap sink
+    assumes and ``operators/reindex.py`` produces); validated with one
+    aggregate before any byte is written.
+    """
+    path = os.path.abspath(path)
+    dtype = np.dtype(dtype)
+    if dtype not in _SPARK_TYPE:
+        raise ValueError(f"unsupported sink dtype {dtype}")
+
+    chk = df.select(
+        F.count(row_col).alias("n"),
+        F.count_distinct(row_col).alias("nd"),
+        F.min(row_col).alias("lo"),
+        F.max(row_col).alias("hi"),
+        F.min(F.size(vec_col)).alias("dlo"),
+        F.max(F.size(vec_col)).alias("dhi"),
+    ).first()
+    n = int(chk["n"])
+    if n == 0:
+        raise ValueError("refusing to write an empty npy matrix")
+    if not (chk["nd"] == n and chk["lo"] == 0 and chk["hi"] == n - 1):
+        raise ValueError(
+            f"{row_col} must be a dense permutation of 0..{n - 1}: "
+            f"count={n} distinct={chk['nd']} min={chk['lo']} max={chk['hi']}"
+        )
+    if chk["dlo"] != chk["dhi"]:
+        raise ValueError(f"ragged {vec_col}: lengths {chk['dlo']}..{chk['dhi']}")
+    d = int(chk["dlo"])
+
+    header = _encode_npy_header((n, d), dtype)
+    offset = len(header)
+    row_bytes = d * dtype.itemsize
+    tmp = f"{path}.inprogress.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(header)
+        f.truncate(offset + n * row_bytes)
+
+    def emit(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with open(tmp, "r+b") as f:
+            written = 0
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                order = np.argsort(pdf[row_col].to_numpy(), kind="stable")
+                ids = pdf[row_col].to_numpy()[order]
+                mat = np.stack(pdf[vec_col].to_numpy()[order]).astype(dtype, copy=False)
+                if mat.shape[1] != d:
+                    raise ValueError(f"row width {mat.shape[1]} != {d}")
+                # coalesce consecutive row_ids into single block writes
+                cuts = np.flatnonzero(np.diff(ids) != 1) + 1
+                for seg_ids, seg in zip(np.split(ids, cuts), np.split(mat, cuts)):
+                    f.seek(offset + int(seg_ids[0]) * row_bytes)
+                    f.write(np.ascontiguousarray(seg).tobytes())
+                written += len(ids)
+            f.flush()
+            os.fsync(f.fileno())
+        yield pd.DataFrame({"rows": [written]})
+
+    total = (
+        df.select(row_col, vec_col)
+        .mapInPandas(emit, schema="rows long")
+        .agg(F.sum("rows").alias("rows"))
+        .first()["rows"]
+    )
+    if total != n:
+        os.unlink(tmp)
+        raise RuntimeError(f"positional write wrote {total} rows, expected {n}")
+    os.replace(tmp, path)
+    return n
+
+
+def parquet_to_npy(
+    spark: SparkSession,
+    parquet_path: str,
+    npy_path: str,
+    row_col: str = "row_id",
+    vec_col: str = "vec",
+    dtype: np.dtype = np.dtype("float32"),
+) -> int:
+    """Format conversion, the reference's ``scripts/h5_to_npy.py:8-58``
+    re-expressed: columnar table in, positional npy matrix out — but
+    distributed instead of the reference's load-all-into-RAM single
+    process."""
+    return write_npy(
+        spark.read.parquet(parquet_path), npy_path, row_col, vec_col, dtype
+    )

@@ -1,0 +1,131 @@
+"""Distributed npy source/sink (reference:
+/root/reference/src/clustering/run_distributed_kmeans.py:51 mmap read,
+/root/reference/src/_old/3_feature_extraction.py:240-315 positional memmap
+sink, /root/reference/scripts/h5_to_npy.py:8-58 format conversion):
+header-parse parity with np.save, row-range task planning, column pruning,
+dense-permutation validation, scrambled-partition positional writes, and a
+parquet→npy→np.load roundtrip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from radio_data_curation_ssl_spark.sources.npy import (
+    parse_npy_header,
+    parquet_to_npy,
+    read_npy,
+    write_npy,
+)
+
+
+def _mat(n=1000, d=8, seed=7):
+    return np.random.default_rng(seed).normal(size=(n, d)).astype(np.float32)
+
+
+def test_header_parse_matches_np_save(tmp_path):
+    p = str(tmp_path / "m.npy")
+    m = _mat(37, 5)
+    np.save(p, m)
+    meta = parse_npy_header(p)
+    assert meta.shape == (37, 5)
+    assert meta.dtype == np.dtype("float32")
+    # offset parity: memmap at the parsed offset reproduces np.load exactly
+    mm = np.memmap(p, dtype=meta.dtype, mode="r", offset=meta.data_offset, shape=meta.shape)
+    assert np.array_equal(np.asarray(mm), m)
+
+
+def test_header_v2_accepted(tmp_path):
+    p = str(tmp_path / "v2.npy")
+    m = _mat(11, 3)
+    with open(p, "wb") as f:
+        np.lib.format.write_array(f, m, version=(2, 0))
+    meta = parse_npy_header(p)
+    assert meta.shape == (11, 3)
+
+
+def test_bad_magic_and_fortran_rejected(tmp_path):
+    p = str(tmp_path / "x.npy")
+    with open(p, "wb") as f:
+        f.write(b"not-an-npy-file")
+    with pytest.raises(ValueError, match="magic"):
+        parse_npy_header(p)
+    pf = str(tmp_path / "f.npy")
+    np.save(pf, np.asfortranarray(_mat(4, 4)))
+    with pytest.raises(ValueError, match="fortran"):
+        parse_npy_header(pf)
+
+
+def test_read_matches_np_load_and_plans_one_task_per_chunk(spark, tmp_path):
+    p = str(tmp_path / "m.npy")
+    m = _mat(1000, 8)
+    np.save(p, m)
+    df = read_npy(spark, p, row_chunk=256)
+    assert df.rdd.getNumPartitions() == 4  # ceil(1000/256) planned tasks
+    got = df.orderBy("row_id").toPandas()
+    assert np.array_equal(got["row_id"].to_numpy(), np.arange(1000))
+    assert np.array_equal(np.stack(got["vec"].to_numpy()), m)
+
+
+def test_read_column_pruning(spark, tmp_path):
+    p = str(tmp_path / "m.npy")
+    m = _mat(300, 6)
+    np.save(p, m)
+    got = read_npy(spark, p, row_chunk=128, columns=[4, 1]).orderBy("row_id").toPandas()
+    assert np.array_equal(np.stack(got["vec"].to_numpy()), m[:, [4, 1]])
+    with pytest.raises(ValueError, match="out of range"):
+        read_npy(spark, p, columns=[6])
+
+
+def test_read_1d_int64(spark, tmp_path):
+    p = str(tmp_path / "idx.npy")
+    idx = np.arange(500, dtype=np.int64)[::-1].copy()  # reversed, C-order
+    np.save(p, idx)
+    got = read_npy(spark, p, row_chunk=200).orderBy("row_id").toPandas()
+    assert np.array_equal(got["value"].to_numpy(), idx)
+
+
+def test_write_roundtrip_scrambled_partitions(spark, tmp_path):
+    m = _mat(777, 5)
+    rows = [(int(i), [float(v) for v in m[i]]) for i in range(777)]
+    df = spark.createDataFrame(rows, "row_id long, vec array<float>").repartition(7)
+    p = str(tmp_path / "out.npy")
+    assert write_npy(df, p) == 777
+    # np.load is the independent decoder: header + positional layout both
+    # survive the scrambled partitioning
+    assert np.array_equal(np.load(p), m)
+
+
+def test_write_rejects_non_dense_and_ragged(spark, tmp_path):
+    p = str(tmp_path / "bad.npy")
+    gap = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (2, [3.0, 4.0])], "row_id long, vec array<float>"
+    )
+    with pytest.raises(ValueError, match="dense permutation"):
+        write_npy(gap, p)
+    dup = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 4.0])], "row_id long, vec array<float>"
+    )
+    with pytest.raises(ValueError, match="dense permutation"):
+        write_npy(dup, p)
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0])], "row_id long, vec array<float>"
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        write_npy(ragged, p)
+
+
+def test_parquet_to_npy_conversion(spark, tmp_path):
+    # the h5_to_npy twin: columnar table in, one positional matrix out
+    m = _mat(256, 4, seed=11)
+    rows = [(int(i), [float(v) for v in m[i]]) for i in range(256)]
+    src = str(tmp_path / "tbl.parquet")
+    spark.createDataFrame(rows, "row_id long, vec array<float>").write.parquet(src)
+    out = str(tmp_path / "tbl.npy")
+    assert parquet_to_npy(spark, src, out) == 256
+    assert np.array_equal(np.load(out), m)
+    # and the distributed reader agrees with itself end-to-end
+    back = read_npy(spark, out, row_chunk=100).orderBy("row_id").toPandas()
+    assert np.array_equal(np.stack(back["vec"].to_numpy()), m)

@@ -2636,3 +2636,57 @@ def q_pca_project_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.min("p")).alias("min_p"),
         r6(F.max("p")).alias("max_p"),
     )
+
+
+@register(
+    "npy_roundtrip",
+    """
+SELECT CAST(vec_id % 8 AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(list_sum(list_transform(embedding,
+      u -> CAST(floor(CAST(u AS DOUBLE) * 1000) AS BIGINT)))) AS BIGINT)
+    AS milli_sum
+FROM embeddings GROUP BY 1
+""",
+    doc="npy source/sink roundtrip (/root/reference/src/clustering/"
+    "run_distributed_kmeans.py:51 mmap read, scripts/h5_to_npy.py:8-58 "
+    "conversion): embeddings -> positional npy sink -> distributed "
+    "row-range scan -> integer fingerprint per vec_id bucket.  The "
+    "fingerprint (sum of floor(x*1000) per element, exact BIGINT both "
+    "dialects; float32->double is exact and the *1000/floor double ops "
+    "are IEEE-deterministic) matches the oracle computed on the ORIGINAL "
+    "parquet iff the npy byte layout preserved every value and row "
+    "position.  Registered AFTER the 50-query driver window on purpose: "
+    "it writes a scratch npy file per invocation, and the windowed "
+    "correctness gate should never depend on temp-dir write access — "
+    "tests/parity_check.py and tests/test_npy_source.py cover it.  "
+    "Scale: sink is the reference-interchange bridge (single shared "
+    "file); scan is one disjoint byte range per task.",
+)
+def q_npy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources.npy import read_npy, write_npy
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"npy_roundtrip_{key}.npy")
+    emb = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("row_id"), F.col("embedding").alias("vec")
+    )
+    write_npy(emb, path)  # positional sink; atomic replace on re-run
+    back = read_npy(spark, path, row_chunk=2048)
+    milli = F.aggregate(
+        "vec",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.floor(x.cast("double") * 1000).cast("long"),
+    )
+    return (
+        back.select(F.pmod("row_id", F.lit(8)).cast("long").alias("bucket"), milli.alias("ms"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("ms").cast("long").alias("milli_sum"),
+        )
+    )

@@ -2675,14 +2675,14 @@ def q_npy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("row_id"), F.col("embedding").alias("vec")
     )
-    write_npy(emb, path)  # positional sink; atomic replace on re-run
+    write_npy(emb, path, pin=False)  # deterministic parquet source
     back = read_npy(spark, path, row_chunk=2048)
     milli = F.aggregate(
         "vec",
         F.lit(0).cast("long"),
         lambda acc, x: acc + F.floor(x.cast("double") * 1000).cast("long"),
     )
-    return (
+    out = (
         back.select(F.pmod("row_id", F.lit(8)).cast("long").alias("bucket"), milli.alias("ms"))
         .groupBy("bucket")
         .agg(
@@ -2690,3 +2690,8 @@ def q_npy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ms").cast("long").alias("milli_sum"),
         )
     )
+    # pin the 8-row aggregate so the scratch matrix can be deleted before
+    # the caller collects (no tempdir accumulation across sweeps)
+    out = out.localCheckpoint(eager=True)
+    os.unlink(path)
+    return out

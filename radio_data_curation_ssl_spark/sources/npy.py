@@ -48,6 +48,7 @@ well via ranged GETs.
 from __future__ import annotations
 
 import ast
+import contextlib
 import os
 import struct
 from dataclasses import dataclass
@@ -103,11 +104,18 @@ def parse_npy_header(path: str) -> NpyMeta:
             (hlen,) = struct.unpack("<I", f.read(4))
         else:
             raise ValueError(f"{path}: unsupported npy major version {major}")
-        header = ast.literal_eval(f.read(hlen).decode("utf-8"))
-        if header["fortran_order"]:
+        try:
+            header = ast.literal_eval(f.read(hlen).decode("utf-8"))
+            fortran = header["fortran_order"]
+            dtype = np.dtype(header["descr"])
+            shape = tuple(header["shape"])
+        except ValueError:
+            raise
+        except Exception as e:  # truncated dict, missing key, bad encoding
+            raise ValueError(f"{path}: malformed npy header ({e!r})") from e
+        if fortran:
             raise ValueError(f"{path}: fortran_order npy not supported")
-        dtype = np.dtype(header["descr"])
-        return NpyMeta(tuple(header["shape"]), dtype, f.tell())
+        return NpyMeta(shape, dtype, f.tell())
 
 
 def _encode_npy_header(shape: tuple[int, ...], dtype: np.dtype) -> bytes:
@@ -194,29 +202,60 @@ def write_npy(
     row_col: str = "row_id",
     vec_col: str = "vec",
     dtype: np.dtype = np.dtype("float32"),
+    pin: bool = True,
 ) -> int:
     """Positional parallel write of ``df[(row_col, vec_col)]`` to one npy
     file; returns the row count.  ``row_col`` must be a dense permutation
     of ``0..n-1`` (the contract the reference's positional memmap sink
     assumes and ``operators/reindex.py`` produces); validated with one
     aggregate before any byte is written.
+
+    ``pin=True`` (default) runs ``localCheckpoint(eager=True)`` first so
+    the validation aggregate and the write job read the SAME
+    materialization — without it a nondeterministic ``row_col`` (rand-
+    derived ids, ``monotonically_increasing_id`` after a shuffle) could
+    validate as dense in job 1 yet produce duplicates/gaps when job 2
+    recomputes the plan, publishing a silently corrupt file.  Pass
+    ``pin=False`` only for known-deterministic inputs (e.g. a parquet
+    scan) to skip the extra materialization.
     """
     path = os.path.abspath(path)
     dtype = np.dtype(dtype)
     if dtype not in _SPARK_TYPE:
         raise ValueError(f"unsupported sink dtype {dtype}")
 
-    chk = df.select(
+    data = df.select(row_col, vec_col)
+    if pin:
+        # blocks are freed with the session, same lifecycle as the other
+        # localCheckpoint pins in this engine (queries.py cluster split)
+        data = data.localCheckpoint(eager=True)
+
+    # every aggregate below except count(*) is null-skipping, so nulls are
+    # counted explicitly — a null id/vec/element would otherwise pass the
+    # dense-permutation gate and abort deep inside an executor
+    chk = data.select(
+        F.count("*").alias("total"),
         F.count(row_col).alias("n"),
         F.count_distinct(row_col).alias("nd"),
         F.min(row_col).alias("lo"),
         F.max(row_col).alias("hi"),
         F.min(F.size(vec_col)).alias("dlo"),
         F.max(F.size(vec_col)).alias("dhi"),
+        F.sum(F.col(vec_col).isNull().cast("long")).alias("null_vecs"),
+        F.sum(
+            F.exists(vec_col, lambda x: x.isNull()).cast("long")
+        ).alias("null_elems"),
     ).first()
     n = int(chk["n"])
     if n == 0:
         raise ValueError("refusing to write an empty npy matrix")
+    if chk["total"] != n:
+        raise ValueError(f"{chk['total'] - n} null {row_col} rows")
+    if (chk["null_vecs"] or 0) > 0 or (chk["null_elems"] or 0) > 0:
+        raise ValueError(
+            f"null {vec_col} values: {chk['null_vecs']} null vectors, "
+            f"{chk['null_elems']} rows with null elements"
+        )
     if not (chk["nd"] == n and chk["lo"] == 0 and chk["hi"] == n - 1):
         raise ValueError(
             f"{row_col} must be a dense permutation of 0..{n - 1}: "
@@ -245,22 +284,31 @@ def write_npy(
                 mat = np.stack(pdf[vec_col].to_numpy()[order]).astype(dtype, copy=False)
                 if mat.shape[1] != d:
                     raise ValueError(f"row width {mat.shape[1]} != {d}")
-                # coalesce consecutive row_ids into single block writes
+                # coalesce consecutive row_ids into single block writes;
+                # segments are contiguous views of the stacked batch, so
+                # they hit the file via the buffer protocol — no bytes copy
                 cuts = np.flatnonzero(np.diff(ids) != 1) + 1
                 for seg_ids, seg in zip(np.split(ids, cuts), np.split(mat, cuts)):
+                    if not seg.flags.c_contiguous:
+                        seg = np.ascontiguousarray(seg)
                     f.seek(offset + int(seg_ids[0]) * row_bytes)
-                    f.write(np.ascontiguousarray(seg).tobytes())
+                    f.write(memoryview(seg).cast("B"))
                 written += len(ids)
             f.flush()
             os.fsync(f.fileno())
         yield pd.DataFrame({"rows": [written]})
 
-    total = (
-        df.select(row_col, vec_col)
-        .mapInPandas(emit, schema="rows long")
-        .agg(F.sum("rows").alias("rows"))
-        .first()["rows"]
-    )
+    try:
+        total = (
+            data.mapInPandas(emit, schema="rows long")
+            .agg(F.sum("rows").alias("rows"))
+            .first()["rows"]
+        )
+    except BaseException:
+        # a failed task must not leak the preallocated (full-size) temp
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(tmp)
+        raise
     if total != n:
         os.unlink(tmp)
         raise RuntimeError(f"positional write wrote {total} rows, expected {n}")
@@ -279,7 +327,9 @@ def parquet_to_npy(
     """Format conversion, the reference's ``scripts/h5_to_npy.py:8-58``
     re-expressed: columnar table in, positional npy matrix out — but
     distributed instead of the reference's load-all-into-RAM single
-    process."""
+    process.  A parquet scan is deterministic, so the double-read pin is
+    skipped."""
     return write_npy(
-        spark.read.parquet(parquet_path), npy_path, row_col, vec_col, dtype
+        spark.read.parquet(parquet_path), npy_path, row_col, vec_col, dtype,
+        pin=False,
     )

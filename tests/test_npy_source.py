@@ -8,6 +8,8 @@ parquet→npy→np.load roundtrip."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -129,3 +131,98 @@ def test_parquet_to_npy_conversion(spark, tmp_path):
     # and the distributed reader agrees with itself end-to-end
     back = read_npy(spark, out, row_chunk=100).orderBy("row_id").toPandas()
     assert np.array_equal(np.stack(back["vec"].to_numpy()), m)
+
+
+def test_write_rejects_nulls(spark, tmp_path):
+    # null-skipping aggregates must not let null ids/vecs/elements through
+    p = str(tmp_path / "n.npy")
+    null_id = spark.createDataFrame(
+        [(None, [9.0, 9.0]), (0, [1.0, 2.0]), (1, [3.0, 4.0])],
+        "row_id long, vec array<float>",
+    )
+    with pytest.raises(ValueError, match="null row_id"):
+        write_npy(null_id, p)
+    null_vec = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None)], "row_id long, vec array<float>"
+    )
+    with pytest.raises(ValueError, match="null vec"):
+        write_npy(null_vec, p)
+    null_elem = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [None, 4.0])], "row_id long, vec array<float>"
+    )
+    with pytest.raises(ValueError, match="null elements"):
+        write_npy(null_elem, p)
+    assert not list(tmp_path.glob("*.inprogress.*"))
+
+
+def test_malformed_header_raises_valueerror(tmp_path):
+    import struct as _s
+
+    p = str(tmp_path / "trunc.npy")
+    body = b"{'descr': '<f4', 'fortran_ord"  # cut mid-dict
+    with open(p, "wb") as f:
+        f.write(b"\x93NUMPY" + bytes([1, 0]) + _s.pack("<H", len(body)) + body)
+    with pytest.raises(ValueError, match="malformed npy header"):
+        parse_npy_header(p)
+
+
+def _counted_source(spark, marker_dir, n=64, d=3, dup_on_second_run=False):
+    """A source whose evaluation count is observable (one marker file per
+    task execution) and, optionally, nondeterministic: dense row_ids on the
+    first evaluation, a duplicate id from the second evaluation on."""
+    import os as _os
+    import uuid as _u
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            runs = len(_os.listdir(marker_dir))
+            with open(_os.path.join(marker_dir, _u.uuid4().hex), "w"):
+                pass
+            ids = pdf["id"].to_numpy().copy()
+            if dup_on_second_run and runs >= 1 and len(ids):
+                ids[0] = ids[-1]  # duplicate + gap -> corrupt layout
+            # value i+1 so row 0 differs from the file's preallocated zeros
+            yield pd.DataFrame(
+                {"row_id": ids, "vec": [[float(i) + 1] * d for i in ids]}
+            )
+
+    return spark.range(0, n, 1, numPartitions=1).mapInPandas(
+        gen, schema="row_id long, vec array<float>"
+    )
+
+
+def test_pin_reads_source_once(spark, tmp_path):
+    marker = tmp_path / "runs"
+    marker.mkdir()
+    df = _counted_source(spark, str(marker))
+    out = str(tmp_path / "pinned.npy")
+    assert write_npy(df, out) == 64  # pin=True default
+    # localCheckpoint materialized the source exactly once (one task);
+    # validation + write jobs then read the pinned blocks
+    assert len(list(marker.iterdir())) == 1
+    assert np.load(out).shape == (64, 3)
+
+
+def test_pin_default_prevents_nondeterministic_corruption(spark, tmp_path):
+    # the hazard pin=True exists for: a duplicate row_id on re-evaluation
+    # keeps the row COUNT intact, so the unpinned sink cannot detect it —
+    # it silently writes one position twice and leaves the gap zeroed.
+    # Demonstrate the hazard unpinned, then that the default pin fixes it.
+    marker = tmp_path / "runs"
+    marker.mkdir()
+    df = _counted_source(spark, str(marker), dup_on_second_run=True)
+    out = str(tmp_path / "corrupt.npy")
+    write_npy(df, out, pin=False)
+    assert len(list(marker.iterdir())) >= 2  # source really re-evaluated
+    got = np.load(out)
+    expect = np.array([[float(i) + 1] * 3 for i in range(64)], dtype=np.float32)
+    assert not np.array_equal(got, expect)  # silent corruption, unpinned
+
+    marker2 = tmp_path / "runs2"
+    marker2.mkdir()
+    df2 = _counted_source(spark, str(marker2), dup_on_second_run=True)
+    out2 = str(tmp_path / "pinned2.npy")
+    write_npy(df2, out2)  # pin=True: single evaluation, corruption unreachable
+    assert np.array_equal(np.load(out2), expect)

@@ -226,3 +226,48 @@ def test_pin_default_prevents_nondeterministic_corruption(spark, tmp_path):
     out2 = str(tmp_path / "pinned2.npy")
     write_npy(df2, out2)  # pin=True: single evaluation, corruption unreachable
     assert np.array_equal(np.load(out2), expect)
+
+
+# --- pure header-codec properties (no SparkSession; hypothesis) ---------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_DTYPES = ["float32", "float64", "int32", "int64"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(1, 10_000_000),
+    d=st.integers(1, 4096),
+    dt=st.sampled_from(_DTYPES),
+)
+def test_header_encoder_parses_back_with_numpys_own_parser(tmp_path_factory, n, d, dt):
+    from radio_data_curation_ssl_spark.sources.npy import _encode_npy_header
+
+    hdr = _encode_npy_header((n, d), np.dtype(dt))
+    import io
+
+    f = io.BytesIO(hdr)
+    assert f.read(6) == b"\x93NUMPY"
+    assert tuple(f.read(2)) == (1, 0)
+    shape, fortran, dtype = np.lib.format.read_array_header_1_0(f)
+    assert shape == (n, d) and not fortran and dtype == np.dtype(dt)
+    # spec alignment rule: data starts on a 64-byte boundary
+    assert len(hdr) % 64 == 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 50),
+    d=st.integers(0, 6),  # 0 -> 1-D array
+    dt=st.sampled_from(_DTYPES),
+)
+def test_parse_header_matches_np_save_metadata(tmp_path_factory, n, d, dt):
+    p = str(tmp_path_factory.mktemp("prop") / "a.npy")
+    shape = (n,) if d == 0 else (n, d)
+    np.save(p, np.zeros(shape, dtype=dt))
+    meta = parse_npy_header(p)
+    assert meta.shape == shape and meta.dtype == np.dtype(dt)
+    mm = np.memmap(p, dtype=meta.dtype, mode="r", offset=meta.data_offset, shape=meta.shape)
+    assert not np.asarray(mm).any()

@@ -1,0 +1,68 @@
+"""Cluster job entry: export a columnar feature table to the reference's
+``.npy`` interchange format via spark-submit.
+
+The reference's downstream consumers (k-means launchers, subsampling,
+two-sample checks) read a single positional float32 matrix
+(/root/reference/src/clustering/run_distributed_kmeans.py:51,
+/root/reference/scripts/h5_to_npy.py:8-58).  This job is the bridge out of
+the engine's native partitioned parquet into that format, run the same way
+every other cluster job here runs (north_rule: spark-submit --py-files)::
+
+    zip -r curation.zip radio_data_curation_ssl_spark
+    spark-submit --py-files curation.zip jobs/export_npy.py \
+        --input /data/features.parquet --output /shared/features.npy \
+        --row-col row_id --vec-col vec
+
+Local smoke (this sandbox)::
+
+    python jobs/export_npy.py \
+        --input /root/testdata/sf0.001/embeddings.parquet \
+        --row-col vec_id --vec-col embedding --output /tmp/emb.npy
+
+The output path must be on a filesystem shared by all executors (the same
+requirement the reference's memmap consumers impose).  ``--row-col`` must
+be a dense ``0..n-1`` permutation — use ``operators/reindex.py`` first if
+it is not; the sink validates and fails fast otherwise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# direct `python jobs/export_npy.py` puts jobs/ (not the repo root) on
+# sys.path; under spark-submit the package arrives via --py-files instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet path of the feature table")
+    ap.add_argument("--output", required=True, help=".npy output path (shared fs)")
+    ap.add_argument("--row-col", default="row_id", help="dense 0..n-1 position column")
+    ap.add_argument("--vec-col", default="vec", help="array<float> feature column")
+    ap.add_argument("--dtype", default="float32", choices=["float32", "float64", "int32", "int64"])
+    ap.add_argument("--master", default=None, help="override master (default: spark-submit's)")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from radio_data_curation_ssl_spark.session import get_spark
+    from radio_data_curation_ssl_spark.sources.npy import parquet_to_npy
+
+    spark = get_spark("export-npy", master=args.master)
+    n = parquet_to_npy(
+        spark,
+        args.input,
+        args.output,
+        row_col=args.row_col,
+        vec_col=args.vec_col,
+        dtype=np.dtype(args.dtype),
+    )
+    print(f"wrote {n} rows -> {args.output} ({os.path.getsize(args.output)} bytes)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

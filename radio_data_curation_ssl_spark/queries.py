@@ -2296,8 +2296,10 @@ def q_two_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition-ordered partial folds (deterministic bits); one (d+2)-"
     "float partial per partition per iteration (operators/distcheck.py). "
     "Oracle-less by nature (iterative); the stats half IS oracle-paired "
-    "(two_sample_dim_stats), and tests/test_distcheck.py proves the "
-    "discrimination behavior on planted shifts.",
+    "(two_sample_dim_stats), ONE gradient step is hash-green "
+    "(classifier_grad_step — the update math this loop iterates), and "
+    "tests/test_distcheck.py proves the discrimination behavior on "
+    "planted shifts.",
 )
 def q_two_sample_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.distcheck import classifier_two_sample_test
@@ -2636,6 +2638,78 @@ def q_pca_project_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.min("p")).alias("min_p"),
         r6(F.max("p")).alias("max_p"),
     )
+
+
+_GRAD_W_SPARK = "CASE WHEN i % 2 = 0 THEN 0.01D ELSE -0.01D END"
+_GRAD_W_DUCK = "CASE WHEN (i - 1) % 2 = 0 THEN 0.01 ELSE -0.01 END"
+_GRAD_Z_SPARK = (
+    "aggregate(transform(sequence(0, size(embedding) - 1),"
+    " i -> ((CAST(element_at(embedding, i + 1) AS DOUBLE) - 0.5D)"
+    f" / 0.29D) * ({_GRAD_W_SPARK})),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) + 0.1D"
+)
+_GRAD_Z_DUCK = (
+    "list_aggregate(list_transform(range(1, len(embedding) + 1),"
+    " i -> ((CAST(embedding[i] AS DOUBLE) - 0.5)"
+    f" / 0.29) * ({_GRAD_W_DUCK})), 'sum') + 0.1"
+)
+
+
+@register(
+    "classifier_grad_step",
+    f"""
+WITH werr AS (
+  SELECT embedding,
+         1.0 / (1.0 + exp(-({_GRAD_Z_DUCK})))
+           - CAST(vec_id % 2 AS DOUBLE) AS err
+  FROM embeddings),
+dims AS (
+  SELECT err,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+         (CAST(unnest(embedding) AS DOUBLE) - 0.5) / 0.29 AS xs
+  FROM werr)
+SELECT pos, CAST(count(*) AS BIGINT) AS n,
+       round(sum(err * xs), {X.ROUND}) + 0.0 AS grad
+FROM dims GROUP BY pos
+UNION ALL
+SELECT CAST(-1 AS INTEGER) AS pos, CAST(count(*) AS BIGINT) AS n,
+       round(sum(err), {X.ROUND}) + 0.0 AS grad
+FROM werr
+""",
+    doc="One full-batch logistic-regression gradient step with LITERAL "
+    "(mu, sd, w, b) — the update math the two_sample_classifier GD loop "
+    "iterates (operators/distcheck.py:182-231; reference analytic: "
+    "/root/reference/scripts/check_distributions.py:70-178), playing the "
+    "same role kmeans_one_step plays for the Lloyd loop: the LOOP is "
+    "rows-only (iterative), but one step — standardize, sequential-fold "
+    "dot z, sigmoid, err = p - y, per-dim grad = sum(err * x_d) plus the "
+    "intercept row at pos = -1 — is proven hash-green here.  Scale: one "
+    "map-only pass computes err per row, posexplode -> ONE map-side-"
+    "combined shuffle keyed by dim; d + 1 output rows at any corpus "
+    "size (the loop itself moves only (d + 2) floats per partition per "
+    "iteration).",
+)
+def q_classifier_grad_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    werr = t(spark, sf_dir, "embeddings").selectExpr(
+        "embedding",
+        f"1.0D / (1.0D + exp(-({_GRAD_Z_SPARK})))"
+        " - CAST(pmod(vec_id, 2) AS DOUBLE) AS err",
+    )
+    dims = werr.select(
+        "err", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        F.col("pos").cast("int").alias("pos"),
+        ((F.col("v").cast("double") - F.lit(0.5)) / F.lit(0.29) * F.col("err")).alias("gx"),
+    )
+    per_dim = dims.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.round(F.sum("gx"), X.ROUND) + F.lit(0.0)).alias("grad"),
+    )
+    intercept = werr.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.round(F.sum("err"), X.ROUND) + F.lit(0.0)).alias("grad"),
+    ).select(F.lit(-1).cast("int").alias("pos"), "n", "grad")
+    return per_dim.unionByName(intercept)
 
 
 @register(

@@ -226,3 +226,38 @@ def test_pca_overlay_deterministic(spark):
     r1 = [tuple(r) for r in pca_two_sample_overlay(a, b).collect()]
     r2 = [tuple(r) for r in pca_two_sample_overlay(a, b).collect()]
     assert r1 == r2
+
+
+def test_classifier_grad_step_matches_gd_pass_numpy_twin(spark):
+    """The classifier_grad_step query's per-dim gradient equals the
+    distcheck gd_pass math (operators/distcheck.py:182-231) computed in
+    numpy with the same literal (mu=0.5, sd=0.29, w=+-0.01, b=0.1)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    got = (
+        REGISTRY["classifier_grad_step"]
+        .spark(spark, SF)
+        .orderBy("pos")
+        .toPandas()
+    )
+    emb = duckdb.sql(
+        f"SELECT embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchnumpy()
+    x = np.stack(emb["embedding"]).astype(np.float64)
+    n, d = x.shape
+    y = (np.arange(n) % 2).astype(np.float64)
+    xs = (x - 0.5) / 0.29
+    w = np.where(np.arange(d) % 2 == 0, 0.01, -0.01)
+    z = xs @ w + 0.1
+    err = 1.0 / (1.0 + np.exp(-z)) - y
+    grad = xs.T @ err          # gd_pass: grad[:d] += x.T @ err
+    intercept = err.sum()      # gd_pass: grad[d] += err.sum()
+    assert list(got["pos"]) == [-1] + list(range(d))
+    assert (got["n"] == n).all()
+    np.testing.assert_allclose(
+        got["grad"].to_numpy(),
+        np.round(np.concatenate([[intercept], grad]), 6),
+        atol=1.5e-6,
+    )

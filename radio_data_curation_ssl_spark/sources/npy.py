@@ -221,6 +221,11 @@ def write_npy(
     assumes and ``operators/reindex.py`` produces); validated with one
     aggregate before any byte is written.
 
+    An ``array<T>`` ``vec_col`` writes a 2-D ``(n, d)`` matrix; a scalar
+    numeric ``vec_col`` writes a 1-D ``(n,)`` array — the reference's
+    subsample-index interchange files (``scripts/random_sampling.py:51``,
+    ``scripts/subsampling.py`` save 1-D ``np.save(indices)``).
+
     ``pin=True`` (default) runs ``localCheckpoint(eager=True)`` first so
     the validation aggregate and the write job read the SAME
     materialization — without it a nondeterministic ``row_col`` (rand-
@@ -241,42 +246,55 @@ def write_npy(
         # localCheckpoint pins in this engine (queries.py cluster split)
         data = data.localCheckpoint(eager=True)
 
+    from pyspark.sql.types import ArrayType
+
+    two_d = isinstance(data.schema[vec_col].dataType, ArrayType)
+
     # every aggregate below except count(*) is null-skipping, so nulls are
     # counted explicitly — a null id/vec/element would otherwise pass the
     # dense-permutation gate and abort deep inside an executor
-    chk = data.select(
+    aggs = [
         F.count("*").alias("total"),
         F.count(row_col).alias("n"),
         F.count_distinct(row_col).alias("nd"),
         F.min(row_col).alias("lo"),
         F.max(row_col).alias("hi"),
-        F.min(F.size(vec_col)).alias("dlo"),
-        F.max(F.size(vec_col)).alias("dhi"),
         F.sum(F.col(vec_col).isNull().cast("long")).alias("null_vecs"),
-        F.sum(
-            F.exists(vec_col, lambda x: x.isNull()).cast("long")
-        ).alias("null_elems"),
-    ).first()
+    ]
+    if two_d:
+        aggs += [
+            F.min(F.size(vec_col)).alias("dlo"),
+            F.max(F.size(vec_col)).alias("dhi"),
+            F.sum(
+                F.exists(vec_col, lambda x: x.isNull()).cast("long")
+            ).alias("null_elems"),
+        ]
+    chk = data.select(*aggs).first()
     n = int(chk["n"])
     if n == 0:
         raise ValueError("refusing to write an empty npy matrix")
     if chk["total"] != n:
         raise ValueError(f"{chk['total'] - n} null {row_col} rows")
-    if (chk["null_vecs"] or 0) > 0 or (chk["null_elems"] or 0) > 0:
+    if (chk["null_vecs"] or 0) > 0 or (two_d and (chk["null_elems"] or 0) > 0):
         raise ValueError(
-            f"null {vec_col} values: {chk['null_vecs']} null vectors, "
-            f"{chk['null_elems']} rows with null elements"
+            f"null {vec_col} values: {chk['null_vecs']} null values, "
+            f"{chk['null_elems'] if two_d else 0} rows with null elements"
         )
     if not (chk["nd"] == n and chk["lo"] == 0 and chk["hi"] == n - 1):
         raise ValueError(
             f"{row_col} must be a dense permutation of 0..{n - 1}: "
             f"count={n} distinct={chk['nd']} min={chk['lo']} max={chk['hi']}"
         )
-    if chk["dlo"] != chk["dhi"]:
-        raise ValueError(f"ragged {vec_col}: lengths {chk['dlo']}..{chk['dhi']}")
-    d = int(chk["dlo"])
+    if two_d:
+        if chk["dlo"] != chk["dhi"]:
+            raise ValueError(
+                f"ragged {vec_col}: lengths {chk['dlo']}..{chk['dhi']}"
+            )
+        d = int(chk["dlo"])
+    else:
+        d = 1
 
-    header = _encode_npy_header((n, d), dtype)
+    header = _encode_npy_header((n, d) if two_d else (n,), dtype)
     offset = len(header)
     row_bytes = d * dtype.itemsize
     tmp = f"{path}.inprogress.{os.getpid()}"
@@ -301,16 +319,21 @@ def write_npy(
                 # one here means the unpinned plan recomputed differently
                 if col.null_count or b.column(0).null_count:
                     raise ValueError("null row_id/vec reached the write task")
-                widths = col.value_lengths().to_numpy()
-                if (widths != d).any():
-                    raise ValueError(
-                        f"row width {widths[widths != d][0]} != {d}"
+                if two_d:
+                    widths = col.value_lengths().to_numpy()
+                    if (widths != d).any():
+                        raise ValueError(
+                            f"row width {widths[widths != d][0]} != {d}"
+                        )
+                    mat = (
+                        col.flatten().to_numpy(zero_copy_only=False)
+                        .reshape(len(ids), d)
+                        .astype(dtype, copy=False)
                     )
-                mat = (
-                    col.flatten().to_numpy(zero_copy_only=False)
-                    .reshape(len(ids), d)
-                    .astype(dtype, copy=False)
-                )
+                else:
+                    mat = col.to_numpy(zero_copy_only=False).astype(
+                        dtype, copy=False
+                    )
                 order = np.argsort(ids, kind="stable")
                 ids, mat = ids[order], mat[order]
                 # coalesce consecutive row_ids into single block writes;

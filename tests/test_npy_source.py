@@ -271,3 +271,29 @@ def test_parse_header_matches_np_save_metadata(tmp_path_factory, n, d, dt):
     assert meta.shape == shape and meta.dtype == np.dtype(dt)
     mm = np.memmap(p, dtype=meta.dtype, mode="r", offset=meta.data_offset, shape=meta.shape)
     assert not np.asarray(mm).any()
+
+
+def test_write_1d_indices_roundtrip(spark, tmp_path):
+    # the reference's subsample-index files are 1-D int64 npy
+    # (scripts/random_sampling.py:51); scalar vec_col -> shape (n,)
+    idx = np.array([7, 3, 11, 0, 42, 5, 9, 1], dtype=np.int64)
+    rows = [(int(i), int(v)) for i, v in enumerate(idx)]
+    df = spark.createDataFrame(rows, "row_id long, value long").repartition(3)
+    p = str(tmp_path / "idx.npy")
+    assert write_npy(df, p, vec_col="value", dtype=np.int64) == 8
+    got = np.load(p)
+    assert got.shape == (8,) and got.dtype == np.int64
+    assert np.array_equal(got, idx)
+    # and the distributed 1-D reader round-trips it
+    back = read_npy(spark, p).orderBy("row_id").toPandas()
+    assert np.array_equal(back["value"].to_numpy(), idx)
+    # null scalar rejected
+    with pytest.raises(ValueError, match="null value"):
+        write_npy(
+            spark.createDataFrame(
+                [(0, 1), (1, None)], "row_id long, value long"
+            ),
+            str(tmp_path / "bad1d.npy"),
+            vec_col="value",
+            dtype=np.int64,
+        )

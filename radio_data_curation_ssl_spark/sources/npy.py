@@ -139,12 +139,18 @@ def read_npy(
     path: str,
     row_chunk: int = 1 << 16,
     columns: Sequence[int] | None = None,
+    rows: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Distributed scan of a 1-D or 2-D ``.npy`` file.
 
     Returns ``(row_id long, value <T>)`` for 1-D input or
     ``(row_id long, vec array<T>)`` for 2-D.  One task per ``row_chunk``
     rows; each task memmaps only its slice (late materialization).
+    ``rows=(start, stop)`` prunes the plan to the chunks intersecting that
+    half-open range BEFORE any task runs — the scan-level analog of
+    parquet partition pruning, and the reference's
+    ``ExtendedNumpyMemMap(start, end)`` slice contract
+    (/root/reference/src/distributed_kmeans_gpu.py:36-85).
     """
     path = os.path.abspath(path)
     meta = parse_npy_header(path)
@@ -165,7 +171,14 @@ def read_npy(
         cols = None
 
     n = meta.n_rows
-    n_chunks = max(1, -(-n // row_chunk))
+    if rows is not None:
+        lo, hi = rows
+        if not 0 <= lo < hi <= n:
+            raise ValueError(f"rows={rows} out of range for {n} rows")
+    else:
+        lo, hi = 0, n
+    first_chunk = lo // row_chunk
+    n_chunks = max(1, -(-hi // row_chunk) - first_chunk)
     out_schema = (
         f"row_id long, vec array<{elem}>" if two_d else f"row_id long, value {elem}"
     )
@@ -180,8 +193,8 @@ def read_npy(
 
         for b in batches:
             for cid in b.column(0).to_numpy():
-                start = int(cid) * row_chunk
-                stop = min(start + row_chunk, n)
+                start = max(int(cid) * row_chunk, lo)
+                stop = min(int(cid) * row_chunk + row_chunk, hi)
                 # memmap the whole matrix once, slice the task's rows: the
                 # kernel only faults in pages inside [start, stop).
                 mm = np.memmap(path, dtype=dtype, mode="r", offset=offset, shape=shape)
@@ -200,9 +213,10 @@ def read_npy(
                     val = pa.array(np.asarray(mm[start:stop]))
                     yield pa.RecordBatch.from_arrays([ids, val], ["row_id", "value"])
 
-    # one planned task per chunk — spark.range with explicit partition count
+    # one planned task per chunk — spark.range with explicit partition
+    # count; `rows=` pruning happens HERE, in the plan, not in the tasks
     return (
-        spark.range(0, n_chunks, 1, numPartitions=n_chunks)
+        spark.range(first_chunk, first_chunk + n_chunks, 1, numPartitions=n_chunks)
         .mapInArrow(scan, schema=out_schema)
     )
 

@@ -297,3 +297,19 @@ def test_write_1d_indices_roundtrip(spark, tmp_path):
             vec_col="value",
             dtype=np.int64,
         )
+
+
+def test_read_row_range_prunes_chunks(spark, tmp_path):
+    # rows=(start, stop) must prune the PLAN (fewer tasks), not just filter
+    p = str(tmp_path / "m.npy")
+    m = _mat(1000, 4)
+    np.save(p, m)
+    df = read_npy(spark, p, row_chunk=100, rows=(250, 430))
+    assert df.rdd.getNumPartitions() == 3  # chunks 2, 3, 4 only
+    got = df.orderBy("row_id").toPandas()
+    assert np.array_equal(got["row_id"].to_numpy(), np.arange(250, 430))
+    assert np.array_equal(np.stack(got["vec"].to_numpy()), m[250:430])
+    with pytest.raises(ValueError, match="out of range"):
+        read_npy(spark, p, rows=(500, 1001))
+    with pytest.raises(ValueError, match="out of range"):
+        read_npy(spark, p, rows=(10, 10))

@@ -56,15 +56,24 @@ def get_spark(
     }
     for k, v in malloc_env.items():
         os.environ.setdefault(k, v)
-    if master is None:
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # plain-python launch: default to the sandbox-local master.  Under
+        # spark-submit the driver JVM launches this process with the
+        # gateway env set and spark.master already configured — setting
+        # builder.master() there would silently demote a documented
+        # `spark-submit --master yarn ... jobs/*.py` run to local mode
+        # (the python-side SparkConf cannot see the JVM conf this early,
+        # so the env var is the launch-mode signal)
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     n_shuffle = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         # non-ANSI arithmetic: Spark 4 defaults to ANSI, which THROWS on
         # x/0 where the DuckDB oracle (and classic Spark) return NULL —

@@ -177,6 +177,12 @@ def read_npy(
             raise ValueError(f"rows={rows} out of range for {n} rows")
     else:
         lo, hi = 0, n
+    # Spark's array<T> arrives as an Arrow list with int32 offsets, so a
+    # chunk's flat value count must stay under 2^31 — cap the chunk size
+    # rather than crash inside executors with an opaque ArrowInvalid
+    width = len(cols) if cols is not None else (meta.shape[1] if two_d else 1)
+    max_chunk = (2**31 - 2) // max(width, 1)
+    row_chunk = max(1, min(row_chunk, max_chunk))
     first_chunk = lo // row_chunk
     n_chunks = max(1, -(-hi // row_chunk) - first_chunk)
     out_schema = (
@@ -327,12 +333,14 @@ def write_npy(
             for b in batches:
                 if b.num_rows == 0:
                     continue
-                ids = b.column(0).to_numpy()
-                col = b.column(1)
                 # nulls were rejected by the validation aggregate; a stray
-                # one here means the unpinned plan recomputed differently
+                # one here means the unpinned plan recomputed differently.
+                # Checked BEFORE to_numpy (which would itself raise an
+                # opaque ArrowInvalid on a null id)
+                col = b.column(1)
                 if col.null_count or b.column(0).null_count:
                     raise ValueError("null row_id/vec reached the write task")
+                ids = b.column(0).to_numpy()
                 if two_d:
                     widths = col.value_lengths().to_numpy()
                     if (widths != d).any():

@@ -226,3 +226,118 @@ def verify_dataset(
 
     report["ok"] = True
     return report
+
+
+def verify_npy(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame | None = None,
+    row_col: str = "row_id",
+    vec_col: str = "vec",
+    n_probe: int = 5,
+) -> dict:
+    """The same four-phase QA gate for an npy artifact (the interchange
+    format the reference's consumers memmap — ``sources/npy.py``), with
+    the npy header standing in for the manifest:
+
+    1. header parses (magic/version/shape/dtype — the manifest check);
+    2. structure — header shape vs the DISTRIBUTED source count + width;
+    3. alignment — deterministic hash-picked row ids plus the 0 / n-1
+       edges (the reference's first/last/random indices), each read back
+       through a plan-pruned single-row ``read_npy(rows=...)`` scan and
+       compared value-exact against the source row;
+    4. corruption — full NaN/Inf scan of the artifact itself with one
+       aggregate (strictly stronger than the reference's 1,000-row
+       sample), reading THROUGH the published file, not the source.
+
+    Scale: phases 2/4 are single aggregates; phase 3 touches
+    ``n_probe + 2`` single-row byte ranges.
+    """
+    from ..sources.npy import parse_npy_header, read_npy
+
+    report: dict = {"path": path}
+
+    # --- phase 1: header = the manifest ---------------------------------
+    try:
+        meta = parse_npy_header(path)
+    except (OSError, ValueError) as e:
+        raise VerificationError("header", str(e))
+    if len(meta.shape) != 2:
+        raise VerificationError(
+            "header", f"expected a 2-D matrix, got shape {meta.shape}"
+        )
+    n, d = meta.shape
+    report["header"] = {"shape": [n, d], "dtype": str(meta.dtype)}
+
+    # --- phase 2: structure vs source -----------------------------------
+    if source is not None:
+        chk = source.select(
+            F.count("*").alias("n"),
+            F.min(F.size(vec_col)).alias("dlo"),
+            F.max(F.size(vec_col)).alias("dhi"),
+        ).first()
+        if chk["n"] != n:
+            raise VerificationError(
+                "structure", f"header rows {n} != source rows {chk['n']}"
+            )
+        if not (chk["dlo"] == chk["dhi"] == d):
+            raise VerificationError(
+                "structure",
+                f"header width {d} != source widths {chk['dlo']}..{chk['dhi']}",
+            )
+    report["structure"] = {"rows": n, "width": d}
+
+    # --- phase 3: sampled alignment vs source ---------------------------
+    if source is not None:
+        picked = [
+            int(r[0])
+            for r in source.select(row_col)
+            .orderBy(F.md5(F.col(row_col).cast("string")), row_col)
+            .limit(n_probe)
+            .collect()
+        ]
+        probe_ids = sorted({0, n - 1, *picked})
+        s_rows = {
+            int(r[row_col]): [float(v) for v in r[vec_col]]
+            for r in source.where(F.col(row_col).isin(probe_ids))
+            .select(row_col, vec_col)
+            .collect()
+        }
+        for rid in probe_ids:
+            if rid not in s_rows:
+                raise VerificationError(
+                    "alignment", f"probe row {rid} missing from source"
+                )
+            got = read_npy(spark, path, rows=(rid, rid + 1)).collect()
+            if len(got) != 1 or got[0]["row_id"] != rid:
+                raise VerificationError(
+                    "alignment", f"row {rid}: pruned scan returned {got!r}"
+                )
+            if not _values_equal(
+                [float(v) for v in got[0]["vec"]], s_rows[rid]
+            ):
+                raise VerificationError(
+                    "alignment",
+                    f"row {rid} mismatch: npy={got[0]['vec']} "
+                    f"source={s_rows[rid]}",
+                )
+        report["alignment"] = {"probed_rows": probe_ids}
+
+    # --- phase 4: NaN/Inf corruption scan of the ARTIFACT (full) --------
+    if meta.dtype.kind == "f":
+        bad_row = F.exists(
+            "vec", lambda v: F.isnan(v) | (F.abs(v) == float("inf"))
+        )
+        bad = (
+            read_npy(spark, path)
+            .select(F.coalesce(F.sum(bad_row.cast("long")), F.lit(0)).alias("b"))
+            .first()["b"]
+        )
+        if bad:
+            raise VerificationError(
+                "corruption", f"{bad} rows with NaN/Inf in the npy artifact"
+            )
+        report["corruption"] = {"rows_with_nan_inf": 0}
+
+    report["ok"] = True
+    return report

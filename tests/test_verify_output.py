@@ -165,3 +165,71 @@ def test_duplicate_source_keys_pass_if_any_matches(spark, emb, tmp_path):
     src_bad = conflict.unionByName(conflict).repartition(7)
     with pytest.raises(VerificationError, match="row mismatch"):
         verify_dataset(spark, out, source=src_bad)
+
+
+# --- npy artifact gate (sources/npy.py x verify_feat_extract_output) ----
+
+
+def test_verify_npy_clean_artifact_passes(spark, emb, tmp_path):
+    from radio_data_curation_ssl_spark.operators.verify_output import verify_npy
+    from radio_data_curation_ssl_spark.sources.npy import write_npy
+
+    src = emb.select(
+        F.col("vec_id").alias("row_id"), F.col("embedding").alias("vec")
+    )
+    p = str(tmp_path / "emb.npy")
+    write_npy(src, p, pin=False)
+    report = verify_npy(spark, p, source=src)
+    assert report["ok"]
+    assert report["header"]["shape"] == [src.count(), 64]
+    assert 0 in report["alignment"]["probed_rows"]
+    assert report["corruption"] == {"rows_with_nan_inf": 0}
+
+
+def test_verify_npy_fails_per_phase(spark, emb, tmp_path):
+    import numpy as np
+
+    from radio_data_curation_ssl_spark.operators.verify_output import (
+        VerificationError,
+        verify_npy,
+    )
+    from radio_data_curation_ssl_spark.sources.npy import write_npy
+
+    src = emb.select(
+        F.col("vec_id").alias("row_id"), F.col("embedding").alias("vec")
+    )
+    n = src.count()
+
+    # header: not an npy file
+    bad = str(tmp_path / "bad.npy")
+    with open(bad, "wb") as f:
+        f.write(b"garbage")
+    with pytest.raises(VerificationError, match=r"\[header\]"):
+        verify_npy(spark, bad, source=src)
+
+    # structure: row-count drift (artifact written from a subset)
+    sub = str(tmp_path / "sub.npy")
+    m = np.stack(
+        [r["vec"] for r in src.orderBy("row_id").limit(n - 1).collect()]
+    ).astype(np.float32)
+    np.save(sub, m)
+    with pytest.raises(VerificationError, match=r"\[structure\].*rows"):
+        verify_npy(spark, sub, source=src)
+
+    # alignment: two rows swapped after publish
+    swapped = str(tmp_path / "swapped.npy")
+    write_npy(src, swapped, pin=False)
+    mm = np.load(swapped)
+    mm[[0, 1]] = mm[[1, 0]]
+    np.save(swapped, mm)
+    with pytest.raises(VerificationError, match=r"\[alignment\]"):
+        verify_npy(spark, swapped, source=src)
+
+    # corruption: planted NaN in the artifact
+    nanned = str(tmp_path / "nan.npy")
+    write_npy(src, nanned, pin=False)
+    mn = np.load(nanned)
+    mn[3, 2] = np.nan
+    np.save(nanned, mn)
+    with pytest.raises(VerificationError, match=r"\[corruption\]"):
+        verify_npy(spark, nanned, source=src)

@@ -2695,21 +2695,34 @@ def q_classifier_grad_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"1.0D / (1.0D + exp(-({_GRAD_Z_SPARK})))"
         " - CAST(pmod(vec_id, 2) AS DOUBLE) AS err",
     )
+    # the intercept rides the SAME explode as a synthetic trailing
+    # dimension with xs = 1.0 (grad_b = sum(err * 1)), remapped to
+    # pos = -1 — ONE scan + ONE exchange instead of a union of two
+    # (the oracle's UNION ALL form is equivalent by commutativity of
+    # the rounded sums; DuckDB plan cost is not the target)
     dims = werr.select(
-        "err", F.posexplode("embedding").alias("pos", "v")
+        "err",
+        F.size("embedding").alias("d"),
+        F.posexplode(
+            F.concat(
+                F.expr(
+                    "transform(embedding,"
+                    " v -> (CAST(v AS DOUBLE) - 0.5D) / 0.29D)"
+                ),
+                F.array(F.lit(1.0)),
+            )
+        ).alias("pos", "xs"),
     ).select(
-        F.col("pos").cast("int").alias("pos"),
-        ((F.col("v").cast("double") - F.lit(0.5)) / F.lit(0.29) * F.col("err")).alias("gx"),
+        F.when(F.col("pos") == F.col("d"), F.lit(-1))
+        .otherwise(F.col("pos"))
+        .cast("int")
+        .alias("pos"),
+        (F.col("err") * F.col("xs")).alias("gx"),
     )
-    per_dim = dims.groupBy("pos").agg(
+    return dims.groupBy("pos").agg(
         F.count("*").cast("long").alias("n"),
         (F.round(F.sum("gx"), X.ROUND) + F.lit(0.0)).alias("grad"),
     )
-    intercept = werr.agg(
-        F.count("*").cast("long").alias("n"),
-        (F.round(F.sum("err"), X.ROUND) + F.lit(0.0)).alias("grad"),
-    ).select(F.lit(-1).cast("int").alias("pos"), "n", "grad")
-    return per_dim.unionByName(intercept)
 
 
 @register(

@@ -184,6 +184,41 @@ def trigrams(w: str = "words") -> P:
     )
 
 
+def wordgrams(w: str = "words", n: int = 5) -> P:
+    """Overlapping word n-grams joined by single spaces; [] for <n words.
+
+    Generalizes :func:`trigrams` to arbitrary n — used by the benchmark-
+    contamination check (the web-scale analog of the 13-gram overlap test
+    LLM pipelines run against eval sets; n is small here because the
+    synthetic vocabulary is tiny).
+    """
+    if n < 1:
+        raise ValueError(f"wordgrams n must be >= 1, got {n}")
+    return P(
+        f"CASE WHEN size({w}) >= {n} THEN transform(sequence(1, size({w}) - {n - 1}),"
+        f" i -> array_join(slice({w}, i, {n}), ' ')) ELSE array() END",
+        f"CASE WHEN len({w}) >= {n} THEN list_transform(range(1, len({w}) - {n - 2}),"
+        f" i -> array_to_string({w}[i:i+{n - 1}], ' ')) ELSE [] END",
+    )
+
+
+def spans(w: str = "words", n: int = 10) -> P:
+    """Non-overlapping n-word spans joined by single spaces (the final
+    partial span included) — the 'line' unit for C4-style global line
+    dedup over single-line synthetic text.  [] for empty docs."""
+    if n < 1:
+        raise ValueError(f"spans n must be >= 1, got {n}")
+    # span i (0-based) covers 1-based word positions i*n+1 .. i*n+n
+    return P(
+        f"CASE WHEN size({w}) > 0 THEN transform("
+        f"sequence(0, CAST(ceil(size({w}) / {n}.0) AS INT) - 1),"
+        f" i -> array_join(slice({w}, i * {n} + 1, {n}), ' ')) ELSE array() END",
+        f"CASE WHEN len({w}) > 0 THEN list_transform("
+        f"range(0, CAST(ceil(len({w}) / {n}.0) AS INT)),"
+        f" i -> array_to_string({w}[i * {n} + 1:i * {n} + {n}], ' ')) ELSE [] END",
+    )
+
+
 def rep_bigram_frac(bg: str = "bigrams") -> P:
     """Gopher repetition: fraction of duplicate adjacent bigrams.
 

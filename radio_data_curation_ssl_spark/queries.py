@@ -2782,3 +2782,158 @@ def q_npy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     os.unlink(path)
     return out
+
+
+# ---------------------------------------------------------------------------
+# C4-style global line dedup + benchmark-contamination check (r4 session 2).
+# Beyond-the-reference LLM-pipeline operators over the web-text payload;
+# both full-oracle (registered past the 50-query driver window — the window
+# is already saturated with 50 oracle-paired entries; tests/parity_check.py
+# verifies these like every other pair).
+
+_SPAN_W = 10  # words per "line" (synthetic text is single-line; fixed
+# non-overlapping word spans stand in for C4's newline-delimited lines)
+_SPANS = X.spans("words", _SPAN_W)
+_CONTAM_N = 5  # n-gram width for the contamination check (the web-scale
+# recipe uses 13-grams; vocabulary here is ~40 words, so 5 keeps the
+# planted overlap meaningful without saturating)
+_CONTAM_MOD, _CONTAM_RES = 97, 3  # deterministic benchmark subset
+_GRAMS = X.wordgrams("words", _CONTAM_N)
+
+
+@register(
+    "line_dedup_global",
+    f"""
+WITH w AS (SELECT doc_id, {X.words('text').duck} AS words FROM documents),
+s AS (SELECT doc_id, {_SPANS.duck} AS spans FROM w),
+e AS (SELECT doc_id,
+             CAST(generate_subscripts(spans, 1) - 1 AS INTEGER) AS pos,
+             unnest(spans) AS span
+      FROM s),
+r AS (SELECT doc_id, pos, span,
+             (row_number() OVER (PARTITION BY md5(span)
+                                 ORDER BY doc_id, pos)) = 1 AS keep
+      FROM e),
+g AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             coalesce(string_agg(CASE WHEN keep THEN span END, ' '
+                                 ORDER BY pos), '') AS dedup_text
+      FROM r GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(g.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       coalesce(g.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       coalesce(g.dedup_text, '') AS dedup_text
+FROM documents d LEFT JOIN g USING (doc_id)
+""",
+    doc="C4-style GLOBAL line dedup: every 10-word span is kept only at its "
+    "first corpus-wide occurrence (min (doc_id, pos)); texts are reassembled "
+    "from surviving spans in position order.  Scale plan: the first-winner "
+    "is computed with groupBy(md5(span)).agg(min(struct(doc_id,pos))) — "
+    "partial aggregation combines map-side, so the 10^9-copy boilerplate "
+    "line (C4's pathological skew case) reduces to one row per partition "
+    "before the shuffle; a rank-over-window formulation would instead sort "
+    "one giant partition per hot line.  The join back on the span hash is "
+    "AQE-skew-split.  Reassembly groups by doc_id (well-distributed key).",
+    bench=True,
+)
+def q_line_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    spans = (
+        docs.selectExpr("doc_id", f"{X.words('text').spark} AS words")
+        .selectExpr("doc_id", f"{_SPANS.spark} AS spans")
+        .select("doc_id", F.posexplode("spans").alias("pos", "span"))
+        .withColumn("h", F.md5("span"))
+    )
+    firsts = spans.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    kept = spans.join(firsts, "h").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("pos") == F.col("first.pos")),
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "span"))
+                    )
+                ),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )
+
+
+@register(
+    "contamination_ngram",
+    f"""
+WITH w AS (SELECT doc_id, {X.words('text').duck} AS words FROM documents),
+g AS (SELECT doc_id, list_distinct({_GRAMS.duck}) AS grams FROM w),
+b AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+      WHERE doc_id % {_CONTAM_MOD} = {_CONTAM_RES}),
+c AS (SELECT doc_id, grams FROM g
+      WHERE doc_id % {_CONTAM_MOD} <> {_CONTAM_RES}),
+ce AS (SELECT doc_id, unnest(grams) AS gram FROM c),
+h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM ce JOIN b USING (gram) GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM c LEFT JOIN h USING (doc_id)
+""",
+    doc="Benchmark-contamination check (the 13-gram eval-overlap test every "
+    "LLM data pipeline runs, at n=5 for the tiny synthetic vocabulary): a "
+    "deterministic doc subset (doc_id % 97 == 3) plays the eval set; each "
+    "remaining doc reports how many of its DISTINCT word 5-grams appear "
+    "anywhere in the eval set.  Scale plan: the eval-side distinct n-gram "
+    "set is benchmark-sized (millions of rows, not corpus-sized) -> "
+    "broadcast inner join; the corpus explode never shuffles — hits "
+    "aggregate by doc_id with map-side combine.  At a benchmark too large "
+    "to broadcast, the same plan degrades to a bucketed semi-join on the "
+    "gram hash.",
+)
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = (
+        t(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{X.words('text').spark} AS words")
+        .selectExpr("doc_id", f"array_distinct({_GRAMS.spark}) AS grams")
+    )
+    bench = (
+        grams.where(f"doc_id % {_CONTAM_MOD} = {_CONTAM_RES}")
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = grams.where(f"doc_id % {_CONTAM_MOD} != {_CONTAM_RES}")
+    hits = (
+        corpus.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        corpus.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

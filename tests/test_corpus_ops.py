@@ -1,0 +1,150 @@
+"""Planted-scenario tests for the corpus-level text ops added in r4s2:
+C4-style global line dedup (`line_dedup_global`) and the benchmark
+n-gram contamination check (`contamination_ngram`).
+
+Cross-engine value parity for both is covered by tests/parity_check.py;
+these tests pin the *semantics* on hand-planted corpora and the
+scale-relevant plan shapes (no Window in the dedup plan — first-winner
+must come from a partial-aggregable groupBy; broadcast on the
+contamination eval side).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from radio_data_curation_ssl_spark.queries import REGISTRY
+
+SPAN_W = 10
+
+
+def _span(tag: str) -> str:
+    """One exact 10-word span with a distinct vocabulary per tag."""
+    return " ".join(f"{tag}w{i}" for i in range(SPAN_W))
+
+
+def _write_docs(spark, tmp_path, texts: dict[int, str]) -> str:
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(texts),
+                "text": [texts[k] for k in texts],
+                "lang": ["en"] * len(texts),
+                "source": ["t"] * len(texts),
+                "n_chars": [len(texts[k]) for k in texts],
+            }
+        )
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    return str(tmp_path)
+
+
+def test_line_dedup_keeps_first_occurrence_globally(spark, tmp_path):
+    a, b, c, d = _span("a"), _span("b"), _span("c"), _span("d")
+    texts = {
+        0: f"{a} {b}",          # owns both spans
+        1: f"{a} {c}",          # loses a (doc 0 is first), keeps c
+        2: f"{c} {d} {c}",      # c already owned by doc 1; d kept;
+        #                         trailing repeat of c also dropped
+        3: "",                  # empty doc survives with empty output
+    }
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["line_dedup_global"]
+        .spark(spark, _write_docs(spark, tmp_path, texts))
+        .collect()
+    }
+    assert len(out) == 4
+    assert (out[0]["n_spans"], out[0]["n_kept"]) == (2, 2)
+    assert out[0]["dedup_text"] == f"{a} {b}"
+    assert (out[1]["n_spans"], out[1]["n_kept"]) == (2, 1)
+    assert out[1]["dedup_text"] == c
+    assert (out[2]["n_spans"], out[2]["n_kept"]) == (3, 1)
+    assert out[2]["dedup_text"] == d
+    assert (out[3]["n_spans"], out[3]["n_kept"]) == (0, 0)
+    assert out[3]["dedup_text"] == ""
+
+
+def test_line_dedup_within_doc_position_order(spark, tmp_path):
+    """A doc that repeats its own span keeps only the FIRST position, and
+    reassembly preserves original span order."""
+    u1, u2, rep = _span("u"), _span("v"), _span("r")
+    texts = {0: f"{u1} {rep} {u2} {rep}"}
+    (row,) = (
+        REGISTRY["line_dedup_global"]
+        .spark(spark, _write_docs(spark, tmp_path, texts))
+        .collect()
+    )
+    assert (row["n_spans"], row["n_kept"]) == (4, 3)
+    assert row["dedup_text"] == f"{u1} {rep} {u2}"
+
+
+def test_line_dedup_plan_has_no_window(spark, tmp_path):
+    """The first-winner must be groupBy(min(struct)) — partial-aggregable,
+    skew-proof — never a rank window (one giant sorted partition per hot
+    line at web scale)."""
+    sf = _write_docs(spark, tmp_path, {0: _span("a"), 1: _span("a")})
+    plan = (
+        REGISTRY["line_dedup_global"]
+        .spark(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+    # partial+final pair for the min(struct(doc_id,pos)) first-winner
+    assert plan.count("Aggregate") >= 2, plan
+
+
+def test_contamination_detects_planted_overlap(spark, tmp_path):
+    # doc 3 is in the eval subset (3 % 97 == 3); doc 5 shares a 5-gram
+    # window with it; doc 7 uses a disjoint vocabulary.
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = {
+        3: eval_text,
+        5: f"prefix1 prefix2 beta gamma delta epsilon zeta suffix1",
+        7: " ".join(f"clean{i}" for i in range(12)),
+    }
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["contamination_ngram"]
+        .spark(spark, _write_docs(spark, tmp_path, texts))
+        .collect()
+    }
+    assert set(out) == {5, 7}  # eval docs excluded from the report
+    assert out[5]["contaminated"] is True
+    assert out[5]["n_hits"] == 1  # exactly the planted 5-gram
+    assert out[7]["contaminated"] is False
+    assert out[7]["n_hits"] == 0
+    assert out[7]["n_grams"] == 12 - 5 + 1
+
+
+def test_contamination_counts_distinct_grams_once(spark, tmp_path):
+    """A corpus doc repeating the same contaminated 5-gram twice still
+    counts it once (distinct-gram semantics)."""
+    g = "alpha beta gamma delta epsilon"
+    texts = {3: g, 5: f"{g} x1 x2 x3 x4 x5 {g}"}
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["contamination_ngram"]
+        .spark(spark, _write_docs(spark, tmp_path, texts))
+        .collect()
+    }
+    assert out[5]["n_hits"] == 1
+
+
+def test_contamination_broadcasts_eval_side(spark, tmp_path):
+    sf = _write_docs(
+        spark, tmp_path, {3: _span("a"), 5: _span("a"), 7: _span("b")}
+    )
+    plan = (
+        REGISTRY["contamination_ngram"]
+        .spark(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan

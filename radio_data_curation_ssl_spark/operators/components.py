@@ -1,0 +1,97 @@
+"""Connected components over dup-candidate buckets — the cluster-assignment
+step real dedup pipelines run after LSH blocking (keep one doc per
+component, not one per pairwise match).
+
+The graph is bipartite (doc)-(bucket): two docs are connected iff they
+share at least one LSH bucket, and a component is the transitive closure
+of that relation.  Labels are propagated by alternating min-aggregations:
+
+    bucket_min = min(label)  over the docs in each bucket     (map-side
+    doc_label  = min(label, min(bucket_min over its buckets))   combine)
+
+Each iteration is two partial-aggregable shuffles plus one key join — no
+pairwise doc-doc edge materialization, so an m-doc bucket costs m rows,
+never m^2 (the reason the operator works on the bipartite form; the
+DuckDB oracle for the registry query materializes doc-doc closure instead,
+which is fine at test scale and impossible at web scale).  Iterations
+needed = the component's doc-hop diameter; LSH dup clusters are
+near-cliques (diameter ~2-4), while a pathological 10^9-doc chain would
+want the large-star/small-star O(log n) variant — documented, not built.
+
+Driver traffic per iteration: ONE scalar (the changed-label count used as
+the fixpoint test).  Superseded per-iteration checkpoints are released by
+Spark's ContextCleaner once this loop drops its references.
+
+Reference parity: the reference has no component step (its dedup is
+kmeans-cluster based, /root/reference/src/split_clusters.py); this is a
+beyond-the-reference LLM-pipeline operator per the round brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def min_label_components(
+    membership: DataFrame,
+    node_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    max_iters: int = 64,
+) -> DataFrame:
+    """(node, bucket) membership rows -> (node, label) with label = the
+    minimum node id reachable through shared buckets.
+
+    Deterministic: min-folds only.  Raises if the fixpoint is not reached
+    within ``max_iters`` (diameter bound exceeded — at that shape switch
+    to large-star/small-star rather than raising the cap).
+    """
+    edges = membership.select(
+        F.col(node_col).alias("n"), F.col(bucket_col).alias("b")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        labels = (
+            edges.select("n")
+            .distinct()
+            .withColumn("label", F.col("n"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_iters):
+            bucket_min = (
+                edges.join(labels, "n")
+                .groupBy("b")
+                .agg(F.min("label").alias("bmin"))
+            )
+            prop = (
+                edges.join(bucket_min, "b")
+                .groupBy("n")
+                .agg(F.min("bmin").alias("prop"))
+            )
+            new = (
+                labels.join(prop, "n", "left")
+                .select(
+                    "n",
+                    F.least(
+                        "label", F.coalesce("prop", "label")
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.join(labels.withColumnRenamed("label", "old"), "n")
+                .where(F.col("label") < F.col("old"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                return labels.select(
+                    F.col("n").alias(node_col), "label"
+                )
+        raise RuntimeError(
+            f"min_label_components did not converge in {max_iters} "
+            "iterations — component diameter exceeds the cap; use a "
+            "large-star/small-star formulation for chain-shaped graphs"
+        )
+    finally:
+        edges.unpersist()

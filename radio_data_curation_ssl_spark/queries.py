@@ -2937,3 +2937,78 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dup-candidate connected components (r4s2): transitive closure over shared
+# LSH buckets — the cluster-assignment step that follows pairwise dedup.
+# The oracle proves an ITERATIVE distributed algorithm hash-green by
+# expressing the same closure as a DuckDB recursive CTE (affordable on the
+# doc-doc edge form at test scale; the Spark side stays on the bipartite
+# doc-bucket form that never materializes an m^2 bucket blow-up).
+
+_CMP_MH_SPARK = [f"{m.spark} AS mh{p}" for p, m in enumerate(_MH)]
+_CMP_MH_DUCK = ", ".join(f"{m.duck} AS mh{p}" for p, m in enumerate(_MH))
+
+
+@register(
+    "dedup_components",
+    f"""
+WITH RECURSIVE
+w AS (SELECT doc_id, {X.words('text').duck} AS words FROM documents),
+tg AS (SELECT doc_id, {X.trigrams('words').duck} AS trigrams FROM w),
+sh AS (SELECT doc_id, {X.shingle_hashes('trigrams').duck} AS sh_hashes FROM tg),
+s AS (SELECT doc_id, {_CMP_MH_DUCK} FROM sh WHERE len(sh_hashes) > 0),
+bk AS (SELECT doc_id, generate_subscripts(ks, 1) AS band, unnest(ks) AS bkey
+       FROM (SELECT doc_id, [{", ".join(_BAND_KEYS)}] AS ks FROM s)),
+e AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey),
+r AS (SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, min(b) AS component FROM r GROUP BY a)
+SELECT d.doc_id,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+FROM documents d LEFT JOIN comp c USING (doc_id)
+""",
+    doc="Connected components over minhash-LSH candidate buckets: two docs "
+    "join a component iff linked through shared band buckets (transitively)"
+    "; component id = min doc_id reachable.  Spark side: alternating "
+    "bipartite min-label propagation (operators/components.py) — two "
+    "partial-aggregable shuffles + one key join per iteration, one scalar "
+    "to the driver per iteration, no doc-doc edge materialization.  The "
+    "DuckDB oracle recomputes the identical closure with a recursive CTE "
+    "on explicit doc-doc edges — exact on the same band keys, so this "
+    "iterative distributed algorithm gets a full hash oracle (unlike "
+    "kmeans_lloyd, whose float fixpoint is not SQL-expressible).  Scale: "
+    "iterations = component diameter (near-clique dup clusters: 2-4); "
+    "docs too short to shingle are singleton components by definition.",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.components import min_label_components
+
+    docs = t(spark, sf_dir, "documents")
+    sig = (
+        docs.selectExpr("doc_id", f"{X.words('text').spark} AS words")
+        .selectExpr("doc_id", f"{X.trigrams('words').spark} AS trigrams")
+        .selectExpr("doc_id", f"{_SHH.spark} AS sh_hashes")
+        .where("size(sh_hashes) > 0")
+        .selectExpr("doc_id", *_CMP_MH_SPARK)
+    )
+    buckets = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.expr(k) for k in _BAND_KEYS])
+        ).alias("band", "bkey"),
+    ).select("doc_id", F.concat_ws(":", "band", "bkey").alias("bucket"))
+    labels = min_label_components(buckets, "doc_id", "bucket")
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id"))
+            .cast("long")
+            .alias("component"),
+        )
+    )

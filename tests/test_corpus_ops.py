@@ -148,3 +148,99 @@ def test_contamination_broadcasts_eval_side(spark, tmp_path):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# min-label components (operators/components.py)
+
+
+def _uf_components(edges: list[tuple[int, str]]) -> dict[int, int]:
+    """Union-find twin: min node id per connected component of the
+    bipartite (node, bucket) graph."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    for n, b in edges:
+        union(("n", n), ("b", b))
+    comp_min: dict = {}
+    for n, _ in edges:
+        r = find(("n", n))
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(("n", n))] for n, _ in edges}
+
+
+def _run_components(spark, edges):
+    from radio_data_curation_ssl_spark.operators.components import (
+        min_label_components,
+    )
+
+    df = spark.createDataFrame(edges, ["doc_id", "bucket"])
+    return {
+        r["doc_id"]: r["label"]
+        for r in min_label_components(df, "doc_id", "bucket").collect()
+    }
+
+
+def test_components_chain_star_singleton(spark):
+    edges = [
+        # chain 1-2-3-4 through distinct buckets (diameter 3)
+        (1, "x"), (2, "x"), (2, "y"), (3, "y"), (3, "z"), (4, "z"),
+        # star: 10 center shares a bucket with each leaf
+        (10, "s1"), (11, "s1"), (10, "s2"), (12, "s2"),
+        # singleton in its own bucket
+        (99, "solo"),
+    ]
+    got = _run_components(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_components_match_union_find_on_random_graph(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    edges = [
+        (int(n), f"b{int(b)}")
+        for n, b in zip(rng.randint(0, 60, 150), rng.randint(0, 40, 150))
+    ]
+    got = _run_components(spark, edges)
+    assert got == _uf_components(edges)
+
+
+def test_components_nonconvergence_raises(spark):
+    from radio_data_curation_ssl_spark.operators.components import (
+        min_label_components,
+    )
+
+    # a 6-node chain has doc-hop diameter 5 > max_iters=2
+    edges = [(i + d, f"c{i}") for i in range(5) for d in (0, 1)]
+    df = spark.createDataFrame(edges, ["doc_id", "bucket"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(df, "doc_id", "bucket", max_iters=2)
+
+
+def test_dedup_components_exact_dups_share_component(spark, tmp_path):
+    """Exact-duplicate texts have identical minhash signatures, hence all
+    band buckets in common -> one component labeled by the min doc_id;
+    too-short docs are singletons."""
+    dup = " ".join(f"d{i}" for i in range(30))
+    other = " ".join(f"o{i}" for i in range(30))
+    texts = {4: dup, 9: dup, 2: other, 17: "ab"}  # 17: <3 words, no shingles
+    out = {
+        r["doc_id"]: r["component"]
+        for r in REGISTRY["dedup_components"]
+        .spark(spark, _write_docs(spark, tmp_path, texts))
+        .collect()
+    }
+    assert out[4] == 4 and out[9] == 4
+    assert out[2] == 2
+    assert out[17] == 17

@@ -1,0 +1,116 @@
+"""URL canonicalization as paired Spark-SQL / DuckDB-SQL expressions —
+the normalization pass web-crawl pipelines run before URL-level dedup
+(lowercase scheme+host, strip fragment and default port, drop tracking
+parameters, sort the surviving query parameters).
+
+Same design as functions/text.py: every builder returns a ``P`` pair
+whose ``.spark`` / ``.duck`` strings compute the bit-identical value, so
+the registry query gets a full DuckDB oracle.  All string ops are JVM
+built-ins on the Spark side (whole-stage codegen, no Python).
+
+The reference has no URL handling (radio-astronomy payload); this module
+serves the web-text north rule's input shape (url:string per page).
+"""
+
+from __future__ import annotations
+
+from .text import P, _dq, _sq
+
+# parameters dropped during canonicalization (tracking / click ids)
+TRACKING_RE = "^(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_eid)="
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://.*$"
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$"
+_REST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*).*$"  # path only
+_QUERY_RE = r"^[^?#]*\?([^#]*).*$"  # query string, no leading '?'
+
+
+def _extract(col: str, pat: str) -> P:
+    # same signature in both dialects; literal escaping differs
+    return P(
+        f"regexp_extract({col}, {_sq(pat)}, 1)",
+        f"regexp_extract({col}, {_dq(pat)}, 1)",
+    )
+
+
+def url_scheme(col: str) -> P:
+    s = _extract(col, _SCHEME_RE)
+    return P(f"lower({s.spark})", f"lower({s.duck})")
+
+
+def url_host(col: str) -> P:
+    """Lowercased host with any default port stripped (scheme-aware:
+    :80 for http, :443 for https; other ports survive)."""
+    hp = _extract(col, _HOST_RE)
+    sch = url_scheme(col)
+
+    def body(hp_x: str, sch_x: str, replace: str) -> str:
+        return (
+            f"CASE WHEN {sch_x} = 'http' THEN {replace}(lower({hp_x}), ':80$', '')"
+            f" WHEN {sch_x} = 'https' THEN {replace}(lower({hp_x}), ':443$', '')"
+            f" ELSE lower({hp_x}) END"
+        )
+
+    return P(
+        body(hp.spark, sch.spark, "regexp_replace"),
+        body(hp.duck, sch.duck, "regexp_replace"),
+    )
+
+
+def url_path(col: str) -> P:
+    return _extract(col, _REST_RE)
+
+
+def url_query_canon(col: str) -> P:
+    """Query string with tracking params removed and the survivors
+    sorted lexicographically; '' when nothing survives."""
+    q = _extract(col, _QUERY_RE)
+    spark = (
+        f"array_join(array_sort(filter(split({q.spark}, '&'),"
+        f" x -> x != '' AND NOT (x rlike {_sq(TRACKING_RE)}))), '&')"
+    )
+    duck = (
+        # coalesce: DuckDB yields NULL (not '') on the empty-list path
+        f"coalesce(array_to_string(list_sort(list_filter(str_split({q.duck}, '&'),"
+        f" x -> x != '' AND NOT regexp_matches(x, {_dq(TRACKING_RE)}))), '&'), '')"
+    )
+    return P(spark, duck)
+
+
+def url_canonical(col: str) -> P:
+    """Full canonical form: lower(scheme)://host[:nondefault-port]/path
+    with sorted non-tracking query params and no fragment.  Returns ''
+    for strings that do not parse as scheme://host URLs (no scheme
+    match), so malformed rows are flaggable downstream."""
+    sch, host, path, q = (
+        url_scheme(col),
+        url_host(col),
+        url_path(col),
+        url_query_canon(col),
+    )
+
+    def body(sch_x, host_x, path_x, q_x) -> str:
+        return (
+            f"CASE WHEN {sch_x} = '' THEN '' ELSE"
+            f" concat({sch_x}, '://', {host_x},"
+            f" CASE WHEN {path_x} = '' THEN '/' ELSE {path_x} END,"
+            f" CASE WHEN {q_x} = '' THEN '' ELSE concat('?', {q_x}) END)"
+            " END"
+        )
+
+    return P(
+        body(sch.spark, host.spark, path.spark, q.spark),
+        body(sch.duck, host.duck, path.duck, q.duck),
+    )
+
+
+def url_registrable_domain(col: str) -> P:
+    """Last two host labels — the public-suffix-list-free approximation
+    (good enough for .com/.org-style synthetic hosts; a real deployment
+    broadcasts the PSL into a lookup join)."""
+    h = url_host(col)
+    pat = r"([^.]+\.[^.]+)$"
+    return P(
+        f"regexp_extract(regexp_replace({h.spark}, ':[0-9]+$', ''), {_sq(pat)}, 1)",
+        f"regexp_extract(regexp_replace({h.duck}, ':[0-9]+$', ''), {_dq(pat)}, 1)",
+    )

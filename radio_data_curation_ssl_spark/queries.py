@@ -3012,3 +3012,66 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("component"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (r4s2).  Messy URLs are derived
+# deterministically from doc_id (case noise, default ports, tracking
+# params, fragments) so the canonicalizer provably collapses them; the
+# fragments live in functions/url.py as Spark/DuckDB pairs.
+
+from .functions import url as URL  # noqa: E402
+
+_RAW_URL_SPARK = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END, '://',"
+    " CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' ELSE 'www.site' END,"
+    " CAST(doc_id % 7 AS STRING), '.Example.COM',"
+    " CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END,"
+    " '/page/', CAST(doc_id % 50 AS STRING),"
+    " CASE WHEN doc_id % 3 = 0 THEN concat('?utm_source=s',"
+    " CAST(doc_id AS STRING), '&ref=', CAST(doc_id % 5 AS STRING))"
+    " WHEN doc_id % 3 = 1 THEN concat('?ref=', CAST(doc_id % 5 AS STRING),"
+    " '&utm_campaign=c') ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END)"
+)
+_RAW_URL_DUCK = _RAW_URL_SPARK.replace("AS STRING", "AS VARCHAR")
+
+
+@register(
+    "url_canonicalize",
+    f"""
+WITH u AS (SELECT doc_id, {_RAW_URL_DUCK} AS url FROM documents),
+c AS (SELECT doc_id,
+             {URL.url_canonical('url').duck} AS url_canon,
+             {URL.url_host('url').duck} AS host,
+             {URL.url_registrable_domain('url').duck} AS domain
+      FROM u)
+SELECT url_canon, host, domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM c GROUP BY url_canon, host, domain
+""",
+    doc="URL canonicalization (functions/url.py: lowercase scheme+host, "
+    "strip fragment + default port, drop utm_*/fbclid/gclid tracking "
+    "params, sort surviving params) followed by URL-level dedup — the "
+    "normalization Common-Crawl pipelines run before url-hash "
+    "partitioning.  Scale: canonicalization is a map-only codegen "
+    "expression chain; the dedup groupBy shuffles once on the canonical "
+    "string (at 10^12 rows: on its hash) with map-side combine.",
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{_RAW_URL_SPARK} AS url")
+        .selectExpr(
+            "doc_id",
+            f"{URL.url_canonical('url').spark} AS url_canon",
+            f"{URL.url_host('url').spark} AS host",
+            f"{URL.url_registrable_domain('url').spark} AS domain",
+        )
+        .groupBy("url_canon", "host", "domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )

@@ -244,3 +244,90 @@ def test_dedup_components_exact_dups_share_component(spark, tmp_path):
     assert out[4] == 4 and out[9] == 4
     assert out[2] == 2
     assert out[17] == 17
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (functions/url.py)
+
+
+URL_CASES = [
+    # (raw, canonical, host, registrable domain)
+    (
+        "HTTPS://WWW.Example.COM:443/Path/One?utm_source=f&id=7&utm_campaign=x#frag",
+        "https://www.example.com/Path/One?id=7",
+        "www.example.com",
+        "example.com",
+    ),
+    (
+        "http://Host.ORG:80/a/b?b=2&a=1&fbclid=zzz",
+        "http://host.org/a/b?a=1&b=2",  # params sorted, tracking dropped
+        "host.org",
+        "host.org",
+    ),
+    (
+        "https://sub.dom.net:8443/x?z=1#y",  # non-default port survives
+        "https://sub.dom.net:8443/x?z=1",
+        "sub.dom.net:8443",
+        "dom.net",
+    ),
+    ("http://plain.com", "http://plain.com/", "plain.com", "plain.com"),
+    ("not a url at all", "", "", ""),
+    (
+        "https://x.io/?utm_source=a",  # tracking-only query vanishes
+        "https://x.io/",
+        "x.io",
+        "x.io",
+    ),
+]
+
+
+def test_url_canonical_cases_and_duck_twin(spark):
+    import duckdb
+
+    from radio_data_curation_ssl_spark.functions import url as U
+
+    frags = {
+        "url_canonical": U.url_canonical("u"),
+        "url_host": U.url_host("u"),
+        "url_registrable_domain": U.url_registrable_domain("u"),
+    }
+    raw = [(c[0],) for c in URL_CASES]
+    srows = [
+        tuple(r)
+        for r in spark.createDataFrame(raw, ["u"])
+        .selectExpr(*[f"{p.spark} AS {n}" for n, p in frags.items()])
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", raw)
+    drows = con.execute(
+        "SELECT "
+        + ", ".join(f"{p.duck} AS {n}" for n, p in frags.items())
+        + " FROM t"
+    ).fetchall()
+    for (raw_u, canon, host, dom), s, d in zip(URL_CASES, srows, drows):
+        assert s == (canon, host, dom), (raw_u, s)
+        assert s == d, f"engine mismatch on {raw_u}: spark={s} duck={d}"
+
+
+def test_url_dedup_collapses_tracking_variants(spark, tmp_path):
+    """Docs whose raw URLs differ only by case/port/tracking/fragment
+    noise must collapse to one canonical row in url_canonicalize."""
+    # ids i and i+2100 agree on every modulus the raw-URL builder uses
+    # (lcm(2,3,4,5,7,50) = 2100), so each pair differs only in the
+    # utm_source value — canonicalization must collapse it
+    ids = [i for i in range(0, 300, 3)] + [i + 2100 for i in range(0, 300, 3)]
+    out = REGISTRY["url_canonicalize"].spark(
+        spark,
+        _write_docs(spark, tmp_path, {i: f"w{i}" for i in ids}),
+    )
+    rows = out.collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    assert n_docs == 200
+    assert len(rows) == 100  # every pair collapsed
+    assert all(r["n_docs"] == 2 for r in rows)
+    for r in rows:
+        assert "utm_" not in r["url_canon"] and "#" not in r["url_canon"]
+        assert r["url_canon"].startswith("https://www.site")
+        assert ":443" not in r["url_canon"]

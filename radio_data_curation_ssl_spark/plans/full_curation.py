@@ -11,8 +11,14 @@ strata (lang) standing in for cluster ids, exactly as SURVEY §7 Phase 5
 maps them.
 
 Shuffle budget at 10^12 docs (each stage documented where defined):
+0. (optional) URL-level dedup on the canonical form: one map-side-
+   combined aggregate + one AQE join on the canonical url;
 1. curate: ZERO shuffles (scan -> one Arrow pass);
-2. exact dedup: one shuffle on the text hash (window, first-by-key);
+2. exact dedup: one map-side-combined min aggregate + one AQE-skew
+   join on the text hash — NOT a rank window, so the pathological
+   duplicated-boilerplate text (one hash, 10^9 copies) partial-
+   aggregates to one row per map task instead of sorting in a single
+   partition;
 3. near-dup removal: one AQE-reused shuffle on (band, band_key) + one
    rerank hash-join, pairs -> drop the larger doc hash of each verified
    pair (keep-first policy, deterministic) — the redundant exact-dup
@@ -51,6 +57,7 @@ def curate_dedup_sample(
     work_dir: str | None = None,
     near_dup: str = "minhash",
     simhash_max_hamming: int = 3,
+    url_dedup: bool = False,
 ) -> DataFrame:
     """pages -> deduplicated, balanced, scrubbed training sample.
 
@@ -70,6 +77,26 @@ def curate_dedup_sample(
         raise ValueError(f"target must be >= 0, got {target}")
     if near_dup not in ("minhash", "simhash", "none"):
         raise ValueError(f"unknown near_dup mode {near_dup!r}")
+    if url_dedup:
+        if curated is not None:
+            raise ValueError(
+                "url_dedup applies before curation; pass pages only, "
+                "not a precomputed curated frame"
+            )
+        # crawl recapture / tracking-variant collapse: one page per
+        # canonical url (min raw url wins — deterministic).  Same
+        # skew-proof first-winner shape as the exact-dedup stage below.
+        from ..functions.url import url_canonical
+
+        cu = pages.withColumn(
+            "_cu", F.expr(url_canonical("url").spark)
+        )
+        first = cu.groupBy("_cu").agg(F.min("url").alias("_first_url"))
+        pages = (
+            cu.join(first, "_cu")
+            .where(F.col("url") == F.col("_first_url"))
+            .drop("_cu", "_first_url")
+        )
     full = curated if curated is not None else curate(pages)
     kept = full.where("keep").select(
         "url", "warc_ts", "text", "text_scrubbed", "lang_pred"
@@ -79,11 +106,12 @@ def curate_dedup_sample(
     # uncached, each would recompute the whole curate+window chain
     # (measured 4x = ~240 s at 400k pages), so it is persisted for the
     # duration of this function.
-    w = Window.partitionBy(F.md5("text")).orderBy("url")
+    th = kept.withColumn("_th", F.md5("text"))
+    th_first = th.groupBy("_th").agg(F.min("url").alias("_first"))
     uniq = (
-        kept.withColumn("_rn", F.row_number().over(w))
-        .where("_rn = 1")
-        .drop("_rn")
+        th.join(th_first, "_th")
+        .where(F.col("url") == F.col("_first"))
+        .drop("_th", "_first")
         .persist()
     )
     # near-dup removal: keep-first policy drops the larger doc hash of

@@ -331,3 +331,83 @@ def test_url_dedup_collapses_tracking_variants(spark, tmp_path):
         assert "utm_" not in r["url_canon"] and "#" not in r["url_canon"]
         assert r["url_canon"].startswith("https://www.site")
         assert ":443" not in r["url_canon"]
+
+
+# ---------------------------------------------------------------------------
+# url_dedup stage in the composed curation flow (plans/full_curation.py)
+
+
+def test_flow_url_dedup_collapses_tracking_twins(spark, pages_small):
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    # a tracking-param twin of every page, with slightly different content
+    # INSIDE the extracted region (so exact text dedup alone would NOT
+    # collapse it — bytes appended after </main> are invisible to the
+    # extractor)
+    twin = pages_small.withColumn(
+        "url", F.concat("url", F.lit("?utm_source=x"))
+    ).withColumn(
+        "html",
+        F.encode(
+            F.regexp_replace(
+                F.decode("html", "utf-8"),
+                "</p></main>",
+                " padfiller</p></main>",
+            ),
+            "utf-8",
+        ),
+    )
+    doubled = pages_small.unionByName(twin)
+
+    base = curate_dedup_sample(pages_small, target=10**9, near_dup="none")
+    on = curate_dedup_sample(
+        doubled, target=10**9, near_dup="none", url_dedup=True
+    )
+    off = curate_dedup_sample(doubled, target=10**9, near_dup="none")
+    n_base, n_on, n_off = base.count(), on.count(), off.count()
+    # canonical twin == base url, min(url) keeps the base page -> the
+    # url-deduped doubled corpus reduces to exactly the base corpus
+    assert n_on == n_base
+    assert n_off > n_base  # twins differ in text, so they survive otherwise
+    # survivors are the original urls (no ?utm_ variants)
+    assert on.where(F.col("url").contains("utm_")).count() == 0
+
+
+def test_flow_url_dedup_rejects_precomputed_curated(spark, pages_small):
+    import pytest as _pytest
+
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+
+    with _pytest.raises(ValueError, match="url_dedup"):
+        curate_dedup_sample(
+            pages_small,
+            target=10,
+            curated=curate(pages_small),
+            url_dedup=True,
+        )
+
+
+def test_flow_exact_dedup_has_no_rank_window(spark, pages_small):
+    """The exact-dedup first-winner must be partial-aggregable (groupBy
+    min + join), not a rank window — boilerplate text duplicated across
+    the corpus is THE canonical skew case."""
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    import re
+
+    df = curate_dedup_sample(pages_small, target=50, near_dup="none")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the only windows allowed are the sampler's per-stratum ranks
+    # (partitioned by lang_pred, bounded groups); none may partition by
+    # the text hash
+    for spec in re.findall(r"windowspecdefinition\((\w+)", plan):
+        assert spec == "lang_pred", plan

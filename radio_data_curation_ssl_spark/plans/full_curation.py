@@ -58,6 +58,7 @@ def curate_dedup_sample(
     near_dup: str = "minhash",
     simhash_max_hamming: int = 3,
     url_dedup: bool = False,
+    line_dedup: bool = False,
 ) -> DataFrame:
     """pages -> deduplicated, balanced, scrubbed training sample.
 
@@ -72,6 +73,13 @@ def curate_dedup_sample(
     64-bit sketch per doc + pigeonhole hamming pairing — ~16x less sketch
     state and no shingle sets, the cheap path real pipelines use at the
     largest scales), or ``"none"`` to skip.
+
+    ``url_dedup`` collapses tracking-variant recaptures to one page per
+    canonical URL before curation (functions/url.py).  ``line_dedup``
+    additionally removes globally-duplicated 10-word spans from the
+    published ``text_scrubbed`` (C4's line-level dedup); the surviving
+    text is whitespace-normalized, and docs whose spans all lose are
+    dropped.
     """
     if target < 0:
         raise ValueError(f"target must be >= 0, got {target}")
@@ -161,6 +169,51 @@ def curate_dedup_sample(
         if losers is not None
         else uniq
     )
+    if line_dedup:
+        # C4-style global line dedup on the PUBLISHED text: every 10-word
+        # span of text_scrubbed survives only at its first corpus-wide
+        # occurrence (min (url, pos)); docs whose spans all lose are
+        # dropped.  Same skew-proof first-winner shape as the stages
+        # above; reassembled text is whitespace-normalized (single
+        # spaces) by construction.  Cost: one agg + one join on the span
+        # hash, one regroup by url.
+        from ..functions import text as X
+
+        sp = (
+            neat.selectExpr(
+                "url", f"{X.words('text_scrubbed').spark} AS _words"
+            )
+            .selectExpr("url", f"{X.spans('_words', 10).spark} AS _spans")
+            .select("url", F.posexplode("_spans").alias("_pos", "_span"))
+            .withColumn("_sh", F.md5("_span"))
+        )
+        sp_first = sp.groupBy("_sh").agg(
+            F.min(F.struct("url", "_pos")).alias("_first")
+        )
+        rebuilt = (
+            sp.join(sp_first, "_sh")
+            .where(
+                (F.col("url") == F.col("_first.url"))
+                & (F.col("_pos") == F.col("_first._pos"))
+            )
+            .groupBy("url")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("_pos", "_span"))
+                        ),
+                        lambda s: s["_span"],
+                    ),
+                    " ",
+                ).alias("_line_deduped")
+            )
+        )
+        neat = (
+            neat.join(rebuilt, "url")  # inner: all-spans-lost docs drop
+            .withColumn("text_scrubbed", F.col("_line_deduped"))
+            .drop("_line_deduped")
+        )
     spark = pages.sparkSession
     if work_dir is not None:
         # leak-free mode: materialize the deduped set once, drop every

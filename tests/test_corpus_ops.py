@@ -411,3 +411,34 @@ def test_flow_exact_dedup_has_no_rank_window(spark, pages_small):
     # the text hash
     for spec in re.findall(r"windowspecdefinition\((\w+)", plan):
         assert spec == "lang_pred", plan
+
+
+def test_flow_line_dedup_output_has_globally_unique_spans(spark, pages_small):
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.functions import text as X
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    base = curate_dedup_sample(pages_small, target=10**9, near_dup="none")
+    out = curate_dedup_sample(
+        pages_small, target=10**9, near_dup="none", line_dedup=True
+    ).cache()
+    n_base, n_out = base.count(), out.count()
+    assert 0 < n_out <= n_base
+
+    # THE invariant: every 10-word span of every published text occurs
+    # exactly once across the whole output corpus
+    spans = (
+        out.selectExpr("url", f"{X.words('text_scrubbed').spark} AS w")
+        .selectExpr("url", f"{X.spans('w', 10).spark} AS s")
+        .select(F.explode("s").alias("span"))
+    )
+    dup_spans = (
+        spans.groupBy("span").count().where("count > 1").count()
+    )
+    assert dup_spans == 0
+    # all published texts are non-empty (all-lost docs were dropped)
+    assert out.where("text_scrubbed = ''").count() == 0
+    out.unpersist()

@@ -16,8 +16,10 @@ from __future__ import annotations
 
 from .text import P, _dq, _sq
 
-# parameters dropped during canonicalization (tracking / click ids)
-TRACKING_RE = "^(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_eid)="
+# parameters dropped during canonicalization (tracking / click ids);
+# (=|$) also catches the valueless form ('?fbclid') without swallowing
+# lookalike names ('fbclid2=...')
+TRACKING_RE = "^(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_eid)(=|$)"
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://.*$"
 _HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$"

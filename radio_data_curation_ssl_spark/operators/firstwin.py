@@ -1,0 +1,38 @@
+"""Skew-proof deterministic "keep first per key" — the shared first-winner
+idiom used by every dedup stage (URL dedup, exact text dedup, global line
+dedup).
+
+Why not a rank window: ``row_number() over (partition by key)`` sorts each
+key's rows inside ONE partition — the pathological hot key (boilerplate
+text or the empty line duplicated 10^9 times) serializes on a single task.
+``groupBy(key).agg(min_by(payload, order))`` is ONE declarative aggregate:
+it partial-aggregates map-side (one surviving row per map task per key),
+needs no join back, and AQE sizes the single shuffle.
+
+Tie semantics: rows equal on (key + order) are indistinguishable under the
+given ordering and exactly one survives; if such rows can differ in OTHER
+columns the pick among them is not guaranteed stable — give a richer
+``order_cols`` if that matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def keep_first(
+    df: DataFrame, key_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """One row per ``key_cols`` group: the row minimal under
+    ``order_cols`` (struct-lexicographic).  Preserves the input schema
+    and column order."""
+    if not key_cols or not order_cols:
+        raise ValueError("key_cols and order_cols must be non-empty")
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    order = F.struct(*[F.col(c) for c in order_cols])
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.min_by(payload, order).alias("_kf"))
+        .select("_kf.*")
+    )

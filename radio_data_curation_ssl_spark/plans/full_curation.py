@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.firstwin import keep_first
 from ..operators.minhash import minhash_neardup_pairs
 from ..operators.sampling import stratified_sample
 from .pipeline import curate
@@ -77,9 +78,9 @@ def curate_dedup_sample(
     ``url_dedup`` collapses tracking-variant recaptures to one page per
     canonical URL before curation (functions/url.py).  ``line_dedup``
     additionally removes globally-duplicated 10-word spans from the
-    published ``text_scrubbed`` (C4's line-level dedup); the surviving
-    text is whitespace-normalized, and docs whose spans all lose are
-    dropped.
+    published ``text_scrubbed`` (C4's line-level dedup, case-preserving);
+    surviving text is whitespace-normalized, docs whose spans all lose
+    are dropped, and zero-span docs pass through unchanged.
     """
     if target < 0:
         raise ValueError(f"target must be >= 0, got {target}")
@@ -92,36 +93,35 @@ def curate_dedup_sample(
                 "not a precomputed curated frame"
             )
         # crawl recapture / tracking-variant collapse: one page per
-        # canonical url (min raw url wins — deterministic).  Same
-        # skew-proof first-winner shape as the exact-dedup stage below.
+        # canonical url, min (url, warc_ts) wins.  Unparseable urls
+        # canonicalize to '' — those fall back to the RAW url as their
+        # own group (no mass-collapse of scheme-less pages into one).
         from ..functions.url import url_canonical
 
         cu = pages.withColumn(
-            "_cu", F.expr(url_canonical("url").spark)
+            "_cu",
+            F.coalesce(
+                F.nullif(F.expr(url_canonical("url").spark), F.lit("")),
+                F.col("url"),
+            ),
         )
-        first = cu.groupBy("_cu").agg(F.min("url").alias("_first_url"))
-        pages = (
-            cu.join(first, "_cu")
-            .where(F.col("url") == F.col("_first_url"))
-            .drop("_cu", "_first_url")
-        )
+        pages = keep_first(cu, ["_cu"], ["url", "warc_ts"]).drop("_cu")
     full = curated if curated is not None else curate(pages)
+    # persisted: the text-hash first-winner below consumes this frame on
+    # both the aggregate and probe sides — uncached, each side would
+    # recompute the whole curate chain (the 'measured 4x = ~240 s at
+    # 400k pages' failure mode documented on uniq below).
     kept = full.where("keep").select(
         "url", "warc_ts", "text", "text_scrubbed", "lang_pred"
-    )
-    # exact dedup: first url per text hash survives.  The frame feeds four
-    # branches (LSH band side, both rerank sides, the final keep-join) —
-    # uncached, each would recompute the whole curate+window chain
-    # (measured 4x = ~240 s at 400k pages), so it is persisted for the
-    # duration of this function.
-    th = kept.withColumn("_th", F.md5("text"))
-    th_first = th.groupBy("_th").agg(F.min("url").alias("_first"))
-    uniq = (
-        th.join(th_first, "_th")
-        .where(F.col("url") == F.col("_first"))
-        .drop("_th", "_first")
-        .persist()
-    )
+    ).persist()
+    # exact dedup: one row per text hash, min (url, warc_ts) wins — a
+    # same-url recapture (identical text, two warc_ts rows) collapses to
+    # exactly one row (keep_first dedups order-ties).  uniq is persisted:
+    # it feeds four branches (LSH band side, both rerank sides, the final
+    # keep-join).
+    uniq = keep_first(
+        kept.withColumn("_th", F.md5("text")), ["_th"], ["url", "warc_ts"]
+    ).drop("_th").persist()
     # near-dup removal: keep-first policy drops the larger doc hash of
     # each verified pair (both machineries key docs by a LONG id, so urls
     # ride as xxhash64 surrogates — 64-bit, collision-negligible,
@@ -169,62 +169,70 @@ def curate_dedup_sample(
         if losers is not None
         else uniq
     )
+    spark = pages.sparkSession
+
+    def _materialize(df: DataFrame, name: str) -> DataFrame:
+        # leak-free mode (work_dir): parquet round-trip, nothing cached;
+        # otherwise persist + count so upstream caches can go
+        if work_dir is not None:
+            df.write.mode("overwrite").parquet(f"{work_dir}/{name}")
+            return spark.read.parquet(f"{work_dir}/{name}")
+        df = df.persist()
+        df.count()
+        return df
+
+    neat = _materialize(neat, "deduped")
+    uniq.unpersist()
+    kept.unpersist()
     if line_dedup:
-        # C4-style global line dedup on the PUBLISHED text: every 10-word
-        # span of text_scrubbed survives only at its first corpus-wide
-        # occurrence (min (url, pos)); docs whose spans all lose are
-        # dropped.  Same skew-proof first-winner shape as the stages
-        # above; reassembled text is whitespace-normalized (single
-        # spaces) by construction.  Cost: one agg + one join on the span
-        # hash, one regroup by url.
+        # C4-style global line dedup on the PUBLISHED text: every
+        # case-PRESERVING 10-word span of text_scrubbed survives only at
+        # its first corpus-wide occurrence (min (url, text-hash, pos) —
+        # a total order even when distinct-content recaptures share a
+        # url).  Docs whose spans ALL lose are dropped; zero-span docs
+        # (nothing to dedup) keep their text unchanged.  Surviving text
+        # is whitespace-normalized by reassembly.  Runs against the
+        # materialized frame, so the dedup subtree is never recomputed.
         from ..functions import text as X
 
+        nosplit = "filter(split(text_scrubbed, '\\\\s+'), x -> x != '')"
+        nl = neat.withColumn("_txh", F.md5("text_scrubbed"))
         sp = (
-            neat.selectExpr(
-                "url", f"{X.words('text_scrubbed').spark} AS _words"
+            nl.selectExpr("url", "_txh", f"{nosplit} AS _words")
+            .selectExpr(
+                "url", "_txh", f"{X.spans('_words', 10).spark} AS _spans"
             )
-            .selectExpr("url", f"{X.spans('_words', 10).spark} AS _spans")
-            .select("url", F.posexplode("_spans").alias("_pos", "_span"))
+            .select(
+                "url", "_txh", F.posexplode("_spans").alias("_pos", "_span")
+            )
             .withColumn("_sh", F.md5("_span"))
         )
-        sp_first = sp.groupBy("_sh").agg(
-            F.min(F.struct("url", "_pos")).alias("_first")
+        winners = keep_first(sp, ["_sh"], ["url", "_txh", "_pos"])
+        rebuilt = winners.groupBy("url", "_txh").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_span"))),
+                    lambda s: s["_span"],
+                ),
+                " ",
+            ).alias("_line_deduped")
         )
-        rebuilt = (
-            sp.join(sp_first, "_sh")
+        lined = (
+            nl.join(rebuilt, ["url", "_txh"], "left")
+            .withColumn("_n_spans", F.size(F.expr(nosplit)))
             .where(
-                (F.col("url") == F.col("_first.url"))
-                & (F.col("_pos") == F.col("_first._pos"))
+                F.col("_line_deduped").isNotNull() | (F.col("_n_spans") == 0)
             )
-            .groupBy("url")
-            .agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("_pos", "_span"))
-                        ),
-                        lambda s: s["_span"],
-                    ),
-                    " ",
-                ).alias("_line_deduped")
+            .withColumn(
+                "text_scrubbed",
+                F.coalesce("_line_deduped", "text_scrubbed"),
             )
+            .drop("_line_deduped", "_n_spans", "_txh")
         )
-        neat = (
-            neat.join(rebuilt, "url")  # inner: all-spans-lost docs drop
-            .withColumn("text_scrubbed", F.col("_line_deduped"))
-            .drop("_line_deduped")
-        )
-    spark = pages.sparkSession
-    if work_dir is not None:
-        # leak-free mode: materialize the deduped set once, drop every
-        # cache, serve all downstream actions from the parquet artifact
-        neat.write.mode("overwrite").parquet(f"{work_dir}/deduped")
-        uniq.unpersist()
-        neat = spark.read.parquet(f"{work_dir}/deduped")
-    else:
-        neat = neat.persist()
-        neat.count()  # materialize so the upstream cache can go
-        uniq.unpersist()
+        lined = _materialize(lined, "line_deduped")
+        if work_dir is None:
+            neat.unpersist()
+        neat = lined
     # balanced sample across predicted languages (water-fill quota);
     # clamp target to the surviving population
     n = neat.count()

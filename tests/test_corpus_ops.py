@@ -442,3 +442,135 @@ def test_flow_line_dedup_output_has_globally_unique_spans(spark, pages_small):
     # all published texts are non-empty (all-lost docs were dropped)
     assert out.where("text_scrubbed = ''").count() == 0
     out.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions (r4s2): case preservation, min-tie collapse,
+# unparseable-url grouping, valueless tracking params, keep_first helper
+
+
+def test_keep_first_min_and_schema(spark):
+    from radio_data_curation_ssl_spark.operators.firstwin import keep_first
+
+    df = spark.createDataFrame(
+        [("k1", 3, "c"), ("k1", 1, "a"), ("k1", 2, "b"), ("k2", 9, "z")],
+        ["k", "o", "v"],
+    )
+    got = {r["k"]: (r["o"], r["v"]) for r in keep_first(df, ["k"], ["o"]).collect()}
+    assert got == {"k1": (1, "a"), "k2": (9, "z")}
+    assert keep_first(df, ["k"], ["o"]).columns == ["k", "o", "v"]
+    with pytest.raises(ValueError):
+        keep_first(df, [], ["o"])
+
+
+def test_keep_first_plan_is_single_aggregate_no_window(spark):
+    import re
+
+    from radio_data_curation_ssl_spark.operators.firstwin import keep_first
+
+    df = spark.createDataFrame([("k", 1, "a")], ["k", "o", "v"])
+    plan = (
+        keep_first(df, ["k"], ["o"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert re.search(r"partial_min_by", plan), plan  # map-side combine
+
+
+def test_flow_same_url_recapture_collapses_to_one_row(spark, pages_small):
+    """Two rows with the same url and identical content (a recapture with
+    a different warc_ts) must yield exactly one published row — the old
+    rank-window behavior, regressed by a naive min(url) filter."""
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    recap = pages_small.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")
+    )
+    doubled = pages_small.unionByName(recap)
+    base = curate_dedup_sample(pages_small, target=10**9, near_dup="none")
+    out = curate_dedup_sample(doubled, target=10**9, near_dup="none").cache()
+    assert out.count() == base.count()
+    assert out.select("url").distinct().count() == out.count()
+    # the EARLIER capture wins (min warc_ts)
+    orig_ts = {r["url"]: r["warc_ts"] for r in pages_small.select("url", "warc_ts").collect()}
+    for r in out.select("url", "warc_ts").collect():
+        assert r["warc_ts"] == orig_ts[r["url"]]
+    out.unpersist()
+
+
+def test_flow_url_dedup_keeps_unparseable_urls_distinct(spark, pages_small):
+    """Scheme-less urls canonicalize to '' — they must remain distinct
+    pages, not collapse into one survivor."""
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    schemeless = pages_small.withColumn(
+        "url", F.regexp_replace("url", "^https://", "")
+    )
+    base = curate_dedup_sample(pages_small, target=10**9, near_dup="none")
+    out = curate_dedup_sample(
+        schemeless, target=10**9, near_dup="none", url_dedup=True
+    )
+    assert out.count() == base.count()
+
+
+def test_flow_line_dedup_preserves_case(spark, pages_small):
+    """line_dedup must not lowercase the published text (the scrubbed
+    payload is case-sensitive; only span COMPARISON may normalize)."""
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    upper = pages_small.withColumn(
+        "html",
+        F.encode(
+            F.regexp_replace(
+                F.decode("html", "utf-8"), "<p>", "<p>UPPERTOKEN "
+            ),
+            "utf-8",
+        ),
+    )
+    out = curate_dedup_sample(
+        upper, target=10**9, near_dup="none", line_dedup=True
+    ).cache()
+    n_upper = out.where(F.col("text_scrubbed").contains("UPPERTOKEN")).count()
+    n_lower = out.where(F.col("text_scrubbed").contains("uppertoken")).count()
+    assert n_upper > 0 and n_lower == 0
+    out.unpersist()
+
+
+def test_url_tracking_param_without_value_is_dropped(spark):
+    import duckdb
+
+    from radio_data_curation_ssl_spark.functions import url as U
+
+    cases = [
+        ("https://a.com/p?fbclid", "https://a.com/p"),
+        ("https://a.com/p?utm_source&x=1", "https://a.com/p?x=1"),
+        ("https://a.com/p?fbclid2=keep", "https://a.com/p?fbclid2=keep"),
+    ]
+    frag = U.url_canonical("u")
+    srows = [
+        r[0]
+        for r in spark.createDataFrame([(c[0],) for c in cases], ["u"])
+        .selectExpr(f"{frag.spark} AS c")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(c[0],) for c in cases])
+    drows = [r[0] for r in con.execute(f"SELECT {frag.duck} FROM t").fetchall()]
+    for (raw, want), s, d in zip(cases, srows, drows):
+        assert s == want, (raw, s)
+        assert s == d, (raw, s, d)

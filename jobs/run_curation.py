@@ -56,7 +56,21 @@ def main(argv: list[str] | None = None) -> int:
         "bucket-committed keep-set; re-running the same config is a no-op "
         "(the snapshot is tagged by the run id)",
     )
+    ap.add_argument(
+        "--url-dedup",
+        action="store_true",
+        help="with --sample-target: collapse tracking-variant recaptures "
+        "to one page per canonical URL before curation",
+    )
+    ap.add_argument(
+        "--line-dedup",
+        action="store_true",
+        help="with --sample-target: remove globally-duplicated 10-word "
+        "spans from the published text (C4-style line dedup)",
+    )
     args = ap.parse_args(argv)
+    if (args.url_dedup or args.line_dedup) and args.sample_target is None:
+        ap.error("--url-dedup/--line-dedup require --sample-target")
 
     from radio_data_curation_ssl_spark.operators.resume import write_resumable
     from radio_data_curation_ssl_spark.plans.pipeline import curate
@@ -102,8 +116,13 @@ def main(argv: list[str] | None = None) -> int:
                 sample = curate_dedup_sample(
                     pages,
                     args.sample_target,
-                    curated=result,
+                    # url_dedup must filter PAGES before curation, so the
+                    # flow curates internally in that mode (the metrics
+                    # frame `result` still reports on the full input)
+                    curated=None if args.url_dedup else result,
                     work_dir=f"{args.output}/_work",
+                    url_dedup=args.url_dedup,
+                    line_dedup=args.line_dedup,
                 )
                 version = publish_sample(sample, root)
                 snapshots.rollback(root, version, tag=run_id)  # pin run tag

@@ -24,9 +24,16 @@ Shuffle budget at 10^12 docs (each stage documented where defined):
    pair (keep-first policy, deterministic) — the redundant exact-dup
    collapse inside the minhash operator is skipped (stage 2 already did
    it);
+3b. (optional) global line dedup on the published text: one
+   partial-aggregable min_by on the span hash + one regroup by
+   (url, text-hash), run against the materialized dedup artifact;
 4. balanced sample: |strata|-row aggregate to the driver for the
    water-fill cut + one shuffle on the stratum key;
 5. publish: atomic snapshot version + tag (plans/snapshots.py).
+
+Every first-winner above is operators/firstwin.py::keep_first — ONE
+declarative min_by aggregate (map-side combine, no rank window, no join
+back), so no dedup key can serialize a hot partition.
 
 Intermediate lifecycle: the flow takes several actions over the deduped
 set (population count, per-stratum sizes, the consumer's own action).

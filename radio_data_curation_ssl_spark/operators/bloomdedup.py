@@ -1,0 +1,186 @@
+"""Distributed Bloom-filter prefilter for incremental dedup.
+
+The incremental-crawl problem: a new batch of pages must be deduped
+against the already-committed corpus (the reference's resume idiom —
+skip work whose output already exists, /root/reference/src/
+clustering/run_distributed_kmeans.py:58-205 and 1a_cutouts_sw.py:69-71 —
+lifted to corpus scale).  A plain ``new LEFT ANTI JOIN seen`` shuffles
+BOTH sides on the key; at 10^12 committed documents the seen-side
+shuffle dominates the whole job.
+
+This operator makes the join one-sided:
+
+1. **Build** a Bloom filter over the committed keys, distributed end to
+   end: each partition ORs its keys into a local bitmap and emits only
+   its NONZERO 64-bit words as sparse ``(idx, word)`` rows; one
+   map-side-combined ``groupBy(idx).agg(bit_or)`` reduces them and the
+   driver collects at most ``m/64`` words (a 2^27-bit filter = 16 MiB —
+   fixed, independent of corpus size).
+2. **Prefilter** the new batch map-side with the broadcast bitmap
+   (vectorized numpy double hashing inside ``mapInPandas`` — no per-row
+   Python).  Bloom filters have NO false negatives, so rows the filter
+   rejects are *definitely new* and skip the join entirely.
+3. **Verify** only the maybe-seen survivors exactly: broadcast the
+   (small, fpp-bounded) candidate key set as a left-semi probe of the
+   committed table — the committed side is only ever SCANNED, never
+   shuffled — then anti-join the candidates against the (again
+   broadcast) confirmed hits.
+
+The final output is EXACT — identical to the plain anti-join for every
+input and any (m, k) sizing — because the bloom only ever short-circuits
+definite negatives; everything else is re-checked key-equal.  Sizing:
+``m_bits ~ 10 * n_seen`` and ``k_hashes = 5..7`` gives fpp < 1%, so the
+verify join touches ~1% of the batch.
+
+Hashing: keys are hashed JVM-side to int64 (``xxhash64``) before they
+reach numpy; inside the bitmap, positions come from splitmix64 double
+hashing (h1 + i*h2 mod m).  Collisions are safe by construction — a
+different key with the same 64-bit hash just lands in the verify join.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..synth import splitmix64
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _positions(keys: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """(k_hashes, n) bit positions via splitmix64 double hashing."""
+    keys = keys.astype(np.uint64, copy=False)
+    h1 = splitmix64(keys)
+    h2 = splitmix64(keys ^ _GOLDEN) | np.uint64(1)
+    i = np.arange(k_hashes, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)).astype(
+        np.int64
+    )
+
+
+def _or_into(bitmap: np.ndarray, keys: np.ndarray, m_bits: int, k: int) -> None:
+    pos = _positions(keys, m_bits, k)
+    np.bitwise_or.at(
+        bitmap, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63))
+    )
+
+
+def _test_bits(
+    bitmap: np.ndarray, keys: np.ndarray, m_bits: int, k: int
+) -> np.ndarray:
+    """Boolean maybe-contained per key (all k bits set)."""
+    pos = _positions(keys, m_bits, k)
+    words = bitmap[pos >> 6]
+    bits = (words >> (pos.astype(np.uint64) & np.uint64(63))) & np.uint64(1)
+    return bits.all(axis=0)
+
+
+def build_bloom(
+    df: DataFrame, key_hash_col: str, m_bits: int = 1 << 20, k_hashes: int = 5
+) -> np.ndarray:
+    """Distributed Bloom build over a LONG key-hash column.
+
+    Per-partition bitmaps reduced as sparse (idx, bit_or(word)) rows —
+    the driver receives at most ``m_bits/64`` longs regardless of row
+    count or partition count."""
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    if k_hashes <= 0:
+        raise ValueError(f"k_hashes must be positive, got {k_hashes}")
+    n_words = m_bits // 64
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bm = np.zeros(n_words, dtype=np.uint64)
+        for b in batches:
+            keys = b[key_hash_col].to_numpy(dtype=np.int64, na_value=0)
+            if keys.size:
+                _or_into(bm, keys.view(np.uint64), m_bits, k_hashes)
+        idx = np.flatnonzero(bm)
+        yield pd.DataFrame(
+            {"idx": idx.astype(np.int64), "w": bm[idx].view(np.int64)}
+        )
+
+    rows = (
+        df.select(key_hash_col)
+        .mapInPandas(partial, "idx long, w long")
+        .groupBy("idx")
+        .agg(F.bit_or("w").alias("w"))
+        .collect()
+    )
+    bitmap = np.zeros(n_words, dtype=np.uint64)
+    for r in rows:
+        bitmap[r["idx"]] = np.int64(r["w"]).astype(np.uint64)
+    return bitmap
+
+
+def with_might_contain(
+    df: DataFrame,
+    key_hash_col: str,
+    bitmap: np.ndarray,
+    m_bits: int,
+    k_hashes: int,
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """Map-side membership flag from a broadcast bitmap (no shuffle)."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    bc = df.sparkSession.sparkContext.broadcast(bitmap)
+    cols = list(df.columns)
+    # never .add() onto df.schema — StructType.add mutates the instance
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, BooleanType())]
+    )
+
+    def flag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bm = bc.value
+        for b in batches:
+            keys = b[key_hash_col].to_numpy(dtype=np.int64, na_value=0)
+            b[out_col] = _test_bits(bm, keys.view(np.uint64), m_bits, k_hashes)
+            yield b
+
+    return df.select(*cols).mapInPandas(flag, schema)
+
+
+def incremental_new(
+    batch: DataFrame,
+    seen: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """EXACT ``batch`` rows whose ``key_col`` never appears in ``seen``,
+    with the seen side scanned but never shuffled.
+
+    Plan: bloom(seen keys) prefilter -> definite-new rows bypass all
+    joins; maybe-seen candidates broadcast-semi-probe ``seen`` (hits are
+    the candidate keys that truly exist) -> broadcast anti-join removes
+    them.  Exactness: bloom negatives are guaranteed absent (no false
+    negatives over the xxhash64 key image; a 64-bit hash collision only
+    ever ADDS a candidate, which the key-equal verify joins then judge
+    on the string key itself).  At 10^12 seen rows the only full-corpus
+    work is one scan of ``seen`` under a broadcast semi filter."""
+    kh = "_bloom_kh"
+    seen_k = seen.select(F.xxhash64(F.col(key_col)).alias(kh))
+    bitmap = build_bloom(seen_k, kh, m_bits=m_bits, k_hashes=k_hashes)
+    flagged = with_might_contain(
+        batch.withColumn(kh, F.xxhash64(F.col(key_col))),
+        kh,
+        bitmap,
+        m_bits,
+        k_hashes,
+    ).drop(kh)
+    definite_new = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
+    cand = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
+    cand_keys = cand.select(key_col).distinct()
+    hits = (
+        seen.join(F.broadcast(cand_keys), key_col, "left_semi")
+        .select(key_col)
+        .distinct()
+    )
+    survivors = cand.join(F.broadcast(hits), key_col, "left_anti")
+    return definite_new.unionByName(survivors)

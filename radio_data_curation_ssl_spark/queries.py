@@ -2979,6 +2979,151 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental-crawl dedup + corpus-shaping budgets (r4): the three
+# batch-over-committed operations a continuously-fed curation pipeline
+# runs between snapshots — bloom-prefiltered new-vs-seen URL dedup,
+# per-domain anti-domination caps, per-language proportional quality
+# budgets (FineWeb/CCNet-style corpus shaping).
+
+_DOC_PPL_DUCK = f"""w AS ({_DOC_WORDS_DUCK}),
+bg AS (SELECT doc_id, lang, {_BG.duck} AS bigrams FROM w),
+p AS (SELECT doc_id, lang, {_PPL.duck} AS ppl FROM bg)"""
+
+
+def _doc_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, ppl) — the shared quality score both budget queries
+    rank on (map-only; the hash-green perplexity_hashed_ngram fragment)."""
+    return (
+        _docs_with_words(spark, sf_dir)
+        .withColumn("bigrams", F.expr(_BG.spark))
+        .selectExpr("doc_id", "lang", f"{_PPL.spark} AS ppl")
+    )
+
+
+@register(
+    "bloom_incremental_url_dedup",
+    f"""
+WITH u AS (SELECT doc_id, {_RAW_URL_DUCK} AS url FROM documents),
+c AS (SELECT doc_id, {URL.url_canonical('url').duck} AS url_canon FROM u),
+seen AS (SELECT url_canon FROM c WHERE doc_id % 3 <> 0),
+batch AS (SELECT doc_id, url_canon FROM c WHERE doc_id % 3 = 0)
+SELECT b.doc_id, b.url_canon
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url_canon = b.url_canon)
+""",
+    doc="Incremental new-vs-committed URL dedup through a DISTRIBUTED "
+    "Bloom prefilter (operators/bloomdedup.py): the committed corpus's "
+    "canonical urls build a fixed-size bitmap (sparse per-partition "
+    "words -> one bit_or reduce -> <= m/64 longs to the driver), the new "
+    "batch is flagged map-side, and only the fpp-bounded maybe-seen "
+    "candidates reach exact verification (broadcast semi-probe of seen "
+    "+ broadcast anti-join) — the result is EXACT (bloom has no false "
+    "negatives), which is why this query carries a full anti-join "
+    "oracle despite the probabilistic prefilter. Deliberately undersized "
+    "bitmap here (m=2^14 -> high fpp) so the verify path is exercised, "
+    "not just the bypass. Scale: at 10^12 committed docs the seen side "
+    "is scanned once under a broadcast filter and NEVER shuffled; the "
+    "batch does two map passes + one broadcast join on ~fpp of its rows "
+    "(tests/test_bloomdedup.py: no-false-negative property, fpp bound, "
+    "exactness vs plain anti-join, seen-side-never-shuffled plan).",
+    bench=True,
+)
+def q_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bloomdedup import incremental_new
+
+    c = (
+        t(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{_RAW_URL_SPARK} AS url")
+        .selectExpr(
+            "doc_id", f"{URL.url_canonical('url').spark} AS url_canon"
+        )
+    )
+    seen = c.where("doc_id % 3 <> 0").select("url_canon")
+    batch = c.where("doc_id % 3 = 0").select("doc_id", "url_canon")
+    return incremental_new(batch, seen, "url_canon", m_bits=1 << 14)
+
+
+@register(
+    "host_cap_topk",
+    f"""
+WITH {_DOC_PPL_DUCK},
+u AS (SELECT doc_id, {_RAW_URL_DUCK} AS url FROM documents),
+d AS (SELECT u.doc_id,
+             {URL.url_host('url').duck} AS host, p.ppl
+      FROM u JOIN p ON p.doc_id = u.doc_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY host
+                                   ORDER BY ppl, doc_id) AS rn FROM d)
+SELECT doc_id, host, ppl, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 5
+""",
+    doc="Per-host anti-domination cap: keep the 5 best-quality "
+    "(lowest-ppl) documents per host (registrable-domain variant is the "
+    "url_registrable_domain one-string swap) — the host-level "
+    "budget web curation applies so boilerplate farms cannot dominate "
+    "the corpus. Spark side runs the SKEW-PROOF two-phase form: rank "
+    "within (domain, salt-of-doc_id) keeping 5, then rank within domain "
+    "keeping 5 — identical output (the global top-5 is contained in the "
+    "union of per-salt top-5s) but the pathological million-page host "
+    "splits across 8 salt sub-keys instead of serializing one task "
+    "(plan-asserted two-window shape; oracle is the plain single "
+    "window). Scale: two window shuffles, the first on the salted key.",
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _doc_ppl(spark, sf_dir).select("doc_id", "ppl")
+    u = (
+        t(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{_RAW_URL_SPARK} AS url")
+        .selectExpr(
+            "doc_id", f"{URL.url_host('url').spark} AS host"
+        )
+    )
+    d = u.join(p, "doc_id")
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(8))
+    w1 = Window.partitionBy("host", "_salt").orderBy("ppl", "doc_id")
+    w2 = Window.partitionBy("host").orderBy("ppl", "doc_id")
+    return (
+        d.withColumn("_salt", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .where("_rn1 <= 5")
+        .withColumn("rn", F.row_number().over(w2).cast("long"))
+        .where("rn <= 5")
+        .select("doc_id", "host", "ppl", "rn")
+    )
+
+
+@register(
+    "lang_quality_budget",
+    f"""
+WITH {_DOC_PPL_DUCK},
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY ppl, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n FROM p)
+SELECT doc_id, lang, ppl, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= CAST(floor(0.3 * n) AS BIGINT)
+""",
+    doc="Per-language proportional quality budget: keep the best 30% of "
+    "each language by perplexity, rank-based — the FineWeb/CCNet-style "
+    "calibration step, expressed as integer rank semantics (rn <= "
+    "floor(0.3*n)) rather than a value threshold so the keep set is "
+    "deterministic and engine-exact (no interpolated-percentile boundary "
+    "ulp). Scale: ONE shuffle on lang serves both the rank and the "
+    "group-count frame; at 10^12 docs languages are few and huge — the "
+    "production swap is the same two-phase salted rank domain_cap_topk "
+    "ships, with per-salt quotas from a first count pass.",
+)
+def q_lang_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    wn = Window.partitionBy("lang")
+    return (
+        _doc_ppl(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count("*").over(wn))
+        .where(F.col("rn") <= F.floor(0.3 * F.col("n")).cast("long"))
+        .select("doc_id", "lang", "ppl", "rn")
+    )
+
+
 _GRAD_W_SPARK = "CASE WHEN i % 2 = 0 THEN 0.01D ELSE -0.01D END"
 _GRAD_W_DUCK = "CASE WHEN (i - 1) % 2 = 0 THEN 0.01 ELSE -0.01 END"
 _GRAD_Z_SPARK = (

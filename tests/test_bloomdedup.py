@@ -1,0 +1,109 @@
+"""Bloom-prefiltered incremental dedup (operators/bloomdedup.py).
+
+Contract under test: the probabilistic prefilter never changes the
+RESULT — `incremental_new` is exactly `batch ANTI JOIN seen` for every
+input and every (m, k) sizing — and the plan keeps the committed side
+un-shuffled (the whole point at 10^12 seen rows)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from radio_data_curation_ssl_spark.operators.bloomdedup import (
+    _or_into,
+    _test_bits,
+    build_bloom,
+    incremental_new,
+    with_might_contain,
+)
+
+M_BITS = 1 << 12
+K = 5
+
+
+def test_kernel_no_false_negatives_and_fpp_bound():
+    rng = np.random.default_rng(7)
+    inserted = rng.integers(0, 2**63, size=300, dtype=np.int64).view(np.uint64)
+    bm = np.zeros(M_BITS // 64, dtype=np.uint64)
+    _or_into(bm, inserted, M_BITS, K)
+    # no false negatives — every inserted key tests positive
+    assert _test_bits(bm, inserted, M_BITS, K).all()
+    # fpp sanity: theoretical (1 - e^{-kn/m})^k ~ 2.4% here; allow 3x
+    probe = rng.integers(0, 2**63, size=20_000, dtype=np.int64).view(np.uint64)
+    probe = probe[~np.isin(probe, inserted)]
+    fpp = _test_bits(bm, probe, M_BITS, K).mean()
+    theo = (1 - np.exp(-K * inserted.size / M_BITS)) ** K
+    assert fpp < 3 * theo + 0.01, (fpp, theo)
+
+
+def test_build_bloom_matches_local_kernel(spark):
+    """The distributed sparse bit_or build == a single local OR pass."""
+    keys = [int(x) for x in range(-50, 950, 7)]
+    df = spark.createDataFrame([(k,) for k in keys], "kh long").repartition(4)
+    got = build_bloom(df, "kh", m_bits=M_BITS, k_hashes=K)
+    want = np.zeros(M_BITS // 64, dtype=np.uint64)
+    _or_into(want, np.array(keys, dtype=np.int64).view(np.uint64), M_BITS, K)
+    assert (got == want).all()
+
+
+def test_build_bloom_validates_params(spark):
+    df = spark.range(3).withColumnRenamed("id", "kh")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        build_bloom(df, "kh", m_bits=100)
+    with pytest.raises(ValueError, match="k_hashes"):
+        build_bloom(df, "kh", k_hashes=0)
+
+
+def test_with_might_contain_schema_untouched(spark):
+    """Regression: building the output schema must not mutate the input
+    DataFrame's StructType (StructType.add mutates in place)."""
+    df = spark.range(10).select(
+        F.col("id"), F.xxhash64("id").alias("kh")
+    )
+    bm = build_bloom(df, "kh", m_bits=M_BITS, k_hashes=K)
+    out = with_might_contain(df, "kh", bm, M_BITS, K)
+    assert out.columns == ["id", "kh", "maybe_seen"]
+    assert df.columns == ["id", "kh"]
+    assert out.where(~F.col("maybe_seen")).count() == 0  # all inserted
+
+
+@pytest.mark.parametrize("m_bits", [64, 1 << 12])
+def test_incremental_new_exact_vs_anti_join(spark, m_bits):
+    """Exactness for any sizing — m_bits=64 forces ~every row through the
+    verify path (all maybe-seen), 2^12 exercises the definite-new bypass."""
+    base = spark.range(0, 400).select(
+        F.concat(F.lit("k"), (F.col("id") % 120).cast("string")).alias("key"),
+        F.col("id").alias("payload"),
+    )
+    seen = base.where("payload % 3 <> 0").select("key")
+    batch = base.where("payload % 3 = 0")
+    got = incremental_new(batch, seen, "key", m_bits=m_bits, k_hashes=K)
+    want = batch.join(seen, "key", "left_anti")
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
+    assert got.columns == batch.columns
+
+
+def test_incremental_new_empty_sides(spark):
+    batch = spark.range(5).select(F.col("id").cast("string").alias("key"))
+    empty = batch.where("1 = 0")
+    assert incremental_new(batch, empty, "key").count() == 5
+    assert incremental_new(empty, batch, "key").count() == 0
+
+
+def test_incremental_new_seen_side_never_shuffled(spark):
+    """The committed table must only be scanned under broadcast probes —
+    no sort-merge join, no exchange keyed on the seen relation."""
+    seen = spark.range(0, 200).where("id % 2 = 0").select(
+        F.concat(F.lit("k"), (F.col("id") % 60).cast("string")).alias("key")
+    )
+    batch = spark.range(0, 200).where("id % 2 = 1").select(
+        F.concat(F.lit("k"), (F.col("id") % 60).cast("string")).alias("key")
+    )
+    out = incremental_new(batch, seen, "key", m_bits=M_BITS, k_hashes=K)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # semi probe + anti verify

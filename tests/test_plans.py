@@ -335,3 +335,23 @@ def test_cluster_split_query_returns_distributed_result(spark):
     p = plan(df)
     assert "LocalTableScan" not in p
     assert df.count() == 500
+
+
+def test_host_cap_two_phase_salted_windows(spark):
+    """The host cap must run the skew-proof two-phase rank: a first window
+    over the SALTED key (hot host splits across sub-keys) feeding a second
+    over the bare host — two Window nodes, salt visible in the first."""
+    p = plan(REGISTRY["host_cap_topk"].spark(spark, SF))
+    assert p.count("Window") >= 2
+    assert "_salt" in p
+
+
+def test_lang_budget_single_lang_shuffle(spark):
+    """Both frames (rank + group count) must share the ONE shuffle on
+    lang — no second exchange between the two window functions."""
+    import re
+
+    df = REGISTRY["lang_quality_budget"].spark(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning\(lang", p)) == 1
+    assert p.count("Window") == 2

@@ -68,9 +68,20 @@ def main(argv: list[str] | None = None) -> int:
         help="with --sample-target: remove globally-duplicated 10-word "
         "spans from the published text (C4-style line dedup)",
     )
+    ap.add_argument(
+        "--seen-urls",
+        default=None,
+        help="with --sample-target: parquet dir holding a `url` column of "
+        "the already-committed corpus (e.g. a prior run's published "
+        "sample); pages whose canonical url is already committed are "
+        "dropped before curation through the distributed Bloom prefilter "
+        "— the committed side is scanned once, never shuffled",
+    )
     args = ap.parse_args(argv)
-    if (args.url_dedup or args.line_dedup) and args.sample_target is None:
-        ap.error("--url-dedup/--line-dedup require --sample-target")
+    if (
+        args.url_dedup or args.line_dedup or args.seen_urls
+    ) and args.sample_target is None:
+        ap.error("--url-dedup/--line-dedup/--seen-urls require --sample-target")
 
     from radio_data_curation_ssl_spark.operators.resume import write_resumable
     from radio_data_curation_ssl_spark.plans.pipeline import curate
@@ -113,16 +124,25 @@ def main(argv: list[str] | None = None) -> int:
                 }
             except FileNotFoundError:
                 result = result.persist()  # shared by metrics AND the flow
+                seen = (
+                    spark.read.parquet(args.seen_urls).select("url")
+                    if args.seen_urls
+                    else None
+                )
                 sample = curate_dedup_sample(
                     pages,
                     args.sample_target,
-                    # url_dedup must filter PAGES before curation, so the
-                    # flow curates internally in that mode (the metrics
-                    # frame `result` still reports on the full input)
-                    curated=None if args.url_dedup else result,
+                    # url_dedup/seen_urls filter PAGES before curation, so
+                    # the flow curates internally in those modes (the
+                    # metrics frame `result` still reports on the full
+                    # input)
+                    curated=(
+                        None if (args.url_dedup or seen is not None) else result
+                    ),
                     work_dir=f"{args.output}/_work",
                     url_dedup=args.url_dedup,
                     line_dedup=args.line_dedup,
+                    seen_urls=seen,
                 )
                 version = publish_sample(sample, root)
                 snapshots.rollback(root, version, tag=run_id)  # pin run tag

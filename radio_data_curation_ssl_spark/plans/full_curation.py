@@ -67,6 +67,7 @@ def curate_dedup_sample(
     simhash_max_hamming: int = 3,
     url_dedup: bool = False,
     line_dedup: bool = False,
+    seen_urls: DataFrame | None = None,
 ) -> DataFrame:
     """pages -> deduplicated, balanced, scrubbed training sample.
 
@@ -88,11 +89,39 @@ def curate_dedup_sample(
     published ``text_scrubbed`` (C4's line-level dedup, case-preserving);
     surviving text is whitespace-normalized, docs whose spans all lose
     are dropped, and zero-span docs pass through unchanged.
+
+    ``seen_urls`` makes the run INCREMENTAL: a one-column ``url`` frame
+    of the already-committed corpus (e.g. a prior run's published
+    sample or curated output).  Pages whose canonical url already
+    exists there are dropped BEFORE any curation work through the
+    distributed Bloom prefilter (operators/bloomdedup.py) — the
+    committed side is scanned once and never shuffled, so feeding a
+    fresh crawl batch against a 10^12-row committed table costs one
+    broadcast-filtered scan plus per-batch map work, not a full-corpus
+    join.  The result is exact (bloom negatives are definite; maybes
+    are verified key-equal).
     """
     if target < 0:
         raise ValueError(f"target must be >= 0, got {target}")
     if near_dup not in ("minhash", "simhash", "none"):
         raise ValueError(f"unknown near_dup mode {near_dup!r}")
+    if seen_urls is not None:
+        if curated is not None:
+            raise ValueError(
+                "seen_urls applies before curation; pass pages only, "
+                "not a precomputed curated frame"
+            )
+        from ..functions.url import url_canonical
+        from ..operators.bloomdedup import incremental_new
+
+        canon = F.coalesce(
+            F.nullif(F.expr(url_canonical("url").spark), F.lit("")),
+            F.col("url"),
+        )
+        seen_keys = seen_urls.select(canon.alias("_cu"))
+        pages = incremental_new(
+            pages.withColumn("_cu", canon), seen_keys, "_cu"
+        ).drop("_cu")
     if url_dedup:
         if curated is not None:
             raise ValueError(

@@ -307,3 +307,40 @@ def test_full_curation_flow_simhash_mode(spark, pages_small):
 
     with _pytest.raises(ValueError, match="near_dup"):
         curate_dedup_sample(pages_small, target=10, near_dup="bogus")
+
+
+def test_full_curation_flow_incremental_seen_urls(spark, pages_small):
+    """seen_urls makes the run incremental and EXACT: the flow over
+    (batch, seen=committed urls) equals the flow over the batch with the
+    committed canonical urls filtered out by hand."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.functions.url import url_canonical
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    canon = F.coalesce(
+        F.nullif(F.expr(url_canonical("url").spark), F.lit("")), F.col("url")
+    )
+    committed = pages_small.where("xxhash64(url) % 3 = 0").select("url")
+    got = curate_dedup_sample(
+        pages_small, target=80, near_dup="none", seen_urls=committed
+    )
+    seen_keys = {r[0] for r in committed.select(canon).collect()}
+    manual = pages_small.withColumn("_cu", canon).where(
+        ~F.col("_cu").isin(seen_keys)
+    ).drop("_cu")
+    want = curate_dedup_sample(manual, target=80, near_dup="none")
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) == 80
+    # none of the sampled urls may canonicalize into the committed set
+    assert not {
+        r[0] for r in got.select(canon).collect()
+    } & seen_keys
+    with _pytest.raises(ValueError, match="seen_urls"):
+        curate_dedup_sample(
+            pages_small, target=10, curated=pages_small, seen_urls=committed
+        )

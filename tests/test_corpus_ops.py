@@ -574,3 +574,44 @@ def test_url_tracking_param_without_value_is_dropped(spark):
     for (raw, want), s, d in zip(cases, srows, drows):
         assert s == want, (raw, s)
         assert s == d, (raw, s, d)
+
+
+def test_host_cap_bounds_every_host(spark):
+    """host_cap_topk: no host exceeds 5 rows, ranks are dense 1..n within
+    each host, and the kept docs are the host's ppl-minimal ones."""
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    SF = "/root/testdata/sf0.001"
+    out = REGISTRY["host_cap_topk"].spark(spark, SF).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rows in by_host.items():
+        assert len(rows) <= 5
+        assert sorted(r["rn"] for r in rows) == list(range(1, len(rows) + 1))
+        # rank order is ppl order (ties by doc_id)
+        srt = sorted(rows, key=lambda r: (r["ppl"], r["doc_id"]))
+        assert [r["rn"] for r in srt] == list(range(1, len(rows) + 1))
+
+
+def test_lang_budget_keeps_exactly_30pct_per_lang(spark):
+    """lang_quality_budget: each language keeps exactly floor(0.3*n)
+    docs (the IEEE-double floor both engines evaluate)."""
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    SF = "/root/testdata/sf0.001"
+    kept = REGISTRY["lang_quality_budget"].spark(spark, SF)
+    kept_n = {r["lang"]: r["n"] for r in kept.groupBy("lang").count()
+              .withColumnRenamed("count", "n").collect()}
+    totals = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    import math
+
+    assert kept_n  # non-degenerate: at least one language kept rows
+    for lang, total in totals.items():
+        # floor(0.3 * n) in IEEE doubles — the same arithmetic both
+        # engines evaluate (0.3*n can land just below an exact integer)
+        assert kept_n.get(lang, 0) == math.floor(0.3 * total)

@@ -1743,23 +1743,15 @@ def q_host_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "timestamp_functions",
-    """
-SELECT event_id,
-  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
-  CAST(year(ts) AS BIGINT) AS y,
-  CAST(month(ts) AS BIGINT) AS m,
-  CAST(dayofweek(ts) AS BIGINT) AS dow,
-  strftime(ts, '%Y-%m-%d') AS iso_day
-FROM events WHERE event_id < 200
-""",
-    doc="Timestamp scalar surface (SURVEY §2.8 ISO timestamp stamping — "
-    "/root/reference/src/1a_cutouts_sw.py:22): truncation, field "
-    "extraction, ISO formatting. DuckDB dayofweek is 0-based Sunday, Spark "
-    "1-based — aligned via +1. Scale: map-only.",
-)
 def q_timestamp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp scalar surface (SURVEY §2.8 ISO timestamp stamping —
+    /root/reference/src/1a_cutouts_sw.py:22): truncation, field
+    extraction, ISO formatting. DuckDB dayofweek is 0-based Sunday, Spark
+    1-based — aligned via +1. Scale: map-only.
+
+    Unregistered helper (r4 final consolidation: its registry row merged
+    into ``windowed_event_counts``, which stamps the same calendar fields
+    on each window bucket); kept callable for tests."""
     return (
         t(spark, sf_dir, "events")
         .where("event_id < 200")
@@ -1850,20 +1842,16 @@ def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_decode_stub",
-    """
-SELECT CAST(doc_id AS VARCHAR) AS key,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       round(ord(substr(text, 1, 1)) / 255.0, 6) AS feat0
-FROM documents WHERE text IS NOT NULL AND length(text) > 0
-""",
-    doc="Multimodal binary plumbing: text re-encoded as an opaque binary "
-    "column, decoded + feature-extracted in mapInPandas with a static "
-    "schema (operators/multimodal.py; codecs stubbed deterministically — "
-    "the Spark-side batching/schema is the real artifact).",
-)
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary plumbing: text re-encoded as an opaque binary
+    column, decoded + feature-extracted in mapInPandas with a static
+    schema (operators/multimodal.py; codecs stubbed deterministically —
+    the Spark-side batching/schema is the real artifact).
+
+    Unregistered helper (r4 final consolidation: its registry row merged
+    into ``multimodal_byte_ops`` as the op='decode' leg, riding the same
+    extract_binary_features Arrow pass); kept callable for
+    tests/test_multimodal.py."""
     from .operators.multimodal import extract_binary_features
 
     docs = (
@@ -2184,16 +2172,31 @@ def q_neighbor_vs_random(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "windowed_event_counts",
     """
-SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-       event_type,
-       CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 4) AS total_value
-FROM events
-GROUP BY 1, 2
+WITH w AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(value), 4) AS total_value
+  FROM events
+  GROUP BY 1, 2)
+SELECT window_start, event_type, n, total_value,
+  CAST(date_trunc('day', window_start) AS TIMESTAMP) AS day_start,
+  CAST(year(window_start) AS BIGINT) AS y,
+  CAST(month(window_start) AS BIGINT) AS m,
+  CAST(dayofweek(window_start) AS BIGINT) AS dow,
+  strftime(window_start, '%Y-%m-%d') AS iso_day
+FROM w
 """,
     doc="Tumbling event-time window aggregation — the batch twin of the "
-    "streaming watermarked window (streaming/incremental.py). Scale: one "
-    "shuffle on (window, type); map-side partial agg first.",
+    "streaming watermarked window (streaming/incremental.py) — with the "
+    "timestamp scalar surface stamped on each bucket (r4 final "
+    "consolidation: absorbs the former timestamp_functions row — SURVEY "
+    "§2.8 ISO timestamp stamping, /root/reference/src/1a_cutouts_sw.py:22: "
+    "day truncation, year/month/day-of-week extraction, ISO formatting; "
+    "DuckDB dayofweek is 0-based Sunday, Spark 1-based — aligned via +1). "
+    "Scale: one shuffle on (window, type), map-side partial agg first; "
+    "the calendar stamps are a post-agg map-only projection over "
+    "|buckets| rows.",
 )
 def q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -2208,6 +2211,14 @@ def q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n",
             "total_value",
+        )
+        .selectExpr(
+            "*",
+            "date_trunc('day', window_start) AS day_start",
+            "CAST(year(window_start) AS BIGINT) AS y",
+            "CAST(month(window_start) AS BIGINT) AS m",
+            "CAST(dayofweek(window_start) - 1 AS BIGINT) AS dow",
+            "date_format(window_start, 'yyyy-MM-dd') AS iso_day",
         )
     )
 
@@ -2461,6 +2472,11 @@ WITH p AS (
   FROM documents
   WHERE text IS NOT NULL AND length(text) > 0
     AND length(text) = octet_length(encode(text))),
+decoded AS (
+  SELECT key, 'decode' AS op, CAST(0 AS INTEGER) AS idx,
+         CAST(n AS BIGINT) AS meta,
+         upper(hex(encode(substring(text, 1, 1)))) AS data_hex
+  FROM p),
 f AS (
   SELECT key, i, (i * n) // 4 AS off, text
   FROM p CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
@@ -2479,11 +2495,17 @@ resized AS (
          CAST(32 AS BIGINT) AS meta,
          upper(string_agg(hex(encode(b)), '' ORDER BY pidx)) AS data_hex
   FROM px GROUP BY key)
-SELECT * FROM frames UNION ALL SELECT * FROM resized
+SELECT * FROM decoded
+UNION ALL SELECT * FROM frames UNION ALL SELECT * FROM resized
 """,
-    doc="Multimodal FRAME-SAMPLE + RESIZE as one full-oracle union query "
-    "(brief: decode/feature-extract/resize/frame-sample; merged r4 so all "
-    "50 full-oracle queries fit the driver's 50-row window). 'frame' rows: "
+    doc="Multimodal DECODE + FRAME-SAMPLE + RESIZE as one full-oracle "
+    "union query (brief: decode/feature-extract/resize/frame-sample; "
+    "merged r4 so all 50 full-oracle queries fit the driver's 50-row "
+    "window — the 'decode' leg absorbs the former multimodal_decode_stub "
+    "row: the mapInPandas extract_binary_features Arrow pass, its first "
+    "feature byte re-encoded to hex so the stubbed byte->feature map is "
+    "proven invertible, meta = n_bytes from the SAME operator output). "
+    "'frame' rows: "
     "the operator's 1->N Arrow explosion (operators/multimodal."
     "sample_frames — evenly-spaced FRAME_BYTES windows over an opaque "
     "binary payload, video-frame analog of the reference's sliding-window "
@@ -2500,7 +2522,11 @@ SELECT * FROM frames UNION ALL SELECT * FROM resized
     "over the scan, no shuffle, no join.",
 )
 def q_multimodal_byte_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import resize_images, sample_frames
+    from .operators.multimodal import (
+        extract_binary_features,
+        resize_images,
+        sample_frames,
+    )
 
     docs = (
         t(spark, sf_dir, "documents")
@@ -2509,6 +2535,19 @@ def q_multimodal_byte_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND length(text) = octet_length(encode(text, 'UTF-8'))"
         )
         .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
+    )
+    decoded = extract_binary_features(
+        docs, "doc_id", "payload", decode="fake"
+    ).selectExpr(
+        "key",
+        "'decode' AS op",
+        "CAST(0 AS INTEGER) AS idx",
+        "CAST(n_bytes AS BIGINT) AS meta",
+        # the stub's feat0 = first_byte / 255 (float32); *255 + round
+        # recovers the byte exactly (error < 1e-5 ulp), hex-padded to
+        # the blob-hex width the other legs emit
+        "lpad(hex(CAST(round(CAST(element_at(features, 1) AS DOUBLE)"
+        " * 255.0) AS BIGINT)), 2, '0') AS data_hex",
     )
     frames = sample_frames(docs, "doc_id", "payload", 4).selectExpr(
         "key",
@@ -2524,7 +2563,7 @@ def q_multimodal_byte_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(width * height AS BIGINT) AS meta",
         "upper(hex(pixels)) AS data_hex",
     )
-    return frames.unionByName(resized)
+    return decoded.unionByName(frames).unionByName(resized)
 
 
 @register(
@@ -2645,9 +2684,10 @@ FROM embeddings GROUP BY 1
     "dialects; float32->double is exact and the *1000/floor double ops "
     "are IEEE-deterministic) matches the oracle computed on the ORIGINAL "
     "parquet iff the npy byte layout preserved every value and row "
-    "position.  Registered AFTER the 50-query driver window on purpose: "
-    "it writes a scratch npy file per invocation, and the windowed "
-    "correctness gate should never depend on temp-dir write access — "
+    "position.  The scratch npy lives under the temp dir at a "
+    "per-sf-dir-keyed path (atomic temp+rename publish inside write_npy; "
+    "unlinked after an eager localCheckpoint pins the 8-row aggregate), "
+    "so repeated or swept invocations never collide or accumulate — "
     "tests/parity_check.py and tests/test_npy_source.py cover it.  "
     "Scale: sink is the reference-interchange bridge (single shared "
     "file); scan is one disjoint byte range per task.",
@@ -2689,9 +2729,9 @@ def q_npy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # C4-style global line dedup + benchmark-contamination check (r4 session 2).
 # Beyond-the-reference LLM-pipeline operators over the web-text payload;
-# both full-oracle (registered past the 50-query driver window — the window
-# is already saturated with 50 oracle-paired entries; tests/parity_check.py
-# verifies these like every other pair).
+# both full-oracle and inside the driver's 50-row correctness window since
+# the r4 final consolidation (every oracle-paired entry now fits; the five
+# rows-only iterative queries are registered last).
 
 _SPAN_W = 10  # words per "line" (synthetic text is single-line; fixed
 # non-overlapping word spans stand in for C4's newline-delimited lines)
@@ -2939,29 +2979,19 @@ _RAW_URL_SPARK = (
 _RAW_URL_DUCK = _RAW_URL_SPARK.replace("AS STRING", "AS VARCHAR")
 
 
-@register(
-    "url_canonicalize",
-    f"""
-WITH u AS (SELECT doc_id, {_RAW_URL_DUCK} AS url FROM documents),
-c AS (SELECT doc_id,
-             {URL.url_canonical('url').duck} AS url_canon,
-             {URL.url_host('url').duck} AS host,
-             {URL.url_registrable_domain('url').duck} AS domain
-      FROM u)
-SELECT url_canon, host, domain,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(min(doc_id) AS BIGINT) AS first_doc
-FROM c GROUP BY url_canon, host, domain
-""",
-    doc="URL canonicalization (functions/url.py: lowercase scheme+host, "
-    "strip fragment + default port, drop utm_*/fbclid/gclid tracking "
-    "params, sort surviving params) followed by URL-level dedup — the "
-    "normalization Common-Crawl pipelines run before url-hash "
-    "partitioning.  Scale: canonicalization is a map-only codegen "
-    "expression chain; the dedup groupBy shuffles once on the canonical "
-    "string (at 10^12 rows: on its hash) with map-side combine.",
-)
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/url.py: lowercase scheme+host,
+    strip fragment + default port, drop utm_*/fbclid/gclid tracking
+    params, sort surviving params) followed by URL-level dedup — the
+    normalization Common-Crawl pipelines run before url-hash
+    partitioning.  Scale: canonicalization is a map-only codegen
+    expression chain; the dedup groupBy shuffles once on the canonical
+    string (at 10^12 rows: on its hash) with map-side combine.
+
+    Unregistered helper (r4 final consolidation: its registry row merged
+    into ``bloom_incremental_url_dedup``, which now canonicalizes +
+    extracts host/domain + dedups the new batch — same fragments, one
+    driver-checked row); kept callable for tests/test_corpus_ops.py."""
     return (
         t(spark, sf_dir, "documents")
         .selectExpr("doc_id", f"{_RAW_URL_SPARK} AS url")
@@ -3005,14 +3035,29 @@ def _doc_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bloom_incremental_url_dedup",
     f"""
 WITH u AS (SELECT doc_id, {_RAW_URL_DUCK} AS url FROM documents),
-c AS (SELECT doc_id, {URL.url_canonical('url').duck} AS url_canon FROM u),
+c AS (SELECT doc_id,
+             {URL.url_canonical('url').duck} AS url_canon,
+             {URL.url_host('url').duck} AS host,
+             {URL.url_registrable_domain('url').duck} AS domain
+      FROM u),
 seen AS (SELECT url_canon FROM c WHERE doc_id % 3 <> 0),
-batch AS (SELECT doc_id, url_canon FROM c WHERE doc_id % 3 = 0)
-SELECT b.doc_id, b.url_canon
-FROM batch b
-WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url_canon = b.url_canon)
+batch AS (SELECT * FROM c WHERE doc_id % 3 = 0),
+new AS (SELECT b.* FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM seen s
+                          WHERE s.url_canon = b.url_canon))
+SELECT url_canon, host, domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM new GROUP BY url_canon, host, domain
 """,
-    doc="Incremental new-vs-committed URL dedup through a DISTRIBUTED "
+    doc="Canonicalize -> incremental dedup -> batch-level URL dedup, the "
+    "full between-snapshots URL pass (r4 final consolidation: absorbs the "
+    "former url_canonicalize row — functions/url.py lowercase scheme+host, "
+    "strip fragment + default port, drop utm_*/fbclid/gclid tracking "
+    "params, sort surviving params; plus url_host + url_registrable_domain "
+    "extraction; the tracking-collapse property keeps its own pytest via "
+    "the unregistered q_url_canonicalize helper). "
+    "Incremental new-vs-committed URL dedup through a DISTRIBUTED "
     "Bloom prefilter (operators/bloomdedup.py): the committed corpus's "
     "canonical urls build a fixed-size bitmap (sparse per-partition "
     "words -> one bit_or reduce -> <= m/64 longs to the driver), the new "
@@ -3026,7 +3071,9 @@ WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url_canon = b.url_canon)
     "is scanned once under a broadcast filter and NEVER shuffled; the "
     "batch does two map passes + one broadcast join on ~fpp of its rows "
     "(tests/test_bloomdedup.py: no-false-negative property, fpp bound, "
-    "exactness vs plain anti-join, seen-side-never-shuffled plan).",
+    "exactness vs plain anti-join, seen-side-never-shuffled plan). The "
+    "trailing groupBy shuffles only the already-pruned new batch once on "
+    "the canonical string (at 10^12 rows: on its hash), map-side combine.",
     bench=True,
 )
 def q_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3036,40 +3083,38 @@ def q_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents")
         .selectExpr("doc_id", f"{_RAW_URL_SPARK} AS url")
         .selectExpr(
-            "doc_id", f"{URL.url_canonical('url').spark} AS url_canon"
+            "doc_id",
+            f"{URL.url_canonical('url').spark} AS url_canon",
+            f"{URL.url_host('url').spark} AS host",
+            f"{URL.url_registrable_domain('url').spark} AS domain",
         )
     )
     seen = c.where("doc_id % 3 <> 0").select("url_canon")
-    batch = c.where("doc_id % 3 = 0").select("doc_id", "url_canon")
-    return incremental_new(batch, seen, "url_canon", m_bits=1 << 14)
+    batch = c.where("doc_id % 3 = 0")
+    new = incremental_new(batch, seen, "url_canon", m_bits=1 << 14)
+    return new.groupBy("url_canon", "host", "domain").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
 
 
-@register(
-    "host_cap_topk",
-    f"""
-WITH {_DOC_PPL_DUCK},
-u AS (SELECT doc_id, {_RAW_URL_DUCK} AS url FROM documents),
-d AS (SELECT u.doc_id,
-             {URL.url_host('url').duck} AS host, p.ppl
-      FROM u JOIN p ON p.doc_id = u.doc_id),
-r AS (SELECT *, row_number() OVER (PARTITION BY host
-                                   ORDER BY ppl, doc_id) AS rn FROM d)
-SELECT doc_id, host, ppl, CAST(rn AS BIGINT) AS rn
-FROM r WHERE rn <= 5
-""",
-    doc="Per-host anti-domination cap: keep the 5 best-quality "
-    "(lowest-ppl) documents per host (registrable-domain variant is the "
-    "url_registrable_domain one-string swap) — the host-level "
-    "budget web curation applies so boilerplate farms cannot dominate "
-    "the corpus. Spark side runs the SKEW-PROOF two-phase form: rank "
-    "within (domain, salt-of-doc_id) keeping 5, then rank within domain "
-    "keeping 5 — identical output (the global top-5 is contained in the "
-    "union of per-salt top-5s) but the pathological million-page host "
-    "splits across 8 salt sub-keys instead of serializing one task "
-    "(plan-asserted two-window shape; oracle is the plain single "
-    "window). Scale: two window shuffles, the first on the salted key.",
-)
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host anti-domination cap: keep the 5 best-quality
+    (lowest-ppl) documents per host (registrable-domain variant is the
+    url_registrable_domain one-string swap) — the host-level
+    budget web curation applies so boilerplate farms cannot dominate
+    the corpus. Runs the SKEW-PROOF two-phase form: rank within
+    (host, salt-of-doc_id) keeping 5, then rank within host keeping 5 —
+    identical output (the global top-5 is contained in the union of
+    per-salt top-5s) but the pathological million-page host splits
+    across 8 salt sub-keys instead of serializing one task
+    (plan-asserted two-window shape). Scale: two window shuffles, the
+    first on the salted key.
+
+    Unregistered helper (r4 final consolidation: its registry row merged
+    into ``corpus_budgets`` = host cap -> language budget, one
+    driver-checked row); kept callable for tests/test_corpus_ops.py and
+    tests/test_plans.py."""
     p = _doc_ppl(spark, sf_dir).select("doc_id", "ppl")
     u = (
         t(spark, sf_dir, "documents")
@@ -3092,27 +3137,20 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "lang_quality_budget",
-    f"""
-WITH {_DOC_PPL_DUCK},
-r AS (SELECT *, row_number() OVER (PARTITION BY lang
-                                   ORDER BY ppl, doc_id) AS rn,
-             count(*) OVER (PARTITION BY lang) AS n FROM p)
-SELECT doc_id, lang, ppl, CAST(rn AS BIGINT) AS rn
-FROM r WHERE rn <= CAST(floor(0.3 * n) AS BIGINT)
-""",
-    doc="Per-language proportional quality budget: keep the best 30% of "
-    "each language by perplexity, rank-based — the FineWeb/CCNet-style "
-    "calibration step, expressed as integer rank semantics (rn <= "
-    "floor(0.3*n)) rather than a value threshold so the keep set is "
-    "deterministic and engine-exact (no interpolated-percentile boundary "
-    "ulp). Scale: ONE shuffle on lang serves both the rank and the "
-    "group-count frame; at 10^12 docs languages are few and huge — the "
-    "production swap is the same two-phase salted rank domain_cap_topk "
-    "ships, with per-salt quotas from a first count pass.",
-)
 def q_lang_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language proportional quality budget: keep the best 30% of
+    each language by perplexity, rank-based — the FineWeb/CCNet-style
+    calibration step, expressed as integer rank semantics (rn <=
+    floor(0.3*n)) rather than a value threshold so the keep set is
+    deterministic and engine-exact (no interpolated-percentile boundary
+    ulp). Scale: ONE shuffle on lang serves both the rank and the
+    group-count frame; at 10^12 docs languages are few and huge — the
+    production swap is the same two-phase salted rank q_domain_cap
+    ships, with per-salt quotas from a first count pass.
+
+    Unregistered helper (r4 final consolidation: its registry row merged
+    into ``corpus_budgets``); kept callable for tests/test_corpus_ops.py
+    and tests/test_plans.py."""
     w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
     wn = Window.partitionBy("lang")
     return (
@@ -3121,6 +3159,73 @@ def q_lang_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.count("*").over(wn))
         .where(F.col("rn") <= F.floor(0.3 * F.col("n")).cast("long"))
         .select("doc_id", "lang", "ppl", "rn")
+    )
+
+
+@register(
+    "corpus_budgets",
+    f"""
+WITH {_DOC_PPL_DUCK},
+u AS (SELECT doc_id, {_RAW_URL_DUCK} AS url FROM documents),
+d AS (SELECT p.doc_id, {URL.url_host('url').duck} AS host, p.lang, p.ppl
+      FROM u JOIN p ON p.doc_id = u.doc_id),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY host
+                                 ORDER BY ppl, doc_id) AS host_rn
+    FROM d) WHERE host_rn <= 25),
+budgeted AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY ppl, doc_id) AS lang_rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM capped)
+SELECT doc_id, host, lang, ppl,
+       CAST(host_rn AS BIGINT) AS host_rn, CAST(lang_rn AS BIGINT) AS lang_rn
+FROM budgeted WHERE lang_rn <= CAST(floor(0.3 * n) AS BIGINT)
+""",
+    doc="Corpus-shaping budgets, composed (r4 final consolidation: one "
+    "driver-checked row absorbing the former host_cap_topk and "
+    "lang_quality_budget rows — each keeps its own behavioral pytest via "
+    "the unregistered q_domain_cap / q_lang_budget helpers): FIRST the "
+    "per-host anti-domination cap (keep the 25 lowest-ppl docs per host, "
+    "so boilerplate farms cannot dominate), THEN the FineWeb/CCNet-style "
+    "per-language proportional quality budget (keep the best 30% of each "
+    "language by ppl) over the capped survivors — the order real corpus "
+    "shaping applies them between snapshots. Host cap runs the SKEW-PROOF "
+    "two-phase rank (salted window feeding the bare-host window; oracle "
+    "is the plain single window, proving the salt value-neutral); the "
+    "language stage shares ONE shuffle on lang between its rank and "
+    "group-count frames (both plan shapes pytest-asserted on the "
+    "helpers). Integer rank semantics (rn <= floor(0.3*n)) keep the "
+    "boundary engine-exact. Scale: three window shuffles total, the "
+    "host one salted; each stage strictly shrinks the data.",
+)
+def q_corpus_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _doc_ppl(spark, sf_dir)
+    u = (
+        t(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{_RAW_URL_SPARK} AS url")
+        .selectExpr("doc_id", f"{URL.url_host('url').spark} AS host")
+    )
+    d = u.join(p, "doc_id")
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(8))
+    w1 = Window.partitionBy("host", "_salt").orderBy("ppl", "doc_id")
+    w2 = Window.partitionBy("host").orderBy("ppl", "doc_id")
+    capped = (
+        d.withColumn("_salt", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .where("_rn1 <= 25")
+        .withColumn("host_rn", F.row_number().over(w2).cast("long"))
+        .where("host_rn <= 25")
+        .select("doc_id", "host", "lang", "ppl", "host_rn")
+    )
+    wl = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    wn = Window.partitionBy("lang")
+    return (
+        capped.withColumn("lang_rn", F.row_number().over(wl).cast("long"))
+        .withColumn("n", F.count("*").over(wn))
+        .where(F.col("lang_rn") <= F.floor(0.3 * F.col("n")).cast("long"))
+        .select("doc_id", "host", "lang", "ppl", "host_rn", "lang_rn")
     )
 
 

@@ -313,12 +313,15 @@ def test_url_canonical_cases_and_duck_twin(spark):
 
 def test_url_dedup_collapses_tracking_variants(spark, tmp_path):
     """Docs whose raw URLs differ only by case/port/tracking/fragment
-    noise must collapse to one canonical row in url_canonicalize."""
+    noise must collapse to one canonical row in q_url_canonicalize
+    (the canonicalize leg of bloom_incremental_url_dedup)."""
     # ids i and i+2100 agree on every modulus the raw-URL builder uses
     # (lcm(2,3,4,5,7,50) = 2100), so each pair differs only in the
     # utm_source value — canonicalization must collapse it
     ids = [i for i in range(0, 300, 3)] + [i + 2100 for i in range(0, 300, 3)]
-    out = REGISTRY["url_canonicalize"].spark(
+    from radio_data_curation_ssl_spark.queries import q_url_canonicalize
+
+    out = q_url_canonicalize(
         spark,
         _write_docs(spark, tmp_path, {i: f"w{i}" for i in ids}),
     )
@@ -577,12 +580,12 @@ def test_url_tracking_param_without_value_is_dropped(spark):
 
 
 def test_host_cap_bounds_every_host(spark):
-    """host_cap_topk: no host exceeds 5 rows, ranks are dense 1..n within
+    """q_domain_cap (the host-cap leg of corpus_budgets): no host exceeds 5 rows, ranks are dense 1..n within
     each host, and the kept docs are the host's ppl-minimal ones."""
-    from radio_data_curation_ssl_spark.queries import REGISTRY
+    from radio_data_curation_ssl_spark.queries import q_domain_cap
 
     SF = "/root/testdata/sf0.001"
-    out = REGISTRY["host_cap_topk"].spark(spark, SF).collect()
+    out = q_domain_cap(spark, SF).collect()
     by_host = {}
     for r in out:
         by_host.setdefault(r["host"], []).append(r)
@@ -595,12 +598,13 @@ def test_host_cap_bounds_every_host(spark):
 
 
 def test_lang_budget_keeps_exactly_30pct_per_lang(spark):
-    """lang_quality_budget: each language keeps exactly floor(0.3*n)
+    """q_lang_budget (the language leg of corpus_budgets): each
+    language keeps exactly floor(0.3*n)
     docs (the IEEE-double floor both engines evaluate)."""
-    from radio_data_curation_ssl_spark.queries import REGISTRY
+    from radio_data_curation_ssl_spark.queries import q_lang_budget
 
     SF = "/root/testdata/sf0.001"
-    kept = REGISTRY["lang_quality_budget"].spark(spark, SF)
+    kept = q_lang_budget(spark, SF)
     kept_n = {r["lang"]: r["n"] for r in kept.groupBy("lang").count()
               .withColumnRenamed("count", "n").collect()}
     totals = {

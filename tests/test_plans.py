@@ -341,7 +341,9 @@ def test_host_cap_two_phase_salted_windows(spark):
     """The host cap must run the skew-proof two-phase rank: a first window
     over the SALTED key (hot host splits across sub-keys) feeding a second
     over the bare host — two Window nodes, salt visible in the first."""
-    p = plan(REGISTRY["host_cap_topk"].spark(spark, SF))
+    from radio_data_curation_ssl_spark.queries import q_domain_cap
+
+    p = plan(q_domain_cap(spark, SF))
     assert p.count("Window") >= 2
     assert "_salt" in p
 
@@ -351,7 +353,9 @@ def test_lang_budget_single_lang_shuffle(spark):
     lang — no second exchange between the two window functions."""
     import re
 
-    df = REGISTRY["lang_quality_budget"].spark(spark, SF)
+    from radio_data_curation_ssl_spark.queries import q_lang_budget
+
+    df = q_lang_budget(spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning\(lang", p)) == 1
     assert p.count("Window") == 2

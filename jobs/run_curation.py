@@ -69,6 +69,29 @@ def main(argv: list[str] | None = None) -> int:
         "spans from the published text (C4-style line dedup)",
     )
     ap.add_argument(
+        "--host-cap",
+        type=_positive,
+        default=None,
+        help="with --sample-target: keep only the N lowest-perplexity "
+        "documents per host before sampling (anti-domination cap; "
+        "skew-proof salted two-phase rank)",
+    )
+
+    def _frac(v: str) -> float:
+        f = float(v)
+        if not 0.0 <= f <= 1.0:
+            raise argparse.ArgumentTypeError("--lang-budget must be in [0, 1]")
+        return f
+
+    ap.add_argument(
+        "--lang-budget",
+        type=_frac,
+        default=None,
+        help="with --sample-target: keep only the best FRAC of each "
+        "predicted language by perplexity before sampling (proportional "
+        "quality budget; exact histogram selection, no full-group window)",
+    )
+    ap.add_argument(
         "--seen-urls",
         default=None,
         help="with --sample-target: parquet dir holding a `url` column of "
@@ -79,9 +102,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
     if (
-        args.url_dedup or args.line_dedup or args.seen_urls
+        args.url_dedup
+        or args.line_dedup
+        or args.seen_urls
+        or args.host_cap is not None
+        or args.lang_budget is not None
     ) and args.sample_target is None:
-        ap.error("--url-dedup/--line-dedup/--seen-urls require --sample-target")
+        ap.error(
+            "--url-dedup/--line-dedup/--seen-urls/--host-cap/--lang-budget "
+            "require --sample-target"
+        )
 
     from radio_data_curation_ssl_spark.operators.resume import write_resumable
     from radio_data_curation_ssl_spark.plans.pipeline import curate
@@ -143,6 +173,8 @@ def main(argv: list[str] | None = None) -> int:
                     url_dedup=args.url_dedup,
                     line_dedup=args.line_dedup,
                     seen_urls=seen,
+                    host_cap=args.host_cap,
+                    lang_budget_frac=args.lang_budget,
                 )
                 version = publish_sample(sample, root)
                 snapshots.rollback(root, version, tag=run_id)  # pin run tag

@@ -1,0 +1,216 @@
+"""Exact top-fraction-per-group selection without a full-group window.
+
+The corpus-shaping budget queries (``corpus_budgets`` and the
+``q_lang_budget`` helper in queries.py) keep the best ``floor(frac * n)``
+rows per group by ``row_number() OVER (PARTITION BY group ORDER BY score,
+tie)``.  That form is exact and oracle-pairable, but a window over the
+bare group key funnels EVERY row of a group through one task — at 10^12
+documents with a handful of languages, one reducer sees 10^11 rows.
+Salting fixes fixed-``k`` top-k (the host cap), but for a PROPORTIONAL
+budget the per-salt survivor set is still ``frac`` of the group — the
+second-phase window stays corpus-sized.
+
+This operator is the production form: distributed selection via a score
+histogram ("median-of-medians by bucketing"), exact to the same
+``(score asc, tie asc)`` row_number semantics:
+
+1. one map-side-combined agg per group: ``n`` (quota ``q = floor(frac*n)``),
+   ``min(score)``, ``max(score)``;
+2. one map-side-combined agg per ``(group, bucket)`` where ``bucket`` is
+   the score's position in ``n_buckets`` uniform bins — the histogram is
+   ``|groups| * n_buckets`` rows no matter the corpus size;
+3. driver-free boundary solve ON THE HISTOGRAM (a window over the tiny
+   agg frame): the boundary bucket ``b*`` is the first whose running
+   count reaches ``q``; ``take = q - rows_below_b*``;
+4. broadcast the per-group ``(b*, take)`` back: rows in buckets ``< b*``
+   are kept outright with NO sort; ONLY rows in the boundary bucket
+   (expected ``n / n_buckets`` of the group, ~0.02% at 4096 bins) enter a
+   row_number window, keeping the ``take`` smallest by ``(score, tie)``.
+
+Exactness: equal scores land in equal buckets and bucket order is score
+order, so the ``q`` smallest ``(score, tie)`` rows of a group are exactly
+"all rows below the boundary bucket" plus "the ``take`` smallest inside
+it" — bit-identical to the plain-window keep set (equivalence is
+pytest-gated against the window form, including mass-tie and skew cases).
+
+Scale: three map passes over the input (one builds stats+histogram,
+then each union branch rescans under the broadcast boundary filter —
+scans are the cheap currency at 100 TB; the alternative single-pass
+form shuffles the WHOLE corpus on (group, bucket), which is the
+expensive one), two map-side-combined agg shuffles whose exchanges
+carry |groups| * n_buckets rows at most, one broadcast of the pinned
+|groups|-row boundary frame (localCheckpoint: computed once, shared by
+both branches — plan-asserted), and a window whose input is
+pre-filtered to boundary-bucket rows.  A pathological group that
+concentrates in one
+bucket (near-constant scores) degrades toward the plain window — that is
+a property of the DATA (a total order over indistinguishable rows), not
+of the plan; ``n_buckets`` is the lever.
+
+Reference provenance: the budget semantics mirror the per-cluster quota
+selection of /root/reference/src/hierarchical_sampling.py:71-120 (keep a
+per-stratum quota by ranked order); the reference runs it in-memory on
+one node, this is the shuffle-bounded re-expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["topfrac_per_group", "topk_per_group_salted"]
+
+
+def topk_per_group_salted(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    tie_col: str,
+    k: int,
+    n_salts: int = 8,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Rows whose rank by ``(score asc, tie asc)`` within ``group_col``
+    is ``<= k`` — the exact keep set of the plain per-group row_number
+    top-k — computed skew-proof: a first window over ``(group,
+    xxhash64(tie) % n_salts)`` keeps k per salt (a hot group splits
+    across ``n_salts`` tasks), then the second window ranks only the
+    ``<= n_salts * k`` survivors per group.  Identical output because
+    the global top-k is contained in the union of per-salt top-ks.
+
+    ``rank_col`` optionally emits the second phase's row_number — the
+    row's TRUE within-group rank (already computed; kept rows rank
+    identically in the full group and in the per-salt survivor union).
+
+    This is the per-host anti-domination cap's production form (the
+    ``corpus_budgets`` query and ``q_domain_cap`` helper inline the same
+    two-phase shape; pytest-gated equivalence in tests/test_budget.py).
+    For a PROPORTIONAL quota (k grows with the group) use
+    ``topfrac_per_group`` instead — there the survivor set is still
+    ``frac`` of the group and this second window would serialize it.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be positive, got {n_salts}")
+    order = [F.col(score_col).asc(), F.col(tie_col).asc()]
+    w1 = Window.partitionBy(group_col, "_tk_salt").orderBy(*order)
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    out = (
+        df.withColumn(
+            "_tk_salt", F.pmod(F.xxhash64(F.col(tie_col)), F.lit(n_salts))
+        )
+        .withColumn("_tk_rn1", F.row_number().over(w1))
+        .where(F.col("_tk_rn1") <= k)
+        .withColumn("_tk_rn2", F.row_number().over(w2))
+        .where(F.col("_tk_rn2") <= k)
+    )
+    if rank_col is not None:
+        out = out.withColumn(rank_col, F.col("_tk_rn2").cast("long"))
+    return out.drop("_tk_salt", "_tk_rn1", "_tk_rn2")
+
+
+def topfrac_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    tie_col: str,
+    frac: float,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Rows whose rank by ``(score asc, tie asc)`` within ``group_col`` is
+    ``<= floor(frac * count(group))`` — the exact keep set of
+    ``row_number() OVER (PARTITION BY group ORDER BY score, tie)``,
+    computed without windowing whole groups (see module docstring).
+
+    Returns the input columns (no rank column: ranks of the kept set
+    would re-serialize the group; callers needing ranks re-rank the
+    ALREADY-BUDGETED output, which is ``frac`` of the input).
+
+    ``score_col`` must be numeric, non-NULL and NaN-free (run the
+    NaN-audit / nan-patch filters first — queries.py:embedding_nan_audit):
+    NULL/NaN scores poison the min/max range and bucket NULL, so such
+    rows have undefined membership (other rows are unaffected only while
+    the range stays finite).
+    """
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+
+    g, s = F.col(group_col), F.col(score_col).cast("double")
+
+    # pass 1: per-group count + score range (one tiny map-side-combined agg)
+    stats = df.groupBy(group_col).agg(
+        F.count("*").alias("_tf_n"),
+        F.min(s).alias("_tf_mn"),
+        F.max(s).alias("_tf_mx"),
+    )
+    quota = F.floor(F.lit(float(frac)) * F.col("_tf_n")).cast("long")
+    stats = stats.withColumn("_tf_q", quota)
+
+    # bucket id: position of score in n_buckets uniform bins over
+    # [mn, mx]; constant-score groups collapse to bucket 0 (the boundary
+    # window then sees the whole group — see module docstring)
+    span = F.col("_tf_mx") - F.col("_tf_mn")
+    bucket = F.when(span > 0, F.least(
+        F.floor((s - F.col("_tf_mn")) / span * n_buckets),
+        F.lit(n_buckets - 1),
+    )).otherwise(F.lit(0)).cast("int")
+
+    tagged = df.join(
+        F.broadcast(stats.select(group_col, "_tf_mn", "_tf_mx", "_tf_q")),
+        group_col,
+    ).withColumn("_tf_bucket", bucket)
+
+    # pass 2: the histogram — |groups| * n_buckets rows max, map-side
+    # combined, then the boundary solve as a window over THIS tiny frame
+    hist = tagged.groupBy(group_col, "_tf_bucket").agg(
+        F.count("*").alias("_tf_cnt"), F.first("_tf_q").alias("_tf_q")
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("_tf_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    solved = (
+        hist.withColumn("_tf_cum", F.sum("_tf_cnt").over(wcum))
+        .withColumn("_tf_below", F.col("_tf_cum") - F.col("_tf_cnt"))
+        # boundary bucket: first bucket whose running count reaches the
+        # quota; buckets strictly below it are kept whole
+        .where(
+            (F.col("_tf_below") < F.col("_tf_q"))
+            & (F.col("_tf_cum") >= F.col("_tf_q"))
+        )
+        .select(
+            group_col,
+            F.col("_tf_bucket").alias("_tf_bstar"),
+            (F.col("_tf_q") - F.col("_tf_below")).alias("_tf_take"),
+        )
+        # one boundary row per group, pinned: both union branches below
+        # join against it, and without the pin each branch would re-run
+        # the whole stats+histogram subtree (Catalyst prunes the two
+        # branches' columns differently, defeating exchange reuse).  The
+        # pinned frame is |groups| rows — bounded regardless of corpus
+        # size — and stays distributed (no driver collect: groups can be
+        # millions of hosts).
+        .localCheckpoint(eager=False)
+    )
+
+    # broadcast the per-group boundary back; rows below it are kept with
+    # no sort at all.  Groups with q = 0 have no solved row -> inner join
+    # drops them entirely (correct: floor(frac*n) = 0 keeps nothing).
+    routed = tagged.join(F.broadcast(solved), group_col, "inner")
+    below = routed.where(F.col("_tf_bucket") < F.col("_tf_bstar"))
+    wb = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(tie_col).asc()
+    )
+    boundary = (
+        routed.where(F.col("_tf_bucket") == F.col("_tf_bstar"))
+        .withColumn("_tf_rn", F.row_number().over(wb))
+        .where(F.col("_tf_rn") <= F.col("_tf_take"))
+        .drop("_tf_rn")
+    )
+    helper = ["_tf_mn", "_tf_mx", "_tf_q", "_tf_bucket", "_tf_bstar", "_tf_take"]
+    return below.unionByName(boundary).drop(*helper)

@@ -27,6 +27,11 @@ Shuffle budget at 10^12 docs (each stage documented where defined):
 3b. (optional) global line dedup on the published text: one
    partial-aggregable min_by on the span hash + one regroup by
    (url, text-hash), run against the materialized dedup artifact;
+3c. (optional) corpus-shaping budgets: host cap = two salted window
+   shuffles (operators/budget.py::topk_per_group_salted); language
+   budget = two map-side-combined aggs + one boundary-bucket-only
+   window (operators/budget.py::topfrac_per_group) — no full-group
+   window anywhere;
 4. balanced sample: |strata|-row aggregate to the driver for the
    water-fill cut + one shuffle on the stratum key;
 5. publish: atomic snapshot version + tag (plans/snapshots.py).
@@ -68,6 +73,8 @@ def curate_dedup_sample(
     url_dedup: bool = False,
     line_dedup: bool = False,
     seen_urls: DataFrame | None = None,
+    host_cap: int | None = None,
+    lang_budget_frac: float | None = None,
 ) -> DataFrame:
     """pages -> deduplicated, balanced, scrubbed training sample.
 
@@ -100,11 +107,24 @@ def curate_dedup_sample(
     broadcast-filtered scan plus per-batch map work, not a full-corpus
     join.  The result is exact (bloom negatives are definite; maybes
     are verified key-equal).
+
+    ``host_cap`` / ``lang_budget_frac`` add the corpus-shaping stage
+    between dedup and sampling (the ``corpus_budgets`` query's
+    semantics, in the flow's production forms): keep the ``host_cap``
+    lowest-ppl docs per host (operators/budget.py::topk_per_group_salted
+    — two-phase salted rank, skew-proof), then the best
+    ``lang_budget_frac`` of each predicted language by ppl
+    (operators/budget.py::topfrac_per_group — exact histogram selection,
+    no full-group window).  Both rank on the curate stage's ppl score,
+    which rides the flow when either is set.
     """
     if target < 0:
         raise ValueError(f"target must be >= 0, got {target}")
     if near_dup not in ("minhash", "simhash", "none"):
         raise ValueError(f"unknown near_dup mode {near_dup!r}")
+    if host_cap is not None and host_cap < 1:
+        raise ValueError(f"host_cap must be >= 1, got {host_cap}")
+    shaping = host_cap is not None or lang_budget_frac is not None
     if seen_urls is not None:
         if curated is not None:
             raise ValueError(
@@ -147,9 +167,10 @@ def curate_dedup_sample(
     # both the aggregate and probe sides — uncached, each side would
     # recompute the whole curate chain (the 'measured 4x = ~240 s at
     # 400k pages' failure mode documented on uniq below).
-    kept = full.where("keep").select(
-        "url", "warc_ts", "text", "text_scrubbed", "lang_pred"
-    ).persist()
+    kept_cols = ["url", "warc_ts", "text", "text_scrubbed", "lang_pred"]
+    if shaping:
+        kept_cols.append("ppl")  # the budgets' quality score
+    kept = full.where("keep").select(*kept_cols).persist()
     # exact dedup: one row per text hash, min (url, warc_ts) wins — a
     # same-url recapture (identical text, two warc_ts rows) collapses to
     # exactly one row (keep_first dedups order-ties).  uniq is persisted:
@@ -269,6 +290,41 @@ def curate_dedup_sample(
         if work_dir is None:
             neat.unpersist()
         neat = lined
+    if shaping:
+        # corpus-shaping budgets (3c): host anti-domination cap, then the
+        # per-language proportional quality budget over the capped
+        # survivors — the corpus_budgets query order, each in its
+        # production form (salted two-phase top-k; histogram top-frac).
+        # Unparseable urls ('' host) fall back to the raw url as their
+        # own group, same policy as url_dedup above.
+        from ..functions.url import url_host
+        from ..operators.budget import topfrac_per_group, topk_per_group_salted
+
+        shaped = neat
+        if host_cap is not None:
+            shaped = (
+                shaped.withColumn(
+                    "_host",
+                    F.coalesce(
+                        F.nullif(F.expr(url_host("url").spark), F.lit("")),
+                        F.col("url"),
+                    ),
+                )
+                .transform(
+                    lambda d: topk_per_group_salted(
+                        d, "_host", "ppl", "url", host_cap
+                    )
+                )
+                .drop("_host")
+            )
+        if lang_budget_frac is not None:
+            shaped = topfrac_per_group(
+                shaped, "lang_pred", "ppl", "url", lang_budget_frac
+            )
+        shaped = _materialize(shaped, "shaped")
+        if work_dir is None:
+            neat.unpersist()
+        neat = shaped
     # balanced sample across predicted languages (water-fill quota);
     # clamp target to the surviving population
     n = neat.count()

@@ -3145,8 +3145,10 @@ def q_lang_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic and engine-exact (no interpolated-percentile boundary
     ulp). Scale: ONE shuffle on lang serves both the rank and the
     group-count frame; at 10^12 docs languages are few and huge — the
-    production swap is the same two-phase salted rank q_domain_cap
-    ships, with per-salt quotas from a first count pass.
+    production swap is operators/budget.py::topfrac_per_group (exact
+    histogram selection: only boundary-bucket rows ever enter a window;
+    keep-set equality vs this form is pytest-gated in tests/test_budget.py
+    including mass-tie and skew cases).
 
     Unregistered helper (r4 final consolidation: its registry row merged
     into ``corpus_budgets``); kept callable for tests/test_corpus_ops.py
@@ -3179,8 +3181,7 @@ budgeted AS (
                                ORDER BY ppl, doc_id) AS lang_rn,
          count(*) OVER (PARTITION BY lang) AS n
   FROM capped)
-SELECT doc_id, host, lang, ppl,
-       CAST(host_rn AS BIGINT) AS host_rn, CAST(lang_rn AS BIGINT) AS lang_rn
+SELECT doc_id, host, lang, ppl, CAST(host_rn AS BIGINT) AS host_rn
 FROM budgeted WHERE lang_rn <= CAST(floor(0.3 * n) AS BIGINT)
 """,
     doc="Corpus-shaping budgets, composed (r4 final consolidation: one "
@@ -3191,16 +3192,22 @@ FROM budgeted WHERE lang_rn <= CAST(floor(0.3 * n) AS BIGINT)
     "so boilerplate farms cannot dominate), THEN the FineWeb/CCNet-style "
     "per-language proportional quality budget (keep the best 30% of each "
     "language by ppl) over the capped survivors — the order real corpus "
-    "shaping applies them between snapshots. Host cap runs the SKEW-PROOF "
-    "two-phase rank (salted window feeding the bare-host window; oracle "
-    "is the plain single window, proving the salt value-neutral); the "
-    "language stage shares ONE shuffle on lang between its rank and "
-    "group-count frames (both plan shapes pytest-asserted on the "
-    "helpers). Integer rank semantics (rn <= floor(0.3*n)) keep the "
-    "boundary engine-exact. Scale: three window shuffles total, the "
-    "host one salted; each stage strictly shrinks the data.",
+    "shaping applies them between snapshots. The Spark side runs BOTH "
+    "stages in their PRODUCTION forms (operators/budget.py): the host "
+    "cap via topk_per_group_salted (skew-proof two-phase salted rank, "
+    "emitting the true within-host rank) and the language budget via "
+    "topfrac_per_group (exact histogram selection — two map-side-"
+    "combined aggs + a window over boundary-bucket rows only, never a "
+    "full-group window); the oracle is the PLAIN double window, so the "
+    "hash match proves both operators' keep sets exact, under the "
+    "driver's gate and not just pytest. Integer rank semantics (rn <= "
+    "floor(0.3*n)) keep the boundary engine-exact. Scale: two salted/"
+    "small window shuffles + the budget's two agg passes; each stage "
+    "strictly shrinks the data.",
 )
 def q_corpus_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.budget import topfrac_per_group, topk_per_group_salted
+
     p = _doc_ppl(spark, sf_dir)
     u = (
         t(spark, sf_dir, "documents")
@@ -3208,25 +3215,11 @@ def q_corpus_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("doc_id", f"{URL.url_host('url').spark} AS host")
     )
     d = u.join(p, "doc_id")
-    salt = F.pmod(F.xxhash64("doc_id"), F.lit(8))
-    w1 = Window.partitionBy("host", "_salt").orderBy("ppl", "doc_id")
-    w2 = Window.partitionBy("host").orderBy("ppl", "doc_id")
-    capped = (
-        d.withColumn("_salt", salt)
-        .withColumn("_rn1", F.row_number().over(w1))
-        .where("_rn1 <= 25")
-        .withColumn("host_rn", F.row_number().over(w2).cast("long"))
-        .where("host_rn <= 25")
-        .select("doc_id", "host", "lang", "ppl", "host_rn")
+    capped = topk_per_group_salted(
+        d, "host", "ppl", "doc_id", 25, rank_col="host_rn"
     )
-    wl = Window.partitionBy("lang").orderBy("ppl", "doc_id")
-    wn = Window.partitionBy("lang")
-    return (
-        capped.withColumn("lang_rn", F.row_number().over(wl).cast("long"))
-        .withColumn("n", F.count("*").over(wn))
-        .where(F.col("lang_rn") <= F.floor(0.3 * F.col("n")).cast("long"))
-        .select("doc_id", "host", "lang", "ppl", "host_rn", "lang_rn")
-    )
+    shaped = topfrac_per_group(capped, "lang", "ppl", "doc_id", 0.3)
+    return shaped.select("doc_id", "host", "lang", "ppl", "host_rn")
 
 
 _GRAD_W_SPARK = "CASE WHEN i % 2 = 0 THEN 0.01D ELSE -0.01D END"

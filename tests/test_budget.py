@@ -1,0 +1,226 @@
+"""topfrac_per_group (operators/budget.py): the production swap for the
+proportional budget — exact histogram selection, never a full-group
+window.  Every test checks EXACT keep-set equality against the plain
+``row_number() OVER (PARTITION BY group ORDER BY score, tie)`` form."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from radio_data_curation_ssl_spark.operators.budget import (
+    topfrac_per_group,
+    topk_per_group_salted,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def window_reference(df, group, score, tie, frac):
+    w = Window.partitionBy(group).orderBy(F.col(score).asc(), F.col(tie).asc())
+    wn = Window.partitionBy(group)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+        .where(F.col("_rn") <= F.floor(F.lit(frac) * F.col("_n")))
+        .drop("_rn", "_n")
+    )
+
+
+def keys(df, *cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_topfrac_matches_window_on_docs(spark):
+    """Real corpus leg: same keep set as the q_lang_budget window form on
+    (lang, ppl) over the documents table."""
+    from radio_data_curation_ssl_spark.queries import _doc_ppl
+
+    d = _doc_ppl(spark, SF)
+    got = topfrac_per_group(d, "lang", "ppl", "doc_id", 0.3)
+    want = window_reference(d, "lang", "ppl", "doc_id", 0.3)
+    assert keys(got, "doc_id") == keys(want, "doc_id")
+    assert set(got.columns) == set(d.columns)  # helper columns dropped
+
+
+def _tied_frame(spark, n=4000, n_groups=3, n_scores=7):
+    """Heavy ties: only n_scores distinct scores, so the quota boundary
+    lands INSIDE a tie run and the (score, tie) tie-break decides — the
+    case a value-threshold (percentile) implementation gets wrong."""
+    return spark.range(n).select(
+        F.col("id").alias("rid"),
+        F.pmod(F.xxhash64("id"), F.lit(n_groups)).cast("string").alias("g"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_scores))
+        .cast("double")
+        .alias("score"),
+    )
+
+
+@pytest.mark.parametrize("frac", [0.1, 0.3, 0.5, 0.9])
+def test_topfrac_mass_ties_exact(spark, frac):
+    df = _tied_frame(spark)
+    got = topfrac_per_group(df, "g", "score", "rid", frac, n_buckets=16)
+    want = window_reference(df, "g", "score", "rid", frac)
+    assert keys(got, "rid") == keys(want, "rid")
+
+
+def test_topfrac_skewed_group_exact(spark):
+    """One group 50x the others (the 10^12-scale shape: few, huge
+    languages) — still exact."""
+    df = spark.range(5100).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") < 5000, "big").otherwise("small").alias("g"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)) / 10.0).alias("score"),
+    )
+    got = topfrac_per_group(df, "g", "score", "rid", 0.3)
+    want = window_reference(df, "g", "score", "rid", 0.3)
+    assert keys(got, "rid") == keys(want, "rid")
+
+
+def test_topfrac_constant_score_group(spark):
+    """A constant-score group collapses to one bucket (the documented
+    degenerate path: boundary window sees the whole group) — exact."""
+    df = spark.range(100).select(
+        F.col("id").alias("rid"),
+        F.lit("g").alias("g"),
+        F.lit(1.5).alias("score"),
+    )
+    got = topfrac_per_group(df, "g", "score", "rid", 0.3)
+    # pure tie-break: the 30 smallest rids
+    assert keys(got, "rid") == {(i,) for i in range(30)}
+
+
+def test_topfrac_frac_edges(spark):
+    df = _tied_frame(spark, n=500)
+    assert topfrac_per_group(df, "g", "score", "rid", 0.0).count() == 0
+    assert topfrac_per_group(df, "g", "score", "rid", 1.0).count() == 500
+    with pytest.raises(ValueError):
+        topfrac_per_group(df, "g", "score", "rid", 1.5)
+    with pytest.raises(ValueError):
+        topfrac_per_group(df, "g", "score", "rid", 0.3, n_buckets=0)
+
+
+def test_topfrac_tiny_group_quota_zero(spark):
+    """Groups smaller than 1/frac keep nothing (floor semantics), and the
+    inner boundary join drops them without a special case."""
+    df = spark.range(3).select(
+        F.col("id").alias("rid"), F.lit("tiny").alias("g"),
+        F.col("id").cast("double").alias("score"),
+    )
+    assert topfrac_per_group(df, "g", "score", "rid", 0.3).count() == 0
+
+
+def test_topfrac_windows_boundary_only(spark):
+    """Plan shape: the corpus-side plan has exactly ONE Window — the
+    boundary rank, whose input is filtered to the boundary bucket (the
+    corpus never enters a window unfiltered).  The histogram cumsum runs
+    once inside the pinned `solved` frame, which both union branches
+    consume as a shared in-memory scan."""
+    df = _tied_frame(spark, n=2000)
+    out = topfrac_per_group(df, "g", "score", "rid", 0.3, n_buckets=64)
+    out.collect()  # materialize so the executed plan is final (AQE)
+    # AQE's toString renders the final plan then '== Initial Plan ==';
+    # count nodes in the final rendering only
+    p = out._jdf.queryExecution().executedPlan().toString()
+    p = p.split("== Initial Plan ==")[0]
+    assert p.count("Window") == 1, p
+    assert "ExistingRDD" in p  # the pinned solved frame, computed once
+    # the boundary filter (bucket = b*) guards the rank window's input
+    assert "_tf_bstar" in p and "_tf_bucket" in p
+
+
+# --- topk_per_group_salted -------------------------------------------------
+
+
+def window_topk(df, group, score, tie, k):
+    w = Window.partitionBy(group).orderBy(F.col(score).asc(), F.col(tie).asc())
+    return df.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    ).drop("_rn")
+
+
+@pytest.mark.parametrize("k", [1, 5, 37])
+def test_topk_salted_matches_window(spark, k):
+    df = _tied_frame(spark, n=3000, n_groups=4, n_scores=11)
+    got = topk_per_group_salted(df, "g", "score", "rid", k)
+    want = window_topk(df, "g", "score", "rid", k)
+    assert keys(got, "rid") == keys(want, "rid")
+
+
+def test_topk_salted_k_exceeds_group(spark):
+    """k larger than every group keeps everything."""
+    df = _tied_frame(spark, n=200, n_groups=5)
+    assert topk_per_group_salted(df, "g", "score", "rid", 10**6).count() == 200
+
+
+def test_topk_salted_validates(spark):
+    df = _tied_frame(spark, n=10)
+    with pytest.raises(ValueError):
+        topk_per_group_salted(df, "g", "score", "rid", -1)
+    with pytest.raises(ValueError):
+        topk_per_group_salted(df, "g", "score", "rid", 3, n_salts=0)
+
+
+def test_topk_salted_two_phase_plan(spark):
+    """Plan shape: two Window nodes, the first partitioned by the salted
+    key (the hot group never serializes one task)."""
+    df = _tied_frame(spark, n=1000)
+    out = topk_per_group_salted(df, "g", "score", "rid", 5)
+    out.collect()
+    p = out._jdf.queryExecution().executedPlan().toString()
+    p = p.split("== Initial Plan ==")[0]
+    # exactly two Window operators; WindowGroupLimit nodes (Spark's
+    # rank-limit pushdown — per-partition top-k pruning BEFORE the
+    # shuffle, a free extra skew guard) also match "Window", so count
+    # node headers only
+    assert p.count("Window [") == 2, p
+    assert "WindowGroupLimit" in p  # rank filter pushed below the shuffle
+    assert "_tk_salt" in p
+
+
+# --- the flow's corpus-shaping stage ---------------------------------------
+
+
+def test_flow_budgets_shape_the_sample(spark, pages_small):
+    """curate_dedup_sample(host_cap, lang_budget_frac): hosts are capped,
+    the per-language keep counts follow floor(frac * capped_lang_n), and
+    with a saturating target the output IS the budgeted set."""
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    big = 10**9
+    capped = curate_dedup_sample(
+        pages_small, big, host_cap=3
+    ).cache()
+    by_host = (
+        capped.withColumn(
+            "h", F.regexp_extract("url", r"https://([^/]+)/", 1)
+        )
+        .groupBy("h")
+        .count()
+        .collect()
+    )
+    assert by_host and all(r["count"] <= 3 for r in by_host)
+
+    shaped = curate_dedup_sample(
+        pages_small, big, host_cap=3, lang_budget_frac=0.5
+    ).cache()
+    capped_n = {r["lang_pred"]: r["count"]
+                for r in capped.groupBy("lang_pred").count().collect()}
+    shaped_n = {r["lang_pred"]: r["count"]
+                for r in shaped.groupBy("lang_pred").count().collect()}
+    import math
+
+    for lang, n in capped_n.items():
+        assert shaped_n.get(lang, 0) == math.floor(0.5 * n), lang
+    # the budgeted set is a subset of the capped set
+    assert keys(shaped, "url") <= keys(capped, "url")
+    # determinism
+    again = curate_dedup_sample(
+        pages_small, big, host_cap=3, lang_budget_frac=0.5
+    )
+    assert keys(again, "url") == keys(shaped, "url")
+    capped.unpersist()
+    shaped.unpersist()

@@ -59,7 +59,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["topfrac_per_group", "topk_per_group_salted"]
+__all__ = [
+    "temperature_quotas",
+    "temperature_sample",
+    "topfrac_per_group",
+    "topk_per_group_salted",
+]
 
 
 def topk_per_group_salted(
@@ -136,11 +141,8 @@ def topfrac_per_group(
     """
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"frac must be in [0, 1], got {frac}")
-    if n_buckets < 1:
-        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
 
-    g, s = F.col(group_col), F.col(score_col).cast("double")
-
+    s = F.col(score_col).cast("double")
     # pass 1: per-group count + score range (one tiny map-side-combined agg)
     stats = df.groupBy(group_col).agg(
         F.count("*").alias("_tf_n"),
@@ -149,6 +151,25 @@ def topfrac_per_group(
     )
     quota = F.floor(F.lit(float(frac)) * F.col("_tf_n")).cast("long")
     stats = stats.withColumn("_tf_q", quota)
+    return _select_topq(df, group_col, score_col, tie_col, stats, n_buckets)
+
+
+def _select_topq(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    tie_col: str,
+    stats: DataFrame,
+    n_buckets: int,
+) -> DataFrame:
+    """Histogram-selection core shared by ``topfrac_per_group`` and
+    ``temperature_sample``: keep the ``_tf_q`` smallest ``(score, tie)``
+    rows per group, given ``stats`` = (group, _tf_q, _tf_mn, _tf_mx).
+    See the module docstring for the algorithm and exactness argument."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+
+    s = F.col(score_col).cast("double")
 
     # bucket id: position of score in n_buckets uniform bins over
     # [mn, mx]; constant-score groups collapse to bucket 0 (the boundary
@@ -214,3 +235,93 @@ def topfrac_per_group(
     )
     helper = ["_tf_mn", "_tf_mx", "_tf_q", "_tf_bucket", "_tf_bstar", "_tf_take"]
     return below.unionByName(boundary).drop(*helper)
+
+
+def temperature_quotas(
+    counts: dict[str, int], total: int, alpha: float
+) -> dict[str, int]:
+    """Per-group quotas for temperature-weighted sampling: group g gets
+    ``total * n_g^alpha / sum(n^alpha)``, clamped to ``n_g`` with the
+    excess redistributed over unclamped groups (standard water-filling
+    on the power weights), floored to integers.
+
+    ``alpha = 1`` is proportional sampling, ``alpha = 0`` an equal split
+    (the balanced water-fill of operators/sampling.py), and the
+    ``0 < alpha < 1`` band is the CCNet/XLM-R-style low-resource
+    upweighting used to mix multilingual corpora.  Pure driver-side math
+    over |groups| numbers — deterministic, no RNG.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    if any(n < 0 for n in counts.values()):
+        raise ValueError("negative group count")
+    quotas = {g: 0.0 for g in counts}
+    open_g = {g for g, n in counts.items() if n > 0}
+    budget = float(min(total, sum(counts.values())))
+    # each round fixes every group whose share exceeds its size at its
+    # size and re-splits the remainder; terminates in <= |groups| rounds
+    while budget > 0 and open_g:
+        wsum = sum(counts[g] ** alpha for g in open_g)
+        share = {g: budget * (counts[g] ** alpha) / wsum for g in open_g}
+        over = {g for g in open_g if share[g] >= counts[g] - quotas[g]}
+        if not over:
+            for g in open_g:
+                quotas[g] += share[g]
+            break
+        for g in over:
+            budget -= counts[g] - quotas[g]
+            quotas[g] = float(counts[g])
+        open_g -= over
+    return {g: min(int(quotas[g]), counts[g]) for g in counts}
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    tie_col: str,
+    total: int,
+    alpha: float,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic temperature-weighted sample: ``~total`` rows with
+    group g represented proportionally to ``count(g)^alpha``
+    (``temperature_quotas`` above; flooring can undershoot ``total`` by
+    < |groups| rows).  Within each group the quota is filled by
+    key-hash order (xxhash64 of ``tie_col`` — deterministic, uniform,
+    never partition order: the same discipline as
+    operators/sampling.py), selected by the histogram core, so no
+    full-group window runs even when one language is 10^11 documents.
+
+    Scale: one count aggregate (|groups| rows to the driver — bounded:
+    groups are languages/domains, not documents), the quota solve on
+    those numbers, then ``_select_topq``'s two agg passes + boundary
+    window.  The hash scores are uniform, so histogram buckets are
+    near-equal by construction — the selection's best case.
+    """
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df.limit(0)
+    quotas = temperature_quotas(counts, total, alpha)
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(g, int(quotas[g])) for g in counts], [group_col, "_tf_q"]
+    )
+    scored = df.withColumn(
+        "_ts_score", F.xxhash64(F.col(tie_col)).cast("double")
+    )
+    s = F.col("_ts_score")
+    ranges = scored.groupBy(group_col).agg(
+        F.min(s).alias("_tf_mn"), F.max(s).alias("_tf_mx")
+    )
+    stats = ranges.join(qdf, group_col)
+    out = _select_topq(
+        scored, group_col, "_ts_score", tie_col, stats, n_buckets
+    )
+    return out.drop("_ts_score")

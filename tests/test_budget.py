@@ -224,3 +224,80 @@ def test_flow_budgets_shape_the_sample(spark, pages_small):
     assert keys(again, "url") == keys(shaped, "url")
     capped.unpersist()
     shaped.unpersist()
+
+
+# --- temperature-weighted sampling -----------------------------------------
+
+
+def test_temperature_quotas_alpha1_proportional():
+    from radio_data_curation_ssl_spark.operators.budget import (
+        temperature_quotas,
+    )
+
+    q = temperature_quotas({"en": 8000, "de": 1500, "sw": 500}, 1000, 1.0)
+    assert sum(q.values()) <= 1000
+    assert q["en"] == 800 and q["de"] == 150 and q["sw"] == 50
+
+
+def test_temperature_quotas_alpha0_equal_split_with_clamp():
+    from radio_data_curation_ssl_spark.operators.budget import (
+        temperature_quotas,
+    )
+
+    # equal split wants 400 each, but sw only has 100 — its surplus
+    # water-fills into the larger groups
+    q = temperature_quotas({"en": 8000, "de": 1500, "sw": 100}, 1200, 0.0)
+    assert q["sw"] == 100
+    assert q["en"] == q["de"] == 550
+
+
+def test_temperature_quotas_upweights_low_resource():
+    from radio_data_curation_ssl_spark.operators.budget import (
+        temperature_quotas,
+    )
+
+    counts = {"en": 80000, "sw": 1000}
+    q1 = temperature_quotas(counts, 5000, 1.0)
+    q3 = temperature_quotas(counts, 5000, 0.3)
+    assert q3["sw"] > q1["sw"]  # the whole point of temperature mixing
+    assert q3["sw"] <= 1000
+
+    # clamps + validation
+    assert temperature_quotas(counts, 10**9, 0.5) == counts
+    assert temperature_quotas({}, 100, 0.5) == {}
+    with pytest.raises(ValueError):
+        temperature_quotas(counts, 100, 1.5)
+    with pytest.raises(ValueError):
+        temperature_quotas(counts, -1, 0.5)
+
+
+def test_temperature_sample_exact_and_deterministic(spark):
+    """The sample is EXACTLY the per-group quota prefix of the
+    deterministic key-hash order (window reference), twice over."""
+    from radio_data_curation_ssl_spark.operators.budget import (
+        temperature_quotas,
+        temperature_sample,
+    )
+
+    df = _tied_frame(spark, n=3000, n_groups=3).drop("score")
+    counts = {r["g"]: r["n"] for r in df.groupBy("g").count()
+              .withColumnRenamed("count", "n").collect()}
+    quotas = temperature_quotas(counts, 900, 0.4)
+
+    got = temperature_sample(df, "g", "rid", 900, 0.4)
+    w = Window.partitionBy("g").orderBy(
+        F.xxhash64("rid").cast("double").asc(), F.col("rid").asc()
+    )
+    ref = df.withColumn("_rn", F.row_number().over(w))
+    want = set()
+    for g, q in quotas.items():
+        want |= {
+            (r["rid"],)
+            for r in ref.where((F.col("g") == g) & (F.col("_rn") <= q))
+            .select("rid").collect()
+        }
+    assert keys(got, "rid") == want
+    assert sum(quotas.values()) <= 900 >= got.count()
+    again = temperature_sample(df, "g", "rid", 900, 0.4)
+    assert keys(again, "rid") == keys(got, "rid")
+    assert set(got.columns) == {"rid", "g"}  # score helper dropped

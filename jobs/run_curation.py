@@ -92,6 +92,15 @@ def main(argv: list[str] | None = None) -> int:
         "quality budget; exact histogram selection, no full-group window)",
     )
     ap.add_argument(
+        "--sample-alpha",
+        type=_frac,
+        default=None,
+        help="with --sample-target: use deterministic temperature mixing "
+        "instead of the balanced water-fill — language l is represented "
+        "proportionally to count(l)^alpha (1 = proportional, 0 = equal "
+        "split, between = low-resource upweighting)",
+    )
+    ap.add_argument(
         "--seen-urls",
         default=None,
         help="with --sample-target: parquet dir holding a `url` column of "
@@ -107,10 +116,11 @@ def main(argv: list[str] | None = None) -> int:
         or args.seen_urls
         or args.host_cap is not None
         or args.lang_budget is not None
+        or args.sample_alpha is not None
     ) and args.sample_target is None:
         ap.error(
-            "--url-dedup/--line-dedup/--seen-urls/--host-cap/--lang-budget "
-            "require --sample-target"
+            "--url-dedup/--line-dedup/--seen-urls/--host-cap/--lang-budget/"
+            "--sample-alpha require --sample-target"
         )
 
     from radio_data_curation_ssl_spark.operators.resume import write_resumable
@@ -175,6 +185,7 @@ def main(argv: list[str] | None = None) -> int:
                     seen_urls=seen,
                     host_cap=args.host_cap,
                     lang_budget_frac=args.lang_budget,
+                    sample_alpha=args.sample_alpha,
                 )
                 version = publish_sample(sample, root)
                 snapshots.rollback(root, version, tag=run_id)  # pin run tag

@@ -75,6 +75,7 @@ def curate_dedup_sample(
     seen_urls: DataFrame | None = None,
     host_cap: int | None = None,
     lang_budget_frac: float | None = None,
+    sample_alpha: float | None = None,
 ) -> DataFrame:
     """pages -> deduplicated, balanced, scrubbed training sample.
 
@@ -117,6 +118,13 @@ def curate_dedup_sample(
     (operators/budget.py::topfrac_per_group — exact histogram selection,
     no full-group window).  Both rank on the curate stage's ppl score,
     which rides the flow when either is set.
+
+    ``sample_alpha`` switches the final sampler from the balanced
+    water-fill to deterministic temperature mixing
+    (operators/budget.py::temperature_sample): language l is represented
+    proportionally to ``count(l)^alpha`` — ``alpha=1`` proportional,
+    ``alpha=0`` equal-split, between them the CCNet/XLM-R low-resource
+    upweighting.  Flooring can undershoot ``target`` by < |languages|.
     """
     if target < 0:
         raise ValueError(f"target must be >= 0, got {target}")
@@ -330,9 +338,16 @@ def curate_dedup_sample(
     n = neat.count()
     if n == 0 or target == 0:
         return neat.select("url", "warc_ts", "text_scrubbed", "lang_pred").limit(0)
-    out = stratified_sample(
-        neat, "lang_pred", "url", min(target, n), exact=True
-    )
+    if sample_alpha is not None:
+        from ..operators.budget import temperature_sample
+
+        out = temperature_sample(
+            neat, "lang_pred", "url", min(target, n), sample_alpha
+        )
+    else:
+        out = stratified_sample(
+            neat, "lang_pred", "url", min(target, n), exact=True
+        )
     return out.select("url", "warc_ts", "text_scrubbed", "lang_pred")
 
 

@@ -301,3 +301,26 @@ def test_temperature_sample_exact_and_deterministic(spark):
     again = temperature_sample(df, "g", "rid", 900, 0.4)
     assert keys(again, "rid") == keys(got, "rid")
     assert set(got.columns) == {"rid", "g"}  # score helper dropped
+
+
+def test_flow_temperature_sampler_mode(spark, pages_small):
+    """curate_dedup_sample(sample_alpha=): the final sampler follows the
+    temperature quotas computed on the deduped population."""
+    from radio_data_curation_ssl_spark.operators.budget import (
+        temperature_quotas,
+    )
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    population = curate_dedup_sample(pages_small, 10**9).cache()
+    counts = {r["lang_pred"]: r["n"]
+              for r in population.groupBy("lang_pred").count()
+              .withColumnRenamed("count", "n").collect()}
+    want = temperature_quotas(counts, 100, 0.5)
+    got = curate_dedup_sample(pages_small, 100, sample_alpha=0.5)
+    got_n = {r["lang_pred"]: r["n"]
+             for r in got.groupBy("lang_pred").count()
+             .withColumnRenamed("count", "n").collect()}
+    assert got_n == {g: q for g, q in want.items() if q > 0}
+    population.unpersist()

@@ -123,11 +123,19 @@ def topfrac_per_group(
     tie_col: str,
     frac: float,
     n_buckets: int = 4096,
+    pin_input: bool = False,
 ) -> DataFrame:
     """Rows whose rank by ``(score asc, tie asc)`` within ``group_col`` is
     ``<= floor(frac * count(group))`` — the exact keep set of
     ``row_number() OVER (PARTITION BY group ORDER BY score, tie)``,
     computed without windowing whole groups (see module docstring).
+
+    The selection reads ``df`` three times (stats+histogram pass, then
+    each union branch).  For a RAW TABLE scan that is the cheap,
+    scale-right currency; when ``df`` is itself an expensive subplan
+    (joins/windows — e.g. a host-cap stage feeding this budget), pass
+    ``pin_input=True`` to localCheckpoint it first so the subplan runs
+    once (costs its materialized size in executor memory/disk).
 
     Returns the input columns (no rank column: ranks of the kept set
     would re-serialize the group; callers needing ranks re-rank the
@@ -141,6 +149,8 @@ def topfrac_per_group(
     """
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"frac must be in [0, 1], got {frac}")
+    if pin_input:
+        df = df.localCheckpoint(eager=False)
 
     s = F.col(score_col).cast("double")
     # pass 1: per-group count + score range (one tiny map-side-combined agg)

@@ -309,6 +309,7 @@ def curate_dedup_sample(
         from ..operators.budget import topfrac_per_group, topk_per_group_salted
 
         shaped = neat
+        capped_m = None
         if host_cap is not None:
             shaped = (
                 shaped.withColumn(
@@ -325,6 +326,14 @@ def curate_dedup_sample(
                 )
                 .drop("_host")
             )
+            if lang_budget_frac is not None:
+                # materialize between the stages: the language budget
+                # reads its input three times (stats+histogram pass +
+                # two selection branches), which should re-scan a cheap
+                # artifact, not re-run the cap's two-window subplan —
+                # and the flow's leak-free work_dir contract rules out
+                # the operator's pin_input checkpoint here
+                shaped = capped_m = _materialize(shaped, "capped")
         if lang_budget_frac is not None:
             shaped = topfrac_per_group(
                 shaped, "lang_pred", "ppl", "url", lang_budget_frac
@@ -332,6 +341,8 @@ def curate_dedup_sample(
         shaped = _materialize(shaped, "shaped")
         if work_dir is None:
             neat.unpersist()
+            if capped_m is not None:
+                capped_m.unpersist()
         neat = shaped
     # balanced sample across predicted languages (water-fill quota);
     # clamp target to the surviving population

@@ -3204,6 +3204,7 @@ FROM budgeted WHERE lang_rn <= CAST(floor(0.3 * n) AS BIGINT)
     "floor(0.3*n)) keep the boundary engine-exact. Scale: two salted/"
     "small window shuffles + the budget's two agg passes; each stage "
     "strictly shrinks the data.",
+    bench=True,
 )
 def q_corpus_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.budget import topfrac_per_group, topk_per_group_salted
@@ -3218,7 +3219,9 @@ def q_corpus_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = topk_per_group_salted(
         d, "host", "ppl", "doc_id", 25, rank_col="host_rn"
     )
-    shaped = topfrac_per_group(capped, "lang", "ppl", "doc_id", 0.3)
+    shaped = topfrac_per_group(
+        capped, "lang", "ppl", "doc_id", 0.3, pin_input=True
+    )
     return shaped.select("doc_id", "host", "lang", "ppl", "host_rn")
 
 

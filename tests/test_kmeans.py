@@ -267,11 +267,20 @@ def test_no_block_manager_leak_across_calls(spark, emb):
 
     emb.count()  # materialize the fixture's own cache FIRST (it registers
     # in getPersistentRDDs only on first action — order-independence)
+    # flush GC-managed pins left by OTHER tests in this shared session
+    # (operators/budget.py localCheckpoints release on GC, so an unlucky
+    # mid-loop collection would otherwise shrink the count under us)
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
     before = n_persistent()
     for _ in range(3):
         adf, _ = lloyd_kmeans(emb, "vec_id", "embedding", k=4, n_iters=3)
         adf.count()  # materialize the returned lazy assignment too
-    assert n_persistent() == before
+    # lloyd must not GROW the store (the round-2 bug grew it per call);
+    # "<=" tolerates a late foreign-pin release, "==" would not
+    assert n_persistent() <= before
 
 
 def _blobs(spark, n_clusters=64, per=40, d=8):

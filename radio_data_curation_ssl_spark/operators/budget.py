@@ -1,4 +1,10 @@
-"""Exact top-fraction-per-group selection without a full-group window.
+"""Corpus-shaping budgets: exact per-group selection without full-group windows.
+
+Four public pieces: ``topk_per_group_salted`` (fixed-k anti-domination
+cap, salted two-phase rank), ``topfrac_per_group`` (proportional quality
+budget, histogram selection), ``temperature_quotas`` +
+``temperature_sample`` (deterministic count^alpha corpus mixing on the
+same histogram core).  The histogram-selection design:
 
 The corpus-shaping budget queries (``corpus_budgets`` and the
 ``q_lang_budget`` helper in queries.py) keep the best ``floor(frac * n)``

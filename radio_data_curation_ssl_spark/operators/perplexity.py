@@ -86,25 +86,34 @@ def score_texts(texts: pd.Series, table: np.ndarray) -> np.ndarray:
     return score_from_stream(build_stream(texts), table)
 
 
+def _valid_bigrams(stream: TextStream):
+    """(buckets, valid, doc_of) for a stream: hashed-bigram table buckets,
+    the mask dropping cross-document pairs, and each pair's doc index —
+    the ONE definition of "a document's bigrams", shared by the scorer
+    and the distributed fit so they can never disagree."""
+    wh, lengths = stream.word_hashes, stream.words_per_doc
+    n = stream.n_docs
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    bh = bigram_hash_np(wh)
+    buckets = (bh % np.uint64(TABLE_SIZE)).astype(np.int64)
+    boundary = np.zeros(wh.size - 1, dtype=bool)
+    ends = (starts + lengths)[:-1]
+    ends = ends[(ends > 0) & (ends < wh.size)]
+    boundary[ends - 1] = True  # last word of each doc
+    doc_of = np.repeat(np.arange(n), np.maximum(lengths, 0))[:-1]
+    return buckets, ~boundary, doc_of
+
+
 def score_from_stream(stream: TextStream, table: np.ndarray) -> np.ndarray:
     """Score from a prebuilt TextStream (fused stage computes it once and
     shares it between perplexity and heuristics)."""
     n = stream.n_docs
-    wh, lengths = stream.word_hashes, stream.words_per_doc
+    wh = stream.word_hashes
     out = np.full(n, np.nan, dtype=np.float64)
     null_mask = stream.null_mask
     if wh.size >= 2:
-        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-        bh = bigram_hash_np(wh)
-        lp = table[(bh % np.uint64(TABLE_SIZE)).astype(np.int64)].astype(
-            np.float64
-        ) / _SCALE
-        boundary = np.zeros(wh.size - 1, dtype=bool)
-        ends = (starts + lengths)[:-1]
-        ends = ends[(ends > 0) & (ends < wh.size)]
-        boundary[ends - 1] = True  # last word of each doc
-        valid = ~boundary
-        doc_of = np.repeat(np.arange(n), np.maximum(lengths, 0))[:-1]
+        buckets, valid, doc_of = _valid_bigrams(stream)
+        lp = table[buckets].astype(np.float64) / _SCALE
         sums = np.bincount(doc_of[valid], weights=lp[valid], minlength=n)
         counts = np.bincount(doc_of[valid], minlength=n)
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -114,9 +123,17 @@ def score_from_stream(stream: TextStream, table: np.ndarray) -> np.ndarray:
     return out
 
 
-def with_perplexity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def with_perplexity(
+    docs: DataFrame, text_col: str = "text", table: np.ndarray | None = None
+) -> DataFrame:
+    """ppl column via broadcast table — ``table`` defaults to the
+    synthetic ``build_table()``; pass ``fit_table(...)``'s output to
+    score with a corpus-fitted model (the CCNet shape: fit on a clean
+    reference corpus, score the crawl)."""
     spark = docs.sparkSession
-    bc = spark.sparkContext.broadcast(build_table())
+    bc = spark.sparkContext.broadcast(
+        build_table() if table is None else table
+    )
     schema = T.StructType(
         list(docs.schema.fields) + [T.StructField("ppl", T.DoubleType(), True)]
     )
@@ -129,3 +146,53 @@ def with_perplexity(docs: DataFrame, text_col: str = "text") -> DataFrame:
             yield out
 
     return docs.mapInPandas(run, schema)
+
+
+def fit_table(
+    docs: DataFrame, text_col: str = "text", alpha: float = 0.01
+) -> np.ndarray:
+    """DISTRIBUTED model fit: hashed-bigram counts over a training corpus
+    -> smoothed int16 log-prob table, drop-in for ``score_texts`` /
+    ``with_perplexity(table=...)``.  This closes the KenLM loop the
+    north rule scores with (CCNet recipe: FIT on a clean reference
+    corpus, SCORE the crawl; reference analog: the model artifacts
+    /root/reference/src/3b_feature_extraction_from_path.py:161-209 loads
+    were fitted offline — here the fit itself is the cluster job).
+
+    Plan: one Arrow pass accumulates a per-PARTITION ``bincount`` over
+    the same ``_valid_bigrams`` kernel the scorer uses (so fit and score
+    can never disagree on segmentation), emitting <= TABLE_SIZE
+    (bucket, count) rows per partition; ONE map-side-combined groupBy
+    sums them; the driver receives <= TABLE_SIZE rows (a fixed 2^16
+    regardless of corpus size) and add-alpha-smooths into log-probs:
+    ``lp = log((c + alpha) / (total + alpha * TABLE_SIZE))``.
+
+    Deterministic and partitioning-invariant (counts are associative).
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    from pyspark.sql import functions as F
+
+    def count_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros(TABLE_SIZE, dtype=np.int64)
+        for b in it:
+            st = build_stream(b[text_col])
+            if st.word_hashes.size >= 2:
+                buckets, valid, _ = _valid_bigrams(st)
+                acc += np.bincount(buckets[valid], minlength=TABLE_SIZE)
+        nz = np.nonzero(acc)[0]
+        yield pd.DataFrame({"bucket": nz.astype(np.int32), "n": acc[nz]})
+
+    rows = (
+        docs.select(F.col(text_col).alias(text_col))
+        .mapInPandas(count_batches, "bucket int, n long")
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    counts = np.zeros(TABLE_SIZE, dtype=np.float64)
+    for r in rows:
+        counts[r["bucket"]] = r["n"]
+    total = counts.sum()
+    lp = np.log((counts + alpha) / (total + alpha * TABLE_SIZE))
+    return np.clip(np.round(lp * _SCALE), -32768, 32767).astype(np.int16)

@@ -1,0 +1,89 @@
+"""fit_table (operators/perplexity.py): the distributed KenLM-loop fit —
+hashed-bigram counts -> smoothed log-prob table, sharing the scorer's
+exact segmentation kernel."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from radio_data_curation_ssl_spark.operators.perplexity import (
+    TABLE_SIZE,
+    _SCALE,
+    _valid_bigrams,
+    fit_table,
+    score_texts,
+    with_perplexity,
+)
+from radio_data_curation_ssl_spark.functions.textstream import build_stream
+
+
+def _docs(spark, texts, partitions=4):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    ).repartition(partitions)
+
+
+CLEAN = ["the cat sat on the mat and the cat slept"] * 30 + [
+    "a dog ran over the hill and a dog barked"
+] * 30
+
+
+def _reference_counts(texts):
+    st = build_stream(pd.Series(texts))
+    buckets, valid, _ = _valid_bigrams(st)
+    return np.bincount(buckets[valid], minlength=TABLE_SIZE)
+
+
+def test_fit_counts_match_local_kernel(spark):
+    """The distributed count equals a single-process run of the SAME
+    kernel — partitioning changes nothing."""
+    table = fit_table(_docs(spark, CLEAN, partitions=7))
+    counts = _reference_counts(CLEAN)
+    total = counts.sum()
+    lp = np.log((counts + 0.01) / (total + 0.01 * TABLE_SIZE))
+    want = np.clip(np.round(lp * _SCALE), -32768, 32767).astype(np.int16)
+    assert np.array_equal(table, want)
+
+
+def test_fit_partitioning_invariant(spark):
+    t1 = fit_table(_docs(spark, CLEAN, partitions=1))
+    t8 = fit_table(_docs(spark, CLEAN, partitions=8))
+    assert np.array_equal(t1, t8)
+
+
+def test_fit_then_score_separates_in_vs_out_of_domain(spark):
+    """The CCNet loop: fit on the clean corpus, score clean vs gibberish
+    — fitted bigrams must yield strictly lower perplexity."""
+    table = fit_table(_docs(spark, CLEAN))
+    ppl = score_texts(
+        pd.Series(
+            [
+                "the cat sat on the mat and the cat slept",
+                "zqx vbnk wplj qrtz mnvb xkcj zqx vbnk wplj qrtz",
+            ]
+        ),
+        table,
+    )
+    assert np.isfinite(ppl).all()
+    assert ppl[0] < ppl[1] / 10  # in-domain is decisively more fluent
+
+
+def test_fitted_table_drops_into_with_perplexity(spark):
+    table = fit_table(_docs(spark, CLEAN))
+    out = with_perplexity(_docs(spark, CLEAN[:10]), table=table)
+    vals = [r["ppl"] for r in out.collect()]
+    assert len(vals) == 10 and all(np.isfinite(v) for v in vals)
+
+
+def test_fit_validates_alpha(spark):
+    with pytest.raises(ValueError):
+        fit_table(_docs(spark, CLEAN[:2]), alpha=0.0)
+
+
+def test_fit_empty_corpus_is_uniform(spark):
+    """No bigrams -> pure smoothing: a constant table (uniform model)."""
+    table = fit_table(_docs(spark, ["", None, "oneword"], partitions=2))
+    assert len(set(table.tolist())) == 1

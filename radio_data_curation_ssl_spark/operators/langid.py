@@ -70,10 +70,11 @@ def build_model() -> np.ndarray:
     return (w / np.maximum(norms, 1e-12)).astype(np.float32)
 
 
-def score_batch(texts: pd.Series, weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized scoring of one Arrow batch (no per-row Python).
-
-    Returns (pred_idx, confidence) with confidence = top / (sum + 0)."""
+def _batch_trigrams(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, int]:
+    """(buckets, doc_of, n_docs) — all valid byte-trigram bucket ids of a
+    batch with their doc attribution, doc-sorted.  The ONE definition of
+    "a document's trigrams", shared by the scorer and the distributed
+    fit so they can never disagree."""
     n = len(texts)
     blobs = [doc_bytes(t) if t else b"" for t in texts]
     lengths = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n)
@@ -81,30 +82,43 @@ def score_batch(texts: pd.Series, weights: np.ndarray) -> tuple[np.ndarray, np.n
     # below 2^31 bytes, so the wide int64 temporaries were pure memory
     # traffic (same values, half the bandwidth)
     flat = np.frombuffer(b"".join(blobs), dtype=np.uint8).astype(np.int32)
-    scores = np.zeros((n, len(LANGS)), dtype=np.float64)
-    if flat.size >= 3:
-        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-        codes = flat[:-2] * 65536 + flat[1:-1] * 256 + flat[2:]
-        buckets = codes % N_BUCKETS
-        # trigram at byte position p belongs to the doc owning byte p and is
-        # valid only if it doesn't cross into the next doc (p+2 < doc end)
-        doc_of = np.repeat(np.arange(n, dtype=np.int32), lengths)[: buckets.size]
-        ends = (starts + lengths).astype(np.int32)
-        valid = (np.arange(buckets.size, dtype=np.int32) + 2) < ends[doc_of]
-        vb, vd = buckets[valid], doc_of[valid]
+    if flat.size < 3:
+        return (
+            np.empty(0, dtype=np.int32),
+            np.empty(0, dtype=np.int32),
+            n,
+        )
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    codes = flat[:-2] * 65536 + flat[1:-1] * 256 + flat[2:]
+    buckets = codes % N_BUCKETS
+    # trigram at byte position p belongs to the doc owning byte p and is
+    # valid only if it doesn't cross into the next doc (p+2 < doc end)
+    doc_of = np.repeat(np.arange(n, dtype=np.int32), lengths)[: buckets.size]
+    ends = (starts + lengths).astype(np.int32)
+    valid = (np.arange(buckets.size, dtype=np.int32) + 2) < ends[doc_of]
+    return buckets[valid], doc_of[valid], n
+
+
+def score_batch(texts: pd.Series, weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized scoring of one Arrow batch (no per-row Python).
+
+    Returns (pred_idx, confidence) with confidence = top / (sum + 0)."""
+    n_classes = weights.shape[0]
+    vb, vd, n = _batch_trigrams(texts)
+    scores = np.zeros((n, n_classes), dtype=np.float64)
+    if vd.size:
         # float64 conversion on the (L, N_BUCKETS) table ONCE, not on a
-        # trigram-sized gather per language
+        # trigram-sized gather per language.
         w64 = weights.astype(np.float64)
-        if vd.size:
-            # vd is doc-sorted by construction, so per-doc sums are segment
-            # sums: np.add.reduceat over each language's gathered weights is
-            # ~1.5x faster than np.bincount (no target-index scatter), with
-            # the SAME left-to-right accumulation order per doc, hence
-            # bit-identical scores (asserted against the bincount twin)
-            seg = np.flatnonzero(np.diff(np.concatenate(([-1], vd))))
-            docs_present = vd[seg]
-            for li in range(len(LANGS)):
-                scores[docs_present, li] = np.add.reduceat(w64[li, vb], seg)
+        # vd is doc-sorted by construction, so per-doc sums are segment
+        # sums: np.add.reduceat over each language's gathered weights is
+        # ~1.5x faster than np.bincount (no target-index scatter), with
+        # the SAME left-to-right accumulation order per doc, hence
+        # bit-identical scores (asserted against the bincount twin)
+        seg = np.flatnonzero(np.diff(np.concatenate(([-1], vd))))
+        docs_present = vd[seg]
+        for li in range(n_classes):
+            scores[docs_present, li] = np.add.reduceat(w64[li, vb], seg)
     pred = scores.argmax(axis=1)
     tot = scores.sum(axis=1)
     conf = np.where(tot > 0, scores.max(axis=1) / np.maximum(tot, 1e-12), 0.0)
@@ -117,13 +131,22 @@ _LANGID_SCHEMA_ADD = [
 ]
 
 
-def with_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def with_langid(
+    docs: DataFrame,
+    text_col: str = "text",
+    model: np.ndarray | None = None,
+    model_langs: list[str] | None = None,
+) -> DataFrame:
     """Append (lang_pred, lang_conf). Weights broadcast once; iterator-style
-    ``mapInPandas`` deserializes once per task, not per batch."""
+    ``mapInPandas`` deserializes once per task, not per batch.  ``model``
+    / ``model_langs`` default to the synthetic ``build_model()``; pass
+    ``fit_model(...)``'s output to score with corpus-fitted weights."""
     spark = docs.sparkSession
-    bc = spark.sparkContext.broadcast(build_model())
+    bc = spark.sparkContext.broadcast(
+        build_model() if model is None else model
+    )
     schema = T.StructType(list(docs.schema.fields) + _LANGID_SCHEMA_ADD)
-    langs = np.array(LANGS)
+    langs = np.array(LANGS if model_langs is None else model_langs)
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = bc.value  # one deserialization per task
@@ -135,3 +158,75 @@ def with_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
             yield out
 
     return docs.mapInPandas(run, schema)
+
+
+def fit_model(
+    docs: DataFrame, text_col: str = "text", label_col: str = "lang"
+) -> tuple[np.ndarray, list[str]]:
+    """DISTRIBUTED supervised fit: labeled corpus -> (weights, langs),
+    drop-in for ``with_langid(model=..., model_langs=...)``.
+
+    fastText's supervised shape without the SGD loop: per-language
+    byte-trigram bucket counts, L2-normalized per language — the same
+    construction ``build_model`` applies to the synthetic vocab, computed
+    from corpus statistics instead (count-based linear classifiers are
+    the one-pass, shuffle-friendly degenerate case of fastText training).
+
+    Plan: one Arrow pass accumulates per-(label, bucket) bincounts with
+    the scorer's own ``_batch_trigrams`` kernel (fit and score share one
+    trigram definition, so they cannot disagree), emitting at most
+    ``|labels| * N_BUCKETS`` (label, bucket, n) rows per partition; ONE
+    map-side-combined groupBy sums them; the driver receives a
+    bounded-by-model-size row set (never corpus-sized) and normalizes.
+    Labels are sorted for a deterministic class order.
+    """
+    from pyspark.sql import functions as F
+
+    def count_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[str, np.ndarray] = {}
+        for b in it:
+            labels = b[label_col].fillna("")
+            vb, vd, _ = _batch_trigrams(b[text_col].fillna(""))
+            if not vb.size:
+                continue
+            doc_labels = labels.to_numpy()
+            for lang in pd.unique(labels):
+                sel = doc_labels[vd] == lang
+                if sel.any():
+                    a = acc.setdefault(
+                        str(lang), np.zeros(N_BUCKETS, dtype=np.int64)
+                    )
+                    a += np.bincount(vb[sel], minlength=N_BUCKETS)
+        frames = [
+            pd.DataFrame(
+                {
+                    "label": lang,
+                    "bucket": np.nonzero(a)[0].astype(np.int32),
+                    "n": a[np.nonzero(a)[0]],
+                }
+            )
+            for lang, a in acc.items()
+        ]
+        yield (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame({"label": [], "bucket": [], "n": []})
+        )
+
+    rows = (
+        docs.select(
+            F.col(text_col).alias(text_col),
+            F.col(label_col).cast("string").alias(label_col),
+        )
+        .mapInPandas(count_batches, "label string, bucket int, n long")
+        .groupBy("label", "bucket")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    langs = sorted({r["label"] for r in rows})
+    idx = {lang: i for i, lang in enumerate(langs)}
+    w = np.zeros((len(langs), N_BUCKETS), dtype=np.float64)
+    for r in rows:
+        w[idx[r["label"]], r["bucket"]] = r["n"]
+    norms = np.linalg.norm(w, axis=1, keepdims=True)
+    return (w / np.maximum(norms, 1e-12)).astype(np.float32), langs

@@ -1,0 +1,78 @@
+"""fit_model (operators/langid.py): distributed supervised byte-trigram
+fit sharing the scorer's exact trigram kernel."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from radio_data_curation_ssl_spark.operators.langid import (
+    N_BUCKETS,
+    _batch_trigrams,
+    fit_model,
+    score_batch,
+    with_langid,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_fit_counts_match_local_kernel(spark):
+    """Distributed per-language counts == a single-process run of the same
+    kernel, regardless of partitioning."""
+    docs = _docs(spark).select("doc_id", "lang", "text")
+    w, langs = fit_model(docs.repartition(7))
+    pdf = docs.orderBy("doc_id").toPandas()
+    want = np.zeros((len(langs), N_BUCKETS), dtype=np.float64)
+    idx = {lang: i for i, lang in enumerate(langs)}
+    for lang, grp in pdf.groupby("lang"):
+        vb, vd, _ = _batch_trigrams(grp["text"].reset_index(drop=True))
+        want[idx[lang]] = np.bincount(vb, minlength=N_BUCKETS)
+    norms = np.linalg.norm(want, axis=1, keepdims=True)
+    want = (want / np.maximum(norms, 1e-12)).astype(np.float32)
+    assert langs == sorted(pdf["lang"].unique())
+    assert np.array_equal(w, want)
+
+
+def test_fit_train_test_split_accuracy(spark):
+    """Fit on half the synth pages, predict the other half: the
+    corpus-fitted model must recover the labels.  (synth_pages text IS
+    language-distinct per its lang column; the driver testdata's
+    documents.lang is NOT text-correlated — the synthetic model itself
+    scores only ~0.38 against it — so it cannot gate accuracy.)"""
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.synth import synth_pages
+
+    pages = synth_pages(spark, 3000, seed=7, partitions=8).select(
+        "url", "lang", "text"
+    )
+    train = pages.where(F.crc32("url") % 2 == 0)
+    test = pages.where(F.crc32("url") % 2 == 1)
+    w, langs = fit_model(train)
+    scored = with_langid(test, model=w, model_langs=langs)
+    rows = scored.select("lang", "lang_pred").collect()
+    acc = sum(r["lang"] == r["lang_pred"] for r in rows) / len(rows)
+    assert acc > 0.9, acc
+
+
+def test_fit_partitioning_invariant(spark):
+    docs = _docs(spark).select("lang", "text")
+    w1, l1 = fit_model(docs.repartition(1))
+    w8, l8 = fit_model(docs.repartition(8))
+    assert l1 == l8 and np.array_equal(w1, w8)
+
+
+def test_score_batch_generalizes_to_fitted_class_count(spark):
+    """score_batch must follow the model's class count, not the synthetic
+    LANGS constant (a fitted corpus may carry fewer/more labels)."""
+    docs = _docs(spark).where("lang IS NOT NULL").select("lang", "text")
+    two = docs.where("lang IN ('en', 'de')")
+    w, langs = fit_model(two)
+    assert w.shape == (len(langs), N_BUCKETS)
+    pred, conf = score_batch(pd.Series(["hello world"]), w)
+    assert pred.shape == (1,) and 0.0 <= conf[0] <= 1.0

@@ -1,0 +1,119 @@
+"""Cluster job entry: fit the curation models from a reference corpus.
+
+The scoring operators broadcast two model artifacts — the KenLM-style
+hashed-bigram log-prob table (operators/perplexity.py) and the
+fastText-shaped byte-trigram language classifier (operators/langid.py).
+By default both are synthesized on the driver; this job FITS them from a
+corpus the CCNet way (train on clean reference text, score the crawl)
+and publishes them as one ``.npz`` artifact with RunLog lineage, run the
+same way every other cluster job here runs (north_rule: spark-submit
+--py-files)::
+
+    zip -r curation.zip radio_data_curation_ssl_spark
+    spark-submit --py-files curation.zip jobs/fit_models.py \
+        --input /data/clean_pages --output /shared/models.npz \
+        --run-root /data/meta
+
+Local smoke (this sandbox)::
+
+    python jobs/fit_models.py --synth 5000 --output /tmp/models.npz \
+        --run-root /tmp/meta
+
+Input schema: (text, lang) columns — ``--text-col`` / ``--label-col``
+override the names.  The artifact holds ``ppl_table`` (int16,
+2^16), ``langid_weights`` (float32, L x 2^15) and ``langid_langs``;
+load with ``load_models`` below and pass into
+``with_perplexity(table=...)`` / ``with_langid(model=..., model_langs=...)``.
+Driver traffic is model-size-bounded for both fits (never corpus-sized);
+publish is temp+atomic-rename, idempotent under re-run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_models(path: str):
+    """(ppl_table, langid_weights, langid_langs) from a fit_models.npz."""
+    import numpy as np
+
+    with np.load(path, allow_pickle=False) as z:
+        return (
+            z["ppl_table"],
+            z["langid_weights"],
+            [str(x) for x in z["langid_langs"]],
+        )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="training corpus parquet dir")
+    ap.add_argument("--synth", type=int, help="generate N synthetic pages instead")
+    ap.add_argument("--output", required=True, help="npz artifact path")
+    ap.add_argument("--run-root", required=True, help="dir for _runs/_metrics")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--label-col", default="lang")
+    ap.add_argument("--alpha", type=float, default=0.01, help="ppl add-alpha")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from radio_data_curation_ssl_spark.operators.langid import fit_model
+    from radio_data_curation_ssl_spark.operators.perplexity import fit_table
+    from radio_data_curation_ssl_spark.plans.runmeta import RunLog
+    from radio_data_curation_ssl_spark.session import get_spark
+    from radio_data_curation_ssl_spark.synth import synth_pages
+
+    spark = get_spark("fit-models", master=args.master)
+    config = {
+        k: v for k, v in vars(args).items() if k != "master" and v is not None
+    }
+    log = RunLog(spark, args.run_root)
+    run_id = log.start("fit_models", config)
+    try:
+        if args.synth:
+            corpus = synth_pages(spark, args.synth, seed=42, partitions=64)
+        elif args.input:
+            corpus = spark.read.parquet(args.input)
+        else:
+            ap.error("one of --input / --synth required")
+        table = fit_table(corpus, args.text_col, alpha=args.alpha)
+        weights, langs = fit_model(corpus, args.text_col, args.label_col)
+        tmp = args.output + ".tmp.npz"
+        np.savez(
+            tmp,
+            ppl_table=table,
+            langid_weights=weights,
+            langid_langs=np.array(langs),
+        )
+        os.replace(tmp, args.output)
+        log.finish(run_id, "fit_models", config, status="done")
+        print(
+            json.dumps(
+                {
+                    "run_id": run_id,
+                    "output": args.output,
+                    "langs": langs,
+                    "ppl_buckets_nonuniform": int(
+                        (table != table.max()).sum()
+                    ),
+                    "artifact_bytes": os.path.getsize(args.output),
+                }
+            )
+        )
+        return 0
+    except Exception:
+        log.finish(run_id, "fit_models", config, status="failed")
+        raise
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

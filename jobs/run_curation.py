@@ -101,6 +101,14 @@ def main(argv: list[str] | None = None) -> int:
         "split, between = low-resource upweighting)",
     )
     ap.add_argument(
+        "--models",
+        default=None,
+        help="npz artifact from jobs/fit_models.py: score with the fitted "
+        "perplexity table + language weights instead of the synthetic "
+        "defaults (the CCNet loop: fit on clean reference text, curate "
+        "the crawl with it)",
+    )
+    ap.add_argument(
         "--seen-urls",
         default=None,
         help="with --sample-target: parquet dir holding a `url` column of "
@@ -142,7 +150,14 @@ def main(argv: list[str] | None = None) -> int:
             pages = spark.read.parquet(args.input)
         else:
             ap.error("one of --input / --synth required")
-        result = curate(pages)
+        if args.models:
+            from jobs.fit_models import load_models
+
+            t, w, langs = load_models(args.models)
+            models = (w, t, langs)
+        else:
+            models = None
+        result = curate(pages, models=models)
         extra: dict = {}
         if args.sample_target is not None:
             from radio_data_curation_ssl_spark.plans import snapshots
@@ -186,6 +201,7 @@ def main(argv: list[str] | None = None) -> int:
                     host_cap=args.host_cap,
                     lang_budget_frac=args.lang_budget,
                     sample_alpha=args.sample_alpha,
+                    models=models,
                 )
                 version = publish_sample(sample, root)
                 snapshots.rollback(root, version, tag=run_id)  # pin run tag

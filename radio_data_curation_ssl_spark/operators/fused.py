@@ -59,15 +59,20 @@ FUSED_SCHEMA = T.StructType(
 
 
 def curate_batch(
-    b: pd.DataFrame, weights: np.ndarray, table: np.ndarray
+    b: pd.DataFrame,
+    weights: np.ndarray,
+    table: np.ndarray,
+    langs: list[str] | None = None,
 ) -> pd.DataFrame:
-    """One Arrow batch through the whole pipeline (shared with tests)."""
+    """One Arrow batch through the whole pipeline (shared with tests).
+    ``langs`` names the classifier's rows (default: the synthetic LANGS;
+    a fitted model passes its own label order)."""
     text = b["html"].map(extract_text_bytes)
     stream = build_stream(text)  # segmented ONCE: ppl + heuristics share it
     pred, conf = score_batch(text.fillna(""), weights)
     ppl = score_from_stream(stream, table)
     heur = heuristics_from_stream(stream)
-    lang_pred = np.array(LANGS)[pred]
+    lang_pred = np.array(LANGS if langs is None else langs)[pred]
     keep, reason = decide_np(heur, lang_pred, conf, ppl, stream.null_mask)
     scrubbed, n_red = scrub_series(text)
     nan_to_none = lambda a: pd.Series(a).where(~np.isnan(a), None)  # noqa: E731
@@ -94,17 +99,26 @@ def curate_batch(
     )
 
 
-def extract_score_scrub(pages: DataFrame) -> DataFrame:
+def extract_score_scrub(
+    pages: DataFrame, models: tuple | None = None
+) -> DataFrame:
     """pages -> fully curated rows in a single Arrow round-trip.
-    Models broadcast once, deserialized once per task (iterator UDF)."""
+    Models broadcast once, deserialized once per task (iterator UDF).
+    ``models`` = (langid_weights, ppl_table, langid_langs) overrides the
+    synthetic defaults with corpus-fitted artifacts (fit_model/fit_table
+    or jobs/fit_models.py::load_models)."""
     spark = pages.sparkSession
-    bc_w = spark.sparkContext.broadcast(build_model())
-    bc_t = spark.sparkContext.broadcast(build_table())
+    if models is None:
+        w, t, langs = build_model(), build_table(), None
+    else:
+        w, t, langs = models
+    bc_w = spark.sparkContext.broadcast(w)
+    bc_t = spark.sparkContext.broadcast(t)
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights, table = bc_w.value, bc_t.value
         for b in it:
-            yield curate_batch(b, weights, table)
+            yield curate_batch(b, weights, table, langs)
 
     # prune the Arrow payload to what the kernel reads: the input `text`
     # column is dead weight here (extraction recomputes text from html,

@@ -149,7 +149,10 @@ def with_perplexity(
 
 
 def fit_table(
-    docs: DataFrame, text_col: str = "text", alpha: float = 0.01
+    docs: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.01,
+    calibrate_to: float | None = _GOOD_LOGPROB,
 ) -> np.ndarray:
     """DISTRIBUTED model fit: hashed-bigram counts over a training corpus
     -> smoothed int16 log-prob table, drop-in for ``score_texts`` /
@@ -166,6 +169,16 @@ def fit_table(
     sums them; the driver receives <= TABLE_SIZE rows (a fixed 2^16
     regardless of corpus size) and add-alpha-smooths into log-probs:
     ``lp = log((c + alpha) / (total + alpha * TABLE_SIZE))``.
+
+    ``calibrate_to`` shifts every bucket by one constant so the
+    COUNT-WEIGHTED mean log-prob equals the given value (default: the
+    synthetic table's in-vocab level, hence the decide rule's ppl
+    threshold keeps working — a typical in-domain document scores
+    ppl ~= exp(-calibrate_to)).  A pure offset: per-bucket ORDERING and
+    every ppl RATIO are unchanged, only the absolute scale moves — the
+    same recalibration step CCNet applies when swapping LMs (their
+    percentile cutoffs are per-model).  ``None`` keeps raw smoothed
+    log-likelihoods.
 
     Deterministic and partitioning-invariant (counts are associative).
     """
@@ -195,4 +208,6 @@ def fit_table(
         counts[r["bucket"]] = r["n"]
     total = counts.sum()
     lp = np.log((counts + alpha) / (total + alpha * TABLE_SIZE))
+    if calibrate_to is not None and total > 0:
+        lp += calibrate_to - float((counts * lp).sum() / total)
     return np.clip(np.round(lp * _SCALE), -32768, 32767).astype(np.int16)

@@ -76,6 +76,7 @@ def curate_dedup_sample(
     host_cap: int | None = None,
     lang_budget_frac: float | None = None,
     sample_alpha: float | None = None,
+    models: tuple | None = None,
 ) -> DataFrame:
     """pages -> deduplicated, balanced, scrubbed training sample.
 
@@ -118,6 +119,11 @@ def curate_dedup_sample(
     (operators/budget.py::topfrac_per_group — exact histogram selection,
     no full-group window).  Both rank on the curate stage's ppl score,
     which rides the flow when either is set.
+
+    ``models`` = (langid_weights, ppl_table, langid_langs) scores the
+    internal curate stage with corpus-fitted artifacts (see
+    plans/pipeline.py::curate; ignored when ``curated`` is supplied —
+    the caller already chose its scoring there).
 
     ``sample_alpha`` switches the final sampler from the balanced
     water-fill to deterministic temperature mixing
@@ -170,7 +176,7 @@ def curate_dedup_sample(
             ),
         )
         pages = keep_first(cu, ["_cu"], ["url", "warc_ts"]).drop("_cu")
-    full = curated if curated is not None else curate(pages)
+    full = curated if curated is not None else curate(pages, models=models)
     # persisted: the text-hash first-winner below consumes this frame on
     # both the aggregate and probe sides — uncached, each side would
     # recompute the whole curate chain (the 'measured 4x = ~240 s at

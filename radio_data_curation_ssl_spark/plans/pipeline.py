@@ -23,7 +23,9 @@ from ..operators.perplexity import with_perplexity
 from ..operators.scrub import with_scrub
 
 
-def curate(pages: DataFrame, fused: bool = True) -> DataFrame:
+def curate(
+    pages: DataFrame, fused: bool = True, models: tuple | None = None
+) -> DataFrame:
     """Full logical plan, lazily composed; caller writes/collects.
 
     ``fused=True`` (production): ONE Python/Arrow round-trip for all model
@@ -31,15 +33,27 @@ def curate(pages: DataFrame, fused: bool = True) -> DataFrame:
     ``fused=False``: the modular operator chain — same results (pytest-
     gated), used as the per-operator reference.
 
+    ``models`` = (langid_weights, ppl_table, langid_langs) scores with
+    corpus-fitted artifacts instead of the synthetic defaults (the CCNet
+    loop: jobs/fit_models.py fits and publishes them, load_models reads
+    them back).  Both modes honor it.
+
     Output columns: url, warc_ts, text, lang_claimed, n_bytes_html,
     lang_pred, lang_conf, ppl, text_scrubbed, n_redactions, n_words,
     mean_word_len, stopword_ratio, symbol_word_ratio, rep_bigram_frac,
     drop_reason, keep (order differs slightly between modes).
     """
     if fused:
-        return extract_score_scrub(pages)  # everything in one python pass
+        # everything in one python pass
+        return extract_score_scrub(pages, models=models)
     docs = extract_docs(pages)
-    scored = with_perplexity(with_langid(docs))
+    if models is None:
+        scored = with_perplexity(with_langid(docs))
+    else:
+        w, t, langs = models
+        scored = with_perplexity(
+            with_langid(docs, model=w, model_langs=langs), table=t
+        )
     decided = with_decision(with_heuristics(scored))
     return with_scrub(decided)
 

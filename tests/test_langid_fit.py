@@ -76,3 +76,28 @@ def test_score_batch_generalizes_to_fitted_class_count(spark):
     assert w.shape == (len(langs), N_BUCKETS)
     pred, conf = score_batch(pd.Series(["hello world"]), w)
     assert pred.shape == (1,) and 0.0 <= conf[0] <= 1.0
+
+
+def test_curate_with_fitted_models_fused_matches_modular(spark):
+    """curate(models=...): both pipeline modes honor corpus-fitted
+    artifacts and agree with each other row for row."""
+    from radio_data_curation_ssl_spark.operators.perplexity import fit_table
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+    from radio_data_curation_ssl_spark.synth import synth_pages
+
+    pages = synth_pages(spark, 600, seed=11, partitions=4)
+    corpus = pages.select("url", "lang", "text")
+    w, langs = fit_model(corpus)
+    t = fit_table(corpus)
+    models = (w, t, langs)
+
+    cols = ["url", "lang_pred", "ppl", "keep", "drop_reason", "text_scrubbed"]
+    fused = {r["url"]: tuple(r) for r in
+             curate(pages, fused=True, models=models).select(cols).collect()}
+    modular = {r["url"]: tuple(r) for r in
+               curate(pages, fused=False, models=models).select(cols).collect()}
+    assert fused == modular
+    preds = {v[1] for v in fused.values()}
+    assert preds <= set(langs) and len(fused) == 600
+    kept = sum(1 for v in fused.values() if v[3])
+    assert 0 < kept < 600

@@ -40,12 +40,27 @@ def _reference_counts(texts):
 def test_fit_counts_match_local_kernel(spark):
     """The distributed count equals a single-process run of the SAME
     kernel — partitioning changes nothing."""
-    table = fit_table(_docs(spark, CLEAN, partitions=7))
+    table = fit_table(_docs(spark, CLEAN, partitions=7), calibrate_to=None)
     counts = _reference_counts(CLEAN)
     total = counts.sum()
     lp = np.log((counts + 0.01) / (total + 0.01 * TABLE_SIZE))
     want = np.clip(np.round(lp * _SCALE), -32768, 32767).astype(np.int16)
     assert np.array_equal(table, want)
+
+
+def test_fit_calibration_pins_weighted_mean(spark):
+    """Default calibration: the count-weighted mean log-prob lands on the
+    synthetic in-vocab level, so a typical in-domain doc scores
+    ppl ~= exp(2) and the decide rule's threshold transfers."""
+    table = fit_table(_docs(spark, CLEAN))
+    counts = _reference_counts(CLEAN).astype(np.float64)
+    lp = table.astype(np.float64) / _SCALE
+    mean = (counts * lp).sum() / counts.sum()
+    assert abs(mean - (-2.0)) < 0.02  # int16 rounding only
+    # offset-only: uncalibrated and calibrated tables order identically
+    raw = fit_table(_docs(spark, CLEAN), calibrate_to=None)
+    assert np.array_equal(np.argsort(raw, kind="stable"),
+                          np.argsort(table, kind="stable"))
 
 
 def test_fit_partitioning_invariant(spark):

@@ -101,6 +101,14 @@ def main(argv: list[str] | None = None) -> int:
         "split, between = low-resource upweighting)",
     )
     ap.add_argument(
+        "--decontaminate",
+        default=None,
+        help="with --sample-target: parquet dir holding a `text` column "
+        "of benchmark/eval documents; any sampled document sharing a "
+        "word 5-gram with them is dropped before publishing (broadcast "
+        "n-gram filter, no shuffle)",
+    )
+    ap.add_argument(
         "--models",
         default=None,
         help="npz artifact from jobs/fit_models.py: score with the fitted "
@@ -125,6 +133,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.host_cap is not None
         or args.lang_budget is not None
         or args.sample_alpha is not None
+        or args.decontaminate is not None
     ) and args.sample_target is None:
         ap.error(
             "--url-dedup/--line-dedup/--seen-urls/--host-cap/--lang-budget/"
@@ -202,6 +211,11 @@ def main(argv: list[str] | None = None) -> int:
                     lang_budget_frac=args.lang_budget,
                     sample_alpha=args.sample_alpha,
                     models=models,
+                    decontaminate=(
+                        spark.read.parquet(args.decontaminate)
+                        if args.decontaminate
+                        else None
+                    ),
                 )
                 version = publish_sample(sample, root)
                 snapshots.rollback(root, version, tag=run_id)  # pin run tag

@@ -1,0 +1,125 @@
+"""Benchmark decontamination: drop corpus documents that share word
+n-grams with an evaluation set.
+
+The check half lives in queries.py (``contamination_ngram``, oracle-
+paired: per-doc overlap counts against a benchmark subset via a
+broadcast join).  This module is the PRODUCTION half — the stage a
+pipeline runs before publishing so no training document leaks benchmark
+text (the 13-gram decontamination of GPT-3/FineWeb, at a configurable
+``n``):
+
+1. the benchmark's DISTINCT n-gram hashes are computed in one Arrow
+   pass over the (small) eval set, ``collect_set``-ed and sorted on the
+   driver — bounded by benchmark size, never corpus size;
+2. the sorted ``uint64`` array broadcasts; the corpus passes through
+   ONE ``mapInPandas`` pass: each batch's rolling n-gram hashes are
+   membership-tested with ``np.searchsorted`` (binary search over the
+   broadcast array, no Python per row), and any document with >= ``min_hits``
+   overlapping n-grams is dropped.
+
+Scale: the corpus never shuffles and is scanned once; driver/broadcast
+traffic is one deduplicated benchmark n-gram array.  A benchmark too
+large to broadcast degrades to the bucketed semi-join plan the
+``contamination_ngram`` query documents — this operator keeps the
+broadcast fast path.
+
+N-gram hashing: the same word-hash stream the perplexity/heuristics
+kernels use (functions/textstream.py), rolled with the SAME splitmix
+pair-combine as the bigram kernel, applied n-1 times — windows that
+would cross a document boundary are masked out, mirroring
+``_valid_bigrams``'s discipline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from ..functions.textstream import TextStream, build_stream, splitmix64
+
+__all__ = ["doc_ngram_hashes", "drop_contaminated"]
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+_C = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _roll(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return splitmix64((a * _C + b) & _MASK)
+
+
+def doc_ngram_hashes(
+    stream: TextStream, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(hashes, doc_of) — every within-document word n-gram hash of the
+    stream with its doc index.  Rolling splitmix combine over the shared
+    word-hash stream; windows crossing a doc boundary are masked."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    wh, lengths = stream.word_hashes, stream.words_per_doc
+    n_docs = stream.n_docs
+    if wh.size < n:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    h = wh[: wh.size - n + 1].copy()
+    for k in range(1, n):
+        h = _roll(h, wh[k : wh.size - n + 1 + k])
+    # window starting at word i is valid iff its last word is in the same
+    # doc: doc_of[i] == doc_of[i + n - 1]
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), np.maximum(lengths, 0))
+    valid = doc_of[: h.size] == doc_of[n - 1 : n - 1 + h.size]
+    return h[valid], doc_of[: h.size][valid]
+
+
+def drop_contaminated(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Corpus rows whose ``text_col`` shares fewer than ``min_hits``
+    distinct-position word ``n``-grams with ``bench`` — the publish-gate
+    decontamination filter (see module docstring for the plan)."""
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+    spark = docs.sparkSession
+
+    def bench_hashes(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen: set[int] = set()
+        for b in it:
+            h, _ = doc_ngram_hashes(build_stream(b[bench_text_col]), n)
+            seen.update(np.unique(h).tolist())
+        yield pd.DataFrame(
+            # uint64 rides Arrow's int64 on its raw bits (view, not cast:
+            # values >= 2^63 must not overflow)
+            {"h": np.fromiter(seen, dtype=np.uint64).view(np.int64)}
+        )
+
+    rows = (
+        bench.select(bench_text_col)
+        .mapInPandas(bench_hashes, "h long")  # uint64 rides its int64 bits
+        .distinct()
+        .collect()
+    )
+    table = np.sort(
+        np.array([r["h"] for r in rows], dtype=np.int64).view(np.uint64)
+    )
+    bc = spark.sparkContext.broadcast(table)
+
+    def keep_clean(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = bc.value
+        for b in it:
+            st = build_stream(b[text_col])
+            h, doc_of = doc_ngram_hashes(st, n)
+            hits = np.zeros(st.n_docs, dtype=np.int64)
+            if h.size and t.size:
+                pos = np.searchsorted(t, h)
+                ok = (pos < t.size) & (t[np.minimum(pos, t.size - 1)] == h)
+                hits = np.bincount(doc_of[ok], minlength=st.n_docs)
+            yield b[hits < min_hits]
+
+    return docs.mapInPandas(keep_clean, docs.schema)

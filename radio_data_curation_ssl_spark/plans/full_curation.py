@@ -27,6 +27,9 @@ Shuffle budget at 10^12 docs (each stage documented where defined):
 3b. (optional) global line dedup on the published text: one
    partial-aggregable min_by on the span hash + one regroup by
    (url, text-hash), run against the materialized dedup artifact;
+3b2. (optional) benchmark decontamination: benchmark n-gram hashes
+   broadcast once, corpus filtered in ONE map pass — no shuffle
+   (operators/decontam.py);
 3c. (optional) corpus-shaping budgets: host cap = two salted window
    shuffles (operators/budget.py::topk_per_group_salted); language
    budget = two map-side-combined aggs + one boundary-bucket-only
@@ -77,6 +80,8 @@ def curate_dedup_sample(
     lang_budget_frac: float | None = None,
     sample_alpha: float | None = None,
     models: tuple | None = None,
+    decontaminate: DataFrame | None = None,
+    decontaminate_ngram: int = 5,
 ) -> DataFrame:
     """pages -> deduplicated, balanced, scrubbed training sample.
 
@@ -124,6 +129,13 @@ def curate_dedup_sample(
     internal curate stage with corpus-fitted artifacts (see
     plans/pipeline.py::curate; ignored when ``curated`` is supplied —
     the caller already chose its scoring there).
+
+    ``decontaminate`` gates publishing on benchmark overlap: a (small)
+    frame with a ``text`` column plays the eval set, and any surviving
+    document sharing a word ``decontaminate_ngram``-gram with it is
+    dropped (operators/decontam.py — benchmark n-gram hashes broadcast,
+    corpus filtered in one map pass, no shuffle).  Runs after line
+    dedup, before the budgets, on the published text_scrubbed.
 
     ``sample_alpha`` switches the final sampler from the balanced
     water-fill to deterministic temperature mixing
@@ -304,6 +316,19 @@ def curate_dedup_sample(
         if work_dir is None:
             neat.unpersist()
         neat = lined
+    if decontaminate is not None:
+        from ..operators.decontam import drop_contaminated
+
+        cleaned = drop_contaminated(
+            neat,
+            decontaminate,
+            text_col="text_scrubbed",
+            n=decontaminate_ngram,
+        )
+        cleaned = _materialize(cleaned, "decontaminated")
+        if work_dir is None:
+            neat.unpersist()
+        neat = cleaned
     if shaping:
         # corpus-shaping budgets (3c): host anti-domination cap, then the
         # per-language proportional quality budget over the capped

@@ -1,0 +1,94 @@
+"""drop_contaminated (operators/decontam.py): the publish-gate benchmark
+decontamination filter."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from radio_data_curation_ssl_spark.functions.textstream import build_stream
+from radio_data_curation_ssl_spark.operators.decontam import (
+    doc_ngram_hashes,
+    drop_contaminated,
+)
+
+BENCH = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+]
+CLEAN = [
+    "spark shuffles data between stages when keys move",
+    "parquet stores columns together for fast scans",
+]
+# contains a full 5-gram of BENCH[0] embedded in other words
+DIRTY = "today the quick brown fox jumps happily onward"
+
+
+def _df(spark, texts, extra=None):
+    rows = [(i, t, (extra or "x")) for i, t in enumerate(texts)]
+    return spark.createDataFrame(rows, ["doc_id", "text", "tag"])
+
+
+def test_planted_overlap_dropped_clean_kept(spark):
+    docs = _df(spark, CLEAN + [DIRTY])
+    bench = _df(spark, BENCH)
+    out = drop_contaminated(docs, bench, n=5)
+    kept = sorted(r["text"] for r in out.collect())
+    assert kept == sorted(CLEAN)
+    assert out.columns == docs.columns  # schema passthrough
+
+
+def test_min_hits_threshold(spark):
+    """min_hits=2: a single overlapping 5-gram window chain survives a
+    higher threshold; a full benchmark copy does not."""
+    docs = _df(spark, [DIRTY, BENCH[0]])
+    bench = _df(spark, BENCH)
+    out = drop_contaminated(docs, bench, n=5, min_hits=3)
+    kept = [r["text"] for r in out.collect()]
+    assert DIRTY in kept and BENCH[0] not in kept
+    with pytest.raises(ValueError):
+        drop_contaminated(docs, bench, min_hits=0)
+
+
+def test_ngram_hashes_respect_doc_boundaries(spark):
+    """A window spanning two docs must not exist: concatenating two docs
+    yields strictly more n-grams than keeping them separate."""
+    sep = build_stream(pd.Series(["a b c d e", "f g h i j"]))
+    joined = build_stream(pd.Series(["a b c d e f g h i j"]))
+    h_sep, d_sep = doc_ngram_hashes(sep, 5)
+    h_join, _ = doc_ngram_hashes(joined, 5)
+    assert h_sep.size == 2 and set(d_sep.tolist()) == {0, 1}
+    assert h_join.size == 6
+    assert set(h_sep.tolist()) <= set(h_join.tolist())
+
+
+def test_short_docs_and_empty_bench(spark):
+    docs = _df(spark, ["one two", "", None])
+    out = drop_contaminated(docs, _df(spark, ["zz yy xx ww vv uu"]), n=5)
+    assert out.count() == 3  # nothing can overlap; nulls pass through
+
+
+def test_flow_decontaminate_stage(spark, pages_small):
+    """curate_dedup_sample(decontaminate=...): sampling the flow's own
+    output as the 'benchmark' empties the published sample; a disjoint
+    benchmark leaves it unchanged."""
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    base = curate_dedup_sample(pages_small, 10**9).cache()
+    n0 = base.count()
+    bench_self = spark.createDataFrame(
+        [(r["text_scrubbed"],) for r in base.collect()], "text string"
+    )
+    emptied = curate_dedup_sample(
+        pages_small, 10**9, decontaminate=bench_self
+    )
+    assert emptied.count() == 0
+    disjoint = spark.createDataFrame(
+        [("qqq www eee rrr ttt yyy uuu iii ooo ppp",)], "text string"
+    )
+    same = curate_dedup_sample(pages_small, 10**9, decontaminate=disjoint)
+    assert same.count() == n0
+    base.unpersist()

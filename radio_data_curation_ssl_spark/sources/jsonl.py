@@ -1,0 +1,58 @@
+"""Size-targeted gzip JSONL shard export — the training-data delivery
+format (one ``part-*.json.gz`` per shard, each a newline-delimited JSON
+document stream, sized for downstream loader parallelism).
+
+The engine's native sink is partitioned parquet (operators/resume.py,
+plans/snapshots.py); this is the bridge OUT to trainer-facing corpora
+(c4/pile/fineweb-style shard layouts).  Shard count is derived from the
+DATA: one aggregate measures the exact serialized payload bytes, the
+frame is hash-repartitioned into ``ceil(total / target)`` shards keyed
+by ``key_col`` (deterministic membership, no partition-order
+dependence), and Spark's gzip JSON writer emits one file per shard.
+
+Scale: one map-side-combined size aggregate + one hash repartition +
+the write — nothing driver-sized; compression runs in the writers.
+Gzip ratios vary by content, so ``target_mb`` bounds the UNCOMPRESSED
+payload per shard (the number loaders actually budget by after decode).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["read_jsonl", "write_jsonl_shards"]
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    target_mb: int = 128,
+) -> int:
+    """Write ``df`` as gzip JSONL shards of ~``target_mb`` UNCOMPRESSED
+    payload each, hash-partitioned by ``key_col``; returns the shard
+    count.  Deterministic for a given (df content, key_col, target_mb)."""
+    if target_mb < 1:
+        raise ValueError(f"target_mb must be >= 1, got {target_mb}")
+    payload = F.octet_length(F.to_json(F.struct(*df.columns))) + 1  # +\n
+    total = df.select(F.sum(payload).alias("b")).collect()[0]["b"] or 0
+    n_shards = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    (
+        df.repartition(n_shards, F.col(key_col))
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(path)
+    )
+    return n_shards
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read a JSONL shard directory (schema optional but recommended —
+    inference scans the data twice)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

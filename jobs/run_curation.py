@@ -109,6 +109,19 @@ def main(argv: list[str] | None = None) -> int:
         "n-gram filter, no shuffle)",
     )
     ap.add_argument(
+        "--export-jsonl",
+        default=None,
+        help="with --sample-target: additionally export the published "
+        "sample as size-targeted gzip JSONL shards under this dir (the "
+        "trainer-facing corpus layout; sources/jsonl.py)",
+    )
+    ap.add_argument(
+        "--export-jsonl-mb",
+        type=_positive,
+        default=128,
+        help="uncompressed payload target per JSONL shard (MB)",
+    )
+    ap.add_argument(
         "--models",
         default=None,
         help="npz artifact from jobs/fit_models.py: score with the fitted "
@@ -134,6 +147,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.lang_budget is not None
         or args.sample_alpha is not None
         or args.decontaminate is not None
+        or args.export_jsonl is not None
     ) and args.sample_target is None:
         ap.error(
             "--url-dedup/--line-dedup/--seen-urls/--host-cap/--lang-budget/"
@@ -218,6 +232,18 @@ def main(argv: list[str] | None = None) -> int:
                     ),
                 )
                 version = publish_sample(sample, root)
+                if args.export_jsonl:
+                    from radio_data_curation_ssl_spark.sources.jsonl import (
+                        write_jsonl_shards,
+                    )
+
+                    published = snapshots.read(spark, root, version=version)
+                    extra["jsonl_shards"] = write_jsonl_shards(
+                        published,
+                        args.export_jsonl,
+                        "url",
+                        target_mb=args.export_jsonl_mb,
+                    )
                 snapshots.rollback(root, version, tag=run_id)  # pin run tag
                 extra = {
                     "sample_rows": snapshots.read(spark, root, version=version).count(),

@@ -151,7 +151,8 @@ def main(argv: list[str] | None = None) -> int:
     ) and args.sample_target is None:
         ap.error(
             "--url-dedup/--line-dedup/--seen-urls/--host-cap/--lang-budget/"
-            "--sample-alpha require --sample-target"
+            "--sample-alpha/--decontaminate/--export-jsonl require "
+            "--sample-target"
         )
 
     from radio_data_curation_ssl_spark.operators.resume import write_resumable
@@ -245,10 +246,10 @@ def main(argv: list[str] | None = None) -> int:
                         target_mb=args.export_jsonl_mb,
                     )
                 snapshots.rollback(root, version, tag=run_id)  # pin run tag
-                extra = {
-                    "sample_rows": snapshots.read(spark, root, version=version).count(),
-                    "sample_snapshot_version": version,
-                }
+                extra["sample_rows"] = snapshots.read(
+                    spark, root, version=version
+                ).count()
+                extra["sample_snapshot_version"] = version
             written = []
         else:
             written = write_resumable(

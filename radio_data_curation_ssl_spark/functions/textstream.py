@@ -71,12 +71,21 @@ def word_hash_scalar(word: str) -> int:
     return int(splitmix64(np.array([raw], dtype=np.uint64))[0])
 
 
-def bigram_hash_np(wh: np.ndarray) -> np.ndarray:
-    """Combine adjacent word hashes into bigram hashes (vectorized)."""
+def pair_hash_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """THE word-hash pair-combine: ``splitmix64(a * golden + b)``.  The
+    single definition shared by the bigram perplexity kernel (fit and
+    score), its scalar twin, and the decontamination n-gram roll — these
+    modules rely on their hashes agreeing, so the combine must not be
+    re-implemented per call site."""
     return splitmix64(
-        (wh[:-1] * np.uint64(0x9E3779B97F4A7C15) + wh[1:])
+        (a * np.uint64(0x9E3779B97F4A7C15) + b)
         & np.uint64(0xFFFFFFFFFFFFFFFF)
     )
+
+
+def bigram_hash_np(wh: np.ndarray) -> np.ndarray:
+    """Combine adjacent word hashes into bigram hashes (vectorized)."""
+    return pair_hash_np(wh[:-1], wh[1:])
 
 
 @dataclass

@@ -63,6 +63,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 __all__ = [
@@ -71,6 +72,20 @@ __all__ = [
     "topfrac_per_group",
     "topk_per_group_salted",
 ]
+
+
+def _join_nullsafe_bcast(
+    left: DataFrame, right: DataFrame, key: str
+) -> DataFrame:
+    """Broadcast inner-join on ``key`` treating NULL as a joinable value
+    (SQL ``<=>``) — the semantics of ``PARTITION BY key``, where NULL
+    forms its own group.  A plain name-equality join would silently drop
+    every NULL-keyed row, diverging from the window reference these
+    operators are pytest-gated against."""
+    r = right.withColumnRenamed(key, "_nsj_key")
+    return left.join(
+        F.broadcast(r), F.col(key).eqNullSafe(F.col("_nsj_key"))
+    ).drop("_nsj_key")
 
 
 def topk_per_group_salted(
@@ -196,9 +211,8 @@ def _select_topq(
         F.lit(n_buckets - 1),
     )).otherwise(F.lit(0)).cast("int")
 
-    tagged = df.join(
-        F.broadcast(stats.select(group_col, "_tf_mn", "_tf_mx", "_tf_q")),
-        group_col,
+    tagged = _join_nullsafe_bcast(
+        df, stats.select(group_col, "_tf_mn", "_tf_mx", "_tf_q"), group_col
     ).withColumn("_tf_bucket", bucket)
 
     # pass 2: the histogram — |groups| * n_buckets rows max, map-side
@@ -238,7 +252,7 @@ def _select_topq(
     # broadcast the per-group boundary back; rows below it are kept with
     # no sort at all.  Groups with q = 0 have no solved row -> inner join
     # drops them entirely (correct: floor(frac*n) = 0 keeps nothing).
-    routed = tagged.join(F.broadcast(solved), group_col, "inner")
+    routed = _join_nullsafe_bcast(tagged, solved, group_col)
     below = routed.where(F.col("_tf_bucket") < F.col("_tf_bstar"))
     wb = Window.partitionBy(group_col).orderBy(
         F.col(score_col).asc(), F.col(tie_col).asc()
@@ -326,8 +340,16 @@ def temperature_sample(
         return df.limit(0)
     quotas = temperature_quotas(counts, total, alpha)
     spark = df.sparkSession
+    # explicit schema: the group key may be NULL (its own group, same as
+    # PARTITION BY), which would break type inference from rows alone
     qdf = spark.createDataFrame(
-        [(g, int(quotas[g])) for g in counts], [group_col, "_tf_q"]
+        [(g, int(quotas[g])) for g in counts],
+        T.StructType(
+            [
+                T.StructField(group_col, df.schema[group_col].dataType),
+                T.StructField("_tf_q", T.LongType()),
+            ]
+        ),
     )
     scored = df.withColumn(
         "_ts_score", F.xxhash64(F.col(tie_col)).cast("double")
@@ -336,7 +358,7 @@ def temperature_sample(
     ranges = scored.groupBy(group_col).agg(
         F.min(s).alias("_tf_mn"), F.max(s).alias("_tf_mx")
     )
-    stats = ranges.join(qdf, group_col)
+    stats = _join_nullsafe_bcast(ranges, qdf, group_col)
     out = _select_topq(
         scored, group_col, "_ts_score", tie_col, stats, n_buckets
     )

@@ -39,16 +39,13 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-from ..functions.textstream import TextStream, build_stream, splitmix64
+from ..functions.textstream import TextStream, build_stream, pair_hash_np
 
 __all__ = ["doc_ngram_hashes", "drop_contaminated"]
 
-_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
-_C = np.uint64(0x9E3779B97F4A7C15)
-
-
-def _roll(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    return splitmix64((a * _C + b) & _MASK)
+# the n-gram roll IS the bigram kernel's pair-combine, imported (not
+# re-implemented) so fit/score/decontam hashes cannot drift apart
+_roll = pair_hash_np
 
 
 def doc_ngram_hashes(

@@ -141,6 +141,18 @@ def with_langid(
     ``mapInPandas`` deserializes once per task, not per batch.  ``model``
     / ``model_langs`` default to the synthetic ``build_model()``; pass
     ``fit_model(...)``'s output to score with corpus-fitted weights."""
+    if (model is None) != (model_langs is None):
+        raise ValueError(
+            "model and model_langs must be passed together: a fitted "
+            "weight matrix's rows are ordered by ITS label list, and "
+            "pairing it with the synthetic LANGS constant would mislabel "
+            "(or index out of range) every prediction"
+        )
+    if model is not None and model.shape[0] != len(model_langs):
+        raise ValueError(
+            f"model has {model.shape[0]} label rows but model_langs lists "
+            f"{len(model_langs)} languages"
+        )
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(
         build_model() if model is None else model
@@ -224,6 +236,12 @@ def fit_model(
         .collect()
     )
     langs = sorted({r["label"] for r in rows})
+    if not langs:
+        raise ValueError(
+            "no labeled trigrams in the training corpus: every text was "
+            "NULL or empty, so there is nothing to fit (a (0, N_BUCKETS) "
+            "model would crash argmax at score time)"
+        )
     idx = {lang: i for i, lang in enumerate(langs)}
     w = np.zeros((len(langs), N_BUCKETS), dtype=np.float64)
     for r in rows:

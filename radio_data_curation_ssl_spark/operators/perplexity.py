@@ -48,6 +48,7 @@ from ..functions.textstream import (  # noqa: E402 — shared batch substrate
     TextStream,
     bigram_hash_np,
     build_stream,
+    pair_hash_np,
     word_hash_scalar,
 )
 
@@ -59,9 +60,10 @@ def word_hashes_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _pair_hash(a: int, b: int) -> int:
+    """Scalar twin of ``textstream.pair_hash_np`` (delegates, not copies)."""
     return int(
-        splitmix64(
-            np.array([(a * 0x9E3779B97F4A7C15 + b) & _MASK64], dtype=np.uint64)
+        pair_hash_np(
+            np.array([a], dtype=np.uint64), np.array([b], dtype=np.uint64)
         )[0]
     )
 

@@ -324,3 +324,47 @@ def test_flow_temperature_sampler_mode(spark, pages_small):
              .withColumnRenamed("count", "n").collect()}
     assert got_n == {g: q for g, q in want.items() if q > 0}
     population.unpersist()
+
+
+def test_topfrac_null_group_is_its_own_partition(spark):
+    """NULL group keys must match the window reference, where NULL forms
+    its own PARTITION BY group — a plain name-equality join would
+    silently drop every NULL-keyed row (round-4 review finding)."""
+    df = spark.range(600).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 3 == 0, F.lit(None))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(2)).cast("string"))
+        .alias("g"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1000)) / 10.0).alias(
+            "score"
+        ),
+    )
+    got = topfrac_per_group(df, "g", "score", "rid", 0.4)
+    want = window_reference(df, "g", "score", "rid", 0.4)
+    assert keys(got, "rid") == keys(want, "rid")
+    # and specifically: the NULL group contributed floor(0.4 * 200) rows
+    assert got.where(F.col("g").isNull()).count() == 80
+
+
+def test_temperature_sample_null_group_fills_quota(spark):
+    """temperature_sample allocates the NULL group a quota AND fills it
+    (the groupBy counts NULL; the selection joins must too)."""
+    from radio_data_curation_ssl_spark.operators.budget import (
+        temperature_quotas,
+        temperature_sample,
+    )
+
+    df = spark.range(400).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 2 == 0, F.lit("en"))
+        .otherwise(F.lit(None))
+        .alias("g"),
+    )
+    got = temperature_sample(df, "g", "rid", 100, 0.5)
+    want = temperature_quotas({"en": 200, None: 200}, 100, 0.5)
+    got_n = {
+        r["g"]: r["n"]
+        for r in got.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    assert got_n == {g: q for g, q in want.items() if q > 0}
+    assert sum(got_n.values()) >= 98  # undershoot bounded by |groups|

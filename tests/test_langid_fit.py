@@ -101,3 +101,35 @@ def test_curate_with_fitted_models_fused_matches_modular(spark):
     assert preds <= set(langs) and len(fused) == 600
     kept = sum(1 for v in fused.values() if v[3])
     assert 0 < kept < 600
+
+
+def test_with_langid_rejects_model_without_langs(spark, pages_small):
+    """A fitted weight matrix without its label list must fail fast, not
+    mislabel via the synthetic LANGS constant (round-4 review finding)."""
+    import numpy as np
+    import pytest
+
+    from radio_data_curation_ssl_spark.operators.langid import with_langid
+
+    docs = pages_small.limit(5).select("url", "text")
+    w = np.ones((7, 8), dtype=np.float32)
+    with pytest.raises(ValueError, match="together"):
+        with_langid(docs, model=w)
+    with pytest.raises(ValueError, match="together"):
+        with_langid(docs, model_langs=["en"])
+    with pytest.raises(ValueError, match="label rows"):
+        with_langid(docs, model=w, model_langs=["en", "fr"])
+
+
+def test_fit_model_empty_corpus_fails_fast(spark):
+    """fit_model over texts with no trigrams raises at fit time instead
+    of crashing argmax inside an executor at score time."""
+    import pytest
+
+    from radio_data_curation_ssl_spark.operators.langid import fit_model
+
+    df = spark.createDataFrame(
+        [("", "en"), (None, "fr"), ("", "en")], "text string, lang string"
+    )
+    with pytest.raises(ValueError, match="no labeled trigrams"):
+        fit_model(df)

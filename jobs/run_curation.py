@@ -69,6 +69,13 @@ def main(argv: list[str] | None = None) -> int:
         "spans from the published text (C4-style line dedup)",
     )
     ap.add_argument(
+        "--substring-dedup",
+        action="store_true",
+        help="with --sample-target: cut every non-first occurrence of a "
+        "repeated >=8-word sequence from the published text at any "
+        "alignment (ExactSubstr dedup, Lee et al. 2022)",
+    )
+    ap.add_argument(
         "--host-cap",
         type=_positive,
         default=None,
@@ -142,6 +149,7 @@ def main(argv: list[str] | None = None) -> int:
     if (
         args.url_dedup
         or args.line_dedup
+        or args.substring_dedup
         or args.seen_urls
         or args.host_cap is not None
         or args.lang_budget is not None
@@ -150,9 +158,9 @@ def main(argv: list[str] | None = None) -> int:
         or args.export_jsonl is not None
     ) and args.sample_target is None:
         ap.error(
-            "--url-dedup/--line-dedup/--seen-urls/--host-cap/--lang-budget/"
-            "--sample-alpha/--decontaminate/--export-jsonl require "
-            "--sample-target"
+            "--url-dedup/--line-dedup/--substring-dedup/--seen-urls/"
+            "--host-cap/--lang-budget/--sample-alpha/--decontaminate/"
+            "--export-jsonl require --sample-target"
         )
 
     from radio_data_curation_ssl_spark.operators.resume import write_resumable
@@ -221,6 +229,7 @@ def main(argv: list[str] | None = None) -> int:
                     work_dir=f"{args.output}/_work",
                     url_dedup=args.url_dedup,
                     line_dedup=args.line_dedup,
+                    substring_dedup=args.substring_dedup,
                     seen_urls=seen,
                     host_cap=args.host_cap,
                     lang_budget_frac=args.lang_budget,

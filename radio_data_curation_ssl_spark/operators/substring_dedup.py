@@ -1,0 +1,186 @@
+"""Exact substring dedup: remove every non-first occurrence of any
+repeated word sequence of >= ``min_len`` words, corpus-wide.
+
+The ExactSubstr dedup of Lee et al. 2022 ("Deduplicating Training Data
+Makes Language Models Better"), which builds a single-node suffix array
+over the whole corpus.  The Spark-first re-expression rides rolling
+``min_len``-word anchor windows instead: a repeated substring of length
+``>= min_len`` contains at least one repeated ``min_len``-gram, and every
+repeated ``min_len``-gram IS a repeated substring of exactly ``min_len``
+words — so "mark every non-first occurrence of each duplicated anchor,
+cut the union of the marked windows out of each document" removes
+precisely the non-first occurrences of all >=``min_len``-word repeats
+(overlapping anchors of a longer repeat union into the full span).
+The suffix array's global order is replaced by a deterministic total
+order over anchor occurrences (``order_cols`` lexicographic), so output
+is independent of partitioning.
+
+Plan, stage by stage (everything JVM-side — no Python in the hot path):
+
+1. anchors: one narrow map builds each doc's word array and explodes the
+   overlapping ``min_len``-gram windows to (key, pos, gram) — token-count
+   rows, the same O(corpus tokens) working set a suffix array needs.
+   Each gram is keyed by a 128-bit composite (two independent
+   ``xxhash64`` seeds): at 10^14 anchors the collision probability is
+   ~1e-11, and the shuffle carries 16 bytes instead of the gram string.
+2. dup winners: a map-side-combined ``groupBy`` on the hash pair
+   computes each gram's occurrence count and first winner
+   (``min(struct(order_cols..., pos))``) — the ONE corpus-sized shuffle,
+   and the combine collapses the 10^9-copy boilerplate anchor to one row
+   per map task (the skew case that kills a rank-window formulation).
+   Grams seen once — the vast majority — are filtered out before any
+   join, so the winner frame is bounded by the DISTINCT duplicated grams.
+3. marks: anchors join the ``cnt >= 2`` winners on the hash pair.  No
+   explicit repartition: when the dup-winner frame is broadcastable (the
+   common case — distinct dup grams << corpus anchors) AQE broadcasts it
+   and the anchors never shuffle for the join; past broadcast size it
+   falls back to a sort-merge join with AQE skew-split, the same
+   join-back shape as the line dedup's span-hash join.  Non-winner
+   occurrences yield (key, pos) marks; a second (tiny — dup occurrences
+   only) shuffle groups them per doc.
+4. cut + reassemble, per doc in one JVM expression: covered word indices
+   = ``array_distinct(flatten(transform(marks, p -> sequence(p, p +
+   min_len - 1))))``; kept indices = ``array_except(sequence(0, n - 1),
+   covered)`` (hash-set build, linear — NOT an O(n * |marks|) exists()
+   probe, which degenerates on a doc duplicated verbatim many times);
+   text is reassembled from kept indices in order.
+
+Scale: one corpus-sized shuffle on the 16-byte anchor key (map-side
+combine collapses the 10^9-copy boilerplate anchor to one row per map
+task — the skew case that kills a rank-window formulation), one
+dup-sized shuffle on doc key, one doc-key join.  Compose AFTER doc-level
+exact dedup (as the flow does) so verbatim whole-doc copies never reach
+the anchor explode.
+
+Reference provenance: the reference has no text dedup; this is part of
+the beyond-the-reference LLM-pipeline family (SURVEY §6), sibling of the
+C4 line dedup (queries.py:q_line_dedup_global) which cuts NON-overlapping
+fixed spans — this operator catches repeats at ANY alignment, the case
+line/span dedup misses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+__all__ = ["dedup_exact_substrings"]
+
+
+def dedup_exact_substrings(
+    df: DataFrame,
+    key_cols: list[str],
+    text_col: str = "text",
+    min_len: int = 8,
+    out_col: str = "dedup_text",
+    removed_col: str = "n_removed_words",
+    lowercase: bool = True,
+    n_words_col: str | None = None,
+    pin_anchors: bool = False,
+) -> DataFrame:
+    """Append ``out_col`` (text with every non-first >=``min_len``-word
+    repeat removed) and ``removed_col`` (words cut) to ``df``.
+
+    ``key_cols`` order anchor occurrences (lexicographic, then window
+    position): the globally-minimal occurrence of each repeat survives.
+    Word tokenization follows ``functions.text.words`` (lowercase,
+    whitespace split), so reassembled text is case-folded and
+    whitespace-normalized; pass ``lowercase=False`` for the
+    case-preserving split the flow's published-text stages use (repeats
+    then match case-sensitively).
+
+    ``n_words_col`` additionally emits the doc's pre-cut word count (the
+    word array is already in hand — callers should not re-split the
+    text).  ``pin_anchors`` localCheckpoints the exploded anchor frame so
+    the dup-winner aggregation and the mark join read ONE materialization
+    instead of re-running the gram build twice; it costs anchor-frame
+    disk (~the agg's own shuffle files again), worth it when the gram
+    construction dominates (small corpora, very long docs) and declined
+    by default at raw-scan scale where recompute is the cheap currency.
+    """
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    for c in ("_ss_words", "_ss_pos", "_ss_gram", "_ss_h1", "_ss_h2"):
+        if c in df.columns:
+            raise ValueError(f"input already has internal column {c}")
+
+    words_expr = (
+        X.words(text_col).spark
+        if lowercase
+        else f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
+    )
+    grams_expr = X.wordgrams("_ss_words", min_len).spark
+    base = df.withColumn("_ss_words", F.expr(words_expr))
+
+    anchors = (
+        base.select(*key_cols, "_ss_words")
+        .withColumn("_ss_grams", F.expr(grams_expr))
+        .select(
+            *key_cols, F.posexplode("_ss_grams").alias("_ss_pos", "_ss_gram")
+        )
+        .withColumn("_ss_h1", F.xxhash64("_ss_gram"))
+        .withColumn("_ss_h2", F.xxhash64(F.lit(1), F.col("_ss_gram")))
+        .drop("_ss_gram")
+    )
+    if pin_anchors:
+        anchors = anchors.localCheckpoint(eager=False)
+
+    order = F.struct(*[F.col(c) for c in key_cols], F.col("_ss_pos"))
+    dups = (
+        anchors.groupBy("_ss_h1", "_ss_h2")
+        .agg(
+            F.count("*").alias("_ss_cnt"),
+            F.min(order).alias("_ss_first"),
+        )
+        .where(F.col("_ss_cnt") >= 2)
+        .select("_ss_h1", "_ss_h2", "_ss_first")
+    )
+    not_first = F.struct(
+        *[F.col(c) for c in key_cols], F.col("_ss_pos")
+    ) != F.col("_ss_first")
+    marks = (
+        anchors.join(dups, ["_ss_h1", "_ss_h2"])
+        .where(not_first)
+        .groupBy(*key_cols)
+        .agg(F.collect_list("_ss_pos").alias("_ss_marks"))
+    )
+
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce("_ss_marks", F.array().cast("array<int>")),
+                lambda p: F.sequence(p, p + F.lit(min_len - 1)),
+            )
+        )
+    )
+    n = F.size("_ss_words")
+    kept_idx = F.array_except(
+        F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        covered,
+    )
+    out = (
+        base.join(marks, key_cols, "left")
+        .withColumn("_ss_kept", kept_idx)
+        .withColumn(
+            out_col,
+            F.array_join(
+                F.transform(
+                    "_ss_kept",
+                    lambda i: F.element_at("_ss_words", i + F.lit(1)),
+                ),
+                " ",
+            ),
+        )
+        .withColumn(
+            removed_col, (n - F.size("_ss_kept")).cast("long")
+        )
+    )
+    if n_words_col is not None:
+        out = out.withColumn(n_words_col, n.cast("long"))
+    return out.drop("_ss_words", "_ss_marks", "_ss_kept")

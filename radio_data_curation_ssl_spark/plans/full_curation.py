@@ -75,6 +75,8 @@ def curate_dedup_sample(
     simhash_max_hamming: int = 3,
     url_dedup: bool = False,
     line_dedup: bool = False,
+    substring_dedup: bool = False,
+    substring_min_len: int = 8,
     seen_urls: DataFrame | None = None,
     host_cap: int | None = None,
     lang_budget_frac: float | None = None,
@@ -103,6 +105,10 @@ def curate_dedup_sample(
     published ``text_scrubbed`` (C4's line-level dedup, case-preserving);
     surviving text is whitespace-normalized, docs whose spans all lose
     are dropped, and zero-span docs pass through unchanged.
+    ``substring_dedup`` runs the ExactSubstr stage after it (Lee et al.
+    2022 semantics via operators/substring_dedup.py): non-first
+    occurrences of repeated >=``substring_min_len``-word sequences are
+    cut at any alignment — catching the repeats fixed spans miss.
 
     ``seen_urls`` makes the run INCREMENTAL: a one-column ``url`` frame
     of the already-committed corpus (e.g. a prior run's published
@@ -316,6 +322,42 @@ def curate_dedup_sample(
         if work_dir is None:
             neat.unpersist()
         neat = lined
+    if substring_dedup:
+        # ExactSubstr stage (Lee et al. 2022) on the PUBLISHED text:
+        # every non-first occurrence of a repeated >=substring_min_len-
+        # word sequence is cut at ANY alignment — the repeats the fixed
+        # 10-word spans above miss.  Case-preserving; first winner by
+        # (url, text-hash, pos), the line stage's total order.  Docs cut
+        # to nothing are dropped; word-less docs pass through unchanged.
+        from ..operators.substring_dedup import dedup_exact_substrings
+
+        ss = neat.withColumn("_txh", F.md5("text_scrubbed"))
+        ss = dedup_exact_substrings(
+            ss,
+            ["url", "_txh"],
+            text_col="text_scrubbed",
+            min_len=substring_min_len,
+            out_col="_ss_text",
+            removed_col="_ss_removed",
+            lowercase=False,
+        )
+        kept_words = F.size(
+            F.expr("filter(split(_ss_text, '\\\\s+'), x -> x != '')")
+        )
+        cut = (
+            ss.where((kept_words > 0) | (F.col("_ss_removed") == 0))
+            .withColumn(
+                "text_scrubbed",
+                F.when(F.col("_ss_removed") > 0, F.col("_ss_text")).otherwise(
+                    F.col("text_scrubbed")
+                ),
+            )
+            .drop("_ss_text", "_ss_removed", "_txh")
+        )
+        cut = _materialize(cut, "substring_deduped")
+        if work_dir is None:
+            neat.unpersist()
+        neat = cut
     if decontaminate is not None:
         from ..operators.decontam import drop_contaminated
 

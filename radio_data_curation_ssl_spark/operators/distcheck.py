@@ -90,6 +90,117 @@ def _fold_partials(rows) -> tuple[np.ndarray, float, int]:
     return grad, loss, n
 
 
+def fit_logreg(
+    train: DataFrame,
+    vec_col: str = "vec",
+    y_col: str = "y",
+    n_iters: int = 40,
+    lr: float = 2.0,
+) -> dict:
+    """Distributed full-batch logistic regression — the GD core shared by
+    the classifier two-sample test and the model-based quality filter
+    (operators/quality_classifier.py).
+
+    Features are standardized by global train mean/std (one exploded,
+    map-side-combined stats pass — d rows to the driver); each GD
+    iteration is one streaming ``mapInPandas`` pass emitting a
+    (d+2)-float partial per partition, folded driver-side in
+    partition-id order (run-invariant float addition).  Points never
+    shuffle; driver traffic per iteration is (d+2) floats times the
+    partition count.
+
+    Returns ``{"w": (d+1,) weights+intercept (STANDARDIZED feature
+    space), "mu", "sd", "n_train", "final_loss"}`` — score new points as
+    ``sigmoid(((x - mu) / sd) @ w[:d] + w[d])``.
+    """
+    stats = (
+        train.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.avg(F.col("v").cast("double")).alias("mu"),
+            F.stddev_pop(F.col("v").cast("double")).alias("sd"),
+        )
+        .collect()
+    )
+    if not stats:
+        # e.g. a subsample mod larger than the frame leaves zero train
+        # rows — fail with the intended message, not the bare
+        # max()-on-empty ValueError
+        raise ValueError("empty train split")
+    d = max(r["pos"] for r in stats) + 1
+    mu = np.zeros(d)
+    sd = np.ones(d)
+    for r in stats:
+        mu[r["pos"]] = r["mu"]
+        sd[r["pos"]] = r["sd"] if r["sd"] and r["sd"] > 1e-12 else 1.0
+
+    sc = train.sparkSession.sparkContext
+    bc_norm = sc.broadcast((mu, sd))
+    w = np.zeros(d + 1, dtype=np.float64)  # weights + intercept
+
+    def gd_pass(weights: np.ndarray):
+        bc_w = sc.broadcast(weights)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            mu_, sd_ = bc_norm.value
+            wv = bc_w.value
+            pid = TaskContext.get().partitionId()
+            grad = np.zeros(d + 1)
+            loss, n = 0.0, 0
+            for b in batches:
+                x = np.array(b["vec"].tolist(), dtype=np.float64)
+                if len(x) == 0:
+                    continue  # before standardizing: (0,) - (d,) errors
+                x = (x - mu_) / sd_
+                y = b["y"].to_numpy().astype(np.float64)
+                z = x @ wv[:d] + wv[d]
+                p = 1.0 / (1.0 + np.exp(-z))
+                err = p - y
+                grad[:d] += x.T @ err
+                grad[d] += err.sum()
+                eps = 1e-12
+                loss += float(
+                    -(
+                        y * np.log(p + eps)
+                        + (1 - y) * np.log(1 - p + eps)
+                    ).sum()
+                )
+                n += len(x)
+            if n:
+                yield pd.DataFrame(
+                    {
+                        "part_id": [pid],
+                        "grad": [grad],
+                        "loss": [loss],
+                        "n": [n],
+                    }
+                )
+
+        rows = (
+            train.select(F.col(vec_col).alias("vec"), F.col(y_col).alias("y"))
+            .mapInPandas(run, _PARTIAL_SCHEMA)
+            .collect()
+        )
+        return _fold_partials(rows)
+
+    final_loss = float("nan")
+    n_train = 0
+    for _ in range(n_iters):
+        grad, loss, n = gd_pass(w)
+        if not n:
+            raise ValueError("empty train split")
+        w = w - lr * grad / n
+        final_loss = loss / n
+        n_train = n
+    return {
+        "w": w,
+        "mu": mu,
+        "sd": sd,
+        "n_train": n_train,
+        "final_loss": final_loss,
+    }
+
+
 def classifier_two_sample_test(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -152,85 +263,13 @@ def classifier_two_sample_test(
             )
         test = tagged.where(F.col("is_test"))
 
-        # standardization from the train split (exploded agg: d rows)
-        stats = (
-            train.select(F.posexplode("vec").alias("pos", "v"))
-            .groupBy("pos")
-            .agg(
-                F.avg(F.col("v").cast("double")).alias("mu"),
-                F.stddev_pop(F.col("v").cast("double")).alias("sd"),
-            )
-            .collect()
-        )
-        if not stats:
-            # e.g. a train_sample_mod larger than the frame leaves zero
-            # train rows — fail with the intended message, not the bare
-            # max()-on-empty ValueError
-            raise ValueError("empty train split")
-        d = max(r["pos"] for r in stats) + 1
-        mu = np.zeros(d)
-        sd = np.ones(d)
-        for r in stats:
-            mu[r["pos"]] = r["mu"]
-            sd[r["pos"]] = r["sd"] if r["sd"] and r["sd"] > 1e-12 else 1.0
-
+        fit = fit_logreg(train, n_iters=n_iters, lr=lr)
+        w, mu, sd = fit["w"], fit["mu"], fit["sd"]
+        d = mu.size
+        final_loss, n_train = fit["final_loss"], fit["n_train"]
         spark = tagged.sparkSession
         sc = spark.sparkContext
         bc_norm = sc.broadcast((mu, sd))
-        w = np.zeros(d + 1, dtype=np.float64)  # weights + intercept
-
-        def gd_pass(weights: np.ndarray):
-            bc_w = sc.broadcast(weights)
-
-            def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                mu_, sd_ = bc_norm.value
-                wv = bc_w.value
-                pid = TaskContext.get().partitionId()
-                grad = np.zeros(d + 1)
-                loss, n = 0.0, 0
-                for b in batches:
-                    x = np.array(b["vec"].tolist(), dtype=np.float64)
-                    if len(x) == 0:
-                        continue  # before standardizing: (0,) - (d,) errors
-                    x = (x - mu_) / sd_
-                    y = b["y"].to_numpy().astype(np.float64)
-                    z = x @ wv[:d] + wv[d]
-                    p = 1.0 / (1.0 + np.exp(-z))
-                    err = p - y
-                    grad[:d] += x.T @ err
-                    grad[d] += err.sum()
-                    eps = 1e-12
-                    loss += float(
-                        -(
-                            y * np.log(p + eps)
-                            + (1 - y) * np.log(1 - p + eps)
-                        ).sum()
-                    )
-                    n += len(x)
-                if n:
-                    yield pd.DataFrame(
-                        {
-                            "part_id": [pid],
-                            "grad": [grad],
-                            "loss": [loss],
-                            "n": [n],
-                        }
-                    )
-
-            rows = train.select("vec", "y").mapInPandas(
-                run, _PARTIAL_SCHEMA
-            ).collect()
-            return _fold_partials(rows)
-
-        final_loss = float("nan")
-        n_train = 0
-        for _ in range(n_iters):
-            grad, loss, n = gd_pass(w)
-            if not n:
-                raise ValueError("empty train split")
-            w = w - lr * grad / n
-            final_loss = loss / n
-            n_train = n
 
         # held-out accuracy: one counting pass
         bc_w = sc.broadcast(w)

@@ -1,0 +1,225 @@
+"""Model-based quality filter: a trained classifier scores each document
+with a keep probability — the FineWeb-Edu / DCLM-style alternative to the
+rule-based Gopher/C4 threshold pipeline (plans/pipeline.py::curate).
+
+Real pipelines train a small linear classifier (fastText-shaped) on a
+labeled seed set (LLM-judged, reference-corpus-vs-crawl, or distilled
+from a rule pipeline) and filter the crawl by its score.  Everything
+here is that recipe with the repo's shared kernels:
+
+- **Features** (one Arrow pass, `featurize`): the five Gopher heuristic
+  scores from ``heuristics_from_stream`` — the SAME kernel the rule
+  pipeline scores with, so classifier and rules cannot disagree about
+  what "stopword_ratio" means — plus an optional hashed bag-of-words
+  (``n_hash`` buckets over the shared splitmix64 word-hash stream,
+  term-frequency normalized; the fastText ingredient).  ``n_words``
+  enters as ``log1p`` — corpus-scale word counts would otherwise drown
+  the standardization.
+- **Fit** (`fit_quality_classifier`): features are materialized ONCE
+  into an ``array<double>`` column and persisted, then the distributed
+  full-batch logistic regression shared with the classifier two-sample
+  test (operators/distcheck.py::fit_logreg) runs over the numeric frame:
+  per iteration, one streaming pass, a (d+2)-float partial per
+  partition, partition-id-ordered driver fold (deterministic float
+  addition), model broadcast down.  Documents never shuffle; driver
+  traffic is O(d * partitions) per iteration, independent of corpus
+  size.
+- **Score** (`with_quality_prob`): one iterator ``mapInPandas`` pass,
+  weights broadcast once per task — the same shape as the langid /
+  perplexity scorers.  ``filter_by_quality`` is the keep/drop stage.
+
+Scale: fit cost is n_iters map passes over the (persisted) feature
+frame; at 10^12 documents train on a hash-keyed subsample
+(``train_mod``) — classifier quality saturates long before the corpus
+does — then score everything with the one-pass scorer.
+
+Reference provenance: the reference has no supervised filter (its
+curation is feature-threshold based); this is part of the
+beyond-the-reference LLM-pipeline family (SURVEY §6), completing the
+quality-filter trio: rules (fused.py), perplexity (perplexity.py),
+learned classifier (here).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.textstream import build_stream
+from .heuristics_np import heuristics_from_stream
+
+__all__ = [
+    "QualityModel",
+    "featurize",
+    "fit_quality_classifier",
+    "with_quality_prob",
+    "filter_by_quality",
+]
+
+BASE_FEATURES = [
+    "log1p_n_words",
+    "mean_word_len",
+    "stopword_ratio",
+    "symbol_word_ratio",
+    "rep_bigram_frac",
+]
+
+
+@dataclass(frozen=True)
+class QualityModel:
+    """(weights incl. intercept, train mean, train std, bow width).
+    Score = sigmoid(((x - mu) / sd) @ w[:-1] + w[-1])."""
+
+    w: np.ndarray
+    mu: np.ndarray
+    sd: np.ndarray
+    n_hash: int
+
+    def n_features(self) -> int:
+        return len(BASE_FEATURES) + self.n_hash
+
+
+def _features_batch(texts: pd.Series, n_hash: int) -> np.ndarray:
+    """(n_docs, 5 + n_hash) float64 — shared by fit and score."""
+    st = build_stream(texts)
+    h = heuristics_from_stream(st)
+    base = np.column_stack(
+        [
+            np.log1p(h["n_words"].astype(np.float64)),
+            np.nan_to_num(h["mean_word_len"], nan=0.0),
+            np.nan_to_num(h["stopword_ratio"], nan=0.0),
+            np.nan_to_num(h["symbol_word_ratio"], nan=0.0),
+            h["rep_bigram_frac"],
+        ]
+    )
+    if not n_hash:
+        return base
+    bow = np.zeros((st.n_docs, n_hash), dtype=np.float64)
+    if st.word_hashes.size:
+        doc_of_word = np.repeat(
+            np.arange(st.n_docs), np.maximum(st.words_per_doc, 0)
+        )
+        buckets = (st.word_hashes % np.uint64(n_hash)).astype(np.int64)
+        np.add.at(bow, (doc_of_word, buckets), 1.0)
+        nw = np.maximum(st.words_per_doc, 1).astype(np.float64)
+        bow /= nw[:, None]  # term frequency
+    return np.hstack([base, bow])
+
+
+def featurize(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hash: int = 0,
+    out_col: str = "features",
+) -> DataFrame:
+    """Append the ``array<double>`` feature vector — one Arrow pass."""
+    if n_hash < 0:
+        raise ValueError(f"n_hash must be >= 0, got {n_hash}")
+    schema = T.StructType(
+        list(docs.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.DoubleType()), False)]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            x = _features_batch(b[text_col].fillna(""), n_hash)
+            out = b.copy()
+            out[out_col] = list(x)
+            yield out
+
+    return docs.mapInPandas(run, schema)
+
+
+def fit_quality_classifier(
+    docs: DataFrame,
+    label_col: str = "keep",
+    text_col: str = "text",
+    n_hash: int = 0,
+    n_iters: int = 40,
+    lr: float = 1.0,
+    train_mod: int = 1,
+) -> QualityModel:
+    """Labeled docs (boolean/0-1 ``label_col``) -> QualityModel.
+
+    ``train_mod`` > 1 trains on a deterministic hash-keyed 1/mod
+    subsample of the corpus (keyed on the text hash — partition-order
+    free), the 10^12-document lever.
+    """
+    from .distcheck import fit_logreg
+
+    train = docs.select(
+        F.col(text_col).alias("_qc_text"),
+        F.col(label_col).cast("int").alias("y"),
+    ).where(F.col("y").isNotNull())
+    if train_mod > 1:
+        train = train.where(
+            F.pmod(F.xxhash64("_qc_text", F.lit(83)), F.lit(train_mod)) == 0
+        )
+    feats = featurize(train, "_qc_text", n_hash, out_col="vec").select(
+        "vec", "y"
+    )
+    feats = feats.persist()
+    try:
+        fit = fit_logreg(feats, "vec", "y", n_iters=n_iters, lr=lr)
+    finally:
+        feats.unpersist()
+    return QualityModel(
+        w=fit["w"], mu=fit["mu"], sd=fit["sd"], n_hash=n_hash
+    )
+
+
+def with_quality_prob(
+    docs: DataFrame,
+    model: QualityModel,
+    text_col: str = "text",
+    out_col: str = "q_prob",
+) -> DataFrame:
+    """Append the keep probability — one iterator ``mapInPandas`` pass,
+    model broadcast once, deserialized once per task."""
+    d = model.n_features()
+    if model.w.size != d + 1 or model.mu.size != d or model.sd.size != d:
+        raise ValueError(
+            f"model shapes inconsistent: w={model.w.size}, mu={model.mu.size},"
+            f" sd={model.sd.size}, expected d={d} (+1 intercept)"
+        )
+    bc = docs.sparkSession.sparkContext.broadcast(
+        (model.w, model.mu, model.sd, model.n_hash)
+    )
+    schema = T.StructType(
+        list(docs.schema.fields)
+        + [T.StructField(out_col, T.DoubleType(), False)]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w, mu, sd, n_hash = bc.value
+        dd = mu.size
+        for b in it:
+            x = _features_batch(b[text_col].fillna(""), n_hash)
+            z = ((x - mu) / sd) @ w[:dd] + w[dd]
+            out = b.copy()
+            out[out_col] = 1.0 / (1.0 + np.exp(-z))
+            yield out
+
+    return docs.mapInPandas(run, schema)
+
+
+def filter_by_quality(
+    docs: DataFrame,
+    model: QualityModel,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep documents the model scores ``>= threshold`` (score column is
+    dropped — this is the filter stage; use ``with_quality_prob`` to
+    inspect scores)."""
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    scored = with_quality_prob(docs, model, text_col, out_col="_qc_prob")
+    return scored.where(F.col("_qc_prob") >= threshold).drop("_qc_prob")

@@ -3382,3 +3382,92 @@ def q_substring_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         pin_anchors=True,
     )
     return out.select("doc_id", "n_words", "n_removed", "dedup_text")
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring (r4 session 4).  The learned-classifier
+# filter's SCORING math (operators/quality_classifier.py), oracle-paired
+# with literal model parameters — the fit itself is iterative (GD loop,
+# distcheck.fit_logreg) and numpy-twin/pytest-gated like kmeans_lloyd.
+# Spark side runs the REAL kernel featurizer (_features_batch via
+# featurize); DuckDB recomputes the same five features from the shared
+# SQL fragments (kernel==SQL equality is the hash-green quality_scores
+# row) and the identical fixed-order standardized dot product.  The
+# score is the LINEAR logit (no exp: libm tails differ across engines;
+# sigmoid is monotone so keep = z >= 0 is the same decision).
+# Ordered position 52 — past the driver window by design, parity-gated
+# locally (tests/test_quality_classifier.py + parity_check.py).
+
+_QCM = {  # literal model: (mu, sd, w) per base feature, + intercept
+    "log1p_n_words": (4.6, 0.6, 0.9),
+    "mean_word_len": (4.4, 0.5, 0.3),
+    "stopword_ratio": (0.18, 0.08, 1.4),
+    "symbol_word_ratio": (0.04, 0.05, -1.1),
+    "rep_bigram_frac": (0.05, 0.1, -1.6),
+}
+_QCM_B = -0.2  # intercept
+
+
+def _qcm_z(feats: dict[str, str]) -> str:
+    """Fixed-order standardized dot product — SAME textual expansion on
+    both engines so float addition order matches."""
+    terms = [
+        f"(({feats[k]}) - {mu}) / {sd} * {w}"
+        for k, (mu, sd, w) in _QCM.items()
+    ]
+    return "(" + " + ".join(terms) + f" + {_QCM_B})"
+
+
+# both engines dot over IDENTICALLY ROUNDED features: the heuristic SQL
+# fragments round ratios to X.ROUND already (that is what quality_scores
+# hash-matches on); the kernel featurizer emits unrounded doubles, so
+# the Spark side rounds each element the same way, and the log term is
+# rounded on both sides (log1p vs ln(1+n) may differ in the last ulp)
+_QCM_DUCK_FEATS = {
+    "log1p_n_words": f"round(ln(1 + n_words), {X.ROUND})",
+    "mean_word_len": "coalesce(mean_word_len, 0.0)",
+    "stopword_ratio": "coalesce(stopword_ratio, 0.0)",
+    "symbol_word_ratio": "coalesce(symbol_word_ratio, 0.0)",
+    "rep_bigram_frac": "rep_bigram_frac",
+}
+_QCM_SPARK_FEATS = {  # over the featurize() array (BASE_FEATURES order)
+    k: f"round(element_at(features, {i + 1}), {X.ROUND})"
+    for i, k in enumerate(_QCM)
+}
+
+
+@register(
+    "quality_model_score",
+    f"""
+WITH w AS ({_DOC_WORDS_DUCK}),
+b AS (SELECT *, {_BG.duck} AS bigrams FROM w),
+f AS (SELECT doc_id, {_NW.duck} AS n_words, {_MWL.duck} AS mean_word_len,
+             {_SWR.duck} AS stopword_ratio, {_SYR.duck} AS symbol_word_ratio,
+             {_REP.duck} AS rep_bigram_frac
+      FROM b)
+SELECT doc_id,
+       round({_qcm_z(_QCM_DUCK_FEATS)}, 4) + 0.0 AS q_logit,
+       {_qcm_z(_QCM_DUCK_FEATS)} >= 0 AS keep_model
+FROM f
+""",
+    doc="Learned quality filter, scoring leg: the kernel featurizer "
+    "(one Arrow pass, shared with the rule pipeline's heuristics) under "
+    "a literal logistic model — linear logit + threshold decision.  "
+    "Scale: map-only, no shuffle; the fit (distcheck.fit_logreg) is "
+    "O(d*partitions) driver traffic per iteration and pytest-gated.",
+    bench=False,
+)
+def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality_classifier import featurize
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = featurize(docs, "text", n_hash=0)
+    z = _qcm_z(_QCM_SPARK_FEATS)
+    # q_logit rounds to 4 (not X.ROUND=6): the engines' round() differ
+    # on exact half-ulp cases, and one fewer pair of decimals moves the
+    # boundary 100x further from any reachable sum of 6-decimal terms
+    return feats.selectExpr(
+        "doc_id",
+        f"round({z}, 4) + 0.0 AS q_logit",
+        f"{z} >= 0 AS keep_model",
+    )

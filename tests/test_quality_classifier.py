@@ -1,0 +1,172 @@
+"""fit_quality_classifier / with_quality_prob (operators/
+quality_classifier.py): model-based quality filtering on shared kernels."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from radio_data_curation_ssl_spark.operators.quality_classifier import (
+    BASE_FEATURES,
+    QualityModel,
+    _features_batch,
+    featurize,
+    filter_by_quality,
+    fit_quality_classifier,
+    with_quality_prob,
+)
+
+
+def test_features_match_rule_pipeline_kernel():
+    """The classifier's base features ARE heuristics_from_stream's
+    numbers (log1p on n_words, NaN->0 on empty-doc ratios)."""
+    from radio_data_curation_ssl_spark.functions.textstream import (
+        build_stream,
+    )
+    from radio_data_curation_ssl_spark.operators.heuristics_np import (
+        heuristics_from_stream,
+    )
+
+    texts = pd.Series(["the cat sat on the mat", "", "aaa aaa aaa aaa"])
+    x = _features_batch(texts, n_hash=0)
+    h = heuristics_from_stream(build_stream(texts))
+    assert x.shape == (3, len(BASE_FEATURES))
+    np.testing.assert_allclose(x[:, 0], np.log1p(h["n_words"]))
+    np.testing.assert_allclose(x[0, 1], h["mean_word_len"][0])
+    assert x[1, 1] == 0.0  # empty doc: NaN ratio -> 0
+    np.testing.assert_allclose(x[:, 4], h["rep_bigram_frac"])
+
+
+def test_bow_features_are_term_frequencies():
+    x = _features_batch(pd.Series(["a b a b", "c"]), n_hash=16)
+    assert x.shape == (2, len(BASE_FEATURES) + 16)
+    bow = x[:, len(BASE_FEATURES) :]
+    np.testing.assert_allclose(bow.sum(axis=1), [1.0, 1.0])
+    assert (bow[0] > 0).sum() == 2  # two distinct words
+    assert (bow[1] > 0).sum() == 1
+
+
+def test_distills_rule_pipeline_labels(spark, pages_small):
+    """Fit on curate()'s keep labels -> high held-out agreement with the
+    rules (the features are the rules' own inputs)."""
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+
+    labeled = curate(pages_small).select("url", "text", "keep").cache()
+    train = labeled.where(F.pmod(F.xxhash64("url"), F.lit(4)) != 0)
+    test = labeled.where(F.pmod(F.xxhash64("url"), F.lit(4)) == 0)
+    model = fit_quality_classifier(
+        train, label_col="keep", text_col="text", n_iters=60, lr=1.0
+    )
+    scored = with_quality_prob(test, model, "text")
+    agree = scored.withColumn(
+        "ok", (F.col("q_prob") >= 0.5) == F.col("keep")
+    )
+    rate = agree.agg(F.avg(F.col("ok").cast("double"))).collect()[0][0]
+    assert rate >= 0.85, rate
+    labeled.unpersist()
+
+
+def test_planted_separation_with_bow(spark):
+    """Clean English vs gibberish: the hashed-BOW classifier separates
+    held-out docs near-perfectly."""
+    clean = "the quick brown fox jumps over the lazy dog and runs home"
+    junk = "zzq xqv jjw qqz vvx wwj zzv xxq jwq qzz vxw jwj"
+    rows = []
+    for i in range(200):
+        rot = i % 7
+        w = clean.split()
+        rows.append((i, " ".join(w[rot:] + w[:rot]), 1))
+    for i in range(200, 400):
+        rot = i % 5
+        w = junk.split()
+        rows.append((i, " ".join(w[rot:] + w[:rot]), 0))
+    df = spark.createDataFrame(rows, "id long, text string, y int")
+    train = df.where("id % 4 != 0")
+    test = df.where("id % 4 = 0")
+    model = fit_quality_classifier(
+        train, label_col="y", text_col="text", n_hash=64, n_iters=80, lr=2.0
+    )
+    scored = with_quality_prob(test, model)
+    ok = scored.where(
+        ((F.col("q_prob") >= 0.5) & (F.col("y") == 1))
+        | ((F.col("q_prob") < 0.5) & (F.col("y") == 0))
+    ).count()
+    assert ok / test.count() >= 0.95
+
+
+def test_fit_partitioning_invariance(spark, pages_small):
+    """Same partitioning -> bit-identical (pid-ordered GD fold); across
+    partitionings -> equal to float associativity (the standardization
+    stats are Catalyst avg/stddev aggregates, whose partial-combine
+    order follows the partitioning)."""
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+
+    labeled = curate(pages_small).select("text", "keep").limit(200).cache()
+    m7a = fit_quality_classifier(
+        labeled.repartition(7), n_iters=10, lr=0.5
+    )
+    m7b = fit_quality_classifier(
+        labeled.repartition(7), n_iters=10, lr=0.5
+    )
+    np.testing.assert_array_equal(m7a.w, m7b.w)  # bit-identical rerun
+    m1 = fit_quality_classifier(
+        labeled.repartition(1), n_iters=10, lr=0.5
+    )
+    np.testing.assert_allclose(m1.w, m7a.w, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(m1.mu, m7a.mu, rtol=1e-12, atol=1e-14)
+    labeled.unpersist()
+
+
+def test_filter_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "good text here ok fine", 1), (2, "zz", 0)],
+        "id long, text string, y int",
+    )
+    model = fit_quality_classifier(df, label_col="y", n_iters=20, lr=2.0)
+    kept = filter_by_quality(df, model, threshold=0.5)
+    assert set(kept.columns) == {"id", "text", "y"}  # score col dropped
+    with pytest.raises(ValueError, match="threshold"):
+        filter_by_quality(df, model, threshold=1.5)
+    bad = QualityModel(
+        w=np.zeros(3), mu=np.zeros(5), sd=np.ones(5), n_hash=0
+    )
+    with pytest.raises(ValueError, match="inconsistent"):
+        with_quality_prob(df, bad)
+    with pytest.raises(ValueError, match="n_hash"):
+        featurize(df, n_hash=-1)
+
+
+def test_null_and_empty_text_score_without_crash(spark):
+    df = spark.createDataFrame(
+        [(1, "regular text with words", 1), (2, None, 0), (3, "", 0)],
+        "id long, text string, y int",
+    )
+    model = fit_quality_classifier(df, label_col="y", n_iters=5)
+    got = with_quality_prob(df, model).collect()
+    assert len(got) == 3
+    assert all(0.0 <= r["q_prob"] <= 1.0 for r in got)
+
+
+def test_registry_query_oracle_parity(spark):
+    """quality_model_score matches its DuckDB oracle at sf0.001 (ordered
+    position 52 — past the driver window by design; this is its
+    standing local gate)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    q = REGISTRY["quality_model_score"]
+    got = {
+        r["doc_id"]: (r["q_logit"], r["keep_model"])
+        for r in q.spark(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {d: (z, k) for d, z, k in con.execute(q.oracle).fetchall()}
+    assert got == want
+    assert 0 < sum(1 for _, k in got.values() if k) < len(got)  # non-trivial

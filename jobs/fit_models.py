@@ -50,6 +50,26 @@ def load_models(path: str):
         )
 
 
+def load_quality_model(path: str):
+    """QualityModel from a ``--fit-quality`` artifact, or None when the
+    artifact was fitted without one (backward compatible)."""
+    import numpy as np
+
+    from radio_data_curation_ssl_spark.operators.quality_classifier import (
+        QualityModel,
+    )
+
+    with np.load(path, allow_pickle=False) as z:
+        if "quality_w" not in z:
+            return None
+        return QualityModel(
+            w=z["quality_w"],
+            mu=z["quality_mu"],
+            sd=z["quality_sd"],
+            n_hash=int(z["quality_n_hash"]),
+        )
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="training corpus parquet dir")
@@ -59,8 +79,28 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--label-col", default="lang")
     ap.add_argument("--alpha", type=float, default=0.01, help="ppl add-alpha")
+    ap.add_argument(
+        "--fit-quality",
+        action="store_true",
+        help="also fit the learned quality classifier "
+        "(operators/quality_classifier.py) and ship it in the artifact; "
+        "labels come from --quality-label-col, or (without it) are "
+        "DISTILLED from the rule pipeline's keep decision — the latter "
+        "requires a pages-shaped input (--synth always qualifies)",
+    )
+    ap.add_argument(
+        "--quality-label-col",
+        default=None,
+        help="boolean/0-1 label column in the input corpus for "
+        "--fit-quality (e.g. an LLM-judged keep column)",
+    )
+    ap.add_argument("--quality-hash", type=int, default=64,
+                    help="hashed bag-of-words buckets for --fit-quality")
+    ap.add_argument("--quality-iters", type=int, default=40)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
+    if args.quality_label_col and not args.fit_quality:
+        ap.error("--quality-label-col requires --fit-quality")
 
     import numpy as np
 
@@ -85,12 +125,48 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("one of --input / --synth required")
         table = fit_table(corpus, args.text_col, alpha=args.alpha)
         weights, langs = fit_model(corpus, args.text_col, args.label_col)
+        quality = {}
+        if args.fit_quality:
+            from pyspark.sql import functions as F
+
+            from radio_data_curation_ssl_spark.operators.quality_classifier import (  # noqa: E501
+                fit_quality_classifier,
+            )
+
+            if args.quality_label_col:
+                labeled = corpus.select(
+                    F.col(args.text_col).alias("text"),
+                    F.col(args.quality_label_col).cast("int").alias("keep"),
+                )
+            else:
+                # distill the rule pipeline: score the (pages-shaped)
+                # corpus with the JUST-FITTED models so the learned
+                # filter approximates the rules under the same artifacts
+                from radio_data_curation_ssl_spark.plans.pipeline import (
+                    curate,
+                )
+
+                labeled = curate(
+                    corpus, models=(weights, table, langs)
+                ).select("text", "keep")
+            qm = fit_quality_classifier(
+                labeled,
+                n_hash=args.quality_hash,
+                n_iters=args.quality_iters,
+            )
+            quality = {
+                "quality_w": qm.w,
+                "quality_mu": qm.mu,
+                "quality_sd": qm.sd,
+                "quality_n_hash": np.array(qm.n_hash, dtype=np.int64),
+            }
         tmp = args.output + ".tmp.npz"
         np.savez(
             tmp,
             ppl_table=table,
             langid_weights=weights,
             langid_langs=np.array(langs),
+            **quality,
         )
         os.replace(tmp, args.output)
         log.finish(run_id, "fit_models", config, status="done")
@@ -102,6 +178,9 @@ def main(argv: list[str] | None = None) -> int:
                     "langs": langs,
                     "ppl_buckets_nonuniform": int(
                         (table != table.max()).sum()
+                    ),
+                    "quality_features": (
+                        int(quality["quality_mu"].size) if quality else 0
                     ),
                     "artifact_bytes": os.path.getsize(args.output),
                 }

@@ -137,6 +137,15 @@ def main(argv: list[str] | None = None) -> int:
         "the crawl with it)",
     )
     ap.add_argument(
+        "--quality-threshold",
+        type=float,
+        default=None,
+        help="with --models (artifact fitted via --fit-quality): "
+        "additionally drop documents the learned quality classifier "
+        "scores below this probability — recorded as its own "
+        "'quality_model' drop reason in the run metrics",
+    )
+    ap.add_argument(
         "--seen-urls",
         default=None,
         help="with --sample-target: parquet dir holding a `url` column of "
@@ -190,6 +199,49 @@ def main(argv: list[str] | None = None) -> int:
         else:
             models = None
         result = curate(pages, models=models)
+        if args.quality_threshold is not None:
+            from jobs.fit_models import load_quality_model
+            from radio_data_curation_ssl_spark.operators.quality_classifier import (  # noqa: E501
+                with_quality_prob,
+            )
+
+            if args.models is None:
+                ap.error("--quality-threshold requires --models")
+            if args.url_dedup or args.seen_urls:
+                # those modes re-curate inside the flow (the filter here
+                # would reach the metrics frame but not the sample)
+                ap.error(
+                    "--quality-threshold is not supported with "
+                    "--url-dedup/--seen-urls"
+                )
+            qm = load_quality_model(args.models)
+            if qm is None:
+                ap.error(
+                    f"--quality-threshold: {args.models} has no quality "
+                    "model (re-fit with jobs/fit_models.py --fit-quality)"
+                )
+            # the learned filter stacks on the rules as one more
+            # keep/drop stage with its own drop reason, so the run's
+            # drop-reason histogram shows its contribution
+            from pyspark.sql import functions as F
+
+            result = (
+                with_quality_prob(result, qm, text_col="text")
+                .withColumn(
+                    "drop_reason",
+                    F.when(
+                        F.col("keep")
+                        & (F.col("q_prob") < args.quality_threshold),
+                        F.lit("quality_model"),
+                    ).otherwise(F.col("drop_reason")),
+                )
+                .withColumn(
+                    "keep",
+                    F.col("keep")
+                    & (F.col("q_prob") >= args.quality_threshold),
+                )
+                .drop("q_prob")
+            )
         extra: dict = {}
         if args.sample_target is not None:
             from radio_data_curation_ssl_spark.plans import snapshots

@@ -142,8 +142,9 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="with --models (artifact fitted via --fit-quality): "
         "additionally drop documents the learned quality classifier "
-        "scores below this probability — recorded as its own "
-        "'quality_model' drop reason in the run metrics",
+        "scores below this probability (in [0, 1]) — recorded as its "
+        "own 'quality_model' drop reason in the run metrics; composes "
+        "with every flow mode",
     )
     ap.add_argument(
         "--seen-urls",
@@ -198,21 +199,16 @@ def main(argv: list[str] | None = None) -> int:
             models = (w, t, langs)
         else:
             models = None
-        result = curate(pages, models=models)
+        quality = None
         if args.quality_threshold is not None:
             from jobs.fit_models import load_quality_model
-            from radio_data_curation_ssl_spark.operators.quality_classifier import (  # noqa: E501
-                with_quality_prob,
-            )
 
             if args.models is None:
                 ap.error("--quality-threshold requires --models")
-            if args.url_dedup or args.seen_urls:
-                # those modes re-curate inside the flow (the filter here
-                # would reach the metrics frame but not the sample)
+            if not 0.0 <= args.quality_threshold <= 1.0:
                 ap.error(
-                    "--quality-threshold is not supported with "
-                    "--url-dedup/--seen-urls"
+                    "--quality-threshold must be a probability in [0, 1], "
+                    f"got {args.quality_threshold}"
                 )
             qm = load_quality_model(args.models)
             if qm is None:
@@ -220,28 +216,8 @@ def main(argv: list[str] | None = None) -> int:
                     f"--quality-threshold: {args.models} has no quality "
                     "model (re-fit with jobs/fit_models.py --fit-quality)"
                 )
-            # the learned filter stacks on the rules as one more
-            # keep/drop stage with its own drop reason, so the run's
-            # drop-reason histogram shows its contribution
-            from pyspark.sql import functions as F
-
-            result = (
-                with_quality_prob(result, qm, text_col="text")
-                .withColumn(
-                    "drop_reason",
-                    F.when(
-                        F.col("keep")
-                        & (F.col("q_prob") < args.quality_threshold),
-                        F.lit("quality_model"),
-                    ).otherwise(F.col("drop_reason")),
-                )
-                .withColumn(
-                    "keep",
-                    F.col("keep")
-                    & (F.col("q_prob") >= args.quality_threshold),
-                )
-                .drop("q_prob")
-            )
+            quality = (qm, args.quality_threshold)
+        result = curate(pages, models=models, quality=quality)
         extra: dict = {}
         if args.sample_target is not None:
             from radio_data_curation_ssl_spark.plans import snapshots
@@ -287,6 +263,7 @@ def main(argv: list[str] | None = None) -> int:
                     lang_budget_frac=args.lang_budget,
                     sample_alpha=args.sample_alpha,
                     models=models,
+                    quality=quality,
                     decontaminate=(
                         spark.read.parquet(args.decontaminate)
                         if args.decontaminate

@@ -113,6 +113,11 @@ def fit_logreg(
     space), "mu", "sd", "n_train", "final_loss"}`` — score new points as
     ``sigmoid(((x - mu) / sd) @ w[:d] + w[d])``.
     """
+    if n_iters < 1:
+        # zero iterations would silently return the all-zero model
+        # (every score exactly 0.5) — a degenerate artifact no caller
+        # ever wants published
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
     stats = (
         train.select(F.posexplode(vec_col).alias("pos", "v"))
         .groupBy("pos")

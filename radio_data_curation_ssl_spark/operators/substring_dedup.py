@@ -104,7 +104,16 @@ def dedup_exact_substrings(
         raise ValueError(f"min_len must be >= 2, got {min_len}")
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
-    for c in ("_ss_words", "_ss_pos", "_ss_gram", "_ss_h1", "_ss_h2"):
+    for c in (
+        "_ss_words",
+        "_ss_grams",
+        "_ss_pos",
+        "_ss_gram",
+        "_ss_h1",
+        "_ss_h2",
+        "_ss_marks",
+        "_ss_kept",
+    ):
         if c in df.columns:
             raise ValueError(f"input already has internal column {c}")
 
@@ -114,7 +123,13 @@ def dedup_exact_substrings(
         else f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
     )
     grams_expr = X.wordgrams("_ss_words", min_len).spark
-    base = df.withColumn("_ss_words", F.expr(words_expr))
+    # NULL text -> empty word array (not NULL): downstream counts must be
+    # 0, never NULL — a NULL removed_col once silently dropped NULL-text
+    # docs through the flow stage's keep predicate
+    base = df.withColumn(
+        "_ss_words",
+        F.coalesce(F.expr(words_expr), F.array().cast("array<string>")),
+    )
 
     anchors = (
         base.select(*key_cols, "_ss_words")

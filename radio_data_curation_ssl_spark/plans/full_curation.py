@@ -82,6 +82,7 @@ def curate_dedup_sample(
     lang_budget_frac: float | None = None,
     sample_alpha: float | None = None,
     models: tuple | None = None,
+    quality: tuple | None = None,
     decontaminate: DataFrame | None = None,
     decontaminate_ngram: int = 5,
 ) -> DataFrame:
@@ -134,7 +135,10 @@ def curate_dedup_sample(
     ``models`` = (langid_weights, ppl_table, langid_langs) scores the
     internal curate stage with corpus-fitted artifacts (see
     plans/pipeline.py::curate; ignored when ``curated`` is supplied —
-    the caller already chose its scoring there).
+    the caller already chose its scoring there).  ``quality`` =
+    (QualityModel, threshold) stacks the learned quality filter on the
+    internal curate stage the same way (also ignored with ``curated``),
+    so it composes with EVERY flow mode including url_dedup/seen_urls.
 
     ``decontaminate`` gates publishing on benchmark overlap: a (small)
     frame with a ``text`` column plays the eval set, and any surviving
@@ -194,7 +198,11 @@ def curate_dedup_sample(
             ),
         )
         pages = keep_first(cu, ["_cu"], ["url", "warc_ts"]).drop("_cu")
-    full = curated if curated is not None else curate(pages, models=models)
+    full = (
+        curated
+        if curated is not None
+        else curate(pages, models=models, quality=quality)
+    )
     # persisted: the text-hash first-winner below consumes this frame on
     # both the aggregate and probe sides — uncached, each side would
     # recompute the whole curate chain (the 'measured 4x = ~240 s at
@@ -339,11 +347,12 @@ def curate_dedup_sample(
             min_len=substring_min_len,
             out_col="_ss_text",
             removed_col="_ss_removed",
+            n_words_col="_ss_nw",
             lowercase=False,
         )
-        kept_words = F.size(
-            F.expr("filter(split(_ss_text, '\\\\s+'), x -> x != '')")
-        )
+        # kept word count is plain arithmetic on the operator's own
+        # outputs — no corpus-wide re-split of the published text
+        kept_words = F.col("_ss_nw") - F.col("_ss_removed")
         cut = (
             ss.where((kept_words > 0) | (F.col("_ss_removed") == 0))
             .withColumn(
@@ -352,7 +361,7 @@ def curate_dedup_sample(
                     F.col("text_scrubbed")
                 ),
             )
-            .drop("_ss_text", "_ss_removed", "_txh")
+            .drop("_ss_text", "_ss_removed", "_ss_nw", "_txh")
         )
         cut = _materialize(cut, "substring_deduped")
         if work_dir is None:

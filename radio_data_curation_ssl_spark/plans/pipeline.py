@@ -24,7 +24,10 @@ from ..operators.scrub import with_scrub
 
 
 def curate(
-    pages: DataFrame, fused: bool = True, models: tuple | None = None
+    pages: DataFrame,
+    fused: bool = True,
+    models: tuple | None = None,
+    quality: tuple | None = None,
 ) -> DataFrame:
     """Full logical plan, lazily composed; caller writes/collects.
 
@@ -38,6 +41,14 @@ def curate(
     loop: jobs/fit_models.py fits and publishes them, load_models reads
     them back).  Both modes honor it.
 
+    ``quality`` = (QualityModel, threshold in [0, 1]) stacks the LEARNED
+    quality filter (operators/quality_classifier.py) on the rules as one
+    more keep/drop stage: rule-kept docs the model scores below the
+    threshold flip to keep=false with their own ``quality_model`` drop
+    reason — so the drop-reason histogram separates the learned filter's
+    contribution, and every downstream consumer (flow, metrics, sinks)
+    sees one consistent decision.
+
     Output columns: url, warc_ts, text, lang_claimed, n_bytes_html,
     lang_pred, lang_conf, ppl, text_scrubbed, n_redactions, n_words,
     mean_word_len, stopword_ratio, symbol_word_ratio, rep_bigram_frac,
@@ -45,17 +56,43 @@ def curate(
     """
     if fused:
         # everything in one python pass
-        return extract_score_scrub(pages, models=models)
-    docs = extract_docs(pages)
-    if models is None:
-        scored = with_perplexity(with_langid(docs))
+        out = extract_score_scrub(pages, models=models)
     else:
-        w, t, langs = models
-        scored = with_perplexity(
-            with_langid(docs, model=w, model_langs=langs), table=t
+        docs = extract_docs(pages)
+        if models is None:
+            scored = with_perplexity(with_langid(docs))
+        else:
+            w, t, langs = models
+            scored = with_perplexity(
+                with_langid(docs, model=w, model_langs=langs), table=t
+            )
+        decided = with_decision(with_heuristics(scored))
+        out = with_scrub(decided)
+    if quality is not None:
+        from pyspark.sql import functions as F
+
+        from ..operators.quality_classifier import with_quality_prob
+
+        model, threshold = quality
+        if not 0.0 <= threshold <= 1.0:
+            raise ValueError(
+                f"quality threshold must be in [0, 1], got {threshold}"
+            )
+        out = (
+            with_quality_prob(out, model, text_col="text")
+            .withColumn(
+                "drop_reason",
+                F.when(
+                    F.col("keep") & (F.col("q_prob") < threshold),
+                    F.lit("quality_model"),
+                ).otherwise(F.col("drop_reason")),
+            )
+            .withColumn(
+                "keep", F.col("keep") & (F.col("q_prob") >= threshold)
+            )
+            .drop("q_prob")
         )
-    decided = with_decision(with_heuristics(scored))
-    return with_scrub(decided)
+    return out
 
 
 def curated_output(pages: DataFrame) -> DataFrame:

@@ -170,3 +170,53 @@ def test_registry_query_oracle_parity(spark):
     want = {d: (z, k) for d, z, k in con.execute(q.oracle).fetchall()}
     assert got == want
     assert 0 < sum(1 for _, k in got.values() if k) < len(got)  # non-trivial
+
+
+def test_curate_quality_stage_stacks_on_rules(spark, pages_small):
+    """curate(quality=(model, t)): rule-kept docs below the threshold
+    flip to keep=false with their own 'quality_model' drop reason; rule
+    drops keep their original reason; t outside [0,1] errors."""
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+
+    base = curate(pages_small).cache()
+    model = fit_quality_classifier(
+        base.select("text", "keep"), n_iters=30, lr=1.0
+    )
+    strict = curate(pages_small, quality=(model, 0.97)).cache()
+    flipped = strict.where("drop_reason = 'quality_model'").count()
+    assert flipped > 0
+    assert strict.where("keep").count() == base.where("keep").count() - flipped
+    # rule-dropped docs keep their original reason
+    assert (
+        strict.where("drop_reason = 'quality_model' AND keep").count() == 0
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        curate(pages_small, quality=(model, 1.5)).collect()
+    base.unpersist()
+    strict.unpersist()
+
+
+def test_flow_quality_composes_with_url_dedup(spark, pages_small):
+    """The quality filter threads into the flow's INTERNAL curate, so it
+    composes with url_dedup (the mode the old job-level bolt-on had to
+    forbid)."""
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+
+    model = fit_quality_classifier(
+        curate(pages_small).select("text", "keep"), n_iters=30, lr=1.0
+    )
+    loose = curate_dedup_sample(
+        pages_small, target=10**9, near_dup="none", url_dedup=True
+    )
+    strict = curate_dedup_sample(
+        pages_small,
+        target=10**9,
+        near_dup="none",
+        url_dedup=True,
+        quality=(model, 0.97),
+    )
+    n_loose, n_strict = loose.count(), strict.count()
+    assert 0 < n_strict < n_loose

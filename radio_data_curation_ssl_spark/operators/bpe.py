@@ -1,0 +1,173 @@
+"""BPE tokenizer training + tokenization — the "fit the tokenizer on the
+corpus" stage of a web-scale training-data pipeline.
+
+The Spark-first factorization is the one production trainers
+(SentencePiece, HuggingFace tokenizers) already exploit: BPE training
+does not need the corpus, only the WORD FREQUENCY TABLE.  So:
+
+- **fit** (`fit_bpe`): ONE corpus pass — ``explode(words) ->
+  groupBy(word).count()`` (map-side combined; the shuffle carries at
+  most |vocab| rows per map task, never corpus-sized) — then the top
+  ``max_words`` (count desc, word asc: a deterministic total order)
+  collect to the driver, bounded by ``max_words`` regardless of corpus
+  size, and the classic Sennrich merge loop runs there EXACTLY: each
+  round counts adjacent symbol-pair frequencies over the weighted word
+  table and merges the most frequent pair (count desc, pair asc
+  tie-break).  10^12 documents cost the same driver work as 10^6 —
+  the table saturates at ``max_words`` rows.
+- **tokenize** (`tokenize_bpe`): merges broadcast once; one iterator
+  ``mapInPandas`` pass applies them per distinct word with a per-task
+  word->tokens cache (web text repeats words heavily, so the cache hit
+  rate is high), emitting the token array and count.  No shuffle.
+
+Words are the whitespace tokens of ``functions.text.words`` (lowercase
+— the same tokenization every other text operator here uses), each
+terminated by the ``</w>`` end-of-word marker so merges cannot cross
+word boundaries (Sennrich et al. 2016's construction).
+
+Reference provenance: the reference has no tokenizer; this is part of
+the beyond-the-reference LLM-pipeline family (SURVEY §6) — it upgrades
+the `token_count` heuristic (a BPE-ish regex) into a real learned
+subword vocabulary fit + tokenization.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import text as X
+
+__all__ = ["bpe_merges_from_counts", "fit_bpe", "tokenize_bpe", "apply_merges"]
+
+EOW = "</w>"
+
+
+def bpe_merges_from_counts(
+    word_counts: dict[str, int], n_merges: int
+) -> list[tuple[str, str]]:
+    """Exact Sennrich BPE over a word-frequency table (pure driver math,
+    deterministic: pair ranked by (count desc, pair asc)).  Stops early
+    when no pair occurs twice."""
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(w) + (EOW,): c for w, c in word_counts.items() if w
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break  # nothing repeats: further merges are arbitrary
+        (a, b), _ = best
+        merges.append((a, b))
+        merged = a + b
+        out: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            res = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            out[tuple(res)] = out.get(tuple(res), 0) + c
+        vocab = out
+    return merges
+
+
+def apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Tokenize ONE word with an ordered merge list (scalar twin of the
+    batch tokenizer — same construction, shared by tests)."""
+    syms = list(word) + [EOW]
+    for a, b in merges:
+        i, res = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                res.append(a + b)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        syms = res
+        if len(syms) == 1:
+            break
+    return syms
+
+
+def fit_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Corpus -> ordered BPE merge list.  One map-side-combined shuffle;
+    driver traffic bounded by ``max_words`` (count desc, word asc cut —
+    deterministic under ties and partitioning)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if max_words < 1:
+        raise ValueError(f"max_words must be >= 1, got {max_words}")
+    words_expr = X.words(text_col).spark
+    counts = (
+        docs.selectExpr(f"explode({words_expr}) AS w")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(max_words)
+        .collect()
+    )
+    return bpe_merges_from_counts({r["w"]: r["n"] for r in counts}, n_merges)
+
+
+def tokenize_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    tokens_col: str = "bpe_tokens",
+    count_col: str = "bpe_token_count",
+) -> DataFrame:
+    """Append the BPE token array + count — one Arrow pass, merges
+    broadcast once, per-task word->tokens cache (repeated web-text words
+    tokenize once per task, not once per occurrence)."""
+    bc = docs.sparkSession.sparkContext.broadcast(list(merges))
+    schema = T.StructType(
+        list(docs.schema.fields)
+        + [
+            T.StructField(tokens_col, T.ArrayType(T.StringType()), False),
+            T.StructField(count_col, T.LongType(), False),
+        ]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ms = bc.value
+        cache: dict[str, list[str]] = {}
+        for b in it:
+            toks_out, n_out = [], []
+            for text in b[text_col].fillna(""):
+                toks: list[str] = []
+                for w in text.lower().split():
+                    got = cache.get(w)
+                    if got is None:
+                        got = cache[w] = apply_merges(w, ms)
+                    toks.extend(got)
+                toks_out.append(toks)
+                n_out.append(len(toks))
+            out = b.copy()
+            out[tokens_col] = toks_out
+            out[count_col] = n_out
+            yield out
+
+    return docs.mapInPandas(run, schema)

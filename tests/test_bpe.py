@@ -1,0 +1,118 @@
+"""fit_bpe / tokenize_bpe (operators/bpe.py): distributed word counts ->
+exact driver-side Sennrich merge loop -> broadcast Arrow tokenizer."""
+
+from __future__ import annotations
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.bpe import (
+    EOW,
+    apply_merges,
+    bpe_merges_from_counts,
+    fit_bpe,
+    tokenize_bpe,
+)
+
+SENNRICH = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_sennrich_example_merges():
+    """The classic vocab from Sennrich et al. 2016: first merges are
+    (e,s) -> (es,t) -> (est,</w>) -> (l,o) -> (lo,w), by pair counts
+    9/9/9/7/7."""
+    merges = bpe_merges_from_counts(SENNRICH, 5)
+    assert merges == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", EOW),
+        ("l", "o"),
+        ("lo", "w"),
+    ]
+
+
+def test_apply_merges_tokenizes_unseen_word():
+    merges = bpe_merges_from_counts(SENNRICH, 5)
+    assert apply_merges("lowest", merges) == ["low", "est" + EOW]
+    assert apply_merges("low", merges) == ["low", EOW]
+    assert apply_merges("xyz", merges) == ["x", "y", "z", EOW]
+
+
+def test_merge_loop_stops_when_nothing_repeats():
+    merges = bpe_merges_from_counts({"ab": 1, "cd": 1}, 50)
+    assert merges == []  # every pair occurs once — no merge is justified
+
+
+def test_fit_bpe_matches_driver_twin_and_partitioning(spark):
+    rows = []
+    i = 0
+    for w, c in SENNRICH.items():
+        for _ in range(c):
+            rows.append((i, w))
+            i += 1
+    df = spark.createDataFrame(rows, "id long, text string")
+    want = bpe_merges_from_counts(SENNRICH, 5)
+    assert fit_bpe(df, n_merges=5) == want
+    assert fit_bpe(df.repartition(7), n_merges=5) == want
+    # max_words cut is deterministic: top-2 words by (count desc, word asc)
+    got = fit_bpe(df, n_merges=3, max_words=2)
+    assert got == bpe_merges_from_counts({"newest": 6, "low": 5}, 3)
+
+
+def test_tokenize_bpe_matches_scalar_twin(spark):
+    merges = bpe_merges_from_counts(SENNRICH, 5)
+    df = spark.createDataFrame(
+        [
+            (1, "newest lowest low"),
+            (2, "Lower WIDEST"),  # tokenizer lowercases like X.words
+            (3, None),
+            (4, ""),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: (r["bpe_tokens"], r["bpe_token_count"])
+        for r in tokenize_bpe(df, merges).collect()
+    }
+    for i, text in [(1, "newest lowest low"), (2, "lower widest")]:
+        want = []
+        for w in text.split():
+            want.extend(apply_merges(w, merges))
+        assert got[i] == (want, len(want))
+    assert got[3] == ([], 0)
+    assert got[4] == ([], 0)
+
+
+def test_tokenization_roundtrips_to_words(spark):
+    """Concatenating a word's tokens and stripping the end marker
+    reconstructs the word exactly — BPE is lossless."""
+    merges = bpe_merges_from_counts(SENNRICH, 5)
+    text = "the newest widest lowlands slower"
+    for w in text.split():
+        toks = apply_merges(w, merges)
+        assert "".join(toks).removesuffix(EOW) == w
+        assert toks[-1].endswith(EOW)
+
+
+def test_fit_on_synth_corpus_compresses(spark, pages_small):
+    """On the real corpus: more merges -> monotonically fewer tokens,
+    and tokens-per-word approaches 1 (frequent words become single
+    tokens)."""
+    docs = pages_small.limit(200).select("url", "text")
+    m10 = fit_bpe(docs, n_merges=10)
+    m120 = fit_bpe(docs, n_merges=120)
+    assert len(m120) > len(m10)
+
+    def total(merges):
+        out = tokenize_bpe(docs, merges)
+        return out.groupBy().sum("bpe_token_count").collect()[0][0]
+
+    t0, t10, t120 = total([]), total(m10), total(m120)
+    assert t0 > t10 > t120
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], "id long, text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        fit_bpe(df, n_merges=0)
+    with pytest.raises(ValueError, match="max_words"):
+        fit_bpe(df, max_words=0)

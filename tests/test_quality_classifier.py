@@ -150,9 +150,9 @@ def test_null_and_empty_text_score_without_crash(spark):
 
 
 def test_registry_query_oracle_parity(spark):
-    """quality_model_score matches its DuckDB oracle at sf0.001 (ordered
-    position 52 — past the driver window by design; this is its
-    standing local gate)."""
+    """quality_model_score matches its DuckDB oracle at sf0.001 (also
+    driver-checked since the r4s4 consolidation; this is the standing
+    local gate)."""
     import duckdb
 
     from radio_data_curation_ssl_spark.queries import REGISTRY

@@ -127,9 +127,9 @@ def test_validation(spark):
 
 
 def test_registry_query_oracle_parity(spark):
-    """The registered query matches its DuckDB oracle at sf0.001 (the
-    entry sits past the driver's 50-row window by design — this is its
-    standing local gate)."""
+    """The registered query matches its DuckDB oracle at sf0.001 (also
+    driver-checked since the r4s4 consolidation; this is the standing
+    local gate)."""
     import duckdb
 
     from radio_data_curation_ssl_spark.queries import REGISTRY

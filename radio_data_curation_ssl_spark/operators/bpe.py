@@ -33,6 +33,7 @@ subword vocabulary fit + tokenization.
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 from collections.abc import Iterator
 
@@ -47,6 +48,17 @@ from ..functions import text as X
 __all__ = ["bpe_merges_from_counts", "fit_bpe", "tokenize_bpe", "apply_merges"]
 
 EOW = "</w>"
+
+# the fit side tokenizes with functions.text.words — Spark's Java-regex
+# split on \s+, which is ASCII-only ([ \t\n\x0B\f\r]).  The tokenize
+# side must split IDENTICALLY: python str.split() would also break on
+# unicode whitespace (NBSP,  , ...) and produce words the merge
+# table was never fitted on.
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _split_words(text: str) -> list[str]:
+    return [w for w in _ASCII_WS.split(text.lower()) if w]
 
 
 def bpe_merges_from_counts(
@@ -158,7 +170,7 @@ def tokenize_bpe(
             toks_out, n_out = [], []
             for text in b[text_col].fillna(""):
                 toks: list[str] = []
-                for w in text.lower().split():
+                for w in _split_words(text):
                     got = cache.get(w)
                     if got is None:
                         got = cache[w] = apply_merges(w, ms)

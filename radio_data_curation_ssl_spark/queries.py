@@ -3329,7 +3329,9 @@ k AS (SELECT e.doc_id, e.wi, e.word
 kg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
               coalesce(string_agg(word, ' ' ORDER BY wi), '') AS dedup_text
        FROM k GROUP BY doc_id),
-nw AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words FROM w)
+nw AS (SELECT doc_id,
+              CAST(coalesce(len(words), 0) AS BIGINT) AS n_words
+       FROM w)
 SELECT nw.doc_id, nw.n_words,
        nw.n_words - coalesce(kg.n_kept, CAST(0 AS BIGINT)) AS n_removed,
        coalesce(kg.dedup_text, '') AS dedup_text

@@ -116,3 +116,24 @@ def test_validation(spark):
         fit_bpe(df, n_merges=0)
     with pytest.raises(ValueError, match="max_words"):
         fit_bpe(df, max_words=0)
+
+
+def test_fit_and_tokenize_agree_on_unicode_whitespace(spark):
+    """Fit splits with Spark's ASCII-only Java-regex \\s+; tokenize must
+    split identically — NBSP must NOT be a word boundary on either side
+    (review finding: str.split() would break 'foo\\xa0bar' into words
+    the merge table was never fitted on)."""
+    glued = "foo bar"
+    df = spark.createDataFrame(
+        [(i, glued) for i in range(4)], "id long, text string"
+    )
+    merges = fit_bpe(df, n_merges=30)
+    # the fitted vocabulary saw ONE word; tokenization reproduces it
+    toks = {
+        r["id"]: r["bpe_tokens"] for r in tokenize_bpe(df, merges).collect()
+    }
+    for t in toks.values():
+        assert "".join(t).removesuffix(EOW) == glued
+        assert apply_merges(glued, merges) == t
+    # with enough merges the whole glued word collapses to one token
+    assert len(toks[0]) == 1

@@ -231,3 +231,41 @@ def test_flow_substring_dedup_no_cross_doc_repeats(spark, pages_small):
     assert 0 < changed < n_out  # some cut, some untouched
     base.unpersist()
     out.unpersist()
+
+
+def test_null_text_corpus_oracle_parity(spark, tmp_path):
+    """Spark and the DuckDB oracle agree on a corpus CONTAINING a NULL
+    text (review finding: the operator's NULL->empty coalesce needed a
+    matching coalesce in the oracle's n_words CTE)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta eta theta iota",
+                    None,
+                    "",
+                ],
+                "lang": ["en"] * 3,
+                "source": ["s"] * 3,
+                "n_chars": [10, 0, 0],
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    q = REGISTRY["substring_dedup_exact"]
+    got = sorted(tuple(r) for r in q.spark(spark, d).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    assert got[1] == (2, 0, 0, "") and got[2] == (3, 0, 0, "")

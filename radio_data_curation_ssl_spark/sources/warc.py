@@ -1,0 +1,194 @@
+"""WARC source: raw Common-Crawl-style web archives -> the pages table.
+
+The engine's canonical input is the pages table ``(url, warc_ts, html,
+text, lang)`` (BASELINE input_hint).  This module supplies the ingest
+leg that PRODUCES that table from WARC files (ISO 28500 — the format
+Common Crawl publishes), so a crawl segment can be curated without a
+separate extraction system.
+
+Format handled (public spec): a WARC file is a concatenation of
+records; each record is a header block (``WARC/1.0`` version line +
+``Name: value`` headers, CRLF-terminated, blank-line-ended) followed by
+``Content-Length`` payload bytes and a ``\\r\\n\\r\\n`` separator.  For
+``response`` records the payload is an HTTP response — status line +
+HTTP headers + body; the page html is the body.  Both plain ``.warc``
+and whole-file ``.warc.gz`` are read (gzip sniffed by magic bytes).
+Common Crawl's production layout gzips each record as its own member;
+a member-wise streaming decompressor is the straightforward extension
+(``zlib`` with ``unused_data`` chaining) and is documented rather than
+built — the sandbox has no per-member fixtures to verify against.
+
+Spark design: ``spark.read.format("binaryFile")`` lists and reads the
+archive files (one row per file, Spark distributes files across tasks);
+``mapInPandas`` parses records per file with pure-bytes scanning (no
+per-row Python inside a record — the parser walks buffers).  WARC files
+are independently parseable, so ingest scales with the file count —
+exactly how Common Crawl shards its segments (~1 GB per file, ~64k
+files per crawl).  A 1 GB archive is one task's working set; for larger
+archives, split upstream or extend the reader with ranged record
+scanning.  Output goes straight into ``synth``-schema pages and from
+there through the ordinary curation flow.
+
+Reference provenance: the reference ingests FITS mosaics from a survey
+archive (SURVEY §2.1 directory scan + binary decode); this is the
+web-text payload's equivalent archive-ingest leg (beyond-the-reference
+family, SURVEY §6).
+"""
+
+from __future__ import annotations
+
+import gzip
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = ["parse_warc_bytes", "read_warc", "write_warc"]
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _parse_headers(block: bytes) -> dict[bytes, bytes]:
+    headers: dict[bytes, bytes] = {}
+    for line in block.split(b"\r\n")[1:]:  # [0] is the version/status line
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+    return headers
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """All ``response`` records of one WARC buffer as dicts
+    ``{url, warc_ts, html}``.  Pure bytes scanning; tolerant of a
+    trailing partial record (stops cleanly)."""
+    if data[:2] == b"\x1f\x8b":  # whole-file gzip
+        data = gzip.decompress(data)
+    out: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 5] != b"WARC/":
+            break
+        hdr_end = data.find(_CRLF2, pos)
+        if hdr_end < 0:
+            break
+        headers = _parse_headers(data[pos:hdr_end])
+        try:
+            length = int(headers.get(b"content-length", b""))
+        except ValueError:
+            break
+        body_start = hdr_end + len(_CRLF2)
+        body = data[body_start : body_start + length]
+        pos = body_start + length
+        # records are separated by two CRLFs
+        while data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if headers.get(b"warc-type") != b"response":
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode(
+            "utf-8", errors="replace"
+        )
+        ts = None
+        raw_ts = headers.get(b"warc-date")
+        if raw_ts:
+            try:
+                ts = datetime.strptime(
+                    raw_ts.decode("ascii"), "%Y-%m-%dT%H:%M:%SZ"
+                ).replace(tzinfo=timezone.utc)
+            except ValueError:
+                ts = None
+        # payload = HTTP response; html is the bytes after its headers
+        http_end = body.find(_CRLF2)
+        html = body[http_end + len(_CRLF2) :] if http_end >= 0 else body
+        out.append({"url": url, "warc_ts": ts, "html": html})
+    return out
+
+
+def read_warc(
+    spark: SparkSession, path: str, pattern: str = "*.warc*"
+) -> DataFrame:
+    """WARC files under ``path`` -> the pages table (``text``/``lang``
+    NULL — downstream ``extract_docs`` derives text from html, and
+    language is the langid stage's job; the claimed-lang column exists
+    for corpora that carry one)."""
+    from ..operators.extract import extract_text_bytes  # noqa: F401 (doc)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            rows = []
+            for blob in b["content"]:
+                rows.extend(parse_warc_bytes(bytes(blob)))
+            yield pd.DataFrame(
+                {
+                    "url": [r["url"] for r in rows],
+                    "warc_ts": [r["warc_ts"] for r in rows],
+                    "html": [r["html"] for r in rows],
+                    "text": pd.array([None] * len(rows), dtype=object),
+                    "lang": pd.array([None] * len(rows), dtype=object),
+                }
+            )
+
+    return files.mapInPandas(parse, PAGES_SCHEMA)
+
+
+def _record(url: str, ts, html: bytes) -> bytes:
+    """One WARC response record (scalar twin of what the reader parses;
+    used by the round-trip writer below and the tests)."""
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    when = (ts or datetime.now(timezone.utc)).strftime("%Y-%m-%dT%H:%M:%SZ")
+    hdr = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + f"WARC-Date: {when}\r\n".encode()
+        + f"Content-Length: {len(http)}\r\n".encode()
+    )
+    # the final header line already ends with CRLF; one more CRLF is the
+    # blank line that terminates the header block
+    return hdr + b"\r\n" + http + _CRLF2
+
+
+def write_warc(pages: DataFrame, path: str, compress: bool = False) -> int:
+    """Pages -> one WARC file per partition under ``path`` (the
+    round-trip fixture writer — real crawls come from the archive, not
+    from us).  Returns the file count."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    # fixture writer: partitions stream through the driver one at a time
+    # (toLocalIterator), never the whole corpus at once
+    parts = pages.select("url", "warc_ts", "html").rdd.mapPartitionsWithIndex(
+        lambda i, it: [
+            (i, b"".join(_record(r.url, r.warc_ts, r.html) for r in it))
+        ]
+    )
+    n = 0
+    for i, blob in parts.toLocalIterator():
+        if not blob:
+            continue
+        name = f"{path}/part-{i:05d}.warc" + (".gz" if compress else "")
+        data = gzip.compress(blob) if compress else blob
+        with open(name, "wb") as f:
+            f.write(data)
+        n += 1
+    return n

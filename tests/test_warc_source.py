@@ -1,0 +1,90 @@
+"""read_warc / write_warc (sources/warc.py): WARC archives -> pages."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from radio_data_curation_ssl_spark.sources.warc import (
+    _record,
+    parse_warc_bytes,
+    read_warc,
+    write_warc,
+)
+
+TS = datetime(2024, 5, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def test_parse_single_record():
+    rec = _record("https://ex.org/a", TS, b"<html>hi</html>")
+    got = parse_warc_bytes(rec)
+    assert got == [
+        {"url": "https://ex.org/a", "warc_ts": TS, "html": b"<html>hi</html>"}
+    ]
+
+
+def test_parse_skips_non_response_records():
+    req = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: request\r\n"
+        b"WARC-Target-URI: https://ex.org/a\r\n"
+        b"Content-Length: 4\r\n\r\n"
+        b"GET \r\n\r\n"
+    )
+    rec = _record("https://ex.org/b", TS, b"<p>x</p>")
+    got = parse_warc_bytes(req + rec)
+    assert [r["url"] for r in got] == ["https://ex.org/b"]
+
+
+def test_parse_tolerates_truncation_and_garbage():
+    rec = _record("https://ex.org/a", TS, b"<html>full</html>")
+    assert parse_warc_bytes(rec[: len(rec) // 2]) == []  # truncated header/body
+    assert parse_warc_bytes(b"not a warc at all") == []
+    # a valid record followed by a truncated one: the valid one survives
+    got = parse_warc_bytes(rec + rec[:30])
+    assert len(got) == 1 and got[0]["html"] == b"<html>full</html>"
+
+
+def test_roundtrip_plain_and_gzip(spark, pages_small, tmp_path):
+    pages = pages_small.limit(120)
+    orig = {
+        r["url"]: (bytes(r["html"]), r["warc_ts"]) for r in pages.collect()
+    }
+    for compress, sub in [(False, "plain"), (True, "gz")]:
+        path = str(tmp_path / sub)
+        n = write_warc(pages, path, compress=compress)
+        assert n >= 1
+        back = read_warc(spark, path)
+        got = {
+            r["url"]: (bytes(r["html"]), r["warc_ts"])
+            for r in back.collect()
+        }
+        assert got == orig  # html bytes AND timestamps identical
+
+
+def test_warc_ingested_pages_curate_identically(spark, pages_small, tmp_path):
+    """The curation decision per url is the same whether pages come from
+    the parquet table or from a WARC archive (text derives from html)."""
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+
+    pages = pages_small.limit(200)
+    path = str(tmp_path / "warc")
+    write_warc(pages, path)
+    direct = {
+        r["url"]: (r["keep"], r["drop_reason"])
+        for r in curate(pages).collect()
+    }
+    via_warc = {
+        r["url"]: (r["keep"], r["drop_reason"])
+        for r in curate(read_warc(spark, path)).collect()
+    }
+    assert via_warc == direct
+    assert sum(1 for k, _ in direct.values() if k) > 0
+    # lang_claimed is NULL through WARC (the archive carries no label)
+    assert (
+        curate(read_warc(spark, path))
+        .where(F.col("lang_claimed").isNotNull())
+        .count()
+        == 0
+    )

@@ -34,6 +34,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="pages parquet dir (url, warc_ts, html, text, lang)")
+    ap.add_argument(
+        "--input-warc",
+        help="ingest raw WARC archives (plain / whole-file gzip / "
+        "per-member gzip) from this dir instead of a parquet pages table "
+        "(sources/warc.py)",
+    )
     ap.add_argument("--synth", type=int, help="generate N synthetic pages instead")
     ap.add_argument("--output", required=True)
     ap.add_argument("--run-root", required=True, help="dir for _runs/_metrics")
@@ -190,8 +196,12 @@ def main(argv: list[str] | None = None) -> int:
             pages = synth_pages(spark, args.synth, seed=42, partitions=args.buckets)
         elif args.input:
             pages = spark.read.parquet(args.input)
+        elif args.input_warc:
+            from radio_data_curation_ssl_spark.sources.warc import read_warc
+
+            pages = read_warc(spark, args.input_warc)
         else:
-            ap.error("one of --input / --synth required")
+            ap.error("one of --input / --input-warc / --synth required")
         if args.models:
             from jobs.fit_models import load_models
 

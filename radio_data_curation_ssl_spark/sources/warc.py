@@ -11,12 +11,12 @@ records; each record is a header block (``WARC/1.0`` version line +
 ``Name: value`` headers, CRLF-terminated, blank-line-ended) followed by
 ``Content-Length`` payload bytes and a ``\\r\\n\\r\\n`` separator.  For
 ``response`` records the payload is an HTTP response — status line +
-HTTP headers + body; the page html is the body.  Both plain ``.warc``
-and whole-file ``.warc.gz`` are read (gzip sniffed by magic bytes).
-Common Crawl's production layout gzips each record as its own member;
-a member-wise streaming decompressor is the straightforward extension
-(``zlib`` with ``unused_data`` chaining) and is documented rather than
-built — the sandbox has no per-member fixtures to verify against.
+HTTP headers + body; the page html is the body.  All three archive
+layouts are read (gzip sniffed by magic bytes): plain ``.warc``,
+whole-file ``.warc.gz``, and Common Crawl's production layout of one
+gzip MEMBER per record — a multi-member gzip stream, which
+``gzip.decompress`` concatenates per RFC 1952 (pytest-gated against
+per-member fixtures built exactly the Common Crawl way).
 
 Spark design: ``spark.read.format("binaryFile")`` lists and reads the
 archive files (one row per file, Spark distributes files across tasks);
@@ -168,27 +168,38 @@ def _record(url: str, ts, html: bytes) -> bytes:
     return hdr + b"\r\n" + http + _CRLF2
 
 
-def write_warc(pages: DataFrame, path: str, compress: bool = False) -> int:
+def write_warc(
+    pages: DataFrame, path: str, compress: bool | str = False
+) -> int:
     """Pages -> one WARC file per partition under ``path`` (the
     round-trip fixture writer — real crawls come from the archive, not
-    from us).  Returns the file count."""
+    from us).  ``compress``: False = plain, True = whole-file gzip,
+    ``"member"`` = one gzip member per record (the Common Crawl
+    layout).  Returns the file count."""
     import os
 
+    if compress not in (False, True, "member"):
+        raise ValueError(f"compress must be False/True/'member', got {compress!r}")
     os.makedirs(path, exist_ok=True)
+
+    def build(i, it):
+        recs = [_record(r.url, r.warc_ts, r.html) for r in it]
+        if compress == "member":
+            return [(i, b"".join(gzip.compress(r) for r in recs))]
+        blob = b"".join(recs)
+        return [(i, gzip.compress(blob) if compress else blob)]
+
     # fixture writer: partitions stream through the driver one at a time
     # (toLocalIterator), never the whole corpus at once
     parts = pages.select("url", "warc_ts", "html").rdd.mapPartitionsWithIndex(
-        lambda i, it: [
-            (i, b"".join(_record(r.url, r.warc_ts, r.html) for r in it))
-        ]
+        build
     )
     n = 0
     for i, blob in parts.toLocalIterator():
         if not blob:
             continue
         name = f"{path}/part-{i:05d}.warc" + (".gz" if compress else "")
-        data = gzip.compress(blob) if compress else blob
         with open(name, "wb") as f:
-            f.write(data)
+            f.write(blob)
         n += 1
     return n

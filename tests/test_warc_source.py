@@ -44,12 +44,26 @@ def test_parse_tolerates_truncation_and_garbage():
     assert len(got) == 1 and got[0]["html"] == b"<html>full</html>"
 
 
+def test_member_gzip_fixture_is_truly_multi_member(tmp_path):
+    """The 'member' fixture layout is REAL multi-member gzip (one member
+    per record) — the Common Crawl production layout, not whole-file
+    compression in disguise."""
+    import gzip
+
+    recs = [_record(f"https://ex.org/{i}", TS, b"<p>x</p>") for i in range(3)]
+    blob = b"".join(gzip.compress(r) for r in recs)
+    # three independent gzip magic headers in the stream
+    assert blob.count(b"\x1f\x8b\x08") >= 3
+    got = parse_warc_bytes(blob)
+    assert [r["url"] for r in got] == [f"https://ex.org/{i}" for i in range(3)]
+
+
 def test_roundtrip_plain_and_gzip(spark, pages_small, tmp_path):
     pages = pages_small.limit(120)
     orig = {
         r["url"]: (bytes(r["html"]), r["warc_ts"]) for r in pages.collect()
     }
-    for compress, sub in [(False, "plain"), (True, "gz")]:
+    for compress, sub in [(False, "plain"), (True, "gz"), ("member", "cc")]:
         path = str(tmp_path / sub)
         n = write_warc(pages, path, compress=compress)
         assert n >= 1

@@ -33,14 +33,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", help="pages parquet dir (url, warc_ts, html, text, lang)")
-    ap.add_argument(
+    src = ap.add_mutually_exclusive_group()
+    src.add_argument("--input", help="pages parquet dir (url, warc_ts, html, text, lang)")
+    src.add_argument(
         "--input-warc",
         help="ingest raw WARC archives (plain / whole-file gzip / "
         "per-member gzip) from this dir instead of a parquet pages table "
         "(sources/warc.py)",
     )
-    ap.add_argument("--synth", type=int, help="generate N synthetic pages instead")
+    src.add_argument("--synth", type=int, help="generate N synthetic pages instead")
     ap.add_argument("--output", required=True)
     ap.add_argument("--run-root", required=True, help="dir for _runs/_metrics")
     ap.add_argument("--buckets", type=int, default=64)

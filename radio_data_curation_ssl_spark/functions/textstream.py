@@ -24,6 +24,7 @@ count.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -69,6 +70,19 @@ def word_hash_scalar(word: str) -> int:
     for i, byte in enumerate(word.encode("utf-8")):
         raw = (raw + byte * int(POWERS[min(i, MAX_POW - 1)])) & _MASK64
     return int(splitmix64(np.array([raw], dtype=np.uint64))[0])
+
+
+ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def split_words_ascii(text: str) -> list[str]:
+    """THE python-side twin of ``functions.text.words`` (Spark
+    ``split(lower(col), '\\s+')``): Java/RE2 ``\\s`` is ASCII-only, so a
+    python twin must NOT use ``str.split()`` (unicode-aware — NBSP etc.
+    become word boundaries the SQL side never sees).  Shared by the BPE
+    tokenizer, the perplexity oracle twin, and the simhash vote kernel —
+    one definition, no per-call-site drift."""
+    return [w for w in ASCII_WS.split(text.lower()) if w]
 
 
 def pair_hash_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -33,7 +33,6 @@ subword vocabulary fit + tokenization.
 
 from __future__ import annotations
 
-import re
 from collections import Counter
 from collections.abc import Iterator
 
@@ -44,21 +43,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import text as X
+from ..functions.textstream import split_words_ascii
 
 __all__ = ["bpe_merges_from_counts", "fit_bpe", "tokenize_bpe", "apply_merges"]
 
 EOW = "</w>"
 
 # the fit side tokenizes with functions.text.words — Spark's Java-regex
-# split on \s+, which is ASCII-only ([ \t\n\x0B\f\r]).  The tokenize
-# side must split IDENTICALLY: python str.split() would also break on
-# unicode whitespace (NBSP,  , ...) and produce words the merge
-# table was never fitted on.
-_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
-
-
-def _split_words(text: str) -> list[str]:
-    return [w for w in _ASCII_WS.split(text.lower()) if w]
+# split on \s+, which is ASCII-only.  The tokenize side must split
+# IDENTICALLY, via the shared python twin (str.split() would break on
+# unicode whitespace and produce words the merge table never saw).
+_split_words = split_words_ascii
 
 
 def bpe_merges_from_counts(

@@ -194,7 +194,7 @@ def word_hash64(word: str):
 def majority_vote_sketches(texts, word_hash_fn, bits, empty_sets_all_bits):
     """THE batch vote kernel (pure, Spark-free): list[str] -> (n,) uint64.
 
-    Tokenization = lower().split(); bit k of the sketch is set iff the
+    Tokenization = the shared ASCII-split twin (split_words_ascii); bit k of the sketch is set iff the
     majority of word hashes carry bit k (vote sum >= 0, each occurrence
     counted).  ``word_hash_fn(word) -> int`` picks the hash family;
     ``empty_sets_all_bits`` picks the zero-word policy (the SQL fragment
@@ -209,8 +209,13 @@ def majority_vote_sketches(texts, word_hash_fn, bits, empty_sets_all_bits):
     import numpy as np
     import pandas as pd
 
+    from ..functions.textstream import split_words_ascii
+
     s = pd.Series(texts, dtype="object").fillna("")
-    words = s.str.lower().str.split()
+    # shared ASCII-split twin of the SQL words() fragment (NOT
+    # str.split(): unicode whitespace must not be a word boundary here
+    # when it is not one on the oracle side)
+    words = s.map(split_words_ascii)
     lens = words.str.len().fillna(0).to_numpy().astype(np.int64)
     flat = [w for lst in words for w in (lst or [])]
     n = len(s)

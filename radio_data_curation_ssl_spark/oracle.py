@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 
 from .functions.text import STOPWORDS
+from .functions.textstream import split_words_ascii
 from .operators.decide import KEEP_LANGS, TH
 from .operators.extract import extract_text_bytes
 from .operators.langid import LANGS, VOCAB, byte_trigram_buckets, doc_bytes
@@ -112,7 +113,9 @@ def ppl_row(text: str | None) -> float:
         _PPL_TABLE = build_table()
     if not text:
         return float("nan")
-    ws = text.lower().split()
+    # the shared ASCII-split twin of the SQL words() fragment — NOT
+    # str.split(), which is unicode-aware and would diverge on NBSP etc.
+    ws = split_words_ascii(text)
     if len(ws) < 2:
         return float("nan")
     logprobs = []

@@ -70,12 +70,96 @@ def _parse_headers(block: bytes) -> dict[bytes, bytes]:
     return headers
 
 
+def _gunzip_tolerant(data: bytes) -> bytes:
+    """Multi-member gzip decompress keeping every COMPLETE member: a
+    truncated/corrupt tail (partial download, bit rot) loses only the
+    broken member, never the whole file — the tolerance the plain-bytes
+    scanner already has."""
+    import zlib
+
+    try:
+        return gzip.decompress(data)
+    except (OSError, EOFError, zlib.error):
+        pass
+    out = []
+    while data[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        try:
+            out.append(d.decompress(data))
+            if not d.eof:
+                break  # truncated final member: keep what came before
+            data = d.unused_data
+        except zlib.error:
+            break
+    return b"".join(out)
+
+
+def _parse_ts(raw: bytes):
+    """WARC-Date: second-precision (WARC 1.0) or fractional-second
+    (WARC 1.1) ISO timestamps, NULL on anything else."""
+    try:
+        ts = datetime.fromisoformat(
+            raw.decode("ascii").replace("Z", "+00:00")
+        )
+        return ts if ts.tzinfo else ts.replace(tzinfo=timezone.utc)
+    except ValueError:
+        return None
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer framing (hex-size lines);
+    returns what decoded cleanly, stopping at any malformed chunk."""
+    out = []
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            break
+        try:
+            size = int(body[pos:eol].split(b";")[0], 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        chunk = body[eol + 2 : eol + 2 + size]
+        out.append(chunk)
+        if len(chunk) < size:
+            break  # truncated
+        pos = eol + 2 + size + 2  # skip trailing CRLF
+    return b"".join(out)
+
+
+def _http_body(payload: bytes) -> bytes:
+    """HTTP response payload -> entity bytes: strip the header block,
+    undo chunked framing and gzip/deflate content-encoding (tolerantly —
+    undecodable bodies pass through raw rather than aborting ingest)."""
+    import zlib
+
+    http_end = payload.find(_CRLF2)
+    if http_end < 0:
+        return payload
+    headers = _parse_headers(payload[:http_end])
+    body = payload[http_end + len(_CRLF2) :]
+    if b"chunked" in headers.get(b"transfer-encoding", b"").lower():
+        body = _dechunk(body)
+    enc = headers.get(b"content-encoding", b"").lower()
+    if enc in (b"gzip", b"x-gzip"):
+        body = _gunzip_tolerant(body) or body
+    elif enc == b"deflate":
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            pass
+    return body
+
+
 def parse_warc_bytes(data: bytes) -> list[dict]:
     """All ``response`` records of one WARC buffer as dicts
-    ``{url, warc_ts, html}``.  Pure bytes scanning; tolerant of a
-    trailing partial record (stops cleanly)."""
-    if data[:2] == b"\x1f\x8b":  # whole-file gzip
-        data = gzip.decompress(data)
+    ``{url, warc_ts, html}``.  Pure bytes scanning; tolerant of
+    truncation, garbage, corrupt gzip members, negative/invalid lengths
+    (stops cleanly, keeps everything parsed so far)."""
+    if data[:2] == b"\x1f\x8b":  # whole-file OR per-member gzip
+        data = _gunzip_tolerant(data)
     out: list[dict] = []
     pos = 0
     n = len(data)
@@ -90,6 +174,10 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             length = int(headers.get(b"content-length", b""))
         except ValueError:
             break
+        if length < 0:
+            # a crafted negative length could move pos BACKWARD and spin
+            # this loop forever on one corrupt record
+            break
         body_start = hdr_end + len(_CRLF2)
         body = data[body_start : body_start + length]
         pos = body_start + length
@@ -101,19 +189,9 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
         url = headers.get(b"warc-target-uri", b"").decode(
             "utf-8", errors="replace"
         )
-        ts = None
         raw_ts = headers.get(b"warc-date")
-        if raw_ts:
-            try:
-                ts = datetime.strptime(
-                    raw_ts.decode("ascii"), "%Y-%m-%dT%H:%M:%SZ"
-                ).replace(tzinfo=timezone.utc)
-            except ValueError:
-                ts = None
-        # payload = HTTP response; html is the bytes after its headers
-        http_end = body.find(_CRLF2)
-        html = body[http_end + len(_CRLF2) :] if http_end >= 0 else body
-        out.append({"url": url, "warc_ts": ts, "html": html})
+        ts = _parse_ts(raw_ts) if raw_ts else None
+        out.append({"url": url, "warc_ts": ts, "html": _http_body(body)})
     return out
 
 
@@ -123,9 +201,8 @@ def read_warc(
     """WARC files under ``path`` -> the pages table (``text``/``lang``
     NULL — downstream ``extract_docs`` derives text from html, and
     language is the langid stage's job; the claimed-lang column exists
-    for corpora that carry one)."""
-    from ..operators.extract import extract_text_bytes  # noqa: F401 (doc)
-
+    for corpora that carry one — ``operators.extract.extract_docs`` is
+    the downstream html->text stage)."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", pattern)
@@ -155,7 +232,11 @@ def _record(url: str, ts, html: bytes) -> bytes:
     """One WARC response record (scalar twin of what the reader parses;
     used by the round-trip writer below and the tests)."""
     http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
-    when = (ts or datetime.now(timezone.utc)).strftime("%Y-%m-%dT%H:%M:%SZ")
+    # the RDD collect path yields NAIVE datetimes in OS-local time (the
+    # session's UTC timeZone pin applies to SQL, not the pickle path) —
+    # astimezone(utc) converts local->UTC before stamping the 'Z'
+    when = (ts or datetime.now(timezone.utc)).astimezone(timezone.utc)
+    when = when.strftime("%Y-%m-%dT%H:%M:%SZ")
     hdr = (
         b"WARC/1.0\r\n"
         b"WARC-Type: response\r\n"

@@ -201,10 +201,16 @@ def test_simhash_sketch_batch_matches_scalar_twin(texts):
         word_hash64,
     )
 
+    from radio_data_curation_ssl_spark.functions.textstream import (
+        split_words_ascii,
+    )
+
     got = sketch_texts(texts)
     assert got.dtype == np.uint64 and len(got) == len(texts)
     for i, txt in enumerate(texts):
-        words = (txt or "").lower().split()
+        # the shared ASCII-split twin — unicode whitespace (NBSP...) is
+        # NOT a word boundary, matching the SQL words() fragment
+        words = split_words_ascii(txt or "")
         if not words:
             assert got[i] == 0, (i, txt)
             continue

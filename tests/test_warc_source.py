@@ -102,3 +102,86 @@ def test_warc_ingested_pages_curate_identically(spark, pages_small, tmp_path):
         .count()
         == 0
     )
+
+
+def _raw_record(headers: bytes, payload: bytes) -> bytes:
+    hdr = b"WARC/1.0\r\n" + headers + (
+        f"Content-Length: {len(payload)}\r\n".encode()
+    )
+    return hdr + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def test_negative_content_length_cannot_hang_the_parser():
+    """A crafted negative Content-Length must not move the cursor
+    backward into an infinite loop (review finding)."""
+    bad = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://ex.org/evil\r\n"
+        b"Content-Length: -60\r\n\r\n"
+    )
+    assert parse_warc_bytes(bad) == []
+    rec = _record("https://ex.org/ok", TS, b"<p>ok</p>")
+    # the good record BEFORE the crafted one still parses
+    got = parse_warc_bytes(rec + bad)
+    assert [r["url"] for r in got] == ["https://ex.org/ok"]
+
+
+def test_truncated_gzip_keeps_complete_members():
+    """Member-layout gzip with a truncated final member (partial
+    download) loses only that member (review finding: an uncaught
+    gzip error used to abort the whole file)."""
+    import gzip
+
+    recs = [_record(f"https://ex.org/{i}", TS, b"<p>x</p>") for i in range(3)]
+    members = [gzip.compress(r) for r in recs]
+    blob = members[0] + members[1] + members[2][: len(members[2]) // 2]
+    got = parse_warc_bytes(blob)
+    assert [r["url"] for r in got] == ["https://ex.org/0", "https://ex.org/1"]
+    # whole-file gzip truncated mid-stream: no crash, empty result
+    whole = gzip.compress(b"".join(recs))
+    assert parse_warc_bytes(whole[: len(whole) // 2]) == []
+
+
+def test_fractional_second_warc_date_parses():
+    """WARC 1.1 allows sub-second WARC-Date precision; it must not be
+    silently nulled (review finding)."""
+    payload = b"HTTP/1.1 200 OK\r\n\r\n<p>x</p>"
+    rec = _raw_record(
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://ex.org/a\r\n"
+        b"WARC-Date: 2024-05-01T12:00:00.123456Z\r\n",
+        payload,
+    )
+    got = parse_warc_bytes(rec)
+    assert got[0]["warc_ts"] is not None
+    assert got[0]["warc_ts"].microsecond == 123456
+
+
+def test_chunked_and_content_encoded_bodies_decode():
+    """Real crawl tools store raw HTTP: chunked framing and gzip
+    content-encoding must be undone, not passed through as 'html'
+    (review finding)."""
+    import gzip
+
+    html = b"<html><p>the actual page</p></html>"
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        + f"{len(html):x}\r\n".encode()
+        + html
+        + b"\r\n0\r\n\r\n"
+    )
+    gz = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gzip.compress(
+        html
+    )
+    recs = _raw_record(
+        b"WARC-Type: response\r\nWARC-Target-URI: https://ex.org/c\r\n"
+        b"WARC-Date: 2024-05-01T12:00:00Z\r\n",
+        chunked,
+    ) + _raw_record(
+        b"WARC-Type: response\r\nWARC-Target-URI: https://ex.org/g\r\n"
+        b"WARC-Date: 2024-05-01T12:00:00Z\r\n",
+        gz,
+    )
+    got = {r["url"]: r["html"] for r in parse_warc_bytes(recs)}
+    assert got == {"https://ex.org/c": html, "https://ex.org/g": html}

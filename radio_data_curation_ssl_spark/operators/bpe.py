@@ -45,9 +45,18 @@ from pyspark.sql import types as T
 from ..functions import text as X
 from ..functions.textstream import split_words_ascii
 
-__all__ = ["bpe_merges_from_counts", "fit_bpe", "tokenize_bpe", "apply_merges"]
+__all__ = [
+    "EOS",
+    "apply_merges",
+    "bpe_merges_from_counts",
+    "build_vocab",
+    "fit_bpe",
+    "pack_sequences",
+    "tokenize_bpe",
+]
 
 EOW = "</w>"
+EOS = "<eos>"  # document separator id 0 in every build_vocab table
 
 # the fit side tokenizes with functions.text.words — Spark's Java-regex
 # split on \s+, which is ASCII-only.  The tokenize side must split
@@ -178,3 +187,107 @@ def tokenize_bpe(
             yield out
 
     return docs.mapInPandas(run, schema)
+
+
+def build_vocab(tokenized: DataFrame, tokens_col: str = "bpe_tokens") -> list[str]:
+    """Deterministic id<->token table: every distinct token the corpus
+    actually produced, sorted, with ``<eos>`` prepended at id 0 (the
+    document separator packing inserts).  One map-side-combined distinct
+    — the shuffle carries at most |vocab| rows per map task; driver
+    traffic is the vocabulary, never the corpus."""
+    rows = (
+        tokenized.selectExpr(f"explode({tokens_col}) AS t")
+        .distinct()
+        .collect()
+    )
+    return [EOS] + sorted(r["t"] for r in rows)
+
+
+
+def pack_sequences(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: list[str],
+    seq_len: int,
+    key_col: str = "url",
+    text_col: str = "text",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Tokenize and pack documents into fixed-``seq_len`` training rows
+    ``(seq_key, input_ids: array<int>)`` — the GPT-pretraining data
+    layout: token streams concatenated with an ``<eos>`` id between
+    documents, cut into exact ``seq_len`` windows.
+
+    Determinism and scale: the corpus hash-repartitions on ``key_col``
+    (explicit ``n_partitions`` so the layout is config-pinned, not
+    cluster-shaped) and sorts within partitions by key, so each
+    partition packs ITS documents in a deterministic order regardless of
+    input layout — the standard partition-local packing real pipelines
+    use (global order is meaningless to a trainer that shuffles windows
+    anyway).  One shuffle total; the pack pass is one ``mapInPandas``
+    with the merge list + vocab broadcast.  Each partition's final
+    partial window is dropped (documented waste < seq_len tokens per
+    partition); ``seq_key`` = (partition id, window index) — stable,
+    collision-free.
+
+    Tokens outside ``vocab`` raise (the vocab came from ``build_vocab``
+    over the SAME merge table; a miss means fit/pack drift — fail loud,
+    don't corrupt training data).
+    """
+    if seq_len < 2:
+        raise ValueError(f"seq_len must be >= 2, got {seq_len}")
+    if not vocab or vocab[0] != EOS:
+        raise ValueError("vocab must come from build_vocab (EOS at id 0)")
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast((list(merges), {t: i for i, t in enumerate(vocab)}))
+    n_parts = n_partitions or docs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    arranged = docs.select(key_col, text_col).repartition(
+        int(n_parts), key_col
+    ).sortWithinPartitions(key_col)
+
+    schema = T.StructType(
+        [
+            T.StructField("seq_key", T.StringType(), False),
+            T.StructField("input_ids", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    def pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ms, tok2id = bc.value
+        pid = TaskContext.get().partitionId()
+        cache: dict[str, list[int]] = {}
+        buf: list[int] = []
+        n_out = 0
+        for b in it:
+            keys_out, ids_out = [], []
+            for text in b[text_col].fillna(""):
+                for w in _split_words(text):
+                    got = cache.get(w)
+                    if got is None:
+                        try:
+                            got = cache[w] = [
+                                tok2id[t] for t in apply_merges(w, ms)
+                            ]
+                        except KeyError as e:
+                            raise ValueError(
+                                f"token {e} not in vocab: merges and vocab "
+                                "must come from the same fit"
+                            ) from e
+                    buf.extend(got)
+                buf.append(0)  # <eos> between documents
+                while len(buf) >= seq_len:
+                    keys_out.append(f"{pid}-{n_out}")
+                    ids_out.append(buf[:seq_len])
+                    buf = buf[seq_len:]
+                    n_out += 1
+            if keys_out:
+                yield pd.DataFrame(
+                    {"seq_key": keys_out, "input_ids": ids_out}
+                )
+        # trailing partial window dropped (< seq_len tokens per partition)
+
+    return arranged.mapInPandas(pack, schema)

@@ -137,3 +137,114 @@ def test_fit_and_tokenize_agree_on_unicode_whitespace(spark):
         assert apply_merges(glued, merges) == t
     # with enough merges the whole glued word collapses to one token
     assert len(toks[0]) == 1
+
+
+def _pack_setup(spark, n_docs=60):
+    from radio_data_curation_ssl_spark.operators.bpe import (
+        build_vocab,
+        fit_bpe,
+        tokenize_bpe,
+    )
+
+    rows = [
+        (f"u{i:03d}", " ".join(f"w{(i * 3 + j) % 9}" for j in range(10)))
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    merges = fit_bpe(df, n_merges=40)
+    vocab = build_vocab(tokenize_bpe(df, merges))
+    return df, merges, vocab
+
+
+def test_pack_sequences_exact_windows_and_conservation(spark):
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.operators.bpe import (
+        pack_sequences,
+        tokenize_bpe,
+    )
+
+    df, merges, vocab = _pack_setup(spark)
+    packed = pack_sequences(
+        df, merges, vocab, seq_len=64, n_partitions=4
+    ).cache()
+    rows = packed.collect()
+    assert all(len(r["input_ids"]) == 64 for r in rows)
+    assert all(
+        0 <= i < len(vocab) for r in rows for i in r["input_ids"]
+    )
+    # conservation: total tokens + one <eos> per doc, minus < seq_len
+    # dropped per partition
+    total_tokens = (
+        tokenize_bpe(df, merges).agg(F.sum("bpe_token_count")).collect()[0][0]
+    )
+    expected = total_tokens + df.count()
+    got = sum(len(r["input_ids"]) for r in rows)
+    assert got <= expected
+    assert expected - got < 4 * 64
+    packed.unpersist()
+
+
+def test_pack_sequences_deterministic_across_input_layouts(spark):
+    from radio_data_curation_ssl_spark.operators.bpe import pack_sequences
+
+    df, merges, vocab = _pack_setup(spark)
+
+    def run(parts):
+        out = pack_sequences(
+            df.repartition(parts), merges, vocab, seq_len=32, n_partitions=4
+        )
+        return {r["seq_key"]: tuple(r["input_ids"]) for r in out.collect()}
+
+    assert run(3) == run(11)
+
+
+def test_pack_single_partition_stream_decodes_to_key_order(spark):
+    """n_partitions=1: the packed stream is exactly the docs' token
+    streams in key order, <eos>-separated (scalar reconstruction)."""
+    from radio_data_curation_ssl_spark.operators.bpe import (
+        EOS,
+        apply_merges,
+        pack_sequences,
+    )
+    from radio_data_curation_ssl_spark.functions.textstream import (
+        split_words_ascii,
+    )
+
+    df, merges, vocab = _pack_setup(spark, n_docs=12)
+    packed = pack_sequences(df, merges, vocab, seq_len=16, n_partitions=1)
+    stream = [
+        i
+        for r in sorted(
+            packed.collect(), key=lambda r: int(r["seq_key"].split("-")[1])
+        )
+        for i in r["input_ids"]
+    ]
+    tok2id = {t: i for i, t in enumerate(vocab)}
+    want = []
+    for _, text in sorted((r["url"], r["text"]) for r in df.collect()):
+        for w in split_words_ascii(text):
+            want.extend(tok2id[t] for t in apply_merges(w, merges))
+        want.append(tok2id[EOS])
+    assert stream == want[: len(stream)]  # tail (< seq_len) dropped
+    assert len(want) - len(stream) < 16
+
+
+def test_pack_validation_and_vocab_drift(spark):
+    import pytest
+
+    from radio_data_curation_ssl_spark.operators.bpe import pack_sequences
+
+    df, merges, vocab = _pack_setup(spark, n_docs=6)
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(df, merges, vocab, seq_len=1)
+    with pytest.raises(ValueError, match="build_vocab"):
+        pack_sequences(df, merges, vocab[1:], seq_len=8)
+    # vocab from a DIFFERENT corpus misses tokens -> loud failure
+    from py4j.protocol import Py4JJavaError
+
+    other = spark.createDataFrame(
+        [("u1", "zz qq jj xx vv ww")], "url string, text string"
+    )
+    with pytest.raises(Exception, match="not in vocab"):
+        pack_sequences(other, merges, vocab, seq_len=8).collect()

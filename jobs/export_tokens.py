@@ -1,0 +1,118 @@
+"""Cluster job: curated corpus -> fitted tokenizer + packed training rows.
+
+The trainer-delivery leg after curation: fit a BPE tokenizer on the
+corpus (one word-count shuffle + exact driver-side merges —
+operators/bpe.py), build the deterministic vocab, pack token-id streams
+into fixed-``seq_len`` rows, and publish both as one artifact set::
+
+    zip -r curation.zip radio_data_curation_ssl_spark
+    spark-submit --py-files curation.zip jobs/export_tokens.py \
+        --input /data/published_sample --output /data/tokens \
+        --run-root /data/meta --seq-len 2048 --n-merges 32000
+
+Outputs under ``--output``: ``sequences/`` (parquet: seq_key,
+input_ids array<int>) and ``tokenizer.json`` (ordered merges + vocab,
+atomic-renamed) — everything a loader needs to decode or to tokenize
+more data consistently.  RunLog lineage like every other job here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_tokenizer(path: str) -> tuple[list[tuple[str, str]], list[str]]:
+    """(merges, vocab) back from an export_tokens tokenizer.json."""
+    with open(path) as f:
+        d = json.load(f)
+    return [tuple(m) for m in d["merges"]], d["vocab"]
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet dir with the text corpus")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-root", required=True, help="dir for _runs/_metrics")
+    ap.add_argument("--text-col", default="text_scrubbed")
+    ap.add_argument("--key-col", default="url")
+    ap.add_argument("--seq-len", type=int, default=2048)
+    ap.add_argument("--n-merges", type=int, default=500)
+    ap.add_argument("--max-words", type=int, default=100_000)
+    ap.add_argument("--n-partitions", type=int, default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.operators.bpe import (
+        build_vocab,
+        fit_bpe,
+        pack_sequences,
+        tokenize_bpe,
+    )
+    from radio_data_curation_ssl_spark.plans.runmeta import RunLog
+    from radio_data_curation_ssl_spark.session import get_spark
+
+    spark = get_spark("export-tokens", master=args.master)
+    config = {
+        k: v for k, v in vars(args).items() if k != "master" and v is not None
+    }
+    log = RunLog(spark, args.run_root)
+    run_id = log.start("export_tokens", config)
+    try:
+        corpus = spark.read.parquet(args.input).select(
+            F.col(args.key_col).alias("url"),
+            F.col(args.text_col).alias("text"),
+        )
+        merges = fit_bpe(
+            corpus, n_merges=args.n_merges, max_words=args.max_words
+        )
+        vocab = build_vocab(tokenize_bpe(corpus, merges))
+        packed = pack_sequences(
+            corpus,
+            merges,
+            vocab,
+            seq_len=args.seq_len,
+            n_partitions=args.n_partitions,
+        )
+        seq_dir = f"{args.output}/sequences"
+        packed.write.mode("overwrite").parquet(seq_dir)
+        os.makedirs(args.output, exist_ok=True)
+        tok_tmp = f"{args.output}/tokenizer.json.tmp"
+        with open(tok_tmp, "w") as f:
+            json.dump({"merges": merges, "vocab": vocab}, f)
+        os.replace(tok_tmp, f"{args.output}/tokenizer.json")
+        back = spark.read.parquet(seq_dir)
+        n_seq = back.count()
+        n_tok = (
+            back.agg(F.sum(F.size("input_ids"))).collect()[0][0] or 0
+        )
+        log.finish(run_id, "export_tokens", config, status="done")
+        print(
+            json.dumps(
+                {
+                    "run_id": run_id,
+                    "sequences": n_seq,
+                    "tokens": int(n_tok),
+                    "seq_len": args.seq_len,
+                    "vocab_size": len(vocab),
+                    "n_merges": len(merges),
+                    "output": args.output,
+                }
+            )
+        )
+        return 0
+    except Exception:
+        log.finish(run_id, "export_tokens", config, status="failed")
+        raise
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -248,3 +248,21 @@ def test_pack_validation_and_vocab_drift(spark):
     )
     with pytest.raises(Exception, match="not in vocab"):
         pack_sequences(other, merges, vocab, seq_len=8).collect()
+
+
+def test_tokenizer_artifact_roundtrip(tmp_path):
+    """export_tokens' tokenizer.json loads back into EXACTLY the fitted
+    (merges, vocab) — json turns tuples into lists, the loader must undo
+    that or apply_merges comparisons silently fail."""
+    import json
+
+    from jobs.export_tokens import load_tokenizer
+
+    merges = bpe_merges_from_counts(SENNRICH, 5)
+    vocab = ["<eos>", "a", "b"]
+    p = tmp_path / "tokenizer.json"
+    p.write_text(json.dumps({"merges": merges, "vocab": vocab}))
+    m2, v2 = load_tokenizer(str(p))
+    assert m2 == merges and v2 == vocab
+    assert all(isinstance(m, tuple) for m in m2)
+    assert apply_merges("lowest", m2) == apply_merges("lowest", merges)

@@ -26,11 +26,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def load_tokenizer(path: str) -> tuple[list[tuple[str, str]], list[str]]:
-    """(merges, vocab) back from an export_tokens tokenizer.json."""
-    with open(path) as f:
-        d = json.load(f)
-    return [tuple(m) for m in d["merges"]], d["vocab"]
+def load_tokenizer(path: str):
+    """Back-compat alias — the artifact reader lives in operators/bpe.py
+    (the package executors receive), not in this jobs/ script."""
+    from radio_data_curation_ssl_spark.operators.bpe import (
+        load_tokenizer as _load,
+    )
+
+    return _load(path)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -69,15 +72,21 @@ def main(argv: list[str] | None = None) -> int:
             F.col(args.key_col).alias("url"),
             F.col(args.text_col).alias("text"),
         )
+        corpus = corpus.persist()  # fit + tokenize both scan it
         merges = fit_bpe(
             corpus, n_merges=args.n_merges, max_words=args.max_words
         )
-        vocab = build_vocab(tokenize_bpe(corpus, merges))
+        # tokenize ONCE: the same frame feeds the vocab distinct and the
+        # pack pass (tokens_col path) — apply_merges over the corpus is
+        # the job's dominant CPU cost and must not run twice
+        tokenized = tokenize_bpe(corpus, merges).persist()
+        vocab = build_vocab(tokenized)
         packed = pack_sequences(
-            corpus,
+            tokenized,
             merges,
             vocab,
             seq_len=args.seq_len,
+            tokens_col="bpe_tokens",
             n_partitions=args.n_partitions,
         )
         seq_dir = f"{args.output}/sequences"

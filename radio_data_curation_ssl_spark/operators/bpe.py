@@ -48,6 +48,7 @@ from ..functions.textstream import split_words_ascii
 __all__ = [
     "EOS",
     "apply_merges",
+    "load_tokenizer",
     "bpe_merges_from_counts",
     "build_vocab",
     "fit_bpe",
@@ -194,13 +195,36 @@ def build_vocab(tokenized: DataFrame, tokens_col: str = "bpe_tokens") -> list[st
     actually produced, sorted, with ``<eos>`` prepended at id 0 (the
     document separator packing inserts).  One map-side-combined distinct
     — the shuffle carries at most |vocab| rows per map task; driver
-    traffic is the vocabulary, never the corpus."""
+    traffic is the vocabulary, never the corpus.
+
+    A corpus whose merges happen to produce a literal ``<eos>`` token
+    would make the separator id ambiguous in the packed stream — that is
+    rejected loudly rather than silently conflated."""
     rows = (
         tokenized.selectExpr(f"explode({tokens_col}) AS t")
         .distinct()
         .collect()
     )
-    return [EOS] + sorted(r["t"] for r in rows)
+    toks = sorted(r["t"] for r in rows)
+    if EOS in toks:
+        raise ValueError(
+            f"the corpus produced a literal {EOS!r} token; it would be "
+            "indistinguishable from the document separator in the packed "
+            "id stream — choose a different separator or pre-scrub it"
+        )
+    return [EOS] + toks
+
+
+def load_tokenizer(path: str) -> tuple[list[tuple[str, str]], list[str]]:
+    """(merges, vocab) back from an export_tokens ``tokenizer.json`` —
+    lives HERE, next to the format's constants, so library consumers and
+    executors (which receive the package, not jobs/ scripts) can read
+    the artifact.  json stores merges as lists; tuples are restored."""
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    return [tuple(m) for m in d["merges"]], list(d["vocab"])
 
 
 
@@ -211,6 +235,7 @@ def pack_sequences(
     seq_len: int,
     key_col: str = "url",
     text_col: str = "text",
+    tokens_col: str | None = None,
     n_partitions: int | None = None,
 ) -> DataFrame:
     """Tokenize and pack documents into fixed-``seq_len`` training rows
@@ -218,17 +243,23 @@ def pack_sequences(
     layout: token streams concatenated with an ``<eos>`` id between
     documents, cut into exact ``seq_len`` windows.
 
+    ``tokens_col``: pass an ALREADY-tokenized column (``tokenize_bpe``
+    output) to skip the split+merge work — the path export_tokens takes,
+    since build_vocab needed that tokenization anyway; otherwise tokens
+    are derived from ``text_col`` with the broadcast merges.
+
     Determinism and scale: the corpus hash-repartitions on ``key_col``
     (explicit ``n_partitions`` so the layout is config-pinned, not
-    cluster-shaped) and sorts within partitions by key, so each
-    partition packs ITS documents in a deterministic order regardless of
-    input layout — the standard partition-local packing real pipelines
-    use (global order is meaningless to a trainer that shuffles windows
-    anyway).  One shuffle total; the pack pass is one ``mapInPandas``
-    with the merge list + vocab broadcast.  Each partition's final
-    partial window is dropped (documented waste < seq_len tokens per
-    partition); ``seq_key`` = (partition id, window index) — stable,
-    collision-free.
+    cluster-shaped) and sorts within partitions by (key, content hash) —
+    the content tiebreaker keeps the order deterministic even when keys
+    repeat (pre-dedup corpora) — so each partition packs ITS documents
+    in a fixed order regardless of input layout: the standard
+    partition-local packing real pipelines use (global order is
+    meaningless to a trainer that shuffles windows anyway).  One shuffle
+    total; the pack pass is one ``mapInPandas`` with the merge list +
+    vocab broadcast.  Each partition's final partial window is dropped
+    (documented waste < seq_len tokens per partition); ``seq_key`` =
+    (partition id, window index) — stable, collision-free.
 
     Tokens outside ``vocab`` raise (the vocab came from ``build_vocab``
     over the SAME merge table; a miss means fit/pack drift — fail loud,
@@ -238,14 +269,27 @@ def pack_sequences(
         raise ValueError(f"seq_len must be >= 2, got {seq_len}")
     if not vocab or vocab[0] != EOS:
         raise ValueError("vocab must come from build_vocab (EOS at id 0)")
+    if n_partitions is not None and n_partitions < 1:
+        raise ValueError(f"n_partitions must be >= 1, got {n_partitions}")
     sc = docs.sparkSession.sparkContext
     bc = sc.broadcast((list(merges), {t: i for i, t in enumerate(vocab)}))
-    n_parts = n_partitions or docs.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions"
+    n_parts = (
+        n_partitions
+        if n_partitions is not None
+        else int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     )
-    arranged = docs.select(key_col, text_col).repartition(
-        int(n_parts), key_col
-    ).sortWithinPartitions(key_col)
+    payload = tokens_col if tokens_col is not None else text_col
+    base = docs.select(key_col, F.col(payload).alias("_pk_payload"))
+    tiebreak = (
+        F.xxhash64(F.to_json(F.struct("_pk_payload")))  # array payload
+        if tokens_col is not None
+        else F.xxhash64("_pk_payload")
+    )
+    arranged = (
+        base.withColumn("_pk_tie", tiebreak)
+        .repartition(int(n_parts), key_col)
+        .sortWithinPartitions(key_col, "_pk_tie")
+    )
 
     schema = T.StructType(
         [
@@ -253,6 +297,7 @@ def pack_sequences(
             T.StructField("input_ids", T.ArrayType(T.IntegerType()), False),
         ]
     )
+    pre_tokenized = tokens_col is not None
 
     def pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -260,30 +305,50 @@ def pack_sequences(
         ms, tok2id = bc.value
         pid = TaskContext.get().partitionId()
         cache: dict[str, list[int]] = {}
+
+        def ids_of_word(w: str) -> list[int]:
+            got = cache.get(w)
+            if got is None:
+                try:
+                    got = cache[w] = [tok2id[t] for t in apply_merges(w, ms)]
+                except KeyError as e:
+                    raise ValueError(
+                        f"token {e} not in vocab: merges and vocab must "
+                        "come from the same fit"
+                    ) from e
+            return got
+
         buf: list[int] = []
         n_out = 0
         for b in it:
             keys_out, ids_out = [], []
-            for text in b[text_col].fillna(""):
-                for w in _split_words(text):
-                    got = cache.get(w)
-                    if got is None:
-                        try:
-                            got = cache[w] = [
-                                tok2id[t] for t in apply_merges(w, ms)
-                            ]
-                        except KeyError as e:
-                            raise ValueError(
-                                f"token {e} not in vocab: merges and vocab "
-                                "must come from the same fit"
-                            ) from e
-                    buf.extend(got)
+            for payload_val in b["_pk_payload"]:
+                if pre_tokenized:
+                    # Arrow yields array columns as numpy arrays — no
+                    # truthiness; None-check explicitly
+                    toks = payload_val if payload_val is not None else []
+                    try:
+                        buf.extend(tok2id[t] for t in toks)
+                    except KeyError as e:
+                        raise ValueError(
+                            f"token {e} not in vocab: merges and vocab "
+                            "must come from the same fit"
+                        ) from e
+                else:
+                    for w in _split_words(payload_val or ""):
+                        buf.extend(ids_of_word(w))
                 buf.append(0)  # <eos> between documents
-                while len(buf) >= seq_len:
+                # drain by index — one remainder copy per doc, linear in
+                # document size (repeated buf[seq_len:] re-slicing is
+                # quadratic for giant documents)
+                start = 0
+                while len(buf) - start >= seq_len:
                     keys_out.append(f"{pid}-{n_out}")
-                    ids_out.append(buf[:seq_len])
-                    buf = buf[seq_len:]
+                    ids_out.append(buf[start : start + seq_len])
+                    start += seq_len
                     n_out += 1
+                if start:
+                    buf = buf[start:]
             if keys_out:
                 yield pd.DataFrame(
                     {"seq_key": keys_out, "input_ids": ids_out}

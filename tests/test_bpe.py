@@ -240,9 +240,9 @@ def test_pack_validation_and_vocab_drift(spark):
         pack_sequences(df, merges, vocab, seq_len=1)
     with pytest.raises(ValueError, match="build_vocab"):
         pack_sequences(df, merges, vocab[1:], seq_len=8)
+    with pytest.raises(ValueError, match="n_partitions"):
+        pack_sequences(df, merges, vocab, seq_len=8, n_partitions=0)
     # vocab from a DIFFERENT corpus misses tokens -> loud failure
-    from py4j.protocol import Py4JJavaError
-
     other = spark.createDataFrame(
         [("u1", "zz qq jj xx vv ww")], "url string, text string"
     )
@@ -266,3 +266,82 @@ def test_tokenizer_artifact_roundtrip(tmp_path):
     assert m2 == merges and v2 == vocab
     assert all(isinstance(m, tuple) for m in m2)
     assert apply_merges("lowest", m2) == apply_merges("lowest", merges)
+
+
+def test_pack_pretokenized_path_matches_text_path(spark):
+    """tokens_col (the export_tokens path — tokenize once) packs the
+    exact same windows as tokenizing from raw text."""
+    from radio_data_curation_ssl_spark.operators.bpe import (
+        pack_sequences,
+        tokenize_bpe,
+    )
+
+    df, merges, vocab = _pack_setup(spark)
+    from_text = pack_sequences(
+        df, merges, vocab, seq_len=32, n_partitions=4
+    )
+    from_tokens = pack_sequences(
+        tokenize_bpe(df, merges),
+        merges,
+        vocab,
+        seq_len=32,
+        tokens_col="bpe_tokens",
+        n_partitions=4,
+    )
+    a = {r["seq_key"]: tuple(r["input_ids"]) for r in from_text.collect()}
+    b = {r["seq_key"]: tuple(r["input_ids"]) for r in from_tokens.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_pack_duplicate_keys_still_deterministic(spark):
+    """Repeated url keys (pre-dedup corpora) must not make packing
+    order run-dependent — the content-hash tiebreaker pins it."""
+    from radio_data_curation_ssl_spark.operators.bpe import (
+        build_vocab,
+        fit_bpe,
+        pack_sequences,
+        tokenize_bpe,
+    )
+
+    rows = [
+        ("dup", " ".join(f"w{(i + j) % 7}" for j in range(12)))
+        for i in range(30)
+    ] + [("u2", "w0 w1 w2 w3 w4 w5 w6 w0 w1 w2 w3 w4")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    merges = fit_bpe(df, n_merges=25)
+    vocab = build_vocab(tokenize_bpe(df, merges))
+
+    def run(parts):
+        out = pack_sequences(
+            df.repartition(parts), merges, vocab, seq_len=16, n_partitions=2
+        )
+        return {r["seq_key"]: tuple(r["input_ids"]) for r in out.collect()}
+
+    assert run(1) == run(9) == run(4)
+
+
+def test_build_vocab_rejects_eos_collision(spark):
+    """A corpus whose merges produce a literal <eos> token must fail
+    loud — the separator id would be ambiguous in the packed stream."""
+    from radio_data_curation_ssl_spark.operators.bpe import (
+        build_vocab,
+        fit_bpe,
+        tokenize_bpe,
+    )
+
+    rows = [(f"u{i}", "<eos> <eos> <eos> <eos>") for i in range(8)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    merges = fit_bpe(df, n_merges=16)
+    tok = tokenize_bpe(df, merges)
+    got = {t for r in tok.collect() for t in r["bpe_tokens"]}
+    if "<eos>" in got:  # merges actually formed the literal token
+        with pytest.raises(ValueError, match="separator"):
+            build_vocab(tok)
+    else:  # merge budget didn't reach it — force the check directly
+        import pandas as pd  # noqa: F401
+
+        df2 = spark.createDataFrame(
+            [("u", ["<eos>", "x"])], "url string, bpe_tokens array<string>"
+        )
+        with pytest.raises(ValueError, match="separator"):
+            build_vocab(df2)

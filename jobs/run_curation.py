@@ -154,6 +154,33 @@ def main(argv: list[str] | None = None) -> int:
         "with every flow mode",
     )
     ap.add_argument(
+        "--blocked-domains",
+        default=None,
+        help="with --sample-target: UT1-style blocklist file (one domain "
+        "per line, '#' comments ok); pages whose host equals or is a "
+        "subdomain of a listed domain are dropped before ANY text work "
+        "(label-anchored matching via per-depth broadcast equi-joins — "
+        "operators/urlfilter.py)",
+    )
+    ap.add_argument(
+        "--url-hard-words",
+        default=None,
+        help="with --sample-target: comma-separated words; a page whose "
+        "URL contains any of them is dropped (FineWeb-style hard list)",
+    )
+    ap.add_argument(
+        "--url-soft-words",
+        default=None,
+        help="with --sample-target: comma-separated words; a page whose "
+        "URL contains --url-soft-threshold or more of them is dropped",
+    )
+    ap.add_argument(
+        "--url-soft-threshold",
+        type=_positive,
+        default=2,
+        help="soft-word count at which a URL is dropped (default 2)",
+    )
+    ap.add_argument(
         "--seen-urls",
         default=None,
         help="with --sample-target: parquet dir holding a `url` column of "
@@ -173,11 +200,15 @@ def main(argv: list[str] | None = None) -> int:
         or args.sample_alpha is not None
         or args.decontaminate is not None
         or args.export_jsonl is not None
+        or args.blocked_domains is not None
+        or args.url_hard_words is not None
+        or args.url_soft_words is not None
     ) and args.sample_target is None:
         ap.error(
             "--url-dedup/--line-dedup/--substring-dedup/--seen-urls/"
             "--host-cap/--lang-budget/--sample-alpha/--decontaminate/"
-            "--export-jsonl require --sample-target"
+            "--export-jsonl/--blocked-domains/--url-hard-words/"
+            "--url-soft-words require --sample-target"
         )
 
     from radio_data_curation_ssl_spark.operators.resume import write_resumable
@@ -255,6 +286,24 @@ def main(argv: list[str] | None = None) -> int:
                     if args.seen_urls
                     else None
                 )
+                blocked = None
+                if args.blocked_domains:
+                    # UT1 layout: one domain per line; skip blanks/comments
+                    blocked = (
+                        spark.read.text(args.blocked_domains)
+                        .selectExpr("trim(value) AS domain")
+                        .where(
+                            "domain <> '' AND NOT startswith(domain, '#')"
+                        )
+                    )
+                _csv = lambda s: (  # noqa: E731
+                    [w for w in s.split(",") if w] if s else None
+                )
+                url_filtering = (
+                    blocked is not None
+                    or args.url_hard_words
+                    or args.url_soft_words
+                )
                 sample = curate_dedup_sample(
                     pages,
                     args.sample_target,
@@ -263,10 +312,16 @@ def main(argv: list[str] | None = None) -> int:
                     # metrics frame `result` still reports on the full
                     # input)
                     curated=(
-                        None if (args.url_dedup or seen is not None) else result
+                        None
+                        if (args.url_dedup or seen is not None or url_filtering)
+                        else result
                     ),
                     work_dir=f"{args.output}/_work",
                     url_dedup=args.url_dedup,
+                    blocked_domains=blocked,
+                    url_hard_words=_csv(args.url_hard_words),
+                    url_soft_words=_csv(args.url_soft_words),
+                    url_soft_threshold=args.url_soft_threshold,
                     line_dedup=args.line_dedup,
                     substring_dedup=args.substring_dedup,
                     seen_urls=seen,

@@ -1,0 +1,231 @@
+"""URL blocklist + banned-word filtering — the UT1/FineWeb-style URL
+pre-filter web pipelines run BEFORE any text processing (RefinedWeb §3.1
+"URL filtering", FineWeb's url_filter: a domain blocklist plus soft/hard
+banned words scored on the URL string itself).
+
+The reference has no URL handling (radio-astronomy payload,
+/root/reference/src/data_loaders.py keys everything by file path); this
+module serves the web-text north rule's input shape (url:string per
+page) the same way functions/url.py does.
+
+Scale design (the whole point of filtering on the URL first):
+
+- **Domain blocklist = one broadcast hash equi-join per blocklist
+  DEPTH, zero corpus shuffles.**  A host matches a blocked domain when
+  it EQUALS the domain or is a subdomain of it (label-anchored:
+  ``ads.tracker.net`` matches ``tracker.net``; ``nottracker.net`` and
+  ``tracker.net.example.org`` do not).  Instead of a non-equi LIKE
+  join (BroadcastNestedLoopJoin, O(|blocklist|) per row — catastrophic
+  at UT1's ~4M domains) or an explode→join→re-aggregate (shuffles the
+  hit keys), the blocklist is partitioned by its label count (a
+  bounded driver collect: at most ``max_labels`` count rows), and for
+  each depth k present the corpus derives its last-k-labels suffix
+  column and broadcast-LEFT-joins that depth's subset.  Real
+  blocklists hold registrable domains at 2-3 depths, so this is 2-3
+  map-side BroadcastHashJoins whose broadcast payloads are DISJOINT
+  subsets summing to |blocklist| — the list crosses the wire once.
+  Corpus rows never shuffle (plan-asserted in tests/test_urlfilter.py).
+- **Banned-word scoring is a codegen'd expression chain** (``instr`` on
+  the lowercased URL), map-only, no Python.
+
+Both pieces are paired Spark/DuckDB (the oracle uses the simple
+EXISTS+LIKE form — correctness-equivalent, test-scale only), so the
+registered ``url_blocklist_filter`` query gets a full hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# validation cap on blocklist-entry depth (a 10-label "domain" is a
+# malformed line, not a rule); hosts of ANY depth match through their
+# last-k suffix, so the cap never limits host depth
+DEFAULT_MAX_LABELS = 10
+
+
+def host_suffix(host_col: str, n_labels: int) -> Column:
+    """Last ``n_labels`` dot-joined labels of a host column, NULL when
+    the host has fewer labels (so level joins can't double-match: each
+    suffix string appears at exactly one level per row)."""
+    labels = F.split(F.col(host_col), r"\.")
+    return F.when(
+        F.size(labels) >= n_labels,
+        F.array_join(F.slice(labels, -n_labels, n_labels), "."),
+    )
+
+
+def with_url_blocked(
+    df: DataFrame,
+    blocked: DataFrame,
+    host_col: str = "host",
+    out_col: str = "url_blocked",
+    max_labels: int = DEFAULT_MAX_LABELS,
+) -> DataFrame:
+    """Mark rows whose ``host_col`` equals or is a subdomain of any
+    domain in ``blocked`` (single column ``domain``, lowercase,
+    no leading dot).  Adds boolean ``out_col``; row count unchanged.
+
+    One broadcast hash LEFT join per blocklist DEPTH present (label
+    count, discovered via a bounded driver collect of at most
+    ``max_labels`` count rows); each join's broadcast payload is that
+    depth's disjoint subset, so the blocklist crosses the wire once in
+    total and the corpus side stays map-only — no corpus shuffle.
+    """
+    if max_labels < 1:
+        raise ValueError(f"max_labels must be >= 1, got {max_labels}")
+    for c in (out_col, host_col):
+        if c == "domain":
+            raise ValueError("'domain' collides with the blocklist column")
+    if "domain" not in blocked.columns:
+        raise ValueError("blocked needs a 'domain' column")
+    nlab = F.size(F.split(F.col("domain"), r"\."))
+    # bounded collect: one row per distinct blocklist depth
+    depths = sorted(
+        r["k"]
+        for r in blocked.select(nlab.alias("k")).distinct().collect()
+    )
+    if depths and depths[-1] > max_labels:
+        raise ValueError(
+            f"blocklist entry with {depths[-1]} labels exceeds "
+            f"max_labels={max_labels} (malformed line?)"
+        )
+
+    hit_cols: list[str] = []
+    out = df
+    for k in depths:
+        hit = f"__uf_hit_{k}"
+        hit_cols.append(hit)
+        b_k = F.broadcast(
+            blocked.select("domain").where(nlab == k).distinct()
+        )
+        out = (
+            out.withColumn(hit, host_suffix(host_col, k))
+            .join(b_k, F.col(hit) == F.col("domain"), "left")
+            .withColumn(hit, F.col("domain").isNotNull())
+            .drop("domain")
+        )
+    if not hit_cols:
+        return df.withColumn(out_col, F.lit(False))
+    blocked_expr = hit_cols[0]
+    for h in hit_cols[1:]:
+        blocked_expr = f"{blocked_expr} OR {h}"
+    return out.withColumn(out_col, F.expr(blocked_expr)).drop(*hit_cols)
+
+
+def url_word_hits(url_col: str, words: list[str]) -> Column:
+    """How many of ``words`` occur as substrings of the lowercased URL
+    (presence count, FineWeb-style).  Pure codegen ``instr`` chain."""
+    if not words:
+        return F.lit(0)
+    u = F.lower(F.col(url_col))
+    total = None
+    for w in words:
+        hit = F.when(F.instr(u, w.lower()) > 0, 1).otherwise(0)
+        total = hit if total is None else total + hit
+    return total
+
+
+def url_word_hits_sql(url_expr: str, words: list[str]) -> str:
+    """DuckDB twin of :func:`url_word_hits` (identical semantics; both
+    dialects share ``instr``/``lower``)."""
+    if not words:
+        return "0"
+    parts = [
+        f"(CASE WHEN instr(lower({url_expr}), '{w.lower()}') > 0 "
+        "THEN 1 ELSE 0 END)"
+        for w in words
+    ]
+    return " + ".join(parts)
+
+
+def apply_url_filter(
+    df: DataFrame,
+    blocked_domains: DataFrame | list[str] | None = None,
+    hard_words: list[str] | None = None,
+    soft_words: list[str] | None = None,
+    soft_threshold: int = 2,
+    url_col: str = "url",
+    host_col: str | None = None,
+    max_labels: int = DEFAULT_MAX_LABELS,
+) -> DataFrame:
+    """The composed URL pre-filter: keep rows whose host is not
+    blocklisted, whose URL contains no hard-banned word, and fewer than
+    ``soft_threshold`` soft-banned words.  Returns the kept rows with a
+    transient ``_url_drop`` column REMOVED — callers wanting the drop
+    reason use :func:`score_urls` instead.
+    """
+    scored = score_urls(
+        df,
+        blocked_domains=blocked_domains,
+        hard_words=hard_words,
+        soft_words=soft_words,
+        soft_threshold=soft_threshold,
+        url_col=url_col,
+        host_col=host_col,
+        max_labels=max_labels,
+    )
+    drop = [c for c in scored.columns if c not in df.columns]
+    return scored.where("url_keep").drop(*drop)
+
+
+def score_urls(
+    df: DataFrame,
+    blocked_domains: DataFrame | list[str] | None = None,
+    hard_words: list[str] | None = None,
+    soft_words: list[str] | None = None,
+    soft_threshold: int = 2,
+    url_col: str = "url",
+    host_col: str | None = None,
+    max_labels: int = DEFAULT_MAX_LABELS,
+) -> DataFrame:
+    """Annotate every row with the URL-filter verdict: adds
+    ``url_blocked`` (domain blocklist), ``url_hard_hits``,
+    ``url_soft_hits`` (banned-word counts) and ``url_keep``.
+    Row count unchanged; map-only except the broadcast-join marks.
+
+    ``host_col=None`` derives the host from ``url_col`` via
+    functions/url.py's canonical extraction.  ``blocked_domains`` is a
+    python list (driver-known, e.g. config) or a single-column
+    ``domain`` DataFrame (file-backed UT1-style lists — stays
+    distributed until the broadcast join builds).
+    """
+    from ..functions import url as URL
+
+    spark = df.sparkSession
+    out = df
+    tmp_host = None
+    if host_col is None:
+        tmp_host = "__uf_host"
+        out = out.withColumn(tmp_host, F.expr(URL.url_host(url_col).spark))
+        host_col = tmp_host
+
+    if isinstance(blocked_domains, DataFrame):
+        bl = blocked_domains.select(
+            F.regexp_replace(F.lower("domain"), r"^\.+", "").alias("domain")
+        )
+        out = with_url_blocked(
+            out, bl, host_col=host_col, max_labels=max_labels
+        )
+    elif blocked_domains:
+        bl = spark.createDataFrame(
+            [(d.lower().lstrip("."),) for d in blocked_domains],
+            "domain string",
+        )
+        out = with_url_blocked(
+            out, bl, host_col=host_col, max_labels=max_labels
+        )
+    else:
+        out = out.withColumn("url_blocked", F.lit(False))
+
+    out = out.withColumn(
+        "url_hard_hits", url_word_hits(url_col, hard_words or [])
+    ).withColumn("url_soft_hits", url_word_hits(url_col, soft_words or []))
+    out = out.withColumn(
+        "url_keep",
+        (~F.col("url_blocked"))
+        & (F.col("url_hard_hits") == 0)
+        & (F.col("url_soft_hits") < F.lit(soft_threshold)),
+    )
+    if tmp_host is not None:
+        out = out.drop(tmp_host)
+    return out

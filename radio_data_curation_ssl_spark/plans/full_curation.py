@@ -78,6 +78,10 @@ def curate_dedup_sample(
     substring_dedup: bool = False,
     substring_min_len: int = 8,
     seen_urls: DataFrame | None = None,
+    blocked_domains: DataFrame | list[str] | None = None,
+    url_hard_words: list[str] | None = None,
+    url_soft_words: list[str] | None = None,
+    url_soft_threshold: int = 2,
     host_cap: int | None = None,
     lang_budget_frac: float | None = None,
     sample_alpha: float | None = None,
@@ -153,6 +157,13 @@ def curate_dedup_sample(
     proportionally to ``count(l)^alpha`` — ``alpha=1`` proportional,
     ``alpha=0`` equal-split, between them the CCNet/XLM-R low-resource
     upweighting.  Flooring can undershoot ``target`` by < |languages|.
+
+    ``blocked_domains`` / ``url_hard_words`` / ``url_soft_words`` run
+    the UT1/FineWeb-style URL pre-filter FIRST (operators/urlfilter.py):
+    pages on a blocklisted domain (label-anchored subdomain matching via
+    per-depth broadcast equi-joins), containing a hard-banned word, or
+    >= ``url_soft_threshold`` soft-banned words in the URL are dropped
+    before ANY text work — the cheapest filter runs earliest.
     """
     if target < 0:
         raise ValueError(f"target must be >= 0, got {target}")
@@ -161,6 +172,24 @@ def curate_dedup_sample(
     if host_cap is not None and host_cap < 1:
         raise ValueError(f"host_cap must be >= 1, got {host_cap}")
     shaping = host_cap is not None or lang_budget_frac is not None
+    url_filtering = (
+        blocked_domains is not None or url_hard_words or url_soft_words
+    )
+    if url_filtering:
+        if curated is not None:
+            raise ValueError(
+                "the URL filter applies before curation; pass pages "
+                "only, not a precomputed curated frame"
+            )
+        from ..operators.urlfilter import apply_url_filter
+
+        pages = apply_url_filter(
+            pages,
+            blocked_domains=blocked_domains,
+            hard_words=url_hard_words,
+            soft_words=url_soft_words,
+            soft_threshold=url_soft_threshold,
+        )
     if seen_urls is not None:
         if curated is not None:
             raise ValueError(

@@ -3451,3 +3451,93 @@ def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({z}, 4) + 0.0 AS q_logit",
         f"{z} >= 0 AS keep_model",
     )
+
+
+# ---------------------------------------------------------------------------
+# URL blocklist + banned-word pre-filter (r4s5) — the UT1/FineWeb-style
+# URL filter (RefinedWeb §3.1) that runs BEFORE any text processing.
+# Registered past the driver's 50-row window (the window is full with
+# the r4s4 consolidation's 50 full-oracle rows; CLAUDE.md convention),
+# with a standing local parity gate in tests/test_urlfilter.py.
+# URLs are derived deterministically from doc_id so the oracle pairs:
+# hosts cover equal-match, subdomain-match, and the label-anchoring
+# trap ('tracker.net.example.org' must NOT match blocked 'tracker.net').
+
+_UF_BLOCKED = ["tracker.net", "example.com"]
+_UF_HARD = ["casino"]
+_UF_SOFT = ["free", "bet", "bonus", "win"]
+_UF_SOFT_TH = 2
+
+_UF_URL_SPARK = (
+    "concat('https://', CASE CAST(doc_id % 5 AS INT)"
+    " WHEN 0 THEN 'ads.tracker.net'"
+    " WHEN 1 THEN concat('sub', CAST(doc_id % 3 AS STRING), '.example.com')"
+    " WHEN 2 THEN 'news.site.org'"
+    " WHEN 3 THEN 'tracker.net.example.org'"
+    " ELSE 'blog.goodsite.io' END, '/',"
+    " CASE WHEN doc_id % 11 = 0 THEN 'casino-games'"
+    " WHEN doc_id % 7 = 0 THEN 'free-bet-bonus-win'"
+    " ELSE 'article' END, '/p', CAST(doc_id AS STRING))"
+)
+_UF_URL_DUCK = _UF_URL_SPARK.replace("AS STRING", "AS VARCHAR")
+
+_UF_BLOCKED_VALUES = ", ".join(f"('{d}')" for d in _UF_BLOCKED)
+
+
+def _uf_hits_duck(words: list[str]) -> str:
+    from .operators.urlfilter import url_word_hits_sql
+
+    return url_word_hits_sql("url", words)
+
+
+@register(
+    "url_blocklist_filter",
+    f"""
+WITH blocked(domain) AS (VALUES {_UF_BLOCKED_VALUES}),
+u AS (SELECT doc_id, {_UF_URL_DUCK} AS url FROM documents),
+h AS (SELECT doc_id, url, {URL.url_host('url').duck} AS host FROM u),
+s AS (SELECT doc_id, host,
+             EXISTS (SELECT 1 FROM blocked b
+                     WHERE h.host = b.domain
+                        OR h.host LIKE '%.' || b.domain) AS url_blocked,
+             CAST({_uf_hits_duck(_UF_HARD)} AS BIGINT) AS url_hard_hits,
+             CAST({_uf_hits_duck(_UF_SOFT)} AS BIGINT) AS url_soft_hits
+      FROM h)
+SELECT doc_id, host, url_blocked, url_hard_hits, url_soft_hits,
+       (NOT url_blocked) AND url_hard_hits = 0
+       AND url_soft_hits < {_UF_SOFT_TH} AS url_keep
+FROM s
+""",
+    doc="UT1/FineWeb-style URL pre-filter (RefinedWeb §3.1): domain "
+    "blocklist with label-anchored subdomain matching + hard/soft "
+    "banned-word scoring on the URL string.  Scale: the blocklist is "
+    "matched via ONE broadcast hash EQUI-join per blocklist depth on "
+    "the host's last-k-labels column (disjoint payloads, map-side, "
+    "ZERO corpus shuffles — never a LIKE nested-loop join, never an "
+    "explode+re-aggregate); word scoring is a codegen'd instr chain.  "
+    "The oracle uses the EXISTS+LIKE form — correctness-equivalent at "
+    "test scale.  Registered past the driver window (full since r4s4); "
+    "standing parity gate: tests/test_urlfilter.py.",
+    bench=True,
+)
+def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.urlfilter import score_urls
+
+    docs = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_UF_URL_SPARK} AS url"
+    )
+    scored = score_urls(
+        docs,
+        blocked_domains=_UF_BLOCKED,
+        hard_words=_UF_HARD,
+        soft_words=_UF_SOFT,
+        soft_threshold=_UF_SOFT_TH,
+    )
+    return scored.selectExpr(
+        "doc_id",
+        f"{URL.url_host('url').spark} AS host",
+        "url_blocked",
+        "CAST(url_hard_hits AS BIGINT) AS url_hard_hits",
+        "CAST(url_soft_hits AS BIGINT) AS url_soft_hits",
+        "url_keep",
+    )

@@ -1,0 +1,329 @@
+"""URL blocklist + banned-word pre-filter (operators/urlfilter.py).
+
+Covers: label-anchored subdomain matching (the '%.domain' semantics,
+including the 'nottracker.net' / 'tracker.net.example.org' traps),
+suffix-level cap behavior, banned-word presence counting, the composed
+filter, the zero-shuffle broadcast-join plan, and the standing DuckDB
+parity gate for the past-window ``url_blocklist_filter`` registry row.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from radio_data_curation_ssl_spark.operators.urlfilter import (
+    apply_url_filter,
+    score_urls,
+    url_word_hits,
+    url_word_hits_sql,
+    with_url_blocked,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _hosts_df(spark, hosts):
+    return spark.createDataFrame([(h,) for h in hosts], "host string")
+
+
+def _blocked_df(spark, domains):
+    return spark.createDataFrame([(d,) for d in domains], "domain string")
+
+
+def test_subdomain_matching_semantics(spark):
+    hosts = [
+        "tracker.net",              # exact match -> blocked
+        "ads.tracker.net",          # subdomain -> blocked
+        "a.b.c.ads.tracker.net",    # deep subdomain -> blocked
+        "nottracker.net",           # suffix-of-string, not of labels -> kept
+        "tracker.net.example.org",  # blocked domain as a PREFIX -> kept
+        "net",                      # bare TLD of a blocked domain -> kept
+        "example.com",              # second blocked domain, exact
+    ]
+    out = {
+        r["host"]: r["url_blocked"]
+        for r in with_url_blocked(
+            _hosts_df(spark, hosts),
+            _blocked_df(spark, ["tracker.net", "example.com"]),
+        ).collect()
+    }
+    assert out == {
+        "tracker.net": True,
+        "ads.tracker.net": True,
+        "a.b.c.ads.tracker.net": True,
+        "nottracker.net": False,
+        "tracker.net.example.org": False,
+        "net": False,
+        "example.com": True,
+    }
+
+
+def test_row_count_preserved_with_duplicate_blocklist(spark):
+    """Duplicate blocklist rows must not fan out corpus rows, and a host
+    matching at two levels (itself + a parent both blocked) stays one row."""
+    hosts = ["a.x.com", "a.x.com", "b.y.org"]
+    blocked = _blocked_df(spark, ["x.com", "x.com", "a.x.com"])
+    rows = with_url_blocked(_hosts_df(spark, hosts), blocked).collect()
+    assert len(rows) == 3
+    assert sum(r["url_blocked"] for r in rows) == 2
+
+
+def test_max_labels_guards_blocklist_depth_not_host_depth(spark):
+    """Hosts of ANY depth match through their last-k suffix; a blocklist
+    ENTRY deeper than max_labels is rejected as malformed."""
+    deep_host = "a.b.c.d.e.f.g.tracker.net"  # 9 labels
+    out = with_url_blocked(
+        _hosts_df(spark, [deep_host]),
+        _blocked_df(spark, ["tracker.net"]),
+        max_labels=2,
+    ).collect()
+    assert out[0]["url_blocked"] is True  # via the last-2 suffix
+    with pytest.raises(ValueError, match="labels exceeds"):
+        with_url_blocked(
+            _hosts_df(spark, [deep_host]),
+            _blocked_df(spark, ["b.c.d.e.f.g.tracker.net"]),  # 8 labels
+            max_labels=2,
+        )
+
+
+def test_mixed_depth_blocklist_one_join_per_depth(spark):
+    """Depths 2 and 3 in one blocklist: both match, disjoint subsets."""
+    hosts = ["x.ads.example.org", "ads.example.org", "a.tracker.net", "ok.org"]
+    out = {
+        r["host"]: r["url_blocked"]
+        for r in with_url_blocked(
+            _hosts_df(spark, hosts),
+            _blocked_df(spark, ["ads.example.org", "tracker.net"]),
+        ).collect()
+    }
+    assert out == {
+        "x.ads.example.org": True,
+        "ads.example.org": True,
+        "a.tracker.net": True,
+        "ok.org": False,
+    }
+
+
+def test_empty_blocklist(spark):
+    df = _hosts_df(spark, ["a.com"])
+    out = with_url_blocked(df, _blocked_df(spark, []).limit(0))
+    assert out.first()["url_blocked"] is False
+
+
+def test_validation(spark):
+    df = _hosts_df(spark, ["a.com"])
+    with pytest.raises(ValueError, match="max_labels"):
+        with_url_blocked(df, _blocked_df(spark, ["a.com"]), max_labels=0)
+    with pytest.raises(ValueError, match="domain"):
+        with_url_blocked(df, df)  # no 'domain' column
+
+
+def test_word_hits_counts_presence_case_insensitively(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://x.com/free-BET-bonus",),   # free, bet, bonus -> 3
+            ("https://x.com/article",),          # 0
+            ("https://x.com/freefree",),         # presence, not occurrences
+        ],
+        "url string",
+    )
+    words = ["free", "bet", "bonus", "win"]
+    got = [
+        r["n"]
+        for r in df.select(url_word_hits("url", words).alias("n"))
+        .collect()
+    ]
+    assert got == [3, 0, 1]
+    # the DuckDB twin agrees
+    import duckdb
+
+    sql = url_word_hits_sql("url", words)
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {sql} FROM (VALUES ('https://x.com/free-BET-bonus'),"
+            "('https://x.com/article'), ('https://x.com/freefree')) t(url)"
+        ).fetchall()
+    ]
+    assert want == got
+    # empty word list -> constant 0
+    assert df.select(url_word_hits("url", []).alias("n")).first()["n"] == 0
+    assert url_word_hits_sql("url", []) == "0"
+
+
+def test_score_and_apply(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "https://ads.tracker.net/article/p0"),
+            (1, "https://ok.site.org/casino-games/p1"),
+            (2, "https://ok.site.org/free-bet/p2"),
+            (3, "https://ok.site.org/free-stuff/p3"),
+            (4, "https://ok.site.org/article/p4"),
+        ],
+        "doc_id long, url string",
+    )
+    scored = score_urls(
+        df,
+        blocked_domains=["tracker.net"],
+        hard_words=["casino"],
+        soft_words=["free", "bet", "bonus"],
+        soft_threshold=2,
+    )
+    by_id = {r["doc_id"]: r for r in scored.collect()}
+    assert by_id[0]["url_blocked"] and not by_id[0]["url_keep"]
+    assert by_id[1]["url_hard_hits"] == 1 and not by_id[1]["url_keep"]
+    assert by_id[2]["url_soft_hits"] == 2 and not by_id[2]["url_keep"]
+    assert by_id[3]["url_soft_hits"] == 1 and by_id[3]["url_keep"]
+    assert by_id[4]["url_keep"]
+    # scoring never changes row count; derived host column is dropped
+    assert scored.count() == 5
+    assert "__uf_host" not in scored.columns
+
+    kept = apply_url_filter(
+        df,
+        blocked_domains=["tracker.net"],
+        hard_words=["casino"],
+        soft_words=["free", "bet", "bonus"],
+        soft_threshold=2,
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4]
+    assert kept.columns == df.columns  # verdict columns removed
+
+
+def test_no_blocklist_means_flag_false(spark):
+    df = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
+    row = score_urls(df).first()
+    assert row["url_blocked"] is False and row["url_keep"] is True
+
+
+def test_plan_zero_shuffle_broadcast_joins(spark):
+    """The 100 TB contract: every blocklist level is a map-side
+    BroadcastHashJoin; the corpus never shuffles (no non-broadcast
+    Exchange), and the blocklist's broadcast exchange is built once and
+    reused across suffix levels."""
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    df = REGISTRY["url_blocklist_filter"].spark(spark, SF)
+    p = plan(df)
+    # both registry blocklist entries are depth-2 -> exactly ONE join
+    # (formatted explain prints each node in tree + details; count details)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 1
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p
+    # the only non-broadcast exchange allowed is the blocklist-side
+    # distinct (keyed on `domain`); the corpus never shuffles
+    details = re.findall(
+        r"\(\d+\) Exchange\n(?:.*\n)?Arguments: (.*)", p
+    )
+    assert details, "formatted explain layout changed?"
+    for args in details:
+        assert "hashpartitioning(domain" in args, args
+
+
+def test_registry_query_oracle_parity(spark):
+    """Standing local gate for the past-window registry row (position 51
+    of the oracle ordering; the driver checks the first 50)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["url_blocklist_filter"]
+    got = {
+        r["doc_id"]: (
+            r["host"],
+            r["url_blocked"],
+            r["url_hard_hits"],
+            r["url_soft_hits"],
+            r["url_keep"],
+        )
+        for r in q.spark(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = {r[0]: tuple(r[1:]) for r in con.execute(q.oracle).fetchall()}
+    assert got == want
+    # the synthetic corpus exercises every verdict
+    assert {v[1] for v in got.values()} == {True, False}
+    assert any(v[2] > 0 for v in got.values())
+    assert any(v[3] >= 2 for v in got.values())
+    assert {v[4] for v in got.values()} == {True, False}
+
+
+# flow + job wiring
+
+
+def test_flow_url_filter_stage(spark, pages_small):
+    """curate_dedup_sample(blocked_domains=, url_hard_words=): blocked
+    hosts and hard-word URLs never reach the sample; the stage composes
+    with the rest of the flow and rejects a precomputed curated frame."""
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+
+    # synth urls look like https://hostNNN.example.org/<cls>/page-N
+    base = curate_dedup_sample(pages_small, target=10**9, near_dup="none")
+    hosts = sorted(
+        r[0]
+        for r in base.selectExpr(
+            "regexp_extract(url, '://([^/]*)/', 1) AS h"
+        ).distinct().collect()
+    )
+    assert len(hosts) >= 3
+    blocked = hosts[:2]
+    out = curate_dedup_sample(
+        pages_small,
+        target=10**9,
+        near_dup="none",
+        blocked_domains=blocked,
+        url_hard_words=["page-7"],
+    )
+    got_urls = [r["url"] for r in out.collect()]
+    for u in got_urls:
+        assert not any(f"://{h}/" in u for h in blocked)
+        assert "page-7" not in u
+    # exactly the base survivors minus the filtered ones
+    want = [
+        r["url"]
+        for r in base.collect()
+        if not any(f"://{h}/" in r["url"] for h in blocked)
+        and "page-7" not in r["url"]
+    ]
+    assert sorted(got_urls) == sorted(want)
+    assert len(want) < base.count()  # the stage actually removed pages
+
+    with pytest.raises(ValueError, match="URL filter applies before"):
+        curate_dedup_sample(
+            pages_small,
+            target=10**9,
+            curated=curate(pages_small),
+            blocked_domains=blocked,
+        )
+
+
+def test_flow_accepts_dataframe_blocklist(spark, pages_small):
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    host = (
+        pages_small.selectExpr("regexp_extract(url, '://([^/]*)/', 1) AS h")
+        .first()["h"]
+    )
+    bl = spark.createDataFrame([(host,)], "domain string")
+    out = curate_dedup_sample(
+        pages_small, target=10**9, near_dup="none", blocked_domains=bl
+    )
+    assert out.where(F.col("url").contains(host)).count() == 0
+    assert out.count() > 0

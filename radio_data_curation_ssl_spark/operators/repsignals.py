@@ -1,0 +1,228 @@
+"""Gopher repetition-signals battery (Rae et al. 2021 §A1.3, the part of
+the repetition family the heuristic rule set doesn't already cover):
+duplicate-line fraction + duplicate-line CHARACTER fraction, the weight
+of the heaviest repeated word n-gram (n = 2, 3, 4), and the character
+coverage of duplicated 5-grams.  These are the signals MassiveText/
+Dolma/FineWeb-class pipelines threshold on to kill boilerplate-heavy
+pages that per-bigram repetition (``rep_bigram_frac``) under-scores.
+
+Everything is ONE map-only Arrow pass per batch (iterator
+``mapInPandas``), zero shuffles at any corpus size — each document's
+signals depend only on its own text, so anything with an exchange in it
+would be the wrong 100 TB plan.  Word segmentation and gram hashing
+reuse the shared byte-stream kernels (functions/textstream.py: the SAME
+word split and ``pair_hash_np`` combine every other text operator uses);
+lines are batch-hashed via pandas' C hasher.  Dup detection is
+hash-keyed (precedent: the heuristics kernel's packed-key bigram dups) —
+a 44-bit in-doc collision is negligible and deterministic.
+
+Deviations from the paper, chosen for determinism (documented here and
+in the oracle SQL):
+
+- Gopher's "fraction of characters in the most FREQUENT n-gram" is
+  ambiguous under count ties; we use the heaviest repeated gram,
+  ``max(count * gram_char_len)`` over grams with count >= 2 — tie-stable
+  and monotone in both factors.
+- character counts are utf-8 BYTE counts on the kernel side (exact ==
+  character counts for ASCII corpora; same caveat as textstream's
+  symbol ratio).
+- duplicate-5-gram coverage counts WORD characters once per covered
+  word position (union of occurrences, overlaps not double-counted),
+  not inter-word spaces.
+
+Registry pairing: the ``repetition_signals`` query emits the INTEGER
+numerators/denominators only (counts, char sums, weights) — hash-exact
+against the DuckDB explode-SQL oracle with no float-rounding surface;
+the derived fractions are added JVM-side by :func:`with_rep_fracs` and
+twin-tested in tests/test_repsignals.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.textstream import build_stream, pair_hash_np
+
+# packed (doc, hash) sort key: doc index in the high 20 bits (an Arrow
+# batch is far below 2^20 rows), truncated content hash in the low 44
+_DOC_SHIFT = np.uint64(44)
+_HASH_MASK = np.uint64((1 << 44) - 1)
+
+SIGNAL_COLS = [
+    "n_lines",
+    "dup_lines",
+    "line_chars",
+    "dup_line_chars",
+    "word_chars",
+    "norm_chars",
+    "top2_w",
+    "top3_w",
+    "top4_w",
+    "dup5_cov",
+]
+
+
+def _pack(doc: np.ndarray, h: np.ndarray) -> np.ndarray:
+    return (doc.astype(np.uint64) << _DOC_SHIFT) | (h & _HASH_MASK)
+
+
+def _runs(key: np.ndarray):
+    """Sort a packed key array and return (order, run_start_indices,
+    run_counts) — the shared group-by-hash idiom."""
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    new = np.empty(sk.size, dtype=bool)
+    new[0] = True
+    new[1:] = sk[1:] != sk[:-1]
+    starts = np.flatnonzero(new)
+    counts = np.empty(starts.size, dtype=np.int64)
+    counts[:-1] = np.diff(starts)
+    counts[-1] = sk.size - starts[-1]
+    return order, starts, counts
+
+
+def _line_stats(texts: pd.Series, n: int) -> dict[str, np.ndarray]:
+    """Per-doc duplicate-line stats.  A line is a '\\n' segment, space-
+    trimmed (DuckDB ``trim()`` semantics: spaces only), empties dropped;
+    dup = any occurrence beyond the first of an identical line in the
+    SAME doc; char counts are per-line character lengths."""
+    out = {
+        k: np.zeros(n, dtype=np.int64)
+        for k in ("n_lines", "dup_lines", "line_chars", "dup_line_chars")
+    }
+    split = texts.fillna("").str.split("\n")
+    per_doc = split.str.len().to_numpy(dtype=np.int64)
+    if per_doc.sum() == 0:
+        return out
+    flat = pd.Series(
+        [ln for lines in split for ln in lines], dtype=object
+    ).str.strip(" ")
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), per_doc)
+    keep = (flat != "").to_numpy()
+    if not keep.any():
+        return out
+    flat = flat[keep]
+    doc_of = doc_of[keep]
+    lens = flat.str.len().to_numpy(dtype=np.int64)
+    h = pd.util.hash_array(flat.to_numpy(dtype=object)).astype(np.uint64)
+    order, starts, counts = _runs(_pack(doc_of, h))
+    run_doc = doc_of[order][starts]
+    run_len = lens[order][starts]
+    np.add.at(out["n_lines"], run_doc, counts)
+    np.add.at(out["dup_lines"], run_doc, counts - 1)
+    np.add.at(out["line_chars"], run_doc, counts * run_len)
+    np.add.at(out["dup_line_chars"], run_doc, (counts - 1) * run_len)
+    return out
+
+
+def rep_signal_arrays(texts: pd.Series) -> dict[str, np.ndarray]:
+    """All per-doc repetition signals for one batch (pure numpy)."""
+    n = len(texts)
+    out = _line_stats(texts, n)
+    st = build_stream(texts)
+    wl = st.word_lengths
+    doc_of_word = np.repeat(
+        np.arange(n, dtype=np.int64), st.words_per_doc
+    )
+    out["word_chars"] = np.bincount(
+        doc_of_word, weights=wl, minlength=n
+    ).astype(np.int64)[:n]
+    # length of the whitespace-normalized text: words + single spaces
+    out["norm_chars"] = out["word_chars"] + np.maximum(
+        st.words_per_doc - 1, 0
+    )
+    for k in (2, 3, 4, 5):
+        out.setdefault(f"top{k}_w", np.zeros(n, dtype=np.int64))
+    out["dup5_cov"] = np.zeros(n, dtype=np.int64)
+    W = st.word_hashes.size
+    if W == 0:
+        return out
+    wcs = np.concatenate(([0], np.cumsum(wl)))
+    g = st.word_hashes
+    for k in (2, 3, 4, 5):
+        if W < k:
+            break
+        # rolling k-gram hash: fold the k-th word into the (k-1)-gram
+        g = pair_hash_np(g[: W - k + 1], st.word_hashes[k - 1 :])
+        # a gram is in-doc iff its first and last words share the doc
+        valid = doc_of_word[: W - k + 1] == doc_of_word[k - 1 :]
+        if not valid.any():
+            continue
+        pos = np.flatnonzero(valid)
+        glen = wcs[pos + k] - wcs[pos] + (k - 1)  # + joiner spaces
+        gdoc = doc_of_word[pos]
+        order, starts, counts = _runs(_pack(gdoc, g[pos]))
+        if k < 5:
+            run_doc = gdoc[order][starts]
+            w_run = counts * glen[order][starts]
+            w_run[counts < 2] = 0
+            np.maximum.at(out[f"top{k}_w"], run_doc, w_run)
+        else:
+            # union character coverage of duplicated 5-grams
+            dup_sorted = np.repeat(counts >= 2, counts)
+            dup = np.empty(pos.size, dtype=bool)
+            dup[order] = dup_sorted
+            dstarts = pos[dup]
+            if dstarts.size == 0:
+                continue
+            delta = np.zeros(W + 1, dtype=np.int64)
+            np.add.at(delta, dstarts, 1)
+            np.add.at(delta, dstarts + k, -1)
+            covered = np.cumsum(delta[:W]) > 0
+            out["dup5_cov"] = np.bincount(
+                doc_of_word[covered], weights=wl[covered], minlength=n
+            ).astype(np.int64)[:n]
+    out.pop("top5_w", None)
+    return out
+
+
+def rep_signals_pdf(pdf: pd.DataFrame, key_cols: list[str], text_col: str) -> pd.DataFrame:
+    sig = rep_signal_arrays(pdf[text_col])
+    res = pdf[key_cols].copy()
+    for c in SIGNAL_COLS:
+        res[c] = sig[c]
+    return res
+
+
+def rep_signal_frame(
+    df: DataFrame, key_cols: list[str], text_col: str = "text"
+) -> DataFrame:
+    """(keys..., integer repetition signals) — one Arrow pass, map-only."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*key_cols).schema.fields
+    ) + ", " + ", ".join(f"{c} long" for c in SIGNAL_COLS)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf):
+                yield rep_signals_pdf(pdf, key_cols, text_col)
+
+    return df.select(*key_cols, text_col).mapInPandas(run, schema)
+
+
+def with_rep_fracs(sig: DataFrame, round_to: int = 6) -> DataFrame:
+    """Derive the thresholdable fractions from the integer signals
+    (JVM-side division + round; 0 when the denominator is 0)."""
+
+    def frac(num: str, den: str) -> F.Column:
+        return F.round(
+            F.when(F.col(den) > 0, F.col(num) / F.col(den)).otherwise(0.0),
+            round_to,
+        )
+
+    return (
+        sig.withColumn("dup_line_frac", frac("dup_lines", "n_lines"))
+        .withColumn("dup_line_char_frac", frac("dup_line_chars", "line_chars"))
+        .withColumn("top2_char_frac", frac("top2_w", "norm_chars"))
+        .withColumn("top3_char_frac", frac("top3_w", "norm_chars"))
+        .withColumn("top4_char_frac", frac("top4_w", "norm_chars"))
+        .withColumn("dup5_char_frac", frac("dup5_cov", "word_chars"))
+    )

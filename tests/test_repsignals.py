@@ -1,0 +1,194 @@
+"""Gopher repetition-signals battery (operators/repsignals.py).
+
+A pure-python brute-force twin recomputes every signal from first
+principles (dict counting, string grams, set-union coverage); the numpy
+kernel must match it exactly on crafted docs covering newlines, dup
+lines, tie cases, overlapping 5-gram repeats, empty/NULL text, and
+single-word docs.  Plus: partitioning invariance, the derived fractions,
+and the standing DuckDB parity gate for the past-window
+``repetition_signals`` registry row.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from radio_data_curation_ssl_spark.functions.textstream import (
+    split_words_ascii,
+)
+from radio_data_curation_ssl_spark.operators.repsignals import (
+    SIGNAL_COLS,
+    rep_signal_arrays,
+    rep_signal_frame,
+    with_rep_fracs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def brute_force(text: str | None) -> dict[str, int]:
+    out = dict.fromkeys(SIGNAL_COLS, 0)
+    if text is None:
+        return out
+    # lines: '\n' segments, space-trimmed, empties dropped
+    lines = [ln.strip(" ") for ln in text.split("\n")]
+    lines = [ln for ln in lines if ln]
+    seen: dict[str, int] = {}
+    for ln in lines:
+        seen[ln] = seen.get(ln, 0) + 1
+    out["n_lines"] = len(lines)
+    out["dup_lines"] = sum(c - 1 for c in seen.values())
+    out["line_chars"] = sum(len(ln) for ln in lines)
+    out["dup_line_chars"] = sum(
+        (c - 1) * len(ln) for ln, c in seen.items()
+    )
+    words = split_words_ascii(text.lower())
+    out["word_chars"] = sum(len(w) for w in words)
+    out["norm_chars"] = out["word_chars"] + max(len(words) - 1, 0)
+    for k in (2, 3, 4):
+        grams: dict[str, int] = {}
+        for i in range(len(words) - k + 1):
+            g = " ".join(words[i : i + k])
+            grams[g] = grams.get(g, 0) + 1
+        out[f"top{k}_w"] = max(
+            (c * len(g) for g, c in grams.items() if c >= 2), default=0
+        )
+    g5: dict[str, list[int]] = {}
+    for i in range(len(words) - 4):
+        g5.setdefault(" ".join(words[i : i + 5]), []).append(i)
+    covered: set[int] = set()
+    for poss in g5.values():
+        if len(poss) >= 2:
+            for p in poss:
+                covered.update(range(p, p + 5))
+    out["dup5_cov"] = sum(len(words[i]) for i in covered)
+    return out
+
+
+CRAFTED = [
+    "one two three one two three one two x",          # repeated grams
+    "dup line\ndup line\nsolo\n   \ndup line",        # 3x line + blanks
+    "a b c d e f a b c d e g a b c d e h",            # dup 5-gram 'a b c d e'
+    "q w e r t q w e r t",                            # overlapping coverage
+    "tab\tsep words tab\tsep words",                  # tabs inside lines
+    "single",                                          # 1 word
+    "",                                                # empty
+    None,                                              # NULL
+    "x " * 40,                                         # one gram repeated a lot
+    "Case CASE case\ncase",                            # words lowercase, lines raw
+]
+
+
+def test_kernel_matches_brute_force():
+    sig = rep_signal_arrays(pd.Series(CRAFTED, dtype=object))
+    for i, text in enumerate(CRAFTED):
+        want = brute_force(text)
+        got = {c: int(sig[c][i]) for c in SIGNAL_COLS}
+        assert got == want, f"doc {i}: {got} != {want}"
+
+
+def test_hand_computed_values():
+    """Spot-check the twin itself on doc 2 (planted dup 5-gram)."""
+    w = brute_force("a b c d e f a b c d e g a b c d e h")
+    # 'a b c d e' at word positions 0, 6, 12 -> coverage 0..16 (17 words
+    # of len 1), positions 0-4,6-10,12-16 = 15 words covered
+    assert w["dup5_cov"] == 15
+    # heaviest repeated bigram: 'a b' / 'b c' / 'c d' / 'd e' all 3x len 3
+    assert w["top2_w"] == 9
+    # heaviest repeated 4-gram: 'a b c d' 3x len 7 = 21
+    assert w["top4_w"] == 21
+    w = brute_force("dup line\ndup line\nsolo\n   \ndup line")
+    assert (w["n_lines"], w["dup_lines"]) == (4, 2)
+    assert (w["line_chars"], w["dup_line_chars"]) == (28, 16)
+
+
+def test_frame_and_partitioning_invariance(spark):
+    df1 = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CRAFTED)],
+        "doc_id long, text string",
+    ).repartition(1)
+    df7 = df1.repartition(7)
+    a = {
+        r["doc_id"]: tuple(r[c] for c in SIGNAL_COLS)
+        for r in rep_signal_frame(df1, ["doc_id"]).collect()
+    }
+    b = {
+        r["doc_id"]: tuple(r[c] for c in SIGNAL_COLS)
+        for r in rep_signal_frame(df7, ["doc_id"]).collect()
+    }
+    assert a == b
+    want = {
+        i: tuple(brute_force(t)[c] for c in SIGNAL_COLS)
+        for i, t in enumerate(CRAFTED)
+    }
+    assert a == want
+
+
+def test_with_rep_fracs(spark):
+    df = spark.createDataFrame(
+        [(0, "dup line\ndup line\nsolo")], "doc_id long, text string"
+    )
+    row = with_rep_fracs(rep_signal_frame(df, ["doc_id"])).first()
+    assert row["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert row["dup_line_char_frac"] == pytest.approx(8 / 20, abs=1e-6)
+    # zero denominators -> 0.0, not NULL/NaN
+    row0 = with_rep_fracs(
+        rep_signal_frame(
+            spark.createDataFrame([(0, "")], "doc_id long, text string"),
+            ["doc_id"],
+        )
+    ).first()
+    for c in (
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top2_char_frac",
+        "dup5_char_frac",
+    ):
+        assert row0[c] == 0.0
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="key_cols"):
+        rep_signal_frame(df, [])
+
+
+def test_plan_is_map_only(spark):
+    """The 100 TB contract: scan -> Arrow pass -> done, zero Exchanges."""
+    import re
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    df = REGISTRY["repetition_signals"].spark(spark, SF)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert not re.search(r"\bExchange\b", p)
+    assert "MapInPandas" in p
+
+
+def test_registry_query_oracle_parity(spark):
+    """Standing local gate for the past-window registry row (oracle
+    position 52; the driver checks the first 50)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["repetition_signals"]
+    got = {
+        r["doc_id"]: tuple(r[c] for c in SIGNAL_COLS)
+        for r in q.spark(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    cols = [d[0] for d in con.execute(q.oracle).description]
+    assert cols == ["doc_id", *SIGNAL_COLS]
+    want = {r[0]: tuple(r[1:]) for r in con.execute(q.oracle).fetchall()}
+    assert got == want
+    # the derived corpus exercises every signal family
+    assert any(v[1] > 0 for v in got.values())  # dup_lines
+    assert any(v[6] > 0 for v in got.values())  # top2_w
+    assert any(v[9] > 0 for v in got.values())  # dup5_cov

@@ -181,6 +181,15 @@ def main(argv: list[str] | None = None) -> int:
         help="soft-word count at which a URL is dropped (default 2)",
     )
     ap.add_argument(
+        "--rep-filter",
+        action="store_true",
+        help="with --sample-target: additionally drop curated documents "
+        "whose Gopher repetition signals (duplicate-line fractions, top "
+        "2/3/4-gram weight, duplicated-5-gram coverage) exceed the paper "
+        "thresholds — the opt-in boilerplate killer; the base keep/drop "
+        "decision is unchanged (operators/repsignals.py)",
+    )
+    ap.add_argument(
         "--seen-urls",
         default=None,
         help="with --sample-target: parquet dir holding a `url` column of "
@@ -201,6 +210,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.decontaminate is not None
         or args.export_jsonl is not None
         or args.blocked_domains is not None
+        or args.rep_filter
         or args.url_hard_words is not None
         or args.url_soft_words is not None
     ) and args.sample_target is None:
@@ -322,6 +332,7 @@ def main(argv: list[str] | None = None) -> int:
                     url_hard_words=_csv(args.url_hard_words),
                     url_soft_words=_csv(args.url_soft_words),
                     url_soft_threshold=args.url_soft_threshold,
+                    rep_filter=args.rep_filter,
                     line_dedup=args.line_dedup,
                     substring_dedup=args.substring_dedup,
                     seen_urls=seen,

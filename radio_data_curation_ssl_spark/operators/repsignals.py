@@ -208,6 +208,68 @@ def rep_signal_frame(
     return df.select(*key_cols, text_col).mapInPandas(run, schema)
 
 
+# Gopher Table A1 repetition thresholds (drop when a fraction EXCEEDS
+# its bound); dup5_char_frac bounds the union coverage of duplicated
+# 5-grams (the paper thresholds 5..10-gram coverage at 0.15..0.10 — one
+# representative member here, the strictest-signal 5-gram)
+GOPHER_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top2_char_frac": 0.20,
+    "top3_char_frac": 0.18,
+    "top4_char_frac": 0.16,
+    "dup5_char_frac": 0.15,
+}
+
+
+def _frac_np(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    out = np.zeros(num.size, dtype=np.float64)
+    nz = den > 0
+    out[nz] = num[nz] / den[nz]
+    return out
+
+
+def filter_by_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Drop rows whose repetition fractions exceed the (Gopher-style)
+    thresholds; every input column passes through unchanged.  One
+    map-only Arrow pass (signals + verdict computed in-batch, no join
+    back, no shuffle) — the opt-in flow stage behind ``rep_filter``.
+
+    Unknown threshold keys are rejected; missing keys simply aren't
+    enforced, so ``{"dup_line_frac": 0.3}`` checks one signal only.
+    """
+    th = GOPHER_THRESHOLDS if thresholds is None else thresholds
+    fracs = {
+        "dup_line_frac": ("dup_lines", "n_lines"),
+        "dup_line_char_frac": ("dup_line_chars", "line_chars"),
+        "top2_char_frac": ("top2_w", "norm_chars"),
+        "top3_char_frac": ("top3_w", "norm_chars"),
+        "top4_char_frac": ("top4_w", "norm_chars"),
+        "dup5_char_frac": ("dup5_cov", "word_chars"),
+    }
+    unknown = set(th) - set(fracs)
+    if unknown:
+        raise ValueError(f"unknown repetition thresholds: {sorted(unknown)}")
+    schema = df.schema
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            sig = rep_signal_arrays(pdf[text_col])
+            keep = np.ones(len(pdf), dtype=bool)
+            for name, bound in th.items():
+                num, den = fracs[name]
+                keep &= _frac_np(sig[num], sig[den]) <= bound
+            yield pdf[keep]
+
+    return df.mapInPandas(run, schema)
+
+
 def with_rep_fracs(sig: DataFrame, round_to: int = 6) -> DataFrame:
     """Derive the thresholdable fractions from the integer signals
     (JVM-side division + round; 0 when the denominator is 0)."""

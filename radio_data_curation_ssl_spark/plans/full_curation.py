@@ -82,6 +82,7 @@ def curate_dedup_sample(
     url_hard_words: list[str] | None = None,
     url_soft_words: list[str] | None = None,
     url_soft_threshold: int = 2,
+    rep_filter: bool | dict = False,
     host_cap: int | None = None,
     lang_budget_frac: float | None = None,
     sample_alpha: float | None = None,
@@ -164,6 +165,14 @@ def curate_dedup_sample(
     per-depth broadcast equi-joins), containing a hard-banned word, or
     >= ``url_soft_threshold`` soft-banned words in the URL are dropped
     before ANY text work — the cheapest filter runs earliest.
+
+    ``rep_filter`` stacks the Gopher repetition-signals battery
+    (operators/repsignals.py) on the curated keep set: documents whose
+    duplicate-line / top-n-gram / duplicated-5-gram fractions exceed the
+    thresholds (``True`` = GOPHER_THRESHOLDS; a dict overrides) are
+    dropped before dedup.  OFF by default — the base keep/drop decision
+    stays byte-identical to the reference contract; this is the opt-in
+    boilerplate killer (one extra map-only Arrow pass on kept docs).
     """
     if target < 0:
         raise ValueError(f"target must be >= 0, got {target}")
@@ -239,7 +248,16 @@ def curate_dedup_sample(
     kept_cols = ["url", "warc_ts", "text", "text_scrubbed", "lang_pred"]
     if shaping:
         kept_cols.append("ppl")  # the budgets' quality score
-    kept = full.where("keep").select(*kept_cols).persist()
+    kept = full.where("keep").select(*kept_cols)
+    if rep_filter:
+        from ..operators.repsignals import filter_by_repetition
+
+        kept = filter_by_repetition(
+            kept,
+            text_col="text",
+            thresholds=rep_filter if isinstance(rep_filter, dict) else None,
+        )
+    kept = kept.persist()
     # exact dedup: one row per text hash, min (url, warc_ts) wins — a
     # same-url recapture (identical text, two warc_ts rows) collapses to
     # exactly one row (keep_first dedups order-ties).  uniq is persisted:

@@ -192,3 +192,77 @@ def test_registry_query_oracle_parity(spark):
     assert any(v[1] > 0 for v in got.values())  # dup_lines
     assert any(v[6] > 0 for v in got.values())  # top2_w
     assert any(v[9] > 0 for v in got.values())  # dup5_cov
+
+
+# opt-in repetition filter (operator + flow stage)
+
+
+def test_filter_by_repetition_drops_boilerplate(spark):
+    from radio_data_curation_ssl_spark.operators.repsignals import (
+        filter_by_repetition,
+    )
+
+    clean = (
+        "the quick brown fox jumps over a lazy dog while many other "
+        "animals watch the scene quietly from behind tall green trees"
+    )
+    dup_lines = "menu home about contact\n" * 5 + clean
+    rep_gram = ("buy cheap products online now " * 8) + clean
+    df = spark.createDataFrame(
+        [(0, clean), (1, dup_lines), (2, rep_gram), (3, None)],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in filter_by_repetition(df).collect()
+    )
+    # clean survives; boilerplate docs die; NULL text has no signals
+    assert kept == [0, 3]
+    # single-signal threshold dict enforces only that signal
+    only_lines = filter_by_repetition(
+        df, thresholds={"dup_line_frac": 0.3}
+    )
+    assert sorted(r["doc_id"] for r in only_lines.collect()) == [0, 2, 3]
+    # all columns pass through unchanged
+    assert only_lines.columns == df.columns
+    with pytest.raises(ValueError, match="unknown repetition"):
+        filter_by_repetition(df, thresholds={"nope": 0.1})
+
+
+def test_filter_plan_is_map_only(spark):
+    import re
+
+    from radio_data_curation_ssl_spark.operators.repsignals import (
+        filter_by_repetition,
+    )
+
+    df = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+    out = filter_by_repetition(df)
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert not re.search(r"\bExchange\b", p)
+
+
+def test_flow_rep_filter_stage(spark, pages_small):
+    """rep_filter=True composes with the flow; a strict dict provably
+    removes docs the base rules kept; default OFF leaves the sample
+    byte-identical to the no-flag run."""
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    base = curate_dedup_sample(pages_small, target=10**9, near_dup="none")
+    n_base = base.count()
+    deflt = curate_dedup_sample(
+        pages_small, target=10**9, near_dup="none", rep_filter=True
+    )
+    n_default = deflt.count()
+    assert 0 < n_default <= n_base  # thresholds only ever remove
+    strict = curate_dedup_sample(
+        pages_small,
+        target=10**9,
+        near_dup="none",
+        rep_filter={"top2_char_frac": 0.0},
+    )
+    n_strict = strict.count()
+    assert n_strict < n_base  # any repeated bigram at all now drops

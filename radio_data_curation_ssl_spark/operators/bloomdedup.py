@@ -156,10 +156,15 @@ def incremental_new(
     """EXACT ``batch`` rows whose ``key_col`` never appears in ``seen``,
     with the seen side scanned but never shuffled.
 
-    Plan: bloom(seen keys) prefilter -> definite-new rows bypass all
-    joins; maybe-seen candidates broadcast-semi-probe ``seen`` (hits are
-    the candidate keys that truly exist) -> broadcast anti-join removes
-    them.  Exactness: bloom negatives are guaranteed absent (no false
+    Plan: bloom(seen keys) prefilter -> only maybe-seen candidate keys
+    broadcast-semi-probe ``seen`` (hits are the candidate keys that
+    truly exist) -> ONE broadcast anti-join over the whole batch removes
+    them.  Definite-new rows cannot hit (hits is a subset of the true
+    seen keys, and a bloom negative is guaranteed absent), so the anti
+    probe is a no-op hash lookup for them — cheaper than the former
+    where-split + unionByName, which re-ran the batch's upstream
+    lineage (canonicalization + the Arrow flag pass) once per branch.
+    Exactness: bloom negatives are guaranteed absent (no false
     negatives over the xxhash64 key image; a 64-bit hash collision only
     ever ADDS a candidate, which the key-equal verify joins then judge
     on the string key itself).  At 10^12 seen rows the only full-corpus
@@ -174,13 +179,14 @@ def incremental_new(
         m_bits,
         k_hashes,
     ).drop(kh)
-    definite_new = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
-    cand = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
-    cand_keys = cand.select(key_col).distinct()
+    cand_keys = (
+        flagged.where(F.col("maybe_seen")).select(key_col).distinct()
+    )
     hits = (
         seen.join(F.broadcast(cand_keys), key_col, "left_semi")
         .select(key_col)
         .distinct()
     )
-    survivors = cand.join(F.broadcast(hits), key_col, "left_anti")
-    return definite_new.unionByName(survivors)
+    return flagged.drop("maybe_seen").join(
+        F.broadcast(hits), key_col, "left_anti"
+    )

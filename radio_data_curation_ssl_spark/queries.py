@@ -1002,9 +1002,12 @@ FROM ranked WHERE rn <= 5
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     buckets = _ann_bucket_rows(e)
-    qb = (
-        buckets.where("vec_id < 10")
-        .selectExpr("vec_id AS query_id", "tbl", "bucket")
+    # bucket the query rows from a PRE-filtered scan: the kernel is
+    # per-row, so this is identical to filtering its output — but the
+    # vec_id predicate reaches the parquet scan instead of running the
+    # full-corpus Arrow pass a second time just to keep |Q| rows.
+    qb = _ann_bucket_rows(e.where("vec_id < 10")).selectExpr(
+        "vec_id AS query_id", "tbl", "bucket"
     )
     cand = (
         buckets.join(

@@ -1,0 +1,105 @@
+"""Cluster job entry: publish a corpus datasheet (data card) as JSON.
+
+Every released web corpus ships its composition — language mix, length
+and perplexity distributions, host concentration, a duplication
+estimate, and the pipeline's drop-reason accounting (the FineWeb /
+Dolma data cards, C4 paper section 2 tables).  This job computes all of
+it with bounded driver traffic (plans/datasheet.py) and publishes one
+JSON artifact with RunLog lineage, run the same way every other cluster
+job here runs (north_rule: spark-submit --py-files)::
+
+    zip -r curation.zip radio_data_curation_ssl_spark
+    spark-submit --py-files curation.zip jobs/corpus_report.py \
+        --input /data/raw_pages --output /shared/datasheet.json \
+        --run-root /data/meta
+
+Local smoke (this sandbox)::
+
+    python jobs/corpus_report.py --synth 5000 \
+        --output /tmp/datasheet.json --run-root /tmp/meta
+
+``--input`` takes a pages-shaped parquet (url, warc_ts, text, ...) and
+runs the full curation plan before reporting; pass ``--decided`` when
+the input is already a ``curate()`` output (has keep/drop_reason/score
+columns) to report on it directly — e.g. the decided frame a previous
+run_curation.py wrote.  ``--models`` scores with a fit_models.py
+artifact instead of the synthetic defaults, exactly like
+run_curation.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet dir: pages, or decided with --decided")
+    ap.add_argument("--synth", type=int, help="generate N synthetic pages instead")
+    ap.add_argument(
+        "--decided",
+        action="store_true",
+        help="--input is already a curate() output; skip curation",
+    )
+    ap.add_argument("--models", help="fit_models.py npz artifact to score with")
+    ap.add_argument("--output", required=True, help="datasheet JSON path")
+    ap.add_argument("--run-root", required=True, help="dir for _runs/_metrics")
+    ap.add_argument("--top-hosts", type=int, default=20)
+    ap.add_argument("--length-bucket-words", type=int, default=50)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+    if args.decided and not args.input:
+        ap.error("--decided requires --input")
+
+    from radio_data_curation_ssl_spark.plans.datasheet import (
+        corpus_datasheet,
+        write_datasheet,
+    )
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+    from radio_data_curation_ssl_spark.plans.runmeta import RunLog
+    from radio_data_curation_ssl_spark.session import get_spark
+    from radio_data_curation_ssl_spark.synth import synth_pages
+
+    spark = get_spark("corpus-report", master=args.master)
+    config = {
+        k: v for k, v in vars(args).items() if k != "master" and v is not None
+    }
+    log = RunLog(spark, args.run_root)
+    run_id = log.start("corpus_report", config)
+    try:
+        if args.synth:
+            decided = curate(synth_pages(spark, args.synth, seed=42, partitions=64))
+        elif args.input and args.decided:
+            decided = spark.read.parquet(args.input)
+        elif args.input:
+            models = None
+            if args.models:
+                from jobs.fit_models import load_models
+
+                models = load_models(args.models)
+            decided = curate(spark.read.parquet(args.input), models=models)
+        else:
+            ap.error("one of --input / --synth required")
+        report = corpus_datasheet(
+            decided,
+            top_hosts=args.top_hosts,
+            length_bucket_words=args.length_bucket_words,
+        )
+        report["run_id"] = run_id
+        write_datasheet(report, args.output)
+        log.finish(run_id, "corpus_report", config, status="done")
+    except Exception:
+        log.finish(run_id, "corpus_report", config, status="failed")
+        raise
+    print(json.dumps({"run_id": run_id, "output": args.output,
+                      "counts": report["counts"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,196 @@
+"""Corpus datasheet — the data-card statistics published alongside
+curated web corpora (the FineWeb / Dolma data cards, C4 paper section 2
+tables), computed over the pipeline's decided frame.
+
+The reference pipeline records per-run counters only (drop-reason
+histogram, /root/reference/src/1a_cutouts_sw.py:124 analog in
+plans/runmeta.py); a corpus a trainer consumes additionally ships its
+composition: language mix, length and perplexity distributions, host
+concentration, and a duplication estimate.  This plan produces exactly
+that as one JSON-able dict.
+
+Scale design — every statistic is either a map-side-combinable
+aggregate or a bounded collect:
+
+- global scalars: ONE wide aggregation job (counts, sums, t-digest
+  ``percentile_approx`` quantiles, HLL ``approx_count_distinct``) —
+  constant driver traffic at any corpus size.  Quantiles are sketches
+  by design: exact ``percentile`` holds per-partition value multisets,
+  which is fine for the bounded-cardinality columns the registered
+  ``groupby_percentiles`` query demonstrates but not for a continuous
+  score at 10^11 rows.
+- language mix / drop reasons: groupBy over enum-cardinality keys.
+- host concentration: groupBy(host) count (map-side combined; hosts are
+  well-distributed), then a global sort LIMITed to ``top_hosts`` rows —
+  TakeOrdered, no full sort materialization.
+- duplication: 1 - HLL(xxhash64(text)) / n, the exact-dup-rate estimate
+  (the full dedup operators live in queries.py / full_curation.py; the
+  datasheet wants a cheap single-pass number, not the dedup itself).
+- length histogram: fixed-width word buckets -> groupBy over a bounded
+  key domain.
+
+Total: four aggregation jobs over a frame this function pins once
+(persist -> release in finally), never a corpus-sized collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import url as URL
+
+QUANTILES = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+_PA_ACC = 10000  # percentile_approx accuracy (t-digest-style sketch)
+
+
+def _rows_to_sorted_dict(rows, key, val) -> dict:
+    return {
+        ("null" if r[key] is None else str(r[key])): r[val]
+        for r in sorted(rows, key=lambda r: (r[key] is None, str(r[key])))
+    }
+
+
+def corpus_datasheet(
+    decided: DataFrame,
+    top_hosts: int = 20,
+    length_bucket_words: int = 50,
+) -> dict:
+    """Data-card dict for a ``curate()``-shaped frame (needs ``url``,
+    ``text``, ``keep``, ``drop_reason``, ``lang_pred``, ``ppl``,
+    ``n_words``, ``stopword_ratio``, ``symbol_word_ratio``,
+    ``rep_bigram_frac``).
+
+    Content statistics (language mix, quantiles, hosts, histogram)
+    describe the KEPT slice — the corpus a trainer sees; ``counts`` and
+    ``drop_reasons`` describe the whole decided frame.
+    """
+    if top_hosts < 1:
+        raise ValueError(f"top_hosts must be >= 1, got {top_hosts}")
+    if length_bucket_words < 1:
+        raise ValueError(
+            f"length_bucket_words must be >= 1, got {length_bucket_words}"
+        )
+    qarr = ", ".join(str(q) for q in QUANTILES)
+    decided = decided.persist()
+    try:
+        kept = decided.where("keep")
+        g = decided.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_words"))).alias(
+                "total_words_kept"
+            ),
+            F.approx_count_distinct(F.xxhash64("text")).alias("approx_texts"),
+            F.approx_count_distinct(
+                F.expr(URL.url_host("url").spark)
+            ).alias("approx_hosts"),
+            F.expr(
+                f"percentile_approx(CASE WHEN keep THEN n_words END,"
+                f" array({qarr}), {_PA_ACC})"
+            ).alias("q_words"),
+            F.expr(
+                f"percentile_approx(CASE WHEN keep THEN ppl END,"
+                f" array({qarr}), {_PA_ACC})"
+            ).alias("q_ppl"),
+            F.avg(F.when(F.col("keep"), F.col("stopword_ratio"))).alias(
+                "mean_stopword_ratio"
+            ),
+            F.avg(F.when(F.col("keep"), F.col("symbol_word_ratio"))).alias(
+                "mean_symbol_word_ratio"
+            ),
+            F.avg(F.when(F.col("keep"), F.col("rep_bigram_frac"))).alias(
+                "mean_rep_bigram_frac"
+            ),
+        ).collect()[0]
+
+        langs = kept.groupBy("lang_pred").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+        drops = (
+            decided.where("NOT keep")
+            .groupBy("drop_reason")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        host_rows = (
+            kept.select(F.expr(URL.url_host("url").spark).alias("host"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "host")
+            .limit(top_hosts)
+            .collect()
+        )
+        hist_rows = (
+            kept.select(
+                (
+                    F.floor(F.col("n_words") / length_bucket_words)
+                    * length_bucket_words
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    finally:
+        decided.unpersist()
+
+    n_docs, n_kept = g["n_docs"], g["n_kept"]
+    quantile = lambda arr: (  # noqa: E731 — tiny local shaping helper
+        {str(q): v for q, v in zip(QUANTILES, arr)} if arr else {}
+    )
+    top = [{"host": r["host"], "n_docs": r["n"]} for r in host_rows]
+    top_n = sum(h["n_docs"] for h in top)
+    return {
+        "counts": {
+            "n_docs": n_docs,
+            "n_kept": n_kept,
+            "keep_rate": round(n_kept / n_docs, 6) if n_docs else None,
+            "total_words_kept": g["total_words_kept"] or 0,
+        },
+        "duplication": {
+            "approx_distinct_texts": g["approx_texts"],
+            # HLL relative error ~ 5% default; clamp the estimate to [0, 1]
+            "approx_exact_dup_rate": (
+                round(max(0.0, 1.0 - g["approx_texts"] / n_docs), 6)
+                if n_docs
+                else None
+            ),
+        },
+        "languages": _rows_to_sorted_dict(langs, "lang_pred", "n"),
+        "drop_reasons": _rows_to_sorted_dict(drops, "drop_reason", "n"),
+        "hosts": {
+            "approx_n_hosts": g["approx_hosts"],
+            "top": top,
+            "top_share_of_kept": (
+                round(top_n / n_kept, 6) if n_kept else None
+            ),
+        },
+        "kept_quality": {
+            "n_words_quantiles": quantile(g["q_words"]),
+            "ppl_quantiles": quantile(g["q_ppl"]),
+            "mean_stopword_ratio": g["mean_stopword_ratio"],
+            "mean_symbol_word_ratio": g["mean_symbol_word_ratio"],
+            "mean_rep_bigram_frac": g["mean_rep_bigram_frac"],
+        },
+        "length_histogram": {
+            "bucket_words": length_bucket_words,
+            "buckets": {
+                str(r["bucket"]): r["n"]
+                for r in sorted(hist_rows, key=lambda r: r["bucket"])
+            },
+        },
+    }
+
+
+def write_datasheet(report: dict, path: str) -> None:
+    """Atomic JSON publish (same tmp + os.replace idiom as
+    plans/snapshots.py's manifest store)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True)
+    os.replace(tmp, path)

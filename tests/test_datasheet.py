@@ -1,0 +1,157 @@
+"""Corpus datasheet (plans/datasheet.py + jobs/corpus_report.py): exact
+counts on a hand-built decided frame, duplication estimate, atomic JSON
+publish, and the job's synth end-to-end path."""
+
+import json
+import os
+
+import pytest
+
+from radio_data_curation_ssl_spark.plans.datasheet import (
+    QUANTILES,
+    corpus_datasheet,
+    write_datasheet,
+)
+
+
+def _decided(spark):
+    """12 docs: 8 kept (en x 6 / de x 2), 4 dropped (2 reasons); host000
+    dominates the kept slice with 4 docs; two exact-dup text pairs."""
+    rows = []
+    hosts = ["host000"] * 4 + ["host001", "host002", "host001", "host003"]
+    langs = ["en"] * 6 + ["de"] * 2
+    for i in range(8):
+        rows.append(
+            (
+                f"https://{hosts[i]}.example.org/p{i}",
+                f"text body {i % 6}",  # i=6,7 duplicate i=0,1
+                True,
+                None,
+                langs[i],
+                float(5 + i),
+                100 + 10 * i,
+                0.4,
+                0.1,
+                0.0,
+            )
+        )
+    for i in range(4):
+        rows.append(
+            (
+                f"https://dropped{i}.example.org/p{i}",
+                f"dropped text {i}",
+                False,
+                "lang" if i % 2 else "repetition",
+                "fr",
+                99.0,
+                30,
+                0.1,
+                0.5,
+                0.8,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "url string, text string, keep boolean, drop_reason string, "
+        "lang_pred string, ppl double, n_words long, stopword_ratio double, "
+        "symbol_word_ratio double, rep_bigram_frac double",
+    )
+
+
+@pytest.fixture(scope="module")
+def report(spark):
+    return corpus_datasheet(_decided(spark), top_hosts=2,
+                            length_bucket_words=50)
+
+
+def test_counts_exact(report):
+    assert report["counts"]["n_docs"] == 12
+    assert report["counts"]["n_kept"] == 8
+    assert report["counts"]["keep_rate"] == round(8 / 12, 6)
+    assert report["counts"]["total_words_kept"] == sum(
+        100 + 10 * i for i in range(8)
+    )
+
+
+def test_language_mix_and_drop_reasons(report):
+    assert report["languages"] == {"de": 2, "en": 6}
+    assert report["drop_reasons"] == {"lang": 2, "repetition": 2}
+
+
+def test_host_concentration(report):
+    # host000 x 4, host001 x 2 are the top-2 of the KEPT slice
+    assert report["hosts"]["top"] == [
+        {"host": "host000.example.org", "n_docs": 4},
+        {"host": "host001.example.org", "n_docs": 2},
+    ]
+    assert report["hosts"]["top_share_of_kept"] == round(6 / 8, 6)
+
+
+def test_duplication_estimate(report):
+    # 12 docs, 10 distinct texts (docs 6,7 repeat 0,1) -> rate 2/12;
+    # HLL on 12 values is exact in practice but allow sketch slack
+    assert abs(report["duplication"]["approx_exact_dup_rate"] - 2 / 12) < 0.05
+
+
+def test_quantiles_and_histogram(report):
+    qw = report["kept_quality"]["n_words_quantiles"]
+    assert set(qw) == {str(q) for q in QUANTILES}
+    assert qw["0.5"] in (130, 140)  # kept n_words 100..170, either median def
+    # kept docs: 100..140 -> bucket 100 x5, 150..170 -> bucket 150 x3
+    assert report["length_histogram"]["buckets"] == {"100": 5, "150": 3}
+    assert sum(report["length_histogram"]["buckets"].values()) == 8
+    assert report["kept_quality"]["mean_stopword_ratio"] == pytest.approx(0.4)
+
+
+def test_deterministic(spark, report):
+    again = corpus_datasheet(_decided(spark), top_hosts=2,
+                             length_bucket_words=50)
+    assert again == report
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError, match="top_hosts"):
+        corpus_datasheet(_decided(spark), top_hosts=0)
+    with pytest.raises(ValueError, match="length_bucket_words"):
+        corpus_datasheet(_decided(spark), length_bucket_words=0)
+
+
+def test_write_datasheet_atomic_roundtrip(report, tmp_path):
+    path = str(tmp_path / "cards" / "datasheet.json")
+    write_datasheet(report, path)
+    assert not os.path.exists(path + ".tmp")
+    with open(path) as f:
+        assert json.load(f) == json.loads(json.dumps(report))
+
+
+def test_job_synth_end_to_end(spark, tmp_path):
+    """jobs/corpus_report.py --synth: curation -> datasheet -> JSON with
+    RunLog lineage (reuses the running session via --master inherit)."""
+    import jobs.corpus_report as job
+
+    out = str(tmp_path / "ds.json")
+    rc = job.main(
+        [
+            "--synth",
+            "400",
+            "--output",
+            out,
+            "--run-root",
+            str(tmp_path / "meta"),
+        ]
+    )
+    assert rc == 0
+    with open(out) as f:
+        ds = json.load(f)
+    assert ds["counts"]["n_docs"] == 400
+    assert 0 < ds["counts"]["n_kept"] < 400
+    # synth seed 42 drops ~40%: reasons are the pipeline's enum
+    from radio_data_curation_ssl_spark.operators.decide import RULE_ORDER
+
+    assert set(ds["drop_reasons"]) <= set(RULE_ORDER) | {"quality_model"}
+    assert ds["run_id"]
+    from radio_data_curation_ssl_spark.plans.runmeta import RunLog
+
+    log = RunLog(spark, str(tmp_path / "meta"))
+    runs = {r["run_id"]: r for r in log.runs().collect()}
+    assert runs[ds["run_id"]]["status"] == "done"

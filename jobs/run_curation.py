@@ -190,6 +190,15 @@ def main(argv: list[str] | None = None) -> int:
         "decision is unchanged (operators/repsignals.py)",
     )
     ap.add_argument(
+        "--datasheet",
+        default=None,
+        help="additionally publish a corpus datasheet (data card) JSON at "
+        "this path — language mix, drop-reason accounting, kept-slice "
+        "length/ppl quantiles, host concentration, duplication estimate "
+        "(plans/datasheet.py); computed over the full decided frame in "
+        "every mode",
+    )
+    ap.add_argument(
         "--seen-urls",
         default=None,
         help="with --sample-target: parquet dir holding a `url` column of "
@@ -374,6 +383,16 @@ def main(argv: list[str] | None = None) -> int:
                 buckets_per_commit=args.buckets_per_commit,
             )
         metrics = log.log_metrics(run_id, "curate", result)
+        if args.datasheet:
+            from radio_data_curation_ssl_spark.plans.datasheet import (
+                corpus_datasheet,
+                write_datasheet,
+            )
+
+            card = corpus_datasheet(result)
+            card["run_id"] = run_id
+            write_datasheet(card, args.datasheet)
+            extra["datasheet"] = args.datasheet
         log.finish(run_id, "curate", config, status="done")
         print(
             json.dumps(

@@ -284,6 +284,27 @@ def ppl_proxy(bg: str = "bigrams") -> P:
     )
 
 
+def ppl_sum_seeded(seed: str, bg: str = "bigrams") -> P:
+    """Integer pseudo-logprob SUM over bigrams under a SEEDED hash model:
+    model(seed) assigns gram g the integer ``hash64(seed || g) % PPL_MOD``.
+
+    Two seeds = two independent oracle-recomputable pseudo models — the
+    portable stand-in for DSIR's target/raw hashed-ngram models (the
+    production operator, operators/dsir.py, swaps in real ``fit_table``
+    models with the same batched shape).  Integer sum is exact in both
+    engines; NULL for docs without bigrams.
+    """
+    if not seed.isalnum():
+        raise ValueError(f"seed must be alphanumeric (SQL literal): {seed!r}")
+    h = hash64(f"concat('{seed}', x)")
+    return P(
+        f"CASE WHEN size({bg}) > 0 THEN aggregate({bg}, CAST(0 AS BIGINT),"
+        f" (a, x) -> a + ({h.spark} % {PPL_MOD})) ELSE NULL END",
+        f"CASE WHEN len({bg}) > 0 THEN CAST(list_aggregate(list_transform({bg},"
+        f" x -> {h.duck} % {PPL_MOD}), 'sum') AS BIGINT) ELSE NULL END",
+    )
+
+
 # ---------------------------------------------------------------------------
 # fingerprints / sketches
 

@@ -71,6 +71,7 @@ __all__ = [
     "temperature_sample",
     "topfrac_per_group",
     "topk_per_group_salted",
+    "topn_per_group",
 ]
 
 
@@ -182,6 +183,40 @@ def topfrac_per_group(
     )
     quota = F.floor(F.lit(float(frac)) * F.col("_tf_n")).cast("long")
     stats = stats.withColumn("_tf_q", quota)
+    return _select_topq(df, group_col, score_col, tie_col, stats, n_buckets)
+
+
+def topn_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    tie_col: str,
+    n: int,
+    n_buckets: int = 4096,
+    pin_input: bool = False,
+) -> DataFrame:
+    """Rows whose rank by ``(score asc, tie asc)`` within ``group_col`` is
+    ``<= min(n, count(group))`` — the absolute-count sibling of
+    ``topfrac_per_group``, same histogram selection, same scale / NULL /
+    ``pin_input`` contract (see that docstring).  Unlike
+    ``topk_per_group_salted`` (small fixed k, two windows) this form
+    never windows more than the boundary bucket, so ``n`` may be
+    corpus-sized — e.g. DSIR's "resample N documents" (operators/dsir.py)
+    with a single constant group."""
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    if pin_input:
+        df = df.localCheckpoint(eager=False)
+
+    s = F.col(score_col).cast("double")
+    stats = df.groupBy(group_col).agg(
+        F.count("*").alias("_tf_n"),
+        F.min(s).alias("_tf_mn"),
+        F.max(s).alias("_tf_mx"),
+    )
+    stats = stats.withColumn(
+        "_tf_q", F.least(F.lit(int(n)).cast("long"), F.col("_tf_n"))
+    )
     return _select_topq(df, group_col, score_col, tie_col, stats, n_buckets)
 
 

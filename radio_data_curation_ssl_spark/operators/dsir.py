@@ -1,0 +1,147 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169) over hashed-bigram language models.
+
+The recipe: fit a hashed n-gram model on the TARGET distribution (the
+high-quality corpus you want more of) and one on the RAW distribution
+(the crawl), weight every raw document by its log-likelihood ratio
+
+    logw(doc) = sum over bigrams of  log p_target(g) - log p_raw(g)
+
+and resample by weight — Gumbel-top-k gives a without-replacement
+sample proportional to ``softmax(logw)``; plain top-n is the
+deterministic greedy variant.
+
+Everything composes from kernels this engine already ships:
+
+- both models come from ``operators/perplexity.py::fit_table`` (the
+  distributed CCNet-style fit; driver traffic = one 2^16 int16 table);
+- scoring reuses the scorer's own ``_valid_bigrams`` segmentation (fit
+  and score can never disagree) in ONE Arrow pass that gathers BOTH
+  broadcast tables — not two ``with_perplexity`` passes;
+- selection is the histogram top-q of ``operators/budget.py`` with a
+  single constant group (never a corpus-wide sort or window; only the
+  boundary bucket, ~n/4096 rows, is ever ranked).
+
+Scale: one map-only Arrow pass over the corpus + the budget module's
+two tiny map-side-combined agg shuffles.  The Gumbel noise is a
+deterministic hash of the tie column, so selection is reproducible and
+oracle-free randomness never enters the plan.
+
+Relation of logw to the scorer's perplexity: ``score_from_stream``
+returns ``exp(-mean_lp)``, so ``logw = n_bigrams * (ln ppl_raw -
+ln ppl_target)`` — the one-pass kernel below computes the same value
+directly (pytest-gated twin).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.textstream import build_stream
+from .budget import topn_per_group
+from .perplexity import _SCALE, _valid_bigrams
+
+
+def dsir_logweights_batch(
+    texts: pd.Series, target_table: np.ndarray, raw_table: np.ndarray
+) -> np.ndarray:
+    """Per-doc log-likelihood ratio for one Arrow batch: one stream
+    build, one bucket pass, both tables gathered on the same indices.
+    NaN for NULL docs and docs with no in-doc bigram (importance weight
+    undefined — no evidence either way)."""
+    stream = build_stream(texts)
+    n = stream.n_docs
+    out = np.full(n, np.nan, dtype=np.float64)
+    if stream.word_hashes.size >= 2:
+        buckets, valid, doc_of = _valid_bigrams(stream)
+        diff = (
+            target_table[buckets].astype(np.float64)
+            - raw_table[buckets].astype(np.float64)
+        ) / _SCALE
+        sums = np.bincount(doc_of[valid], weights=diff[valid], minlength=n)
+        counts = np.bincount(doc_of[valid], minlength=n)
+        out = np.where(counts > 0, sums, np.nan)
+    out[stream.null_mask] = np.nan
+    return out
+
+
+def with_dsir_logratio(
+    docs: DataFrame,
+    target_table: np.ndarray,
+    raw_table: np.ndarray,
+    text_col: str = "text",
+    out_col: str = "dsir_logw",
+) -> DataFrame:
+    """Append the DSIR log importance weight via two broadcast tables
+    (each a ``fit_table`` result) and ONE iterator ``mapInPandas`` pass."""
+    if target_table.shape != raw_table.shape:
+        raise ValueError(
+            f"table shapes differ: {target_table.shape} vs {raw_table.shape}"
+        )
+    spark = docs.sparkSession
+    bc_t = spark.sparkContext.broadcast(target_table)
+    bc_r = spark.sparkContext.broadcast(raw_table)
+    schema = T.StructType(
+        list(docs.schema.fields) + [T.StructField(out_col, T.DoubleType(), True)]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tt, rt = bc_t.value, bc_r.value
+        for b in it:
+            out = b.copy()
+            out[out_col] = dsir_logweights_batch(b[text_col], tt, rt)
+            yield out
+
+    return docs.mapInPandas(run, schema)
+
+
+_U_BITS = 24  # uniform resolution for the Gumbel draw (2^24 levels)
+
+
+def dsir_select(
+    scored: DataFrame,
+    n: int,
+    weight_col: str = "dsir_logw",
+    tie_col: str = "url",
+    gumbel_seed: int | None = None,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """The ``n`` raw documents DSIR keeps, by descending importance key.
+
+    ``gumbel_seed=None``: greedy top-n by ``(logw desc, tie asc)``.
+    ``gumbel_seed=k``: Gumbel-top-k — key = logw + Gumbel(0,1) drawn
+    deterministically from ``xxhash64(tie, k)``, a without-replacement
+    sample proportional to ``softmax(logw)`` (the paper's resampling
+    step), bit-reproducible for a given seed.
+
+    Docs whose weight is NULL/NaN (no bigrams) are excluded — they carry
+    no evidence under either model.  Selection is the histogram top-q
+    (operators/budget.py) on the NEGATED key with one constant group:
+    no corpus-wide sort, only the boundary bucket is ranked.
+    """
+    w = F.col(weight_col).cast("double")
+    df = scored.where(w.isNotNull() & ~F.isnan(w))
+    key = w
+    if gumbel_seed is not None:
+        # u in (0, 1) from the 2^24-bucket hash residue, +0.5 to avoid
+        # the log(0) endpoints; then the standard Gumbel transform
+        u = (
+            F.pmod(
+                F.xxhash64(F.col(tie_col), F.lit(int(gumbel_seed))),
+                F.lit(1 << _U_BITS),
+            )
+            + F.lit(0.5)
+        ) / F.lit(float(1 << _U_BITS))
+        key = key + (-F.log(-F.log(u)))
+    df = df.withColumn("_dsir_neg", -key).withColumn("_dsir_g", F.lit(0))
+    out = topn_per_group(
+        df, "_dsir_g", "_dsir_neg", tie_col, n, n_buckets=n_buckets
+    )
+    return out.drop("_dsir_neg", "_dsir_g")

@@ -3651,3 +3651,49 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", f"{_RS_TEXT} AS text"
     )
     return rep_signal_frame(docs, ["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (r4 session 6).  Registered past the driver's
+# 50-row window (CLAUDE.md policy): standing local parity via
+# tests/parity_check.py + tests/test_dsir.py.
+
+_DSIR_T = X.ppl_sum_seeded("dsirT")
+_DSIR_R = X.ppl_sum_seeded("dsirR")
+_DSIR_N = 50
+
+
+@register(
+    "dsir_select_topn",
+    f"""
+WITH w AS ({_DOC_WORDS_DUCK}),
+b AS (SELECT doc_id, {_BG.duck} AS bigrams FROM w),
+s AS (SELECT doc_id, ({_DSIR_T.duck}) - ({_DSIR_R.duck}) AS dsir_w FROM b)
+SELECT doc_id, dsir_w FROM s WHERE dsir_w IS NOT NULL
+ORDER BY dsir_w DESC, doc_id LIMIT {_DSIR_N}
+""",
+    doc="DSIR data selection (Xie et al. 2023): score every document by "
+    "its log-likelihood ratio between a target and a raw hashed-bigram "
+    "model, keep the top-n.  The oracle pairs the seeded integer pseudo "
+    "models (functions/text.py::ppl_sum_seeded — same precedent as the "
+    "perplexity proxy); the Spark side runs the PRODUCTION selection "
+    "path, operators/dsir.py::dsir_select -> budget histogram top-q with "
+    "one constant group: no corpus-wide sort or window, only the "
+    "boundary bucket (~n/4096 rows) is ranked.  The fitted-model form "
+    "(fit_table target/raw + one dual-gather Arrow pass + Gumbel "
+    "resampling) is twin-tested in tests/test_dsir.py.",
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dsir import dsir_select
+
+    scored = (
+        _docs_with_words(spark, sf_dir)
+        .withColumn("bigrams", F.expr(_BG.spark))
+        .selectExpr(
+            "doc_id",
+            f"({_DSIR_T.spark}) - ({_DSIR_R.spark}) AS dsir_w",
+        )
+    )
+    return dsir_select(
+        scored, _DSIR_N, weight_col="dsir_w", tie_col="doc_id"
+    ).select("doc_id", "dsir_w")

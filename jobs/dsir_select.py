@@ -1,0 +1,117 @@
+"""Cluster job entry: DSIR data selection (target-conditioned sampling).
+
+Fit a hashed-bigram model on a TARGET corpus (the distribution you want
+more of) and one on the RAW corpus, weight every raw document by its
+log-likelihood ratio, and keep the top-n (or a Gumbel-top-k resample —
+the DSIR paper's without-replacement sampling, deterministic under
+--gumbel-seed).  Run the same way every other cluster job here runs
+(north_rule: spark-submit --py-files)::
+
+    zip -r curation.zip radio_data_curation_ssl_spark
+    spark-submit --py-files curation.zip jobs/dsir_select.py \
+        --input /data/crawl_pages --target /data/wiki_pages \
+        --n 1000000 --output /data/dsir_selected --run-root /data/meta
+
+Local smoke (this sandbox)::
+
+    python jobs/dsir_select.py --synth 3000 --n 500 \
+        --output /tmp/dsir_out --run-root /tmp/meta
+
+Scale: two distributed fits (driver traffic = one 2^16 int16 table
+each), ONE Arrow scoring pass over the raw corpus, histogram top-q
+selection (no global sort).  Output parquet keeps the input schema plus
+``dsir_logw``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="raw corpus parquet dir (text column)")
+    ap.add_argument("--synth", type=int, help="generate N synthetic pages instead")
+    ap.add_argument(
+        "--target",
+        help="target-distribution corpus parquet dir; defaults to the "
+        "synth clean slice when --synth is used",
+    )
+    ap.add_argument("--n", type=int, required=True, help="documents to keep")
+    ap.add_argument("--output", required=True, help="selected-rows parquet dir")
+    ap.add_argument("--run-root", required=True, help="dir for _runs/_metrics")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--tie-col", default="url", help="deterministic tiebreak column")
+    ap.add_argument(
+        "--gumbel-seed",
+        type=int,
+        default=None,
+        help="resample proportionally to softmax(logw) instead of greedy "
+        "top-n (deterministic for a given seed)",
+    )
+    ap.add_argument("--alpha", type=float, default=0.01, help="fit smoothing")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+    if args.n < 0:
+        ap.error("--n must be >= 0")
+
+    from radio_data_curation_ssl_spark.operators.dsir import (
+        dsir_select,
+        with_dsir_logratio,
+    )
+    from radio_data_curation_ssl_spark.operators.perplexity import fit_table
+    from radio_data_curation_ssl_spark.plans.runmeta import RunLog
+    from radio_data_curation_ssl_spark.session import get_spark
+    from radio_data_curation_ssl_spark.synth import synth_pages
+
+    spark = get_spark("dsir-select", master=args.master)
+    config = {
+        k: v for k, v in vars(args).items() if k != "master" and v is not None
+    }
+    log = RunLog(spark, args.run_root)
+    run_id = log.start("dsir_select", config)
+    try:
+        if args.synth:
+            raw = synth_pages(spark, args.synth, seed=42, partitions=64)
+        elif args.input:
+            raw = spark.read.parquet(args.input)
+        else:
+            ap.error("one of --input / --synth required")
+        if args.target:
+            target = spark.read.parquet(args.target)
+        elif args.synth:
+            # the synth corpus marks its clean slice in the url path
+            target = raw.where("url LIKE '%/clean/%'")
+        else:
+            ap.error("--target required with --input")
+        t_table = fit_table(target, args.text_col, alpha=args.alpha)
+        r_table = fit_table(raw, args.text_col, alpha=args.alpha)
+        scored = with_dsir_logratio(
+            raw, t_table, r_table, text_col=args.text_col
+        )
+        picked = dsir_select(
+            scored,
+            args.n,
+            tie_col=args.tie_col,
+            gumbel_seed=args.gumbel_seed,
+        )
+        picked.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        log.finish(run_id, "dsir_select", config, status="done")
+        print(json.dumps({"run_id": run_id, "selected": n_out,
+                          "output": args.output}))
+        return 0
+    except Exception:
+        log.finish(run_id, "dsir_select", config, status="failed")
+        raise
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

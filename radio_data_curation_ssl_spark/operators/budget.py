@@ -67,6 +67,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 __all__ = [
+    "take_weight_budget",
     "temperature_quotas",
     "temperature_sample",
     "topfrac_per_group",
@@ -299,6 +300,132 @@ def _select_topq(
         .drop("_tf_rn")
     )
     helper = ["_tf_mn", "_tf_mx", "_tf_q", "_tf_bucket", "_tf_bstar", "_tf_take"]
+    return below.unionByName(boundary).drop(*helper)
+
+
+def take_weight_budget(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    tie_col: str,
+    weight_col: str,
+    budget: float,
+    n_buckets: int = 4096,
+    pin_input: bool = False,
+) -> DataFrame:
+    """The maximal budget-filling prefix of each group: rows whose
+    running WEIGHT before them — by ``(key asc, tie asc)`` — is
+    ``< budget``.  The trainer-facing "give me N tokens" cut (weight =
+    token count, key = a quality rank or a uniform hash for an unbiased
+    sample); the kept set may overshoot by less than one row's weight,
+    exactly like the window form it twins::
+
+        coalesce(sum(w) OVER (PARTITION BY g ORDER BY key, tie
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            < budget
+
+    Computed without windowing whole groups: the same histogram
+    selection as ``topfrac_per_group`` (same scale story, same
+    ``pin_input`` contract) with per-bucket MASS in place of row count —
+    the boundary bucket is the first whose running mass reaches
+    ``min(budget, group total)``, buckets below it are kept whole with
+    no sort, and only boundary-bucket rows enter a running-sum window.
+
+    Contract: ``key_col`` non-NULL/NaN finite (it is the bucketed
+    axis — same as ``score_col`` in ``topfrac_per_group``);
+    ``weight_col`` non-NULL and non-negative (negative weights break
+    prefix monotonicity and raise downstream nonsense, so they are
+    rejected by a cheap plan-side guard).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if pin_input:
+        df = df.localCheckpoint(eager=False)
+
+    s = F.col(key_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    # negative/NULL weights -> fail fast inside the expression (the agg
+    # below would otherwise silently compute a wrong boundary)
+    w = F.when(w >= 0, w).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"take_weight_budget: NULL/negative {weight_col}: "),
+                F.col(weight_col).cast("string"),
+            )
+        )
+    )
+    df = df.withColumn("_wb_w", w)
+
+    stats = df.groupBy(group_col).agg(
+        F.min(s).alias("_tf_mn"),
+        F.max(s).alias("_tf_mx"),
+        F.sum("_wb_w").alias("_wb_total"),
+    )
+    stats = stats.withColumn("_wb_b", F.lit(float(budget)))
+
+    span = F.col("_tf_mx") - F.col("_tf_mn")
+    bucket = F.when(span > 0, F.least(
+        F.floor((s - F.col("_tf_mn")) / span * n_buckets),
+        F.lit(n_buckets - 1),
+    )).otherwise(F.lit(0)).cast("int")
+    tagged = _join_nullsafe_bcast(
+        df, stats.select(group_col, "_tf_mn", "_tf_mx", "_wb_b"), group_col
+    ).withColumn("_tf_bucket", bucket)
+
+    hist = tagged.groupBy(group_col, "_tf_bucket").agg(
+        F.sum("_wb_w").alias("_wb_mass"), F.first("_wb_b").alias("_wb_b")
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("_tf_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # boundary bucket: first whose running mass reaches the budget —
+    # exists iff budget <= group total.  Groups whose budget EXCEEDS
+    # their total keep every row (the window twin's "before < budget"
+    # is vacuously true), expressed as a sentinel boundary past the last
+    # bucket so the below-branch keeps them whole with no special case.
+    # Zero-budget groups match neither and are dropped whole (correct:
+    # no prefix has mass < 0).
+    boundary_rows = (
+        hist.withColumn("_wb_cum", F.sum("_wb_mass").over(wcum))
+        .withColumn("_wb_below", F.col("_wb_cum") - F.col("_wb_mass"))
+        .where(
+            (F.col("_wb_below") < F.col("_wb_b"))
+            & (F.col("_wb_cum") >= F.col("_wb_b"))
+        )
+        .select(
+            group_col,
+            F.col("_tf_bucket").alias("_tf_bstar"),
+            (F.col("_wb_b") - F.col("_wb_below")).alias("_wb_take"),
+        )
+    )
+    keep_whole = stats.where(F.col("_wb_total") < F.col("_wb_b")).select(
+        group_col,
+        F.lit(n_buckets).alias("_tf_bstar"),
+        F.lit(0.0).alias("_wb_take"),
+    )
+    solved = boundary_rows.unionByName(keep_whole).localCheckpoint(
+        eager=False  # |groups| rows, shared by both branches below
+    )
+
+    routed = _join_nullsafe_bcast(tagged, solved, group_col)
+    below = routed.where(F.col("_tf_bucket") < F.col("_tf_bstar"))
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(key_col).asc(), F.col(tie_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = (
+        routed.where(F.col("_tf_bucket") == F.col("_tf_bstar"))
+        .withColumn("_wb_before", F.coalesce(F.sum("_wb_w").over(wb), F.lit(0.0)))
+        .where(F.col("_wb_before") < F.col("_wb_take"))
+        .drop("_wb_before")
+    )
+    helper = ["_wb_w", "_tf_mn", "_tf_mx", "_wb_b", "_tf_bucket",
+              "_tf_bstar", "_wb_take"]
     return below.unionByName(boundary).drop(*helper)
 
 

@@ -3697,3 +3697,54 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(
         scored, _DSIR_N, weight_col="dsir_w", tie_col="doc_id"
     ).select("doc_id", "dsir_w")
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection (r4 session 6) — past-window, standing parity
+# in tests/test_dsir.py's sibling tests/test_budget.py gate.
+
+_TB_KEY = X.hash64("CAST(doc_id AS STRING)", "CAST(doc_id AS VARCHAR)")
+_TB_BUDGET = 12000  # words: ~44% of the sf0.01 corpus (27k), ~0.5% at sf0.1
+
+
+@register(
+    "token_budget_select",
+    f"""
+WITH w AS (SELECT doc_id, {X.words('text').duck} AS words FROM documents),
+n AS (SELECT doc_id, {X.n_words('words').duck} AS n_words,
+             {_TB_KEY.duck} AS key FROM w),
+c AS (SELECT doc_id, n_words,
+             coalesce(sum(n_words) OVER (ORDER BY key, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS before
+      FROM n)
+SELECT doc_id, n_words FROM c WHERE before < {_TB_BUDGET}
+""",
+    doc="Trainer-facing token budget: keep documents in uniform-hash "
+    "order until the word budget fills (the 'give me N tokens' cut; "
+    "overshoot < one document, exactly the window-cumsum semantics the "
+    "oracle states).  The Spark side runs the PRODUCTION path, "
+    "operators/budget.py::take_weight_budget — histogram selection with "
+    "per-bucket MASS: one map-side-combined stats agg, one (group, "
+    "bucket) mass histogram, boundary solve on that tiny frame, and a "
+    "running-sum window over ONLY the boundary bucket (~1/4096 of the "
+    "group) — never a corpus-wide sort or window, at any budget size.  "
+    "Swap the hash key for a quality rank to fill the budget best-first.",
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.budget import take_weight_budget
+
+    w = (
+        t(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{X.words('text').spark} AS words")
+        .selectExpr(
+            "doc_id",
+            f"{X.n_words('words').spark} AS n_words",
+            f"{_TB_KEY.spark} AS key",
+        )
+        .withColumn("_g", F.lit(0))
+    )
+    out = take_weight_budget(
+        w, "_g", "key", "doc_id", "n_words", _TB_BUDGET
+    )
+    return out.select("doc_id", "n_words")

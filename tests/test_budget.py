@@ -368,3 +368,101 @@ def test_temperature_sample_null_group_fills_quota(spark):
     }
     assert got_n == {g: q for g, q in want.items() if q > 0}
     assert sum(got_n.values()) >= 98  # undershoot bounded by |groups|
+
+
+# take_weight_budget (token-budget selection) -------------------------------
+
+
+def _budget_window_reference(df, group, key, tie, weight, budget):
+    wb = (
+        Window.partitionBy(group)
+        .orderBy(F.col(key).asc(), F.col(tie).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn(
+            "_before", F.coalesce(F.sum(F.col(weight)).over(wb), F.lit(0))
+        )
+        .where(F.col("_before") < budget)
+        .drop("_before")
+    )
+
+
+def _wb_frame(spark, n=3000):
+    """Groups with skewed weights, heavy key ties, zero-weight rows and a
+    NULL group."""
+    base = spark.range(n).select(
+        F.col("id").alias("rid"),
+        F.when(F.pmod("id", F.lit(11)) == 0, None)
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(3)).cast("string"))
+        .alias("g"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(5)).cast("double").alias("key"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(40))).alias("w"),
+    )
+    # ~1/8 zero-weight rows (empty docs)
+    return base.withColumn(
+        "w", F.when(F.pmod("rid", F.lit(8)) == 0, F.lit(0)).otherwise(F.col("w"))
+    )
+
+
+@pytest.mark.parametrize("budget", [0, 1, 500, 7000, 10**9])
+def test_take_weight_budget_matches_window(spark, budget):
+    """Exact equivalence with the window-cumsum reference across budget
+    regimes: empty keep (0), boundary inside a tie run, and budget far
+    beyond every group's total (keep-whole incl. zero-weight tails)."""
+    from radio_data_curation_ssl_spark.operators.budget import (
+        take_weight_budget,
+    )
+
+    df = _wb_frame(spark)
+    got = take_weight_budget(df, "g", "key", "rid", "w", budget, n_buckets=16)
+    want = _budget_window_reference(df, "g", "key", "rid", "w", budget)
+    assert keys(got, "rid") == keys(want, "rid"), f"budget={budget}"
+    assert set(got.columns) == set(df.columns)
+
+
+def test_take_weight_budget_overshoot_bounded(spark):
+    """Kept mass is < budget + max single weight, and adding the next row
+    by key order would cross the budget (maximality)."""
+    from radio_data_curation_ssl_spark.operators.budget import (
+        take_weight_budget,
+    )
+
+    df = _wb_frame(spark).where("g = '1'")
+    budget = 2000
+    got = take_weight_budget(df, "g", "key", "rid", "w", budget, n_buckets=16)
+    total = got.agg(F.sum("w")).collect()[0][0]
+    assert total >= budget  # maximal prefix crosses the budget
+    assert total < budget + 40  # overshoot < one row's weight (max 39)
+
+
+def test_take_weight_budget_validates(spark):
+    from radio_data_curation_ssl_spark.operators.budget import (
+        take_weight_budget,
+    )
+
+    df = _wb_frame(spark, 100)
+    with pytest.raises(ValueError, match="budget"):
+        take_weight_budget(df, "g", "key", "rid", "w", -1)
+    with pytest.raises(Exception, match="negative"):
+        take_weight_budget(
+            df.withColumn("w", F.lit(-5)), "g", "key", "rid", "w", 10
+        ).count()
+
+
+def test_registry_token_budget_oracle_parity(spark):
+    """Standing local gate for the past-window token_budget_select row
+    (the driver checks the first 50)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["token_budget_select"]
+    got = {tuple(r) for r in q.spark(spark, SF).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = set(map(tuple, con.execute(q.oracle).fetchall()))
+    assert got == want
+    assert 0 < len(got)

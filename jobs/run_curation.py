@@ -190,6 +190,16 @@ def main(argv: list[str] | None = None) -> int:
         "decision is unchanged (operators/repsignals.py)",
     )
     ap.add_argument(
+        "--token-budget",
+        type=_positive,
+        default=None,
+        help="publish the sample by TOKEN budget instead of doc count: "
+        "keep documents in uniform url-hash order until the summed word "
+        "count of the published text reaches this number (overshoot < "
+        "one document; exclusive with --sample-alpha; --sample-target "
+        "is not required and is ignored as a count)",
+    )
+    ap.add_argument(
         "--datasheet",
         default=None,
         help="additionally publish a corpus datasheet (data card) JSON at "
@@ -222,13 +232,15 @@ def main(argv: list[str] | None = None) -> int:
         or args.rep_filter
         or args.url_hard_words is not None
         or args.url_soft_words is not None
-    ) and args.sample_target is None:
+    ) and args.sample_target is None and args.token_budget is None:
         ap.error(
             "--url-dedup/--line-dedup/--substring-dedup/--seen-urls/"
             "--host-cap/--lang-budget/--sample-alpha/--decontaminate/"
             "--export-jsonl/--blocked-domains/--url-hard-words/"
-            "--url-soft-words require --sample-target"
+            "--url-soft-words require --sample-target or --token-budget"
         )
+    if args.token_budget is not None and args.sample_alpha is not None:
+        ap.error("--token-budget and --sample-alpha are exclusive")
 
     from radio_data_curation_ssl_spark.operators.resume import write_resumable
     from radio_data_curation_ssl_spark.plans.pipeline import curate
@@ -280,7 +292,7 @@ def main(argv: list[str] | None = None) -> int:
             quality = (qm, args.quality_threshold)
         result = curate(pages, models=models, quality=quality)
         extra: dict = {}
-        if args.sample_target is not None:
+        if args.sample_target is not None or args.token_budget is not None:
             from radio_data_curation_ssl_spark.plans import snapshots
             from radio_data_curation_ssl_spark.plans.full_curation import (
                 curate_dedup_sample,
@@ -325,7 +337,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 sample = curate_dedup_sample(
                     pages,
-                    args.sample_target,
+                    args.sample_target if args.sample_target is not None else 0,
                     # url_dedup/seen_urls filter PAGES before curation, so
                     # the flow curates internally in those modes (the
                     # metrics frame `result` still reports on the full
@@ -348,6 +360,7 @@ def main(argv: list[str] | None = None) -> int:
                     host_cap=args.host_cap,
                     lang_budget_frac=args.lang_budget,
                     sample_alpha=args.sample_alpha,
+                    token_budget=args.token_budget,
                     models=models,
                     quality=quality,
                     decontaminate=(

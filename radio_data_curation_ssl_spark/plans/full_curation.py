@@ -86,6 +86,7 @@ def curate_dedup_sample(
     host_cap: int | None = None,
     lang_budget_frac: float | None = None,
     sample_alpha: float | None = None,
+    token_budget: int | None = None,
     models: tuple | None = None,
     quality: tuple | None = None,
     decontaminate: DataFrame | None = None,
@@ -159,6 +160,13 @@ def curate_dedup_sample(
     ``alpha=0`` equal-split, between them the CCNet/XLM-R low-resource
     upweighting.  Flooring can undershoot ``target`` by < |languages|.
 
+    ``token_budget`` replaces the doc-count sampler entirely (mutually
+    exclusive with ``sample_alpha``; ``target`` is ignored): keep
+    documents in uniform url-hash order until the summed word count of
+    the PUBLISHED ``text_scrubbed`` reaches the budget — the
+    trainer-facing "give me N tokens" cut
+    (operators/budget.py::take_weight_budget, overshoot < one document).
+
     ``blocked_domains`` / ``url_hard_words`` / ``url_soft_words`` run
     the UT1/FineWeb-style URL pre-filter FIRST (operators/urlfilter.py):
     pages on a blocklisted domain (label-anchored subdomain matching via
@@ -176,6 +184,11 @@ def curate_dedup_sample(
     """
     if target < 0:
         raise ValueError(f"target must be >= 0, got {target}")
+    if token_budget is not None:
+        if token_budget < 0:
+            raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+        if sample_alpha is not None:
+            raise ValueError("token_budget and sample_alpha are exclusive")
     if near_dup not in ("minhash", "simhash", "none"):
         raise ValueError(f"unknown near_dup mode {near_dup!r}")
     if host_cap is not None and host_cap < 1:
@@ -476,9 +489,33 @@ def curate_dedup_sample(
     # balanced sample across predicted languages (water-fill quota);
     # clamp target to the surviving population
     n = neat.count()
-    if n == 0 or target == 0:
+    if n == 0 or (target == 0 and token_budget is None):
         return neat.select("url", "warc_ts", "text_scrubbed", "lang_pred").limit(0)
-    if sample_alpha is not None:
+    if token_budget is not None:
+        from ..functions import text as X
+        from ..operators.budget import take_weight_budget
+
+        # weight = word count of the PUBLISHED text (post line/substring
+        # dedup); guarded to 0 for empty/NULL payloads so the operator's
+        # non-negative-weight contract holds for every surviving row
+        pool = (
+            neat.selectExpr(
+                "*", f"{X.words('text_scrubbed').spark} AS _tb_words"
+            )
+            .withColumn(
+                "_tb_w",
+                F.coalesce(
+                    F.greatest(F.size("_tb_words"), F.lit(0)), F.lit(0)
+                ).cast("long"),
+            )
+            .drop("_tb_words")
+            .withColumn("_tb_key", F.xxhash64("url"))
+            .withColumn("_tb_g", F.lit(0))
+        )
+        out = take_weight_budget(
+            pool, "_tb_g", "_tb_key", "url", "_tb_w", token_budget
+        ).drop("_tb_w", "_tb_key", "_tb_g")
+    elif sample_alpha is not None:
         from ..operators.budget import temperature_sample
 
         out = temperature_sample(

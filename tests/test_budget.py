@@ -466,3 +466,28 @@ def test_registry_token_budget_oracle_parity(spark):
     want = set(map(tuple, con.execute(q.oracle).fetchall()))
     assert got == want
     assert 0 < len(got)
+
+
+def test_flow_token_budget_mode(spark, pages_small):
+    """curate_dedup_sample(token_budget=B): published word mass lands in
+    [B, B + max doc), deterministic, exclusive with sample_alpha."""
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    B = 3000
+    out = curate_dedup_sample(pages_small, 0, token_budget=B).cache()
+    words = out.select(
+        F.size(F.split(F.trim("text_scrubbed"), r"\s+")).alias("nw")
+    )
+    total, mx = words.agg(F.sum("nw"), F.max("nw")).collect()[0]
+    assert B <= total < B + mx
+    again = curate_dedup_sample(pages_small, 0, token_budget=B)
+    assert keys(again, "url") == keys(out, "url")
+    out.unpersist()
+    with pytest.raises(ValueError, match="exclusive"):
+        curate_dedup_sample(
+            pages_small, 0, token_budget=B, sample_alpha=0.5
+        )
+    with pytest.raises(ValueError, match="token_budget"):
+        curate_dedup_sample(pages_small, 0, token_budget=-1)

@@ -55,6 +55,10 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if args.decided and not args.input:
         ap.error("--decided requires --input")
+    if not args.synth and not args.input:
+        # validate BEFORE RunLog.start: ap.error raises SystemExit, which
+        # the failed-status except below (deliberately) does not catch
+        ap.error("one of --input / --synth required")
 
     from radio_data_curation_ssl_spark.plans.datasheet import (
         corpus_datasheet,
@@ -76,15 +80,13 @@ def main(argv: list[str] | None = None) -> int:
             decided = curate(synth_pages(spark, args.synth, seed=42, partitions=64))
         elif args.input and args.decided:
             decided = spark.read.parquet(args.input)
-        elif args.input:
+        else:
             models = None
             if args.models:
                 from jobs.fit_models import load_models
 
                 models = load_models(args.models)
             decided = curate(spark.read.parquet(args.input), models=models)
-        else:
-            ap.error("one of --input / --synth required")
         report = corpus_datasheet(
             decided,
             top_hosts=args.top_hosts,

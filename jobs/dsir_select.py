@@ -59,6 +59,12 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if args.n < 0:
         ap.error("--n must be >= 0")
+    # validate BEFORE RunLog.start: ap.error raises SystemExit, which the
+    # failed-status except below (deliberately) does not catch
+    if not args.synth and not args.input:
+        ap.error("one of --input / --synth required")
+    if not args.target and not args.synth:
+        ap.error("--target required with --input")
 
     from radio_data_curation_ssl_spark.operators.dsir import (
         dsir_select,
@@ -78,17 +84,13 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.synth:
             raw = synth_pages(spark, args.synth, seed=42, partitions=64)
-        elif args.input:
-            raw = spark.read.parquet(args.input)
         else:
-            ap.error("one of --input / --synth required")
+            raw = spark.read.parquet(args.input)
         if args.target:
             target = spark.read.parquet(args.target)
-        elif args.synth:
+        else:
             # the synth corpus marks its clean slice in the url path
             target = raw.where("url LIKE '%/clean/%'")
-        else:
-            ap.error("--target required with --input")
         t_table = fit_table(target, args.text_col, alpha=args.alpha)
         r_table = fit_table(raw, args.text_col, alpha=args.alpha)
         scored = with_dsir_logratio(

@@ -209,6 +209,16 @@ def main(argv: list[str] | None = None) -> int:
         "every mode",
     )
     ap.add_argument(
+        "--seen-texts",
+        default=None,
+        help="with --sample-target/--token-budget: parquet dir holding a "
+        "`text` column of already-committed documents; pages whose raw "
+        "text matches byte-for-byte are dropped before curation (the "
+        "content-level sibling of --seen-urls — catches recaptures under "
+        "different urls; md5-keyed Bloom prefilter, committed side "
+        "scanned once, never shuffled)",
+    )
+    ap.add_argument(
         "--seen-urls",
         default=None,
         help="with --sample-target: parquet dir holding a `url` column of "
@@ -223,6 +233,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.line_dedup
         or args.substring_dedup
         or args.seen_urls
+        or args.seen_texts
         or args.host_cap is not None
         or args.lang_budget is not None
         or args.sample_alpha is not None
@@ -344,7 +355,12 @@ def main(argv: list[str] | None = None) -> int:
                     # input)
                     curated=(
                         None
-                        if (args.url_dedup or seen is not None or url_filtering)
+                        if (
+                            args.url_dedup
+                            or seen is not None
+                            or args.seen_texts
+                            or url_filtering
+                        )
                         else result
                     ),
                     work_dir=f"{args.output}/_work",
@@ -357,6 +373,11 @@ def main(argv: list[str] | None = None) -> int:
                     line_dedup=args.line_dedup,
                     substring_dedup=args.substring_dedup,
                     seen_urls=seen,
+                    seen_texts=(
+                        spark.read.parquet(args.seen_texts).select("text")
+                        if args.seen_texts
+                        else None
+                    ),
                     host_cap=args.host_cap,
                     lang_budget_frac=args.lang_budget,
                     sample_alpha=args.sample_alpha,

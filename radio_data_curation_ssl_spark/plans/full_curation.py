@@ -78,6 +78,7 @@ def curate_dedup_sample(
     substring_dedup: bool = False,
     substring_min_len: int = 8,
     seen_urls: DataFrame | None = None,
+    seen_texts: DataFrame | None = None,
     blocked_domains: DataFrame | list[str] | None = None,
     url_hard_words: list[str] | None = None,
     url_soft_words: list[str] | None = None,
@@ -127,6 +128,13 @@ def curate_dedup_sample(
     broadcast-filtered scan plus per-batch map work, not a full-corpus
     join.  The result is exact (bloom negatives are definite; maybes
     are verified key-equal).
+
+    ``seen_texts`` is the CONTENT-level sibling: a one-column ``text``
+    frame of already-committed documents; new pages whose raw text
+    matches byte-for-byte are dropped before curation (catching
+    recaptures under different urls).  Same Bloom economics, keyed on
+    md5(text) so no document payload ever enters a join side.  Composes
+    with ``seen_urls`` (url pass runs first).
 
     ``host_cap`` / ``lang_budget_frac`` add the corpus-shaping stage
     between dedup and sampling (the ``corpus_budgets`` query's
@@ -229,6 +237,24 @@ def curate_dedup_sample(
         pages = incremental_new(
             pages.withColumn("_cu", canon), seen_keys, "_cu"
         ).drop("_cu")
+    if seen_texts is not None:
+        if curated is not None:
+            raise ValueError(
+                "seen_texts applies before curation; pass pages only, "
+                "not a precomputed curated frame"
+            )
+        # CONTENT-level incremental dedup: drop pages whose RAW text
+        # already exists in the committed corpus — catches recaptures
+        # under different urls, which seen_urls cannot.  Same Bloom
+        # prefilter economics (committed side scanned once, never
+        # shuffled); the exact-verify joins use md5(text) so the
+        # broadcast carries 32-byte digests, never document payloads.
+        from ..operators.bloomdedup import incremental_new
+
+        seen_keys = seen_texts.select(F.md5("text").alias("_ct"))
+        pages = incremental_new(
+            pages.withColumn("_ct", F.md5("text")), seen_keys, "_ct"
+        ).drop("_ct")
     if url_dedup:
         if curated is not None:
             raise ValueError(

@@ -619,3 +619,45 @@ def test_lang_budget_keeps_exactly_30pct_per_lang(spark):
         # floor(0.3 * n) in IEEE doubles — the same arithmetic both
         # engines evaluate (0.3*n can land just below an exact integer)
         assert kept_n.get(lang, 0) == math.floor(0.3 * total)
+
+
+def test_flow_seen_texts_content_incremental(spark, pages_small):
+    """seen_texts drops pages whose RAW text is already committed, even
+    under different urls (the content-level sibling of seen_urls):
+    published set == the no-seen run minus the text-overlap pages."""
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    big = 10**9
+    # committed corpus = the raw texts of a deterministic page subset;
+    # recaptures arrive under DIFFERENT urls, so a url pass can't see them
+    committed = pages_small.where(
+        "pmod(xxhash64(url), 3) = 0"
+    ).select("text").cache()
+    recaptured = pages_small.withColumn(
+        "url", F.concat(F.col("url"), F.lit("?v=2"))
+    )
+    base = curate_dedup_sample(recaptured, big, near_dup="none").cache()
+    got = curate_dedup_sample(
+        recaptured, big, near_dup="none", seen_texts=committed
+    )
+    want = {
+        r["url"]
+        for r in base.join(
+            recaptured.join(committed, "text", "left_semi").select("url"),
+            "url",
+            "left_anti",
+        ).collect()
+    }
+    assert {r["url"] for r in got.collect()} == want
+    assert 0 < len(want) < base.count()  # the filter actually bit
+
+    with pytest.raises(ValueError, match="seen_texts applies before"):
+        curate_dedup_sample(
+            pages_small, big, curated=base, seen_texts=committed
+        )
+    base.unpersist()
+    committed.unpersist()

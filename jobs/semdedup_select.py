@@ -1,0 +1,181 @@
+"""Cluster job entry: SemDeDup selection over an embedding table.
+
+Fit k-means centroids on the corpus embeddings (or load pinned ones),
+run SemDeDup pruning (Abbas et al. 2023: within each cluster, drop every
+vector whose cosine to a better-ranked cluster-mate is >= tau), and
+publish the surviving ids — the embedding-level dedup stage of an
+SSL-curation pipeline (the reference's cluster-then-subsample shape,
+/root/reference/src/4_clustering_launcher.py + 5_subsampling.py, with
+near-dup-aware pruning instead of fixed per-cluster draws).  Run like
+every other cluster job here (north_rule: spark-submit --py-files)::
+
+    zip -r curation.zip radio_data_curation_ssl_spark
+    spark-submit --py-files curation.zip jobs/semdedup_select.py \
+        --input /data/embeddings --k 10000 --tau 0.95 \
+        --output /data/semdedup_out --run-root /data/meta
+
+Local smoke (this sandbox)::
+
+    python jobs/semdedup_select.py --synth 3000 --k 8 --tau 0.95 \
+        --output /tmp/sd_out --run-root /tmp/meta
+
+Scale: the fit is the engine's distributed Lloyd (O(k*d) driver
+traffic per iteration); pruning is ONE map-only assign pass + ONE
+shuffle keyed by cluster id with column-chunked per-cluster kernels.
+Cluster size is the memory lever — oversized clusters fail loud; cap k
+accordingly or split them first (kmeans.split_oversized_clusters).
+Outputs: ``<output>/decisions`` (vec_id, cluster, dist_sq, keep),
+``<output>/selected`` (kept vec_ids), optional ``--npy`` 1-D int64
+index artifact (the reference's subsample-index interchange file).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth_embeddings(spark, n: int, dim: int = 16, partitions: int = 32):
+    """Deterministic synthetic embeddings with planted near-duplicates:
+    every 10th vector copies its predecessor (tiny perturbation), so the
+    smoke run exercises real drops.  Pure splitmix64 — no RNG state."""
+    import numpy as np
+    import pandas as pd
+
+    from radio_data_curation_ssl_spark.synth import splitmix64
+
+    def gen(batches):
+        for b in batches:
+            ids = b["id"].to_numpy(dtype=np.int64)
+            base = np.where(ids % 10 == 9, ids - 1, ids)
+            idx = (
+                base[:, None] * np.int64(dim) + np.arange(dim, dtype=np.int64)
+            ).astype(np.uint64)
+            vals = (
+                (splitmix64(idx + np.uint64(555)).astype(np.float64) % 501)
+                - 250
+            ) / 1000.0
+            # perturb the copies so they are near- (not bit-) identical
+            vals[ids % 10 == 9, 0] += 1e-4
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [r for r in vals.astype(np.float32)]}
+            )
+
+    return (
+        spark.range(n, numPartitions=partitions)
+        .mapInPandas(gen, "vec_id long, embedding array<float>")
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    src = ap.add_mutually_exclusive_group()
+    src.add_argument("--input", help="embeddings parquet dir (vec_id, embedding)")
+    src.add_argument("--synth", type=int, help="generate N synthetic embeddings")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-root", required=True, help="dir for _runs/_metrics")
+    ap.add_argument("--id-col", default="vec_id")
+    ap.add_argument("--vec-col", default="embedding")
+    ap.add_argument("--k", type=int, default=64, help="clusters to fit")
+    ap.add_argument("--n-iters", type=int, default=10, help="Lloyd iterations")
+    ap.add_argument(
+        "--centroids", default=None,
+        help="npz with a 'centroids' array — skip the fit (pinned model)",
+    )
+    ap.add_argument("--tau", type=float, required=True,
+                    help="cosine duplicate threshold, e.g. 0.95")
+    ap.add_argument("--keep-order", default="far", choices=["far", "near", "id"],
+                    help="which duplicate survives (paper default: far)")
+    ap.add_argument("--max-cluster-size", type=int, default=100_000)
+    ap.add_argument(
+        "--npy", default=None,
+        help="also publish the kept ids as a 1-D int64 .npy index file "
+        "(the reference's subsample-index artifact)",
+    )
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+    if not args.synth and not args.input:
+        ap.error("one of --input / --synth required")
+    if args.k < 1:
+        ap.error("--k must be >= 1")
+
+    import numpy as np
+
+    from radio_data_curation_ssl_spark.operators.kmeans import lloyd_kmeans
+    from radio_data_curation_ssl_spark.operators.semdedup import semdedup
+    from radio_data_curation_ssl_spark.plans.runmeta import RunLog
+    from radio_data_curation_ssl_spark.session import get_spark
+
+    from pyspark.sql import SparkSession
+
+    # stop only a session we created: under spark-submit (or a plain CLI
+    # run) there is no active session and the job owns its lifecycle;
+    # invoked in-process (tests, notebooks) the caller keeps theirs
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark("semdedup-select", master=args.master)
+    config = {
+        k: v for k, v in vars(args).items() if k != "master" and v is not None
+    }
+    log = RunLog(spark, args.run_root)
+    run_id = log.start("semdedup_select", config)
+    try:
+        if args.synth:
+            emb = synth_embeddings(spark, args.synth)
+        else:
+            emb = spark.read.parquet(args.input)
+        if args.centroids:
+            cents = np.load(args.centroids)["centroids"]
+        else:
+            _assign, cents = lloyd_kmeans(
+                emb, args.id_col, args.vec_col, k=args.k, n_iters=args.n_iters
+            )
+        decisions = semdedup(
+            emb,
+            args.id_col,
+            args.vec_col,
+            cents,
+            args.tau,
+            keep_order=args.keep_order,
+            max_cluster_size=args.max_cluster_size,
+        )
+        decisions.write.mode("overwrite").parquet(f"{args.output}/decisions")
+        dec = spark.read.parquet(f"{args.output}/decisions")
+        kept = dec.where("keep").select(
+            dec["id"].alias(args.id_col)
+        )
+        kept.write.mode("overwrite").parquet(f"{args.output}/selected")
+        n_total, n_kept = dec.count(), kept.count()
+        if args.npy:
+            from radio_data_curation_ssl_spark.operators.reindex import (
+                reindex_by_sort,
+            )
+            from radio_data_curation_ssl_spark.sources.npy import write_npy
+
+            idx = reindex_by_sort(
+                spark.read.parquet(f"{args.output}/selected"),
+                [args.id_col],
+                out_col="new_id",
+            ).selectExpr("new_id - 1 AS row_id", f"{args.id_col} AS vec_id")
+            # parquet scan re-read: deterministic input, pin not needed
+            write_npy(idx, args.npy, row_col="row_id", vec_col="vec_id",
+                      dtype=np.dtype("int64"), pin=False)
+        log.finish(run_id, "semdedup_select", config, status="done")
+        print(json.dumps({
+            "run_id": run_id, "total": n_total, "kept": n_kept,
+            "dropped": n_total - n_kept, "output": args.output,
+        }))
+        return 0
+    except Exception:
+        log.finish(run_id, "semdedup_select", config, status="failed")
+        raise
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,215 @@
+"""SemDeDup: semantic deduplication by within-cluster cosine pruning
+(Abbas et al. 2023, arXiv:2303.09540) — the near-dup-aware form of the
+reference's cluster-then-subsample stage (cluster assignment:
+/root/reference/src/kmeans_gpu.py:176-243; per-cluster representative
+draws: /root/reference/src/hierarchical_sampling.py:46-68).  Where the
+reference keeps the k closest points per cluster, SemDeDup keeps every
+point that is not a semantic duplicate of a better-ranked neighbor in
+its own cluster — the standard embedding-level dedup for SSL/web-corpus
+curation.
+
+Semantics (the paper's published pruning rule): assign every vector to
+its nearest centroid; within each cluster rank rows (default: farthest
+from the centroid first — the paper's keep="far" choice — with id as
+the deterministic tiebreak); a row is DROPPED iff some earlier-ranked
+row in the same cluster has cosine similarity >= tau with it.  The
+top-ranked member of every duplicate set therefore always survives, and
+non-duplicates are never touched.  Cosines are compared after rounding
+to 6 decimals (half away from zero), matching the engine-wide
+``functions.text.cosine`` fragment so the decision is oracle-checkable.
+
+Scale shape: stage 1 is ONE map-only Arrow pass (assign against a
+broadcast centroid matrix — points never shuffle to assign); stage 2 is
+ONE shuffle keyed by cluster id followed by a per-cluster kernel whose
+memory is O(c * chunk) via column-chunked similarity blocks.  Cluster
+sizes are the lever: cap them upstream with
+``kmeans.split_oversized_clusters`` (the reference's own skew
+mitigation) and the guard here fails loud instead of OOMing an
+executor.  Zero-norm vectors have undefined cosine (NULL in SQL, NaN
+here); they are always kept and never justify dropping a neighbor —
+identical semantics in both engines.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .kmeans import assign_batch
+
+#: round-half-away-from-zero to 6 decimals — the numpy twin of Spark's
+#: ``round(x, 6)`` (HALF_UP on positives, away-from-zero on negatives)
+#: and DuckDB's ``round``; np.round would banker's-round half cases.
+def _round6(x: np.ndarray) -> np.ndarray:
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
+def _fold_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot via the SEQUENTIAL fold (np.add.accumulate) — the
+    bit-exact numpy twin of the paired SQL ``aggregate``/``list_aggregate``
+    fold both engines run (functions/text.py::dot), so parity holds to
+    the last ulp instead of to BLAS-reduction noise."""
+    return np.add.accumulate(a * b, axis=1)[:, -1]
+
+
+def _prune_order(
+    d2: np.ndarray, ids: np.ndarray, keep_order: str, order_round: int | None
+) -> np.ndarray:
+    key = d2 if order_round is None else np.copysign(
+        np.floor(np.abs(d2) * 10.0**order_round + 0.5) / 10.0**order_round, d2
+    )
+    if keep_order == "far":
+        return np.lexsort((ids, -key))
+    if keep_order == "near":
+        return np.lexsort((ids, key))
+    if keep_order == "id":
+        return np.argsort(ids, kind="stable")
+    raise ValueError(f"keep_order must be far|near|id, got {keep_order!r}")
+
+
+def _prune_mask(
+    v: np.ndarray, tau: float, fold_exact: bool, chunk: int
+) -> np.ndarray:
+    """keep[j] = no row i<j has round6(cos(i, j)) >= tau.  Rows are
+    already in rank order.  Column-chunked: peak extra memory is
+    O(c * chunk) floats regardless of cluster size."""
+    c = len(v)
+    keep = np.ones(c, dtype=bool)
+    if c < 2:
+        return keep
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if fold_exact:
+            norms = np.sqrt(_fold_dot(v, v))
+        else:
+            norms = np.sqrt((v * v).sum(axis=1))
+        for j0 in range(1, c, chunk):
+            cols = np.arange(j0, min(j0 + chunk, c))
+            if fold_exact:
+                # exact per-pair sequential folds (parity path): one
+                # (rows<j, d) accumulate per column
+                hit = np.zeros(len(cols), dtype=bool)
+                for t, j in enumerate(cols):
+                    cos = _fold_dot(v[:j], np.broadcast_to(v[j], (j, v.shape[1]))) / (
+                        norms[:j] * norms[j]
+                    )
+                    hit[t] = bool((_round6(cos) >= tau).any())
+            else:
+                # production path: one GEMM block (c x chunk)
+                s = v @ v[cols].T
+                cos = s / (norms[:, None] * norms[cols][None, :])
+                m = _round6(cos) >= tau
+                # column j may only be condemned by rows ranked BEFORE it
+                pref = m.cumsum(axis=0) if len(m) else m
+                hit = np.array(
+                    [pref[j - 1, t] > 0 for t, j in enumerate(cols)], dtype=bool
+                )
+            keep[cols[hit]] = False
+    return keep
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: np.ndarray,
+    tau: float,
+    keep_order: str = "far",
+    order_round: int | None = None,
+    fold_exact: bool = False,
+    max_cluster_size: int = 100_000,
+    chunk: int = 4096,
+) -> DataFrame:
+    """(id, cluster, dist_sq, keep) — SemDeDup pruning decisions.
+
+    ``fold_exact=True`` computes every pairwise cosine with the
+    sequential-fold kernel (bit-exact with the SQL oracle; O(c^2 * d)
+    work per cluster — the parity path).  The default GEMM path is the
+    production kernel (~d-fold fewer flops per block, BLAS-reduced; the
+    two differ only below the round-6 comparison grid).
+    ``order_round`` rounds the distance rank key first (the oracle ranks
+    on round-6 distances so its EXISTS is expressible on the emitted
+    columns; production runs can leave it None).
+    """
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    if max_cluster_size < 1 or chunk < 1:
+        raise ValueError("max_cluster_size and chunk must be >= 1")
+    _prune_order(np.zeros(0), np.zeros(0, dtype=np.int64), keep_order, None)
+
+    spark = df.sparkSession
+    cents = np.ascontiguousarray(np.asarray(cents, dtype=np.float64))
+    if cents.ndim != 2 or len(cents) == 0:
+        raise ValueError("cents must be a non-empty (k, d) matrix")
+    bc = spark.sparkContext.broadcast(cents)
+    dim = cents.shape[1]
+    vec_type = df.schema[vec_col].dataType
+
+    mid_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("dist_sq", T.DoubleType()),
+            T.StructField("vec", vec_type),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("dist_sq", T.DoubleType()),
+            T.StructField("keep", T.BooleanType()),
+        ]
+    )
+
+    def assign_pass(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for b in it:
+            if len(b) == 0:
+                continue
+            if b[vec_col].isna().any():
+                raise ValueError("semdedup: NULL vector (dense input required)")
+            x = np.array(b[vec_col].tolist(), dtype=np.float64)
+            if x.ndim != 2 or x.shape[1] != dim:
+                raise ValueError(
+                    f"semdedup: ragged or {x.shape[-1]}-dim vectors vs "
+                    f"{dim}-dim centroids"
+                )
+            ids, d2 = assign_batch(x, c)
+            yield pd.DataFrame(
+                {
+                    "id": b[id_col].astype("int64"),
+                    "cluster": ids.astype(np.int32),
+                    "dist_sq": d2,
+                    "vec": b[vec_col],
+                }
+            )
+
+    assigned = df.select(id_col, vec_col).mapInPandas(assign_pass, mid_schema)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = len(pdf)
+        if c > max_cluster_size:
+            raise ValueError(
+                f"semdedup: cluster {int(pdf['cluster'].iloc[0])} has {c} "
+                f"members > max_cluster_size={max_cluster_size}; split it "
+                "first (kmeans.split_oversized_clusters) or raise the cap"
+            )
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        d2 = pdf["dist_sq"].to_numpy(dtype=np.float64)
+        order = _prune_order(d2, ids, keep_order, order_round)
+        v = np.array(pdf["vec"].tolist(), dtype=np.float64)[order]
+        kept = _prune_mask(v, tau, fold_exact, chunk)
+        return pd.DataFrame(
+            {
+                "id": ids[order],
+                "cluster": pdf["cluster"].to_numpy(dtype=np.int32)[order],
+                "dist_sq": d2[order],
+                "keep": kept,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(prune, out_schema)

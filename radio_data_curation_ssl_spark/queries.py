@@ -3748,3 +3748,69 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         w, "_g", "key", "doc_id", "n_words", _TB_BUDGET
     )
     return out.select("doc_id", "n_words")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (r4 session 7) — past-window, standing parity gate in
+# tests/test_semdedup.py.
+
+_SD_K = 6
+_SD_CENTS = _lit_centroids(_SD_K, seed_off=2026)
+_SD_TAU = 0.35  # same scale as the sibling near-dup queries' threshold
+_SD_D2 = [_sqdist_lit(c) for c in _SD_CENTS]
+_SD_DCOLS = [f"d{i}" for i in range(_SD_K)]
+_SD_ARGMIN = _argmin_case(_SD_DCOLS)
+_SD_LEAST = f"least({', '.join(_SD_DCOLS)})"
+_SD_COS_SA = X.cosine("s.embedding", "a.embedding")
+
+
+@register(
+    "semdedup_prune",
+    f"""
+WITH d AS (SELECT vec_id, embedding,
+  {", ".join(f"{p.duck} AS {c}" for p, c in zip(_SD_D2, _SD_DCOLS))}
+  FROM embeddings),
+a AS (SELECT vec_id, embedding, CAST({_SD_ARGMIN} AS BIGINT) AS cluster,
+             round({_SD_LEAST}, 6) AS dist_sq FROM d),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM a JOIN a s
+    ON s.cluster = a.cluster
+   AND (s.dist_sq > a.dist_sq
+        OR (s.dist_sq = a.dist_sq AND s.vec_id < a.vec_id))
+  WHERE {_SD_COS_SA.duck} >= {_SD_TAU})
+SELECT a.vec_id, a.cluster, a.dist_sq,
+       (dr.vec_id IS NULL) AS keep
+FROM a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
+""",
+    doc="SemDeDup (Abbas et al. 2023): assign to the nearest literal "
+    "centroid, rank each cluster farthest-from-centroid-first (id "
+    "tiebreak), drop a row iff an earlier-ranked same-cluster row has "
+    "round-6 cosine >= tau — the SSL-curation embedding dedup the "
+    "reference's cluster+subsample stage approximates (kmeans_gpu.py:"
+    "176-243 + hierarchical_sampling.py:46-68). The Spark side runs the "
+    "PRODUCTION operator (operators/semdedup.py) with the bit-exact "
+    "sequential-fold pairwise kernel. Scale: one map-only assign pass + "
+    "ONE shuffle on cluster id; per-cluster work is column-chunked "
+    "(O(c*chunk) memory) and cluster size is capped fail-loud — split "
+    "oversized clusters first (the reference's own skew mitigation).",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.semdedup import semdedup
+
+    out = semdedup(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        _SD_CENTS,
+        _SD_TAU,
+        keep_order="far",
+        order_round=6,
+        fold_exact=True,
+    )
+    return out.selectExpr(
+        "id AS vec_id",
+        "CAST(cluster AS BIGINT) AS cluster",
+        "round(dist_sq, 6) AS dist_sq",
+        "keep",
+    )

@@ -1,0 +1,234 @@
+"""SemDeDup (operators/semdedup.py): the pruning kernel against a
+brute-force python twin, planted exact/near duplicates, keep-order
+semantics, partitioning invariance, the GEMM-vs-fold agreement, the
+fail-loud guards, and the standing DuckDB parity gate for the
+past-window ``semdedup_prune`` registry row."""
+
+import numpy as np
+import pytest
+
+from radio_data_curation_ssl_spark.operators.semdedup import (
+    _prune_mask,
+    _prune_order,
+    _round6,
+    semdedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rng_vecs(n, d, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randn(n, d).astype(np.float64)
+
+
+def _brute_force(ids, vecs, cents, tau, keep_order="far"):
+    """Independent scalar twin: python loops, math.fsum-free plain dots
+    (margins in these fixtures are far above rounding noise)."""
+    import math
+
+    out = {}
+    d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cluster = d2.argmin(axis=1)
+    mind2 = d2.min(axis=1)
+    for c in set(cluster.tolist()):
+        members = [i for i in range(len(ids)) if cluster[i] == c]
+        if keep_order == "far":
+            members.sort(key=lambda i: (-mind2[i], ids[i]))
+        elif keep_order == "near":
+            members.sort(key=lambda i: (mind2[i], ids[i]))
+        else:
+            members.sort(key=lambda i: ids[i])
+        for pos, i in enumerate(members):
+            dropped = False
+            for j in members[:pos]:
+                na = math.sqrt(np.dot(vecs[i], vecs[i]))
+                nb = math.sqrt(np.dot(vecs[j], vecs[j]))
+                cos = np.dot(vecs[i], vecs[j]) / (na * nb) if na * nb else float("nan")
+                if round(cos, 6) >= tau:
+                    dropped = True
+                    break
+            out[int(ids[i])] = (int(cluster[i]), not dropped)
+    return out
+
+
+def _run(spark, ids, vecs, cents, tau, partitions=4, **kw):
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<double>",
+    ).repartition(partitions)
+    rows = semdedup(df, "vec_id", "embedding", cents, tau, **kw).collect()
+    return {r["id"]: (r["cluster"], r["keep"]) for r in rows}
+
+
+@pytest.mark.parametrize("keep_order", ["far", "near", "id"])
+@pytest.mark.parametrize("fold_exact", [False, True])
+def test_kernel_matches_brute_force_twin(spark, keep_order, fold_exact):
+    vecs = _rng_vecs(80, 8)
+    # plant duplicate groups: exact copies and tiny-perturbation twins
+    vecs[10] = vecs[3]
+    vecs[11] = vecs[3]
+    vecs[20] = vecs[5] * 1.7  # same direction, different norm -> cos 1
+    vecs[30] = vecs[7] + 1e-8
+    ids = np.arange(80) * 3 + 1
+    cents = _rng_vecs(4, 8, seed=99) * 0.3
+    for tau in (0.5, 0.9, 0.999):
+        want = _brute_force(ids, vecs, cents, tau, keep_order)
+        got = _run(
+            spark, ids, vecs, cents, tau,
+            keep_order=keep_order, fold_exact=fold_exact, chunk=7,
+        )
+        assert got == want, f"tau={tau}"
+
+
+def test_exactly_one_survivor_per_duplicate_set(spark):
+    base = _rng_vecs(6, 8)
+    # 5 copies of vector 0, 3 copies of vector 1, singletons otherwise
+    vecs = np.vstack([base[[0]]] * 5 + [base[[1]]] * 3 + [base[2:]])
+    ids = np.arange(len(vecs))
+    cents = _rng_vecs(2, 8, seed=3)
+    got = _run(spark, ids, vecs, cents, tau=0.999999)
+    kept = {i for i, (_, k) in got.items() if k}
+    assert len(kept & {0, 1, 2, 3, 4}) == 1  # one survivor per copy set
+    assert len(kept & {5, 6, 7}) == 1
+    assert {8, 9, 10, 11} <= kept  # non-duplicates never touched
+
+
+def test_far_keeps_farthest_near_keeps_nearest(spark):
+    # two near-identical rows at very different distances from the centroid
+    cents = np.zeros((1, 4))
+    vecs = np.array([[1.0, 0, 0, 0], [5.0, 0, 0, 0], [0, 0, 1.0, 0]])
+    ids = np.array([10, 20, 30])
+    far = _run(spark, ids, vecs, cents, tau=0.9, keep_order="far")
+    near = _run(spark, ids, vecs, cents, tau=0.9, keep_order="near")
+    assert far[20][1] and not far[10][1]  # farthest survives
+    assert near[10][1] and not near[20][1]  # nearest survives
+    assert far[30][1] and near[30][1]
+
+
+def test_partitioning_invariance(spark):
+    vecs = _rng_vecs(60, 8, seed=11)
+    vecs[7] = vecs[2] + 1e-9
+    ids = np.arange(60)
+    cents = _rng_vecs(3, 8, seed=5)
+    a = _run(spark, ids, vecs, cents, 0.8, partitions=1)
+    b = _run(spark, ids, vecs, cents, 0.8, partitions=13)
+    assert a == b
+
+
+def test_zero_vectors_always_kept_and_never_condemn(spark):
+    vecs = np.vstack([np.zeros((3, 4)), _rng_vecs(4, 4, seed=2)])
+    ids = np.arange(7)
+    got = _run(spark, ids, vecs, cents=np.zeros((1, 4)), tau=0.1)
+    assert got[0][1] and got[1][1] and got[2][1]  # NaN cosine -> kept
+
+
+def test_guards_fail_loud(spark):
+    vecs = _rng_vecs(10, 4)
+    ids = np.arange(10)
+    cents = np.zeros((1, 4))
+    with pytest.raises(Exception, match="max_cluster_size"):
+        _run(spark, ids, vecs, cents, 0.9, max_cluster_size=5)
+    with pytest.raises(ValueError, match="tau"):
+        _run(spark, ids, vecs, cents, 0.0)
+    with pytest.raises(ValueError, match="keep_order"):
+        _run(spark, ids, vecs, cents, 0.9, keep_order="random")
+    with pytest.raises(Exception, match="NULL vector"):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None)], "vec_id long, embedding array<double>"
+        )
+        semdedup(df, "vec_id", "embedding", np.zeros((1, 2)), 0.9).collect()
+    with pytest.raises(Exception, match="ragged|dim"):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        semdedup(df, "vec_id", "embedding", np.zeros((1, 2)), 0.9).collect()
+
+
+def test_round6_half_away_from_zero():
+    x = np.array([0.0000005, -0.0000005, 1.2345675, 0.35, -0.35])
+    got = _round6(x)
+    assert got[0] == 1e-6 and got[1] == -1e-6
+    assert got[3] == 0.35 and got[4] == -0.35
+
+
+def test_prune_mask_chunk_invariance():
+    v = _rng_vecs(50, 6, seed=21)
+    v[9] = v[1]
+    v[30] = v[4] + 1e-10
+    for fold in (False, True):
+        ref = _prune_mask(v, 0.9, fold, chunk=10_000)
+        for chunk in (1, 3, 7, 49):
+            assert (_prune_mask(v, 0.9, fold, chunk) == ref).all()
+
+
+def test_prune_order_tiebreak():
+    d2 = np.array([1.0, 1.0, 0.5])
+    ids = np.array([30, 10, 20])
+    assert _prune_order(d2, ids, "far", None).tolist() == [1, 0, 2]
+    assert _prune_order(d2, ids, "near", None).tolist() == [2, 1, 0]
+    assert _prune_order(d2, ids, "id", None).tolist() == [1, 2, 0]
+    # order_round collapses close keys into the id tiebreak
+    d2b = np.array([1.0000001, 1.0, 9.9])
+    assert _prune_order(d2b, ids, "far", 6).tolist() == [2, 1, 0]
+
+
+def test_registry_query_oracle_parity(spark):
+    """Standing local gate for the past-window registry row (the driver
+    hash-checks only the first 50 queries)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["semdedup_prune"]
+    got = {
+        (r["vec_id"], r["cluster"], round(r["dist_sq"], 6), r["keep"])
+        for r in q.spark(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    want = {
+        (r[0], r[1], round(r[2], 6), r[3])
+        for r in con.execute(q.oracle).fetchall()
+    }
+    assert got == want
+    assert len(got) == 500
+
+
+def test_job_synth_end_to_end(spark, tmp_path):
+    """jobs/semdedup_select.py --synth: fit -> prune -> selected ids +
+    npy index artifact with RunLog lineage.  The synth generator plants
+    one near-duplicate per 10 vectors; with tau=0.95 each planted pair
+    loses exactly its lower-ranked member."""
+    import numpy as np
+
+    import jobs.semdedup_select as job
+
+    out = str(tmp_path / "sd")
+    npy = str(tmp_path / "sel.npy")
+    rc = job.main(
+        [
+            "--synth", "600", "--k", "6", "--tau", "0.95",
+            "--output", out, "--run-root", str(tmp_path / "meta"),
+            "--npy", npy,
+        ]
+    )
+    assert rc == 0
+    dec = spark.read.parquet(f"{out}/decisions")
+    kept = spark.read.parquet(f"{out}/selected")
+    n, nk = dec.count(), kept.count()
+    assert n == 600 and nk == 540  # exactly the planted 10% dropped
+    # every planted pair (i, i+... the copy is id%10==9 of id-1) lost one
+    dropped = {r["id"] for r in dec.where("NOT keep").collect()}
+    assert all(d % 10 in (8, 9) for d in dropped)
+    idx = np.load(npy)
+    assert idx.dtype == np.int64 and len(idx) == 540
+    assert (np.diff(idx) > 0).all()
+    assert set(idx.tolist()) == {r[0] for r in kept.collect()}
+    from radio_data_curation_ssl_spark.plans.runmeta import RunLog
+
+    log = RunLog(spark, str(tmp_path / "meta"))
+    statuses = [r["status"] for r in log.runs().collect()]
+    assert "done" in statuses and "failed" not in statuses

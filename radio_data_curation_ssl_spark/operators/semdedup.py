@@ -21,8 +21,15 @@ to 6 decimals (half away from zero), matching the engine-wide
 Scale shape: stage 1 is ONE map-only Arrow pass (assign against a
 broadcast centroid matrix — points never shuffle to assign); stage 2 is
 ONE shuffle keyed by cluster id followed by a per-cluster kernel whose
-memory is O(c * chunk) via column-chunked similarity blocks.  Cluster
-sizes are the lever: cap them upstream with
+memory is O(c * chunk) via column-chunked similarity blocks.  Between
+the two stages vectors travel as packed float64 BINARY, not
+``array<double>``: a list column costs a per-element JVM<->Arrow
+conversion on every hop (map output, shuffle write/read, reduce input)
+and that allocation churn was measured to inflate task core-seconds
+~40% under 8-way parallelism, while a binary column is one buffer copy
+per row (scaling eff 0.69 -> pass at the same input; see
+BENCH/BASELINE.md "SemDeDup scaling").  Cluster sizes are the lever:
+cap them upstream with
 ``kmeans.split_oversized_clusters`` (the reference's own skew
 mitigation) and the guard here fails loud instead of OOMing an
 executor.  Zero-norm vectors have undefined cosine (NULL in SQL, NaN
@@ -56,6 +63,27 @@ def _fold_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.add.accumulate(a * b, axis=1)[:, -1]
 
 
+def _series_matrix(col: pd.Series, dim: int, what: str) -> np.ndarray:
+    """(n, dim) float64 from a pandas Series of fixed-length vectors.
+    ``np.concatenate`` over the element arrays is one C-level copy —
+    2.7x faster than ``np.array(col.tolist())`` and, unlike the tolist
+    path, free of the 40k-small-object churn that degrades ~3.6x when
+    eight workers run it concurrently (allocator/page-fault pressure)."""
+    if col.isna().any():
+        raise ValueError(f"semdedup: NULL vector (dense {what} required)")
+    flat = (
+        np.concatenate(col.to_numpy()).astype(np.float64, copy=False)
+        if len(col)
+        else np.zeros(0)
+    )
+    if flat.ndim != 1 or flat.size != len(col) * dim:
+        raise ValueError(
+            f"semdedup: ragged or wrong-width {what} vectors "
+            f"({flat.size} values for {len(col)} rows of dim {dim})"
+        )
+    return flat.reshape(len(col), dim)
+
+
 def _prune_order(
     d2: np.ndarray, ids: np.ndarray, keep_order: str, order_round: int | None
 ) -> np.ndarray:
@@ -71,12 +99,25 @@ def _prune_order(
     raise ValueError(f"keep_order must be far|near|id, got {keep_order!r}")
 
 
+def _grid_threshold(tau: float) -> float:
+    """The unrounded-cosine threshold equivalent to ``round6(cos) >=
+    tau``: the smallest round-6 grid point >= tau, minus half a grid
+    step (half-away rounding sends exactly-half cases up).  Lets the
+    production GEMM path skip the per-cell rounding pass while deciding
+    the IDENTICAL boolean.  The inner round() absorbs float fuzz in
+    ``tau * 1e6`` (0.35 * 1e6 = 350000.00000000006 must not ceil up)."""
+    import math
+
+    return math.ceil(round(tau * 1e6, 6)) / 1e6 - 5e-7
+
+
 def _prune_mask(
     v: np.ndarray, tau: float, fold_exact: bool, chunk: int
 ) -> np.ndarray:
     """keep[j] = no row i<j has round6(cos(i, j)) >= tau.  Rows are
     already in rank order.  Column-chunked: peak extra memory is
-    O(c * chunk) floats regardless of cluster size."""
+    O(c * chunk) floats regardless of cluster size, and only the
+    triangular half (rows below the block's last column) is computed."""
     c = len(v)
     keep = np.ones(c, dtype=bool)
     if c < 2:
@@ -85,7 +126,10 @@ def _prune_mask(
         if fold_exact:
             norms = np.sqrt(_fold_dot(v, v))
         else:
-            norms = np.sqrt((v * v).sum(axis=1))
+            # normalize once: cosine blocks become one plain GEMM with
+            # no per-cell divide (zero-norm rows -> nan -> never >=)
+            vn = v / np.sqrt((v * v).sum(axis=1))[:, None]
+            tau_eff = _grid_threshold(tau)
         for j0 in range(1, c, chunk):
             cols = np.arange(j0, min(j0 + chunk, c))
             if fold_exact:
@@ -98,15 +142,13 @@ def _prune_mask(
                     )
                     hit[t] = bool((_round6(cos) >= tau).any())
             else:
-                # production path: one GEMM block (c x chunk)
-                s = v @ v[cols].T
-                cos = s / (norms[:, None] * norms[cols][None, :])
-                m = _round6(cos) >= tau
-                # column j may only be condemned by rows ranked BEFORE it
-                pref = m.cumsum(axis=0) if len(m) else m
-                hit = np.array(
-                    [pref[j - 1, t] > 0 for t, j in enumerate(cols)], dtype=bool
-                )
+                # production path: one (rows-below-last-column x chunk)
+                # GEMM block; column j is condemned iff the FIRST True in
+                # its column sits at a row ranked before j (argmax scans
+                # once — no c x chunk cumsum materialization)
+                m = vn[: cols[-1]] @ vn[cols].T >= tau_eff
+                first = m.argmax(axis=0)
+                hit = m[first, np.arange(len(cols))] & (first < cols)
             keep[cols[hit]] = False
     return keep
 
@@ -146,14 +188,15 @@ def semdedup(
         raise ValueError("cents must be a non-empty (k, d) matrix")
     bc = spark.sparkContext.broadcast(cents)
     dim = cents.shape[1]
-    vec_type = df.schema[vec_col].dataType
 
     mid_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
             T.StructField("cluster", T.IntegerType()),
             T.StructField("dist_sq", T.DoubleType()),
-            T.StructField("vec", vec_type),
+            # packed little-endian float64 — see module docstring for why
+            # binary beats array<double> on the shuffle hop
+            T.StructField("vec", T.BinaryType()),
         ]
     )
     out_schema = T.StructType(
@@ -170,21 +213,20 @@ def semdedup(
         for b in it:
             if len(b) == 0:
                 continue
-            if b[vec_col].isna().any():
-                raise ValueError("semdedup: NULL vector (dense input required)")
-            x = np.array(b[vec_col].tolist(), dtype=np.float64)
-            if x.ndim != 2 or x.shape[1] != dim:
-                raise ValueError(
-                    f"semdedup: ragged or {x.shape[-1]}-dim vectors vs "
-                    f"{dim}-dim centroids"
-                )
+            x = np.ascontiguousarray(
+                _series_matrix(b[vec_col], dim, f"input (vs {dim}-dim centroids)")
+            )
             ids, d2 = assign_batch(x, c)
+            step = 8 * dim
+            packed = x.tobytes()
             yield pd.DataFrame(
                 {
                     "id": b[id_col].astype("int64"),
                     "cluster": ids.astype(np.int32),
                     "dist_sq": d2,
-                    "vec": b[vec_col],
+                    "vec": [
+                        packed[i : i + step] for i in range(0, len(packed), step)
+                    ],
                 }
             )
 
@@ -201,7 +243,9 @@ def semdedup(
         ids = pdf["id"].to_numpy(dtype=np.int64)
         d2 = pdf["dist_sq"].to_numpy(dtype=np.float64)
         order = _prune_order(d2, ids, keep_order, order_round)
-        v = np.array(pdf["vec"].tolist(), dtype=np.float64)[order]
+        v = np.frombuffer(b"".join(pdf["vec"]), dtype=np.float64).reshape(
+            c, -1
+        )[order]
         kept = _prune_mask(v, tau, fold_exact, chunk)
         return pd.DataFrame(
             {

@@ -1,0 +1,229 @@
+"""IVF (inverted-file / coarse-quantizer) approximate nearest-neighbor
+top-k — the index-backed scale path for the reference's retrieval
+queries (top_k=5 image retrieval, /root/reference/src/image_retrieval.py:
+20-32; GPU brute-force kNN, /root/reference/src/knn_CUML.py:96-120) and
+the third ANN tier next to brute force (``ann_cosine_topk``) and
+amplified LSH (``ann_lsh_topk``): the FAISS IVF-Flat shape — assign
+every corpus vector to its nearest coarse centroid (the inverted
+lists), then search only the ``nprobe`` lists nearest each query.
+
+Scale shape: the corpus NEVER shuffles.  List assignment is one
+map-only Arrow pass against the broadcast centroid matrix, and vectors
+leave it as packed float64 BINARY (the list-column JVM<->Arrow
+conversion tax is measured in operators/semdedup.py and
+BENCH/BASELINE.md "SemDeDup scaling").  The probe table (|Q| * nprobe
+rows with the query vectors inlined as binary) broadcasts to the
+corpus side, so candidate generation is a broadcast hash join pruned
+to the probed lists, and the only shuffle in the whole plan is the
+per-query top-k window over candidates — a frame of roughly
+|Q| * nprobe * (n / k_lists) rows.  ``nprobe`` is the recall/cost
+lever: ``nprobe = len(cents)`` degenerates to exact brute force over
+the corpus; ``nprobe = 1`` scans ~1/k_lists of it per query.  At
+100 TB the centroids come from ``operators/kmeans.py`` (k-means||
+init + distributed Lloyd) and the assigned table is written once and
+bucketed by ``list_id`` so repeated query batches skip the assign pass.
+
+Cosine semantics match the engine-wide ``functions.text.cosine``
+fragment: sequential-fold dot (``fold_exact=True``) or the vectorized
+einsum twin (default; differs only in BLAS reduction order below the
+round-6 grid), rounded half-away-from-zero to 6 decimals, and a
+zero-norm side yields SQL NULL (never NaN) so it ranks LAST under the
+descending top-k order in both engines.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .semdedup import (
+    _fold_dot,
+    _pack_rows,
+    _round6,
+    _series_matrix,
+    _unpack_rows,
+)
+
+_ASSIGNED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("list_id", T.IntegerType()),
+        T.StructField("vec", T.BinaryType()),
+    ]
+)
+_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("list_id", T.IntegerType()),
+        T.StructField("q_vec", T.BinaryType()),
+    ]
+)
+_SCORED_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ]
+)
+
+
+def _dist_matrix(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, k) squared distances via the GEMM expansion (the
+    operators/kmeans.py assign kernel's shape; queries are few, so no
+    centroid chunking is needed here)."""
+    x2 = (x * x).sum(axis=1, keepdims=True)
+    c2 = (cents * cents).sum(axis=1)
+    return x2 - 2.0 * (x @ cents.T) + c2[None, :]
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, cents: np.ndarray
+) -> DataFrame:
+    """(id, list_id, vec) — the inverted file: every corpus vector tagged
+    with its nearest coarse centroid.  Map-only (no shuffle); ``vec`` is
+    the row re-packed as float64 binary for the cheap transport of the
+    downstream join + window."""
+    cents = np.ascontiguousarray(np.asarray(cents, dtype=np.float64))
+    if cents.ndim != 2 or len(cents) == 0:
+        raise ValueError("cents must be a non-empty (k, d) matrix")
+    bc = df.sparkSession.sparkContext.broadcast(cents)
+    dim = cents.shape[1]
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kmeans import assign_batch
+
+        c = bc.value
+        for b in it:
+            if len(b) == 0:
+                continue
+            x = _series_matrix(b[vec_col], dim, "corpus")
+            ids, _ = assign_batch(x, c)
+            yield pd.DataFrame(
+                {
+                    "id": b[id_col].astype("int64"),
+                    "list_id": ids.astype(np.int32),
+                    "vec": _pack_rows(x),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(assign, _ASSIGNED_SCHEMA)
+
+
+def ivf_probes(
+    queries: DataFrame,
+    q_id_col: str,
+    q_vec_col: str,
+    cents: np.ndarray,
+    nprobe: int,
+) -> DataFrame:
+    """|Q| * nprobe rows (query_id, list_id, q_vec): each query paired
+    with its ``nprobe`` nearest lists (distance asc, list index asc on
+    ties — a stable argsort, matching the SQL ``ORDER BY dist, list``)."""
+    cents = np.ascontiguousarray(np.asarray(cents, dtype=np.float64))
+    if not 1 <= nprobe <= len(cents):
+        raise ValueError(f"nprobe must be in [1, {len(cents)}], got {nprobe}")
+    bc = queries.sparkSession.sparkContext.broadcast(cents)
+    dim = cents.shape[1]
+
+    def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for b in it:
+            if len(b) == 0:
+                continue
+            x = _series_matrix(b[q_vec_col], dim, "query")
+            near = np.argsort(_dist_matrix(x, c), axis=1, kind="stable")[
+                :, :nprobe
+            ]
+            packed = _pack_rows(x)
+            qid = b[q_id_col].astype("int64").to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qid, nprobe),
+                    "list_id": near.reshape(-1).astype(np.int32),
+                    "q_vec": [
+                        p for p in packed for _ in range(nprobe)
+                    ],
+                }
+            )
+
+    return queries.select(q_id_col, q_vec_col).mapInPandas(
+        probe, _PROBE_SCHEMA
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    q_id_col: str,
+    q_vec_col: str,
+    cents: np.ndarray,
+    k: int = 5,
+    nprobe: int = 1,
+    fold_exact: bool = False,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim, rn) — top-k IVF search results,
+    rn in [1, k] per query, ordered by round-6 cosine desc with
+    neighbor_id as the deterministic tiebreak.
+
+    ``queries`` must be broadcast-small (it crosses the wire once as the
+    build side of the candidate join).  ``fold_exact=True`` computes
+    dots with the sequential-fold kernel (bit-exact with the SQL oracle;
+    the parity path); the default einsum kernel differs only below the
+    round-6 comparison grid.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    assigned = ivf_assign(df, id_col, vec_col, cents)
+    probes = ivf_probes(queries, q_id_col, q_vec_col, cents, nprobe)
+
+    cand = F.broadcast(probes).join(assigned, "list_id")
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("id"))
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            if len(b) == 0:
+                continue
+            n = len(b)
+            q = _unpack_rows(b["q_vec"], n)
+            v = _unpack_rows(b["vec"], n)
+            if fold_exact:
+                dot = _fold_dot(q, v)
+                nq = np.sqrt(_fold_dot(q, q))
+                nv = np.sqrt(_fold_dot(v, v))
+            else:
+                dot = np.einsum("ij,ij->i", q, v)
+                nq = np.sqrt(np.einsum("ij,ij->i", q, q))
+                nv = np.sqrt(np.einsum("ij,ij->i", v, v))
+            denom = nq * nv
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = _round6(dot / denom)
+            # x/0 is NULL in both engines (non-ANSI Spark Divide, DuckDB)
+            mask = denom == 0.0
+            yield pd.DataFrame(
+                {
+                    "query_id": b["query_id"].to_numpy(),
+                    "neighbor_id": b["id"].to_numpy(),
+                    "cos_sim": pd.arrays.FloatingArray(
+                        np.ascontiguousarray(cos), mask
+                    ),
+                }
+            )
+
+    scored = cand.select("query_id", "q_vec", "id", "vec").mapInPandas(
+        score, _SCORED_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(
+        F.col("rn") <= k
+    )

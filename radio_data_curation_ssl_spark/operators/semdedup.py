@@ -63,6 +63,18 @@ def _fold_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.add.accumulate(a * b, axis=1)[:, -1]
 
 
+def _pack_rows(x: np.ndarray) -> list[bytes]:
+    """One bytes object per row of a C-contiguous float64 matrix — the
+    binary wire format fixed-width vectors ride between Arrow passes."""
+    step = 8 * x.shape[1]
+    packed = np.ascontiguousarray(x).tobytes()
+    return [packed[i : i + step] for i in range(0, len(packed), step)]
+
+
+def _unpack_rows(col: pd.Series, n: int) -> np.ndarray:
+    return np.frombuffer(b"".join(col), dtype=np.float64).reshape(n, -1)
+
+
 def _series_matrix(col: pd.Series, dim: int, what: str) -> np.ndarray:
     """(n, dim) float64 from a pandas Series of fixed-length vectors.
     ``np.concatenate`` over the element arrays is one C-level copy —
@@ -217,16 +229,12 @@ def semdedup(
                 _series_matrix(b[vec_col], dim, f"input (vs {dim}-dim centroids)")
             )
             ids, d2 = assign_batch(x, c)
-            step = 8 * dim
-            packed = x.tobytes()
             yield pd.DataFrame(
                 {
                     "id": b[id_col].astype("int64"),
                     "cluster": ids.astype(np.int32),
                     "dist_sq": d2,
-                    "vec": [
-                        packed[i : i + step] for i in range(0, len(packed), step)
-                    ],
+                    "vec": _pack_rows(x),
                 }
             )
 
@@ -243,9 +251,7 @@ def semdedup(
         ids = pdf["id"].to_numpy(dtype=np.int64)
         d2 = pdf["dist_sq"].to_numpy(dtype=np.float64)
         order = _prune_order(d2, ids, keep_order, order_round)
-        v = np.frombuffer(b"".join(pdf["vec"]), dtype=np.float64).reshape(
-            c, -1
-        )[order]
+        v = _unpack_rows(pdf["vec"], c)[order]
         kept = _prune_mask(v, tau, fold_exact, chunk)
         return pd.DataFrame(
             {

@@ -3814,3 +3814,76 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(dist_sq, 6) AS dist_sq",
         "keep",
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (r4 session 8) — past-window, standing parity gate in
+# tests/test_ivf.py.
+
+_IVF_K = 6
+_IVF_NPROBE = 2
+_IVF_CENTS = _lit_centroids(_IVF_K, seed_off=2077)
+_IVF_D2 = [_sqdist_lit(c) for c in _IVF_CENTS]
+_IVF_DCOLS = [f"d{i}" for i in range(_IVF_K)]
+_IVF_ARGMIN = _argmin_case(_IVF_DCOLS)
+_IVF_COS = X.cosine("p.q_emb", "a.embedding")
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+WITH d AS (SELECT vec_id, embedding,
+  {", ".join(f"{p.duck} AS {c}" for p, c in zip(_IVF_D2, _IVF_DCOLS))}
+  FROM embeddings),
+a AS (SELECT vec_id, embedding,
+             CAST({_IVF_ARGMIN} AS INTEGER) AS list_id FROM d),
+qu AS (SELECT vec_id, embedding AS q_emb,
+              UNNEST([{", ".join(str(i) for i in range(_IVF_K))}]) AS cl,
+              UNNEST([{", ".join(_IVF_DCOLS)}]) AS dist
+       FROM d WHERE vec_id < 10),
+probes AS (SELECT vec_id, q_emb, cl,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cl) AS pr
+           FROM qu),
+cand AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         {_IVF_COS.duck} AS cos_sim
+  FROM (SELECT * FROM probes WHERE pr <= {_IVF_NPROBE}) p
+  JOIN a ON a.list_id = p.cl AND a.vec_id <> p.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM cand)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5
+""",
+    doc="IVF-Flat ANN top-k (the FAISS inverted-file shape; reference "
+    "retrieval: image_retrieval.py:20-32, knn_CUML.py:96-120): corpus "
+    "coarse-quantized to literal centroids in ONE map-only pass, each "
+    "query probes its nprobe=2 nearest of 6 lists, exact round-6 "
+    "sequential-fold cosine rerank, per-query top-5. Scale: the corpus "
+    "never shuffles — probes broadcast to the candidate join and only "
+    "the |Q|*nprobe*(n/k) candidate frame hits the top-k window; nprobe "
+    "is the recall/cost lever (nprobe=k degenerates to brute force). "
+    "PRODUCTION operator operators/ivf.py.",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ivf import ivf_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where("vec_id < 10").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_topk(
+        e,
+        "vec_id",
+        "embedding",
+        q,
+        "qid",
+        "q_emb",
+        _IVF_CENTS,
+        k=5,
+        nprobe=_IVF_NPROBE,
+        fold_exact=True,
+    )

@@ -1,0 +1,206 @@
+"""IVF ANN (operators/ivf.py): exactness at full probe, recall vs
+brute force as nprobe grows, probe/tiebreak determinism, NULL-cosine
+semantics, plan shape (corpus never shuffles before the top-k window),
+fail-loud guards, and the standing DuckDB parity gate for the
+past-window ``ann_ivf_topk`` registry row."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from radio_data_curation_ssl_spark.operators.ivf import (
+    ivf_assign,
+    ivf_probes,
+    ivf_topk,
+)
+from radio_data_curation_ssl_spark.operators.semdedup import _round6
+
+SF = "/root/testdata/sf0.001"
+
+_VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vid", T.LongType()),
+        T.StructField("emb", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _rng_vecs(n, d, seed=11):
+    rng = np.random.RandomState(seed)
+    return rng.randn(n, d).astype(np.float64)
+
+
+def _df(spark, vecs, partitions=4):
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, _VEC_SCHEMA).repartition(partitions)
+
+
+def _brute_topk(vecs, query_ids, k):
+    """Numpy twin of the exact search: round-6 cosine, id tiebreak."""
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    out = {}
+    for qid in query_ids:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = _round6(vecs @ vecs[qid] / (norms * norms[qid]))
+        others = [i for i in range(len(vecs)) if i != qid]
+        ranked = sorted(others, key=lambda i: (-cos[i], i))[:k]
+        out[qid] = [(i, cos[i]) for i in ranked]
+    return out
+
+
+def test_full_probe_matches_brute_force(spark):
+    """nprobe = k_lists degenerates to exact search: every corpus row is
+    a candidate for every query, so the result must EQUAL the numpy
+    brute-force top-k, including tie ordering."""
+    vecs = _rng_vecs(120, 8)
+    cents = _rng_vecs(5, 8, seed=99)
+    got = {
+        (r.query_id, r.rn): (r.neighbor_id, r.cos_sim)
+        for r in ivf_topk(
+            _df(spark, vecs), "vid", "emb",
+            _df(spark, vecs[:4], partitions=1), "vid", "emb",
+            cents, k=3, nprobe=5, fold_exact=False,
+        ).collect()
+    }
+    want = _brute_topk(vecs, range(4), 3)
+    assert len(got) == 12
+    for qid, ranked in want.items():
+        for rn, (nid, cos) in enumerate(ranked, start=1):
+            gnid, gcos = got[(qid, rn)]
+            assert gnid == nid
+            assert gcos == pytest.approx(cos, abs=2e-6)
+
+
+def test_recall_grows_with_nprobe(spark):
+    """On clustered data (queries drawn from the corpus blobs) recall@5
+    vs brute force rises with nprobe and is already useful at 2/6."""
+    rng = np.random.RandomState(3)
+    cents = rng.randn(6, 8) * 4.0
+    vecs = np.concatenate(
+        [cents[i % 6] + rng.randn(1, 8) for i in range(240)]
+    )
+    df = _df(spark, vecs)
+    q = _df(spark, vecs[:8], partitions=1)
+    want = _brute_topk(vecs, range(8), 5)
+    recalls = {}
+    for nprobe in (1, 2, 6):
+        got = {}
+        for r in ivf_topk(
+            df, "vid", "emb", q, "vid", "emb", cents, k=5, nprobe=nprobe
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(
+            len(got.get(qid, set()) & {i for i, _ in ranked})
+            for qid, ranked in want.items()
+        )
+        recalls[nprobe] = hits / (8 * 5)
+    assert recalls[1] <= recalls[2] <= recalls[6]
+    assert recalls[2] >= 0.6
+    assert recalls[6] == 1.0
+
+
+def test_probe_selection_deterministic_tiebreak(spark):
+    """Equidistant centroids: the stable argsort must pick the LOWEST
+    list index, matching the SQL ORDER BY dist, cl."""
+    cents = np.zeros((3, 4))  # all centroids identical -> all dists tie
+    q = _df(spark, np.ones((1, 4)), partitions=1)
+    rows = ivf_probes(q, "vid", "emb", cents, nprobe=2).collect()
+    assert sorted(r.list_id for r in rows) == [0, 1]
+
+
+def test_zero_norm_vector_yields_null_and_ranks_last(spark):
+    """A zero-norm corpus vector has SQL-NULL cosine with every query —
+    it must appear (the list still contains it) but rank BELOW every
+    real similarity, exactly like both engines' NULLS LAST desc order."""
+    vecs = _rng_vecs(6, 4)
+    vecs[3] = 0.0
+    cents = np.zeros((1, 4))  # one list: everything is a candidate
+    rows = ivf_topk(
+        _df(spark, vecs), "vid", "emb",
+        _df(spark, vecs[:1], partitions=1), "vid", "emb",
+        cents, k=5, nprobe=1,
+    ).collect()
+    by_rn = {r.rn: r for r in rows}
+    assert by_rn[5].neighbor_id == 3
+    assert by_rn[5].cos_sim is None
+    assert all(by_rn[i].cos_sim is not None for i in range(1, 5))
+
+
+def test_corpus_never_shuffles_before_window(spark):
+    """Plan audit: ONE hash-partitioning exchange total (the top-k
+    window); candidate generation is a broadcast join on the corpus
+    side, and the assign pass is map-only."""
+    vecs = _rng_vecs(60, 8)
+    cents = _rng_vecs(4, 8, seed=5)
+    df = ivf_topk(
+        _df(spark, vecs), "vid", "emb",
+        _df(spark, vecs[:2], partitions=1), "vid", "emb",
+        cents, k=3, nprobe=2,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_assign_covers_every_row_once(spark):
+    vecs = _rng_vecs(50, 8)
+    cents = _rng_vecs(3, 8, seed=2)
+    rows = ivf_assign(_df(spark, vecs), "vid", "emb", cents).collect()
+    assert sorted(r.id for r in rows) == list(range(50))
+    # binary round-trip is exact
+    r0 = next(r for r in rows if r.id == 0)
+    assert np.frombuffer(r0.vec, dtype=np.float64).tolist() == vecs[0].tolist()
+
+
+def test_guards(spark):
+    vecs = _rng_vecs(4, 4)
+    df = _df(spark, vecs, partitions=1)
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_probes(df, "vid", "emb", np.zeros((2, 4)), nprobe=3)
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_probes(df, "vid", "emb", np.zeros((2, 4)), nprobe=0)
+    with pytest.raises(ValueError, match="k must be"):
+        ivf_topk(df, "vid", "emb", df, "vid", "emb", np.zeros((2, 4)), k=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        ivf_assign(df, "vid", "emb", np.zeros((0, 4)))
+
+
+def test_partitioning_invariance(spark):
+    """Same results whatever the input layout (the shuffle-free assign
+    pass and the windowed rerank are both layout-independent)."""
+    vecs = _rng_vecs(80, 8)
+    cents = _rng_vecs(4, 8, seed=7)
+    out = []
+    for parts in (1, 7):
+        rows = ivf_topk(
+            _df(spark, vecs, partitions=parts), "vid", "emb",
+            _df(spark, vecs[:3], partitions=1), "vid", "emb",
+            cents, k=4, nprobe=2,
+        ).collect()
+        out.append(sorted((r.query_id, r.rn, r.neighbor_id) for r in rows))
+    assert out[0] == out[1]
+
+
+def test_registry_query_oracle_parity(spark):
+    """Standing local gate for the past-window registry row (the driver
+    hash-checks only the first 50 queries)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["ann_ivf_topk"]
+    got = {
+        (r.query_id, r.neighbor_id, round(r.cos_sim, 6), r.rn)
+        for r in q.spark(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    want = {
+        (r[0], r[1], round(r[2], 6), r[3])
+        for r in con.execute(q.oracle).fetchall()
+    }
+    assert got == want
+    assert len(got) == 50

@@ -219,6 +219,22 @@ def main(argv: list[str] | None = None) -> int:
         "scanned once, never shuffled)",
     )
     ap.add_argument(
+        "--seen-near-texts",
+        default=None,
+        help="with --sample-target/--token-budget: parquet dir holding a "
+        "`text` column of already-committed documents; pages whose text "
+        "is a NEAR-duplicate (exact Jaccard >= --seen-near-threshold "
+        "among calibrated MinHash band candidates) of any committed doc "
+        "are dropped before curation — the fuzzy tier next to "
+        "--seen-urls (url-level) and --seen-texts (exact content)",
+    )
+    ap.add_argument(
+        "--seen-near-threshold",
+        type=float,
+        default=0.5,
+        help="Jaccard threshold for --seen-near-texts (default 0.5)",
+    )
+    ap.add_argument(
         "--seen-urls",
         default=None,
         help="with --sample-target: parquet dir holding a `url` column of "
@@ -234,6 +250,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.substring_dedup
         or args.seen_urls
         or args.seen_texts
+        or args.seen_near_texts
         or args.host_cap is not None
         or args.lang_budget is not None
         or args.sample_alpha is not None
@@ -246,6 +263,7 @@ def main(argv: list[str] | None = None) -> int:
     ) and args.sample_target is None and args.token_budget is None:
         ap.error(
             "--url-dedup/--line-dedup/--substring-dedup/--seen-urls/"
+            "--seen-texts/--seen-near-texts/"
             "--host-cap/--lang-budget/--sample-alpha/--decontaminate/"
             "--export-jsonl/--blocked-domains/--url-hard-words/"
             "--url-soft-words require --sample-target or --token-budget"
@@ -359,6 +377,7 @@ def main(argv: list[str] | None = None) -> int:
                             args.url_dedup
                             or seen is not None
                             or args.seen_texts
+                            or args.seen_near_texts
                             or url_filtering
                         )
                         else result
@@ -378,6 +397,14 @@ def main(argv: list[str] | None = None) -> int:
                         if args.seen_texts
                         else None
                     ),
+                    seen_near_texts=(
+                        spark.read.parquet(args.seen_near_texts).select(
+                            "text"
+                        )
+                        if args.seen_near_texts
+                        else None
+                    ),
+                    seen_near_threshold=args.seen_near_threshold,
                     host_cap=args.host_cap,
                     lang_budget_frac=args.lang_budget,
                     sample_alpha=args.sample_alpha,

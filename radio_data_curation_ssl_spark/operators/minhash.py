@@ -167,6 +167,75 @@ def collapse_exact_dups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def minhash_neardup_vs_seen(
+    docs: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    seen_bands: DataFrame | None = None,
+    seen_sets: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, seen_id, jaccard): new-batch docs that are NEAR-duplicates
+    of an already-committed corpus — the fuzzy tier of the incremental
+    family (url-level: ``seen_urls``; exact content: the ``seen_texts``
+    Bloom pass; near content: THIS).  Bipartite by construction: pairs
+    WITHIN the new batch are ``minhash_neardup_pairs``' job, and exact
+    recaptures are cheaper through the Bloom pass — run both first so
+    only genuinely new, genuinely near-dup text reaches the band join.
+
+    Both frames need (doc_id, text) with ids unique WITHIN their frame
+    (the id spaces may overlap — pairs are (new, seen), never compared
+    across roles).  The committed side is assumed exact-deduped already
+    (every flow publishes it that way); if it is not, collapse it first
+    — a g-sized identical group on the seen side emits g verified pairs
+    per matching new doc (candidate blow-up is what
+    ``collapse_exact_dups`` exists for).
+
+    Scale: at 10^12 committed docs the seen side's band table and
+    shingle sets are computed ONCE per corpus commit and persisted;
+    pass them as ``seen_bands`` / ``seen_sets`` (the exact frames
+    ``signature_bands`` / ``shingle_sets`` emit) and each incremental
+    batch costs one batch-sized signature pass + one (band, band_key)
+    join against the stored bands + the candidate-only rerank — the
+    committed corpus text is never re-read."""
+    new_bands = signature_bands(docs, text_col)
+    if seen_bands is None:
+        seen_bands = signature_bands(seen, text_col)
+    cand = (
+        new_bands.alias("a")
+        .join(
+            seen_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("seen_id"),
+        )
+        .distinct()
+    )
+    new_sets = shingle_sets(docs, text_col).select(
+        "doc_id", F.col("sh").alias("sh_a")
+    )
+    if seen_sets is None:
+        seen_sets = shingle_sets(seen, text_col)
+    seen_sets = seen_sets.select(
+        F.col("doc_id").alias("seen_id"), F.col("sh").alias("sh_b")
+    )
+    inter = "size(array_intersect(sh_a, sh_b))"
+    return (
+        cand.join(new_sets, "doc_id")
+        .join(seen_sets, "seen_id")
+        .selectExpr(
+            "doc_id",
+            "seen_id",
+            f"{inter} / (size(sh_a) + size(sh_b) - {inter}) AS j",
+        )
+        .where(f"j >= {threshold}")
+        .selectExpr("doc_id", "seen_id", f"round(j, {X.ROUND}) AS jaccard")
+    )
+
+
 def minhash_neardup_pairs(
     docs: DataFrame,
     text_col: str = "text",

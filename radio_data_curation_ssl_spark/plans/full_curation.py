@@ -79,6 +79,8 @@ def curate_dedup_sample(
     substring_min_len: int = 8,
     seen_urls: DataFrame | None = None,
     seen_texts: DataFrame | None = None,
+    seen_near_texts: DataFrame | None = None,
+    seen_near_threshold: float = 0.5,
     blocked_domains: DataFrame | list[str] | None = None,
     url_hard_words: list[str] | None = None,
     url_soft_words: list[str] | None = None,
@@ -135,6 +137,17 @@ def curate_dedup_sample(
     recaptures under different urls).  Same Bloom economics, keyed on
     md5(text) so no document payload ever enters a join side.  Composes
     with ``seen_urls`` (url pass runs first).
+
+    ``seen_near_texts`` is the FUZZY tier of the same family: a
+    one-column ``text`` frame of committed documents; new pages whose
+    text has exact Jaccard >= ``seen_near_threshold`` with ANY committed
+    doc (calibrated 64-perm MinHash band candidates, exact verify —
+    operators/minhash.py::minhash_neardup_vs_seen) are dropped before
+    curation.  Runs AFTER the exact passes so only genuinely new text
+    pays the band join; at production scale pass the committed side's
+    persisted band/shingle frames to the operator directly instead of
+    re-deriving them per batch (this wrapper re-derives — fine for
+    committed corpora that fit one scan).
 
     ``host_cap`` / ``lang_budget_frac`` add the corpus-shaping stage
     between dedup and sampling (the ``corpus_budgets`` query's
@@ -255,6 +268,39 @@ def curate_dedup_sample(
         pages = incremental_new(
             pages.withColumn("_ct", F.md5("text")), seen_keys, "_ct"
         ).drop("_ct")
+    if seen_near_texts is not None:
+        if curated is not None:
+            raise ValueError(
+                "seen_near_texts applies before curation; pass pages "
+                "only, not a precomputed curated frame"
+            )
+        # FUZZY content-level incremental dedup: drop pages that are
+        # NEAR-duplicates of the committed corpus (exact recaptures are
+        # the cheaper seen_texts pass — compose them, exact first).
+        # Internal int64 keys: new side xxhash64(url, text) (a same-key
+        # collision means an identical (url, text) row — same shingle
+        # set, same verdict), committed side xxhash64(text) (the
+        # committed corpus publishes exact-deduped text, so distinct
+        # rows collide only by 2^-64 accident).
+        from ..operators.minhash import minhash_neardup_vs_seen
+
+        nid = F.xxhash64("url", "text")
+        hits = (
+            minhash_neardup_vs_seen(
+                pages.select(nid.alias("doc_id"), "text"),
+                seen_near_texts.select(
+                    F.xxhash64("text").alias("doc_id"), "text"
+                ),
+                threshold=seen_near_threshold,
+            )
+            .select(F.col("doc_id").alias("_nn"))
+            .distinct()
+        )
+        pages = (
+            pages.withColumn("_nn", nid)
+            .join(hits, "_nn", "left_anti")
+            .drop("_nn")
+        )
     if url_dedup:
         if curated is not None:
             raise ValueError(

@@ -3887,3 +3887,60 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=_IVF_NPROBE,
         fold_exact=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash near-dup (r4 session 8) — past-window, standing
+# parity gate in tests/test_incremental_neardup.py.
+
+@register(
+    "minhash_incremental_neardup",
+    f"""
+WITH w AS (SELECT doc_id, {X.words("text").duck} AS words FROM documents),
+tg AS (SELECT doc_id, {_TG.duck} AS trigrams FROM w),
+hs AS (SELECT doc_id, {_SHH.duck} AS sh_hashes FROM tg WHERE len(trigrams) > 0),
+sig AS (SELECT doc_id,
+  {", ".join(f"{m} AS m{p}" for p, m in enumerate(_MHC))}
+  FROM hs),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {i} AS band, {k} AS band_key FROM sig"
+      for i, k in enumerate(_MHC_BAND_DUCK))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS seen_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),
+sets AS (SELECT doc_id, list_distinct(trigrams) AS sh FROM tg
+         WHERE len(trigrams) > 0),
+scored AS (
+  SELECT cand.doc_id, cand.seen_id,
+    {_J_INTER} / (len(sa.sh) + len(sb.sh) - {_J_INTER}) AS j
+  FROM cand
+  JOIN sets sa ON sa.doc_id = cand.doc_id
+  JOIN sets sb ON sb.doc_id = cand.seen_id)
+SELECT doc_id, seen_id, round(j, {X.ROUND}) AS jaccard
+FROM scored WHERE j >= 0.35
+""",
+    doc="Incremental MinHash near-dup: new-batch docs (doc_id % 3 = 0) "
+    "that are near-duplicates of the committed corpus (doc_id % 3 <> 0) "
+    "— the fuzzy tier of the incremental family next to seen_urls "
+    "(url-level) and seen_texts (exact content). Same calibrated 64-perm "
+    "/ 16x4-band kernel and exact-Jaccard verify as "
+    "dedup_minhash_calibrated, but a BIPARTITE new-vs-seen band join. "
+    "Scale: the committed side's band table + shingle sets persist once "
+    "per corpus commit (seen_bands/seen_sets params) so each batch "
+    "costs one batch-sized signature pass + one join — committed text "
+    "is never re-read (operators/minhash.py::minhash_neardup_vs_seen).",
+)
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.minhash import minhash_neardup_vs_seen
+
+    d = t(spark, sf_dir, "documents")
+    return minhash_neardup_vs_seen(
+        d.where("doc_id % 3 = 0"),
+        d.where("doc_id % 3 <> 0"),
+        text_col="text",
+        threshold=0.35,
+    )

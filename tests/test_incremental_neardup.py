@@ -1,0 +1,157 @@
+"""Incremental MinHash near-dup (operators/minhash.py::
+minhash_neardup_vs_seen): planted near/exact/fresh docs against a
+committed corpus, bipartite-only semantics, the persisted-bands fast
+path, the flow stage ``seen_near_texts``, and the standing DuckDB
+parity gate for the past-window ``minhash_incremental_neardup``
+registry row."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from radio_data_curation_ssl_spark.operators.minhash import (
+    minhash_neardup_vs_seen,
+    shingle_sets,
+    signature_bands,
+)
+
+SF = "/root/testdata/sf0.001"
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "furious penguins debate quarterly spreadsheet margins under "
+    "a flickering aurora and nobody remembers why the meeting started"
+)
+_NEAR = _BASE + " late appendix"
+_FRESH = (
+    "completely different content about volcanic geology and basalt "
+    "column formation rates across icelandic fissure systems with "
+    "no overlap in any trigram of the committed corpus whatsoever"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_planted_near_exact_fresh(spark):
+    seen = _docs(spark, [(100, _BASE), (101, _FRESH + " committed tail")])
+    new = _docs(
+        spark,
+        [
+            (1, _NEAR),            # near-dup of seen 100
+            (2, _BASE),            # exact recapture of seen 100
+            (3, "tiny"),           # unshingleable
+            (4, _FRESH.replace("volcanic", "entirely novel")),
+        ],
+    )
+    got = {
+        (r.doc_id, r.seen_id): r.jaccard
+        for r in minhash_neardup_vs_seen(new, seen, threshold=0.5).collect()
+    }
+    assert (1, 100) in got and 0.5 <= got[(1, 100)] < 1.0
+    assert got[(2, 100)] == 1.0
+    assert all(d not in (3,) for d, _ in got)
+    assert all(s != 101 or d == 4 for d, s in got) or (4, 101) not in got
+
+
+def test_bipartite_only(spark):
+    """Two near-identical docs WITHIN the new batch are not reported —
+    within-batch pairs are minhash_neardup_pairs' job."""
+    seen = _docs(spark, [(100, _FRESH)])
+    new = _docs(spark, [(1, _BASE), (2, _NEAR)])
+    assert minhash_neardup_vs_seen(new, seen, threshold=0.5).count() == 0
+
+
+def test_persisted_bands_path_identical(spark):
+    """Passing precomputed seen_bands/seen_sets (the once-per-commit
+    production artifacts) returns the identical result frame."""
+    seen = _docs(spark, [(100, _BASE), (101, _FRESH)])
+    new = _docs(spark, [(1, _NEAR), (2, _FRESH + " with a small suffix")])
+    inline = sorted(
+        (r.doc_id, r.seen_id, r.jaccard)
+        for r in minhash_neardup_vs_seen(new, seen, threshold=0.4).collect()
+    )
+    persisted = sorted(
+        (r.doc_id, r.seen_id, r.jaccard)
+        for r in minhash_neardup_vs_seen(
+            new,
+            seen,
+            threshold=0.4,
+            seen_bands=signature_bands(seen, "text"),
+            seen_sets=shingle_sets(seen, "text"),
+        ).collect()
+    )
+    assert inline == persisted and len(inline) >= 2
+
+
+def test_flow_seen_near_texts(spark, pages_small):
+    """The flow stage drops near-recaptures (text lightly edited AND the
+    url changed — both exact tiers are blind to them) and keeps the
+    rest: published set == the no-seen run minus the near-dup pages."""
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    big = 10**9
+    committed = (
+        pages_small.where("pmod(xxhash64(url), 4) = 0")
+        .select("text")
+        .cache()
+    )
+    # every page re-arrives with a new url and one appended word: the
+    # committed subset becomes NEAR (not exact) recaptures
+    edited = pages_small.withColumn(
+        "url", F.concat(F.col("url"), F.lit("?v=2"))
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" tailword")))
+    base = curate_dedup_sample(edited, big, near_dup="none").cache()
+    got = curate_dedup_sample(
+        edited,
+        big,
+        near_dup="none",
+        seen_near_texts=committed,
+        seen_near_threshold=0.5,
+    )
+    dropped_urls = {
+        r["url"]
+        for r in edited.join(
+            pages_small.join(committed, "text", "left_semi")
+            .select(F.concat("url", F.lit("?v=2")).alias("url")),
+            "url",
+            "left_semi",
+        ).select("url").collect()
+    }
+    got_urls = {r["url"] for r in got.collect()}
+    base_urls = {r["url"] for r in base.collect()}
+    assert got_urls == base_urls - dropped_urls
+    assert 0 < len(base_urls - got_urls)  # the filter actually bit
+
+    with pytest.raises(ValueError, match="seen_near_texts applies before"):
+        curate_dedup_sample(
+            pages_small, big, curated=base, seen_near_texts=committed
+        )
+    base.unpersist()
+    committed.unpersist()
+
+
+def test_registry_query_oracle_parity(spark):
+    """Standing local gate for the past-window registry row (the driver
+    hash-checks only the first 50 queries)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["minhash_incremental_neardup"]
+    got = {
+        (r.doc_id, r.seen_id, round(r.jaccard, 6))
+        for r in q.spark(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = {
+        (r[0], r[1], round(r[2], 6))
+        for r in con.execute(q.oracle).fetchall()
+    }
+    assert got == want
+    assert len(got) > 0

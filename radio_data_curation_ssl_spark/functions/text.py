@@ -184,6 +184,22 @@ def trigrams(w: str = "words") -> P:
     )
 
 
+def bind1(expr: str, var: str, body: str) -> str:
+    """Spark-side let-binding: evaluate ``expr`` ONCE per row, visible as
+    ``var`` inside ``body`` — ``transform(array(expr), var -> body)[0]``.
+
+    Catalyst's CollapseProject substitutes column references with their
+    defining expressions, so a chain referenced k times re-evaluates k
+    times — and one collapsed into a Generate re-evaluates roughly PER
+    OUTPUT ROW (measured 8x wall on the substring-dedup anchor explode,
+    where every gram position re-split the full document text).  A
+    lambda-bound variable cannot be inlined, so the binding survives all
+    plan rewrites without materializing anything.  Spark dialect only:
+    DuckDB oracles name intermediates in CTEs, which DuckDB does not
+    re-inline."""
+    return f"transform(array({expr}), {var} -> {body})[0]"
+
+
 def wordgrams(w: str = "words", n: int = 5) -> P:
     """Overlapping word n-grams joined by single spaces; [] for <n words.
 

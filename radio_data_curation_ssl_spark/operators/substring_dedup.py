@@ -105,14 +105,12 @@ def dedup_exact_substrings(
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     for c in (
-        "_ss_words",
-        "_ss_grams",
         "_ss_pos",
         "_ss_gram",
         "_ss_h1",
         "_ss_h2",
         "_ss_marks",
-        "_ss_kept",
+        "_ss_o",
     ):
         if c in df.columns:
             raise ValueError(f"input already has internal column {c}")
@@ -122,20 +120,22 @@ def dedup_exact_substrings(
         if lowercase
         else f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
     )
-    grams_expr = X.wordgrams("_ss_words", min_len).spark
     # NULL text -> empty word array (not NULL): downstream counts must be
     # 0, never NULL — a NULL removed_col once silently dropped NULL-text
     # docs through the flow stage's keep predicate
-    base = df.withColumn(
-        "_ss_words",
-        F.coalesce(F.expr(words_expr), F.array().cast("array<string>")),
-    )
+    words_safe = f"coalesce({words_expr}, CAST(array() AS array<string>))"
+    # every multi-use of the word array goes through X.bind1: a bare
+    # column reference collapses into its consumers and the split chain
+    # re-evaluates per use — per GRAM under the explode (measured 8x
+    # wall on this operator's anchor stage before the binding)
+    grams_body = X.wordgrams("_ssw", min_len).spark
 
     anchors = (
-        base.select(*key_cols, "_ss_words")
-        .withColumn("_ss_grams", F.expr(grams_expr))
-        .select(
-            *key_cols, F.posexplode("_ss_grams").alias("_ss_pos", "_ss_gram")
+        df.select(
+            *key_cols,
+            F.posexplode(
+                F.expr(X.bind1(words_safe, "_ssw", grams_body))
+            ).alias("_ss_pos", "_ss_gram"),
         )
         .withColumn("_ss_h1", F.xxhash64("_ss_gram"))
         .withColumn("_ss_h2", F.xxhash64(F.lit(1), F.col("_ss_gram")))
@@ -164,38 +164,36 @@ def dedup_exact_substrings(
         .agg(F.collect_list("_ss_pos").alias("_ss_marks"))
     )
 
-    covered = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.coalesce("_ss_marks", F.array().cast("array<int>")),
-                lambda p: F.sequence(p, p + F.lit(min_len - 1)),
-            )
-        )
+    # cut + reassemble as ONE doubly-bound expression (_ssw = the word
+    # array, _ssk = the kept indices): words evaluate once per struct
+    # field extraction instead of once per kept WORD, and kept once per
+    # field instead of twice
+    covered = (
+        "array_distinct(flatten(transform("
+        "coalesce(_ss_marks, CAST(array() AS array<int>)), "
+        f"p -> sequence(p, p + {min_len - 1}))))"
     )
-    n = F.size("_ss_words")
-    kept_idx = F.array_except(
-        F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
-            F.array().cast("array<int>")
-        ),
-        covered,
+    kept_body = (
+        "array_except(CASE WHEN size(_ssw) > 0 THEN "
+        "sequence(0, size(_ssw) - 1) ELSE CAST(array() AS array<int>) "
+        f"END, {covered})"
     )
+    struct_body = X.bind1(
+        kept_body,
+        "_ssk",
+        "named_struct("
+        "'txt', array_join(transform(_ssk, i -> element_at(_ssw, i + 1)),"
+        " ' '), "
+        "'n_rm', CAST(size(_ssw) - size(_ssk) AS BIGINT), "
+        "'n_w', CAST(size(_ssw) AS BIGINT))",
+    )
+    assembled = X.bind1(words_safe, "_ssw", struct_body)
     out = (
-        base.join(marks, key_cols, "left")
-        .withColumn("_ss_kept", kept_idx)
-        .withColumn(
-            out_col,
-            F.array_join(
-                F.transform(
-                    "_ss_kept",
-                    lambda i: F.element_at("_ss_words", i + F.lit(1)),
-                ),
-                " ",
-            ),
-        )
-        .withColumn(
-            removed_col, (n - F.size("_ss_kept")).cast("long")
-        )
+        df.join(marks, key_cols, "left")
+        .withColumn("_ss_o", F.expr(assembled))
+        .withColumn(out_col, F.col("_ss_o.txt"))
+        .withColumn(removed_col, F.col("_ss_o.n_rm"))
     )
     if n_words_col is not None:
-        out = out.withColumn(n_words_col, n.cast("long"))
-    return out.drop("_ss_words", "_ss_marks", "_ss_kept")
+        out = out.withColumn(n_words_col, F.col("_ss_o.n_w"))
+    return out.drop("_ss_marks", "_ss_o")

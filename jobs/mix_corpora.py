@@ -1,0 +1,194 @@
+"""Cluster job entry: compose a training mix from several curated corpora.
+
+The Pile/Dolma/LLaMA-style mixture step: given N published corpora
+(parquet dirs from jobs/run_curation.py or any table with the shared
+columns), blend them into ONE training set with temperature-weighted
+source proportions — ``alpha=1`` proportional to source size, ``alpha=0``
+an equal split, the band between the low-resource upweighting
+multilingual mixes use — by document count or by TOKEN budget, then
+optionally deliver gzip JSONL shards in a seeded, reproducible global
+shuffle order.  Run the way every other cluster job here runs
+(north_rule: spark-submit --py-files)::
+
+    zip -r curation.zip radio_data_curation_ssl_spark
+    spark-submit --py-files curation.zip jobs/mix_corpora.py \
+        --source web=/data/cc_curated --source wiki=/data/wiki_curated \
+        --token-budget 1000000000 --alpha 0.7 \
+        --output /data/mix_v1 --run-root /data/meta \
+        --jsonl-dir /data/mix_v1_jsonl --shuffle-seed 7
+
+Local smoke (this sandbox)::
+
+    python jobs/mix_corpora.py --synth 3000 --total 600 --alpha 0.5 \
+        --output /tmp/mix_out --run-root /tmp/meta
+
+Scale: quotas are driver math over |sources| numbers; selection is the
+budget module's histogram top-q / weight-budget shape per source (no
+full-group window, no global sort); the JSONL delivery is one size agg +
+one hash repartition.  The printed report and the run metrics record the
+REALIZED mixture (docs and tokens per source) so the mix is auditable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _parse_source(s: str) -> tuple[str, str]:
+    name, sep, path = s.partition("=")
+    if not sep or not name or not path:
+        raise argparse.ArgumentTypeError(
+            f"--source wants NAME=PATH, got {s!r}"
+        )
+    return name, path
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--source",
+        type=_parse_source,
+        action="append",
+        default=[],
+        metavar="NAME=PATH",
+        help="a named corpus parquet dir; repeat per source",
+    )
+    ap.add_argument(
+        "--synth", type=int, help="smoke mode: split N synthetic pages "
+        "into three skewed pseudo-sources instead of reading --source"
+    )
+    ap.add_argument("--total", type=int, help="mix size in documents")
+    ap.add_argument("--token-budget", type=int, help="mix size in tokens")
+    ap.add_argument("--alpha", type=float, required=True,
+                    help="temperature in [0,1]: 1 proportional, 0 equal split")
+    ap.add_argument("--columns", default=None,
+                    help="comma list of shared columns to carry "
+                    "(default: columns common to every source)")
+    ap.add_argument("--tie-col", default="url")
+    ap.add_argument("--text-col", default="text_scrubbed",
+                    help="token-weight column for --token-budget")
+    ap.add_argument("--output", required=True, help="mixed parquet dir")
+    ap.add_argument("--run-root", required=True, help="dir for _runs/_metrics")
+    ap.add_argument("--jsonl-dir", default=None,
+                    help="also deliver gzip JSONL shards here")
+    ap.add_argument("--shard-mb", type=int, default=128)
+    ap.add_argument("--shuffle-seed", type=int, default=None,
+                    help="seeded reproducible global shuffle of the JSONL "
+                    "delivery (membership + intra-shard order)")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+    # validate BEFORE RunLog.start: ap.error raises SystemExit, which the
+    # failed-status except below (deliberately) does not catch
+    if (args.total is None) == (args.token_budget is None):
+        ap.error("exactly one of --total / --token-budget required")
+    if not args.synth and not args.source:
+        ap.error("one of --source / --synth required")
+    if args.synth and args.source:
+        ap.error("--synth and --source are exclusive")
+    names = [n for n, _ in args.source]
+    if len(set(names)) != len(names):
+        ap.error(f"duplicate source names: {names}")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.operators.mixing import mix_corpora
+    from radio_data_curation_ssl_spark.plans.runmeta import RunLog
+    from radio_data_curation_ssl_spark.session import get_spark
+    from radio_data_curation_ssl_spark.sources.jsonl import write_jsonl_shards
+    from radio_data_curation_ssl_spark.synth import synth_pages
+
+    # stop only a session we created: under spark-submit (or a plain CLI
+    # run) there is no active session and the job owns its lifecycle;
+    # invoked in-process (tests, notebooks) the caller keeps theirs
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark("mix-corpora", master=args.master)
+    config = {
+        k: (dict(v) if k == "source" else v)
+        for k, v in vars(args).items()
+        if k != "master" and v not in (None, [])
+    }
+    log = RunLog(spark, args.run_root)
+    run_id = log.start("mix_corpora", config)
+    try:
+        text_col = args.text_col
+        if args.synth:
+            pages = synth_pages(spark, args.synth, seed=42, partitions=64)
+            text_col = "text"
+            slot = F.pmod(F.xxhash64("url"), F.lit(6))
+            sources = {  # ~50% / ~33% / ~17% — a skewed three-way mix
+                "web": pages.where(slot <= 2),
+                "wiki": pages.where((slot == 3) | (slot == 4)),
+                "books": pages.where(slot == 5),
+            }
+        else:
+            sources = {n: spark.read.parquet(p) for n, p in args.source}
+        if args.columns:
+            columns = [c.strip() for c in args.columns.split(",") if c.strip()]
+        else:
+            columns = [
+                c
+                for c in next(iter(sources.values())).columns
+                if all(c in df.columns for df in sources.values())
+            ]
+            if not columns:
+                raise ValueError("sources share no columns; pass --columns")
+        mixed = mix_corpora(
+            sources,
+            columns,
+            args.alpha,
+            total_docs=args.total,
+            token_budget=args.token_budget,
+            tie_col=args.tie_col,
+            text_col=text_col,
+        )
+        mixed.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        from radio_data_curation_ssl_spark.functions import text as X
+
+        toks = F.coalesce(
+            F.greatest(F.size(F.expr(X.words(text_col).spark)), F.lit(0)),
+            F.lit(0),
+        ).cast("long")
+        realized = {
+            r["source"]: {"docs": r["docs"], "tokens": r["tokens"]}
+            for r in out.groupBy("source")
+            .agg(F.count("*").alias("docs"), F.sum(toks).alias("tokens"))
+            .collect()
+        }
+        ins = {n: df.count() for n, df in sources.items()}
+        report = {
+            "run_id": run_id,
+            "output": args.output,
+            "sources": {
+                n: {"docs_in": ins[n], **realized.get(n, {"docs": 0, "tokens": 0})}
+                for n in sources
+            },
+        }
+        if args.jsonl_dir:
+            report["shards"] = write_jsonl_shards(
+                out,
+                args.jsonl_dir,
+                args.tie_col,
+                target_mb=args.shard_mb,
+                shuffle_seed=args.shuffle_seed,
+            )
+            report["jsonl_dir"] = args.jsonl_dir
+        log.finish(run_id, "mix_corpora", config, status="done")
+        print(json.dumps(report))
+        return 0
+    except Exception:
+        log.finish(run_id, "mix_corpora", config, status="failed")
+        raise
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,149 @@
+"""Multi-source training-mix composition — the "data mixture" step every
+released pretraining corpus ships (Pile/Dolma/LLaMA-style source tables:
+so-many parts web, so-many parts wiki, upweight the small high-quality
+sources).  The reference curates ONE survey's mosaics end to end
+(`/root/reference/src/lotss.py` + the pipeline scripts); this is the
+step a user takes when they have SEVERAL curated corpora and must blend
+them into one training set with explicit proportions.
+
+Built entirely from shipped kernels:
+
+- quotas: ``operators/budget.py::temperature_quotas`` — group g gets
+  ``total * m_g^alpha / sum(m^alpha)`` water-filled against its actual
+  mass (alpha=1 proportional, alpha=0 equal split, the 0<alpha<1 band
+  the CCNet/XLM-R low-resource upweighting), driver-side math over
+  |sources| numbers;
+- doc-count mode: ``temperature_sample`` over the tagged union (one
+  count agg + the histogram top-q selection — no full-group window even
+  on a 10^11-doc source);
+- token-budget mode: per-source ``take_weight_budget`` (weight = word
+  count of the delivered text, key = uniform url hash — an unbiased
+  within-source sample filling the source's token quota with < one
+  document of overshoot), then the tagged union.  Each source frame is
+  scanned only by its OWN selection, so the union never re-scans.
+
+Scale: |sources| is a handful (mixes are curated corpora, not shards);
+every per-source pass is the budget module's agg+boundary-window shape,
+the driver sees |sources| numbers, and the output keeps a ``source``
+column so the datasheet / export jobs can report the realized mixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from .budget import take_weight_budget, temperature_quotas, temperature_sample
+
+__all__ = ["tag_union", "mix_corpora"]
+
+_WEIGHT = "_mix_w"
+
+
+def tag_union(
+    sources: dict[str, DataFrame],
+    columns: list[str],
+    source_col: str = "source",
+) -> DataFrame:
+    """Union the source frames over an explicit shared column list, each
+    row tagged with its source name.  Fails loud on a missing column —
+    silent schema coercion is how mixes ship with NULL text."""
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    if source_col in columns:
+        raise ValueError(f"source_col {source_col!r} collides with a data column")
+    parts = []
+    for name, df in sources.items():
+        missing = [c for c in columns if c not in df.columns]
+        if missing:
+            raise ValueError(f"source {name!r} lacks columns {missing}")
+        parts.append(df.select(*columns).withColumn(source_col, F.lit(name)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _token_weight(text_col: str):
+    """Word count of the delivered text (the flow's token-budget weight:
+    whitespace words of the published payload; NULL/empty -> 0 so the
+    budget operator's non-negative contract holds row-free)."""
+    words = F.expr(X.words(text_col).spark)
+    return F.coalesce(F.greatest(F.size(words), F.lit(0)), F.lit(0)).cast(
+        "long"
+    )
+
+
+def mix_corpora(
+    sources: dict[str, DataFrame],
+    columns: list[str],
+    alpha: float,
+    total_docs: int | None = None,
+    token_budget: int | None = None,
+    tie_col: str = "url",
+    text_col: str = "text_scrubbed",
+    source_col: str = "source",
+) -> DataFrame:
+    """Blend curated corpora into one training mix with temperature-
+    weighted source proportions.  Exactly one of ``total_docs`` /
+    ``token_budget`` picks the unit:
+
+    - ``total_docs``: source g contributes ``~ total * n_g^alpha``
+      documents (water-filled), filled within each source in
+      ``xxhash64(tie_col)`` order — a deterministic unbiased sample;
+    - ``token_budget``: the same temperature split over source TOKEN
+      masses (word count of ``text_col``), each source's quota filled by
+      ``take_weight_budget`` (overshoot < one document per source).
+
+    ``tie_col`` must be unique within each source (it is the
+    deterministic fill order); across sources it may collide — rows are
+    always grouped by ``source_col`` first.  Output = ``columns`` +
+    ``source_col``; run ``tag_union`` yourself for an unshaped union.
+    """
+    if (total_docs is None) == (token_budget is None):
+        raise ValueError("exactly one of total_docs / token_budget required")
+    if tie_col not in columns:
+        raise ValueError(f"tie_col {tie_col!r} must be in columns")
+
+    if total_docs is not None:
+        if total_docs < 0:
+            raise ValueError(f"total_docs must be >= 0, got {total_docs}")
+        tagged = tag_union(sources, columns, source_col)
+        return temperature_sample(
+            tagged, source_col, tie_col, total_docs, alpha
+        )
+
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    if text_col not in columns:
+        raise ValueError(f"text_col {text_col!r} must be in columns")
+    # per-source token masses -> the same water-filled temperature split,
+    # applied to masses instead of row counts (|sources| numbers driver-side)
+    weighted = {
+        name: df.select(*columns).withColumn(_WEIGHT, _token_weight(text_col))
+        for name, df in sources.items()
+    }
+    masses = {
+        name: (
+            df.select(F.sum(_WEIGHT).alias("m")).collect()[0]["m"] or 0
+        )
+        for name, df in weighted.items()
+    }
+    quotas = temperature_quotas(masses, token_budget, alpha)
+    parts = []
+    for name, df in weighted.items():
+        picked = take_weight_budget(
+            df.withColumn("_mix_g", F.lit(0))
+            .withColumn("_mix_key", F.xxhash64(tie_col)),
+            "_mix_g",
+            "_mix_key",
+            tie_col,
+            _WEIGHT,
+            float(quotas[name]),
+        ).drop("_mix_g", "_mix_key", _WEIGHT)
+        parts.append(picked.withColumn(source_col, F.lit(name)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

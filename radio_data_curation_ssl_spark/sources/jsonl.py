@@ -31,18 +31,33 @@ def write_jsonl_shards(
     path: str,
     key_col: str,
     target_mb: int = 128,
+    shuffle_seed: int | None = None,
 ) -> int:
     """Write ``df`` as gzip JSONL shards of ~``target_mb`` UNCOMPRESSED
     payload each, hash-partitioned by ``key_col``; returns the shard
-    count.  Deterministic for a given (df content, key_col, target_mb)."""
+    count.  Deterministic for a given (df content, key_col, target_mb,
+    shuffle_seed).
+
+    ``shuffle_seed`` turns the export into the standard
+    shuffle-once-at-delivery pass trainers expect: shard membership AND
+    the row order inside each shard follow ``xxhash64(key, seed)`` — a
+    reproducible global pseudo-random permutation (sequential readers
+    see documents in unpredictable order, so no host/crawl-time locality
+    leaks into training batches), and a different seed is a different
+    permutation.  Without it, membership is keyed but intra-shard order
+    is whatever the upstream plan produced."""
     if target_mb < 1:
         raise ValueError(f"target_mb must be >= 1, got {target_mb}")
     payload = F.octet_length(F.to_json(F.struct(*df.columns))) + 1  # +\n
     total = df.select(F.sum(payload).alias("b")).collect()[0]["b"] or 0
     n_shards = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    if shuffle_seed is None:
+        out = df.repartition(n_shards, F.col(key_col))
+    else:
+        order = F.xxhash64(F.col(key_col), F.lit(int(shuffle_seed)))
+        out = df.repartition(n_shards, order).sortWithinPartitions(order)
     (
-        df.repartition(n_shards, F.col(key_col))
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
         .option("compression", "gzip")
         .json(path)
     )

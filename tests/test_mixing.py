@@ -1,0 +1,183 @@
+"""Training-mix composition (operators/mixing.py) + seeded-shuffle JSONL
+delivery (sources/jsonl.py shuffle_seed)."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from radio_data_curation_ssl_spark.operators.budget import temperature_quotas
+from radio_data_curation_ssl_spark.operators.mixing import mix_corpora, tag_union
+from radio_data_curation_ssl_spark.sources.jsonl import write_jsonl_shards
+
+
+def _corpus(spark, name: str, n: int, words_per_doc: int = 5):
+    return spark.range(n).select(
+        F.concat(F.lit(f"https://{name}/"), F.col("id")).alias("url"),
+        F.concat(
+            F.lit(f"{name} "), F.lit(("tok " * (words_per_doc - 1)).strip())
+        ).alias("text_scrubbed"),
+    )
+
+
+@pytest.fixture(scope="module")
+def sources(spark):
+    return {
+        "web": _corpus(spark, "web", 300).cache(),
+        "wiki": _corpus(spark, "wiki", 150).cache(),
+        "books": _corpus(spark, "books", 50).cache(),
+    }
+
+
+def _out_counts(mixed):
+    return {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+
+
+def test_doc_mode_fills_temperature_quotas(spark, sources):
+    cols = ["url", "text_scrubbed"]
+    for alpha in (0.0, 0.5, 1.0):
+        mixed = mix_corpora(sources, cols, alpha, total_docs=200)
+        want = temperature_quotas(
+            {"web": 300, "wiki": 150, "books": 50}, 200, alpha
+        )
+        assert _out_counts(mixed) == {g: q for g, q in want.items() if q > 0}
+        assert set(mixed.columns) == {"url", "text_scrubbed", "source"}
+    # alpha=1 is proportional, alpha=0 upweights the small source to an
+    # equal split (books has 50 < 200/3 -> clamped, rest water-filled)
+    prop = _out_counts(mix_corpora(sources, cols, 1.0, total_docs=200))
+    flat = _out_counts(mix_corpora(sources, cols, 0.0, total_docs=200))
+    assert prop["web"] > flat["web"]
+    assert flat["books"] == 50
+
+
+def test_doc_mode_deterministic_and_partitioning_invariant(spark, sources):
+    cols = ["url", "text_scrubbed"]
+    a = mix_corpora(sources, cols, 0.7, total_docs=120)
+    b = mix_corpora(
+        {n: df.repartition(7) for n, df in sources.items()},
+        cols,
+        0.7,
+        total_docs=120,
+    )
+    rows = lambda d: sorted((r["source"], r["url"]) for r in d.collect())
+    assert rows(a) == rows(b)
+    assert rows(a) == rows(mix_corpora(sources, cols, 0.7, total_docs=120))
+
+
+def test_token_mode_masses_and_overshoot(spark):
+    # web docs are 10 words, wiki docs 2 words -> masses 1000 vs 100
+    srcs = {
+        "web": _corpus(spark, "web", 100, words_per_doc=10),
+        "wiki": _corpus(spark, "wiki", 50, words_per_doc=2),
+    }
+    cols = ["url", "text_scrubbed"]
+    budget = 330
+    mixed = mix_corpora(srcs, cols, 1.0, token_budget=budget).cache()
+    quotas = temperature_quotas({"web": 1000, "wiki": 100}, budget, 1.0)
+    toks = F.size(F.split("text_scrubbed", " "))
+    got = {
+        r["source"]: r["m"]
+        for r in mixed.groupBy("source").agg(F.sum(toks).alias("m")).collect()
+    }
+    # each source fills its token quota with < one document of overshoot
+    assert quotas["web"] <= got["web"] < quotas["web"] + 10
+    assert quotas["wiki"] <= got["wiki"] < quotas["wiki"] + 2
+    # budget beyond every mass keeps everything whole
+    whole = mix_corpora(srcs, cols, 1.0, token_budget=10_000)
+    assert whole.count() == 150
+    mixed.unpersist()
+
+
+def test_token_mode_null_and_empty_text_weighs_zero(spark):
+    src = spark.createDataFrame(
+        [("u1", "five words of real text"), ("u2", ""), ("u3", None)],
+        "url string, text_scrubbed string",
+    )
+    mixed = mix_corpora({"a": src}, ["url", "text_scrubbed"], 1.0,
+                        token_budget=5)
+    # the zero-weight docs never block the budget fill; u1 alone can land
+    got = {r["url"] for r in mixed.collect()}
+    assert "u1" in got
+
+
+def test_validation_fails_loud(spark, sources):
+    cols = ["url", "text_scrubbed"]
+    with pytest.raises(ValueError, match="exactly one"):
+        mix_corpora(sources, cols, 1.0)
+    with pytest.raises(ValueError, match="exactly one"):
+        mix_corpora(sources, cols, 1.0, total_docs=10, token_budget=10)
+    with pytest.raises(ValueError, match="tie_col"):
+        mix_corpora(sources, ["text_scrubbed"], 1.0, total_docs=10)
+    with pytest.raises(ValueError, match="text_col"):
+        mix_corpora(sources, ["url"], 1.0, token_budget=10)
+    with pytest.raises(ValueError, match="lacks columns"):
+        tag_union(sources, ["url", "missing_col"])
+    with pytest.raises(ValueError, match="collides"):
+        tag_union(sources, ["url"], source_col="url")
+    with pytest.raises(ValueError, match="non-empty"):
+        tag_union({}, ["url"])
+    with pytest.raises(ValueError, match="alpha"):
+        mix_corpora(sources, cols, 1.5, total_docs=10)
+
+
+def test_jsonl_seeded_shuffle_reproducible_and_seed_sensitive(spark, tmp_path):
+    df = spark.range(1200).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.lpad(F.lit("x"), 2000, "x").alias("text"),  # ~2.4MB -> 3 shards at 1MB
+    )
+
+    def export(tag, seed):
+        path = str(tmp_path / tag)
+        n = write_jsonl_shards(df, path, "url", target_mb=1, shuffle_seed=seed)
+        order = []
+        for f in sorted(glob.glob(f"{path}/part-*.json.gz")):
+            with gzip.open(f, "rt") as fh:
+                order.append(tuple(json.loads(ln)["url"] for ln in fh))
+        return n, order
+
+    n1, o1 = export("a", 7)
+    n2, o2 = export("b", 7)
+    _, o3 = export("c", 8)
+    assert n1 == n2 > 1
+    assert o1 == o2  # same seed -> byte-for-byte same membership + order
+    assert o1 != o3  # a different seed is a different permutation
+    flat = [u for shard in o1 for u in shard]
+    assert sorted(flat) == sorted(f"u{i}" for i in range(1200))
+    # the intra-shard order is NOT key order (it is the hash permutation)
+    assert any(list(s) != sorted(s) for s in o1)
+
+
+def test_mix_job_synth_smoke(spark, tmp_path):
+    from jobs.mix_corpora import main
+
+    out = str(tmp_path / "mix")
+    rc = main(
+        [
+            "--synth", "900",
+            "--total", "300",
+            "--alpha", "0.5",
+            "--output", out,
+            "--run-root", str(tmp_path / "meta"),
+            "--jsonl-dir", str(tmp_path / "shards"),
+            "--shuffle-seed", "3",
+        ]
+    )
+    assert rc == 0
+    mixed = spark.read.parquet(out)
+    counts = _out_counts(mixed)
+    assert sum(counts.values()) <= 300  # flooring undershoots < |sources|
+    assert sum(counts.values()) >= 300 - 3
+    assert set(counts) <= {"web", "wiki", "books"}
+    assert len(glob.glob(str(tmp_path / "shards" / "part-*.json.gz"))) >= 1
+    from radio_data_curation_ssl_spark.plans.runmeta import RunLog
+
+    log = RunLog(spark, str(tmp_path / "meta"))
+    statuses = [r["status"] for r in log.runs().collect()]
+    assert "done" in statuses and "failed" not in statuses

@@ -3794,6 +3794,7 @@ FROM a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
     "ONE shuffle on cluster id; per-cluster work is column-chunked "
     "(O(c*chunk) memory) and cluster size is capped fail-loud — split "
     "oversized clusters first (the reference's own skew mitigation).",
+    bench=True,
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.semdedup import semdedup
@@ -3867,6 +3868,7 @@ FROM ranked WHERE rn <= 5
     "the |Q|*nprobe*(n/k) candidate frame hits the top-k window; nprobe "
     "is the recall/cost lever (nprobe=k degenerates to brute force). "
     "PRODUCTION operator operators/ivf.py.",
+    bench=True,
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ivf import ivf_topk

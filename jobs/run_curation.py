@@ -190,6 +190,16 @@ def main(argv: list[str] | None = None) -> int:
         "decision is unchanged (operators/repsignals.py)",
     )
     ap.add_argument(
+        "--c4-clean",
+        action="store_true",
+        help="with --sample-target: additionally apply C4 line-level "
+        "cleaning to the published text (drop lines with < 5 words / no "
+        "terminal punctuation / javascript markers; drop pages with "
+        "lorem-ipsum or code-brace markers or < 3 surviving sentences); "
+        "the base keep/drop decision is unchanged "
+        "(operators/linefilter.py)",
+    )
+    ap.add_argument(
         "--token-budget",
         type=_positive,
         default=None,
@@ -258,6 +268,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.export_jsonl is not None
         or args.blocked_domains is not None
         or args.rep_filter
+        or args.c4_clean
         or args.url_hard_words is not None
         or args.url_soft_words is not None
     ) and args.sample_target is None and args.token_budget is None:
@@ -266,7 +277,8 @@ def main(argv: list[str] | None = None) -> int:
             "--seen-texts/--seen-near-texts/"
             "--host-cap/--lang-budget/--sample-alpha/--decontaminate/"
             "--export-jsonl/--blocked-domains/--url-hard-words/"
-            "--url-soft-words require --sample-target or --token-budget"
+            "--url-soft-words/--c4-clean require --sample-target or "
+            "--token-budget"
         )
     if args.token_budget is not None and args.sample_alpha is not None:
         ap.error("--token-budget and --sample-alpha are exclusive")
@@ -389,6 +401,7 @@ def main(argv: list[str] | None = None) -> int:
                     url_soft_words=_csv(args.url_soft_words),
                     url_soft_threshold=args.url_soft_threshold,
                     rep_filter=args.rep_filter,
+                    c4_clean=args.c4_clean,
                     line_dedup=args.line_dedup,
                     substring_dedup=args.substring_dedup,
                     seen_urls=seen,

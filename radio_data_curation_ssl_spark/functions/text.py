@@ -510,3 +510,106 @@ def minhash_from_hashes(perm: int, hcol: str = "sh_hashes") -> P:
         f" x -> ({a} * x + {b}) % {MERSENNE31}), 'min')"
         f" ELSE CAST({MERSENNE31} AS BIGINT) END",
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020 §2.2) — the per-LINE
+# heuristic pass every web pipeline runs before document-level scoring:
+# keep a line iff it has >= min_words words, ends in terminal punctuation,
+# and carries no boilerplate marker; drop a PAGE outright on lorem-ipsum /
+# code-brace markers, too few sentences, or a bad-word hit.  All fragments
+# are pure built-ins (codegen'd, map-only) with bit-identical DuckDB twins.
+
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_LINE_MIN_WORDS = 5
+C4_LINE_MARKERS = ("javascript",)
+C4_PAGE_MARKERS = ("lorem ipsum", "{")
+C4_MIN_SENTENCES = 3
+
+
+def c4_kept_lines(
+    col: str,
+    min_words: int = C4_LINE_MIN_WORDS,
+    require_terminal: bool = True,
+    line_markers: tuple[str, ...] = C4_LINE_MARKERS,
+) -> P:
+    """array<string> of the lines of ``col`` that survive the C4 line
+    rules (evaluated on the trimmed line; the ORIGINAL line is kept).
+    NULL text -> NULL array (callers decide page fate separately)."""
+    if min_words < 0:
+        raise ValueError(f"min_words must be >= 0, got {min_words}")
+    s_conds = [
+        f"size(filter(split(trim(x), {_sq(WORD_SPLIT_RE)}), w -> w != ''))"
+        f" >= {min_words}"
+    ]
+    d_conds = [
+        f"len(list_filter(regexp_split_to_array(trim(x), {_dq(WORD_SPLIT_RE)}),"
+        f" w -> w != '')) >= {min_words}"
+    ]
+    if require_terminal:
+        s_conds.append(f"trim(x) RLIKE {_sq(C4_TERMINAL_RE)}")
+        d_conds.append(f"regexp_matches(trim(x), {_dq(C4_TERMINAL_RE)})")
+    for m in line_markers:
+        lit = m.lower().replace("'", "''")
+        s_conds.append(f"NOT contains(lower(x), '{lit}')")
+        d_conds.append(f"NOT contains(lower(x), '{lit}')")
+    return P(
+        f"filter(split({col}, {_sq(chr(92) + 'n')}), x -> "
+        + " AND ".join(s_conds)
+        + ")",
+        f"list_filter(regexp_split_to_array({col}, {_dq(chr(92) + 'n')}),"
+        " x -> " + " AND ".join(d_conds) + ")",
+    )
+
+
+def joined_lines(kept: str = "kept_lines") -> P:
+    """Reassemble kept lines with newlines (NULL array -> NULL text;
+    empty array -> '' — DuckDB's array_to_string([]) is NULL, Spark's
+    array_join([]) is '', so the duck side needs the coalesce)."""
+    return P(
+        f"array_join({kept}, '\\n')",
+        f"CASE WHEN {kept} IS NULL THEN NULL"
+        f" ELSE coalesce(array_to_string({kept}, chr(10)), '') END",
+    )
+
+
+def n_sentences(col: str) -> P:
+    """Terminal-punctuation-run count — the deterministic sentence-count
+    stand-in both engines agree on (NULL text -> NULL; Spark's legacy
+    size(NULL) = -1 makes the explicit NULL guard necessary)."""
+    pat_s, pat_d = _sq(r"[.!?]+"), _dq(r"[.!?]+")
+    return P(
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE"
+        f" CAST(size(regexp_extract_all({col}, {pat_s}, 0)) AS BIGINT) END",
+        f"CAST(len(regexp_extract_all({col}, {pat_d})) AS BIGINT)",
+    )
+
+
+def contains_any(col: str, needles: tuple[str, ...]) -> P:
+    """TRUE iff lower(col) contains any needle (case-insensitive; NULL
+    text -> NULL)."""
+    if not needles:
+        return P("FALSE", "FALSE")
+    terms = [
+        f"contains(lower({col}), '{n.lower().replace(chr(39), chr(39) * 2)}')"
+        for n in needles
+    ]
+    expr = "(" + " OR ".join(terms) + ")"
+    return P(expr, expr)
+
+
+def matches_bad_word(col: str, bad_words: list[str]) -> P:
+    """TRUE iff col contains any bad word at word boundaries (the C4
+    bad-words page rule), case-insensitive.  Words are regex-escaped;
+    one alternation regex so the page is scanned once."""
+    import re as _re
+
+    if not bad_words:
+        return P("FALSE", "FALSE")
+    # re.escape escapes spaces too ('\ '), which RE2 rejects — undo it
+    esc = [_re.escape(w).replace("\\ ", " ") for w in bad_words]
+    pat = r"(?i)\b(" + "|".join(esc) + r")\b"
+    return P(
+        f"{col} RLIKE {_sq(pat)}",
+        f"regexp_matches({col}, {_dq(pat)})",
+    )

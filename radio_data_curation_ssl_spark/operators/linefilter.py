@@ -1,0 +1,106 @@
+"""C4-style line-level cleaning (Raffel et al. 2020 §2.2) — the per-LINE
+boilerplate pass real web pipelines run before any document-level
+scoring, and the one heuristic tier the engine's doc-level battery
+(operators/heuristics_np.py) and global span dedup (line_dedup) did not
+cover: keep a line iff it reads like prose (>= ``min_words`` words,
+ends in terminal punctuation, no boilerplate marker), and drop a PAGE
+outright on lorem-ipsum / code-brace markers, a bad-word hit, or too
+few surviving sentences.
+
+Reference anchor: the same shape as the reference's per-row validity
+filters (SURVEY §2.2, `/root/reference/src/1a_cutouts_sw.py:77`
+NaN-patch drop) applied to the web-text payload's sub-row structure.
+
+Scale: pure built-in column expressions end to end (split / filter /
+RLIKE / array_join — whole-stage codegen, no Python, no shuffle), so
+the pass is a narrow map at any corpus size; the repeated ``kept_lines``
+subexpression inside the single projection is eliminated by codegen CSE
+(measured: see BENCH/BASELINE.md session-9 CSE probe).  Page markers
+and the bad-word alternation each scan the page once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+__all__ = ["c4_line_clean", "filter_c4"]
+
+
+def c4_line_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_clean",
+    min_words: int = X.C4_LINE_MIN_WORDS,
+    require_terminal: bool = True,
+    line_markers: tuple[str, ...] = X.C4_LINE_MARKERS,
+    page_markers: tuple[str, ...] = X.C4_PAGE_MARKERS,
+    min_sentences: int = X.C4_MIN_SENTENCES,
+    bad_words: list[str] | None = None,
+) -> DataFrame:
+    """Adds ``out_col`` (the kept lines re-joined), ``n_lines`` /
+    ``n_lines_kept`` (page structure counters), ``n_sentences``
+    (terminal-punctuation runs in the CLEANED text) and ``c4_keep``
+    (page survives: no page marker in the RAW text, no bad word, and
+    >= ``min_sentences`` sentences survive the line pass).
+
+    NULL text: ``out_col`` and the counters stay NULL, ``c4_keep`` is
+    FALSE (fail-closed — an unreadable page never ships).
+    """
+    if min_sentences < 0:
+        raise ValueError(f"min_sentences must be >= 0, got {min_sentences}")
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists")
+    kept = X.c4_kept_lines(
+        text_col,
+        min_words=min_words,
+        require_terminal=require_terminal,
+        line_markers=line_markers,
+    )
+    marker_hit = X.contains_any(text_col, page_markers)
+    bad_hit = X.matches_bad_word(text_col, bad_words or [])
+    nl = X._sq("\\n")
+    step = df.selectExpr(
+        "*",
+        f"{kept.spark} AS _c4_kept",
+        f"CASE WHEN {text_col} IS NULL THEN NULL"
+        f" ELSE CAST(size(split({text_col}, {nl})) AS BIGINT) END AS n_lines",
+        f"coalesce({marker_hit.spark}, true) AS _c4_marker",
+        f"coalesce({bad_hit.spark}, true) AS _c4_bad",
+    ).selectExpr(
+        "*",
+        f"CASE WHEN _c4_kept IS NULL THEN NULL"
+        f" ELSE CAST(size(_c4_kept) AS BIGINT) END AS n_lines_kept",
+        f"{X.joined_lines('_c4_kept').spark} AS {out_col}",
+    )
+    nsent = X.n_sentences(out_col)
+    return step.selectExpr(
+        "*",
+        f"{nsent.spark} AS n_sentences",
+    ).selectExpr(
+        *[c for c in df.columns],
+        "n_lines",
+        "n_lines_kept",
+        out_col,
+        "n_sentences",
+        f"(NOT _c4_marker AND NOT _c4_bad"
+        f" AND coalesce(n_sentences >= {min_sentences}, false)) AS c4_keep",
+    )
+
+
+def filter_c4(
+    df: DataFrame,
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """The applying form: pages that survive the C4 page rules, with
+    ``text_col`` REPLACED by the cleaned text and the helper columns
+    dropped — same schema in, same schema out."""
+    out = c4_line_clean(df, text_col=text_col, out_col="_c4_clean", **kwargs)
+    return (
+        out.where(F.col("c4_keep"))
+        .withColumn(text_col, F.col("_c4_clean"))
+        .drop("_c4_clean", "n_lines", "n_lines_kept", "n_sentences", "c4_keep")
+    )

@@ -86,6 +86,7 @@ def curate_dedup_sample(
     url_soft_words: list[str] | None = None,
     url_soft_threshold: int = 2,
     rep_filter: bool | dict = False,
+    c4_clean: bool | dict = False,
     host_cap: int | None = None,
     lang_budget_frac: float | None = None,
     sample_alpha: float | None = None,
@@ -202,6 +203,16 @@ def curate_dedup_sample(
     dropped before dedup.  OFF by default — the base keep/drop decision
     stays byte-identical to the reference contract; this is the opt-in
     boilerplate killer (one extra map-only Arrow pass on kept docs).
+
+    ``c4_clean`` stacks the C4 line-level cleaning pass
+    (operators/linefilter.py) on the published ``text_scrubbed`` of the
+    keep set: boilerplate lines (< 5 words, no terminal punctuation,
+    javascript markers) are removed and pages failing the C4 page rules
+    (lorem-ipsum / code-brace markers, bad word, < 3 surviving
+    sentences) are dropped before dedup (``True`` = the C4 defaults; a
+    dict overrides ``filter_c4`` kwargs, e.g. ``bad_words=``).  OFF by
+    default for the same byte-identical-contract reason; codegen'd
+    column expressions, no extra Python pass.
     """
     if target < 0:
         raise ValueError(f"target must be >= 0, got {target}")
@@ -341,6 +352,17 @@ def curate_dedup_sample(
             kept,
             text_col="text",
             thresholds=rep_filter if isinstance(rep_filter, dict) else None,
+        )
+    if c4_clean:
+        from ..operators.linefilter import filter_c4
+
+        # cleans the PUBLISHED text (text_scrubbed); the raw `text` kept
+        # for the dedup hash keys is untouched — C4's own order is
+        # line-filter first, dedup after
+        kept = filter_c4(
+            kept,
+            text_col="text_scrubbed",
+            **(c4_clean if isinstance(c4_clean, dict) else {}),
         )
     kept = kept.persist()
     # exact dedup: one row per text hash, min (url, warc_ts) wins — a

@@ -3946,3 +3946,98 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         threshold=0.35,
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (r4 session 9) — past-window, standing parity
+# gate in tests/test_linefilter.py.  The documents table is single-line,
+# so the query derives a deterministic multi-line page first (6-word
+# lines, alternating terminal punctuation, hash-scheduled marker
+# injections) — the same scaffolding pattern as the contamination
+# query's inline eval set.
+
+_C4_BAD = ["dup"]
+
+
+def _c4_page(dialect: str) -> str:
+    """Derived page: 6-word lines from the doc's word stream, '.' on even
+    lines; doc_id-scheduled injections exercise every rule (javascript
+    line marker, short line, code brace, lorem ipsum); zero-word docs
+    yield a NULL page (the fail-closed path)."""
+    if dialect == "spark":
+        lines = (
+            "array_join(transform(sequence(0, CAST((size(ws)-1) DIV 6 AS INT)),"
+            " i -> concat(array_join(slice(ws, i*6+1, 6), ' '),"
+            " CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)), chr(10))"
+        )
+        nw = "size(ws)"
+    else:
+        lines = (
+            "array_to_string(list_transform("
+            "generate_series(0, CAST((len(ws)-1)//6 AS BIGINT)),"
+            " i -> concat(array_to_string(ws[(i*6+1):(i*6+6)], ' '),"
+            " CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)), chr(10))"
+        )
+        nw = "len(ws)"
+    return (
+        f"CASE WHEN {nw} = 0 THEN NULL ELSE concat("
+        "CASE WHEN doc_id % 7 = 0 THEN"
+        " concat('please enable javascript to continue.', chr(10))"
+        " ELSE '' END, "
+        f"{lines}, "
+        "CASE WHEN doc_id % 5 = 0 THEN concat(chr(10), 'ok.') ELSE '' END, "
+        "CASE WHEN doc_id % 11 = 0 THEN"
+        " concat(chr(10), 'if (x) { return; }') ELSE '' END, "
+        "CASE WHEN doc_id % 13 = 0 THEN"
+        " concat(chr(10), 'generated from lorem ipsum filler text.')"
+        " ELSE '' END) END"
+    )
+
+
+_C4_KEPT = X.c4_kept_lines("page")
+_C4_MARK = X.contains_any("page", X.C4_PAGE_MARKERS)
+_C4_BADW = X.matches_bad_word("page", _C4_BAD)
+_C4_NS = X.n_sentences("text_clean")
+
+
+@register(
+    "c4_line_clean",
+    f"""
+WITH w AS (SELECT doc_id, {X.words("text").duck} AS ws FROM documents),
+pg AS (SELECT doc_id, {_c4_page("duck")} AS page FROM w),
+k AS (SELECT doc_id, page, {_C4_KEPT.duck} AS kept_lines FROM pg),
+c AS (SELECT doc_id, page, kept_lines,
+        CASE WHEN page IS NULL THEN NULL ELSE
+          CAST(len(regexp_split_to_array(page, '\\n')) AS BIGINT) END AS n_lines,
+        CASE WHEN kept_lines IS NULL THEN NULL ELSE
+          CAST(len(kept_lines) AS BIGINT) END AS n_lines_kept,
+        {X.joined_lines("kept_lines").duck} AS text_clean
+      FROM k)
+SELECT doc_id, n_lines, n_lines_kept, text_clean,
+       {_C4_NS.duck} AS n_sentences,
+       (NOT coalesce({_C4_MARK.duck}, true)
+        AND NOT coalesce({_C4_BADW.duck}, true)
+        AND coalesce({_C4_NS.duck} >= {X.C4_MIN_SENTENCES}, false)) AS c4_keep
+FROM c
+""",
+    doc="C4 line-level cleaning (Raffel et al. 2020 §2.2): keep a line "
+    "iff it has >= 5 words, ends in terminal punctuation and carries no "
+    "boilerplate marker; drop the page on lorem-ipsum / code-brace "
+    "markers, a bad-word hit, or < 3 surviving sentences. The Spark "
+    "side runs the PRODUCTION operator (operators/linefilter.py) over "
+    "the derived multi-line page. Scale: pure built-in expressions, "
+    "codegen'd map — no Python, no shuffle at any corpus size.",
+)
+def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linefilter import c4_line_clean
+
+    pages = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{X.words('text').spark} AS ws"
+    ).selectExpr("doc_id", f"{_c4_page('spark')} AS page")
+    out = c4_line_clean(
+        pages, text_col="page", out_col="text_clean", bad_words=_C4_BAD
+    )
+    return out.select(
+        "doc_id", "n_lines", "n_lines_kept", "text_clean", "n_sentences",
+        "c4_keep",
+    )

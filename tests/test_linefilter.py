@@ -1,0 +1,209 @@
+"""C4 line-level cleaning (operators/linefilter.py + the
+functions/text.py fragment family): rule-by-rule hand cases, a pure-
+python brute-force twin, NULL/empty edges, map-only plan shape, flow
+integration, and the standing registry oracle-parity gate."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from radio_data_curation_ssl_spark.functions import text as X
+from radio_data_curation_ssl_spark.operators.linefilter import (
+    c4_line_clean,
+    filter_c4,
+)
+
+
+def _py_c4(
+    text,
+    min_words=5,
+    require_terminal=True,
+    line_markers=("javascript",),
+    page_markers=("lorem ipsum", "{"),
+    min_sentences=3,
+    bad_words=None,
+):
+    """Brute-force python twin of c4_line_clean's added columns."""
+    if text is None:
+        return (None, None, None, None, False)
+    lines = text.split("\n")
+    kept = [
+        x
+        for x in lines
+        if len([w for w in re.split(r"\s+", x.strip()) if w]) >= min_words
+        and (not require_terminal or re.search(r'[.!?"]$', x.strip()))
+        and all(m not in x.lower() for m in line_markers)
+    ]
+    clean = "\n".join(kept)
+    ns = len(re.findall(r"[.!?]+", clean))
+    marker = any(m in text.lower() for m in page_markers)
+    bad = (
+        bool(re.search(r"(?i)\b(" + "|".join(bad_words) + r")\b", text))
+        if bad_words
+        else False
+    )
+    keep = (not marker) and (not bad) and ns >= min_sentences
+    return (len(lines), len(kept), clean, ns, keep)
+
+
+_DOCS = [
+    (0, "This line has enough words here.\nshort line.\n"
+        "No terminal punctuation in this one\n"
+        "Please enable JavaScript to view this.\n"
+        "  A padded good line stays fine!  "),
+    (1, "lorem ipsum dolor sit amet here.\nAnother good long line is kept."),
+    (2, "A code sample { int x; } appears.\nGood long line number two stays."),
+    (3, "One long sentence only right here."),
+    (4, None),
+    (5, ""),
+    (6, 'He said "this is a quoted line."\nIt has one naughty word inside it.\n'
+        "Third good sentence right here now."),
+    (7, "First of three full sentences here.\nSecond of three full sentences "
+        "here!\nThird of three full sentences here?"),
+]
+_BAD = ["naughty"]
+
+
+@pytest.fixture(scope="module")
+def cleaned(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    return c4_line_clean(df, bad_words=_BAD).cache()
+
+
+def test_matches_python_twin(cleaned):
+    got = {
+        r["doc_id"]: (
+            r["n_lines"], r["n_lines_kept"], r["text_clean"],
+            r["n_sentences"], r["c4_keep"],
+        )
+        for r in cleaned.collect()
+    }
+    for doc_id, text in _DOCS:
+        assert got[doc_id] == _py_c4(text, bad_words=_BAD), f"doc {doc_id}"
+
+
+def test_rule_by_rule(cleaned):
+    got = {r["doc_id"]: r.asDict() for r in cleaned.collect()}
+    # doc 0: 5 lines -> only the first and last survive (short line,
+    # no-terminal line and the javascript line each lose to one rule)
+    assert got[0]["n_lines"] == 5 and got[0]["n_lines_kept"] == 2
+    assert got[0]["text_clean"].splitlines()[0].endswith("here.")
+    assert not got[0]["c4_keep"]  # only 2 sentences survive
+    # page markers kill pages 1 (lorem ipsum) and 2 (brace)
+    assert not got[1]["c4_keep"] and not got[2]["c4_keep"]
+    # bad word kills page 6 even though 3 good sentences survive
+    assert got[6]["n_sentences"] == 3 and not got[6]["c4_keep"]
+    # page 7 is clean prose with 3 sentences -> the only keep
+    assert got[7]["c4_keep"]
+    assert [d for d in got if got[d]["c4_keep"]] == [7]
+    # NULL text: counters NULL, keep fail-closed FALSE
+    assert got[4]["n_lines"] is None and got[4]["text_clean"] is None
+    assert got[4]["c4_keep"] is False
+    # empty text: 1 raw line, nothing kept, '' (not NULL) clean text
+    assert got[5]["n_lines"] == 1 and got[5]["n_lines_kept"] == 0
+    assert got[5]["text_clean"] == "" and got[5]["c4_keep"] is False
+
+
+def test_synth_corpus_twin(spark, pages_small):
+    """The operator agrees with the python twin over real multi-line-ish
+    corpus text (synth pages' extracted text), all defaults."""
+    rows = pages_small.limit(200).select("url", "text").collect()
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {
+        r["url"]: (
+            r["n_lines"], r["n_lines_kept"], r["text_clean"],
+            r["n_sentences"], r["c4_keep"],
+        )
+        for r in c4_line_clean(df).collect()
+    }
+    for r in rows:
+        assert got[r["url"]] == _py_c4(r["text"]), r["url"]
+
+
+def test_filter_c4_replaces_text_and_keeps_schema(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    out = filter_c4(df, bad_words=_BAD)
+    assert out.columns == ["doc_id", "text"]
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(rows) == {7}
+    assert rows[7] == _DOCS[7][1]  # all three lines survive
+
+
+def test_map_only_plan(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    plan = c4_line_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "mapInPandas" not in plan.lower()
+
+
+def test_validation(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_sentences"):
+        c4_line_clean(df, min_sentences=-1)
+    with pytest.raises(ValueError, match="min_words"):
+        c4_line_clean(df, min_words=-1)
+    with pytest.raises(ValueError, match="already exists"):
+        c4_line_clean(df, out_col="text")
+
+
+def test_flow_c4_stage(spark, pages_small):
+    """Opt-in flow stage: published text carries only C4-surviving lines
+    and every published page passes the page rules.  Synth text is one
+    unpunctuated line per page, so the stage runs with the terminal /
+    sentence rules relaxed (their semantics are twin-proven above) —
+    here the wiring is what's under test: the stage composes with the
+    flow, cleans the PUBLISHED column, and a tightened rule set that no
+    synth page can meet empties the sample instead of crashing."""
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    out = curate_dedup_sample(
+        pages_small,
+        target=80,
+        c4_clean={"require_terminal": False, "min_sentences": 0,
+                  "bad_words": ["mountain"]},
+    ).cache()
+    rows = out.select("text_scrubbed").collect()
+    assert len(rows) > 0
+    for r in rows:
+        for line in r["text_scrubbed"].split("\n"):
+            t = line.strip()
+            assert len([w for w in re.split(r"\s+", t) if w]) >= 5
+        # the bad-word page rule reached the published sample
+        assert not re.search(r"\bmountain\b", r["text_scrubbed"])
+    out.unpersist()
+    # defaults (terminal punctuation required) drop every synth page —
+    # the empty-sample path returns cleanly
+    empty = curate_dedup_sample(pages_small, target=80, c4_clean=True)
+    assert empty.count() == 0
+
+
+def test_registry_query_oracle_parity(spark):
+    """Standing local gate for the past-window registry row (the driver
+    checks the first 50 oracle entries; this one sits past them)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    q = REGISTRY["c4_line_clean"]
+    got = {
+        r["doc_id"]: (
+            r["n_lines"], r["n_lines_kept"], r["text_clean"],
+            r["n_sentences"], r["c4_keep"],
+        )
+        for r in q.spark(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {r[0]: tuple(r[1:]) for r in con.execute(q.oracle).fetchall()}
+    assert got == want
+    # the derivation exercises both verdicts and real line drops
+    assert {v[4] for v in got.values()} == {True, False}
+    assert any(v[0] > v[1] for v in got.values())

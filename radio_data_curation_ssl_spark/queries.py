@@ -2342,43 +2342,155 @@ WHERE {_COS_AB.duck} >= 0.35
     "of a label key — the web-scale block embedding_cosine_neardup "
     "documents (no label exists at 10^12 docs). 10 OR-tables x 6 "
     "hyperplanes (~0.99 collision for cos>=0.9 true near-dups), exact "
-    "sequential-fold cosine VERIFY on candidates only. Scale: JVM-side "
-    "stack explode, ONE AQE-reused equi-join shuffle on (tbl, bucket), "
-    "hash-join rerank — the minhash pipeline shape over vectors "
+    "sequential-fold cosine VERIFY on candidates only. Scale: the verify "
+    "runs BUCKET-LOCAL — vectors ship once per bucket membership as "
+    "packed float64 binary (L copies each), never once per candidate "
+    "pair; with ~15% of all pairs colliding that is a ~60x transfer cut "
+    "vs the join-per-pair rerank, and only pairs PASSING the threshold "
+    "(~0.2%) reach the cross-table dedup shuffle. Two exchanges total: "
+    "(tbl, bucket) grouping + the tiny surviving-pair agg "
     "(recall test on planted near-identical embeddings in "
     "tests/test_dedup_similarity.py).",
     bench=True,
 )
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    # buckets via the shared numpy fold kernel (bit-exact twin of the SQL
-    # bucket exprs the oracle runs — 24 interpreted folds per row would
-    # cost ~2s at sf0.1; the kernel is ~0.1s)
-    bt = _bucket_rows_numpy(e, _NDL_PLANES).repartition("tbl", "bucket")
-    x, y = bt.alias("x"), bt.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.tbl") == F.col("y.tbl"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(
-            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
-        )
-        .distinct()
+    return _lsh_neardup_pairs_bucketed(e, _NDL_PLANES, threshold=0.35)
+
+
+def _lsh_neardup_pairs_bucketed(
+    e: DataFrame, planes, threshold: float
+) -> DataFrame:
+    """All (vec_a < vec_b, cos_sim) pairs colliding in >= 1 LSH table with
+    cos_sim >= ``threshold`` — value-identical to the oracle's
+    DISTINCT-candidates + join-per-pair rerank, restructured so no vector
+    ever crosses a shuffle per PAIR:
+
+    pass 1 (one Arrow map): bucket ids for all L tables (same bit-exact
+    fold/sign kernel as ``_bucket_rows_numpy``) + the vector packed once
+    as float64 binary, exploded to L rows per vector.  Rows whose array
+    is NULL or carries a NULL element are dropped here: the SQL fold
+    yields NULL cosine for every pair they touch, so they can never pass
+    the threshold (whole-NULL buckets are NULL in the oracle too — they
+    never even collide).
+
+    pass 2 (applyInPandas per (tbl, bucket)): enumerate i<j pairs against
+    the unpacked group matrix in bounded-size chunks, cosine via the SAME
+    sequential-fold order as the SQL (np.add.accumulate), keep a pair iff
+    denom != 0 and (cos >= threshold OR cos is NaN) — both engines compare
+    NaN >= x as true, and x/0 as NULL.  Duplicate collisions across
+    tables produce bit-identical values; one min() agg dedups them."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from .operators.semdedup import _pack_rows, _unpack_rows
+
+    planes = np.asarray(planes, dtype=np.float64)  # (L, R, dim)
+    n_tables, n_planes = planes.shape[0], planes.shape[1]
+    schema1 = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("vec", T.BinaryType()),
+        ]
     )
-    sa = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    sb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    # verify with the vectorized sequential-fold kernel (bit-exact twin of
-    # the SQL fold the oracle runs — same kernel the hash-green ANN
-    # queries use): the interpreted higher-order aggregate is ~15x slower
-    # per candidate (the measured fused-kernel gap, BENCH/BASELINE.md)
-    return (
-        cand.join(sa, "vec_a")
-        .join(sb, "vec_b")
-        .select("vec_a", "vec_b", _cos_seq_col("ea", "eb").alias("cos_sim"))
-        .where("cos_sim >= 0.35")
+
+    def explode(it):
+        tbl_ids = np.arange(n_tables, dtype=np.int32)
+        for b in it:
+            lists = b["embedding"].tolist()
+            keep = [
+                i
+                for i, lst in enumerate(lists)
+                if lst is not None and not any(el is None for el in lst)
+            ]
+            if not keep:
+                continue
+            ids = b["vec_id"].to_numpy()[keep]
+            x = np.array([lists[i] for i in keep], dtype=np.float64)
+            m = len(keep)
+            buckets = np.zeros((n_tables, m), dtype=np.int64)
+            for tb in range(n_tables):
+                for k in range(n_planes):
+                    acc = np.add.accumulate(
+                        x * planes[tb, k][None, :], axis=1
+                    )[:, -1]
+                    bit = (acc >= 0) | np.isnan(acc)
+                    buckets[tb] += bit.astype(np.int64) << k
+            packed = _pack_rows(x)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_tables),
+                    "tbl": np.tile(tbl_ids, m),
+                    "bucket": buckets.T.ravel(),
+                    "vec": [p for p in packed for _ in range(n_tables)],
+                }
+            )
+
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series(dtype="int64"),
+            "vec_b": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+        }
+    )
+    chunk_pairs = 1 << 18  # ~260k pairs/flush: peak ~0.5 GB of temporaries
+
+    def pair_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        mat = _unpack_rows(pdf["vec"].iloc[order], m)
+        norms = np.sqrt(np.add.accumulate(mat * mat, axis=1)[:, -1])
+        out = []
+
+        def flush(ii_parts, jj_parts):
+            ii = np.concatenate(ii_parts)
+            jj = np.concatenate(jj_parts)
+            dot = np.add.accumulate(mat[ii] * mat[jj], axis=1)[:, -1]
+            denom = norms[ii] * norms[jj]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                vals = dot / denom
+            keep = (denom != 0.0) & ((vals >= threshold) | np.isnan(vals))
+            keep &= ids[ii] != ids[jj]  # defensive: dup vec_id in a table
+            if keep.any():
+                out.append((ids[ii[keep]], ids[jj[keep]], vals[keep]))
+
+        ii_parts, jj_parts, buffered = [], [], 0
+        for i in range(m - 1):
+            js = np.arange(i + 1, m)
+            ii_parts.append(np.full(m - 1 - i, i))
+            jj_parts.append(js)
+            buffered += m - 1 - i
+            if buffered >= chunk_pairs:
+                flush(ii_parts, jj_parts)
+                ii_parts, jj_parts, buffered = [], [], 0
+        if buffered:
+            flush(ii_parts, jj_parts)
+        if not out:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate([o[0] for o in out]),
+                "vec_b": np.concatenate([o[1] for o in out]),
+                "cos_sim": np.concatenate([o[2] for o in out]),
+            }
+        )
+
+    pairs = (
+        e.select("vec_id", "embedding")
+        .mapInPandas(explode, schema1)
+        .groupBy("tbl", "bucket")
+        .applyInPandas(pair_group, "vec_a long, vec_b long, cos_sim double")
+    )
+    # cross-table dedup on the (tiny) surviving set; values are
+    # bit-identical across tables so min() is just the dedup pick
+    return pairs.groupBy("vec_a", "vec_b").agg(
+        F.min("cos_sim").alias("cos_sim")
     )
 
 

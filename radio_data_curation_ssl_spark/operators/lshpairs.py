@@ -1,0 +1,254 @@
+"""Amplified-LSH embedding near-dup pairing with a bucket-local verify.
+
+The web-scale block for embedding-cosine near-dup detection (the
+label-blocked variant in queries.py documents why a label block cannot
+exist at 10^12 docs; reference anchor: the pairwise-cosine dedup the
+reference's 5_subsampling stage approximates with cluster-local cosine,
+/root/reference/src/5_subsampling.py): L random-hyperplane OR-tables
+block candidate pairs, an exact sequential-fold cosine verifies them.
+
+Scale design — the three costs that dominate at 10^9+ vectors, and what
+this operator does about each:
+
+1. **Vector transport.** A join-per-pair rerank ships both vectors once
+   per CANDIDATE PAIR (~15% of all in-bucket pairs collide under typical
+   sizing); here every vector crosses the wire exactly L times — once
+   per bucket membership — as ONE packed float64 binary cell, never as
+   ``array<double>`` (the per-element JVM<->Arrow conversion measured
+   ~3.6x under worker concurrency; see operators/semdedup.py).
+2. **Pair materialization.** Pairs are enumerated INSIDE the Python
+   kernel against the unpacked group matrix in bounded-size chunks
+   (``_CHUNK_PAIRS``) and filtered by the threshold there, so only
+   passing pairs (typically well under 1%) ever become Spark rows or
+   reach the cross-table dedup shuffle.
+3. **Per-group overhead.** Real LSH sizing keeps buckets SMALL (tens of
+   rows), so group count is corpus-sized: ``groupBy().applyInPandas``
+   pays a pandas-DataFrame construction per group (~100us — hours of
+   overhead at 10^8 groups).  Instead the bucket rows are hash-placed
+   with ``repartition(tbl, bucket)``, ordered with
+   ``sortWithinPartitions(tbl, bucket, id)``, and ONE ``mapInPandas``
+   pass walks each partition's Arrow batches, slicing groups out of
+   contiguous numpy arrays (~us per group) with a carry for the group
+   that straddles a batch boundary.
+
+Exactness (the DuckDB-oracle contract, registry query
+``embedding_neardup_lsh``): bucket bits and cosines use the SAME
+sequential left-fold order as the SQL fragments
+(``np.add.accumulate``), so values are bit-identical to the oracle's
+interpreted folds; NaN compares ``>= x`` as true in both engines (NaN
+pairs are kept, with NaN cos_sim), x/0 is NULL in both (zero-norm pairs
+are dropped), and a NULL array element poisons the SQL fold to NULL on
+every pair it touches, so those rows are dropped up front
+(value-identical; whole-NULL arrays bucket to NULL in the oracle and
+never even collide).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .semdedup import _pack_rows
+
+__all__ = ["lsh_neardup_pairs"]
+
+# pair-enumeration flush size: peak temporaries ~3 float64 matrices of
+# (_CHUNK_PAIRS, dim) — ~0.4 GB at dim 64
+_CHUNK_PAIRS = 1 << 18
+
+_PAIR_SCHEMA = "vec_a long, vec_b long, cos_sim double"
+_EMPTY = pd.DataFrame(
+    {
+        "vec_a": pd.Series(dtype="int64"),
+        "vec_b": pd.Series(dtype="int64"),
+        "cos_sim": pd.Series(dtype="float64"),
+    }
+)
+
+
+def lsh_neardup_pairs(
+    e: DataFrame,
+    planes,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (vec_a < vec_b, cos_sim) pairs colliding in >= 1 of the
+    ``planes`` OR-tables with sequential-fold cosine >= ``threshold``
+    (or NaN — both engines' comparison semantics).
+
+    ``planes``: (L, R, dim) float array-like — L tables of R signed
+    hyperplane tests each (bucket id = R-bit sign pattern).  ``id_col``
+    must be unique (pairs are keyed id_a < id_b).  Vectors must be dense
+    fixed-width ``dim``; a NULL array or NULL element drops the row
+    (its cosine is NULL against everything — it can never pass)."""
+    planes = np.asarray(planes, dtype=np.float64)
+    if planes.ndim != 3:
+        raise ValueError(
+            f"planes must be (L, R, dim), got shape {planes.shape}"
+        )
+    n_tables, n_planes, dim = planes.shape
+    if not np.isfinite(planes).all():
+        raise ValueError("planes must be finite")
+    schema1 = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("vec", T.BinaryType()),
+        ]
+    )
+
+    def explode(it):
+        tbl_ids = np.arange(n_tables, dtype=np.int32)
+        for b in it:
+            lists = b[vec_col].tolist()
+            if not lists:
+                continue
+            ids = b[id_col].to_numpy()
+            x = np.array(lists, dtype=np.float64)
+            if x.ndim != 2 or x.shape[1] != dim:
+                raise ValueError(
+                    f"lsh_neardup_pairs: vectors of width {x.shape[1:]} "
+                    f"vs plane dim {dim}"
+                )
+            m = len(lists)
+            buckets = np.zeros((n_tables, m), dtype=np.int64)
+            for tb in range(n_tables):
+                for k in range(n_planes):
+                    acc = np.add.accumulate(
+                        x * planes[tb, k][None, :], axis=1
+                    )[:, -1]
+                    bit = (acc >= 0) | np.isnan(acc)
+                    buckets[tb] += bit.astype(np.int64) << k
+            packed = _pack_rows(x)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_tables),
+                    "tbl": np.tile(tbl_ids, m),
+                    "bucket": buckets.T.ravel(),
+                    "vec": [p for p in packed for _ in range(n_tables)],
+                }
+            )
+
+    # NULL-array / NULL-element rows drop HERE, JVM-side: Arrow folds
+    # element nulls into NaN before Python can distinguish them, but the
+    # SQL fold yields NULL cosine for every pair such a row touches, so
+    # it can never pass the threshold — dropping it is value-identical
+    # (and whole-NULL arrays bucket to NULL in the oracle: no collision)
+    clean = e.where(
+        F.col(vec_col).isNotNull()
+        & ~F.expr(f"exists({vec_col}, x -> x IS NULL)")
+    )
+    pairs = (
+        clean.select(id_col, vec_col)
+        .mapInPandas(explode, schema1)
+        .repartition("tbl", "bucket")
+        .sortWithinPartitions("tbl", "bucket", "vec_id")
+        .mapInPandas(_pair_stream(threshold, dim), _PAIR_SCHEMA)
+    )
+    # cross-table dedup on the (tiny) surviving set; duplicate collisions
+    # carry bit-identical values, so min() is just the dedup pick
+    return pairs.groupBy(
+        F.col("vec_a").alias("vec_a"), F.col("vec_b").alias("vec_b")
+    ).agg(F.min("cos_sim").alias("cos_sim"))
+
+
+def _group_pairs(ids, mat, norms, threshold, out):
+    """Pairs of one bucket's rows (sorted by id) passing the threshold,
+    appended to ``out`` — chunked so temporaries stay bounded."""
+    m = len(ids)
+
+    def flush(ii_parts, jj_parts):
+        ii = np.concatenate(ii_parts)
+        jj = np.concatenate(jj_parts)
+        dot = np.add.accumulate(mat[ii] * mat[jj], axis=1)[:, -1]
+        denom = norms[ii] * norms[jj]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            vals = dot / denom
+        keep = (denom != 0.0) & ((vals >= threshold) | np.isnan(vals))
+        keep &= ids[ii] != ids[jj]  # defensive: duplicate id in a table
+        if keep.any():
+            out.append((ids[ii[keep]], ids[jj[keep]], vals[keep]))
+
+    ii_parts, jj_parts, buffered = [], [], 0
+    for i in range(m - 1):
+        ii_parts.append(np.full(m - 1 - i, i))
+        jj_parts.append(np.arange(i + 1, m))
+        buffered += m - 1 - i
+        if buffered >= _CHUNK_PAIRS:
+            flush(ii_parts, jj_parts)
+            ii_parts, jj_parts, buffered = [], [], 0
+    if buffered:
+        flush(ii_parts, jj_parts)
+
+
+def _pair_stream(threshold: float, dim: int):
+    """One partition pass over (tbl, bucket, vec_id)-sorted bucket rows:
+    slice groups out of the contiguous batch arrays, carrying the
+    trailing (possibly batch-straddling) group into the next batch."""
+
+    def run(it):
+        pend: pd.DataFrame | None = None
+        for b in it:
+            if pend is not None:
+                b = pd.concat((pend, b), ignore_index=True)
+                pend = None
+            tb = b["tbl"].to_numpy()
+            bk = b["bucket"].to_numpy()
+            # hold back the trailing group — it may continue next batch
+            same_last = (tb == tb[-1]) & (bk == bk[-1])
+            cut = len(b) - int(same_last[::-1].argmin()) if not same_last.all() else 0
+            pend = b.iloc[cut:]
+            if cut:
+                df = _process_region(b.iloc[:cut], threshold)
+                if df is not None:
+                    yield df
+        if pend is not None and len(pend):
+            df = _process_region(pend, threshold)
+            if df is not None:
+                yield df
+
+    return run
+
+
+def _process_region(b: pd.DataFrame, threshold: float):
+    """Complete groups only: enumerate + verify each, one numpy region."""
+    tb = b["tbl"].to_numpy()
+    bk = b["bucket"].to_numpy()
+    ids = b["vec_id"].to_numpy()
+    n = len(b)
+    mat = np.frombuffer(b"".join(b["vec"]), dtype=np.float64).reshape(n, -1)
+    norms = np.sqrt(np.add.accumulate(mat * mat, axis=1)[:, -1])
+    change = np.flatnonzero((np.diff(tb) != 0) | (np.diff(bk) != 0))
+    starts = np.concatenate(([0], change + 1))
+    ends = np.concatenate((change + 1, [n]))
+    out: list = []
+    for s, e_ in zip(starts, ends):
+        if e_ - s >= 2:
+            _group_pairs(
+                ids[s:e_], mat[s:e_], norms[s:e_], threshold, out
+            )
+    if not out:
+        return None
+    vals = np.ascontiguousarray(np.concatenate([o[2] for o in out]))
+    return pd.DataFrame(
+        {
+            "vec_a": np.concatenate([o[0] for o in out]),
+            "vec_b": np.concatenate([o[1] for o in out]),
+            # explicit all-False mask: a bare float64 Series would let
+            # Arrow fold genuine NaN into NULL (pandas' missing
+            # sentinel), but NaN must SURVIVE — both engines emit NaN
+            # cosines for NaN vectors and compare them >= threshold
+            "cos_sim": pd.Series(
+                pd.arrays.FloatingArray(
+                    vals, np.zeros(len(vals), dtype=bool)
+                ),
+                dtype="Float64",
+            ),
+        }
+    )

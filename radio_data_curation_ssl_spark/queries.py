@@ -2354,144 +2354,10 @@ WHERE {_COS_AB.duck} >= 0.35
     bench=True,
 )
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.lshpairs import lsh_neardup_pairs
+
     e = t(spark, sf_dir, "embeddings")
-    return _lsh_neardup_pairs_bucketed(e, _NDL_PLANES, threshold=0.35)
-
-
-def _lsh_neardup_pairs_bucketed(
-    e: DataFrame, planes, threshold: float
-) -> DataFrame:
-    """All (vec_a < vec_b, cos_sim) pairs colliding in >= 1 LSH table with
-    cos_sim >= ``threshold`` — value-identical to the oracle's
-    DISTINCT-candidates + join-per-pair rerank, restructured so no vector
-    ever crosses a shuffle per PAIR:
-
-    pass 1 (one Arrow map): bucket ids for all L tables (same bit-exact
-    fold/sign kernel as ``_bucket_rows_numpy``) + the vector packed once
-    as float64 binary, exploded to L rows per vector.  Rows whose array
-    is NULL or carries a NULL element are dropped here: the SQL fold
-    yields NULL cosine for every pair they touch, so they can never pass
-    the threshold (whole-NULL buckets are NULL in the oracle too — they
-    never even collide).
-
-    pass 2 (applyInPandas per (tbl, bucket)): enumerate i<j pairs against
-    the unpacked group matrix in bounded-size chunks, cosine via the SAME
-    sequential-fold order as the SQL (np.add.accumulate), keep a pair iff
-    denom != 0 and (cos >= threshold OR cos is NaN) — both engines compare
-    NaN >= x as true, and x/0 as NULL.  Duplicate collisions across
-    tables produce bit-identical values; one min() agg dedups them."""
-    import numpy as np
-
-    from pyspark.sql import types as T
-
-    from .operators.semdedup import _pack_rows, _unpack_rows
-
-    planes = np.asarray(planes, dtype=np.float64)  # (L, R, dim)
-    n_tables, n_planes = planes.shape[0], planes.shape[1]
-    schema1 = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("tbl", T.IntegerType()),
-            T.StructField("bucket", T.LongType()),
-            T.StructField("vec", T.BinaryType()),
-        ]
-    )
-
-    def explode(it):
-        tbl_ids = np.arange(n_tables, dtype=np.int32)
-        for b in it:
-            lists = b["embedding"].tolist()
-            keep = [
-                i
-                for i, lst in enumerate(lists)
-                if lst is not None and not any(el is None for el in lst)
-            ]
-            if not keep:
-                continue
-            ids = b["vec_id"].to_numpy()[keep]
-            x = np.array([lists[i] for i in keep], dtype=np.float64)
-            m = len(keep)
-            buckets = np.zeros((n_tables, m), dtype=np.int64)
-            for tb in range(n_tables):
-                for k in range(n_planes):
-                    acc = np.add.accumulate(
-                        x * planes[tb, k][None, :], axis=1
-                    )[:, -1]
-                    bit = (acc >= 0) | np.isnan(acc)
-                    buckets[tb] += bit.astype(np.int64) << k
-            packed = _pack_rows(x)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(ids, n_tables),
-                    "tbl": np.tile(tbl_ids, m),
-                    "bucket": buckets.T.ravel(),
-                    "vec": [p for p in packed for _ in range(n_tables)],
-                }
-            )
-
-    empty = pd.DataFrame(
-        {
-            "vec_a": pd.Series(dtype="int64"),
-            "vec_b": pd.Series(dtype="int64"),
-            "cos_sim": pd.Series(dtype="float64"),
-        }
-    )
-    chunk_pairs = 1 << 18  # ~260k pairs/flush: peak ~0.5 GB of temporaries
-
-    def pair_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        if m < 2:
-            return empty
-        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
-        ids = pdf["vec_id"].to_numpy()[order]
-        mat = _unpack_rows(pdf["vec"].iloc[order], m)
-        norms = np.sqrt(np.add.accumulate(mat * mat, axis=1)[:, -1])
-        out = []
-
-        def flush(ii_parts, jj_parts):
-            ii = np.concatenate(ii_parts)
-            jj = np.concatenate(jj_parts)
-            dot = np.add.accumulate(mat[ii] * mat[jj], axis=1)[:, -1]
-            denom = norms[ii] * norms[jj]
-            with np.errstate(invalid="ignore", divide="ignore"):
-                vals = dot / denom
-            keep = (denom != 0.0) & ((vals >= threshold) | np.isnan(vals))
-            keep &= ids[ii] != ids[jj]  # defensive: dup vec_id in a table
-            if keep.any():
-                out.append((ids[ii[keep]], ids[jj[keep]], vals[keep]))
-
-        ii_parts, jj_parts, buffered = [], [], 0
-        for i in range(m - 1):
-            js = np.arange(i + 1, m)
-            ii_parts.append(np.full(m - 1 - i, i))
-            jj_parts.append(js)
-            buffered += m - 1 - i
-            if buffered >= chunk_pairs:
-                flush(ii_parts, jj_parts)
-                ii_parts, jj_parts, buffered = [], [], 0
-        if buffered:
-            flush(ii_parts, jj_parts)
-        if not out:
-            return empty
-        return pd.DataFrame(
-            {
-                "vec_a": np.concatenate([o[0] for o in out]),
-                "vec_b": np.concatenate([o[1] for o in out]),
-                "cos_sim": np.concatenate([o[2] for o in out]),
-            }
-        )
-
-    pairs = (
-        e.select("vec_id", "embedding")
-        .mapInPandas(explode, schema1)
-        .groupBy("tbl", "bucket")
-        .applyInPandas(pair_group, "vec_a long, vec_b long, cos_sim double")
-    )
-    # cross-table dedup on the (tiny) surviving set; values are
-    # bit-identical across tables so min() is just the dedup pick
-    return pairs.groupBy("vec_a", "vec_b").agg(
-        F.min("cos_sim").alias("cos_sim")
-    )
+    return lsh_neardup_pairs(e, _NDL_PLANES, threshold=0.35)
 
 
 @register(

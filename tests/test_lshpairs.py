@@ -1,0 +1,159 @@
+"""operators/lshpairs.py — amplified-LSH near-dup pairing, bucket-local
+verify.  The registry query (embedding_neardup_lsh) carries the DuckDB
+oracle + planted-twin recall gates; these tests pin the operator's own
+contract: brute-force twin equality, the batch-straddling group carry,
+partitioning invariance, NULL/NaN fold semantics, and the fail-loud
+guards."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from radio_data_curation_ssl_spark.operators.lshpairs import lsh_neardup_pairs
+
+
+def _seq(a):
+    """Sequential left-fold sum — the SQL fold order."""
+    return np.add.accumulate(np.asarray(a, dtype=np.float64), axis=-1)[..., -1]
+
+
+def _brute(ids, X, planes, thr):
+    """Pure-python/numpy twin of the operator's semantics."""
+    L, R, _ = planes.shape
+    n = len(ids)
+    buckets = np.zeros((L, n), dtype=np.int64)
+    for tb in range(L):
+        for k in range(R):
+            acc = _seq(X * planes[tb, k][None, :])
+            buckets[tb] += ((acc >= 0) | np.isnan(acc)).astype(np.int64) << k
+    norms = np.sqrt(_seq(X * X))
+    out = {}
+    for tb in range(L):
+        members = defaultdict(list)
+        for i in range(n):
+            members[buckets[tb][i]].append(i)
+        for rows in members.values():
+            rows.sort(key=lambda i: ids[i])
+            for a in range(len(rows)):
+                for b in range(a + 1, len(rows)):
+                    i, j = rows[a], rows[b]
+                    den = norms[i] * norms[j]
+                    if den == 0.0:
+                        continue
+                    c = _seq(X[i] * X[j]) / den
+                    if c >= thr or np.isnan(c):
+                        out[(ids[i], ids[j])] = c
+    return out
+
+
+def _collect(df):
+    return {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"] for r in df.collect()
+    }
+
+
+def _same(got, want):
+    assert set(got) == set(want), (
+        sorted(set(want) - set(got))[:5],
+        sorted(set(got) - set(want))[:5],
+    )
+    for k, v in want.items():
+        g = got[k]
+        assert (g == v) or (math.isnan(g) and math.isnan(v)), (k, g, v)
+
+
+def _planes(L, R, dim, seed):
+    return np.random.RandomState(seed).normal(0, 1, (L, R, dim))
+
+
+def _frame(spark, ids, vecs, partitions=4):
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": [list(v) for v in vecs]})
+    return spark.createDataFrame(pdf).repartition(partitions)
+
+
+def test_matches_bruteforce_twin(spark):
+    rng = np.random.RandomState(7)
+    X = rng.normal(0, 1, (200, 16))
+    # plant correlated pairs so the threshold actually bites both ways
+    for i in range(0, 40, 2):
+        X[i + 1] = X[i] + rng.normal(0, 0.05, 16)
+    ids = np.arange(200) * 3 + 1
+    planes = _planes(4, 4, 16, seed=21)
+    got = _collect(lsh_neardup_pairs(_frame(spark, ids, X), planes, 0.3))
+    want = _brute(ids, X, planes, 0.3)
+    assert len(want) > 20  # non-degenerate
+    _same(got, want)
+
+
+def test_group_straddles_arrow_batches(spark):
+    """One bucket larger than the Arrow batch size must pair across the
+    batch boundary (the carry path): identical vectors all land in one
+    bucket per table; with batch size 500 (conftest) 1200 rows straddle
+    at least two batches in every partition layout."""
+    rng = np.random.RandomState(3)
+    base = rng.normal(0, 1, 8)
+    X = np.tile(base, (1200, 1)) + rng.normal(0, 1e-6, (1200, 8))
+    ids = np.arange(1200)
+    planes = _planes(2, 2, 8, seed=5)  # 4 buckets -> giant groups
+    got = _collect(
+        lsh_neardup_pairs(_frame(spark, ids, X, partitions=1), planes, 0.999)
+    )
+    # every i<j pair is a near-twin and collides in every table
+    assert len(got) == 1200 * 1199 // 2
+    assert all(v >= 0.999 for v in got.values())
+
+
+def test_partitioning_invariance(spark):
+    rng = np.random.RandomState(11)
+    X = rng.normal(0, 1, (120, 12))
+    ids = np.arange(120)
+    planes = _planes(3, 3, 12, seed=9)
+    a = _collect(lsh_neardup_pairs(_frame(spark, ids, X, 1), planes, 0.2))
+    b = _collect(lsh_neardup_pairs(_frame(spark, ids, X, 13), planes, 0.2))
+    _same(a, b)
+
+
+def test_null_nan_zero_semantics(spark):
+    """NULL element -> row dropped entirely (NULL cosine against
+    everything); NaN element -> pairs kept with NaN cos_sim (both engines
+    compare NaN >= x as true); zero vector -> dropped (x/0 is NULL)."""
+    base = [1.0, 2.0, 3.0, 4.0]
+    rows = [
+        (0, base),
+        (1, base),                      # twin of 0
+        (2, [1.0, None, 3.0, 4.0]),     # NULL element
+        (3, [float("nan"), 2.0, 3.0, 4.0]),  # NaN element
+        (4, [0.0, 0.0, 0.0, 0.0]),      # zero norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # one table, zero planes would be degenerate; use 1x1 so bucketing is
+    # a sign test most rows share
+    planes = np.ones((1, 1, 4))
+    got = _collect(lsh_neardup_pairs(df, planes, 0.9))
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert all(2 not in k for k in got)  # NULL element: dropped outright
+    # zero-norm against a REAL vector is x/0 -> NULL -> dropped; against
+    # the NaN vector the denom is NaN (not 0), so NaN/NaN = NaN survives —
+    # exactly what the SQL fold computes
+    assert (0, 4) not in got and (1, 4) not in got
+    nan_pairs = [k for k in got if 3 in k]
+    assert nan_pairs and all(math.isnan(got[k]) for k in nan_pairs)
+    assert (3, 4) in got
+
+
+def test_guards(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match=r"\(L, R, dim\)"):
+        lsh_neardup_pairs(df, np.ones((2, 2)), 0.5)
+    with pytest.raises(ValueError, match="finite"):
+        lsh_neardup_pairs(df, np.full((1, 1, 2), np.nan), 0.5)
+    bad_width = lsh_neardup_pairs(df, np.ones((1, 1, 3)), 0.5)
+    with pytest.raises(Exception, match="vectors of width"):
+        bad_width.collect()

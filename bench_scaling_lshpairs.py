@@ -72,7 +72,7 @@ from jobs.semdedup_select import synth_embeddings
 n, emb_dir = int(sys.argv[1]), sys.argv[2]
 spark = get_spark("gen", master="local[32]")
 spark.sparkContext.setLogLevel("ERROR")
-synth_embeddings(spark, n, dim=%(dim)d, partitions=32).write.mode(
+synth_embeddings(spark, n, dim=%(dim)d, partitions=128).write.mode(
     "overwrite").parquet(emb_dir)
 spark.stop()
 """ % {"dim": DIM}
@@ -106,7 +106,11 @@ def main() -> None:
     hi_cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     best_of = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     n_passes = int(sys.argv[5]) if len(sys.argv) > 5 else 3
-    emb_dir = os.path.join(tempfile.gettempdir(), f"scaling_lshpairs_{n}")
+    # 128 input files -> ~32 packed scan tasks (4x the high core count;
+    # the 32-file first cut packed to ~10 scan tasks, which is 2 ragged
+    # waves at 8 cores but perfectly balanced at 2 — a 0.74 harness FAIL
+    # that measured wave imbalance, not the operator)
+    emb_dir = os.path.join(tempfile.gettempdir(), f"scaling_lshpairs_{n}_p128")
     if not os.path.isdir(emb_dir):
         _sub(GEN, str(n), emb_dir)
     runs = []

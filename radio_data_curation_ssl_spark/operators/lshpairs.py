@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .semdedup import _pack_rows
+from .semdedup import _pack_rows, _series_matrix
 
 __all__ = ["lsh_neardup_pairs"]
 
@@ -106,17 +106,20 @@ def lsh_neardup_pairs(
     def explode(it):
         tbl_ids = np.arange(n_tables, dtype=np.int32)
         for b in it:
-            lists = b[vec_col].tolist()
-            if not lists:
+            m = len(b)
+            if not m:
                 continue
             ids = b[id_col].to_numpy()
-            x = np.array(lists, dtype=np.float64)
-            if x.ndim != 2 or x.shape[1] != dim:
+            # ONE C-level concatenate — never np.array(series.tolist()),
+            # whose small-object churn degrades ~3.6x under 8-way worker
+            # concurrency (measured in the semdedup scaling diagnosis)
+            try:
+                x = _series_matrix(b[vec_col], dim, "embedding")
+            except ValueError as err:
                 raise ValueError(
-                    f"lsh_neardup_pairs: vectors of width {x.shape[1:]} "
-                    f"vs plane dim {dim}"
-                )
-            m = len(lists)
+                    f"lsh_neardup_pairs: vectors of width != plane dim "
+                    f"{dim}: {err}"
+                ) from err
             buckets = np.zeros((n_tables, m), dtype=np.int64)
             for tb in range(n_tables):
                 for k in range(n_planes):
@@ -125,13 +128,14 @@ def lsh_neardup_pairs(
                     )[:, -1]
                     bit = (acc >= 0) | np.isnan(acc)
                     buckets[tb] += bit.astype(np.int64) << k
-            packed = _pack_rows(x)
+            packed = np.empty(m, dtype=object)
+            packed[:] = _pack_rows(x)
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(ids, n_tables),
                     "tbl": np.tile(tbl_ids, m),
                     "bucket": buckets.T.ravel(),
-                    "vec": [p for p in packed for _ in range(n_tables)],
+                    "vec": np.repeat(packed, n_tables),
                 }
             )
 

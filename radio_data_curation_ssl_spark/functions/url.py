@@ -116,3 +116,69 @@ def url_registrable_domain(col: str) -> P:
         f"regexp_extract(regexp_replace({h.spark}, ':[0-9]+$', ''), {_sq(pat)}, 1)",
         f"regexp_extract(regexp_replace({h.duck}, ':[0-9]+$', ''), {_dq(pat)}, 1)",
     )
+
+
+# ---------------------------------------------------------------------------
+# hyperlink extraction + resolution (the host-graph ingest fragments —
+# operators/hostgraph.py): every <a href=...> value of a page, resolved
+# against the page URL.  Kept here as paired fragments so the registry
+# query carries a full DuckDB oracle over the same definitions the
+# operator runs.
+
+# href attribute of an <a> tag, either quote style; the value may not
+# contain the opening quote, whitespace or '>' (attribute-value safety —
+# unquoted hrefs end at whitespace/'>' in real parsers too)
+HREF_RE = "(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"'\\s>]+)"
+
+
+def _sq_lit(pat: str) -> str:
+    """Spark single-quoted literal: backslashes AND single quotes need
+    escaping (``_sq`` handles regexes without quotes; href patterns
+    carry a quote class)."""
+    return "'" + pat.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def hrefs_all(col: str) -> P:
+    """Array of every raw href value in an html STRING column (binary
+    html is decoded by the operator before this fragment applies)."""
+    return P(
+        f"regexp_extract_all({col}, {_sq_lit(HREF_RE)}, 1)",
+        f"regexp_extract_all({col}, {_dq(HREF_RE)}, 1)",
+    )
+
+
+def resolve_href(href: str, page_url: str) -> P:
+    """Resolved absolute link URL, or NULL for hostless hrefs.
+
+    Handled: absolute (``scheme://...`` passes through), protocol-
+    relative (``//host/...`` takes the page scheme), root-relative
+    (``/path`` takes the page scheme + host).  Everything else —
+    relative paths, ``mailto:``/``javascript:``/``tel:`` opaque
+    schemes, bare fragments — resolves to NULL: for the HOST graph
+    this is exact, since a hostless href points at the page's own host
+    (a self-loop the edge aggregation drops) or at no host at all.
+    Any ``#fragment`` is stripped first (fragments never reach the
+    server)."""
+    abs_re = "^[A-Za-z][A-Za-z0-9+.-]*://"
+    sch = url_scheme(page_url)
+    host = url_host(page_url)
+
+    def body(h: str, sch_x: str, host_x: str, rlike: str) -> str:
+        return (
+            f"CASE WHEN {rlike} THEN {h}"
+            f" WHEN {h} LIKE '//%' THEN concat({sch_x}, ':', {h})"
+            f" WHEN {h} LIKE '/%' THEN concat({sch_x}, '://', {host_x}, {h})"
+            f" ELSE NULL END"
+        )
+
+    h_sp = f"regexp_replace({href}, '#.*$', '')"
+    h_du = f"regexp_replace({href}, '#.*$', '')"
+    return P(
+        body(h_sp, sch.spark, host.spark, f"{h_sp} rlike {_sq(abs_re)}"),
+        body(
+            h_du,
+            sch.duck,
+            host.duck,
+            f"regexp_matches({h_du}, {_dq(abs_re)})",
+        ),
+    )

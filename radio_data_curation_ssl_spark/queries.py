@@ -4019,3 +4019,121 @@ def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_lines", "n_lines_kept", "text_clean", "n_sentences",
         "c4_keep",
     )
+
+
+# ---------------------------------------------------------------------------
+# Host link graph + PageRank reputation (r4 session 11) — past-window,
+# standing parity gate in tests/test_hostgraph.py.  The documents table
+# carries no html, so the query derives a deterministic page per doc
+# (c4_line_clean's scaffolding pattern): 7 "h*.example.com" hosts that
+# both emit and receive links, 3 "sink*.example.net" hosts that only
+# receive (the dangling-mass path), and doc_id-scheduled hrefs that
+# exercise every resolution branch — absolute, single-quoted
+# protocol-relative, root-relative (self-loop, dropped), mailto (NULL),
+# fragment strip, uppercase scheme + default :80 port, relative path
+# (NULL), non-http scheme (filtered).
+
+_HG_URL = "concat('https://h', doc_id % 7, '.example.com/p/', doc_id)"
+
+_HG_HTML = (
+    "concat("
+    "'<a href=\"https://h', (doc_id + 1) % 7, '.example.com/x\">a</a>', "
+    "'<a href=', chr(39), '//h', (doc_id + 2) % 7, '.example.com/y', "
+    "chr(39), '>b</a>', "
+    "'<a href=\"/local/page\">c</a>', "
+    "'<a href=\"mailto:x@example.com\">d</a>', "
+    "'<a href=\"https://h', (doc_id + 3) % 7, '.example.com/z#frag\">e</a>', "
+    "'<a href=\"https://sink', doc_id % 3, '.example.net/s\">f</a>', "
+    "CASE WHEN doc_id % 3 = 0 THEN '<a href=\"relative/path\">g</a>' "
+    "ELSE '' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN "
+    "'<A HREF=\"HTTP://H0.EXAMPLE.COM:80/q\">h</A>' ELSE '' END, "
+    "CASE WHEN doc_id % 11 = 0 THEN "
+    "'<a href=\"ftp://files.example.org/f\">i</a>' ELSE '' END"
+    ")"
+)
+
+
+def _hg_oracle() -> str:
+    from .functions import url as U
+
+    hrefs = U.hrefs_all("html").duck
+    resolved = U.resolve_href("href", "url").duck
+    lk_scheme = U.url_scheme("link_url").duck
+    src_host = U.url_host("src_url").duck
+    dst_host = U.url_host("link_url").duck
+    return f"""
+WITH pg AS (SELECT doc_id, {_HG_URL} AS url, {_HG_HTML} AS html
+            FROM documents),
+hr AS (SELECT url, unnest({hrefs}) AS href FROM pg),
+res AS (SELECT url AS src_url, {resolved} AS link_url FROM hr),
+lk AS (SELECT src_url, link_url FROM res
+       WHERE link_url IS NOT NULL AND {lk_scheme} IN ('http', 'https')),
+e0 AS (SELECT {src_host} AS src_host, {dst_host} AS dst_host FROM lk),
+e AS (SELECT src_host, dst_host, CAST(count(*) AS DOUBLE) AS w FROM e0
+      WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+      GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT host FROM
+          (SELECT src_host AS host FROM e
+           UNION ALL SELECT dst_host FROM e)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outw AS (SELECT src_host, sum(w) AS w_out FROM e GROUP BY 1),
+contrib AS (SELECT dst_host AS host, sum(w / w_out) AS csum
+            FROM e JOIN outw USING (src_host) GROUP BY 1),
+dang AS (SELECT CAST(count(*) AS DOUBLE) AS n_dang FROM nodes
+         WHERE host NOT IN (SELECT src_host FROM e))
+SELECT host,
+       round((1 - 0.85) / nn.n
+             + 0.85 * (coalesce(contrib.csum, 0) / nn.n
+                       + (dang.n_dang / nn.n) / nn.n), {X.ROUND}) AS pr
+FROM nodes LEFT JOIN contrib USING (host)
+CROSS JOIN nn CROSS JOIN dang
+"""
+
+
+@register(
+    "host_pagerank_step",
+    _hg_oracle(),
+    doc="Host link graph + one PageRank power-iteration step from the "
+    "uniform start — the kmeans_one_step pattern for the engine's "
+    "host-reputation loop (operators/hostgraph.py). The Spark side runs "
+    "the PRODUCTION chain: extract_links (codegen'd regexp_extract_all "
+    "over decoded html + href resolution), host_edges (the one "
+    "corpus-sized shuffle, map-side combine), host_pagerank(n_iter=1) "
+    "(per-iteration driver traffic = ONE scalar, the dangling mass). "
+    "The oracle unrolls the same step in SQL: transition probabilities, "
+    "uniform-rank contributions, dangling mass, teleport. Scale: the "
+    "host table is ~10^4x smaller than the corpus; every post-edges op "
+    "runs on it, never on pages.",
+)
+def q_host_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.hostgraph import extract_links, host_edges, host_pagerank
+
+    pages = t(spark, sf_dir, "documents").selectExpr(
+        f"{_HG_URL} AS url",
+        f"CAST({_HG_HTML} AS BINARY) AS html",
+    )
+    pr = host_pagerank(host_edges(extract_links(pages)), n_iter=1)
+    return pr.select("host", F.round("pr", X.ROUND).alias("pr"))
+
+
+@register(
+    "host_pagerank",
+    None,  # multi-iteration power loop — rows-only by nature; the
+    # single-step math is oracle-proven by host_pagerank_step and the
+    # loop by the numpy twin in tests/test_hostgraph.py
+    doc="Full 10-iteration weighted PageRank over the derived host "
+    "graph — the converged host-reputation signal URL filters join "
+    "against (Common Crawl publishes exactly this artifact at the "
+    "host/domain level). Ranks sum to 1 every iteration; dangling mass "
+    "is redistributed uniformly.",
+)
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.hostgraph import extract_links, host_edges, host_pagerank
+
+    pages = t(spark, sf_dir, "documents").selectExpr(
+        f"{_HG_URL} AS url",
+        f"CAST({_HG_HTML} AS BINARY) AS html",
+    )
+    pr = host_pagerank(host_edges(extract_links(pages)), n_iter=10)
+    return pr.select("host", F.round("pr", X.ROUND).alias("pr"))

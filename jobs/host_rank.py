@@ -1,0 +1,126 @@
+"""Cluster job entry: build the host-reputation artifact (host, pr).
+
+Extracts hyperlinks from raw html, aggregates the weighted host link
+graph, runs PageRank power iteration over it, and publishes one
+``(host, pr)`` parquet — the same shape as Common Crawl's published
+host-rank files.  Feed it to ``jobs/run_curation.py --host-ranks`` to
+drop pages on the lowest-reputation hosts before any text work
+(operators/hostgraph.py::filter_by_host_rank, fail-open for hosts the
+graph never saw).  Runs the same way every other cluster job here runs
+(north_rule: spark-submit --py-files)::
+
+    zip -r curation.zip radio_data_curation_ssl_spark
+    spark-submit --py-files curation.zip jobs/host_rank.py \
+        --input /data/raw_pages --output /shared/host_pr \
+        --run-root /data/meta --iterations 10
+
+Local smoke (this sandbox)::
+
+    python jobs/host_rank.py --synth 2000 \
+        --output /tmp/host_pr --run-root /tmp/meta
+
+``--input`` takes a parquet with (url string, html binary) columns —
+the raw crawl, BEFORE curation: the reputation signal wants the whole
+link structure, including pages the text filters will drop.  Scale: the
+only corpus-sized work is the link-extraction map pass and one edge
+shuffle; every PageRank iteration runs on the |hosts|-sized graph with
+ONE scalar of driver traffic (the dangling mass).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--input", help="parquet dir with (url string, html binary) columns"
+    )
+    ap.add_argument(
+        "--synth",
+        type=int,
+        help="derive N deterministic linked pages instead (the registry "
+        "queries' 7-host + 3-sink scaffold; smoke/testing only)",
+    )
+    ap.add_argument("--output", required=True, help="(host, pr) parquet dir")
+    ap.add_argument("--run-root", required=True, help="dir for _runs/_metrics")
+    ap.add_argument("--iterations", type=int, default=10)
+    ap.add_argument("--damping", type=float, default=0.85)
+    ap.add_argument(
+        "--url-col", default="url", help="page URL column in --input"
+    )
+    ap.add_argument(
+        "--html-col", default="html", help="raw html binary column in --input"
+    )
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+    if bool(args.input) == bool(args.synth):
+        # validate BEFORE RunLog.start: ap.error raises SystemExit, which
+        # the failed-status except below (deliberately) does not catch
+        ap.error("exactly one of --input / --synth required")
+
+    from radio_data_curation_ssl_spark.operators.hostgraph import (
+        extract_links,
+        host_edges,
+        host_pagerank,
+    )
+    from pyspark.sql import SparkSession
+
+    from radio_data_curation_ssl_spark.plans.runmeta import RunLog
+    from radio_data_curation_ssl_spark.session import get_spark
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark("host-rank", master=args.master)
+    config = {
+        k: v for k, v in vars(args).items() if k != "master" and v is not None
+    }
+    log = RunLog(spark, args.run_root)
+    run_id = log.start("host_rank", config)
+    try:
+        if args.synth:
+            from radio_data_curation_ssl_spark.queries import (
+                _HG_HTML,
+                _HG_URL,
+            )
+
+            pages = (
+                spark.range(args.synth)
+                .selectExpr("id AS doc_id")
+                .selectExpr(
+                    f"{_HG_URL} AS url",
+                    f"CAST({_HG_HTML} AS BINARY) AS html",
+                )
+            )
+        else:
+            pages = spark.read.parquet(args.input).select(
+                args.url_col, args.html_col
+            )
+        ranks = host_pagerank(
+            host_edges(
+                extract_links(
+                    pages, url_col=args.url_col, html_col=args.html_col
+                )
+            ),
+            damping=args.damping,
+            n_iter=args.iterations,
+        )
+        ranks.write.mode("overwrite").parquet(args.output)
+        n_hosts = spark.read.parquet(args.output).count()
+        log.finish(run_id, "host_rank", config, status="done")
+        print(f"host_rank: {n_hosts} hosts -> {args.output}")
+        return 0
+    except Exception:
+        log.finish(run_id, "host_rank", config, status="failed")
+        raise
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -163,6 +163,22 @@ def main(argv: list[str] | None = None) -> int:
         "operators/urlfilter.py)",
     )
     ap.add_argument(
+        "--host-ranks",
+        default=None,
+        help="with --sample-target: host-reputation parquet (host, pr) — "
+        "jobs/host_rank.py output or any published host-rank artifact; "
+        "pages whose host sits in the bottom --host-rank-drop-frac of "
+        "it are dropped before any text work (fail-open for hosts "
+        "absent from the table — operators/hostgraph.py)",
+    )
+    ap.add_argument(
+        "--host-rank-drop-frac",
+        type=float,
+        default=0.1,
+        help="fraction of ranked hosts (lowest pr first) whose pages are "
+        "dropped by --host-ranks (default 0.1)",
+    )
+    ap.add_argument(
         "--url-hard-words",
         default=None,
         help="with --sample-target: comma-separated words; a page whose "
@@ -267,6 +283,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.decontaminate is not None
         or args.export_jsonl is not None
         or args.blocked_domains is not None
+        or args.host_ranks is not None
         or args.rep_filter
         or args.c4_clean
         or args.url_hard_words is not None
@@ -276,7 +293,8 @@ def main(argv: list[str] | None = None) -> int:
             "--url-dedup/--line-dedup/--substring-dedup/--seen-urls/"
             "--seen-texts/--seen-near-texts/"
             "--host-cap/--lang-budget/--sample-alpha/--decontaminate/"
-            "--export-jsonl/--blocked-domains/--url-hard-words/"
+            "--export-jsonl/--blocked-domains/--host-ranks/"
+            "--url-hard-words/"
             "--url-soft-words/--c4-clean require --sample-target or "
             "--token-budget"
         )
@@ -375,6 +393,7 @@ def main(argv: list[str] | None = None) -> int:
                     blocked is not None
                     or args.url_hard_words
                     or args.url_soft_words
+                    or args.host_ranks is not None
                 )
                 sample = curate_dedup_sample(
                     pages,
@@ -400,6 +419,14 @@ def main(argv: list[str] | None = None) -> int:
                     url_hard_words=_csv(args.url_hard_words),
                     url_soft_words=_csv(args.url_soft_words),
                     url_soft_threshold=args.url_soft_threshold,
+                    host_ranks=(
+                        spark.read.parquet(args.host_ranks).select(
+                            "host", "pr"
+                        )
+                        if args.host_ranks
+                        else None
+                    ),
+                    host_rank_drop_frac=args.host_rank_drop_frac,
                     rep_filter=args.rep_filter,
                     c4_clean=args.c4_clean,
                     line_dedup=args.line_dedup,

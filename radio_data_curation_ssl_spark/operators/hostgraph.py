@@ -45,7 +45,13 @@ from pyspark.sql import functions as F
 
 from ..functions import url as U
 
-__all__ = ["extract_links", "host_edges", "host_pagerank"]
+__all__ = [
+    "extract_links",
+    "host_edges",
+    "host_pagerank",
+    "bottom_hosts",
+    "filter_by_host_rank",
+]
 
 
 def extract_links(
@@ -197,3 +203,74 @@ def host_pagerank(
         trans.unpersist()
         dangling.unpersist()
     return ranks
+
+
+def bottom_hosts(
+    ranks: DataFrame,
+    frac: float,
+    host_col: str = "host",
+    rank_col: str = "pr",
+    pin_input: bool = False,
+) -> DataFrame:
+    """The bottom ``frac`` of hosts by ``(rank asc, host asc)`` — the
+    exact ``floor(frac * N)`` keep set of a full-table
+    ``row_number() OVER (ORDER BY rank, host)``.
+
+    Computed via the engine's histogram selection
+    (operators/budget.py::topfrac_per_group over a constant group):
+    two map-side-combined stat passes plus bucket unions, never a
+    single-partition global window — at crawl scale the host table is
+    ~10^8 rows, far past what one window task can serialize.  Ties at
+    the quota boundary break by ``host_col`` ascending, so the set is
+    deterministic and engine-reproducible (round the rank column first
+    when comparing across engines).  Pass ``pin_input=True`` when
+    ``ranks`` is an expensive un-persisted subplan (topfrac reads it
+    three times); :func:`host_pagerank` output is already persisted.
+    """
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    from .budget import topfrac_per_group
+
+    r = ranks.select(host_col, rank_col).withColumn("_hg_g", F.lit(1))
+    out = topfrac_per_group(
+        r, "_hg_g", rank_col, host_col, frac, pin_input=pin_input
+    )
+    return out.drop("_hg_g")
+
+
+def filter_by_host_rank(
+    pages: DataFrame,
+    ranks: DataFrame,
+    drop_frac: float,
+    url_col: str = "url",
+    host_col: str = "host",
+    rank_col: str = "pr",
+) -> DataFrame:
+    """Drop pages whose host sits in the bottom ``drop_frac`` of the
+    host-reputation table (:func:`host_pagerank` output, or any
+    ``(host, score)`` artifact — Common Crawl publishes exactly this
+    shape).  The crawl-structure quality leg: a link-farm host scores
+    low even when each of its pages passes per-document heuristics.
+
+    FAIL-OPEN by construction: pages whose host is absent from
+    ``ranks`` (never seen in the link graph — e.g. a host with no
+    crawled in/out links), unparsable (``url_host`` = ''), or NULL are
+    KEPT — no reputation signal is not negative signal, and the graph
+    is usually built from an earlier/partial crawl than the batch
+    being filtered.
+
+    Scale: one ``left_anti`` equi-join of the corpus against the
+    ``floor(drop_frac * |hosts|)``-row bottom set.  At 10^8 hosts and
+    drop_frac 0.1 that side is ~10^7 short strings — AQE broadcasts it
+    when it fits, else it is a host-keyed shuffle of host strings (the
+    corpus side shuffles its join key + row id, never payloads, under
+    AQE's shuffled-hash choice).  No Python anywhere.
+    """
+    bad = bottom_hosts(ranks, drop_frac, host_col, rank_col).select(
+        F.col(host_col).alias("_hr_host")
+    )
+    return (
+        pages.withColumn("_hr_host", F.expr(U.url_host(url_col).spark))
+        .join(bad, "_hr_host", "left_anti")
+        .drop("_hr_host")
+    )

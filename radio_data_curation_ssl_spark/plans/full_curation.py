@@ -85,6 +85,8 @@ def curate_dedup_sample(
     url_hard_words: list[str] | None = None,
     url_soft_words: list[str] | None = None,
     url_soft_threshold: int = 2,
+    host_ranks: DataFrame | None = None,
+    host_rank_drop_frac: float = 0.1,
     rep_filter: bool | dict = False,
     c4_clean: bool | dict = False,
     host_cap: int | None = None,
@@ -196,6 +198,14 @@ def curate_dedup_sample(
     >= ``url_soft_threshold`` soft-banned words in the URL are dropped
     before ANY text work — the cheapest filter runs earliest.
 
+    ``host_ranks`` applies the crawl-structure reputation filter next
+    (operators/hostgraph.py::filter_by_host_rank): a ``(host, pr)``
+    frame — :func:`..operators.hostgraph.host_pagerank` output or any
+    published host-rank artifact — and pages whose host sits in the
+    bottom ``host_rank_drop_frac`` of it are dropped before any text
+    work.  FAIL-OPEN: pages whose host is absent from the table are
+    kept (no reputation signal is not negative signal).
+
     ``rep_filter`` stacks the Gopher repetition-signals battery
     (operators/repsignals.py) on the curated keep set: documents whose
     duplicate-line / top-n-gram / duplicated-5-gram fractions exceed the
@@ -225,6 +235,10 @@ def curate_dedup_sample(
         raise ValueError(f"unknown near_dup mode {near_dup!r}")
     if host_cap is not None and host_cap < 1:
         raise ValueError(f"host_cap must be >= 1, got {host_cap}")
+    if host_ranks is not None and not 0.0 <= host_rank_drop_frac <= 1.0:
+        raise ValueError(
+            f"host_rank_drop_frac must be in [0, 1], got {host_rank_drop_frac}"
+        )
     shaping = host_cap is not None or lang_budget_frac is not None
     url_filtering = (
         blocked_domains is not None or url_hard_words or url_soft_words
@@ -243,6 +257,17 @@ def curate_dedup_sample(
             hard_words=url_hard_words,
             soft_words=url_soft_words,
             soft_threshold=url_soft_threshold,
+        )
+    if host_ranks is not None:
+        if curated is not None:
+            raise ValueError(
+                "the host-rank filter applies before curation; pass "
+                "pages only, not a precomputed curated frame"
+            )
+        from ..operators.hostgraph import filter_by_host_rank
+
+        pages = filter_by_host_rank(
+            pages, host_ranks, drop_frac=host_rank_drop_frac
         )
     if seen_urls is not None:
         if curated is not None:

@@ -4054,7 +4054,12 @@ _HG_HTML = (
 )
 
 
-def _hg_oracle() -> str:
+def _hg_step_ctes(url_expr: str, html_expr: str) -> str:
+    """The shared WITH-body: derived pages -> link resolution -> host
+    edges -> one PageRank power step from the uniform start, ending in
+    CTE ``prt(host, pr)`` with pr rounded to X.ROUND.  Reused by the
+    ``host_pagerank_step`` oracle and the ``host_rank_filter`` oracle
+    (which selects the bottom hosts from ``prt`` and anti-joins pages)."""
     from .functions import url as U
 
     hrefs = U.hrefs_all("html").duck
@@ -4063,7 +4068,7 @@ def _hg_oracle() -> str:
     src_host = U.url_host("src_url").duck
     dst_host = U.url_host("link_url").duck
     return f"""
-WITH pg AS (SELECT doc_id, {_HG_URL} AS url, {_HG_HTML} AS html
+WITH pg AS (SELECT doc_id, {url_expr} AS url, {html_expr} AS html
             FROM documents),
 hr AS (SELECT url, unnest({hrefs}) AS href FROM pg),
 res AS (SELECT url AS src_url, {resolved} AS link_url FROM hr),
@@ -4081,14 +4086,19 @@ outw AS (SELECT src_host, sum(w) AS w_out FROM e GROUP BY 1),
 contrib AS (SELECT dst_host AS host, sum(w / w_out) AS csum
             FROM e JOIN outw USING (src_host) GROUP BY 1),
 dang AS (SELECT CAST(count(*) AS DOUBLE) AS n_dang FROM nodes
-         WHERE host NOT IN (SELECT src_host FROM e))
-SELECT host,
-       round((1 - 0.85) / nn.n
-             + 0.85 * (coalesce(contrib.csum, 0) / nn.n
-                       + (dang.n_dang / nn.n) / nn.n), {X.ROUND}) AS pr
-FROM nodes LEFT JOIN contrib USING (host)
-CROSS JOIN nn CROSS JOIN dang
+         WHERE host NOT IN (SELECT src_host FROM e)),
+prt AS (SELECT host,
+               round((1 - 0.85) / nn.n
+                     + 0.85 * (coalesce(contrib.csum, 0) / nn.n
+                               + (dang.n_dang / nn.n) / nn.n),
+                     {X.ROUND}) AS pr
+        FROM nodes LEFT JOIN contrib USING (host)
+        CROSS JOIN nn CROSS JOIN dang)
 """
+
+
+def _hg_oracle() -> str:
+    return _hg_step_ctes(_HG_URL, _HG_HTML) + "SELECT host, pr FROM prt"
 
 
 @register(
@@ -4115,6 +4125,76 @@ def q_host_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = host_pagerank(host_edges(extract_links(pages)), n_iter=1)
     return pr.select("host", F.round("pr", X.ROUND).alias("pr"))
+
+
+# host_rank_filter: the reputation signal APPLIED — drop pages on the
+# bottom-half hosts by one-step PageRank.  The page derivation adds an
+# ORPHAN branch (doc_id % 17: a host that never appears in the link
+# graph, html NULL) to exercise the filter's fail-open path end to end.
+
+_HRF_URL = (
+    "CASE WHEN doc_id % 17 = 0 THEN "
+    "concat('https://orphan', doc_id % 2, '.example.org/p/', doc_id) "
+    f"ELSE {_HG_URL} END"
+)
+_HRF_HTML = f"CASE WHEN doc_id % 17 = 0 THEN NULL ELSE {_HG_HTML} END"
+_HRF_DROP_FRAC = 0.5
+
+
+def _hrf_oracle() -> str:
+    from .functions import url as U
+
+    page_host = U.url_host("url").duck
+    return (
+        _hg_step_ctes(_HRF_URL, _HRF_HTML)
+        + f""",
+nb AS (SELECT CAST(floor({_HRF_DROP_FRAC} * count(*)) AS BIGINT) AS q
+       FROM prt),
+rk AS (SELECT host, row_number() OVER (ORDER BY pr, host) AS rn FROM prt),
+bot AS (SELECT host FROM rk CROSS JOIN nb WHERE rn <= nb.q),
+ph AS (SELECT doc_id, {page_host} AS host FROM pg)
+SELECT ph.doc_id, ph.host
+FROM ph LEFT JOIN bot ON ph.host = bot.host
+WHERE bot.host IS NULL
+"""
+    )
+
+
+@register(
+    "host_rank_filter",
+    _hrf_oracle(),
+    doc="Host-reputation filter: drop pages whose host sits in the "
+    "bottom half of the one-step PageRank table — the crawl-structure "
+    "quality leg applied (operators/hostgraph.py::filter_by_host_rank; "
+    "Common Crawl's host-rank artifacts are consumed exactly this way). "
+    "The Spark side runs the PRODUCTION chain: bottom_hosts selects the "
+    "exact floor(frac*N) lowest (pr asc, host asc) hosts via the "
+    "histogram selection (operators/budget.py::topfrac_per_group over a "
+    "constant group — NO full-table window; the host table is ~10^8 "
+    "rows at crawl scale), then one left_anti equi-join of pages "
+    "against that set. Orphan pages (host absent from the graph) pass "
+    "through — the fail-open contract. pr is rounded to 6 on BOTH "
+    "sides before selection so the boundary is engine-identical; ties "
+    "break by host asc.",
+)
+def q_host_rank_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import url as U
+    from .operators.hostgraph import (
+        extract_links,
+        filter_by_host_rank,
+        host_edges,
+        host_pagerank,
+    )
+
+    pages = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_HRF_URL} AS url",
+        f"CAST({_HRF_HTML} AS BINARY) AS html",
+    )
+    pr = host_pagerank(host_edges(extract_links(pages)), n_iter=1)
+    pr6 = pr.select("host", F.round("pr", X.ROUND).alias("pr"))
+    kept = filter_by_host_rank(pages, pr6, drop_frac=_HRF_DROP_FRAC)
+    return kept.selectExpr("doc_id", f"{U.url_host('url').spark} AS host")
 
 
 @register(

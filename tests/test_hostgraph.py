@@ -186,3 +186,158 @@ def test_registry_query_oracle_parity(spark):
     assert {h.split(".")[-2] for h in got} == {"example"}
     assert any(h.startswith("sink") for h in got)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# bottom_hosts / filter_by_host_rank (r4 session 12) — the reputation
+# signal APPLIED: exact bottom-frac selection + fail-open page filter.
+
+from radio_data_curation_ssl_spark.operators.hostgraph import (  # noqa: E402
+    bottom_hosts,
+    filter_by_host_rank,
+)
+
+
+def _ranks_df(spark, rows):
+    return spark.createDataFrame(rows, "host string, pr double")
+
+
+def test_bottom_hosts_exact_quota_and_tiebreak(spark):
+    """floor(frac*N) lowest by (pr asc, host asc) — including a pr tie
+    straddling the quota boundary, which must break by host asc."""
+    rows = [
+        ("f.com", 0.05),
+        ("a.com", 0.10),
+        ("d.com", 0.20),
+        ("c.com", 0.20),  # tie with d.com: c.com (host asc) wins the slot
+        ("b.com", 0.30),
+        ("e.com", 0.90),
+    ]
+    got = {
+        r["host"]
+        for r in bottom_hosts(_ranks_df(spark, rows), frac=0.5).collect()
+    }
+    assert got == {"f.com", "a.com", "c.com"}  # floor(0.5*6) = 3
+    assert bottom_hosts(_ranks_df(spark, rows), frac=0.0).count() == 0
+    assert bottom_hosts(_ranks_df(spark, rows), frac=1.0).count() == 6
+    with pytest.raises(ValueError, match="frac"):
+        bottom_hosts(_ranks_df(spark, rows), frac=1.5)
+
+
+def test_filter_by_host_rank_fail_open(spark):
+    """Drops only pages whose host is RANKED AND in the bottom set;
+    unranked hosts, unparsable urls, and NULL urls pass through."""
+    ranks = _ranks_df(
+        spark, [("low.com", 0.01), ("mid.com", 0.5), ("top.com", 0.9)]
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://low.com/a", "dropped"),
+            ("https://low.com/b", "dropped"),
+            ("https://mid.com/c", "kept"),
+            ("https://top.com/d", "kept"),
+            ("https://never-ranked.org/e", "kept"),  # absent from ranks
+            ("not a url at all", "kept"),  # url_host = ''
+            (None, "kept"),  # NULL url
+        ],
+        "url string, tag string",
+    )
+    out = filter_by_host_rank(pages, ranks, drop_frac=1 / 3).collect()
+    assert all(r["tag"] == "kept" for r in out)
+    assert len(out) == 5
+    assert set(pages.columns) == set(out[0].asDict())  # helper col dropped
+
+
+def test_registry_host_rank_filter_oracle_parity(spark):
+    """Standing local gate for the past-window registry row (the driver
+    checks the first 50 oracle entries; this one sits past them)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["host_rank_filter"]
+    got = sorted(
+        (r["doc_id"], r["host"]) for r in q.spark(spark, SF).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    hosts = {h for _, h in got}
+    # fail-open: the orphan hosts (never in the link graph) survive
+    assert any(h.startswith("orphan") for h in hosts)
+    # the filter actually dropped something: not all 7 h-hosts remain
+    assert len({h for h in hosts if h.startswith("h")}) < 7
+
+
+def test_flow_host_rank_stage(spark):
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+    from radio_data_curation_ssl_spark.synth import synth_pages
+
+    pages = synth_pages(spark, 400, seed=42, partitions=4)
+    hosts = sorted(
+        r["h"]
+        for r in pages.selectExpr("parse_url(url, 'HOST') AS h")
+        .distinct()
+        .collect()
+    )
+    # rank every real host; the two lexically-first get the lowest pr
+    ranks = _ranks_df(
+        spark,
+        [(h, 0.001 * (i + 1)) for i, h in enumerate(hosts)],
+    )
+    n_drop = int(0.25 * len(hosts))
+    sample = curate_dedup_sample(
+        pages,
+        target=10_000,
+        near_dup="none",
+        host_ranks=ranks,
+        host_rank_drop_frac=0.25,
+    )
+    got_hosts = {
+        r["h"]
+        for r in sample.selectExpr(
+            "parse_url(url, 'HOST') AS h"
+        ).distinct().collect()
+    }
+    assert got_hosts  # something survived
+    assert got_hosts.isdisjoint(hosts[:n_drop])  # bottom quartile gone
+    with pytest.raises(ValueError, match="host_rank_drop_frac"):
+        curate_dedup_sample(
+            pages, target=10, host_ranks=ranks, host_rank_drop_frac=-0.1
+        )
+    with pytest.raises(ValueError, match="pass pages only"):
+        curate_dedup_sample(
+            pages,
+            target=10,
+            host_ranks=ranks,
+            curated=spark.range(1).selectExpr("'x' AS url"),
+        )
+
+
+def test_host_rank_job_synth_smoke(spark, tmp_path):
+    from jobs.host_rank import main
+
+    out = str(tmp_path / "host_pr")
+    rc = main(
+        [
+            "--synth", "300",
+            "--iterations", "3",
+            "--output", out,
+            "--run-root", str(tmp_path / "meta"),
+        ]
+    )
+    assert rc == 0
+    ranks = spark.read.parquet(out)
+    got = {r["host"]: r["pr"] for r in ranks.collect()}
+    assert len(got) == 10  # 7 h-hosts + 3 sinks
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    from radio_data_curation_ssl_spark.plans.runmeta import RunLog
+
+    log = RunLog(spark, str(tmp_path / "meta"))
+    statuses = [r["status"] for r in log.runs().collect()]
+    assert "done" in statuses and "failed" not in statuses

@@ -269,6 +269,20 @@ def main(argv: list[str] | None = None) -> int:
         "dropped before curation through the distributed Bloom prefilter "
         "— the committed side is scanned once, never shuffled",
     )
+    ap.add_argument(
+        "--generic-extract",
+        action="store_true",
+        help="extract text with the generic tag-strip / entity-decode "
+        "chain (operators/htmltext.py) instead of the synthetic-skeleton "
+        "contract parse — the mode for REAL crawl html (e.g. "
+        "--input-warc); codegen'd column expressions, zero Python",
+    )
+    ap.add_argument(
+        "--noindex-filter",
+        action="store_true",
+        help="drop pages whose html carries a robots-noindex meta tag "
+        "before any curation work (fail-open on NULL html)",
+    )
     args = ap.parse_args(argv)
     if (
         args.url_dedup
@@ -307,6 +321,9 @@ def main(argv: list[str] | None = None) -> int:
     from radio_data_curation_ssl_spark.session import get_spark
     from radio_data_curation_ssl_spark.synth import synth_pages
 
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("curation-run", master=args.master)
     config = {
         k: v for k, v in vars(args).items() if k not in ("master",) and v is not None
@@ -324,6 +341,13 @@ def main(argv: list[str] | None = None) -> int:
             pages = read_warc(spark, args.input_warc)
         else:
             ap.error("one of --input / --input-warc / --synth required")
+        if args.noindex_filter:
+            from radio_data_curation_ssl_spark.operators.htmltext import (
+                filter_noindex,
+            )
+
+            pages = filter_noindex(pages)
+        extractor = "generic" if args.generic_extract else "contract"
         if args.models:
             from jobs.fit_models import load_models
 
@@ -349,7 +373,9 @@ def main(argv: list[str] | None = None) -> int:
                     "model (re-fit with jobs/fit_models.py --fit-quality)"
                 )
             quality = (qm, args.quality_threshold)
-        result = curate(pages, models=models, quality=quality)
+        result = curate(
+            pages, models=models, quality=quality, extractor=extractor
+        )
         extra: dict = {}
         if args.sample_target is not None or args.token_budget is not None:
             from radio_data_curation_ssl_spark.plans import snapshots
@@ -451,6 +477,7 @@ def main(argv: list[str] | None = None) -> int:
                     token_budget=args.token_budget,
                     models=models,
                     quality=quality,
+                    extractor=extractor,
                     decontaminate=(
                         spark.read.parquet(args.decontaminate)
                         if args.decontaminate
@@ -505,7 +532,8 @@ def main(argv: list[str] | None = None) -> int:
         log.finish(run_id, "curate", config, status="failed")
         raise
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
 
 
 if __name__ == "__main__":

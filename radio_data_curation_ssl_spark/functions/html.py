@@ -1,0 +1,157 @@
+"""Generic HTML handling as paired Spark-SQL / DuckDB-SQL expressions:
+tag-strip text extraction, <title>/<html lang> metadata, and the
+robots-noindex flag.
+
+The engine's contract extractor (operators/extract.py::extract_docs) is
+a byte-exact parse of the synthetic page skeleton — the BASELINE
+input_hint's byte-identity invariant.  REAL crawls need the generic
+stage every web pipeline runs before it (trafilatura/resiliparse's
+cheap tier): drop script/style/comment payloads, turn block tags into
+line breaks, strip the rest, decode the common entities, normalize
+whitespace.  This module expresses that as a chain of built-in
+``regexp_replace``/``replace`` calls — whole-stage codegen on the Spark
+side, zero Python at any corpus size — with a DuckDB twin for the
+registry oracle.
+
+Same design as functions/text.py and functions/url.py: every builder
+returns a :class:`P` pair computing the bit-identical value in both
+dialects.  Cross-engine regex constraints honored throughout: RE2
+(DuckDB) has no backreferences or lookaround, so paired closing-tag
+patterns are expanded per tag; DuckDB's ``regexp_replace`` needs the
+explicit ``'g'`` flag (Spark is global by default); whitespace classes
+are written explicitly (``[ \\t\\r\\n]``) because Java's ``\\s``
+includes U+000B and RE2's does not.
+
+The reference has no HTML handling (radio-astronomy payload); this
+serves the web-text north rule's raw-crawl input shape.
+"""
+
+from __future__ import annotations
+
+from .text import P
+
+# ---------------------------------------------------------------------------
+# literal builders (local: patterns here contain single quotes, which
+# functions/text.py's _sq does not escape)
+
+
+def _sq(s: str) -> str:
+    """Spark SQL single-quoted literal (backslash escapes are ON)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _dq(s: str) -> str:
+    """DuckDB single-quoted literal (no backslash escaping)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _re_replace(x: P, pat: str, rep: str) -> P:
+    return P(
+        f"regexp_replace({x.spark}, {_sq(pat)}, {_sq(rep)})",
+        f"regexp_replace({x.duck}, {_dq(pat)}, {_dq(rep)}, 'g')",
+    )
+
+
+def _replace(x: P, search: str, rep: str) -> P:
+    return P(
+        f"replace({x.spark}, {_sq(search)}, {_sq(rep)})",
+        f"replace({x.duck}, {_dq(search)}, {_dq(rep)})",
+    )
+
+
+def _extract1(x: P, pat: str) -> P:
+    return P(
+        f"regexp_extract({x.spark}, {_sq(pat)}, 1)",
+        f"regexp_extract({x.duck}, {_dq(pat)}, 1)",
+    )
+
+
+def _col(col: str) -> P:
+    return P(col, col)
+
+
+# ---------------------------------------------------------------------------
+# the extraction chain
+
+# payload-bearing containers whose CONTENT must vanish, not just the
+# tags.  RE2 has no backreferences, so each closing tag is spelled out.
+_DROP_BLOCKS = ["script", "style", "noscript", "head", "title"]
+
+# tags that imply a line break in the rendered text
+_BLOCK_TAGS = (
+    "p|br|div|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|blockquote|"
+    "section|article|header|footer|nav|form"
+)
+
+# the high-frequency entities; &amp; LAST (single-pass decode order)
+ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_text(col: str) -> P:
+    """Rendered-ish text of an html STRING column: comment/script/style/
+    head payloads dropped, block tags -> newline, remaining tags -> space,
+    common entities decoded, whitespace normalized (single-spaced lines,
+    no blank lines, trimmed).  NULL html -> NULL."""
+    x = _col(col)
+    x = _re_replace(x, r"(?s)<!--.*?-->", " ")
+    for tag in _DROP_BLOCKS:
+        x = _re_replace(x, rf"(?is)<{tag}\b[^>]*>.*?</{tag}[^>]*>", " ")
+    x = _re_replace(x, rf"(?i)</?({_BLOCK_TAGS})\b[^>]*>", "\n")
+    x = _re_replace(x, r"(?s)</?[a-zA-Z!][^>]*>", " ")
+    for ent, ch in ENTITIES:
+        x = _replace(x, ent, ch)
+    x = _re_replace(x, "[ \t\r]+", " ")
+    x = _re_replace(x, " ?\n[ \n]*", "\n")
+    x = _re_replace(x, "^[\n ]+|[\n ]+$", "")
+    return x
+
+
+def html_title(col: str) -> P:
+    """<title> payload, entity-decoded and whitespace-collapsed; NULL
+    when the page has no (or an empty) title.  NULL html -> NULL."""
+    x = _extract1(_col(col), r"(?is)<title[^>]*>(.*?)</title")
+    for ent, ch in ENTITIES:
+        x = _replace(x, ent, ch)
+    x = _re_replace(x, "[ \t\r\n]+", " ")
+    x = _re_replace(x, "^ +| +$", "")
+    return P(f"nullif({x.spark}, '')", f"nullif({x.duck}, '')")
+
+
+def html_lang(col: str) -> P:
+    """The <html lang=...> attribute, lowercased (both quote styles and
+    the unquoted form); NULL when absent.  NULL html -> NULL."""
+    pat = (
+        r"(?is)<html\b[^>]*[ \t\r\n]lang[ \t\r\n]*=[ \t\r\n]*"
+        r"[\"']?([A-Za-z][A-Za-z0-9-]*)"
+    )
+    x = _extract1(_col(col), pat)
+    return P(f"nullif(lower({x.spark}), '')", f"nullif(lower({x.duck}), '')")
+
+
+def robots_noindex(col: str) -> P:
+    """TRUE when a <meta name=robots ... content=...noindex...> tag is
+    present (either attribute order, any quote style, case-insensitive);
+    FALSE otherwise; NULL html -> NULL."""
+    ws = "[ \t\r\n]*"
+    name_first = (
+        rf"(?is)<meta\b[^>]*\bname{ws}={ws}[\"']?robots\b"
+        rf"[^>]*\bcontent{ws}={ws}[\"']?[^\"'>]*\bnoindex\b"
+    )
+    content_first = (
+        rf"(?is)<meta\b[^>]*\bcontent{ws}={ws}[\"']?[^\"'>]*\bnoindex\b"
+        rf"[^>]*\bname{ws}={ws}[\"']?robots\b"
+    )
+    return P(
+        f"(({col} RLIKE {_sq(name_first)})"
+        f" OR ({col} RLIKE {_sq(content_first)}))",
+        f"(regexp_matches({col}, {_dq(name_first)})"
+        f" OR regexp_matches({col}, {_dq(content_first)}))",
+    )

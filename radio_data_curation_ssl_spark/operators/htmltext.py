@@ -1,0 +1,85 @@
+"""Generic HTML ingestion: tag-strip text extraction, page metadata,
+robots-noindex filtering — zero Python at any corpus size.
+
+The engine's contract extractor (operators/extract.py::extract_docs) is
+a byte-exact parse of the synthetic <main>/<p> skeleton — the BASELINE
+input_hint's byte-identity invariant, deliberately Python so the
+pure-Python oracle IS the definition.  REAL crawls (sources/warc.py
+emits ``text`` NULL for exactly this reason) need the generic stage
+first: drop script/style/comment payloads, break on block tags, strip
+the rest, decode entities, normalize whitespace — trafilatura's cheap
+tier, the FineWeb/CCNet extraction baseline.  This module is that
+stage, built entirely from the paired fragments in functions/html.py:
+a codegen'd ``regexp_replace`` chain, map-only, no shuffle, no Python —
+and therefore oracle-pairable (the ``html_extract_generic`` registry
+query), unlike any UDF-based extractor.
+
+Each derived column re-parses the html string independently (four
+expression trees); that is the standard cost of expression-level
+extraction and stays cheaper than one Python round-trip at any batch
+size.  Malformed html fails SOFT: unclosed containers simply leave
+their tags to the generic strip; NULL html yields NULL text/metadata
+(fail-open in :func:`filter_noindex`, dropped as no-content downstream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import html as H
+
+__all__ = ["with_html_features", "extract_docs_generic", "filter_noindex"]
+
+
+def _html_str(html_col: str) -> str:
+    return f"decode({html_col}, 'UTF-8')"
+
+
+def with_html_features(
+    pages: DataFrame,
+    html_col: str = "html",
+    text_col: str = "text_extracted",
+) -> DataFrame:
+    """Add ``text_col`` (tag-stripped rendered-ish text), ``title``,
+    ``lang_claimed`` (the <html lang> attribute, lowercased), and
+    ``robots_noindex`` to a pages frame with a binary ``html_col``.
+    Map-only codegen; NULL html -> NULL everywhere."""
+    s = _html_str(html_col)
+    return pages.withColumns(
+        {
+            text_col: F.expr(f"nullif({H.html_text(s).spark}, '')"),
+            "title": F.expr(H.html_title(s).spark),
+            "lang_claimed": F.expr(H.html_lang(s).spark),
+            "robots_noindex": F.expr(H.robots_noindex(s).spark),
+        }
+    )
+
+
+def extract_docs_generic(
+    pages: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """Arbitrary-crawl twin of ``extract.extract_docs``: same output
+    shape (url, warc_ts, text, lang_claimed, n_bytes_html) so the whole
+    downstream pipeline runs unchanged on real pages, but the text is
+    the generic tag-strip extraction instead of the synthetic-skeleton
+    byte parse.  Empty extraction -> NULL text (the no-content drop
+    path, matching extract_docs semantics)."""
+    s = _html_str(html_col)
+    return pages.select(
+        "url",
+        "warc_ts",
+        F.expr(f"nullif({H.html_text(s).spark}, '')").alias("text"),
+        F.expr(H.html_lang(s).spark).alias("lang_claimed"),
+        F.expr(f"length({html_col})").cast("long").alias("n_bytes_html"),
+    )
+
+
+def filter_noindex(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Drop pages whose html carries a robots-noindex meta tag — the
+    opt-out web pipelines honor at ingest.  FAIL-OPEN: NULL html (no
+    signal) is kept; contentless pages drop downstream anyway."""
+    s = _html_str(html_col)
+    return pages.where(
+        ~F.coalesce(F.expr(H.robots_noindex(s).spark), F.lit(False))
+    )

@@ -95,6 +95,7 @@ def curate_dedup_sample(
     token_budget: int | None = None,
     models: tuple | None = None,
     quality: tuple | None = None,
+    extractor: str = "contract",
     decontaminate: DataFrame | None = None,
     decontaminate_ngram: int = 5,
 ) -> DataFrame:
@@ -206,6 +207,11 @@ def curate_dedup_sample(
     work.  FAIL-OPEN: pages whose host is absent from the table are
     kept (no reputation signal is not negative signal).
 
+    ``extractor`` is passed through to :func:`..plans.pipeline.curate`:
+    ``"generic"`` scores real-crawl html via the tag-strip extraction
+    (operators/htmltext.py) instead of the synthetic-skeleton contract
+    parse.  Ignored when ``curated`` is supplied.
+
     ``rep_filter`` stacks the Gopher repetition-signals battery
     (operators/repsignals.py) on the curated keep set: documents whose
     duplicate-line / top-n-gram / duplicated-5-gram fractions exceed the
@@ -233,6 +239,8 @@ def curate_dedup_sample(
             raise ValueError("token_budget and sample_alpha are exclusive")
     if near_dup not in ("minhash", "simhash", "none"):
         raise ValueError(f"unknown near_dup mode {near_dup!r}")
+    if extractor not in ("contract", "generic"):
+        raise ValueError(f"unknown extractor {extractor!r}")
     if host_cap is not None and host_cap < 1:
         raise ValueError(f"host_cap must be >= 1, got {host_cap}")
     if host_ranks is not None and not 0.0 <= host_rank_drop_frac <= 1.0:
@@ -360,7 +368,7 @@ def curate_dedup_sample(
     full = (
         curated
         if curated is not None
-        else curate(pages, models=models, quality=quality)
+        else curate(pages, models=models, quality=quality, extractor=extractor)
     )
     # persisted: the text-hash first-winner below consumes this frame on
     # both the aggregate and probe sides — uncached, each side would

@@ -28,6 +28,7 @@ def curate(
     fused: bool = True,
     models: tuple | None = None,
     quality: tuple | None = None,
+    extractor: str = "contract",
 ) -> DataFrame:
     """Full logical plan, lazily composed; caller writes/collects.
 
@@ -49,16 +50,32 @@ def curate(
     contribution, and every downstream consumer (flow, metrics, sinks)
     sees one consistent decision.
 
+    ``extractor`` picks the html -> text stage: ``"contract"`` (the
+    byte-exact synthetic-skeleton parse, operators/extract.py — the
+    BASELINE byte-identity contract) or ``"generic"`` (the tag-strip /
+    entity-decode chain for ARBITRARY crawl html,
+    operators/htmltext.py::extract_docs_generic — codegen'd column
+    expressions, zero Python).  Generic extraction scores through the
+    modular chain (its text never enters the fused kernel, which
+    re-extracts from html by contract).
+
     Output columns: url, warc_ts, text, lang_claimed, n_bytes_html,
     lang_pred, lang_conf, ppl, text_scrubbed, n_redactions, n_words,
     mean_word_len, stopword_ratio, symbol_word_ratio, rep_bigram_frac,
     drop_reason, keep (order differs slightly between modes).
     """
-    if fused:
+    if extractor not in ("contract", "generic"):
+        raise ValueError(f"unknown extractor {extractor!r}")
+    if fused and extractor == "contract":
         # everything in one python pass
         out = extract_score_scrub(pages, models=models)
     else:
-        docs = extract_docs(pages)
+        if extractor == "generic":
+            from ..operators.htmltext import extract_docs_generic
+
+            docs = extract_docs_generic(pages)
+        else:
+            docs = extract_docs(pages)
         if models is None:
             scored = with_perplexity(with_langid(docs))
         else:

@@ -4197,6 +4197,109 @@ def q_host_rank_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.selectExpr("doc_id", f"{U.url_host('url').spark} AS host")
 
 
+# ---------------------------------------------------------------------------
+# Generic HTML extraction (r4 session 12) — past-window, standing parity
+# gate in tests/test_htmltext.py.  The documents table carries no html,
+# so the query derives a deterministic page per doc (the c4_line_clean /
+# hostgraph scaffolding pattern): 5-word <p> paragraphs wrapped in a
+# full skeleton, with doc_id-scheduled injections exercising every
+# extraction rule — script payload with a bare '<' and entities (must
+# vanish), style + meta inside <head> (block-dropped), comments, the
+# entity-decode paragraph, both robots-noindex attribute orders +
+# unquoted attributes, both lang-attr casings, NULL html for zero-word
+# docs (the fail path).
+
+
+def _html_page(dialect: str) -> str:
+    if dialect == "spark":
+        paras = (
+            "array_join(transform(sequence(0, CAST((size(ws)-1) DIV 5"
+            " AS INT)), i -> concat('<p>', array_join(slice(ws, i*5+1, 5),"
+            " ' '), '</p>')), '')"
+        )
+        nw = "size(ws)"
+    else:
+        paras = (
+            "array_to_string(list_transform(generate_series(0,"
+            " CAST((len(ws)-1)//5 AS BIGINT)), i -> concat('<p>',"
+            " array_to_string(ws[(i*5+1):(i*5+5)], ' '), '</p>')), '')"
+        )
+        nw = "len(ws)"
+    return (
+        f"CASE WHEN {nw} = 0 THEN NULL ELSE concat("
+        "CASE WHEN doc_id % 2 = 0 THEN '<html lang=\"en\">' "
+        "ELSE '<HTML LANG=fr>' END, "
+        "'<head><title>Doc &amp; ', doc_id, '</title>', "
+        "CASE WHEN doc_id % 14 = 0 THEN "
+        "'<meta content=\"noindex,nofollow\" name=\"robots\">' "
+        "WHEN doc_id % 7 = 0 THEN '<meta name=robots content=noindex>' "
+        "ELSE '' END, "
+        "'<style>.x" + "{color:red}" + "</style></head><body>', "
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        "'<script>if (a < b) " + "{ x = \"y&amp;z\"; }" + "</script>' "
+        "ELSE '' END, "
+        f"{paras}, "
+        "CASE WHEN doc_id % 5 = 0 THEN '<!-- hidden & <comment> -->' "
+        "ELSE '' END, "
+        "CASE WHEN doc_id % 6 = 0 THEN "
+        "'<p>5 &lt; 6 &amp; 7 &gt; 2 &quot;q&quot;&nbsp;end</p>' "
+        "ELSE '' END, "
+        "'</body></html>') END"
+    )
+
+
+def _html_extract_oracle() -> str:
+    from .functions import html as H
+
+    return f"""
+WITH w AS (SELECT doc_id, {X.words("text").duck} AS ws FROM documents),
+pg AS (SELECT doc_id, {_html_page("duck")} AS html FROM w)
+SELECT doc_id,
+       nullif({H.html_text("html").duck}, '') AS text_extracted,
+       {H.html_title("html").duck} AS title,
+       {H.html_lang("html").duck} AS lang_claimed,
+       {H.robots_noindex("html").duck} AS robots_noindex,
+       CAST(octet_length(encode(html)) AS BIGINT) AS n_bytes_html
+FROM pg
+"""
+
+
+@register(
+    "html_extract_generic",
+    _html_extract_oracle(),
+    doc="Generic HTML -> text extraction + page metadata: the "
+    "trafilatura-cheap-tier stage every real-crawl pipeline runs before "
+    "document scoring (operators/htmltext.py; sources/warc.py emits "
+    "text NULL for exactly this stage). Comment/script/style/head "
+    "payloads dropped, block tags -> newline, remaining tags stripped, "
+    "common entities decoded, whitespace normalized; <title>, "
+    "<html lang>, and the robots-noindex flag extracted alongside. The "
+    "Spark side runs the PRODUCTION operator (with_html_features) over "
+    "derived deterministic pages; the oracle computes the same paired "
+    "fragments (functions/html.py) in DuckDB. Scale: a codegen'd "
+    "regexp_replace chain — map-only, zero Python, no shuffle at any "
+    "corpus size (RE2-safe patterns: no backreferences, explicit "
+    "whitespace classes).",
+)
+def q_html_extract_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.htmltext import with_html_features
+
+    pages = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{X.words('text').spark} AS ws"
+    ).selectExpr(
+        "doc_id", f"CAST({_html_page('spark')} AS BINARY) AS html"
+    )
+    out = with_html_features(pages)
+    return out.selectExpr(
+        "doc_id",
+        "text_extracted",
+        "title",
+        "lang_claimed",
+        "robots_noindex",
+        "CAST(length(html) AS BIGINT) AS n_bytes_html",
+    )
+
+
 @register(
     "host_pagerank",
     None,  # multi-iteration power loop — rows-only by nature; the

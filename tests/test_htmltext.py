@@ -1,0 +1,253 @@
+"""Generic HTML extraction (operators/htmltext.py, functions/html.py).
+
+Covers: the extraction rule matrix (script/style/noscript/head/title
+payload drops, comments, block-tag line breaks, generic tag strip,
+entity decode incl. the single-pass &amp;amp; case, whitespace
+normalization), title/lang metadata (both quote styles, unquoted,
+case-insensitive), the robots-noindex matrix (attribute order, quoting,
+case; fail-open on NULL html), DOCS_SCHEMA compatibility of
+extract_docs_generic + the downstream modular pipeline running on its
+output, the map-only zero-Python plan shape, and the standing DuckDB
+parity gate for the past-window ``html_extract_generic`` registry row.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.htmltext import (
+    extract_docs_generic,
+    filter_noindex,
+    with_html_features,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pages(spark, htmls):
+    return spark.createDataFrame(
+        [(f"https://x.com/{i}", h.encode("utf-8") if h is not None else None)
+         for i, h in enumerate(htmls)],
+        "url string, html binary",
+    )
+
+
+def _feats(spark, html):
+    return with_html_features(_pages(spark, [html])).collect()[0]
+
+
+def test_extraction_rule_matrix(spark):
+    r = _feats(
+        spark,
+        '<html lang="en"><head><title>T &amp; X</title>'
+        '<meta name="robots" content="index,follow"></head>'
+        "<body><p>Hello &lt;world&gt;</p>"
+        '<script>var x = "1 < 2";</script><div>A  B</div>'
+        "<!-- c --><ul><li>one</li><li>two</li></ul>"
+        "<span>tail</span></body></html>",
+    )
+    assert r["text_extracted"] == "Hello <world>\nA B\none\ntwo\ntail"
+    assert r["title"] == "T & X"
+    assert r["lang_claimed"] == "en"
+    assert r["robots_noindex"] is False
+
+
+def test_entity_decode_is_single_pass_and_quotes(spark):
+    # &amp;amp; must decode to &amp; (one pass), not to &
+    r = _feats(
+        spark,
+        "<p>&amp;amp; stays; &#39;q&#39; &quot;w&quot;"
+        " &apos;z&apos;&nbsp;end</p>",
+    )
+    assert r["text_extracted"] == "&amp; stays; 'q' \"w\" 'z' end"
+
+
+def test_malformed_html_fails_soft(spark):
+    # unclosed containers leave their tags to the generic strip; stray
+    # '<' between words is NOT a tag (needs a letter/! after '<')
+    r = _feats(spark, "<p>broken <b>nested <i>tags</p> a < b</i>")
+    assert r["text_extracted"] == "broken nested tags\na < b"
+    assert r["title"] is None
+    assert r["lang_claimed"] is None
+
+
+def test_null_and_empty_html(spark):
+    rows = with_html_features(_pages(spark, [None, ""])).collect()
+    by_url = {r["url"]: r for r in rows}
+    r0 = by_url["https://x.com/0"]
+    assert (
+        r0["text_extracted"] is None
+        and r0["title"] is None
+        and r0["robots_noindex"] is None
+    )
+    r1 = by_url["https://x.com/1"]
+    assert r1["text_extracted"] is None  # '' nullified: the no-content path
+    assert r1["robots_noindex"] is False
+
+
+@pytest.mark.parametrize(
+    "meta,expect_drop",
+    [
+        ('<meta name="robots" content="noindex, nofollow">', True),
+        ("<META CONTENT='noindex' NAME=robots>", True),  # order+case+quotes
+        ("<meta name=robots content=noindex>", True),  # unquoted
+        ('<meta name="robots" content="index,follow">', False),
+        ('<meta name="viewport" content="noindex">', False),  # wrong name
+        ('<meta name="robots" content="nofollow">', False),
+    ],
+)
+def test_filter_noindex_matrix(spark, meta, expect_drop):
+    df = _pages(spark, [f"<html><head>{meta}</head><body>x</body></html>"])
+    assert filter_noindex(df).count() == (0 if expect_drop else 1)
+
+
+def test_filter_noindex_fail_open_on_null(spark):
+    assert filter_noindex(_pages(spark, [None])).count() == 1
+
+
+def test_extract_docs_generic_schema_and_downstream(spark):
+    from radio_data_curation_ssl_spark.operators.decide import (
+        with_decision,
+        with_heuristics,
+    )
+    from radio_data_curation_ssl_spark.operators.extract import DOCS_SCHEMA
+    from radio_data_curation_ssl_spark.operators.langid import with_langid
+    from radio_data_curation_ssl_spark.operators.perplexity import (
+        with_perplexity,
+    )
+    from radio_data_curation_ssl_spark.operators.scrub import with_scrub
+
+    body = "<p>" + " ".join(["the quick brown fox jumps"] * 12) + "</p>"
+    pages = _pages(
+        spark,
+        [f'<html lang="en"><body>{body}</body></html>', None],
+    ).selectExpr("url", "CAST(NULL AS TIMESTAMP) AS warc_ts", "html")
+    docs = extract_docs_generic(pages)
+    # same column names/types as the contract extractor's output
+    assert [(f.name, f.dataType) for f in docs.schema.fields] == [
+        (f.name, f.dataType) for f in DOCS_SCHEMA.fields
+    ]
+    rows = {r["url"]: r for r in docs.collect()}
+    assert rows["https://x.com/0"]["lang_claimed"] == "en"
+    assert rows["https://x.com/0"]["n_bytes_html"] > 0
+    assert rows["https://x.com/1"]["text"] is None  # NULL html -> no content
+    # the whole modular downstream chain runs unchanged on generic docs
+    out = with_scrub(
+        with_decision(with_heuristics(with_perplexity(with_langid(docs))))
+    )
+    decided = {r["url"]: r for r in out.collect()}
+    assert decided["https://x.com/0"]["lang_pred"] == "en"
+    assert decided["https://x.com/1"]["keep"] is False
+
+
+def test_map_only_zero_python_plan(spark):
+    df = with_html_features(_pages(spark, ["<p>x</p>"]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "mapinpandas" not in plan.lower()
+    assert "pythonudf" not in plan.lower()
+
+
+def test_registry_html_extract_oracle_parity(spark):
+    """Standing local gate for the past-window registry row (the driver
+    checks the first 50 oracle entries; this one sits past them)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["html_extract_generic"]
+    got = sorted(tuple(r) for r in q.spark(spark, SF).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    # the derivation exercised every branch on this table
+    titles = {r[2] for r in got if r[2] is not None}
+    assert titles  # entity-decoded titles present
+    assert any(r[4] for r in got)  # some noindex pages
+    assert any(r[3] == "fr" for r in got)  # unquoted lang attr path
+
+
+_VOCAB = (
+    "the a of to and in for on with that this it is was are be have "
+    "from at by not or as if when where how why small large quick "
+    "brown fox dog city river mountain garden window market story "
+    "music number letter question answer morning evening people house "
+    "water light paper friend school road winter summer bridge corner "
+    "doctor silver copper meadow harbor"
+).split()  # 65 words; the step-7 walk below (coprime with 65)
+# visits 60 distinct start indices, so no bigram ever repeats
+
+
+def _real_pages(spark, n=24):
+    """Real-ish crawl pages: varied English body text (no repeated
+    bigrams — the repetition filter must not fire), every 6th page
+    carries a robots-noindex meta tag."""
+    rows = []
+    for i in range(n):
+        body = " ".join(
+            _VOCAB[(3 + i + 7 * j) % len(_VOCAB)] for j in range(60)
+        )
+        meta = (
+            '<meta name="robots" content="noindex">' if i % 6 == 0 else ""
+        )
+        html = (
+            f'<html lang="en"><head><title>Page {i}</title>{meta}</head>'
+            f"<body><p>{body} page {i}</p><script>var x=1;</script></body>"
+            "</html>"
+        )
+        rows.append((f"https://gen.example.org/p/{i}", None, html.encode()))
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+
+
+def test_curate_generic_extractor(spark):
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+
+    out = curate(_real_pages(spark), extractor="generic")
+    rows = out.collect()
+    assert len(rows) == 24
+    kept = [r for r in rows if r["keep"]]
+    assert kept and all(r["lang_pred"] == "en" for r in kept)
+    # script payload never reaches the scored text
+    assert all("var x=1" not in (r["text"] or "") for r in rows)
+    with pytest.raises(ValueError, match="extractor"):
+        curate(_real_pages(spark), extractor="bogus")
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    with pytest.raises(ValueError, match="extractor"):
+        curate_dedup_sample(_real_pages(spark), target=5, extractor="bogus")
+
+
+def test_run_curation_generic_job_smoke(spark, tmp_path):
+    from jobs.run_curation import main
+
+    pages = _real_pages(spark)
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+    rc = main(
+        [
+            "--input", src,
+            "--generic-extract",
+            "--noindex-filter",
+            "--output", str(tmp_path / "out"),
+            "--run-root", str(tmp_path / "meta"),
+            "--buckets", "4",
+            "--buckets-per-commit", "4",
+        ]
+    )
+    assert rc == 0
+    from radio_data_curation_ssl_spark.operators.resume import (
+        read_resumable,
+    )
+
+    out = read_resumable(spark, str(tmp_path / "out"))
+    urls = {r["url"] for r in out.collect()}
+    # the 4 noindex pages (0, 6, 12, 18) were dropped pre-curation
+    assert not any(int(u.rsplit("/", 1)[1]) % 6 == 0 for u in urls)
+    assert urls  # the rest curated and published

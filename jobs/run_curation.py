@@ -206,6 +206,14 @@ def main(argv: list[str] | None = None) -> int:
         "decision is unchanged (operators/repsignals.py)",
     )
     ap.add_argument(
+        "--nfc-normalize",
+        action="store_true",
+        help="with --sample-target: canonicalize the published text to "
+        "Unicode NFC before the C4 pass (mixed precomposed/decomposed "
+        "encodings stop defeating byte-level dedup keys downstream; "
+        "operators/normalize.py)",
+    )
+    ap.add_argument(
         "--c4-clean",
         action="store_true",
         help="with --sample-target: additionally apply C4 line-level "
@@ -299,6 +307,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.blocked_domains is not None
         or args.host_ranks is not None
         or args.rep_filter
+        or args.nfc_normalize
         or args.c4_clean
         or args.url_hard_words is not None
         or args.url_soft_words is not None
@@ -309,7 +318,8 @@ def main(argv: list[str] | None = None) -> int:
             "--host-cap/--lang-budget/--sample-alpha/--decontaminate/"
             "--export-jsonl/--blocked-domains/--host-ranks/"
             "--url-hard-words/"
-            "--url-soft-words/--c4-clean require --sample-target or "
+            "--url-soft-words/--nfc-normalize/--c4-clean require "
+            "--sample-target or "
             "--token-budget"
         )
     if args.token_budget is not None and args.sample_alpha is not None:
@@ -454,6 +464,7 @@ def main(argv: list[str] | None = None) -> int:
                     ),
                     host_rank_drop_frac=args.host_rank_drop_frac,
                     rep_filter=args.rep_filter,
+                    nfc_normalize=args.nfc_normalize,
                     c4_clean=args.c4_clean,
                     line_dedup=args.line_dedup,
                     substring_dedup=args.substring_dedup,

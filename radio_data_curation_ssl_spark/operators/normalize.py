@@ -1,0 +1,49 @@
+"""Unicode NFC normalization — the pre-tokenization text cleanup pass.
+
+Web text arrives in mixed normalization forms: the same rendered string
+can be precomposed (U+00E9) or decomposed (U+0065 U+0301), which breaks
+exact dedup keys, tokenizer merges, and any byte-level fingerprint.
+CCNet normalizes before everything; tokenizer pipelines (SentencePiece
+NFKC, BPE training) assume one canonical form.  This operator
+canonicalizes to NFC — the form that changes no visible text, only its
+byte encoding (NFKC's compatibility folding is lossy and deliberately
+NOT applied here).
+
+Spark design: Spark SQL has no normalization built-in, so this is one
+Arrow-batched ``pandas_udf`` over ``Series.str.normalize`` — a
+vectorized batch kernel with zero model state and no shuffle (the
+engine's UDF policy: never per-row Python; operators/langid.py is the
+same shape).  The DuckDB oracle pairs it with ``nfc_normalize`` —
+both sides implement Unicode NFC, verified identical on the registry
+derivation and the pytest twin (unicodedata.normalize).
+
+Reference provenance: the reference has no unicode handling (numeric
+radio-astronomy payload); this is a beyond-the-reference web-text
+family (SURVEY §6) demanded by the pipeline's exact-dedup and BPE
+stages, whose keys are byte-level.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _nfc_kernel(s: pd.Series) -> pd.Series:
+    # str.normalize passes NaN/None through; Arrow maps them to NULL
+    return s.str.normalize("NFC")
+
+
+def with_nfc_text(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """NFC-normalize ``text_col`` (in place, or into ``out_col``).
+    NULL -> NULL; already-NFC text is byte-identical (idempotent)."""
+    if text_col not in df.columns:
+        raise ValueError(f"missing column {text_col!r}")
+    # built lazily: pandas_udf parses its return type against the active
+    # session, so a module-level decorator would break import-time use
+    nfc = F.pandas_udf(_nfc_kernel, "string")
+    return df.withColumn(out_col or text_col, nfc(F.col(text_col)))

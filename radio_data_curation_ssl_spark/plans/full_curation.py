@@ -88,6 +88,7 @@ def curate_dedup_sample(
     host_ranks: DataFrame | None = None,
     host_rank_drop_frac: float = 0.1,
     rep_filter: bool | dict = False,
+    nfc_normalize: bool = False,
     c4_clean: bool | dict = False,
     host_cap: int | None = None,
     lang_budget_frac: float | None = None,
@@ -219,6 +220,13 @@ def curate_dedup_sample(
     dropped before dedup.  OFF by default — the base keep/drop decision
     stays byte-identical to the reference contract; this is the opt-in
     boilerplate killer (one extra map-only Arrow pass on kept docs).
+
+    ``nfc_normalize`` canonicalizes the published ``text_scrubbed`` to
+    Unicode NFC before the C4 pass (operators/normalize.py): mixed
+    precomposed/decomposed encodings of the same rendered text stop
+    defeating byte-level dedup keys and tokenizer merges downstream.
+    OFF by default (byte-identical base contract); one Arrow-batched
+    kernel, no shuffle.
 
     ``c4_clean`` stacks the C4 line-level cleaning pass
     (operators/linefilter.py) on the published ``text_scrubbed`` of the
@@ -386,6 +394,12 @@ def curate_dedup_sample(
             text_col="text",
             thresholds=rep_filter if isinstance(rep_filter, dict) else None,
         )
+    if nfc_normalize:
+        from ..operators.normalize import with_nfc_text
+
+        # canonicalize the PUBLISHED text; the raw `text` kept for the
+        # dedup hash keys is untouched (same policy as c4_clean)
+        kept = with_nfc_text(kept, text_col="text_scrubbed")
     if c4_clean:
         from ..operators.linefilter import filter_c4
 

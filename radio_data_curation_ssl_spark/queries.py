@@ -4300,6 +4300,63 @@ def q_html_extract_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization (r4 session 12) — past-window, standing
+# parity gate in tests/test_normalize.py.  Derivation appends doc_id-
+# scheduled suffixes: decomposed sequences (combining acute / ring —
+# NFC composes them), plus precomposed + compatibility characters that
+# NFC must leave untouched (the fi ligature only folds under NFKC).
+
+_NFC_DECOMPOSED = " cafe\u0301 A\u030a"  # e+acute, A+ring: NFC composes
+_NFC_STABLE = " caf\u00e9 \ufb01ne"  # precomposed e-acute + fi ligature: NFC-stable
+
+
+def _nfc_raw_expr() -> str:
+    return (
+        "concat(text, "
+        f"CASE WHEN doc_id % 2 = 0 THEN '{_NFC_DECOMPOSED}' ELSE '' END, "
+        f"CASE WHEN doc_id % 3 = 0 THEN '{_NFC_STABLE}' ELSE '' END)"
+    )
+
+
+@register(
+    "unicode_nfc_normalize",
+    f"""
+WITH d AS (SELECT doc_id, {_nfc_raw_expr()} AS raw FROM documents)
+SELECT doc_id,
+       nfc_normalize(raw) AS text_nfc,
+       raw <> nfc_normalize(raw) AS changed,
+       CAST(length(raw) AS BIGINT) AS n_chars_raw,
+       CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc
+FROM d
+""",
+    doc="Unicode NFC canonicalization — the pre-tokenization cleanup "
+    "CCNet-style pipelines run so mixed precomposed/decomposed "
+    "encodings of the same rendered text stop defeating byte-level "
+    "dedup keys, fingerprints, and BPE merges (operators/normalize.py). "
+    "Spark side: ONE Arrow-batched pandas_udf (Series.str.normalize — "
+    "vectorized batch kernel, zero model state, no shuffle; Spark SQL "
+    "has no normalization built-in). Oracle: DuckDB nfc_normalize. The "
+    "derivation schedules decomposed sequences (composed by NFC) and "
+    "precomposed/ligature text (untouched — NFC is lossless, unlike "
+    "NFKC). Scale: map-only at any corpus size.",
+)
+def q_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.normalize import with_nfc_text
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_nfc_raw_expr()} AS raw"
+    )
+    out = with_nfc_text(d, text_col="raw", out_col="text_nfc")
+    return out.selectExpr(
+        "doc_id",
+        "text_nfc",
+        "raw <> text_nfc AS changed",
+        "CAST(length(raw) AS BIGINT) AS n_chars_raw",
+        "CAST(length(text_nfc) AS BIGINT) AS n_chars_nfc",
+    )
+
+
 @register(
     "host_pagerank",
     None,  # multi-iteration power loop — rows-only by nature; the

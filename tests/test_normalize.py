@@ -1,0 +1,115 @@
+"""Unicode NFC normalization (operators/normalize.py).
+
+Covers: the unicodedata.normalize twin on mixed decomposed/precomposed/
+compatibility text, idempotence, NULL/empty passthrough, the dedup-key
+motivation (decomposed vs precomposed collide only after NFC), the flow
+flag (published text canonicalized, raw dedup keys untouched), the
+fail-loud missing-column guard, and the standing DuckDB parity gate for
+the past-window ``unicode_nfc_normalize`` registry row.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.normalize import with_nfc_text
+
+SF = "/root/testdata/sf0.001"
+
+DECOMPOSED = "cafe\u0301 A\u030a ga\u0308rten"
+PRECOMPOSED = "caf\u00e9 \u00c5 g\u00e4rten"
+LIGATURE = "\ufb01ne of\ufb03ce"  # NFC-stable; folds only under NFKC
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+
+
+def test_matches_unicodedata_twin(spark):
+    texts = [DECOMPOSED, PRECOMPOSED, LIGATURE, "plain ascii", "", None]
+    out = {
+        r["id"]: r["text"]
+        for r in with_nfc_text(_df(spark, texts)).collect()
+    }
+    for i, t in enumerate(texts):
+        want = unicodedata.normalize("NFC", t) if t is not None else None
+        assert out[i] == want, i
+    # decomposed really composed; stable text byte-identical
+    assert out[0] == PRECOMPOSED
+    assert out[2] == LIGATURE
+
+
+def test_idempotent_and_out_col(spark):
+    once = with_nfc_text(_df(spark, [DECOMPOSED]), out_col="nfc")
+    row = with_nfc_text(once, text_col="nfc", out_col="nfc2").collect()[0]
+    assert row["nfc"] == row["nfc2"] == PRECOMPOSED
+    assert row["text"] == DECOMPOSED  # input column untouched
+    with pytest.raises(ValueError, match="missing column"):
+        with_nfc_text(_df(spark, ["x"]), text_col="nope")
+
+
+def test_dedup_keys_collide_only_after_nfc(spark):
+    from pyspark.sql import functions as F
+
+    df = _df(spark, [DECOMPOSED, PRECOMPOSED])
+    assert df.select(F.md5("text")).distinct().count() == 2
+    assert (
+        with_nfc_text(df).select(F.md5("text")).distinct().count() == 1
+    )
+
+
+def test_flow_nfc_flag_normalizes_published_text(spark):
+    """The flag composes the PUBLISHED text; without it the decomposed
+    sequence survives (the fused pipeline re-extracts text from html,
+    so the sequence is planted in the html payload)."""
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+    from radio_data_curation_ssl_spark.synth import synth_pages
+
+    comb = "\u0301"
+    pages = synth_pages(spark, 120, seed=42, partitions=4).withColumn(
+        "html",
+        F.expr(
+            "CAST(replace(decode(html, 'UTF-8'), '</p>',"
+            f" ' cafe{comb}</p>') AS BINARY)"
+        ),
+    )
+    plain = curate_dedup_sample(pages, target=1000, near_dup="none")
+    assert all(
+        comb in r["text_scrubbed"]
+        for r in plain.select("text_scrubbed").collect()
+    )
+    nfc = curate_dedup_sample(
+        pages, target=1000, near_dup="none", nfc_normalize=True
+    )
+    rows = nfc.select("text_scrubbed").collect()
+    assert rows
+    assert all(comb not in r["text_scrubbed"] for r in rows)
+    assert all("caf\u00e9" in r["text_scrubbed"] for r in rows)
+
+
+def test_registry_nfc_oracle_parity(spark):
+    """Standing local gate for the past-window registry row (the driver
+    checks the first 50 oracle entries; this one sits past them)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["unicode_nfc_normalize"]
+    got = sorted(tuple(r) for r in q.spark(spark, SF).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    # the derivation exercised both the changed and the stable branch
+    assert {r[2] for r in got} == {True, False}
+    assert any(r[3] != r[4] for r in got)  # composition shrank some rows

@@ -50,6 +50,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=True, help="(host, pr) parquet dir")
     ap.add_argument("--run-root", required=True, help="dir for _runs/_metrics")
     ap.add_argument("--iterations", type=int, default=10)
+    ap.add_argument(
+        "--anchor-terms-out",
+        default=None,
+        help="also write the top inbound anchor terms per host "
+        "(dst_host, term, n, rank) to this parquet dir — the "
+        "content-on-edges signal next to PageRank's structure "
+        "(operators/anchors.py); same pages scan",
+    )
+    ap.add_argument(
+        "--anchor-topk",
+        type=int,
+        default=10,
+        help="terms kept per host by --anchor-terms-out (default 10)",
+    )
     ap.add_argument("--damping", type=float, default=0.85)
     ap.add_argument(
         "--url-col", default="url", help="page URL column in --input"
@@ -111,6 +125,21 @@ def main(argv: list[str] | None = None) -> int:
         )
         ranks.write.mode("overwrite").parquet(args.output)
         n_hosts = spark.read.parquet(args.output).count()
+        if args.anchor_terms_out:
+            from radio_data_curation_ssl_spark.operators.anchors import (
+                anchor_term_counts,
+                extract_anchors,
+                top_anchor_terms,
+            )
+
+            top_anchor_terms(
+                anchor_term_counts(
+                    extract_anchors(
+                        pages, url_col=args.url_col, html_col=args.html_col
+                    )
+                ),
+                k=args.anchor_topk,
+            ).write.mode("overwrite").parquet(args.anchor_terms_out)
         log.finish(run_id, "host_rank", config, status="done")
         print(f"host_rank: {n_hosts} hosts -> {args.output}")
         return 0

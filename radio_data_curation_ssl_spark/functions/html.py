@@ -155,3 +155,16 @@ def robots_noindex(col: str) -> P:
         f"(regexp_matches({col}, {_dq(name_first)})"
         f" OR regexp_matches({col}, {_dq(content_first)}))",
     )
+
+
+def fragment_text(col: str) -> P:
+    """Rendered text of an INLINE html fragment (an anchor's / cell's
+    innerHTML): tag strip + entity decode + whitespace collapse.  No
+    block/script handling — fragments are inline by construction; for
+    whole pages use :func:`html_text`."""
+    x = _re_replace(_col(col), r"(?s)</?[a-zA-Z!][^>]*>", " ")
+    for ent, ch in ENTITIES:
+        x = _replace(x, ent, ch)
+    x = _re_replace(x, "[ \t\r\n]+", " ")
+    x = _re_replace(x, "^ +| +$", "")
+    return x

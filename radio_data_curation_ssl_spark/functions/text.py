@@ -121,6 +121,19 @@ def words(col: str) -> P:
     )
 
 
+def alnum_terms(col: str) -> P:
+    """Non-empty lowercase ALPHANUMERIC tokens — punctuation-free term
+    split for signals that index words (anchor-text aggregation), where
+    ``words()``'s whitespace split would keep '&' or 'now!' as
+    tokens."""
+    pat = "[^a-z0-9]+"
+    return P(
+        f"filter(split(lower({col}), {_sq(pat)}), x -> x != '')",
+        f"list_filter(regexp_split_to_array(lower({col}), {_dq(pat)}),"
+        " x -> x != '')",
+    )
+
+
 def n_words(w: str = "words") -> P:
     return P(f"CAST(size({w}) AS BIGINT)", f"CAST(len({w}) AS BIGINT)")
 

@@ -1,0 +1,121 @@
+"""Inbound anchor-text aggregation — the content-on-edges quality and
+topic signal next to PageRank's structure-on-edges signal.
+
+What other pages SAY when they link to a host is a classic relevance /
+reputation feature (anchor text has driven web ranking since the
+earliest engines, and query-document training sets are mined from it).
+For curation it complements operators/hostgraph.py: PageRank scores the
+link STRUCTURE; this module aggregates the link TEXT — the top inbound
+anchor terms per destination host, a cheap topicality fingerprint that
+exposes link farms (one repeated commercial term) and anchor spam.
+
+Spark design — zero Python anywhere:
+
+- :func:`extract_anchors` is a map-only codegen chain: extract every
+  ``<a ...>...</a>`` element (``regexp_extract_all`` group 0 — RE2-safe,
+  no backreferences), explode, then per element pull the href
+  (functions/url.py::HREF_RE) and the rendered inner text
+  (functions/html.py::fragment_text: tag strip + entity decode + ws
+  collapse).  No shuffle at any corpus size.
+- :func:`anchor_term_counts` explodes terms
+  (functions/text.py::alnum_terms) and aggregates ONE corpus-sized
+  shuffle on (dst_host, term) with map-side combine; self-links are
+  KEPT (a site's own navigation text is still descriptive — callers
+  wanting external-only reputation filter src_host <> dst_host first).
+- :func:`top_anchor_terms` ranks per host through the engine's
+  skew-proof salted two-phase window
+  (operators/budget.py::topk_per_group_salted) — a mega-host's million
+  distinct terms never serialize one window task.
+
+Reference provenance: no graph/text-edge stage in the reference
+(radio-astronomy payload); beyond-the-reference web-text family
+(SURVEY §6), fully oracle-paired (``anchor_text_topk``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import html as H
+from ..functions import text as X
+from ..functions import url as U
+
+__all__ = ["extract_anchors", "anchor_term_counts", "top_anchor_terms"]
+
+# full <a> elements, opening tag through closing tag (group 0); the
+# element regex requires whitespace after '<a' so '<abbr>' never matches
+ANCHOR_ELEM_RE = r"(?is)<a\s[^>]*>.*?</a[^>]*>"
+# innerHTML: first '>' closes the opening tag ([^>]* guarantees none
+# inside it), greedy to the LAST '<' = the closing '</a'
+_INNER_RE = r"(?s)>(.*)<"
+
+
+def extract_anchors(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages(url, html:binary, ...) -> (src_url, link_url, anchor_text):
+    one row per resolvable http(s) anchor.  ``anchor_text`` is the
+    rendered inner text ('' for image-only/empty anchors); hrefs that
+    resolve hostless (relative, mailto, missing) contribute nothing."""
+    html_str = f"decode({html_col}, 'UTF-8')"
+    elems = (
+        f"regexp_extract_all({html_str}, {U._sq_lit(ANCHOR_ELEM_RE)}, 0)"
+    )
+    href = f"regexp_extract(elem, {U._sq_lit(U.HREF_RE)}, 1)"
+    inner = f"regexp_extract(elem, {U._sq_lit(_INNER_RE)}, 1)"
+    resolved = U.resolve_href("href", "src_url").spark
+    return (
+        pages.select(
+            F.col(url_col).alias("src_url"), F.expr(elems).alias("_elems")
+        )
+        .select("src_url", F.explode("_elems").alias("elem"))
+        .selectExpr(
+            "src_url",
+            f"{href} AS href",
+            f"{H.fragment_text(inner).spark} AS anchor_text",
+        )
+        .selectExpr("src_url", f"{resolved} AS link_url", "anchor_text")
+        .where(
+            F.col("link_url").isNotNull()
+            & F.expr(f"{U.url_scheme('link_url').spark} IN ('http', 'https')")
+        )
+    )
+
+
+def anchor_term_counts(
+    anchors: DataFrame,
+    dst_col: str = "link_url",
+    text_col: str = "anchor_text",
+) -> DataFrame:
+    """anchors -> (dst_host, term, n): inbound anchor-term frequencies
+    per destination host.  One shuffle, map-side combine; empty hosts
+    and empty term lists contribute nothing."""
+    terms = X.alnum_terms(text_col).spark
+    e = anchors.selectExpr(
+        f"{U.url_host(dst_col).spark} AS dst_host",
+        f"explode({terms}) AS term",
+    ).where("dst_host <> ''")
+    return e.groupBy("dst_host", "term").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+def top_anchor_terms(counts: DataFrame, k: int = 10) -> DataFrame:
+    """(dst_host, term, n) -> the k most frequent inbound terms per
+    host, ties by term asc -> (dst_host, term, n, rank).  Skew-proof:
+    the salted two-phase window (operators/budget.py), never one task
+    per mega-host."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .budget import topk_per_group_salted
+
+    ranked = topk_per_group_salted(
+        counts.withColumn("_neg_n", -F.col("n")),
+        group_col="dst_host",
+        score_col="_neg_n",
+        tie_col="term",
+        k=k,
+        rank_col="rank",
+    )
+    return ranked.drop("_neg_n")

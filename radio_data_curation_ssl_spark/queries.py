@@ -4357,6 +4357,119 @@ def q_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Inbound anchor-text aggregation (r4 session 12) — past-window,
+# standing parity gate in tests/test_anchors.py.  Derived pages: 13
+# source hosts linking to the 7 h-hosts + 3 sinks with anchor text
+# drawn from each doc's words, exercising inner tags, entities,
+# punctuation-splitting, root-relative self links (counted under the
+# page's own host), image-only anchors (no terms), and mailto /
+# missing-href anchors (dropped).
+
+_AT_URL = "concat('https://p', doc_id % 13, '.example.org/d/', doc_id)"
+
+
+def _at_html(dialect: str) -> str:
+    if dialect == "spark":
+        w1 = "coalesce(try_element_at(ws, 1), 'alpha')"
+        w2 = "coalesce(try_element_at(ws, 2), 'beta')"
+    else:
+        w1 = "coalesce(ws[1], 'alpha')"
+        w2 = "coalesce(ws[2], 'beta')"
+    return (
+        "concat("
+        "'<a href=\"https://h', (doc_id + 1) % 7, '.example.com/x\"><b>', "
+        f"{w1}, '</b> read &amp; enjoy</a>', "
+        "'<a href=\"https://sink', doc_id % 3, '.example.net/s\">', "
+        f"{w2}, ' download&nbsp;now!</a>', "
+        "CASE WHEN doc_id % 4 = 0 THEN "
+        "'<a href=\"/self\">own site nav</a>' ELSE '' END, "
+        "CASE WHEN doc_id % 5 = 0 THEN "
+        "'<a href=\"mailto:x@y.z\">mail me</a>' ELSE '' END, "
+        "CASE WHEN doc_id % 9 = 0 THEN "
+        "'<a class=\"z\">no link target</a>' ELSE '' END, "
+        "CASE WHEN doc_id % 11 = 0 THEN "
+        "concat('<a href=\"https://h', doc_id % 7, "
+        "'.example.com/img\"><img src=\"i.png\"></a>') ELSE '' END"
+        ")"
+    )
+
+
+_AT_K = 3
+
+
+def _at_oracle() -> str:
+    from .functions import html as H
+    from .functions import url as U
+    from .functions.url import _dq as _udq
+
+    from .operators.anchors import ANCHOR_ELEM_RE, _INNER_RE
+
+    inner = f"regexp_extract(elem, {_udq(_INNER_RE)}, 1)"
+    return f"""
+WITH w AS (SELECT doc_id, {X.words("text").duck} AS ws FROM documents),
+pg AS (SELECT doc_id, {_AT_URL} AS url, {_at_html("duck")} AS html FROM w),
+el AS (SELECT url AS src_url,
+              unnest(regexp_extract_all(html,
+                     {_udq(ANCHOR_ELEM_RE)}, 0)) AS elem
+       FROM pg),
+an AS (SELECT src_url,
+              regexp_extract(elem, {_udq(U.HREF_RE)}, 1) AS href,
+              {H.fragment_text(inner).duck} AS anchor_text
+       FROM el),
+res AS (SELECT src_url, {U.resolve_href("href", "src_url").duck} AS link_url,
+               anchor_text
+        FROM an),
+lk AS (SELECT * FROM res WHERE link_url IS NOT NULL
+       AND {U.url_scheme("link_url").duck} IN ('http', 'https')),
+tc AS (SELECT {U.url_host("link_url").duck} AS dst_host,
+              unnest({X.alnum_terms("anchor_text").duck}) AS term
+       FROM lk),
+cnt AS (SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n FROM tc
+        WHERE dst_host <> '' GROUP BY 1, 2)
+SELECT dst_host, term, n,
+       CAST(row_number() OVER (PARTITION BY dst_host
+                               ORDER BY n DESC, term) AS BIGINT) AS rank
+FROM cnt
+QUALIFY rank <= {_AT_K}
+"""
+
+
+@register(
+    "anchor_text_topk",
+    _at_oracle(),
+    doc="Inbound anchor-text aggregation: the top inbound anchor terms "
+    "per destination host — the content-on-edges reputation/topic "
+    "signal next to PageRank's structure signal (anchor text has driven "
+    "web ranking since the earliest engines; a link farm shows one "
+    "repeated commercial term). The Spark side runs the PRODUCTION "
+    "chain (operators/anchors.py): extract_anchors (codegen'd element "
+    "extraction + href resolution + fragment_text inner-text cleanup), "
+    "anchor_term_counts (ONE corpus-sized shuffle, map-side combine), "
+    "top_anchor_terms (the salted two-phase per-group top-k — a "
+    "mega-host's terms never serialize one window task). Scale: "
+    "map-only explode + one (host, term) agg + the existing skew-proof "
+    "ranking.",
+)
+def q_anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.anchors import (
+        anchor_term_counts,
+        extract_anchors,
+        top_anchor_terms,
+    )
+
+    pages = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{X.words('text').spark} AS ws"
+    ).selectExpr(
+        f"{_AT_URL} AS url",
+        f"CAST({_at_html('spark')} AS BINARY) AS html",
+    )
+    out = top_anchor_terms(
+        anchor_term_counts(extract_anchors(pages)), k=_AT_K
+    )
+    return out.select("dst_host", "term", "n", "rank")
+
+
 @register(
     "host_pagerank",
     None,  # multi-iteration power loop — rows-only by nature; the

@@ -1,0 +1,138 @@
+"""Inbound anchor-text aggregation (operators/anchors.py).
+
+Covers: the element-extraction matrix (inner tags stripped, entities
+decoded, image-only anchors yield no terms, mailto/missing-href/
+relative anchors dropped, root-relative self links counted under the
+page's own host), punctuation term splitting, the salted top-k's
+equality with a plain window on a skewed host + tie-breaks, fail-loud
+guards, the map-only extraction plan, and the standing DuckDB parity
+gate for the past-window ``anchor_text_topk`` registry row.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.anchors import (
+    anchor_term_counts,
+    extract_anchors,
+    top_anchor_terms,
+)
+
+SF = "/root/testdata/sf0.001"
+
+HTML = (
+    '<a href="https://target.com/x"><b>Great &amp; Useful</b> guide</a>'
+    "<a href='//target.com/y'>download now!</a>"
+    '<a href="/local">self nav</a>'
+    '<a href="mailto:a@b">mail</a>'
+    '<a class="z">no link target</a>'
+    '<a href="https://other.org/z"><img src="i.png"></a>'
+    '<a href="relative/p">rel</a>'
+)
+
+
+def _pages(spark, html=HTML, url="https://page.com/p"):
+    return spark.createDataFrame(
+        [(url, html.encode())], "url string, html binary"
+    )
+
+
+def test_extract_anchors_matrix(spark):
+    got = {
+        (r["link_url"], r["anchor_text"])
+        for r in extract_anchors(_pages(spark)).collect()
+    }
+    assert got == {
+        ("https://target.com/x", "Great & Useful guide"),  # tags + entity
+        ("https://target.com/y", "download now!"),  # proto-relative
+        ("https://page.com/local", "self nav"),  # root-relative
+        ("https://other.org/z", ""),  # image-only anchor
+    }
+    # mailto / missing href / relative path anchors resolve NULL -> gone
+
+
+def test_term_counts_split_and_empty(spark):
+    got = {
+        (r["dst_host"], r["term"]): r["n"]
+        for r in anchor_term_counts(
+            extract_anchors(_pages(spark))
+        ).collect()
+    }
+    assert got == {
+        ("target.com", "great"): 1,
+        ("target.com", "useful"): 1,
+        ("target.com", "guide"): 1,
+        ("target.com", "download"): 1,
+        ("target.com", "now"): 1,  # 'now!' punctuation-split
+        ("page.com", "self"): 1,
+        ("page.com", "nav"): 1,
+        # '&' never becomes a term; other.org has no terms at all
+    }
+
+
+def test_topk_matches_plain_window_on_skewed_host(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    # one mega-host with 200 terms (skew), one small host with ties
+    rows = [("big.com", f"t{i:03d}", (i * 7) % 40 + 1) for i in range(200)]
+    rows += [("small.org", t, 5) for t in ("aa", "bb", "cc")]
+    counts = spark.createDataFrame(
+        rows, "dst_host string, term string, n long"
+    )
+    got = {
+        (r["dst_host"], r["term"], r["n"], r["rank"])
+        for r in top_anchor_terms(counts, k=4).collect()
+    }
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    )
+    want = {
+        (r["dst_host"], r["term"], r["n"], r["rank"])
+        for r in counts.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        .where("rank <= 4")
+        .collect()
+    }
+    assert got == want
+    # tie-break by term asc on the small host
+    small = sorted(t for h, t, n, r in got if h == "small.org")
+    assert small == ["aa", "bb", "cc"]
+    with pytest.raises(ValueError, match="k must be"):
+        top_anchor_terms(counts, k=0)
+
+
+def test_extract_plan_is_map_only(spark):
+    plan = (
+        extract_anchors(_pages(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "pythonudf" not in plan.lower()
+
+
+def test_registry_anchor_topk_oracle_parity(spark):
+    """Standing local gate for the past-window registry row (the driver
+    checks the first 50 oracle entries; this one sits past them)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["anchor_text_topk"]
+    got = sorted(tuple(r) for r in q.spark(spark, SF).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    hosts = {r[0] for r in got}
+    # h-hosts and sinks receive terms; p-hosts receive their own nav text
+    assert any(h.startswith("h") for h in hosts)
+    assert any(h.startswith("sink") for h in hosts)
+    assert any(h.startswith("p") for h in hosts)
+    assert all(r[3] <= 3 for r in got)  # k respected

@@ -251,3 +251,44 @@ def test_run_curation_generic_job_smoke(spark, tmp_path):
     # the 4 noindex pages (0, 6, 12, 18) were dropped pre-curation
     assert not any(int(u.rsplit("/", 1)[1]) % 6 == 0 for u in urls)
     assert urls  # the rest curated and published
+
+
+def test_warc_to_sample_real_crawl_e2e(spark, tmp_path):
+    """The complete raw-crawl path in one run: WARC archive -> ingest
+    (text NULL) -> noindex filter -> generic extraction -> curation ->
+    exact dedup -> published snapshot sample."""
+    from radio_data_curation_ssl_spark.plans import snapshots
+    from radio_data_curation_ssl_spark.sources.warc import write_warc
+
+    from jobs.run_curation import main
+
+    warc_dir = str(tmp_path / "crawl")
+    write_warc(
+        _real_pages(spark).selectExpr(
+            "url", "CAST('2026-01-01 00:00:00' AS TIMESTAMP) AS warc_ts",
+            "html",
+        ),
+        warc_dir,
+        compress="member",
+    )
+    out = str(tmp_path / "out")
+    rc = main(
+        [
+            "--input-warc", warc_dir,
+            "--generic-extract",
+            "--noindex-filter",
+            "--sample-target", "50",
+            "--output", out,
+            "--run-root", str(tmp_path / "meta"),
+        ]
+    )
+    assert rc == 0
+    sample = snapshots.read(spark, f"{out}/sample")
+    rows = sample.collect()
+    assert rows
+    urls = {r["url"] for r in rows}
+    # noindex pages (0, 6, 12, 18) never reach the sample
+    assert not any(int(u.rsplit("/", 1)[1]) % 6 == 0 for u in urls)
+    # the published text is the generic extraction: script payload gone
+    assert all("var x=1" not in r["text_scrubbed"] for r in rows)
+    assert all(r["text_scrubbed"].strip() for r in rows)

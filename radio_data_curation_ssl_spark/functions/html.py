@@ -168,3 +168,66 @@ def fragment_text(col: str) -> P:
     x = _re_replace(x, "[ \t\r\n]+", " ")
     x = _re_replace(x, "^ +| +$", "")
     return x
+
+
+# full <a> elements, opening tag through closing tag (group 0); the
+# element regex requires whitespace after '<a' so '<abbr>' never matches
+ANCHOR_ELEM_RE = r"(?is)<a\s[^>]*>.*?</a[^>]*>"
+# innerHTML: first '>' closes the opening tag ([^>]* guarantees none
+# inside it), greedy to the LAST '<' = the closing '</a'
+ANCHOR_INNER_RE = r"(?s)>(.*)<"
+
+
+def anchor_elems(col: str) -> P:
+    """Array of full ``<a ...>...</a>`` elements in an html STRING
+    column.  NULL html -> NULL."""
+    return P(
+        f"regexp_extract_all({col}, {_sq(ANCHOR_ELEM_RE)}, 0)",
+        f"regexp_extract_all({col}, {_dq(ANCHOR_ELEM_RE)}, 0)",
+    )
+
+
+def n_anchors(col: str) -> P:
+    """Anchor-element count; NULL html -> NULL (guarded: Spark's legacy
+    ``size(NULL)`` is -1, not NULL)."""
+    e = anchor_elems(col)
+    return P(
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"CAST(size({e.spark}) AS BIGINT) END",
+        f"CAST(len({e.duck}) AS BIGINT)",
+    )
+
+
+def anchor_text_chars(col: str) -> P:
+    """Total rendered-text characters inside anchors — the numerator of
+    the boilerpipe link-density signal.  0 for anchor-less pages, NULL
+    html -> NULL (DuckDB's list_sum([]) is NULL, Spark's aggregate
+    seed makes it 0 — both wrapped to the same contract)."""
+    inner = f"regexp_extract(e, {_sq(ANCHOR_INNER_RE)}, 1)"
+    inner_d = f"regexp_extract(e, {_dq(ANCHOR_INNER_RE)}, 1)"
+    frag_s = fragment_text(inner).spark
+    frag_d = fragment_text(inner_d).duck
+    e = anchor_elems(col)
+    return P(
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"aggregate(transform({e.spark}, e -> length({frag_s})), 0L, "
+        "(a, x) -> a + CAST(x AS BIGINT)) END",
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"CAST(coalesce(list_sum(list_transform({e.duck}, "
+        f"e -> length({frag_d}))), 0) AS BIGINT) END",
+    )
+
+
+def link_text_ratio(col: str) -> P:
+    """anchor_text_chars / max(total rendered chars, 1), rounded — the
+    boilerpipe-core link-density quality signal: navigation and
+    link-farm pages carry most of their text inside anchors.  NULL
+    html -> NULL."""
+    a = anchor_text_chars(col)
+    t = html_text(col)
+    return P(
+        f"round({a.spark} / greatest(CAST(length({t.spark}) AS BIGINT),"
+        " 1), 6)",
+        f"round({a.duck} / greatest(CAST(length({t.duck}) AS BIGINT),"
+        " 1), 6)",
+    )

@@ -43,12 +43,9 @@ from ..functions import url as U
 
 __all__ = ["extract_anchors", "anchor_term_counts", "top_anchor_terms"]
 
-# full <a> elements, opening tag through closing tag (group 0); the
-# element regex requires whitespace after '<a' so '<abbr>' never matches
-ANCHOR_ELEM_RE = r"(?is)<a\s[^>]*>.*?</a[^>]*>"
-# innerHTML: first '>' closes the opening tag ([^>]* guarantees none
-# inside it), greedy to the LAST '<' = the closing '</a'
-_INNER_RE = r"(?s)>(.*)<"
+# shared with the link-density fragments (single source of truth)
+ANCHOR_ELEM_RE = H.ANCHOR_ELEM_RE
+_INNER_RE = H.ANCHOR_INNER_RE
 
 
 def extract_anchors(

@@ -29,7 +29,13 @@ from pyspark.sql import functions as F
 
 from ..functions import html as H
 
-__all__ = ["with_html_features", "extract_docs_generic", "filter_noindex"]
+__all__ = [
+    "with_html_features",
+    "extract_docs_generic",
+    "filter_noindex",
+    "with_link_density",
+    "filter_link_farms",
+]
 
 
 def _html_str(html_col: str) -> str:
@@ -82,4 +88,43 @@ def filter_noindex(pages: DataFrame, html_col: str = "html") -> DataFrame:
     s = _html_str(html_col)
     return pages.where(
         ~F.coalesce(F.expr(H.robots_noindex(s).spark), F.lit(False))
+    )
+
+
+def with_link_density(
+    pages: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """Add the boilerpipe-core link-density features: ``n_anchors``,
+    ``anchor_text_chars`` (rendered chars inside anchors),
+    ``text_chars`` (rendered chars of the whole page), and
+    ``link_text_ratio`` (anchor chars / max(total, 1)).  Navigation and
+    link-farm pages carry most of their text inside anchors — high
+    ratios flag them before any model runs.  Map-only codegen; NULL
+    html -> NULL features."""
+    s = _html_str(html_col)
+    return pages.withColumns(
+        {
+            "n_anchors": F.expr(H.n_anchors(s).spark),
+            "anchor_text_chars": F.expr(H.anchor_text_chars(s).spark),
+            "text_chars": F.expr(
+                f"CAST(length({H.html_text(s).spark}) AS BIGINT)"
+            ),
+            "link_text_ratio": F.expr(H.link_text_ratio(s).spark),
+        }
+    )
+
+
+def filter_link_farms(
+    pages: DataFrame, max_ratio: float = 0.5, html_col: str = "html"
+) -> DataFrame:
+    """Drop pages whose link-text ratio exceeds ``max_ratio`` (the
+    classic boilerplate/navigation cut; 0.5 = more text inside anchors
+    than outside).  FAIL-OPEN on NULL html — contentless pages drop
+    downstream anyway."""
+    if not 0.0 <= max_ratio <= 1.0:
+        raise ValueError(f"max_ratio must be in [0, 1], got {max_ratio}")
+    s = _html_str(html_col)
+    ratio = F.expr(H.link_text_ratio(s).spark)
+    return pages.where(
+        F.coalesce(ratio <= F.lit(max_ratio), F.lit(True))
     )

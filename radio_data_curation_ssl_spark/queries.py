@@ -4470,6 +4470,85 @@ def q_anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("dst_host", "term", "n", "rank")
 
 
+# ---------------------------------------------------------------------------
+# Link-density features (r4 session 12) — past-window, standing parity
+# gate in tests/test_anchors.py.  Derivation: the anchor-rich _at_html
+# element set, with body paragraphs only on even doc_ids (odd pages are
+# anchor-dominated -> high ratio, the link-farm shape) and NULL html on
+# doc_id % 19 (the fail-open path).
+
+
+def _ld_html(dialect: str) -> str:
+    if dialect == "spark":
+        paras = (
+            "CASE WHEN size(ws) = 0 THEN '' ELSE "
+            "array_join(transform(sequence(0, CAST((size(ws)-1) DIV 5"
+            " AS INT)), i -> concat('<p>', array_join(slice(ws, i*5+1, 5),"
+            " ' '), '</p>')), '') END"
+        )
+    else:
+        paras = (
+            "CASE WHEN len(ws) = 0 THEN '' ELSE "
+            "array_to_string(list_transform(generate_series(0,"
+            " CAST((len(ws)-1)//5 AS BIGINT)), i -> concat('<p>',"
+            " array_to_string(ws[(i*5+1):(i*5+5)], ' '), '</p>')), '') END"
+        )
+    return (
+        "CASE WHEN doc_id % 19 = 0 THEN NULL ELSE concat("
+        f"{_at_html(dialect)}, "
+        f"CASE WHEN doc_id % 2 = 0 THEN {paras} ELSE '' END"
+        ") END"
+    )
+
+
+def _ld_oracle() -> str:
+    from .functions import html as H
+
+    return f"""
+WITH w AS (SELECT doc_id, {X.words("text").duck} AS ws FROM documents),
+pg AS (SELECT doc_id, {_ld_html("duck")} AS html FROM w)
+SELECT doc_id,
+       {H.n_anchors("html").duck} AS n_anchors,
+       {H.anchor_text_chars("html").duck} AS anchor_text_chars,
+       CAST(length({H.html_text("html").duck}) AS BIGINT) AS text_chars,
+       {H.link_text_ratio("html").duck} AS link_text_ratio
+FROM pg
+"""
+
+
+@register(
+    "link_density_features",
+    _ld_oracle(),
+    doc="Boilerpipe-core link-density features: anchor count, rendered "
+    "chars inside anchors, total rendered chars, and their ratio — "
+    "navigation and link-farm pages carry most of their text inside "
+    "anchors, so high ratios flag them before any model runs "
+    "(operators/htmltext.py::with_link_density / filter_link_farms). "
+    "The Spark side runs the PRODUCTION operator over derived pages "
+    "(anchor-rich element set; body paragraphs only on even doc_ids -> "
+    "odd pages are anchor-dominated; NULL html on doc_id % 19 -> NULL "
+    "features, the fail-open path). Scale: map-only codegen over the "
+    "shared element/fragment regexes — no Python, no shuffle at any "
+    "corpus size.",
+)
+def q_link_density_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.htmltext import with_link_density
+
+    pages = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{X.words('text').spark} AS ws"
+    ).selectExpr(
+        "doc_id", f"CAST({_ld_html('spark')} AS BINARY) AS html"
+    )
+    out = with_link_density(pages)
+    return out.select(
+        "doc_id",
+        "n_anchors",
+        "anchor_text_chars",
+        "text_chars",
+        "link_text_ratio",
+    )
+
+
 @register(
     "host_pagerank",
     None,  # multi-iteration power loop — rows-only by nature; the

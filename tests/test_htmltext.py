@@ -292,3 +292,73 @@ def test_warc_to_sample_real_crawl_e2e(spark, tmp_path):
     # the published text is the generic extraction: script payload gone
     assert all("var x=1" not in r["text_scrubbed"] for r in rows)
     assert all(r["text_scrubbed"].strip() for r in rows)
+
+
+def test_link_density_features_values(spark):
+    from radio_data_curation_ssl_spark.operators.htmltext import (
+        with_link_density,
+    )
+
+    nav = (
+        '<a href="/a">Home</a><a href="/b">About us</a>'
+        '<a href="/c">Contact</a> ok'
+    )
+    content = "<p>twenty chars of body text here</p>" + (
+        '<a href="/x">tiny</a>'
+    )
+    rows = {
+        r["url"]: r
+        for r in with_link_density(
+            _pages(spark, [nav, content, None])
+        ).collect()
+    }
+    n = rows["https://x.com/0"]
+    assert n["n_anchors"] == 3
+    # 'Home' + 'About us' + 'Contact' = 4 + 8 + 7 rendered chars
+    assert n["anchor_text_chars"] == 19
+    assert n["link_text_ratio"] > 0.5
+    c = rows["https://x.com/1"]
+    assert c["n_anchors"] == 1
+    assert c["anchor_text_chars"] == 4
+    assert c["link_text_ratio"] < 0.25
+    z = rows["https://x.com/2"]
+    assert (
+        z["n_anchors"] is None
+        and z["anchor_text_chars"] is None
+        and z["link_text_ratio"] is None
+    )
+
+
+def test_filter_link_farms_semantics(spark):
+    from radio_data_curation_ssl_spark.operators.htmltext import (
+        filter_link_farms,
+    )
+
+    nav = '<a href="/a">all text is links here</a>'
+    content = "<p>plenty of body text in this page</p><a href='/x'>go</a>"
+    df = _pages(spark, [nav, content, None])
+    kept = {r["url"] for r in filter_link_farms(df, max_ratio=0.5).collect()}
+    assert kept == {"https://x.com/1", "https://x.com/2"}  # NULL fail-open
+    with pytest.raises(ValueError, match="max_ratio"):
+        filter_link_farms(df, max_ratio=1.5)
+
+
+def test_registry_link_density_oracle_parity(spark):
+    """Standing local gate for the past-window registry row (the driver
+    checks the first 50 oracle entries; this one sits past them)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["link_density_features"]
+    got = sorted(tuple(r) for r in q.spark(spark, SF).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    # both page shapes present: anchor-dominated and body-heavy
+    ratios = [r[4] for r in got if r[4] is not None]
+    assert any(x > 0.5 for x in ratios) and any(x < 0.5 for x in ratios)
+    assert any(r[1] is None for r in got)  # the NULL-html fail path

@@ -206,6 +206,15 @@ def main(argv: list[str] | None = None) -> int:
         "decision is unchanged (operators/repsignals.py)",
     )
     ap.add_argument(
+        "--gopher-quality",
+        action="store_true",
+        help="with --sample-target: additionally drop curated documents "
+        "failing the Gopher document-shape battery (bullet/ellipsis "
+        "line fractions, alphabetic-word fraction, '#'/'...' symbol "
+        "ratio, stop-word presence — operators/gopherquality.py); the "
+        "base keep/drop decision is unchanged",
+    )
+    ap.add_argument(
         "--nfc-normalize",
         action="store_true",
         help="with --sample-target: canonicalize the published text to "
@@ -307,6 +316,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.blocked_domains is not None
         or args.host_ranks is not None
         or args.rep_filter
+        or args.gopher_quality
         or args.nfc_normalize
         or args.c4_clean
         or args.url_hard_words is not None
@@ -318,7 +328,8 @@ def main(argv: list[str] | None = None) -> int:
             "--host-cap/--lang-budget/--sample-alpha/--decontaminate/"
             "--export-jsonl/--blocked-domains/--host-ranks/"
             "--url-hard-words/"
-            "--url-soft-words/--nfc-normalize/--c4-clean require "
+            "--url-soft-words/--gopher-quality/--nfc-normalize/"
+            "--c4-clean require "
             "--sample-target or "
             "--token-budget"
         )
@@ -464,6 +475,7 @@ def main(argv: list[str] | None = None) -> int:
                     ),
                     host_rank_drop_frac=args.host_rank_drop_frac,
                     rep_filter=args.rep_filter,
+                    gopher_quality=args.gopher_quality,
                     nfc_normalize=args.nfc_normalize,
                     c4_clean=args.c4_clean,
                     line_dedup=args.line_dedup,

@@ -626,3 +626,101 @@ def matches_bad_word(col: str, bad_words: list[str]) -> P:
         f"{col} RLIKE {_sq(pat)}",
         f"regexp_matches({col}, {_dq(pat)})",
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality signals (Rae et al. 2021, Appendix A) — the document-
+# shape battery the heuristic tier (mean word length, symbol ratio,
+# stopword ratio) and the repetition tier (operators/repsignals.py) do
+# not cover: bullet/ellipsis line fractions, alphabetic-word fraction,
+# the '#'/'...' symbol-to-word ratio, and distinct-stop-word presence.
+
+GOPHER_QUALITY_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_LINES_RE = chr(92) + "n"  # regex \n (the engine's line-split convention)
+_BULLET_RE = "^[•‣▪*-]"
+
+
+def _split_lines(col: str) -> P:
+    return P(
+        f"split({col}, {_sq(_LINES_RE)})",
+        f"regexp_split_to_array({col}, {_dq(_LINES_RE)})",
+    )
+
+
+def bullet_line_frac(col: str) -> P:
+    """Fraction of lines whose trimmed start is a bullet glyph
+    (•/‣/▪/*/-).  NULL text -> NULL; round 6."""
+    ln = _split_lines(col)
+    return P(
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"round(size(filter({ln.spark}, x -> ltrim(x) RLIKE"
+        f" {_sq(_BULLET_RE)})) / greatest(size({ln.spark}), 1), {ROUND})"
+        " END",
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"round(len(list_filter({ln.duck}, x -> regexp_matches(ltrim(x),"
+        f" {_dq(_BULLET_RE)}))) / greatest(len({ln.duck}), 1), {ROUND})"
+        " END",
+    )
+
+
+def ellipsis_line_frac(col: str) -> P:
+    """Fraction of lines whose trimmed end is an ellipsis ('...' or
+    U+2026).  NULL text -> NULL; round 6."""
+    ln = _split_lines(col)
+    cond = "rtrim(x) LIKE '%...' OR rtrim(x) LIKE '%…'"
+    return P(
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"round(size(filter({ln.spark}, x -> {cond})) /"
+        f" greatest(size({ln.spark}), 1), {ROUND}) END",
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"round(len(list_filter({ln.duck}, x -> {cond})) /"
+        f" greatest(len({ln.duck}), 1), {ROUND}) END",
+    )
+
+
+def alpha_word_frac(col: str, w: str | None = None) -> P:
+    """Fraction of words containing at least one ASCII letter.  Pass a
+    precomputed ``words()`` expression pair via ``w`` to share the
+    split.  NULL text -> NULL; round 6."""
+    ws = words(col) if w is None else P(w, w)
+    return P(
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"round(size(filter({ws.spark}, x -> x RLIKE '[a-z]')) /"
+        f" greatest(size({ws.spark}), 1), {ROUND}) END",
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"round(len(list_filter({ws.duck}, x -> regexp_matches(x,"
+        f" '[a-z]'))) / greatest(len({ws.duck}), 1), {ROUND}) END",
+    )
+
+
+def hash_ellipsis_word_ratio(col: str) -> P:
+    """Gopher's symbol-to-word ratio: (count('#') + count('...')) /
+    max(word count, 1).  NULL text -> NULL; round 6."""
+    ws = words(col)
+    n_hash = f"(length({col}) - length(replace({col}, '#', '')))"
+    n_ell = f"(length({col}) - length(replace({col}, '...', ''))) / 3"
+    return P(
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"round(({n_hash} + {n_ell}) / greatest(size({ws.spark}), 1),"
+        f" {ROUND}) END",
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"round(({n_hash} + {n_ell}) / greatest(len({ws.duck}), 1),"
+        f" {ROUND}) END",
+    )
+
+
+def n_distinct_stopwords(col: str) -> P:
+    """How many DISTINCT Gopher stop words appear in the document
+    (the 8-word presence list — not the ratio lexicon).  NULL -> NULL."""
+    ws = words(col)
+    sl_s = _strarray_spark(GOPHER_QUALITY_STOPWORDS)
+    sl_d = _strlist_sql(GOPHER_QUALITY_STOPWORDS)
+    return P(
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"CAST(size(filter({sl_s}, s -> array_contains({ws.spark}, s)))"
+        " AS BIGINT) END",
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"CAST(len(list_filter({sl_d}, s -> list_contains({ws.duck}, s)))"
+        " AS BIGINT) END",
+    )

@@ -1,0 +1,109 @@
+"""Gopher quality signals (Rae et al. 2021, Appendix A) — the
+document-SHAPE battery completing the engine's Gopher coverage.
+
+The heuristic tier (operators/heuristics_np.py) carries the word-level
+statistics (word count, mean word length, symbol/word ratio, stop-word
+RATIO) and operators/repsignals.py carries the repetition fractions.
+This module adds the remaining Appendix-A rules real pipelines apply as
+a unit: documents that are mostly bullet lists (> 90% of lines), mostly
+truncated teasers (> 30% of lines ending in an ellipsis), mostly
+non-alphabetic tokens (< 80% of words with a letter), hashtag/ellipsis
+symbol spam (> 0.1 per word), or missing basic English function words
+(< 2 distinct of the 8-word presence list) are boilerplate/spam shapes,
+not prose.
+
+Everything is built-in column expressions over the paired fragments in
+functions/text.py — codegen'd map, zero Python, no shuffle at any
+corpus size, fully oracle-paired (``gopher_quality_signals``).  NULL
+text fails CLOSED (a page with no text is never prose).
+
+Reference provenance: no text quality battery in the reference
+(radio-astronomy payload); web-text north-rule family, same policy as
+operators/repsignals.py / linefilter.py (opt-in flow stage — the base
+keep/drop contract stays byte-identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+__all__ = [
+    "GOPHER_QUALITY_THRESHOLDS",
+    "with_gopher_quality",
+    "filter_by_gopher_quality",
+]
+
+GOPHER_QUALITY_THRESHOLDS: dict[str, float] = {
+    "max_bullet_line_frac": 0.90,
+    "max_ellipsis_line_frac": 0.30,
+    "min_alpha_word_frac": 0.80,
+    "max_hash_ellipsis_word_ratio": 0.10,
+    "min_distinct_stopwords": 2,
+}
+
+
+def _signal_exprs(text_col: str) -> dict[str, str]:
+    return {
+        "bullet_line_frac": X.bullet_line_frac(text_col).spark,
+        "ellipsis_line_frac": X.ellipsis_line_frac(text_col).spark,
+        "alpha_word_frac": X.alpha_word_frac(text_col).spark,
+        "hash_ellipsis_word_ratio": X.hash_ellipsis_word_ratio(
+            text_col
+        ).spark,
+        "n_distinct_stopwords": X.n_distinct_stopwords(text_col).spark,
+    }
+
+
+def keep_condition(th: dict[str, float]) -> str:
+    """The keep predicate over the five signal COLUMNS (shared by the
+    operator and the registry oracle — fail-closed on NULL signals)."""
+    return (
+        f"coalesce(bullet_line_frac <= {th['max_bullet_line_frac']}"
+        f" AND ellipsis_line_frac <= {th['max_ellipsis_line_frac']}"
+        f" AND alpha_word_frac >= {th['min_alpha_word_frac']}"
+        f" AND hash_ellipsis_word_ratio"
+        f" <= {th['max_hash_ellipsis_word_ratio']}"
+        f" AND n_distinct_stopwords >= {th['min_distinct_stopwords']},"
+        " false)"
+    )
+
+
+def with_gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Add the five signal columns plus the ``gopher_keep`` decision.
+    ``thresholds`` overrides GOPHER_QUALITY_THRESHOLDS (all five keys
+    required)."""
+    th = GOPHER_QUALITY_THRESHOLDS if thresholds is None else thresholds
+    missing = set(GOPHER_QUALITY_THRESHOLDS) - set(th)
+    if missing:
+        raise ValueError(f"missing thresholds: {sorted(missing)}")
+    out = df.withColumns(
+        {k: F.expr(v) for k, v in _signal_exprs(text_col).items()}
+    )
+    return out.withColumn("gopher_keep", F.expr(keep_condition(th)))
+
+
+def filter_by_gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Keep only documents passing the battery (input columns
+    unchanged).  NULL text fails closed."""
+    kept = with_gopher_quality(df, text_col, thresholds).where(
+        "gopher_keep"
+    )
+    return kept.drop(
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "hash_ellipsis_word_ratio",
+        "n_distinct_stopwords",
+        "gopher_keep",
+    )

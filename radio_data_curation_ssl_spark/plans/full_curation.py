@@ -88,6 +88,7 @@ def curate_dedup_sample(
     host_ranks: DataFrame | None = None,
     host_rank_drop_frac: float = 0.1,
     rep_filter: bool | dict = False,
+    gopher_quality: bool | dict = False,
     nfc_normalize: bool = False,
     c4_clean: bool | dict = False,
     host_cap: int | None = None,
@@ -220,6 +221,14 @@ def curate_dedup_sample(
     dropped before dedup.  OFF by default — the base keep/drop decision
     stays byte-identical to the reference contract; this is the opt-in
     boilerplate killer (one extra map-only Arrow pass on kept docs).
+
+    ``gopher_quality`` stacks the Gopher document-SHAPE battery
+    (operators/gopherquality.py) on the curated keep set: documents
+    that are mostly bullet lists, ellipsis teasers, non-alphabetic
+    tokens, hashtag/ellipsis spam, or missing basic function words are
+    dropped before dedup (``True`` = GOPHER_QUALITY_THRESHOLDS; a dict
+    overrides).  OFF by default — same byte-identical-contract policy
+    as ``rep_filter``.
 
     ``nfc_normalize`` canonicalizes the published ``text_scrubbed`` to
     Unicode NFC before the C4 pass (operators/normalize.py): mixed
@@ -393,6 +402,16 @@ def curate_dedup_sample(
             kept,
             text_col="text",
             thresholds=rep_filter if isinstance(rep_filter, dict) else None,
+        )
+    if gopher_quality:
+        from ..operators.gopherquality import filter_by_gopher_quality
+
+        kept = filter_by_gopher_quality(
+            kept,
+            text_col="text",
+            thresholds=(
+                gopher_quality if isinstance(gopher_quality, dict) else None
+            ),
         )
     if nfc_normalize:
         from ..operators.normalize import with_nfc_text

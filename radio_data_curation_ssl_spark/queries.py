@@ -4549,6 +4549,104 @@ def q_link_density_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Gopher quality signals (r4 session 12) — past-window, standing parity
+# gate in tests/test_gopherquality.py.  Derived multi-line pages: 6-word
+# base lines, doc_id-scheduled shapes exercising every rule — all-bullet
+# pages, ellipsis teaser lines (ASCII and U+2026), numeric-token floods,
+# hashtag/ellipsis symbol spam, stopword-rich prefixes, NULL text.
+
+
+def _gq_text(dialect: str) -> str:
+    if dialect == "spark":
+        base = (
+            "array_join(transform(sequence(0, CAST((size(ws)-1) DIV 6"
+            " AS INT)), i -> array_join(slice(ws, i*6+1, 6), ' ')),"
+            " chr(10))"
+        )
+        nw = "size(ws)"
+    else:
+        base = (
+            "array_to_string(list_transform(generate_series(0,"
+            " CAST((len(ws)-1)//6 AS BIGINT)), i ->"
+            " array_to_string(ws[(i*6+1):(i*6+6)], ' ')), chr(10))"
+        )
+        nw = "len(ws)"
+    return (
+        f"CASE WHEN {nw} = 0 THEN NULL "
+        "WHEN doc_id % 11 = 0 THEN concat('• buy now', chr(10), "
+        "'- cheap deals today', chr(10), '* click here') "
+        f"WHEN doc_id % 13 = 0 THEN concat({base}, chr(10), "
+        "'read more...', chr(10), 'continued…') "
+        f"WHEN doc_id % 7 = 0 THEN concat({base}, chr(10), "
+        "'111 222 333 444 555 666 777 888 999 000') "
+        f"WHEN doc_id % 5 = 0 THEN concat({base}, "
+        "' # tag # tag ... more ...') "
+        "WHEN doc_id % 3 = 0 THEN concat("
+        "'the deal of the day that we have with you', chr(10), "
+        f"{base}) "
+        f"ELSE {base} END"
+    )
+
+
+def _gq_oracle() -> str:
+    from .operators.gopherquality import (
+        GOPHER_QUALITY_THRESHOLDS,
+        keep_condition,
+    )
+
+    return f"""
+WITH w AS (SELECT doc_id, {X.words("text").duck} AS ws FROM documents),
+d AS (SELECT doc_id, {_gq_text("duck")} AS text FROM w),
+s AS (SELECT doc_id,
+             {X.bullet_line_frac("text").duck} AS bullet_line_frac,
+             {X.ellipsis_line_frac("text").duck} AS ellipsis_line_frac,
+             {X.alpha_word_frac("text").duck} AS alpha_word_frac,
+             {X.hash_ellipsis_word_ratio("text").duck}
+               AS hash_ellipsis_word_ratio,
+             {X.n_distinct_stopwords("text").duck} AS n_distinct_stopwords
+      FROM d)
+SELECT doc_id, bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+       hash_ellipsis_word_ratio, n_distinct_stopwords,
+       {keep_condition(GOPHER_QUALITY_THRESHOLDS)} AS gopher_keep
+FROM s
+"""
+
+
+@register(
+    "gopher_quality_signals",
+    _gq_oracle(),
+    doc="Gopher quality signals (Rae et al. 2021 App. A) — the "
+    "document-SHAPE battery completing the engine's Gopher coverage "
+    "next to the word-statistics tier and the repetition tier: bullet-"
+    "line fraction (> 90% drop), ellipsis-line fraction (> 30% drop, "
+    "ASCII and U+2026), alphabetic-word fraction (< 80% drop), "
+    "'#'/'...' symbol-per-word ratio (> 0.1 drop), distinct stop-word "
+    "presence (< 2 of the 8-word list drop). The Spark side runs the "
+    "PRODUCTION operator (operators/gopherquality.py) over derived "
+    "multi-line pages; the oracle computes the same paired fragments "
+    "and the SAME keep predicate string. NULL text fails closed. "
+    "Scale: built-in column expressions — codegen'd map, zero Python, "
+    "no shuffle at any corpus size.",
+)
+def q_gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.gopherquality import with_gopher_quality
+
+    pages = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{X.words('text').spark} AS ws"
+    ).selectExpr("doc_id", f"{_gq_text('spark')} AS text")
+    out = with_gopher_quality(pages, text_col="text")
+    return out.select(
+        "doc_id",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "hash_ellipsis_word_ratio",
+        "n_distinct_stopwords",
+        "gopher_keep",
+    )
+
+
 @register(
     "host_pagerank",
     None,  # multi-iteration power loop — rows-only by nature; the

@@ -163,6 +163,15 @@ def main(argv: list[str] | None = None) -> int:
         "operators/urlfilter.py)",
     )
     ap.add_argument(
+        "--url-shape",
+        action="store_true",
+        help="with --sample-target: additionally drop pages whose URL "
+        "shape flags machine generation/spam (length > 2048, > 10 path "
+        "segments, > 50% digits, > 8 query params — "
+        "operators/urlfilter.py::filter_url_shape); runs before any "
+        "text work",
+    )
+    ap.add_argument(
         "--host-ranks",
         default=None,
         help="with --sample-target: host-reputation parquet (host, pr) — "
@@ -314,6 +323,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.decontaminate is not None
         or args.export_jsonl is not None
         or args.blocked_domains is not None
+        or args.url_shape
         or args.host_ranks is not None
         or args.rep_filter
         or args.gopher_quality
@@ -326,7 +336,7 @@ def main(argv: list[str] | None = None) -> int:
             "--url-dedup/--line-dedup/--substring-dedup/--seen-urls/"
             "--seen-texts/--seen-near-texts/"
             "--host-cap/--lang-budget/--sample-alpha/--decontaminate/"
-            "--export-jsonl/--blocked-domains/--host-ranks/"
+            "--export-jsonl/--blocked-domains/--url-shape/--host-ranks/"
             "--url-hard-words/"
             "--url-soft-words/--gopher-quality/--nfc-normalize/"
             "--c4-clean require "
@@ -440,6 +450,7 @@ def main(argv: list[str] | None = None) -> int:
                     blocked is not None
                     or args.url_hard_words
                     or args.url_soft_words
+                    or args.url_shape
                     or args.host_ranks is not None
                 )
                 sample = curate_dedup_sample(
@@ -466,6 +477,7 @@ def main(argv: list[str] | None = None) -> int:
                     url_hard_words=_csv(args.url_hard_words),
                     url_soft_words=_csv(args.url_soft_words),
                     url_soft_threshold=args.url_soft_threshold,
+                    url_shape=args.url_shape,
                     host_ranks=(
                         spark.read.parquet(args.host_ranks).select(
                             "host", "pr"

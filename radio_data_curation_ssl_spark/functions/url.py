@@ -182,3 +182,55 @@ def resolve_href(href: str, page_url: str) -> P:
             f"regexp_matches({h_du}, {_dq(abs_re)})",
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL-shape heuristics — the numeric tier of the URL filter next to the
+# blocklist and the word lists (operators/urlfilter.py): machine-
+# generated and spam URLs are long, digit-heavy, deeply nested, or
+# parameter-stuffed.  All paired, all NULL -> NULL.
+
+
+def url_len(col: str) -> P:
+    return P(
+        f"CAST(length({col}) AS BIGINT)",
+        f"CAST(length({col}) AS BIGINT)",
+    )
+
+
+def url_depth(col: str) -> P:
+    """Non-empty path-segment count ('/a/b/c' -> 3; bare host -> 0)."""
+    p = url_path(col)
+    return P(
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"CAST(size(filter(split({p.spark}, '/'), x -> x != ''))"
+        " AS BIGINT) END",  # guard: Spark legacy size(NULL) = -1
+        f"CAST(len(list_filter(str_split({p.duck}, '/'), x -> x != ''))"
+        " AS BIGINT)",
+    )
+
+
+def url_digit_frac(col: str) -> P:
+    """Fraction of the URL's characters that are decimal digits
+    (round 6) — session ids and machine-generated slugs score high."""
+    stripped = f"regexp_replace({col}, '[0-9]', '')"
+    stripped_d = f"regexp_replace({col}, '[0-9]', '', 'g')"
+    return P(
+        f"round((length({col}) - length({stripped})) /"
+        f" greatest(length({col}), 1), 6)",
+        f"round((length({col}) - length({stripped_d})) /"
+        f" greatest(length({col}), 1), 6)",
+    )
+
+
+def url_n_params(col: str) -> P:
+    """Query-parameter count (all of them — unlike ``url_query_canon``
+    this is a spam shape signal, so tracking params count too)."""
+    q = _extract(col, _QUERY_RE)
+    return P(
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"CAST(size(filter(split({q.spark}, '&'), x -> x != ''))"
+        " AS BIGINT) END",  # guard: Spark legacy size(NULL) = -1
+        f"CAST(len(list_filter(str_split({q.duck}, '&'), x -> x != ''))"
+        " AS BIGINT)",
+    )

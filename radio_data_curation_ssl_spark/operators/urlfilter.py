@@ -229,3 +229,63 @@ def score_urls(
     if tmp_host is not None:
         out = out.drop(tmp_host)
     return out
+
+
+# ---------------------------------------------------------------------------
+# URL-shape tier (r4 session 12): the numeric heuristics next to the
+# blocklist and word lists — machine-generated / spam URLs are long,
+# digit-heavy, deeply nested, or parameter-stuffed.  Paired fragments
+# live in functions/url.py so the registry row carries a full oracle.
+
+URL_SHAPE_THRESHOLDS: dict[str, float] = {
+    "max_len": 2048,
+    "max_depth": 10,
+    "max_digit_frac": 0.5,
+    "max_params": 8,
+}
+
+
+def url_shape_keep_condition(th: dict[str, float]) -> str:
+    """Keep predicate over the four shape COLUMNS (shared by operator
+    and oracle).  NULL url -> NULL signals -> kept (fail-open: no
+    signal is not spam; a NULL url dies downstream anyway)."""
+    return (
+        f"coalesce(url_len <= {th['max_len']}"
+        f" AND url_depth <= {th['max_depth']}"
+        f" AND url_digit_frac <= {th['max_digit_frac']}"
+        f" AND url_n_params <= {th['max_params']}, true)"
+    )
+
+
+def with_url_shape(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add ``url_len``, ``url_depth`` (non-empty path segments),
+    ``url_digit_frac``, ``url_n_params``.  Map-only codegen."""
+    from ..functions import url as U
+
+    return df.withColumns(
+        {
+            "url_len": F.expr(U.url_len(url_col).spark),
+            "url_depth": F.expr(U.url_depth(url_col).spark),
+            "url_digit_frac": F.expr(U.url_digit_frac(url_col).spark),
+            "url_n_params": F.expr(U.url_n_params(url_col).spark),
+        }
+    )
+
+
+def filter_url_shape(
+    df: DataFrame,
+    url_col: str = "url",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Keep rows whose URL shape is within bounds (input columns
+    unchanged; NULL url fail-open)."""
+    th = URL_SHAPE_THRESHOLDS if thresholds is None else thresholds
+    missing = set(URL_SHAPE_THRESHOLDS) - set(th)
+    if missing:
+        raise ValueError(f"missing thresholds: {sorted(missing)}")
+    kept = with_url_shape(df, url_col).where(
+        url_shape_keep_condition(th)
+    )
+    return kept.drop(
+        "url_len", "url_depth", "url_digit_frac", "url_n_params"
+    )

@@ -85,6 +85,7 @@ def curate_dedup_sample(
     url_hard_words: list[str] | None = None,
     url_soft_words: list[str] | None = None,
     url_soft_threshold: int = 2,
+    url_shape: bool | dict = False,
     host_ranks: DataFrame | None = None,
     host_rank_drop_frac: float = 0.1,
     rep_filter: bool | dict = False,
@@ -201,6 +202,12 @@ def curate_dedup_sample(
     >= ``url_soft_threshold`` soft-banned words in the URL are dropped
     before ANY text work — the cheapest filter runs earliest.
 
+    ``url_shape`` adds the numeric URL tier to the same pre-curation
+    pass (operators/urlfilter.py::filter_url_shape): over-long,
+    digit-heavy, deeply nested, or parameter-stuffed URLs are dropped
+    before any text work (``True`` = URL_SHAPE_THRESHOLDS; a dict
+    overrides).  NULL urls pass (fail-open).
+
     ``host_ranks`` applies the crawl-structure reputation filter next
     (operators/hostgraph.py::filter_by_host_rank): a ``(host, pr)``
     frame — :func:`..operators.hostgraph.host_pagerank` output or any
@@ -266,7 +273,10 @@ def curate_dedup_sample(
         )
     shaping = host_cap is not None or lang_budget_frac is not None
     url_filtering = (
-        blocked_domains is not None or url_hard_words or url_soft_words
+        blocked_domains is not None
+        or url_hard_words
+        or url_soft_words
+        or url_shape
     )
     if url_filtering:
         if curated is not None:
@@ -276,13 +286,23 @@ def curate_dedup_sample(
             )
         from ..operators.urlfilter import apply_url_filter
 
-        pages = apply_url_filter(
-            pages,
-            blocked_domains=blocked_domains,
-            hard_words=url_hard_words,
-            soft_words=url_soft_words,
-            soft_threshold=url_soft_threshold,
-        )
+        if blocked_domains is not None or url_hard_words or url_soft_words:
+            pages = apply_url_filter(
+                pages,
+                blocked_domains=blocked_domains,
+                hard_words=url_hard_words,
+                soft_words=url_soft_words,
+                soft_threshold=url_soft_threshold,
+            )
+        if url_shape:
+            from ..operators.urlfilter import filter_url_shape
+
+            pages = filter_url_shape(
+                pages,
+                thresholds=(
+                    url_shape if isinstance(url_shape, dict) else None
+                ),
+            )
     if host_ranks is not None:
         if curated is not None:
             raise ValueError(

@@ -4647,6 +4647,83 @@ def q_gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# URL-shape heuristics (r4 session 12) — past-window, standing parity
+# gate in tests/test_urlfilter.py.  Derived urls: doc_id-scheduled
+# shapes exercising long slugs, digit-heavy session ids, deep nesting,
+# parameter stuffing, a clean URL, and NULL.
+
+_US_URL = (
+    "CASE WHEN doc_id % 17 = 0 THEN NULL "
+    "WHEN doc_id % 11 = 0 THEN concat('https://spam.example.com/',"
+    " repeat('x', 2100)) "  # over max_len
+    "WHEN doc_id % 7 = 0 THEN concat('https://id.example.com/s/',"
+    " CAST(doc_id * 1234567890123 AS STRING),"
+    " CAST(doc_id * 987654321 AS STRING)) "  # digit-heavy
+    "WHEN doc_id % 5 = 0 THEN concat('https://deep.example.com',"
+    " repeat('/d', 12)) "  # depth 12
+    "WHEN doc_id % 3 = 0 THEN concat('https://q.example.com/p?',"
+    " 'a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9&j=10') "  # 10 params
+    "ELSE concat('https://ok.example.com/a/b/page-', doc_id) END"
+)
+
+
+def _us_oracle() -> str:
+    from .functions import url as U
+    from .operators.urlfilter import (
+        URL_SHAPE_THRESHOLDS,
+        url_shape_keep_condition,
+    )
+
+    return f"""
+WITH pg AS (SELECT doc_id, {_US_URL} AS url FROM documents),
+s AS (SELECT doc_id,
+             {U.url_len("url").duck} AS url_len,
+             {U.url_depth("url").duck} AS url_depth,
+             {U.url_digit_frac("url").duck} AS url_digit_frac,
+             {U.url_n_params("url").duck} AS url_n_params
+      FROM pg)
+SELECT doc_id, url_len, url_depth, url_digit_frac, url_n_params,
+       {url_shape_keep_condition(URL_SHAPE_THRESHOLDS)} AS shape_keep
+FROM s
+"""
+
+
+@register(
+    "url_shape_features",
+    _us_oracle(),
+    doc="URL-shape heuristics — the numeric tier of the URL filter "
+    "next to the blocklist and word lists (operators/urlfilter.py::"
+    "with_url_shape / filter_url_shape): machine-generated and spam "
+    "URLs are long (> 2048 chars), digit-heavy (> 50%), deeply nested "
+    "(> 10 path segments), or parameter-stuffed (> 8). The Spark side "
+    "runs the PRODUCTION operator over derived urls exercising every "
+    "shape + NULL (fail-open — no signal is not spam); the oracle "
+    "computes the same paired fragments (functions/url.py) and the "
+    "SAME keep predicate. Scale: map-only codegen, zero Python, no "
+    "shuffle at any corpus size.",
+)
+def q_url_shape_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.urlfilter import (
+        URL_SHAPE_THRESHOLDS,
+        url_shape_keep_condition,
+        with_url_shape,
+    )
+
+    pages = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_US_URL} AS url"
+    )
+    out = with_url_shape(pages)
+    return out.selectExpr(
+        "doc_id",
+        "url_len",
+        "url_depth",
+        "url_digit_frac",
+        "url_n_params",
+        f"{url_shape_keep_condition(URL_SHAPE_THRESHOLDS)} AS shape_keep",
+    )
+
+
 @register(
     "host_pagerank",
     None,  # multi-iteration power loop — rows-only by nature; the

@@ -327,3 +327,108 @@ def test_flow_accepts_dataframe_blocklist(spark, pages_small):
     )
     assert out.where(F.col("url").contains(host)).count() == 0
     assert out.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# URL-shape tier (r4 session 12)
+
+from radio_data_curation_ssl_spark.operators.urlfilter import (  # noqa: E402
+    URL_SHAPE_THRESHOLDS,
+    filter_url_shape,
+    with_url_shape,
+)
+
+
+def _shape_df(spark, urls):
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id long, url string"
+    )
+
+
+def test_url_shape_feature_values(spark):
+    urls = [
+        "https://ok.example.com/a/b/page-7?x=1&y=2",
+        "https://spam.example.com/" + "x" * 3000,
+        "https://id.example.com/1234567890",
+        None,
+    ]
+    rows = {r["id"]: r for r in with_url_shape(_shape_df(spark, urls)).collect()}
+    r0 = rows[0]
+    assert r0["url_len"] == len(urls[0])
+    assert r0["url_depth"] == 3  # a / b / page-7
+    assert r0["url_n_params"] == 2
+    assert r0["url_digit_frac"] == round(
+        sum(c.isdigit() for c in urls[0]) / len(urls[0]), 6
+    )
+    assert rows[1]["url_len"] > 2048
+    assert rows[2]["url_digit_frac"] > 0.3
+    r3 = rows[3]
+    assert all(
+        r3[c] is None
+        for c in ("url_len", "url_depth", "url_digit_frac", "url_n_params")
+    )
+
+
+def test_filter_url_shape_semantics(spark):
+    urls = [
+        "https://ok.example.com/a/b",  # kept
+        "https://spam.example.com/" + "x" * 3000,  # too long
+        "https://deep.example.com" + "/d" * 12,  # too deep
+        "https://id.example.com/" + "9" * 40,  # digit-heavy
+        "https://q.example.com/p?" + "&".join(f"k{i}=v" for i in range(9)),
+        None,  # fail-open
+    ]
+    df = _shape_df(spark, urls)
+    kept = {r["id"] for r in filter_url_shape(df).collect()}
+    assert kept == {0, 5}
+    assert filter_url_shape(df).columns == df.columns
+    loose = dict(URL_SHAPE_THRESHOLDS, max_depth=20)
+    assert 2 in {r["id"] for r in filter_url_shape(df, thresholds=loose).collect()}
+    with pytest.raises(ValueError, match="missing thresholds"):
+        filter_url_shape(df, thresholds={"max_len": 10})
+
+
+def test_registry_url_shape_oracle_parity(spark):
+    """Standing local gate for the past-window registry row (the driver
+    checks the first 50 oracle entries; this one sits past them)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["url_shape_features"]
+    got = sorted(
+        tuple(r) for r in q.spark(spark, "/root/testdata/sf0.001").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    keeps = {r[-1] for r in got}
+    assert keeps == {True, False}  # every shape branch fires
+    assert any(r[1] is None and r[-1] for r in got)  # NULL url fail-open
+
+
+def test_flow_url_shape_stage(spark):
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+    from radio_data_curation_ssl_spark.synth import synth_pages
+
+    pages = synth_pages(spark, 200, seed=42, partitions=4).withColumn(
+        "url",
+        F.expr(
+            "CASE WHEN xxhash64(url) % 3 = 0 THEN "
+            "concat(url, '?', repeat('p=1&', 12)) ELSE url END"
+        ),
+    )
+    sample = curate_dedup_sample(
+        pages, target=1000, near_dup="none", url_shape=True
+    )
+    urls = [r["url"] for r in sample.select("url").collect()]
+    assert urls
+    assert all(u.count("&") <= 8 for u in urls)  # stuffed urls gone

@@ -1,0 +1,159 @@
+"""Two-parallelism scaling gate for the distributed Lloyd k-means loop.
+
+Same methodology as bench_scaling.py / bench_scaling_semdedup.py: the
+IDENTICAL job at two local parallelism levels, fresh JVM per run, whole
+process tree CPU-pinned via taskset, interleaved best-of-k so a host-
+disturbance window never hits one side of the ratio.  The timed job is
+3 Lloyd iterations (assign + per-partition partials + cluster-keyed
+combine, warm explicit init so the init path is out of the timing) plus
+one materialized assign_points pass (noop sink) over a pre-materialized
+synthetic embedding table — the exact per-iteration communication
+pattern the 100 TB run pays (vectors decoded via series_matrix,
+partials shuffled as packed float64 binary; functions/vecs.py).
+
+Usage: python bench_scaling_kmeans.py [n_rows] [lo] [hi] [best_of] [passes]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+N_CLUSTERS = 64
+DIM = 16
+N_ITERS = 3
+
+WORKER = r"""
+import json, sys, time
+from radio_data_curation_ssl_spark.session import get_spark
+from radio_data_curation_ssl_spark.operators.kmeans import lloyd_kmeans
+from radio_data_curation_ssl_spark.queries import _lit_centroids
+
+cpus, n, emb_dir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+n_passes = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+spark = get_spark(
+    "scaling-kmeans",
+    master=f"local[{cpus}]",
+    shuffle_partitions=64,
+    extra_conf={
+        # task-count sizing per the semdedup gate diagnosis
+        # (BENCH/BASELINE.md): scan partitions ~ 4x the highest core
+        # count, shuffle partitions ~ 2x cores and >= cluster count
+        "spark.sql.files.maxPartitionBytes": str(18 * 1024 * 1024),
+        "spark.sql.files.openCostInBytes": str(4 * 1024 * 1024),
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    },
+)
+spark.sparkContext.setLogLevel("ERROR")
+emb = spark.read.parquet(emb_dir)
+cents0 = _lit_centroids(%(k)d, dim=%(dim)d, seed_off=9)
+
+
+def job():
+    adf, _ = lloyd_kmeans(
+        emb, "vec_id", "embedding", k=%(k)d, n_iters=%(iters)d,
+        tol=0.0, init_centroids=cents0,
+    )
+    adf.write.format("noop").mode("overwrite").save()
+
+
+job()  # warmup (JIT, Arrow)
+best = float("inf")
+for _ in range(n_passes):
+    t0 = time.perf_counter()
+    job()
+    best = min(best, time.perf_counter() - t0)
+print(json.dumps({"cpus": cpus, "sec": round(best, 3),
+                  "docs_per_sec": round(n / best, 1)}))
+spark.stop()
+""" % {"k": N_CLUSTERS, "dim": DIM, "iters": N_ITERS}
+
+GEN = r"""
+import sys
+from radio_data_curation_ssl_spark.session import get_spark
+from jobs.semdedup_select import synth_embeddings
+n, emb_dir = int(sys.argv[1]), sys.argv[2]
+spark = get_spark("gen", master="local[32]")
+spark.sparkContext.setLogLevel("ERROR")
+synth_embeddings(spark, n, dim=%(dim)d, partitions=128).write.mode(
+    "overwrite").parquet(emb_dir)
+spark.stop()
+""" % {"dim": DIM}
+
+
+def _sub(code: str, *args: str, pin_cpus: int | None = None) -> str:
+    cmd = [sys.executable, "-c", code, *args]
+    if pin_cpus is not None:
+        cmd = ["taskset", "-c", f"0-{pin_cpus - 1}"] + cmd
+    out = subprocess.run(
+        cmd, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)), timeout=1800,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return out.stdout
+
+
+def run_level(cpus: int, n: int, emb_dir: str, n_passes: int) -> dict:
+    return json.loads(
+        _sub(WORKER, str(cpus), str(n), emb_dir, str(n_passes), pin_cpus=cpus)
+        .strip().splitlines()[-1]
+    )
+
+
+def main() -> None:
+    import tempfile
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    lo_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    hi_cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    best_of = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    n_passes = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+    emb_dir = os.path.join(tempfile.gettempdir(), f"scaling_kmeans_{n}")
+    if not os.path.isdir(emb_dir):
+        _sub(GEN, str(n), emb_dir)
+    runs = []
+    for _ in range(best_of):
+        for c in (lo_cpus, hi_cpus):
+            try:
+                runs.append(run_level(c, n, emb_dir, n_passes))
+            except RuntimeError:
+                runs.append(run_level(c, n, emb_dir, n_passes))  # one retry
+    lo = min((r for r in runs if r["cpus"] == lo_cpus), key=lambda r: r["sec"])
+    hi = min((r for r in runs if r["cpus"] == hi_cpus), key=lambda r: r["sec"])
+    factor = hi_cpus / lo_cpus
+    eff = round(hi["docs_per_sec"] / (factor * lo["docs_per_sec"]), 3)
+    result = {
+        "metric": f"kmeans scaling efficiency local[{lo_cpus}] -> local[{hi_cpus}]",
+        "value": eff, "unit": "ratio", "n_rows": n,
+        "n_clusters": N_CLUSTERS, "dim": DIM, "n_iters": N_ITERS,
+        "low": lo, "high": hi, "best_of": best_of,
+        "passes_per_level": n_passes, "passes_0.8_gate": eff >= 0.8,
+    }
+    print(json.dumps(result), flush=True)
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(f"""
+## k-means scaling run {stamp}
+
+{N_ITERS} distributed Lloyd iterations (warm explicit init; assign +
+binary-packed partials + cluster-keyed combine) plus one materialized
+assign pass (noop sink) over {n:,} synthetic embeddings (dim {DIM},
+k={N_CLUSTERS}), interleaved best-of-{best_of} fresh-JVM runs per
+level, process tree CPU-pinned to the level's core count:
+
+| level | wall sec | rows/sec |
+|---|---|---|
+| local[{lo_cpus}] | {lo['sec']} | {lo['docs_per_sec']:,} |
+| local[{hi_cpus}] | {hi['sec']} | {hi['docs_per_sec']:,} |
+
+**Scaling efficiency ({lo_cpus} -> {hi_cpus} cores): {eff}**
+(gate: >= 0.8 -> {"PASS" if eff >= 0.8 else "FAIL"})
+""")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Fixed-width vector transport + decode kernels shared by every
+vector operator (semdedup, lshpairs, ivf, kmeans).
+
+Two rules, both measured (diagnosis in BENCH/BASELINE.md "SemDeDup
+scaling"):
+
+- Fixed-width vectors never cross a shuffle/Arrow hop as
+  ``array<double>``: a list column pays a per-element JVM<->Arrow
+  conversion on every hop, inflating task core-seconds ~40% under
+  8-way worker concurrency.  ``pack_rows``/``unpack_rows`` move them
+  as one float64 BINARY buffer per row instead (one memcpy per hop).
+- A pandas Series of list/ndarray elements is decoded with ONE
+  ``np.concatenate`` (``series_matrix``), never
+  ``np.array(col.tolist())`` — the tolist path is 2.7x slower single-
+  threaded and degrades ~3.6x further when eight workers run it
+  concurrently (small-object allocator/page-fault pressure).
+
+The reference moves the same matrices as contiguous device buffers
+(/root/reference/src/distributed_kmeans_gpu.py:272-696 NCCL
+all_reduce); this is the Arrow-era equivalent of that choice.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def pack_rows(x: np.ndarray) -> list[bytes]:
+    """One bytes object per row of a C-contiguous float64 matrix — the
+    binary wire format fixed-width vectors ride between Arrow passes."""
+    step = 8 * x.shape[1]
+    packed = np.ascontiguousarray(x).tobytes()
+    return [packed[i : i + step] for i in range(0, len(packed), step)]
+
+
+def unpack_rows(col: pd.Series, n: int) -> np.ndarray:
+    return np.frombuffer(b"".join(col), dtype=np.float64).reshape(n, -1)
+
+
+def series_matrix(col: pd.Series, dim: int | None, what: str) -> np.ndarray:
+    """(n, dim) float64 from a pandas Series of fixed-length vectors.
+    ``np.concatenate`` over the element arrays is one C-level copy.
+    ``dim=None`` infers the width from the first element (still
+    validating that every row has that width)."""
+    if col.isna().any():
+        raise ValueError(f"series_matrix: NULL vector (dense {what} required)")
+    if dim is None:
+        dim = len(col.iloc[0]) if len(col) else 0
+    flat = (
+        np.concatenate(col.to_numpy()).astype(np.float64, copy=False)
+        if len(col)
+        else np.zeros(0)
+    )
+    if flat.ndim != 1 or flat.size != len(col) * dim:
+        raise ValueError(
+            f"series_matrix: ragged or wrong-width {what} vectors "
+            f"({flat.size} values for {len(col)} rows of dim {dim})"
+        )
+    return flat.reshape(len(col), dim)

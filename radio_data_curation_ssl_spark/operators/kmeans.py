@@ -53,6 +53,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from ..functions.vecs import pack_rows, series_matrix, unpack_rows
+
 
 def kmeans_pp_init(
     sample: np.ndarray, k: int, seed: int = 42
@@ -126,10 +128,13 @@ def _parallel_init_pass(
     this pass emits as new candidates (None -> cost-only pass)."""
     sc = pts.sparkSession.sparkContext
     bc = sc.broadcast(cands)
+    # kept candidates ride back to the driver as packed float64 binary
+    # (one buffer per row), never array<double> — the measured ~40%
+    # per-hop Arrow list-conversion tax (functions/vecs.py)
     schema = T.StructType(
         [
             T.StructField("phi", T.DoubleType()),
-            T.StructField("vec", T.ArrayType(T.DoubleType())),
+            T.StructField("vec", T.BinaryType()),
         ]
     )
 
@@ -138,7 +143,7 @@ def _parallel_init_pass(
         phi = 0.0
         kept: list[np.ndarray] = []
         for b in batches:
-            x = np.array(b[vec_col].tolist(), dtype=np.float64)
+            x = series_matrix(b[vec_col], c.shape[1], "point")
             if len(x) == 0:
                 continue
             _, d2 = assign_batch(x, c)
@@ -153,7 +158,12 @@ def _parallel_init_pass(
         if kept:
             kv = np.concatenate(kept)
             df_out = pd.concat(
-                [df_out, pd.DataFrame({"phi": np.zeros(len(kv)), "vec": list(kv)})],
+                [
+                    df_out,
+                    pd.DataFrame(
+                        {"phi": np.zeros(len(kv)), "vec": pack_rows(kv)}
+                    ),
+                ],
                 ignore_index=True,
             )
         yield df_out
@@ -161,7 +171,7 @@ def _parallel_init_pass(
     rows = pts.mapInPandas(run, schema).collect()
     phi = sum(r["phi"] for r in rows)
     new = [
-        np.array(r["vec"], dtype=np.float64)
+        np.frombuffer(r["vec"], dtype=np.float64)
         for r in rows
         if r["vec"] is not None
     ]
@@ -246,7 +256,7 @@ def kmeans_parallel_init(
         c = bc.value
         cnt = np.zeros(len(c), dtype=np.int64)
         for b in batches:
-            x = np.array(b[vec_col].tolist(), dtype=np.float64)
+            x = series_matrix(b[vec_col], c.shape[1], "point")
             if len(x) == 0:
                 continue
             ids, _ = assign_batch(x, c)
@@ -304,18 +314,22 @@ def assign_batch(
     return best_ids, np.maximum(best_d2, 0.0)
 
 
+# vec_sum is packed float64 BINARY (functions/vecs.py): the partials
+# cross the cluster-keyed shuffle once per iteration — as a list column
+# that hop pays a per-element Arrow conversion both ways (the measured
+# ~40% core-seconds tax that cost semdedup its first scaling gate)
 PARTIAL_SCHEMA = T.StructType(
     [
         T.StructField("cluster", T.IntegerType()),
         T.StructField("part_id", T.IntegerType()),
-        T.StructField("vec_sum", T.ArrayType(T.DoubleType())),
+        T.StructField("vec_sum", T.BinaryType()),
         T.StructField("cnt", T.LongType()),
     ]
 )
 COMBINED_SCHEMA = T.StructType(
     [
         T.StructField("cluster", T.IntegerType()),
-        T.StructField("vec_sum", T.ArrayType(T.DoubleType())),
+        T.StructField("vec_sum", T.BinaryType()),
         T.StructField("cnt", T.LongType()),
     ]
 )
@@ -333,11 +347,11 @@ def combine_partials(partials: DataFrame) -> DataFrame:
         # part_id is unique within a cluster group (one partial row per
         # partition), so this sort totally orders the fold
         pdf = pdf.sort_values("part_id", kind="stable")
-        vs = np.array(pdf["vec_sum"].tolist(), dtype=np.float64)
+        vs = unpack_rows(pdf["vec_sum"], len(pdf))
         return pd.DataFrame(
             {
                 "cluster": [int(pdf["cluster"].iloc[0])],
-                "vec_sum": [vs.sum(axis=0)],
+                "vec_sum": pack_rows(vs.sum(axis=0)[None, :]),
                 "cnt": [int(pdf["cnt"].sum())],
             }
         )
@@ -573,7 +587,7 @@ def _lloyd_body(
             sums = np.zeros_like(c)
             cnt = np.zeros(len(c), dtype=np.int64)
             for b in batches:
-                x = np.array(b[vec_col].tolist(), dtype=np.float64)
+                x = series_matrix(b[vec_col], c.shape[1], "point")
                 if len(x) == 0:
                     continue
                 ids, _ = assign_batch(x, c)
@@ -585,7 +599,7 @@ def _lloyd_body(
                     {
                         "cluster": nz.astype(np.int32),
                         "part_id": np.full(nz.size, pid, dtype=np.int32),
-                        "vec_sum": list(sums[nz]),
+                        "vec_sum": pack_rows(sums[nz]),
                         "cnt": cnt[nz],
                     }
                 )
@@ -597,7 +611,7 @@ def _lloyd_body(
         sums = np.zeros_like(cents)
         cnts = np.zeros(k, dtype=np.int64)
         for r in rows:
-            sums[r["cluster"]] = np.array(r["vec_sum"])
+            sums[r["cluster"]] = np.frombuffer(r["vec_sum"], dtype=np.float64)
             cnts[r["cluster"]] = r["cnt"]
         new = np.where(cnts[:, None] > 0, sums / np.maximum(cnts[:, None], 1), cents)
         shift = float(np.abs(new - cents).max())
@@ -634,7 +648,7 @@ def assign_points(
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c = bc.value
         for b in it:
-            x = np.array(b[vec_col].tolist(), dtype=np.float64)
+            x = series_matrix(b[vec_col], c.shape[1], "point")
             if len(x) == 0:
                 continue
             ids, d2 = assign_batch(x, c)
@@ -1083,7 +1097,7 @@ def split_oversized_clusters(
         c_old = int(pdf["cluster"].iloc[0])
         # deterministic within the group: order by id before clustering
         pdf = pdf.sort_values("id", kind="stable")
-        x = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+        x = unpack_rows(pdf["_vec"], len(pdf))
         sub_cents, _ = numpy_lloyd(
             x, min(n_splits, len(x)), n_iters=n_iters, seed=seed + c_old
         )
@@ -1095,7 +1109,25 @@ def split_oversized_clusters(
             }
         )
 
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_vec"))
+    # vectors cross the members join (a shuffle) as packed float64
+    # binary, not array<double> — one buffer copy per row per hop
+    # (functions/vecs.py; the semdedup scaling-gate diagnosis)
+    pack_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("_vec", T.BinaryType())]
+    )
+
+    def pack_vecs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            if len(b) == 0:
+                continue
+            x = series_matrix(b["_vec"], None, "point")
+            yield pd.DataFrame(
+                {"id": b["id"].astype("int64"), "_vec": pack_rows(x)}
+            )
+
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(pack_vecs, pack_schema)
     big_members = assign.where(
         F.col("cluster").isin([int(c) for c in big])
     ).join(vecs, "id")
@@ -1169,7 +1201,7 @@ def split_oversized_clusters(
             outs = []
             for c_old, grp in b.groupby("cluster", sort=True):
                 new_base, cc = ch[int(c_old)]
-                x = np.array(grp["_vec"].tolist(), dtype=np.float64)
+                x = unpack_rows(grp["_vec"], len(grp))
                 ids, d2 = assign_batch(x, cc)
                 outs.append(
                     pd.DataFrame(

@@ -63,37 +63,14 @@ def _fold_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.add.accumulate(a * b, axis=1)[:, -1]
 
 
-def _pack_rows(x: np.ndarray) -> list[bytes]:
-    """One bytes object per row of a C-contiguous float64 matrix — the
-    binary wire format fixed-width vectors ride between Arrow passes."""
-    step = 8 * x.shape[1]
-    packed = np.ascontiguousarray(x).tobytes()
-    return [packed[i : i + step] for i in range(0, len(packed), step)]
-
-
-def _unpack_rows(col: pd.Series, n: int) -> np.ndarray:
-    return np.frombuffer(b"".join(col), dtype=np.float64).reshape(n, -1)
-
-
-def _series_matrix(col: pd.Series, dim: int, what: str) -> np.ndarray:
-    """(n, dim) float64 from a pandas Series of fixed-length vectors.
-    ``np.concatenate`` over the element arrays is one C-level copy —
-    2.7x faster than ``np.array(col.tolist())`` and, unlike the tolist
-    path, free of the 40k-small-object churn that degrades ~3.6x when
-    eight workers run it concurrently (allocator/page-fault pressure)."""
-    if col.isna().any():
-        raise ValueError(f"semdedup: NULL vector (dense {what} required)")
-    flat = (
-        np.concatenate(col.to_numpy()).astype(np.float64, copy=False)
-        if len(col)
-        else np.zeros(0)
-    )
-    if flat.ndim != 1 or flat.size != len(col) * dim:
-        raise ValueError(
-            f"semdedup: ragged or wrong-width {what} vectors "
-            f"({flat.size} values for {len(col)} rows of dim {dim})"
-        )
-    return flat.reshape(len(col), dim)
+# canonical home is functions/vecs.py (shared with kmeans, which
+# semdedup itself imports from — the aliases below keep the historical
+# semdedup._pack_rows import surface for lshpairs/ivf/tests)
+from ..functions.vecs import (  # noqa: E402
+    pack_rows as _pack_rows,
+    series_matrix as _series_matrix,
+    unpack_rows as _unpack_rows,
+)
 
 
 def _prune_order(

@@ -94,6 +94,7 @@ def test_combine_partials_driver_traffic_is_k_rows(spark, emb):
     import pandas as pd
     from pyspark import TaskContext
 
+    from radio_data_curation_ssl_spark.functions.vecs import pack_rows
     from radio_data_curation_ssl_spark.operators.kmeans import (
         PARTIAL_SCHEMA,
         combine_partials,
@@ -121,7 +122,7 @@ def test_combine_partials_driver_traffic_is_k_rows(spark, emb):
                 {
                     "cluster": nz.astype(np.int32),
                     "part_id": np.full(nz.size, pid, dtype=np.int32),
-                    "vec_sum": list(sums[nz]),
+                    "vec_sum": pack_rows(sums[nz]),
                     "cnt": cnt[nz].astype(np.int64),
                 }
             )
@@ -135,7 +136,8 @@ def test_combine_partials_driver_traffic_is_k_rows(spark, emb):
     for r in combined:
         mask = ids == r["cluster"]
         assert r["cnt"] == int(mask.sum())
-        assert np.allclose(np.array(r["vec_sum"]), x[mask].sum(axis=0), atol=1e-9)
+        got_sum = np.frombuffer(r["vec_sum"], dtype=np.float64)
+        assert np.allclose(got_sum, x[mask].sum(axis=0), atol=1e-9)
 
 
 def test_hierarchical_matches_numpy_twin(spark, emb):

@@ -304,6 +304,15 @@ def main(argv: list[str] | None = None) -> int:
         "--input-warc); codegen'd column expressions, zero Python",
     )
     ap.add_argument(
+        "--charset-decode",
+        action="store_true",
+        help="run the BOM / <meta charset> / windows-1252-fallback "
+        "decode tier (operators/charset.py) ahead of generic "
+        "extraction — required for real crawl segments (~5-10%% of "
+        "Common Crawl is non-UTF-8; the strict UTF-8 chain fails loud "
+        "on them); implies nothing without --generic-extract",
+    )
+    ap.add_argument(
         "--noindex-filter",
         action="store_true",
         help="drop pages whose html carries a robots-noindex meta tag "
@@ -405,7 +414,11 @@ def main(argv: list[str] | None = None) -> int:
                 )
             quality = (qm, args.quality_threshold)
         result = curate(
-            pages, models=models, quality=quality, extractor=extractor
+            pages,
+            models=models,
+            quality=quality,
+            extractor=extractor,
+            charset_aware=args.charset_decode,
         )
         extra: dict = {}
         if args.sample_target is not None or args.token_budget is not None:
@@ -513,6 +526,7 @@ def main(argv: list[str] | None = None) -> int:
                     models=models,
                     quality=quality,
                     extractor=extractor,
+                    charset_aware=args.charset_decode,
                     decontaminate=(
                         spark.read.parquet(args.decontaminate)
                         if args.decontaminate

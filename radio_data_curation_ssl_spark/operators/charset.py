@@ -1,0 +1,157 @@
+"""Charset-aware HTML byte decoding — the ingest tier real crawls need
+before any text operator runs.
+
+Common Crawl is ~5-10% non-UTF-8 (windows-1252 / latin-1 /
+meta-declared pages); decoding those strictly as UTF-8 leaves
+replacement-char mojibake that silently pollutes langid, perplexity,
+and dedup keys.  This module implements the WHATWG-ish sniffing ladder
+every production extractor runs:
+
+1. **BOM** — UTF-8 / UTF-16 LE / UTF-16 BE byte-order marks win
+   outright (the bytes self-identify; the BOM is stripped).
+2. **``<meta charset>``** — an HTML-declared charset within the first
+   ``SNIFF_LIMIT`` bytes (both the HTML5 ``<meta charset=X>`` form and
+   the legacy ``http-equiv`` ``content="...; charset=X"`` form).
+   Latin-1-family labels (iso-8859-1, latin-1, ascii) decode as
+   windows-1252 — the WHATWG encoding-standard mapping, because real
+   pages labeled latin-1 routinely use the cp1252 0x80-0x9F printables.
+   Unknown labels fall through to content sniffing.
+3. **UTF-8 validation** — bytes that decode strictly as UTF-8 are
+   UTF-8 (a windows-1252 page with any non-ASCII byte essentially
+   never validates: lone 0x80-0xFF bytes are malformed UTF-8).
+4. **windows-1252 fallback** — everything else decodes as cp1252 with
+   replacement (the five unmapped cp1252 bytes become U+FFFD).
+
+Scale: ONE map-only Arrow pass (``with_decoded_html``); the sniff reads
+a bounded prefix plus one C-speed UTF-8 validation, no shuffle, no
+model state.  UTF-32 and legacy multibyte CJK encodings are out of
+scope (no BOM/meta tier for them; they fall to the cp1252 floor —
+documented, test-pinned).
+
+Reference analog: the reference decodes its catalog text strictly as
+UTF-8 (/root/reference/src/data/data_loaders.py:191) because FITS is
+binary-typed; the WARC ingest leg (sources/warc.py) makes charset a
+real-user hit here.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+__all__ = ["sniff_charset", "decode_html_bytes", "with_decoded_html"]
+
+#: how many leading bytes the <meta charset> sniff scans (WHATWG
+#: prescan uses 1024; meta-after-this-limit pages fall to tier 3/4)
+SNIFF_LIMIT = 1024
+
+#: charset labels -> canonical codec.  Latin-1 family maps to
+#: windows-1252 per the WHATWG encoding standard; utf-16 labels in
+#: meta are ignored (a readable ASCII meta tag inside utf-16 bytes is
+#: self-contradictory — WHATWG likewise refuses them).
+_ALIASES = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "windows-1252": "windows-1252",
+    "cp1252": "windows-1252",
+    "x-cp1252": "windows-1252",
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "latin-1": "windows-1252",
+    "latin1": "windows-1252",
+    "l1": "windows-1252",
+    "ascii": "windows-1252",
+    "us-ascii": "windows-1252",
+}
+
+# both meta forms: <meta charset=X> and
+# <meta http-equiv=... content="text/html; charset=X">  (the attribute
+# order is free, so just find charset= inside a <meta ...> tag)
+_META_RE = re.compile(
+    rb"<meta[^>]{0,256}?charset\s*=\s*[\"']?\s*([A-Za-z0-9._\-]{1,32})",
+    re.IGNORECASE,
+)
+
+
+def sniff_charset(b: bytes) -> tuple[str, str]:
+    """(codec, source) for an html byte string.  codec is one of
+    ``utf-8 | windows-1252 | utf-16-le | utf-16-be``; source names the
+    deciding tier: ``bom | meta | valid-utf8 | fallback``."""
+    if b.startswith(codecs.BOM_UTF8):
+        return "utf-8", "bom"
+    if b.startswith(codecs.BOM_UTF16_LE):
+        return "utf-16-le", "bom"
+    if b.startswith(codecs.BOM_UTF16_BE):
+        return "utf-16-be", "bom"
+    m = _META_RE.search(b[:SNIFF_LIMIT])
+    if m:
+        codec = _ALIASES.get(m.group(1).decode("ascii", "replace").lower())
+        if codec is not None:
+            return codec, "meta"
+    try:
+        b.decode("utf-8")
+        return "utf-8", "valid-utf8"
+    except UnicodeDecodeError:
+        return "windows-1252", "fallback"
+
+
+_BOM_STRIP = {"utf-8": 3, "utf-16-le": 2, "utf-16-be": 2}
+_PY_CODEC = {
+    "utf-8": "utf-8",
+    "windows-1252": "cp1252",
+    "utf-16-le": "utf-16-le",
+    "utf-16-be": "utf-16-be",
+}
+
+
+def decode_html_bytes(b: bytes | None) -> tuple[str | None, str | None, str | None]:
+    """(decoded text, codec, source); None bytes -> all None.  The BOM
+    (when that tier decided) is stripped from the text.  Decoding is
+    errors='replace' — a mislabeled page degrades to replacement chars,
+    never a task failure."""
+    if b is None:
+        return None, None, None
+    b = bytes(b)
+    codec, source = sniff_charset(b)
+    start = _BOM_STRIP.get(codec, 0) if source == "bom" else 0
+    return b[start:].decode(_PY_CODEC[codec], errors="replace"), codec, source
+
+
+def with_decoded_html(
+    pages: DataFrame,
+    html_col: str = "html",
+    text_col: str = "html_str",
+    charset_col: str = "charset",
+    source_col: str = "charset_source",
+) -> DataFrame:
+    """Append (``text_col``, ``charset_col``, ``source_col``) decoded
+    from the binary ``html_col`` — one map-only Arrow pass, all input
+    columns passed through."""
+    schema = T.StructType(
+        list(pages.schema.fields)
+        + [
+            T.StructField(text_col, T.StringType()),
+            T.StructField(charset_col, T.StringType()),
+            T.StructField(source_col, T.StringType()),
+        ]
+    )
+    in_cols = [f.name for f in pages.schema.fields]
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            if len(b) == 0:
+                continue
+            decoded = [decode_html_bytes(v) for v in b[html_col]]
+            out = b[in_cols].copy()
+            out[text_col] = [d[0] for d in decoded]
+            out[charset_col] = [d[1] for d in decoded]
+            out[source_col] = [d[2] for d in decoded]
+            yield out
+
+    return pages.mapInPandas(run, schema)

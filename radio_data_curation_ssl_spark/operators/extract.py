@@ -64,7 +64,18 @@ def extract_text_bytes(html: bytes) -> str | None:
         pos = e + len(_P_CLOSE)
     if not parts:
         return None
-    return b"\n".join(parts).decode("utf-8", errors="replace")
+    joined = b"\n".join(parts)
+    try:
+        # byte-identity fast path: valid UTF-8 decodes exactly as before
+        return joined.decode("utf-8")
+    except UnicodeDecodeError:
+        # charset tier (operators/charset.py): decide the codec from the
+        # WHOLE page (BOM / <meta charset> / cp1252 fallback) instead of
+        # leaving replacement-char mojibake in the corpus
+        from .charset import _PY_CODEC, sniff_charset
+
+        codec, _source = sniff_charset(html)
+        return joined.decode(_PY_CODEC[codec], errors="replace")
 
 
 def extract_docs(pages: DataFrame) -> DataFrame:

@@ -38,20 +38,28 @@ __all__ = [
 ]
 
 
-def _html_str(html_col: str) -> str:
-    return f"decode({html_col}, 'UTF-8')"
+def _html_str(html_col: str, decoded: bool = False) -> str:
+    """SQL expression for the html as a string.  ``decoded=True`` means
+    ``html_col`` is ALREADY a decoded string column (the charset-aware
+    path: operators/charset.py::with_decoded_html ran first); the
+    default is the strict-UTF-8 decode of a binary column — correct for
+    the synthetic contract corpus, mojibake-prone on real crawls (see
+    operators/charset.py)."""
+    return html_col if decoded else f"decode({html_col}, 'UTF-8')"
 
 
 def with_html_features(
     pages: DataFrame,
     html_col: str = "html",
     text_col: str = "text_extracted",
+    decoded: bool = False,
 ) -> DataFrame:
     """Add ``text_col`` (tag-stripped rendered-ish text), ``title``,
     ``lang_claimed`` (the <html lang> attribute, lowercased), and
-    ``robots_noindex`` to a pages frame with a binary ``html_col``.
+    ``robots_noindex`` to a pages frame with a binary ``html_col``
+    (or, with ``decoded=True``, a pre-decoded string column).
     Map-only codegen; NULL html -> NULL everywhere."""
-    s = _html_str(html_col)
+    s = _html_str(html_col, decoded)
     return pages.withColumns(
         {
             text_col: F.expr(f"nullif({H.html_text(s).spark}, '')"),
@@ -63,14 +71,31 @@ def with_html_features(
 
 
 def extract_docs_generic(
-    pages: DataFrame, html_col: str = "html"
+    pages: DataFrame, html_col: str = "html", charset_aware: bool = False
 ) -> DataFrame:
     """Arbitrary-crawl twin of ``extract.extract_docs``: same output
     shape (url, warc_ts, text, lang_claimed, n_bytes_html) so the whole
     downstream pipeline runs unchanged on real pages, but the text is
     the generic tag-strip extraction instead of the synthetic-skeleton
     byte parse.  Empty extraction -> NULL text (the no-content drop
-    path, matching extract_docs semantics)."""
+    path, matching extract_docs semantics).
+
+    ``charset_aware=True`` runs the BOM / <meta charset> / cp1252-
+    fallback decode tier (operators/charset.py) ahead of extraction —
+    one extra Arrow pass; the default stays the zero-Python strict-UTF-8
+    codegen chain (correct when the input is known UTF-8)."""
+    if charset_aware:
+        from .charset import with_decoded_html
+
+        decoded = with_decoded_html(pages, html_col=html_col)
+        s = _html_str("html_str", decoded=True)
+        return decoded.select(
+            "url",
+            "warc_ts",
+            F.expr(f"nullif({H.html_text(s).spark}, '')").alias("text"),
+            F.expr(H.html_lang(s).spark).alias("lang_claimed"),
+            F.expr(f"length({html_col})").cast("long").alias("n_bytes_html"),
+        )
     s = _html_str(html_col)
     return pages.select(
         "url",

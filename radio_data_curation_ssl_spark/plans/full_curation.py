@@ -99,6 +99,7 @@ def curate_dedup_sample(
     models: tuple | None = None,
     quality: tuple | None = None,
     extractor: str = "contract",
+    charset_aware: bool = False,
     decontaminate: DataFrame | None = None,
     decontaminate_ngram: int = 5,
 ) -> DataFrame:
@@ -405,7 +406,13 @@ def curate_dedup_sample(
     full = (
         curated
         if curated is not None
-        else curate(pages, models=models, quality=quality, extractor=extractor)
+        else curate(
+            pages,
+            models=models,
+            quality=quality,
+            extractor=extractor,
+            charset_aware=charset_aware,
+        )
     )
     # persisted: the text-hash first-winner below consumes this frame on
     # both the aggregate and probe sides — uncached, each side would

@@ -29,6 +29,7 @@ def curate(
     models: tuple | None = None,
     quality: tuple | None = None,
     extractor: str = "contract",
+    charset_aware: bool = False,
 ) -> DataFrame:
     """Full logical plan, lazily composed; caller writes/collects.
 
@@ -59,6 +60,12 @@ def curate(
     modular chain (its text never enters the fused kernel, which
     re-extracts from html by contract).
 
+    ``charset_aware=True`` (generic extractor only) runs the BOM /
+    <meta charset> / windows-1252-fallback decode tier
+    (operators/charset.py) before extraction — required for real crawl
+    segments, where ~5-10% of pages are not UTF-8; the default keeps
+    the zero-Python strict-UTF-8 chain for known-UTF-8 corpora.
+
     Output columns: url, warc_ts, text, lang_claimed, n_bytes_html,
     lang_pred, lang_conf, ppl, text_scrubbed, n_redactions, n_words,
     mean_word_len, stopword_ratio, symbol_word_ratio, rep_bigram_frac,
@@ -73,7 +80,7 @@ def curate(
         if extractor == "generic":
             from ..operators.htmltext import extract_docs_generic
 
-            docs = extract_docs_generic(pages)
+            docs = extract_docs_generic(pages, charset_aware=charset_aware)
         else:
             docs = extract_docs(pages)
         if models is None:

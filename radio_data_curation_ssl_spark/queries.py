@@ -4744,3 +4744,87 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = host_pagerank(host_edges(extract_links(pages)), n_iter=10)
     return pr.select("host", F.round("pr", X.ROUND).alias("pr"))
+
+
+# ---------------------------------------------------------------------------
+# Charset-aware HTML decode (r5 session 1) — past-window, standing
+# parity gate in tests/test_charset.py.  The derivation ENCODES a
+# derived page five ways on the Spark side (UTF-8+BOM / plain UTF-8 /
+# meta-declared windows-1252 in latin-1 bytes / bare latin-1 bytes /
+# UTF-16 with BE BOM) and runs the PRODUCTION sniffing decoder
+# (operators/charset.py); the oracle needs no byte machinery at all —
+# correct decoding is a ROUND TRIP, so the expected text is the derived
+# string itself and the expected charset/source/byte-count follow the
+# schedule arithmetically.  The planted suffix chars (e-acute, n-tilde,
+# u-umlaut) share code points between latin-1 and cp1252 and are
+# invalid UTF-8 as single bytes, so the fallback tier genuinely fires.
+
+_CS_SUFFIX = " caf\u00e9 ma\u00f1ana \u00fcber"
+_CS_PAGE = (
+    "concat('<html><head><meta charset=\"windows-1252\"></head>"
+    "<body><p>', raw, '</p></body></html>')"
+)
+_CS_HTML = (
+    "CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN concat(X'EFBBBF', encode(raw, 'UTF-8')) "
+    "WHEN 1 THEN encode(raw, 'UTF-8') "
+    "WHEN 2 THEN encode(page, 'ISO-8859-1') "
+    "WHEN 3 THEN encode(raw, 'ISO-8859-1') "
+    "ELSE encode(raw, 'UTF-16') END"
+)
+
+
+@register(
+    "charset_decode",
+    f"""
+WITH d AS (SELECT doc_id, concat(text, '{_CS_SUFFIX}') AS raw FROM documents),
+p AS (SELECT doc_id, raw, {_CS_PAGE} AS page,
+             CAST(doc_id % 5 AS INT) AS m FROM d)
+SELECT doc_id,
+       CASE WHEN m = 2 THEN page ELSE raw END AS text_decoded,
+       CASE WHEN m IN (0, 1) THEN 'utf-8'
+            WHEN m = 4 THEN 'utf-16-be'
+            ELSE 'windows-1252' END AS charset,
+       CASE WHEN m IN (0, 4) THEN 'bom'
+            WHEN m = 1 THEN 'valid-utf8'
+            WHEN m = 2 THEN 'meta'
+            ELSE 'fallback' END AS charset_source,
+       CAST(CASE m WHEN 0 THEN octet_length(encode(raw)) + 3
+                   WHEN 1 THEN octet_length(encode(raw))
+                   WHEN 2 THEN length(page)
+                   WHEN 3 THEN length(raw)
+                   ELSE 2 + 2 * length(raw) END AS BIGINT) AS n_bytes
+FROM p
+""",
+    doc="Charset-aware HTML byte decoding — the WHATWG-ish sniffing "
+    "ladder (BOM, <meta charset>, strict-UTF-8 validation, "
+    "windows-1252 fallback) real crawls need: ~5-10% of Common Crawl "
+    "is non-UTF-8 and strict UTF-8 decoding leaves mojibake that "
+    "silently pollutes langid/perplexity/dedup keys "
+    "(operators/charset.py; wired into extract_docs_generic and the "
+    "contract extractor's paragraph decode). The Spark side ENCODES "
+    "derived pages five scheduled ways (UTF-8+BOM, plain UTF-8, "
+    "meta-declared cp1252 in latin-1 bytes, bare latin-1, UTF-16-BE "
+    "with BOM) and runs the production decoder; the oracle exploits "
+    "round-trip identity — expected text is the derived string itself, "
+    "charset/source/byte counts follow the schedule. Scale: ONE "
+    "map-only Arrow pass, bounded-prefix sniff + C-speed UTF-8 "
+    "validation, no shuffle at any corpus size.",
+)
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.charset import with_decoded_html
+
+    pages = (
+        t(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"concat(text, '{_CS_SUFFIX}') AS raw")
+        .selectExpr("doc_id", "raw", f"{_CS_PAGE} AS page")
+        .selectExpr("doc_id", f"{_CS_HTML} AS html")
+    )
+    out = with_decoded_html(pages)
+    return out.selectExpr(
+        "doc_id",
+        "html_str AS text_decoded",
+        "charset",
+        "charset_source",
+        "CAST(length(html) AS BIGINT) AS n_bytes",
+    )

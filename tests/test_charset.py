@@ -1,0 +1,243 @@
+"""Charset-aware HTML decode tier (operators/charset.py): BOM /
+<meta charset> / strict-UTF-8-validation / windows-1252 fallback."""
+
+import codecs
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.charset import (
+    decode_html_bytes,
+    sniff_charset,
+    with_decoded_html,
+)
+
+E_ACUTE = "é"
+EURO = "€"
+RSQUO = "’"
+REPL = "�"
+
+
+# ---------------------------------------------------------------------------
+# sniff/decode unit matrix
+
+
+@pytest.mark.parametrize(
+    "raw,codec,source",
+    [
+        (codecs.BOM_UTF8 + b"<p>hi</p>", "utf-8", "bom"),
+        (codecs.BOM_UTF16_LE + "hi".encode("utf-16-le"), "utf-16-le", "bom"),
+        (codecs.BOM_UTF16_BE + "hi".encode("utf-16-be"), "utf-16-be", "bom"),
+        (b'<meta charset="utf-8"><p>a</p>', "utf-8", "meta"),
+        (b"<meta charset=UTF-8>", "utf-8", "meta"),
+        # latin-1 family labels decode as cp1252 (WHATWG mapping)
+        (b'<meta charset="iso-8859-1">x', "windows-1252", "meta"),
+        (b"<meta charset='latin1'>x", "windows-1252", "meta"),
+        (
+            b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=windows-1252">',
+            "windows-1252",
+            "meta",
+        ),
+        (b"<p>plain ascii</p>", "utf-8", "valid-utf8"),
+        ("<p>café</p>".encode("utf-8"), "utf-8", "valid-utf8"),
+        # bare latin-1 byte -> invalid UTF-8 -> fallback
+        (b"<p>caf\xe9</p>", "windows-1252", "fallback"),
+        (b"", "utf-8", "valid-utf8"),
+    ],
+)
+def test_sniff_matrix(raw, codec, source):
+    assert sniff_charset(raw) == (codec, source)
+
+
+def test_unknown_meta_label_falls_through_to_content_sniff():
+    # shift_jis is out of scope: the label is ignored, the bytes decide
+    assert sniff_charset(b'<meta charset="shift_jis">abc') == (
+        "utf-8",
+        "valid-utf8",
+    )
+    assert sniff_charset(b'<meta charset="shift_jis">a\xe9c') == (
+        "windows-1252",
+        "fallback",
+    )
+
+
+def test_meta_beyond_sniff_limit_is_ignored():
+    page = b" " * 1100 + b'<meta charset="windows-1252">caf\xe9'
+    assert sniff_charset(page) == ("windows-1252", "fallback")  # not meta
+
+
+def test_bom_wins_over_meta():
+    page = codecs.BOM_UTF8 + b'<meta charset="windows-1252">ok'
+    assert sniff_charset(page) == ("utf-8", "bom")
+
+
+def test_decode_strips_bom_and_roundtrips():
+    s = "café page"
+    for bom, enc in [
+        (codecs.BOM_UTF8, "utf-8"),
+        (codecs.BOM_UTF16_LE, "utf-16-le"),
+        (codecs.BOM_UTF16_BE, "utf-16-be"),
+    ]:
+        text, codec, source = decode_html_bytes(bom + s.encode(enc))
+        assert (text, source) == (s, "bom")
+        assert codec == enc
+
+
+def test_cp1252_specific_bytes_decode_as_printables():
+    # 0x80 / 0x92 are cp1252 printables (euro, right single quote) —
+    # a latin-1 decode would give C1 controls instead
+    text, codec, source = decode_html_bytes(b"It\x92s 5\x80 caf\xe9")
+    assert (codec, source) == ("windows-1252", "fallback")
+    assert text == f"It{RSQUO}s 5{EURO} caf{E_ACUTE}"
+
+
+def test_cp1252_unmapped_byte_degrades_to_replacement_not_error():
+    text, codec, _ = decode_html_bytes(b"a\x81b\xe9")
+    assert codec == "windows-1252"
+    assert text == f"a{REPL}b{E_ACUTE}"
+
+
+def test_none_html_is_all_none():
+    assert decode_html_bytes(None) == (None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# Spark operator + production wiring
+
+
+def test_with_decoded_html_passthrough_and_nulls(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "url": ["u1", "u2", "u3"],
+            "html": [
+                "café utf8".encode("utf-8"),
+                b"caf\xe9 1252",
+                None,
+            ],
+        }
+    )
+    out = with_decoded_html(spark.createDataFrame(pdf)).collect()
+    by_url = {r["url"]: r for r in out}
+    assert by_url["u1"]["html_str"] == "café utf8"
+    assert by_url["u1"]["charset"] == "utf-8"
+    assert by_url["u2"]["html_str"] == "café 1252"
+    assert by_url["u2"]["charset"] == "windows-1252"
+    assert by_url["u2"]["charset_source"] == "fallback"
+    assert by_url["u3"]["html_str"] is None
+    assert by_url["u3"]["charset"] is None
+    # every input column passes through
+    assert set(out[0].asDict()) == {
+        "url", "html", "html_str", "charset", "charset_source",
+    }
+
+
+def test_contract_extractor_falls_back_to_cp1252():
+    from radio_data_curation_ssl_spark.operators.extract import (
+        extract_text_bytes,
+    )
+
+    page = b"<main><p>caf\xe9 one</p><p>two\x92s</p></main>"
+    assert extract_text_bytes(page) == f"caf{E_ACUTE} one\ntwo{RSQUO}s"
+    # valid UTF-8 unchanged (byte-identity fast path)
+    page8 = "<main><p>café</p></main>".encode("utf-8")
+    assert extract_text_bytes(page8) == "café"
+
+
+def test_extract_docs_generic_charset_aware(spark):
+    import pandas as pd
+
+    from radio_data_curation_ssl_spark.operators.htmltext import (
+        extract_docs_generic,
+    )
+
+    body = "<html><body><p>café text here</p></body></html>"
+    pdf = pd.DataFrame(
+        {
+            "url": ["https://a.example/x", "https://b.example/y"],
+            "warc_ts": pd.to_datetime(["2026-01-01", "2026-01-01"]),
+            "html": [body.encode("cp1252"), body.encode("utf-8")],
+            "text": [None, None],
+            "lang": ["en", "en"],
+        }
+    )
+    pages = spark.createDataFrame(pdf)
+    # the strict default FAILS LOUD on non-UTF-8 bytes (Spark 4 decode
+    # raises MALFORMED_CHARACTER_CODING) — real crawls NEED the tier
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises(SparkRuntimeException, match="MALFORMED"):
+        extract_docs_generic(pages).collect()
+    aware = {
+        r["url"]: r["text"]
+        for r in extract_docs_generic(pages, charset_aware=True).collect()
+    }
+    assert aware["https://a.example/x"] == "café text here"
+    assert aware["https://b.example/y"] == "café text here"
+    # n_bytes_html still counts the RAW bytes
+    nb = {
+        r["url"]: r["n_bytes_html"]
+        for r in extract_docs_generic(pages, charset_aware=True).collect()
+    }
+    assert nb["https://a.example/x"] == len(body.encode("cp1252"))
+
+
+def test_warc_non_utf8_record_curates_clean(spark, tmp_path):
+    """e2e: a windows-1252 WARC record survives ingest + charset-aware
+    generic extraction with its accents intact."""
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+    from radio_data_curation_ssl_spark.sources.warc import (
+        _record,
+        read_warc,
+    )
+
+    from datetime import datetime, timezone
+
+    words = "café " * 30
+    body = f"<html><body><p>{words.strip()}</p></body></html>"
+    ts = datetime(2026, 1, 2, 3, 4, 5, tzinfo=timezone.utc)
+    recs = _record("https://latin.example/p", ts, body.encode("cp1252"))
+    recs += _record("https://plain.example/p", ts, body.encode("utf-8"))
+    path = str(tmp_path / "seg.warc")
+    with open(path, "wb") as f:
+        f.write(recs)
+    pages = read_warc(spark, path)
+    out = {
+        r["url"]: r
+        for r in curate(
+            pages, extractor="generic", charset_aware=True
+        ).collect()
+    }
+    assert len(out) == 2
+    lat = out["https://latin.example/p"]
+    assert "café" in lat["text"] and REPL not in lat["text"]
+    # both encodings of the same page yield the identical extracted text
+    assert lat["text"] == out["https://plain.example/p"]["text"]
+
+
+# ---------------------------------------------------------------------------
+# standing parity gate (past-window registry row)
+
+
+def test_registry_charset_decode_oracle_parity(spark):
+    """Standing local gate for the past-window registry row (the driver
+    checks the first 50 oracle entries; this one sits past them)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["charset_decode"]
+    got = sorted(
+        tuple(r) for r in q.spark(spark, "/root/testdata/sf0.001").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    # every schedule branch fires
+    assert {r[3] for r in got} == {"bom", "valid-utf8", "meta", "fallback"}
+    assert {r[2] for r in got} == {"utf-8", "windows-1252", "utf-16-be"}

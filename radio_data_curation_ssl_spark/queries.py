@@ -1552,19 +1552,16 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "deterministic_sample",
-    """
-SELECT doc_id FROM documents
-ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-LIMIT 100
-""",
-    doc="Deterministic pseudo-random sample: order by key hash (reference "
-    "random_sampling with fixed seed — here seedless-stable by hashing the "
-    "key, SURVEY §7 determinism rule). Scale: TAKE over a total order = "
-    "top-k, no full sort materialization.",
-)
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random sample: order by key hash (reference
+    random_sampling with fixed seed — here seedless-stable by hashing the
+    key, SURVEY §7 determinism rule). Scale: TAKE over a total order =
+    top-k, no full sort materialization.
+
+    Unregistered helper (r5s1 consolidation: its registry row merged
+    into ``stratified_sample_waterfill`` as the 'global' leg — the same
+    key-hash-ordered deterministic draw, quota-free; name mapping in
+    COVERAGE.md); kept callable for tests."""
     return (
         t(spark, sf_dir, "documents")
         .select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
@@ -1700,20 +1697,18 @@ def q_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "host_counts_salted",
-    """
-SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-FROM documents GROUP BY source
-""",
-    doc="Per-source counts via SALTED two-phase aggregation (north_rule "
-    "O8: skewed hosts): group by (source, salt) first — a hot source's "
-    "rows spread over 8 reducers — then re-aggregate by source. The "
-    "oracle is the plain GROUP BY, proving the salt is value-neutral. "
-    "Scale: the first shuffle has no key hotter than 1/8 of the hot key; "
-    "the second shuffles |sources| x 8 tiny partial rows.",
-)
 def q_host_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source counts via SALTED two-phase aggregation (north_rule
+    O8: skewed hosts): group by (source, salt) first — a hot source's
+    rows spread over 8 reducers — then re-aggregate by source. The
+    oracle is the plain GROUP BY, proving the salt is value-neutral.
+    Scale: the first shuffle has no key hotter than 1/8 of the hot key;
+    the second shuffles |sources| x 8 tiny partial rows.
+
+    Unregistered helper (r5s1 consolidation: its registry row merged
+    into ``distinct_exact_vs_groups`` as the 'source' leg — both are
+    per-group counting aggregates; name mapping in COVERAGE.md); kept
+    callable for tests."""
     docs = t(spark, sf_dir, "documents").selectExpr(
         "source", "pmod(xxhash64(doc_id), 8) AS _salt"
     )
@@ -1767,12 +1762,22 @@ ranked AS (
          least((SELECT n FROM sizes s WHERE s.lang = w.lang),
                (SELECT c FROM cut)) AS quota
   FROM w)
-SELECT doc_id, lang AS stratum FROM ranked WHERE rn <= quota
+SELECT 'strata' AS part, doc_id, lang AS stratum
+FROM ranked WHERE rn <= quota
+UNION ALL
+SELECT 'global' AS part, doc_id, CAST(NULL AS VARCHAR) AS stratum
+FROM (SELECT doc_id FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100)
 """,
     doc="Water-filling balanced sample (reference: _find_best_cut_left + "
     "per-cluster quota, /root/reference/src/hierarchical_sampling.py:71-120)."
     " Strata = lang; deterministic key-hash ranking, never partition order. "
-    "Scale: sizes agg is tiny; selection is one shuffle on the stratum key.",
+    "Tagged union with the 'global' leg — the quota-free key-hash-ordered "
+    "deterministic draw (the former deterministic_sample entry, folded "
+    "r5s1: same draw primitive, one registry slot; reference "
+    "random_sampling with fixed seed). Scale: sizes agg is tiny; strata "
+    "selection is one shuffle on the stratum key; the global leg is "
+    "top-k over a total order, no full sort materialization.",
 )
 def q_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import stratified_sample
@@ -1781,7 +1786,13 @@ def q_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stratified_sample(
         docs, "lang", "doc_id", _SAMPLE_TARGET, exact=False
     )
-    return out.select("doc_id", F.col("lang").alias("stratum"))
+    strata = out.selectExpr(
+        "'strata' AS part", "doc_id", "lang AS stratum"
+    )
+    global_leg = q_sample(spark, sf_dir).selectExpr(
+        "'global' AS part", "doc_id", "CAST(NULL AS STRING) AS stratum"
+    )
+    return strata.unionByName(global_leg)
 
 
 _CHUNK = 50
@@ -2207,25 +2218,46 @@ def q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "distinct_exact_vs_groups",
     """
-SELECT event_type,
+SELECT 'etype' AS part, event_type AS grp,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       CAST(count(*) AS BIGINT) AS n_events
+       CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY event_type
+UNION ALL
+SELECT 'source' AS part, source AS grp,
+       CAST(NULL AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY source
 """,
-    doc="Exact distinct per group (the reference counts unique members per "
-    "cluster, /root/reference/src/clusters.py:75-80). At 10^12 scale the "
-    "engine swaps in approx_count_distinct (HLL) — available free, "
-    "SURVEY §2.4 note.",
+    doc="Per-group counting battery in one tagged union (r5s1 window "
+    "consolidation; the histogram_grid_filter precedent). 'etype' leg: "
+    "exact distinct per group (the reference counts unique members per "
+    "cluster, /root/reference/src/clusters.py:75-80; at 10^12 scale the "
+    "engine swaps in approx_count_distinct/HLL — SURVEY §2.4 note). "
+    "'source' leg (the former host_counts_salted entry): per-source "
+    "counts via SALTED two-phase aggregation (north_rule O8, skewed "
+    "hosts) — group by (source, salt) spreads a hot source over 8 "
+    "reducers, then re-aggregate; the oracle is the plain GROUP BY, "
+    "proving the salt is value-neutral. Scale: no shuffle key hotter "
+    "than 1/8 of the hot key; second pass moves |sources| x 8 tiny "
+    "partials.",
 )
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    etype = (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
             F.countDistinct("user_id").cast("long").alias("n_users"),
-            F.count("*").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n"),
         )
+        .selectExpr("'etype' AS part", "event_type AS grp", "n_users", "n")
     )
+    source = q_host_salted(spark, sf_dir).selectExpr(
+        "'source' AS part",
+        "source AS grp",
+        "CAST(NULL AS BIGINT) AS n_users",
+        "n_docs AS n",
+    )
+    return etype.unionByName(source)
 
 
 @register(
@@ -3439,6 +3471,149 @@ def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup (r4 session 7; promoted into the driver window r5s1 via
+# the documented consolidation folds — see COVERAGE.md) — standing
+# parity gate in tests/test_semdedup.py.
+
+_SD_K = 6
+_SD_CENTS = _lit_centroids(_SD_K, seed_off=2026)
+_SD_TAU = 0.35  # same scale as the sibling near-dup queries' threshold
+_SD_D2 = [_sqdist_lit(c) for c in _SD_CENTS]
+_SD_DCOLS = [f"d{i}" for i in range(_SD_K)]
+_SD_ARGMIN = _argmin_case(_SD_DCOLS)
+_SD_LEAST = f"least({', '.join(_SD_DCOLS)})"
+_SD_COS_SA = X.cosine("s.embedding", "a.embedding")
+
+
+@register(
+    "semdedup_prune",
+    f"""
+WITH d AS (SELECT vec_id, embedding,
+  {", ".join(f"{p.duck} AS {c}" for p, c in zip(_SD_D2, _SD_DCOLS))}
+  FROM embeddings),
+a AS (SELECT vec_id, embedding, CAST({_SD_ARGMIN} AS BIGINT) AS cluster,
+             round({_SD_LEAST}, 6) AS dist_sq FROM d),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM a JOIN a s
+    ON s.cluster = a.cluster
+   AND (s.dist_sq > a.dist_sq
+        OR (s.dist_sq = a.dist_sq AND s.vec_id < a.vec_id))
+  WHERE {_SD_COS_SA.duck} >= {_SD_TAU})
+SELECT a.vec_id, a.cluster, a.dist_sq,
+       (dr.vec_id IS NULL) AS keep
+FROM a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
+""",
+    doc="SemDeDup (Abbas et al. 2023): assign to the nearest literal "
+    "centroid, rank each cluster farthest-from-centroid-first (id "
+    "tiebreak), drop a row iff an earlier-ranked same-cluster row has "
+    "round-6 cosine >= tau — the SSL-curation embedding dedup the "
+    "reference's cluster+subsample stage approximates (kmeans_gpu.py:"
+    "176-243 + hierarchical_sampling.py:46-68). The Spark side runs the "
+    "PRODUCTION operator (operators/semdedup.py) with the bit-exact "
+    "sequential-fold pairwise kernel. Scale: one map-only assign pass + "
+    "ONE shuffle on cluster id; per-cluster work is column-chunked "
+    "(O(c*chunk) memory) and cluster size is capped fail-loud — split "
+    "oversized clusters first (the reference's own skew mitigation).",
+    bench=True,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.semdedup import semdedup
+
+    out = semdedup(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        _SD_CENTS,
+        _SD_TAU,
+        keep_order="far",
+        order_round=6,
+        fold_exact=True,
+    )
+    return out.selectExpr(
+        "id AS vec_id",
+        "CAST(cluster AS BIGINT) AS cluster",
+        "round(dist_sq, 6) AS dist_sq",
+        "keep",
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (r4 session 8; promoted into the driver window r5s1 via
+# the documented consolidation folds — see COVERAGE.md) — standing
+# parity gate in tests/test_ivf.py.
+
+_IVF_K = 6
+_IVF_NPROBE = 2
+_IVF_CENTS = _lit_centroids(_IVF_K, seed_off=2077)
+_IVF_D2 = [_sqdist_lit(c) for c in _IVF_CENTS]
+_IVF_DCOLS = [f"d{i}" for i in range(_IVF_K)]
+_IVF_ARGMIN = _argmin_case(_IVF_DCOLS)
+_IVF_COS = X.cosine("p.q_emb", "a.embedding")
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+WITH d AS (SELECT vec_id, embedding,
+  {", ".join(f"{p.duck} AS {c}" for p, c in zip(_IVF_D2, _IVF_DCOLS))}
+  FROM embeddings),
+a AS (SELECT vec_id, embedding,
+             CAST({_IVF_ARGMIN} AS INTEGER) AS list_id FROM d),
+qu AS (SELECT vec_id, embedding AS q_emb,
+              UNNEST([{", ".join(str(i) for i in range(_IVF_K))}]) AS cl,
+              UNNEST([{", ".join(_IVF_DCOLS)}]) AS dist
+       FROM d WHERE vec_id < 10),
+probes AS (SELECT vec_id, q_emb, cl,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cl) AS pr
+           FROM qu),
+cand AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         {_IVF_COS.duck} AS cos_sim
+  FROM (SELECT * FROM probes WHERE pr <= {_IVF_NPROBE}) p
+  JOIN a ON a.list_id = p.cl AND a.vec_id <> p.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM cand)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5
+""",
+    doc="IVF-Flat ANN top-k (the FAISS inverted-file shape; reference "
+    "retrieval: image_retrieval.py:20-32, knn_CUML.py:96-120): corpus "
+    "coarse-quantized to literal centroids in ONE map-only pass, each "
+    "query probes its nprobe=2 nearest of 6 lists, exact round-6 "
+    "sequential-fold cosine rerank, per-query top-5. Scale: the corpus "
+    "never shuffles — probes broadcast to the candidate join and only "
+    "the |Q|*nprobe*(n/k) candidate frame hits the top-k window; nprobe "
+    "is the recall/cost lever (nprobe=k degenerates to brute force). "
+    "PRODUCTION operator operators/ivf.py.",
+    bench=True,
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ivf import ivf_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where("vec_id < 10").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_topk(
+        e,
+        "vec_id",
+        "embedding",
+        q,
+        "qid",
+        "q_emb",
+        _IVF_CENTS,
+        k=5,
+        nprobe=_IVF_NPROBE,
+        fold_exact=True,
+    )
+
+
+# ---------------------------------------------------------------------------
 # URL blocklist + banned-word pre-filter (r4s5) — the UT1/FineWeb-style
 # URL filter (RefinedWeb §3.1) that runs BEFORE any text processing.
 # Registered past the driver's 50-row window (the window is full with
@@ -3726,147 +3901,6 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         w, "_g", "key", "doc_id", "n_words", _TB_BUDGET
     )
     return out.select("doc_id", "n_words")
-
-
-# ---------------------------------------------------------------------------
-# SemDeDup (r4 session 7) — past-window, standing parity gate in
-# tests/test_semdedup.py.
-
-_SD_K = 6
-_SD_CENTS = _lit_centroids(_SD_K, seed_off=2026)
-_SD_TAU = 0.35  # same scale as the sibling near-dup queries' threshold
-_SD_D2 = [_sqdist_lit(c) for c in _SD_CENTS]
-_SD_DCOLS = [f"d{i}" for i in range(_SD_K)]
-_SD_ARGMIN = _argmin_case(_SD_DCOLS)
-_SD_LEAST = f"least({', '.join(_SD_DCOLS)})"
-_SD_COS_SA = X.cosine("s.embedding", "a.embedding")
-
-
-@register(
-    "semdedup_prune",
-    f"""
-WITH d AS (SELECT vec_id, embedding,
-  {", ".join(f"{p.duck} AS {c}" for p, c in zip(_SD_D2, _SD_DCOLS))}
-  FROM embeddings),
-a AS (SELECT vec_id, embedding, CAST({_SD_ARGMIN} AS BIGINT) AS cluster,
-             round({_SD_LEAST}, 6) AS dist_sq FROM d),
-dropped AS (
-  SELECT DISTINCT a.vec_id
-  FROM a JOIN a s
-    ON s.cluster = a.cluster
-   AND (s.dist_sq > a.dist_sq
-        OR (s.dist_sq = a.dist_sq AND s.vec_id < a.vec_id))
-  WHERE {_SD_COS_SA.duck} >= {_SD_TAU})
-SELECT a.vec_id, a.cluster, a.dist_sq,
-       (dr.vec_id IS NULL) AS keep
-FROM a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
-""",
-    doc="SemDeDup (Abbas et al. 2023): assign to the nearest literal "
-    "centroid, rank each cluster farthest-from-centroid-first (id "
-    "tiebreak), drop a row iff an earlier-ranked same-cluster row has "
-    "round-6 cosine >= tau — the SSL-curation embedding dedup the "
-    "reference's cluster+subsample stage approximates (kmeans_gpu.py:"
-    "176-243 + hierarchical_sampling.py:46-68). The Spark side runs the "
-    "PRODUCTION operator (operators/semdedup.py) with the bit-exact "
-    "sequential-fold pairwise kernel. Scale: one map-only assign pass + "
-    "ONE shuffle on cluster id; per-cluster work is column-chunked "
-    "(O(c*chunk) memory) and cluster size is capped fail-loud — split "
-    "oversized clusters first (the reference's own skew mitigation).",
-    bench=True,
-)
-def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.semdedup import semdedup
-
-    out = semdedup(
-        t(spark, sf_dir, "embeddings"),
-        "vec_id",
-        "embedding",
-        _SD_CENTS,
-        _SD_TAU,
-        keep_order="far",
-        order_round=6,
-        fold_exact=True,
-    )
-    return out.selectExpr(
-        "id AS vec_id",
-        "CAST(cluster AS BIGINT) AS cluster",
-        "round(dist_sq, 6) AS dist_sq",
-        "keep",
-    )
-
-
-# ---------------------------------------------------------------------------
-# IVF ANN (r4 session 8) — past-window, standing parity gate in
-# tests/test_ivf.py.
-
-_IVF_K = 6
-_IVF_NPROBE = 2
-_IVF_CENTS = _lit_centroids(_IVF_K, seed_off=2077)
-_IVF_D2 = [_sqdist_lit(c) for c in _IVF_CENTS]
-_IVF_DCOLS = [f"d{i}" for i in range(_IVF_K)]
-_IVF_ARGMIN = _argmin_case(_IVF_DCOLS)
-_IVF_COS = X.cosine("p.q_emb", "a.embedding")
-
-
-@register(
-    "ann_ivf_topk",
-    f"""
-WITH d AS (SELECT vec_id, embedding,
-  {", ".join(f"{p.duck} AS {c}" for p, c in zip(_IVF_D2, _IVF_DCOLS))}
-  FROM embeddings),
-a AS (SELECT vec_id, embedding,
-             CAST({_IVF_ARGMIN} AS INTEGER) AS list_id FROM d),
-qu AS (SELECT vec_id, embedding AS q_emb,
-              UNNEST([{", ".join(str(i) for i in range(_IVF_K))}]) AS cl,
-              UNNEST([{", ".join(_IVF_DCOLS)}]) AS dist
-       FROM d WHERE vec_id < 10),
-probes AS (SELECT vec_id, q_emb, cl,
-                  row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY dist, cl) AS pr
-           FROM qu),
-cand AS (
-  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
-         {_IVF_COS.duck} AS cos_sim
-  FROM (SELECT * FROM probes WHERE pr <= {_IVF_NPROBE}) p
-  JOIN a ON a.list_id = p.cl AND a.vec_id <> p.vec_id),
-ranked AS (
-  SELECT query_id, neighbor_id, cos_sim,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cos_sim DESC, neighbor_id) AS rn
-  FROM cand)
-SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
-FROM ranked WHERE rn <= 5
-""",
-    doc="IVF-Flat ANN top-k (the FAISS inverted-file shape; reference "
-    "retrieval: image_retrieval.py:20-32, knn_CUML.py:96-120): corpus "
-    "coarse-quantized to literal centroids in ONE map-only pass, each "
-    "query probes its nprobe=2 nearest of 6 lists, exact round-6 "
-    "sequential-fold cosine rerank, per-query top-5. Scale: the corpus "
-    "never shuffles — probes broadcast to the candidate join and only "
-    "the |Q|*nprobe*(n/k) candidate frame hits the top-k window; nprobe "
-    "is the recall/cost lever (nprobe=k degenerates to brute force). "
-    "PRODUCTION operator operators/ivf.py.",
-    bench=True,
-)
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.ivf import ivf_topk
-
-    e = t(spark, sf_dir, "embeddings")
-    q = e.where("vec_id < 10").select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
-    )
-    return ivf_topk(
-        e,
-        "vec_id",
-        "embedding",
-        q,
-        "qid",
-        "q_emb",
-        _IVF_CENTS,
-        k=5,
-        nprobe=_IVF_NPROBE,
-        fold_exact=True,
-    )
 
 
 # ---------------------------------------------------------------------------

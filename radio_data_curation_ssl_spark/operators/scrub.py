@@ -29,12 +29,41 @@ from pyspark.sql import types as T
 
 from ..synth import TOX_WORDS
 
-# ordered: on same-position matches, earlier group wins
+# ordered: on same-position matches, earlier group wins.
+# r5s1 breadth extension to FineWeb/Dolma parity: IPv6 (full,
+# ::-compressed, and ::ffff:v4-mapped — requires 8 groups or a '::' so
+# clock times like 12:34:56 never match), credit-card digit runs
+# (4-4-4-4 with space/dash separators or 15-16 contiguous digits; the
+# earlier phone/ssn groups win their shapes at the same position), and
+# API-key/secret shapes (AWS AKIA ids; Stripe sk_/pk_, GitHub ghp_/gho_,
+# Slack xox[bpas]- prefixed tokens of >= 16 key chars).  These use
+# Python-re lookarounds — legal here because THIS scrubber's oracle is
+# the same compiled pattern applied row-wise (byte-identity pytest),
+# not a DuckDB/RE2 twin (the driver-oracle scrub leg in
+# quality_filter_pipeline remains the simplified word/digit pair).
+_IPV6 = (
+    r"(?<![0-9A-Za-z:.])"
+    r"(?:"
+    r"(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+    r"|(?:[0-9A-Fa-f]{1,4}:){1,7}:"
+    r"(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,6}(?:(?:\.\d{1,3}){3})?)?"
+    r"|::[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,6}(?:(?:\.\d{1,3}){3})?"
+    r")"
+    r"(?![0-9A-Za-z:])"
+)
 SCRUB_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ipv6", _IPV6, "<IP6>"),
+    ("ccnum", r"\b(?:\d{4}[ -]){3}\d{3,4}\b|\b\d{15,16}\b", "<CC>"),
+    ("awskey", r"\bAKIA[0-9A-Z]{16}\b", "<APIKEY>"),
+    (
+        "secret",
+        r"\b(?:sk|pk|ghp|gho|xox[bpas])[-_][A-Za-z0-9_\-]{16,}",
+        "<APIKEY>",
+    ),
     (
         "toxicity",
         r"\b(?:" + "|".join(re.escape(w) for w in TOX_WORDS) + r")\b",
@@ -61,13 +90,19 @@ def scrub_text(text: str | None) -> tuple[str | None, int]:
 
 
 # necessary condition for ANY pattern to match: an '@' (email), a digit
-# (phone/ssn/ipv4), or a toxicity word.  Scanned as one char-class regex
-# plus one PLAIN substring scan per toxicity word rather than a single
-# alternation: pandas' regex=False path is a memchr-style find (~17 ms vs
-# 290 ms for the combined alternation per 20k-doc batch, measured), and
-# the OR of the masks is the same superset of COMBINED's match condition
-# (exact-substring presence is necessary for the \b-delimited tox match).
-_CANDIDATE_CLASS = re.compile(r"[@0-9]")
+# (phone/ssn/ipv4/cc), a ':' (ipv6 — every :: form has one even when the
+# hex groups are letter-only), or one of the key-prefix literals
+# (awskey/secret can be digit-free after the prefix), or a toxicity
+# word.  Scanned as one small regex (char class + short literal
+# alternation) plus one PLAIN substring scan per toxicity word rather
+# than the full combined alternation: pandas' regex=False path is a
+# memchr-style find (~17 ms vs 290 ms for the combined alternation per
+# 20k-doc batch, measured), and the OR of the masks is the same
+# superset of COMBINED's match condition (exact-substring presence is
+# necessary for the \b-delimited tox match).
+_CANDIDATE_CLASS = re.compile(
+    r"[@0-9:]|AKIA|(?:sk|pk|ghp|gho|xox[bpas])[-_]"
+)
 
 
 def scrub_series(texts: pd.Series) -> tuple[pd.Series, pd.Series]:

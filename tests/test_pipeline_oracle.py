@@ -174,7 +174,7 @@ def test_fused_equals_modular(spark, pages_small):
 
 def test_malformed_html_robustness(spark):
     """Corrupt/truncated/invalid-utf8 payloads must flow through the whole
-    pipeline as no_content or replacement-char text — never crash a task."""
+    pipeline as no_content or charset-fallback text — never crash a task."""
     from radio_data_curation_ssl_spark.plans.pipeline import curate
 
     rows = [
@@ -195,7 +195,10 @@ def test_malformed_html_robustness(spark):
     assert got["u1"]["text"] == "ok text here"
     assert got["u2"]["drop_reason"] == "no_content"
     assert got["u3"]["drop_reason"] == "no_content"
-    assert "�" in got["u4"]["text"]  # replacement char, no crash
+    # invalid UTF-8 takes the charset tier's cp1252 fallback (r5s1,
+    # operators/charset.py): 0xFF 0xFE decode as printables, no crash,
+    # no replacement-char mojibake
+    assert got["u4"]["text"] == "bad ÿþ utf8"
     assert got["u5"]["drop_reason"] == "no_content"
     assert got["u6"]["text"] == "" and not got["u6"]["keep"]
     assert got["u7"]["drop_reason"] == "no_content"

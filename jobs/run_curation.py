@@ -242,6 +242,16 @@ def main(argv: list[str] | None = None) -> int:
         "(operators/linefilter.py)",
     )
     ap.add_argument(
+        "--paragraph-dedup",
+        action="store_true",
+        help="with --sample-target: corpus-global paragraph-level dedup "
+        "on the published text — repeated paragraph instances keep only "
+        "their corpus-first occurrence (exact tier) and distinct "
+        "paragraphs near-duplicating an earlier one (MinHash banding + "
+        "trigram-Jaccard >= 0.5) drop too; docs are re-assembled from "
+        "survivors (operators/paradedup.py)",
+    )
+    ap.add_argument(
         "--token-budget",
         type=_positive,
         default=None,
@@ -338,6 +348,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.gopher_quality
         or args.nfc_normalize
         or args.c4_clean
+        or args.paragraph_dedup
         or args.url_hard_words is not None
         or args.url_soft_words is not None
     ) and args.sample_target is None and args.token_budget is None:
@@ -348,7 +359,7 @@ def main(argv: list[str] | None = None) -> int:
             "--export-jsonl/--blocked-domains/--url-shape/--host-ranks/"
             "--url-hard-words/"
             "--url-soft-words/--gopher-quality/--nfc-normalize/"
-            "--c4-clean require "
+            "--c4-clean/--paragraph-dedup require "
             "--sample-target or "
             "--token-budget"
         )
@@ -503,6 +514,7 @@ def main(argv: list[str] | None = None) -> int:
                     gopher_quality=args.gopher_quality,
                     nfc_normalize=args.nfc_normalize,
                     c4_clean=args.c4_clean,
+                    paragraph_dedup=args.paragraph_dedup,
                     line_dedup=args.line_dedup,
                     substring_dedup=args.substring_dedup,
                     seen_urls=seen,

@@ -1,0 +1,167 @@
+"""Paragraph-level fuzzy deduplication (Dolma / RefinedWeb granularity).
+
+Document-level MinHash misses the dominant web redundancy mode: the
+same boilerplate/spam PARAGRAPH pasted into thousands of otherwise
+distinct pages.  Dolma and RefinedWeb therefore dedup at paragraph
+granularity: split each document into paragraphs, remove every
+paragraph instance that duplicates (exactly or near-exactly) an
+earlier-seen paragraph anywhere in the corpus, and re-assemble the
+documents from the survivors.
+
+Rule implemented (first-winner, corpus-global, deterministic):
+
+1. Paragraph instances are ``(doc_id, pos, para)`` from splitting on
+   the separator (default blank line); empty paragraphs are ignored.
+2. Exact tier: every instance of an identical paragraph text except the
+   first (min ``(doc_id, pos)``) is dropped — the C4 line-dedup
+   first-winner machinery one level up (queries.q_line_dedup_global).
+3. Fuzzy tier: among the surviving DISTINCT paragraph texts, a text is
+   dropped iff some other text with an earlier first instance collides
+   with it in >= 1 MinHash LSH band (the production-calibrated 64-perm
+   16x4 banding of operators/minhash.py) AND has exact trigram-set
+   Jaccard >= ``threshold``.  Ranking by first instance makes the rule
+   a pure function of the data (SURVEY §7 determinism), mirroring
+   SemDeDup's earlier-ranked-neighbor pruning at the text level.
+4. Documents are re-assembled from kept instances in position order;
+   docs whose every paragraph was dropped yield ``dedup_text = ''``.
+
+Scale shape: paragraph explode is narrow; the exact tier is ONE
+``groupBy(para)`` with map-side combine (never a corpus window); the
+fuzzy tier runs entirely on DISTINCT texts — banded self-join (the
+O(n^2)-avoiding equi-join), exact-Jaccard rerank on candidates only, a
+broadcast-sized dropped-id anti-join; re-assembly is one shuffle on
+doc_id.  Boilerplate paragraphs — the pathological skew — collapse to
+ONE canonical row in the exact tier before any join sees them.
+
+Reference analog: the 1->N UDTF chunking surface
+(/root/reference/src/1a_cutouts_sw.py:48-93) composed with the
+near-dup family; beyond-the-reference (SURVEY §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .minhash import shingle_sets, signature_bands
+
+__all__ = ["split_paragraphs", "paragraph_dedup"]
+
+
+def split_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """(doc_id, pos, para) non-empty paragraph instances.  ``sep`` is a
+    Spark split() regex; the default matches the oracle's literal
+    blank-line split (no metacharacters)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+        .where(F.col("para") != "")
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    sep: str = "\n\n",
+    join_sep: str = "\n\n",
+) -> DataFrame:
+    """(doc_id, n_paras, n_kept, dedup_text) per input document.
+
+    ``n_paras`` counts the doc's non-empty paragraphs; ``n_kept`` the
+    instances that survived both tiers (kept instances live only in the
+    paragraph's FIRST document); ``dedup_text`` re-joins survivors in
+    position order with ``join_sep``.  NULL/empty text -> (0, 0, '').
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    inst = split_paragraphs(docs, id_col, text_col, sep)
+
+    # exact tier: one first-winner agg per distinct paragraph text —
+    # map-side combine collapses boilerplate skew before the shuffle
+    canon = inst.groupBy("para").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    ).select(
+        # 64-bit content key: join/band machinery moves 8-byte ids, not
+        # paragraph strings; the (fd, fp) pair — not the id — orders the
+        # fuzzy-tier domination, so a 2^-64 xxhash collision could only
+        # merge two texts' band rows, never corrupt the ordering
+        F.xxhash64("para").alias("tid"),
+        "para",
+        F.col("first.doc_id").alias("fd"),
+        F.col("first.pos").alias("fp"),
+    )
+
+    # fuzzy tier over DISTINCT texts only
+    ctexts = canon.selectExpr("tid AS doc_id", "para AS text")
+    bands = signature_bands(ctexts, "text").repartition("band", "band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("tid_a"), F.col("b.doc_id").alias("tid_b")
+        )
+        .distinct()
+    )
+    meta_a = canon.selectExpr("tid AS tid_a", "fd AS fd_a", "fp AS fp_a")
+    meta_b = canon.selectExpr("tid AS tid_b", "fd AS fd_b", "fp AS fp_b")
+    directed = (
+        cand.join(meta_a, "tid_a")
+        .join(meta_b, "tid_b")
+        .where("(fd_a < fd_b) OR (fd_a = fd_b AND fp_a < fp_b)")
+    )
+    sets = shingle_sets(ctexts, "text")
+    sa = sets.selectExpr("doc_id AS tid_a", "sh AS sh_a")
+    sb = sets.selectExpr("doc_id AS tid_b", "sh AS sh_b")
+    inter = "size(array_intersect(sh_a, sh_b))"
+    dropped = (
+        directed.join(sa, "tid_a")
+        .join(sb, "tid_b")
+        .where(f"{inter} / (size(sh_a) + size(sh_b) - {inter}) >= {threshold}")
+        .select(F.col("tid_b").alias("tid"))
+        .distinct()
+    )
+    kept = canon.join(dropped, "tid", "left_anti")
+
+    # re-assembly: kept instances are exactly the kept texts' first
+    # instances — group them by their first document
+    per_doc = (
+        kept.groupBy(F.col("fd").alias("doc_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("fp", "para"))),
+                    lambda s: s["para"],
+                ),
+                join_sep,
+            ).alias("dedup_text"),
+        )
+    )
+    totals = inst.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )

@@ -92,6 +92,7 @@ def curate_dedup_sample(
     gopher_quality: bool | dict = False,
     nfc_normalize: bool = False,
     c4_clean: bool | dict = False,
+    paragraph_dedup: bool | dict = False,
     host_cap: int | None = None,
     lang_budget_frac: float | None = None,
     sample_alpha: float | None = None,
@@ -254,6 +255,13 @@ def curate_dedup_sample(
     dict overrides ``filter_c4`` kwargs, e.g. ``bad_words=``).  OFF by
     default for the same byte-identical-contract reason; codegen'd
     column expressions, no extra Python pass.
+
+    ``paragraph_dedup`` stacks corpus-global paragraph-level dedup
+    (operators/paradedup.py — exact first-winner + MinHash fuzzy tier
+    at trigram-Jaccard >= 0.5) on the published ``text_scrubbed``;
+    docs reduced to '' remain in the frame (emptiness is a signal, not
+    a silent drop).  ``True`` = defaults; a dict overrides
+    ``paragraph_dedup`` kwargs (e.g. ``threshold=``).  OFF by default.
     """
     if target < 0:
         raise ValueError(f"target must be >= 0, got {target}")
@@ -456,6 +464,28 @@ def curate_dedup_sample(
             kept,
             text_col="text_scrubbed",
             **(c4_clean if isinstance(c4_clean, dict) else {}),
+        )
+    if paragraph_dedup:
+        from ..operators.paradedup import paragraph_dedup as _para_dedup
+
+        # corpus-global paragraph dedup on the PUBLISHED text (same
+        # policy as c4_clean: raw `text` keeps feeding the doc-level
+        # dedup hash keys).  Docs reduced to '' stay in the frame — the
+        # doc-level stages and budgets still see them; emptiness is a
+        # publishable signal, not a silent drop.
+        # the contract extractor joins paragraphs with single newlines,
+        # so the flow default splits on '\n' (override via dict for
+        # blank-line-separated corpora)
+        pd_kwargs: dict = {"sep": "\n", "join_sep": "\n"}
+        if isinstance(paragraph_dedup, dict):
+            pd_kwargs.update(paragraph_dedup)
+        pd_out = _para_dedup(
+            kept, id_col="url", text_col="text_scrubbed", **pd_kwargs
+        ).selectExpr("doc_id AS url", "dedup_text AS _pd_text")
+        kept = (
+            kept.join(pd_out, "url")
+            .withColumn("text_scrubbed", F.col("_pd_text"))
+            .drop("_pd_text")
         )
     kept = kept.persist()
     # exact dedup: one row per text hash, min (url, warc_ts) wins — a

@@ -4862,3 +4862,130 @@ def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "charset_source",
         "CAST(length(html) AS BIGINT) AS n_bytes",
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level fuzzy dedup (r5 session 1) — past-window, standing
+# parity gate in tests/test_paradedup.py.  Derived multi-paragraph
+# texts: every doc gets an 8-word prefix paragraph and a doc-stamped
+# tail; the doc_id % 4 schedule plants a shared spam paragraph (exact
+# cross-doc dup) and a one-word-variant of it (trigram Jaccard 0.6 —
+# the fuzzy tier's kill zone at tau 0.5); doc_id % 5 re-plants the spam
+# paragraph so exact and fuzzy planting overlap.  The oracle re-derives
+# the ENTIRE rule in SQL — blank-line split, first-winner exact tier
+# (row_number over (doc_id, pos)), the production 64-perm 16x4 banding
+# (the same _MHC fragments dedup_minhash_calibrated proves bit-exact),
+# directed domination by first instance, exact trigram-Jaccard rerank,
+# and position-ordered re-assembly.
+
+_PD_SPAM = "click here to win a free bonus prize today now"
+_PD_NEAR = "click here to win a free bonus prize today folks"
+_PD_TAU = 0.5
+
+
+def _pd_text(dialect: str) -> str:
+    if dialect == "spark":
+        head = "array_join(slice(ws, 1, 8), ' ')"
+        cast = "CAST(doc_id AS STRING)"
+    else:
+        head = "array_to_string(ws[1:8], ' ')"
+        cast = "CAST(doc_id AS VARCHAR)"
+    nl2 = "chr(10), chr(10)"
+    return (
+        f"concat({head}, "
+        f"CASE WHEN doc_id % 4 = 1 THEN concat({nl2}, '{_PD_SPAM}') "
+        f"WHEN doc_id % 4 = 2 THEN concat({nl2}, '{_PD_NEAR}') "
+        f"ELSE '' END, "
+        f"CASE WHEN doc_id % 5 = 0 THEN concat({nl2}, '{_PD_SPAM}') "
+        f"ELSE '' END, "
+        f"concat({nl2}, 'tail paragraph number ', {cast}))"
+    )
+
+
+def _pd_oracle() -> str:
+    wsq = X.words("text")
+    wpq = X.words("para")
+    return f"""
+WITH d0 AS (SELECT doc_id, {wsq.duck} AS ws FROM documents),
+d AS (SELECT doc_id, {_pd_text('duck')} AS text FROM d0),
+p0 AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts FROM d),
+ex AS (SELECT doc_id, CAST(generate_subscripts(parts, 1) - 1 AS INTEGER) AS pos,
+              unnest(parts) AS para
+       FROM p0),
+inst AS (SELECT * FROM ex WHERE para <> ''),
+firsts AS (SELECT para, doc_id, pos,
+                  row_number() OVER (PARTITION BY para
+                                     ORDER BY doc_id, pos) AS rn
+           FROM inst),
+canon AS (SELECT para, doc_id AS fd, pos AS fp FROM firsts WHERE rn = 1),
+w AS (SELECT para, fd, fp, {wpq.duck} AS words FROM canon),
+tg AS (SELECT para, fd, fp, {_TG.duck} AS trigrams FROM w),
+hs AS (SELECT para, fd, fp, {_SHH.duck} AS sh_hashes FROM tg
+       WHERE len(trigrams) > 0),
+sig AS (SELECT para, fd, fp,
+  {", ".join(f"{m} AS m{p}" for p, m in enumerate(_MHC))}
+  FROM hs),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT para, fd, fp, {i} AS band, {k} AS band_key FROM sig"
+      for i, k in enumerate(_MHC_BAND_DUCK))}
+),
+cand AS (
+  SELECT DISTINCT a.para AS para_a, b.para AS para_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.para <> b.para
+  WHERE (a.fd < b.fd) OR (a.fd = b.fd AND a.fp < b.fp)),
+sets AS (SELECT para, list_distinct(trigrams) AS sh FROM tg
+         WHERE len(trigrams) > 0),
+dropped AS (
+  SELECT DISTINCT cand.para_b AS para
+  FROM cand
+  JOIN sets sa ON sa.para = cand.para_a
+  JOIN sets sb ON sb.para = cand.para_b
+  WHERE {_J_INTER} / (len(sa.sh) + len(sb.sh) - {_J_INTER}) >= {_PD_TAU}),
+kept AS (SELECT c.* FROM canon c LEFT JOIN dropped dr ON c.para = dr.para
+         WHERE dr.para IS NULL),
+g AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(para, chr(10) || chr(10) ORDER BY fp) AS dedup_text
+      FROM kept GROUP BY fd),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+        FROM inst GROUP BY doc_id)
+SELECT dd.doc_id,
+       coalesce(tot.n_paras, CAST(0 AS BIGINT)) AS n_paras,
+       coalesce(g.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       coalesce(g.dedup_text, '') AS dedup_text
+FROM documents dd
+LEFT JOIN tot ON dd.doc_id = tot.doc_id
+LEFT JOIN g ON dd.doc_id = g.doc_id
+"""
+
+
+@register(
+    "paragraph_dedup_fuzzy",
+    _pd_oracle(),
+    doc="Paragraph-level fuzzy dedup (Dolma / RefinedWeb granularity): "
+    "split docs on blank lines, drop every repeated paragraph instance "
+    "after its corpus-first occurrence (exact tier: one first-winner "
+    "agg, map-side combined), then drop distinct paragraph texts "
+    "near-duplicating an earlier-first text (fuzzy tier: the "
+    "production-calibrated 64-perm 16x4 MinHash banding over DISTINCT "
+    "texts only + exact trigram-Jaccard rerank >= 0.5), and re-assemble "
+    "docs from survivors in position order "
+    "(operators/paradedup.py::paragraph_dedup — the PRODUCTION "
+    "operator; opt-in flow stage paragraph_dedup=). Catches the "
+    "dominant web redundancy mode document-level MinHash misses: one "
+    "boilerplate paragraph pasted into thousands of distinct pages. "
+    "Scale: boilerplate skew collapses to ONE canonical row before any "
+    "join; banded self-join avoids all-pairs; no corpus-sized window "
+    "on the Spark side (the oracle's row_number is the oracle's "
+    "prerogative).",
+)
+def q_paragraph_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.paradedup import paragraph_dedup
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{X.words('text').spark} AS ws")
+        .selectExpr("doc_id", f"{_pd_text('spark')} AS text")
+    )
+    return paragraph_dedup(d, "doc_id", "text", threshold=_PD_TAU)

@@ -1,0 +1,123 @@
+"""Paragraph-level fuzzy dedup (operators/paradedup.py)."""
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.paradedup import (
+    paragraph_dedup,
+    split_paragraphs,
+)
+
+SPAM = "click here to win a free bonus prize today now"
+NEAR = "click here to win a free bonus prize today folks"
+
+
+def _docs(spark):
+    rows = [
+        (1, f"alpha beta gamma delta\n\n{SPAM}\n\nunique tail one two"),
+        (2, f"{SPAM}\n\nsecond doc opening line here"),
+        (3, f"{NEAR}\n\nthird doc something else entirely"),
+        (4, None),
+        (5, "short"),
+        (6, f"closing page text here\n\n{SPAM}"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_split_paragraphs(spark):
+    got = {
+        (r["doc_id"], r["pos"]): r["para"]
+        for r in split_paragraphs(_docs(spark)).collect()
+    }
+    assert got[(1, 0)] == "alpha beta gamma delta"
+    assert got[(1, 1)] == SPAM
+    assert got[(2, 0)] == SPAM
+    assert (4, 0) not in got  # NULL text emits nothing
+    assert got[(5, 0)] == "short"
+
+
+def test_exact_and_fuzzy_tiers(spark):
+    out = {
+        r["doc_id"]: r for r in paragraph_dedup(_docs(spark)).collect()
+    }
+    # doc 1 owns every first instance -> everything kept, order preserved
+    assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["dedup_text"] == (
+        f"alpha beta gamma delta\n\n{SPAM}\n\nunique tail one two"
+    )
+    # doc 2's SPAM copy is an exact later instance -> dropped
+    assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["dedup_text"] == "second doc opening line here"
+    # doc 3's NEAR variant near-duplicates SPAM (trigram J = 7/9) -> dropped
+    assert out[3]["n_paras"] == 2 and out[3]["n_kept"] == 1
+    assert out[3]["dedup_text"] == "third doc something else entirely"
+    # NULL text -> (0, 0, '')
+    assert (out[4]["n_paras"], out[4]["n_kept"], out[4]["dedup_text"]) == (
+        0, 0, "",
+    )
+    # < 3 words: no trigrams, fuzzy tier can't touch it
+    assert out[5]["dedup_text"] == "short"
+    # a third exact instance (doc 6) also drops; its own para survives
+    assert out[6]["n_kept"] == 1
+    assert out[6]["dedup_text"] == "closing page text here"
+
+
+def test_threshold_gates_fuzzy_tier(spark):
+    # tau above the planted pair's J = 7/9 keeps the NEAR variant
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(_docs(spark), threshold=0.8).collect()
+    }
+    assert out[3]["n_kept"] == 2
+    assert NEAR in out[3]["dedup_text"]
+    # exact tier is threshold-independent
+    assert out[2]["n_kept"] == 1
+
+
+def test_threshold_validation(spark):
+    with pytest.raises(ValueError, match="threshold"):
+        paragraph_dedup(_docs(spark), threshold=0.0)
+
+
+def test_flow_paragraph_dedup_stage(spark, pages_small):
+    """Opt-in flow stage wiring: composes with the full flow on the
+    published column, and no two PUBLISHED docs ever share a paragraph
+    (only a paragraph's corpus-first doc can carry it)."""
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    out = curate_dedup_sample(
+        pages_small, target=80, paragraph_dedup=True
+    ).cache()
+    rows = out.select("url", "text_scrubbed").collect()
+    assert len(rows) > 0
+    seen: dict[str, str] = {}
+    for r in rows:
+        for para in r["text_scrubbed"].split("\n"):
+            if para:
+                assert para not in seen, (r["url"], seen[para])
+                seen[para] = r["url"]
+    out.unpersist()
+
+
+def test_registry_paragraph_dedup_oracle_parity(spark):
+    """Standing local gate for the past-window registry row (the driver
+    checks the first 50 oracle entries; this one sits past them)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["paragraph_dedup_fuzzy"]
+    got = sorted(
+        tuple(r) for r in q.spark(spark, "/root/testdata/sf0.001").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    # the planted schedule exercised both tiers: some docs lost paragraphs
+    assert any(r[2] < r[1] for r in got)
+    assert all(r[2] <= r[1] for r in got)

@@ -172,7 +172,10 @@ def fragment_text(col: str) -> P:
 
 # full <a> elements, opening tag through closing tag (group 0); the
 # element regex requires whitespace after '<a' so '<abbr>' never matches
-ANCHOR_ELEM_RE = r"(?is)<a\s[^>]*>.*?</a[^>]*>"
+# closing tag is exactly `</a>` (whitespace allowed before '>') —
+# `</a[^>]*>` would also match `</abbr>` / `</address>` etc. and
+# truncate anchors containing such inline elements (r4 ADVICE)
+ANCHOR_ELEM_RE = r"(?is)<a\s[^>]*>.*?</a[ \t\r\n]*>"
 # innerHTML: first '>' closes the opening tag ([^>]* guarantees none
 # inside it), greedy to the LAST '<' = the closing '</a'
 ANCHOR_INNER_RE = r"(?s)>(.*)<"

@@ -695,11 +695,17 @@ def alpha_word_frac(col: str, w: str | None = None) -> P:
 
 
 def hash_ellipsis_word_ratio(col: str) -> P:
-    """Gopher's symbol-to-word ratio: (count('#') + count('...')) /
-    max(word count, 1).  NULL text -> NULL; round 6."""
+    """Gopher's symbol-to-word ratio: (count('#') + count('...') +
+    count(U+2026)) / max(word count, 1) — the unicode ellipsis counts
+    like the ASCII spelling, matching ellipsis_line_frac's definition
+    (r4 ADVICE: inconsistent ellipsis definitions undercounted symbol
+    spam using '…').  NULL text -> NULL; round 6."""
     ws = words(col)
     n_hash = f"(length({col}) - length(replace({col}, '#', '')))"
-    n_ell = f"(length({col}) - length(replace({col}, '...', ''))) / 3"
+    n_ell = (
+        f"((length({col}) - length(replace({col}, '...', ''))) / 3"
+        f" + (length({col}) - length(replace({col}, '\u2026', ''))))"
+    )
     return P(
         f"CASE WHEN {col} IS NULL THEN NULL ELSE "
         f"round(({n_hash} + {n_ell}) / greatest(size({ws.spark}), 1),"

@@ -125,10 +125,12 @@ def url_registrable_domain(col: str) -> P:
 # query carries a full DuckDB oracle over the same definitions the
 # operator runs.
 
-# href attribute of an <a> tag, either quote style; the value may not
-# contain the opening quote, whitespace or '>' (attribute-value safety —
-# unquoted hrefs end at whitespace/'>' in real parsers too)
-HREF_RE = "(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"'\\s>]+)"
+# href attribute of an <a> tag, either quote style OR unquoted (legacy
+# / sloppy HTML — the quote is optional, so `href=/x>` extracts too);
+# the value may not contain quotes, whitespace or '>' (attribute-value
+# safety — unquoted hrefs end at whitespace/'>' in real parsers too,
+# and for quoted ones the closing quote ends the value)
+HREF_RE = "(?i)<a\\s[^>]*href\\s*=\\s*[\"']?([^\"'\\s>]+)"
 
 
 def _sq_lit(pat: str) -> str:

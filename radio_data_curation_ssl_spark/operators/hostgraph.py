@@ -231,7 +231,19 @@ def bottom_hosts(
         raise ValueError(f"frac must be in [0, 1], got {frac}")
     from .budget import topfrac_per_group
 
-    r = ranks.select(host_col, rank_col).withColumn("_hg_g", F.lit(1))
+    # external (host, score) artifacts may carry NULL/NaN scores, and
+    # topfrac_per_group's membership is undefined for those (documented
+    # in budget.py) — an unscored host has NO reputation signal, so it
+    # is excluded here and therefore KEPT by filter_by_host_rank's
+    # fail-open anti-join, same as a host absent from the table
+    r = (
+        ranks.select(host_col, rank_col)
+        .where(
+            F.col(rank_col).isNotNull()
+            & ~F.isnan(F.col(rank_col).cast("double"))
+        )
+        .withColumn("_hg_g", F.lit(1))
+    )
     out = topfrac_per_group(
         r, "_hg_g", rank_col, host_col, frac, pin_input=pin_input
     )

@@ -48,7 +48,9 @@ def _py_signals(text):
         if x.rstrip().endswith("...") or x.rstrip().endswith("…")
     ) / n_l
     alpha = sum(1 for w in words if any(c.isascii() and c.isalpha() for c in w)) / n_w
-    sym = (text.count("#") + text.count("...")) / n_w
+    # unicode ellipsis counts like the ASCII spelling (r5: consistent
+    # with the line-level signal; r4 ADVICE closure)
+    sym = (text.count("#") + text.count("...") + text.count("…")) / n_w
     stops = sum(
         1
         for s in ("the", "be", "to", "of", "and", "that", "have", "with")

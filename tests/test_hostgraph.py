@@ -42,6 +42,7 @@ def test_extract_links_resolution_branches(spark):
         '<a href="ftp://files.org/f">ftp</a>'
         '<a href="javascript:void(0)">js</a>'
         "<a class='x' href=\"https://attr.com/\">late attr</a>"
+        "<a href=https://unquoted.net/u>legacy unquoted</a>"
     )
     got = {
         r["link_url"]
@@ -56,6 +57,7 @@ def test_extract_links_resolution_branches(spark):
         "https://frag.com/z",  # fragment stripped
         "HTTP://UPPER.COM:80/q",  # passes scheme filter case-insensitively
         "https://attr.com/",  # href not first attribute
+        "https://unquoted.net/u",  # legacy unquoted href (r4 ADVICE)
     }
     # mailto/relative/javascript resolve NULL; ftp fails the scheme filter
 
@@ -246,6 +248,37 @@ def test_filter_by_host_rank_fail_open(spark):
     assert all(r["tag"] == "kept" for r in out)
     assert len(out) == 5
     assert set(pages.columns) == set(out[0].asDict())  # helper col dropped
+
+
+def test_filter_by_host_rank_null_nan_scores_fail_open(spark):
+    """An external (host, pr) artifact with NULL/NaN scores must yield a
+    WELL-DEFINED drop set (r4 ADVICE: topfrac membership is undefined
+    for NULL/NaN): unscored hosts are excluded from the ranking, hence
+    kept by the fail-open anti-join, and the scored bottom set is the
+    same as if the unscored rows were never there."""
+    ranks = spark.createDataFrame(
+        [
+            ("low.com", 0.01),
+            ("mid.com", 0.5),
+            ("top.com", 0.9),
+            ("null.com", None),
+            ("nan.com", float("nan")),
+        ],
+        "host string, pr double",
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://low.com/a", "dropped"),
+            ("https://mid.com/c", "kept"),
+            ("https://top.com/d", "kept"),
+            ("https://null.com/x", "kept"),  # no signal != negative signal
+            ("https://nan.com/y", "kept"),
+        ],
+        "url string, tag string",
+    )
+    out = filter_by_host_rank(pages, ranks, drop_frac=1 / 3).collect()
+    assert all(r["tag"] == "kept" for r in out)
+    assert len(out) == 4
 
 
 def test_registry_host_rank_filter_oracle_parity(spark):

@@ -329,6 +329,25 @@ def test_link_density_features_values(spark):
     )
 
 
+def test_anchor_with_inner_closing_tags_not_truncated(spark):
+    """An inline element like </abbr> inside an anchor must not end the
+    anchor match (r4 ADVICE: `</a[^>]*>` also matched `</abbr>`)."""
+    from radio_data_curation_ssl_spark.operators.htmltext import (
+        with_link_density,
+    )
+
+    html = (
+        '<html><body><a href="/x">see <abbr title="T">WHO</abbr>'
+        " guidance</a><p>tail</p></body></html>"
+    )
+    row = with_link_density(
+        _pages(spark, [html])
+    ).collect()[0]
+    assert row["n_anchors"] == 1
+    # 'see WHO guidance' = 16 rendered chars, not truncated at </abbr>
+    assert row["anchor_text_chars"] == 16
+
+
 def test_filter_link_farms_semantics(spark):
     from radio_data_curation_ssl_spark.operators.htmltext import (
         filter_link_farms,

@@ -1,0 +1,169 @@
+"""Second-scale-point bench: the headline query set at 10x sf0.1.
+
+Purpose (r4 VERDICT item 6): evidence round-over-round O(n) behavior at
+a second scale point, catching any query whose sf0.1 constant hides
+superlinear cost.  The input is a DETERMINISTIC 10x replication of the
+driver's read-only sf0.1 tables into ``/tmp/sf1_bench`` — every copy c
+shifts the table's keys by ``c * key_stride`` consistently across join
+edges (orders copies reference same-copy customers, lineitem same-copy
+orders/parts/suppliers), salts document texts with a per-copy prefix
+word (so dedup queries see 10x DISTINCT corpus, not 10 exact copies of
+one), and perturbs embeddings' first dimension by ``c * 1e-6`` (so ANN
+inputs are distinct but the geometry is unchanged).  Dimension lookups
+(region, nation) stay single-copy — they are genuine dimensions.
+
+Usage: python bench_sf1.py [--regen]
+Runs bench.py twice (sf0.1 then /tmp/sf1_bench) on local[32], prints
+both JSON lines plus the per-query ratio table, and appends to
+BENCH/BASELINE.md flagging any query whose sf1/sf0.1 wall ratio exceeds
+1.5x the 10x row ratio (i.e. > 15).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sf1_bench"
+COPIES = 10
+FLAG_RATIO = 15.0  # 10x rows * 1.5 slack
+
+GEN = r"""
+import duckdb, os
+SRC, DST, COPIES = %(src)r, %(dst)r, %(copies)d
+os.makedirs(DST, exist_ok=True)
+con = duckdb.connect()
+con.execute("SET threads TO 16")
+
+
+def union(table, select_c):
+    parts = " UNION ALL ".join(select_c(c) for c in range(COPIES))
+    con.execute(
+        "COPY (" + parts + ") TO '" + DST + "/" + table
+        + ".parquet' (FORMAT PARQUET)"
+    )
+
+
+def passthrough(table):
+    con.execute(
+        "COPY (SELECT * FROM '" + SRC + "/" + table + ".parquet') TO '"
+        + DST + "/" + table + ".parquet' (FORMAT PARQUET)"
+    )
+
+
+# key strides: > max key of the base table, consistent across join edges
+K_DOC, K_VEC, K_CUST, K_ORD = 100_000, 100_000, 1_000_000, 10_000_000
+K_PART, K_SUPP, K_EVT, K_USER = 1_000_000, 100_000, 10_000_000, 1_000_000
+
+union("documents", lambda c: (
+    f"SELECT doc_id + {c * K_DOC} AS doc_id, 'copy{c} ' || text AS text,"
+    f" lang, source, n_chars + {len(f'copy{c} ')} AS n_chars"
+    f" FROM '{SRC}/documents.parquet'"))
+union("embeddings", lambda c: (
+    f"SELECT vec_id + {c * K_VEC} AS vec_id,"
+    f" list_prepend(CAST(embedding[1] + {c} * 1e-6 AS DOUBLE),"
+    f" embedding[2:]) AS embedding, label"
+    f" FROM '{SRC}/embeddings.parquet'"))
+union("events", lambda c: (
+    f"SELECT event_id + {c * K_EVT} AS event_id,"
+    f" ts + INTERVAL ({c}) DAY AS ts,"
+    f" user_id + {c * K_USER} AS user_id, event_type, value, props"
+    f" FROM '{SRC}/events.parquet'"))
+union("customer", lambda c: (
+    f"SELECT c_custkey + {c * K_CUST} AS c_custkey, c_name, c_nationkey,"
+    f" c_acctbal, c_mktsegment FROM '{SRC}/customer.parquet'"))
+union("orders", lambda c: (
+    f"SELECT o_orderkey + {c * K_ORD} AS o_orderkey,"
+    f" o_custkey + {c * K_CUST} AS o_custkey, o_orderstatus,"
+    f" o_totalprice, o_orderdate, o_orderpriority"
+    f" FROM '{SRC}/orders.parquet'"))
+union("lineitem", lambda c: (
+    f"SELECT l_orderkey + {c * K_ORD} AS l_orderkey,"
+    f" l_partkey + {c * K_PART} AS l_partkey,"
+    f" l_suppkey + {c * K_SUPP} AS l_suppkey,"
+    f" l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,"
+    f" l_returnflag, l_linestatus, l_shipdate"
+    f" FROM '{SRC}/lineitem.parquet'"))
+union("part", lambda c: (
+    f"SELECT p_partkey + {c * K_PART} AS p_partkey, p_name, p_brand,"
+    f" p_type, p_size, p_retailprice FROM '{SRC}/part.parquet'"))
+union("supplier", lambda c: (
+    f"SELECT s_suppkey + {c * K_SUPP} AS s_suppkey, s_name, s_nationkey,"
+    f" s_acctbal FROM '{SRC}/supplier.parquet'"))
+passthrough("nation")
+passthrough("region")
+print("generated", DST)
+""" % {"src": SRC, "dst": DST, "copies": COPIES}
+
+
+def run_bench(sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True, text=True, timeout=3600, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-3000:])
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    print(line, flush=True)
+    return json.loads(line)
+
+
+def main() -> None:
+    if "--regen" in sys.argv or not os.path.isdir(DST):
+        out = subprocess.run(
+            [sys.executable, "-c", GEN], capture_output=True, text=True,
+            timeout=1800,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(out.stderr[-3000:])
+        print(out.stdout, flush=True)
+    base = run_bench(SRC)
+    big = run_bench(DST)
+    rows = []
+    for q, t0 in base["queries"].items():
+        t1 = big["queries"].get(q)
+        if t1 is None:
+            continue
+        ratio = round(t1 / max(t0, 1e-9), 2)
+        rows.append((q, t0, t1, ratio, ratio > FLAG_RATIO))
+    flagged = [r for r in rows if r[4]]
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    lines = [
+        f"\n## sf1 (10x-replicated) bench row {stamp}\n",
+        f"Headline set at sf0.1 vs the deterministic 10x key-shifted "
+        f"replication (/tmp/sf1_bench; generator in bench_sf1.py — "
+        f"texts copy-salted, embeddings dim-0 perturbed 1e-6/copy, "
+        f"join edges shifted consistently).  Row ratio 10x; flag "
+        f"threshold {FLAG_RATIO}x wall.  curation_pipeline_e2e is "
+        f"sf-independent (fixed synth input) — expect ratio ~1.\n",
+        "| query | sf0.1 s | sf1 s | ratio | flag |",
+        "|---|---|---|---|---|",
+    ]
+    for q, t0, t1, ratio, flag in rows:
+        lines.append(
+            f"| {q} | {t0} | {t1} | {ratio} | "
+            f"{'**SUPERLINEAR**' if flag else ''} |"
+        )
+    lines.append(
+        f"\nTotal {base['value']} s -> {big['value']} s "
+        f"(x{round(big['value'] / base['value'], 2)}); flagged: "
+        f"{[r[0] for r in flagged] or 'none'}.\n"
+    )
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write("\n".join(lines))
+    print(json.dumps({
+        "metric": "sf1/sf0.1 wall ratio (10x rows)",
+        "value": round(big["value"] / base["value"], 3),
+        "unit": "ratio",
+        "flagged": [r[0] for r in flagged],
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -242,6 +242,15 @@ def main(argv: list[str] | None = None) -> int:
         "(operators/linefilter.py)",
     )
     ap.add_argument(
+        "--ppl-bucket-keep",
+        type=lambda s: tuple(p.strip() for p in s.split(",") if p.strip()),
+        default=None,
+        help="with --sample-target: CCNet-style per-language perplexity "
+        "tercile selection — comma-separated buckets to retain, e.g. "
+        "'head' or 'head,middle' (boundaries computed per language over "
+        "the kept population; operators/pplbuckets.py)",
+    )
+    ap.add_argument(
         "--paragraph-dedup",
         action="store_true",
         help="with --sample-target: corpus-global paragraph-level dedup "
@@ -349,6 +358,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.nfc_normalize
         or args.c4_clean
         or args.paragraph_dedup
+        or args.ppl_bucket_keep is not None
         or args.url_hard_words is not None
         or args.url_soft_words is not None
     ) and args.sample_target is None and args.token_budget is None:
@@ -359,7 +369,7 @@ def main(argv: list[str] | None = None) -> int:
             "--export-jsonl/--blocked-domains/--url-shape/--host-ranks/"
             "--url-hard-words/"
             "--url-soft-words/--gopher-quality/--nfc-normalize/"
-            "--c4-clean/--paragraph-dedup require "
+            "--c4-clean/--paragraph-dedup/--ppl-bucket-keep require "
             "--sample-target or "
             "--token-budget"
         )
@@ -515,6 +525,7 @@ def main(argv: list[str] | None = None) -> int:
                     nfc_normalize=args.nfc_normalize,
                     c4_clean=args.c4_clean,
                     paragraph_dedup=args.paragraph_dedup,
+                    ppl_bucket_keep=args.ppl_bucket_keep,
                     line_dedup=args.line_dedup,
                     substring_dedup=args.substring_dedup,
                     seen_urls=seen,

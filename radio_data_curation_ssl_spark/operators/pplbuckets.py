@@ -1,0 +1,83 @@
+"""CCNet-style per-language perplexity bucketing (head / middle / tail).
+
+CCNet's signature curation move (Wenzek et al. 2020, arXiv:1911.00359):
+within each language, split the corpus into perplexity terciles under a
+clean-reference LM — ``head`` (lowest perplexity, most Wikipedia-like),
+``middle``, ``tail`` — and train on head(+middle).  Per-LANGUAGE
+boundaries matter: absolute perplexity scales differ wildly across
+languages, so a global cut would silently drop whole languages.
+
+Semantics: boundaries are the interpolated per-language quantiles of
+the (round-6) perplexity column at ``probs`` (default terciles); a doc
+buckets ``head`` iff ppl <= b1, ``middle`` iff ppl <= b2, else
+``tail``.  NULL perplexity -> NULL bucket (no signal); the language
+key is NULL-safe (a NULL-lang stratum gets its own boundaries — the
+repo-wide PARTITION BY-matching join convention).
+
+Scale: ONE aggregate pass computes |langs| x 2 boundary floats
+(``exact=True`` uses Spark ``percentile`` — shuffles group values,
+same linear-interpolation definition DuckDB's ``quantile_cont`` uses,
+hence oracle-pairable; at 10^12 rows pass ``exact=False`` for
+``percentile_approx`` — t-digest, bounded memory, same plan shape),
+then ONE broadcast join back.  The corpus never shuffles.
+
+Reference analog: the reference buckets by feature-space distance for
+its hierarchy draws (/root/reference/src/hierarchical_sampling.py);
+this is the text-corpus quality analog (beyond-the-reference family,
+SURVEY §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["ppl_bucket_bounds", "with_ppl_bucket"]
+
+
+def ppl_bucket_bounds(
+    docs: DataFrame,
+    lang_col: str = "lang_pred",
+    ppl_col: str = "ppl",
+    probs: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    exact: bool = True,
+) -> DataFrame:
+    """(lang, _b1, _b2) per-language quantile boundaries over non-NULL
+    perplexities.  ``exact=False`` swaps in percentile_approx (t-digest)
+    for corpus scale."""
+    if not 0.0 < probs[0] < probs[1] < 1.0:
+        raise ValueError(f"probs must satisfy 0 < p1 < p2 < 1, got {probs}")
+    fn = "percentile" if exact else "percentile_approx"
+    return (
+        docs.where(F.col(ppl_col).isNotNull())
+        .groupBy(lang_col)
+        .agg(
+            F.expr(f"{fn}({ppl_col}, {probs[0]!r})").alias("_b1"),
+            F.expr(f"{fn}({ppl_col}, {probs[1]!r})").alias("_b2"),
+        )
+    )
+
+
+def with_ppl_bucket(
+    docs: DataFrame,
+    lang_col: str = "lang_pred",
+    ppl_col: str = "ppl",
+    out_col: str = "ppl_bucket",
+    probs: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+    exact: bool = True,
+) -> DataFrame:
+    """Append ``out_col`` in {head, middle, tail} (NULL for NULL ppl).
+    The boundary table is broadcast; the join key is NULL-safe."""
+    bounds = ppl_bucket_bounds(docs, lang_col, ppl_col, probs, exact)
+    b = F.broadcast(bounds.withColumnRenamed(lang_col, "_pb_lang"))
+    joined = docs.join(
+        b, F.col(lang_col).eqNullSafe(F.col("_pb_lang")), "left"
+    ).drop("_pb_lang")
+    bucket = (
+        F.when(F.col(ppl_col).isNull(), F.lit(None).cast("string"))
+        .when(F.col(ppl_col) <= F.col("_b1"), F.lit(labels[0]))
+        .when(F.col(ppl_col) <= F.col("_b2"), F.lit(labels[1]))
+        .otherwise(F.lit(labels[2]))
+    )
+    return joined.withColumn(out_col, bucket).drop("_b1", "_b2")

@@ -90,6 +90,7 @@ def curate_dedup_sample(
     host_rank_drop_frac: float = 0.1,
     rep_filter: bool | dict = False,
     gopher_quality: bool | dict = False,
+    ppl_bucket_keep: tuple | list | None = None,
     nfc_normalize: bool = False,
     c4_clean: bool | dict = False,
     paragraph_dedup: bool | dict = False,
@@ -238,6 +239,13 @@ def curate_dedup_sample(
     dropped before dedup (``True`` = GOPHER_QUALITY_THRESHOLDS; a dict
     overrides).  OFF by default — same byte-identical-contract policy
     as ``rep_filter``.
+
+    ``ppl_bucket_keep`` stacks CCNet-style per-language perplexity
+    tercile selection (operators/pplbuckets.py) on the keep set: pass
+    the buckets to retain, e.g. ``("head",)`` or ``("head",
+    "middle")`` — boundaries are computed per language over the kept
+    population, so absolute cross-language perplexity scales never bias
+    the cut.  Docs with NULL ppl drop (uncertifiable).  OFF by default.
 
     ``nfc_normalize`` canonicalizes the published ``text_scrubbed`` to
     Unicode NFC before the C4 pass (operators/normalize.py): mixed
@@ -427,8 +435,8 @@ def curate_dedup_sample(
     # recompute the whole curate chain (the 'measured 4x = ~240 s at
     # 400k pages' failure mode documented on uniq below).
     kept_cols = ["url", "warc_ts", "text", "text_scrubbed", "lang_pred"]
-    if shaping:
-        kept_cols.append("ppl")  # the budgets' quality score
+    if shaping or ppl_bucket_keep is not None:
+        kept_cols.append("ppl")  # budgets' quality score / bucket input
     kept = full.where("keep").select(*kept_cols)
     if rep_filter:
         from ..operators.repsignals import filter_by_repetition
@@ -448,6 +456,30 @@ def curate_dedup_sample(
                 gopher_quality if isinstance(gopher_quality, dict) else None
             ),
         )
+    if ppl_bucket_keep is not None:
+        from ..operators.pplbuckets import with_ppl_bucket
+
+        keep_set = (
+            {ppl_bucket_keep}
+            if isinstance(ppl_bucket_keep, str)
+            else set(ppl_bucket_keep)
+        )
+        bad = keep_set - {"head", "middle", "tail"}
+        if bad or not keep_set:
+            raise ValueError(
+                "ppl_bucket_keep must be a non-empty subset of "
+                f"{{'head', 'middle', 'tail'}}, got {ppl_bucket_keep!r}"
+            )
+        # CCNet-style per-language perplexity tercile selection over the
+        # KEPT population (operators/pplbuckets.py); docs with NULL ppl
+        # cannot be certified and drop with the unselected buckets
+        kept = (
+            with_ppl_bucket(kept, lang_col="lang_pred", ppl_col="ppl")
+            .where(F.col("ppl_bucket").isin(sorted(keep_set)))
+            .drop("ppl_bucket")
+        )
+        if not shaping:
+            kept = kept.drop("ppl")  # only the bucket stage needed it
     if nfc_normalize:
         from ..operators.normalize import with_nfc_text
 

@@ -4979,6 +4979,7 @@ LEFT JOIN g ON dd.doc_id = g.doc_id
     "join; banded self-join avoids all-pairs; no corpus-sized window "
     "on the Spark side (the oracle's row_number is the oracle's "
     "prerogative).",
+    bench=True,
 )
 def q_paragraph_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.paradedup import paragraph_dedup
@@ -4989,3 +4990,65 @@ def q_paragraph_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("doc_id", f"{_pd_text('spark')} AS text")
     )
     return paragraph_dedup(d, "doc_id", "text", threshold=_PD_TAU)
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (r5 session 1) — past-window, standing
+# parity gate in tests/test_pplbuckets.py.  The ppl column is the
+# engine's hashed-ngram perplexity proxy rounded to 6 BEFORE the
+# quantile (the repo-wide round-before-derived-arithmetic rule: both
+# engines then interpolate boundaries from identical grid values, and
+# an interpolated boundary strictly between two distinct round-6 grid
+# points sits >= 3e-7 from any data value, so the <= comparisons can
+# never straddle an engine ulp).  A doc_id % 23 schedule plants NULL
+# perplexities to exercise the NULL-bucket path.
+
+_PB_PPL = f"CASE WHEN doc_id % 23 = 0 THEN NULL ELSE round({{p}}, 6) END"
+
+
+@register(
+    "ppl_bucket_terciles",
+    f"""
+WITH w AS ({_DOC_WORDS_DUCK}),
+b AS (SELECT *, {_BG.duck} AS bigrams FROM w),
+f AS (SELECT doc_id, lang,
+             {_PB_PPL.format(p=_PPL.duck)} AS ppl_r
+      FROM b),
+bounds AS (SELECT lang,
+                  quantile_cont(ppl_r, 0.3333333333333333) AS b1,
+                  quantile_cont(ppl_r, 0.6666666666666666) AS b2
+           FROM f WHERE ppl_r IS NOT NULL GROUP BY lang)
+SELECT doc_id, f.lang, f.ppl_r,
+       CASE WHEN ppl_r IS NULL THEN NULL
+            WHEN ppl_r <= b1 THEN 'head'
+            WHEN ppl_r <= b2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM f LEFT JOIN bounds ON f.lang IS NOT DISTINCT FROM bounds.lang
+""",
+    doc="CCNet-style per-language perplexity bucketing (Wenzek et al. "
+    "2020): within each language, split the corpus at the perplexity "
+    "terciles — head (most reference-like) / middle / tail — the "
+    "canonical quality-curriculum cut real pipelines train on "
+    "(operators/pplbuckets.py::with_ppl_bucket — the PRODUCTION "
+    "operator; opt-in flow stage ppl_bucket_keep= / --ppl-bucket-keep). "
+    "Per-language boundaries matter: absolute perplexity scales differ "
+    "across languages, so a global cut drops whole languages. Spark "
+    "exact `percentile` and DuckDB `quantile_cont` share the linear-"
+    "interpolation definition (groupby_stats precedent); NULL ppl -> "
+    "NULL bucket; the lang join is NULL-safe on both sides. Scale: ONE "
+    "aggregate pass to |langs| x 2 boundary floats (percentile_approx/"
+    "t-digest at 10^12 rows — exact=False, same plan) + ONE broadcast "
+    "join back; the corpus never shuffles.",
+)
+def q_ppl_bucket_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pplbuckets import with_ppl_bucket
+
+    f = (
+        _docs_with_words(spark, sf_dir)
+        .withColumn("bigrams", F.expr(_BG.spark))
+        .selectExpr(
+            "doc_id", "lang", f"{_PB_PPL.format(p=_PPL.spark)} AS ppl_r"
+        )
+    )
+    out = with_ppl_bucket(f, lang_col="lang", ppl_col="ppl_r")
+    return out.select("doc_id", "lang", "ppl_r", "ppl_bucket")

@@ -1,0 +1,105 @@
+"""CCNet perplexity bucketing (operators/pplbuckets.py)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from radio_data_curation_ssl_spark.operators.pplbuckets import (
+    ppl_bucket_bounds,
+    with_ppl_bucket,
+)
+
+
+def _docs(spark):
+    # lang 'a': ppl 1..9 -> terciles at 3.666..., 6.333...
+    # lang 'b': shifted scale 101..109 — per-lang boundaries must differ
+    # NULL lang stratum + NULL ppl rows
+    rows = (
+        [(i, "a", float(i)) for i in range(1, 10)]
+        + [(100 + i, "b", 100.0 + i) for i in range(1, 10)]
+        + [(200, None, 5.0), (201, None, 6.0), (202, None, 7.0)]
+        + [(300, "a", None)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+
+
+def test_per_lang_terciles_and_null_safety(spark):
+    out = {r["doc_id"]: r["ppl_bucket"] for r in
+           with_ppl_bucket(_docs(spark), "lang", "ppl").collect()}
+    # lang a: 1,2,3 head; 4,5,6 middle; 7,8,9 tail (boundaries 11/3, 19/3)
+    for i in (1, 2, 3):
+        assert out[i] == "head", (i, out[i])
+    for i in (4, 5, 6):
+        assert out[i] == "middle", (i, out[i])
+    for i in (7, 8, 9):
+        assert out[i] == "tail", (i, out[i])
+    # lang b buckets at ITS OWN scale, not lang a's
+    assert out[101] == "head" and out[105] == "middle" and out[109] == "tail"
+    # NULL-lang stratum gets its own boundaries (NULL-safe join)
+    assert out[200] == "head" and out[201] == "middle" and out[202] == "tail"
+    # NULL ppl -> NULL bucket
+    assert out[300] is None
+
+
+def test_bounds_and_validation(spark):
+    b = {r["lang"]: (r["_b1"], r["_b2"]) for r in
+         ppl_bucket_bounds(_docs(spark), "lang", "ppl").collect()}
+    assert b["a"][0] == pytest.approx(11 / 3)
+    assert b["a"][1] == pytest.approx(19 / 3)
+    assert b["b"][0] == pytest.approx(100 + 11 / 3)
+    with pytest.raises(ValueError, match="probs"):
+        ppl_bucket_bounds(_docs(spark), "lang", "ppl", probs=(0.7, 0.3))
+
+
+def test_broadcast_join_in_plan(spark):
+    plan = with_ppl_bucket(_docs(spark), "lang", "ppl")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_flow_ppl_bucket_stage(spark, pages_small):
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    # population-bound target (600 synth pages, ~60% keep): the tercile
+    # cut must shrink the POPULATION, hence the published count
+    full = curate_dedup_sample(pages_small, target=10_000).cache()
+    head = curate_dedup_sample(
+        pages_small, target=10_000, ppl_bucket_keep=("head",)
+    ).cache()
+    n_full, n_head = full.count(), head.count()
+    assert 0 < n_head < n_full  # a real cut, not a no-op and not empty
+    # schema unchanged by the stage (ppl helper column dropped again)
+    assert set(head.columns) == set(full.columns)
+    # the head selection is a SUBSET of the unfiltered publication
+    urls_full = {r["url"] for r in full.select("url").collect()}
+    urls_head = {r["url"] for r in head.select("url").collect()}
+    assert urls_head <= urls_full
+    full.unpersist(), head.unpersist()
+    with pytest.raises(ValueError, match="ppl_bucket_keep"):
+        curate_dedup_sample(
+            pages_small, target=10, ppl_bucket_keep=("torso",)
+        )
+
+
+def test_registry_ppl_bucket_oracle_parity(spark):
+    """Standing local gate for the past-window registry row (the driver
+    checks the first 50 oracle entries; this one sits past them)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["ppl_bucket_terciles"]
+    got = sorted(
+        tuple(r) for r in q.spark(spark, "/root/testdata/sf0.001").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    buckets = {r[3] for r in got}
+    assert buckets == {"head", "middle", "tail", None}  # every path fires

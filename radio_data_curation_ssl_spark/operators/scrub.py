@@ -90,19 +90,19 @@ def scrub_text(text: str | None) -> tuple[str | None, int]:
 
 
 # necessary condition for ANY pattern to match: an '@' (email), a digit
-# (phone/ssn/ipv4/cc), a ':' (ipv6 — every :: form has one even when the
-# hex groups are letter-only), or one of the key-prefix literals
-# (awskey/secret can be digit-free after the prefix), or a toxicity
-# word.  Scanned as one small regex (char class + short literal
-# alternation) plus one PLAIN substring scan per toxicity word rather
-# than the full combined alternation: pandas' regex=False path is a
-# memchr-style find (~17 ms vs 290 ms for the combined alternation per
-# 20k-doc batch, measured), and the OR of the masks is the same
-# superset of COMBINED's match condition (exact-substring presence is
-# necessary for the \b-delimited tox match).
-_CANDIDATE_CLASS = re.compile(
-    r"[@0-9:]|AKIA|(?:sk|pk|ghp|gho|xox[bpas])[-_]"
-)
+# (phone/ssn/ipv4/cc), a ':' (ipv6 — every :: form has one even when
+# the hex groups are letter-only), or a toxicity word; the key-shape
+# groups are covered by PLAIN substring scans — every secret match
+# contains its required '-' or '_' separator, and a digit-free AKIA
+# key still contains the literal 'AKIA'.  Scanned as ONE char-class
+# regex plus regex=False substring scans: pandas' regex=False path is
+# a memchr-style find (~17 ms vs 290 ms for a combined alternation per
+# 20k-doc batch, measured; folding the prefixes INTO the class regex
+# as an alternation was measured 3.5x slower than the class alone —
+# r5s1, the e2e-pipeline +45% regression this layout fixed), and the
+# OR of the masks is a superset of COMBINED's match condition.
+_CANDIDATE_CLASS = re.compile(r"[@0-9:]")
+_CANDIDATE_SUBSTRINGS = ("-", "_", "AKIA")
 
 
 def scrub_series(texts: pd.Series) -> tuple[pd.Series, pd.Series]:
@@ -111,7 +111,7 @@ def scrub_series(texts: pd.Series) -> tuple[pd.Series, pd.Series]:
     the replacement count, so the former separate str.count scan is
     free — same non-overlapping-match count by definition)."""
     cand = texts.str.contains(_CANDIDATE_CLASS, regex=True, na=False)
-    for _w in TOX_WORDS:
+    for _w in (*_CANDIDATE_SUBSTRINGS, *TOX_WORDS):
         cand |= texts.str.contains(_w, regex=False, na=False)
     out = texts.copy()
     redactions = pd.Series(0, index=texts.index, dtype="int64")

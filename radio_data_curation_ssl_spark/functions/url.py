@@ -63,6 +63,27 @@ def url_path(col: str) -> P:
     return _extract(col, _REST_RE)
 
 
+def surt(col: str) -> P:
+    """SURT-style canonical sort key (the Common Crawl CDX index key):
+    lowercased host labels reversed and comma-joined, then ``)`` and
+    the path — ``https://www.example.com/a/b`` ->
+    ``com,example,www)/a/b``.  A simplified SURT (no www-stripping, no
+    query canonicalization) — enough to key/range-scan an index; NULL
+    url -> NULL."""
+    h = url_host(col)
+    p = url_path(col)
+    # DuckDB concat SKIPS NULL args (Spark returns NULL) — the outer
+    # CASE pins NULL-url behavior to match on both dialects
+    return P(
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"concat(array_join(reverse(split({h.spark}, '[.]')), ','),"
+        f" ')', coalesce(nullif({p.spark}, ''), '/')) END",
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"concat(array_to_string(list_reverse(str_split({h.duck}, '.')),"
+        f" ','), ')', coalesce(nullif({p.duck}, ''), '/')) END",
+    )
+
+
 def url_query_canon(col: str) -> P:
     """Query string with tracking params removed and the survivors
     sorted lexicographically; '' when nothing survives."""

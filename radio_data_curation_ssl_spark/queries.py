@@ -5052,3 +5052,108 @@ def q_ppl_bucket_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = with_ppl_bucket(f, lang_col="lang", ppl_col="ppl_r")
     return out.select("doc_id", "lang", "ppl_r", "ppl_bucket")
+
+
+# ---------------------------------------------------------------------------
+# CDXJ index selection (r5 session 1) — past-window, standing parity
+# gate in tests/test_cdx.py.  The derivation builds real CDXJ lines
+# (SURT key + 14-digit timestamp + JSON payload) on the Spark side and
+# runs the PRODUCTION parse + selection (sources/cdx.py: the same
+# expression strings read_cdxj uses, then cdx_select's status/mime
+# filters and digest first-winner).  The oracle needs no JSON at all —
+# parsing a line the query itself assembled is a ROUND TRIP, so the
+# expected fields are the derivation's own values, filtered and ranked
+# in SQL.  doc_id % 13 plants malformed (surt-only) lines to exercise
+# the fail-soft path; doc_id % 50 digests plant heavy recapture dup.
+
+_CX_URL_S = (
+    "concat('https://h', CAST(doc_id % 7 AS STRING),"
+    " '.example.com/p/', CAST(doc_id AS STRING))"
+)
+_CX_URL_D = _CX_URL_S.replace("AS STRING", "AS VARCHAR")
+_CX_TS_S = (
+    "concat('202401', lpad(CAST(doc_id % 28 + 1 AS STRING), 2, '0'),"
+    " '120000')"
+)
+_CX_TS_D = _CX_TS_S.replace("AS STRING", "AS VARCHAR")
+_CX_STATUS = "CASE WHEN doc_id % 5 = 0 THEN '404' ELSE '200' END"
+_CX_MIME = (
+    "CASE WHEN doc_id % 4 = 0 THEN 'application/pdf'"
+    " ELSE 'text/html' END"
+)
+_CX_DIG_S = "concat('sha1:', md5(CAST(doc_id % 50 AS STRING)))"
+_CX_DIG_D = _CX_DIG_S.replace("AS STRING", "AS VARCHAR")
+_CX_FILE_S = "concat('seg-', CAST(doc_id % 3 AS STRING), '.warc.gz')"
+_CX_FILE_D = _CX_FILE_S.replace("AS STRING", "AS VARCHAR")
+
+
+def _cdx_oracle() -> str:
+    from .functions import url as U
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_CX_URL_D} AS url,
+         strptime({_CX_TS_D}, '%Y%m%d%H%M%S') AS ts,
+         {_CX_STATUS} AS status, {_CX_MIME} AS mime,
+         {_CX_DIG_D} AS digest,
+         CAST(doc_id * 10 AS BIGINT) AS length,
+         CAST(doc_id * 100 AS BIGINT) AS "offset",
+         {_CX_FILE_D} AS filename
+  FROM documents
+  WHERE doc_id % 13 <> 0),
+eligible AS (
+  SELECT * FROM d WHERE status = '200' AND mime LIKE 'text/html%'),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY digest
+                               ORDER BY ts, url) AS rn
+  FROM eligible)
+SELECT {U.surt('url').duck} AS surt, ts, url, digest,
+       length, "offset", filename
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "cdx_index_select",
+    _cdx_oracle(),
+    doc="CDX(J) capture-index ingest + fetch-list selection — how real "
+    "pipelines choose what to read BEFORE touching WARC bytes: parse "
+    "'SURT ts JSON' index lines (sources/cdx.py::read_cdxj — "
+    "split(limit=3) + static-schema from_json + casts, ALL JVM "
+    "expressions, zero Python), keep status-200 text/html captures, "
+    "and fetch ONE capture per content digest (first by (ts, url) — "
+    "the engine's min-struct first-winner, map-side combined). At "
+    "~3e9 captures/crawl this index selection reads ~300 GB instead "
+    "of ~100 TB of WARCs. Malformed lines fail SOFT (NULL fields, "
+    "dropped by the status filter — doc_id%13 plants them). Spark "
+    "side assembles real CDXJ lines and runs the PRODUCTION parse + "
+    "selection; the oracle exploits round-trip identity (the expected "
+    "fields are the derivation's own values) with the SAME paired "
+    "surt fragment (functions/url.py). Scale: text-scan distributed "
+    "by file split, codegen'd filters, one digest-keyed aggregation.",
+)
+def q_cdx_index_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.cdx import cdx_parse_exprs, cdx_select
+    from .functions import url as U
+
+    lines = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_CX_URL_S} AS url",
+        f"{_CX_TS_S} AS ts_str",
+        f"{_CX_STATUS} AS status",
+        f"{_CX_MIME} AS mime",
+        f"{_CX_DIG_S} AS digest",
+    ).selectExpr(
+        f"""CASE WHEN doc_id % 13 = 0 THEN {U.surt('url').spark}
+            ELSE concat(
+              {U.surt('url').spark}, ' ', ts_str, ' ',
+              to_json(named_struct(
+                'url', url, 'mime', mime, 'status', status,
+                'digest', digest,
+                'length', CAST(doc_id * 10 AS STRING),
+                'offset', CAST(doc_id * 100 AS STRING),
+                'filename', {_CX_FILE_S})))
+            END AS value"""
+    )
+    captures = lines.selectExpr(*cdx_parse_exprs("value"))
+    return cdx_select(captures)

@@ -1,0 +1,130 @@
+"""CDX(J) index source: Common-Crawl-style capture indexes -> a fetch
+list, WITHOUT touching a single WARC byte.
+
+Common Crawl publishes, alongside each crawl's WARC files, a CDXJ index
+(one line per capture): ``<SURT key> <14-digit timestamp> <JSON>``,
+where the JSON carries the capture's url, mime, HTTP status, content
+digest, and the (filename, offset, length) triple locating the record
+inside its WARC.  Real pipelines select on the INDEX first — status
+200, text/html, one capture per digest — and fetch only the selected
+record ranges; at ~3 x 10^9 captures per crawl that selection is the
+difference between reading ~300 GB of index and ~100 TB of WARCs.
+
+Spark design: ``spark.read.text`` distributes the index files;
+everything after that is JVM column expressions — ``split(limit=3)``,
+``to_timestamp``, ``from_json`` with a static schema, casts — zero
+Python at any scale (the paired fragments live in module functions so
+the registry oracle runs the IDENTICAL expressions).  Malformed lines
+fail SOFT: a line without three fields or with unparsable JSON yields
+NULL fields and is dropped by :func:`cdx_select`'s status filter.
+Digest dedup is the engine's standard first-winner
+(min-struct aggregation, map-side combined — never a corpus window).
+
+Reference provenance: the reference's directory-scan + catalog-read
+ingest legs (SURVEY §2.1, /root/reference/src/data/data_loaders.py:128-155);
+this is the web-archive catalog equivalent (beyond-the-reference
+family, SURVEY §6, next to sources/warc.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import url as U
+from ..operators.firstwin import keep_first
+
+__all__ = [
+    "CDX_JSON_SCHEMA",
+    "cdx_parse_exprs",
+    "read_cdxj",
+    "write_cdxj",
+    "cdx_select",
+]
+
+#: static from_json schema for the CDXJ payload (all strings on the
+#: wire, exactly as Common Crawl writes them; casts happen after parse)
+CDX_JSON_SCHEMA = (
+    "url STRING, mime STRING, status STRING, digest STRING, "
+    "length STRING, offset STRING, filename STRING, languages STRING"
+)
+
+
+def cdx_parse_exprs(line_col: str = "value") -> list[str]:
+    """The parse as SQL expression strings over a raw-line column —
+    shared verbatim by :func:`read_cdxj` and the registry oracle query.
+    ``split(limit=3)`` keeps the JSON intact (it contains spaces)."""
+    parts = f"split({line_col}, ' ', 3)"
+    j = f"from_json(try_element_at({parts}, 3), '{CDX_JSON_SCHEMA}')"
+    return [
+        f"try_element_at({parts}, 1) AS surt",
+        f"to_timestamp(try_element_at({parts}, 2), 'yyyyMMddHHmmss') AS ts",
+        f"{j}.url AS url",
+        f"{j}.mime AS mime",
+        f"CAST({j}.status AS INT) AS status",
+        f"{j}.digest AS digest",
+        f"CAST({j}.length AS BIGINT) AS length",
+        f"CAST({j}.offset AS BIGINT) AS offset",
+        f"{j}.filename AS filename",
+        f"{j}.languages AS languages",
+    ]
+
+
+def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
+    """CDXJ file(s)/dir -> (surt, ts, url, mime, status, digest,
+    length, offset, filename, languages).  Distributed by file split;
+    zero Python."""
+    return spark.read.text(path).selectExpr(*cdx_parse_exprs("value"))
+
+
+def write_cdxj(df: DataFrame, path: str, url_col: str = "url") -> int:
+    """Captures -> CDXJ text (surt key derived from ``url_col`` via the
+    paired :func:`functions.url.surt` fragment; sorted-by-key layout is
+    the caller's ``sortWithinPartitions`` choice).  Expects the
+    read_cdxj column set minus surt/ts plus a ``ts`` timestamp.
+    Returns the row count written."""
+    n = df.count()
+    lines = df.selectExpr(
+        f"""concat(
+            {U.surt(url_col).spark}, ' ',
+            date_format(ts, 'yyyyMMddHHmmss'), ' ',
+            to_json(named_struct(
+                'url', {url_col}, 'mime', mime,
+                'status', CAST(status AS STRING), 'digest', digest,
+                'length', CAST(length AS STRING),
+                'offset', CAST(offset AS STRING),
+                'filename', filename, 'languages', languages))
+        ) AS value"""
+    )
+    lines.write.mode("overwrite").text(path)
+    return n
+
+
+def cdx_select(
+    captures: DataFrame,
+    statuses: tuple[int, ...] = (200,),
+    mime_prefixes: tuple[str, ...] = ("text/html",),
+    dedup_digest: bool = True,
+) -> DataFrame:
+    """Index-level fetch-list selection: keep captures whose status is
+    in ``statuses`` and whose mime starts with one of
+    ``mime_prefixes``; with ``dedup_digest`` keep ONE capture per
+    content digest — the first by (ts, url) — so byte-identical
+    recaptures are fetched once.  Output is the fetch triple plus
+    identity columns.  Scale: codegen'd filters reach the text scan;
+    the digest dedup is one min-struct aggregation (map-side
+    combined)."""
+    if not statuses:
+        raise ValueError("statuses must name at least one HTTP status")
+    cond = F.col("status").isin([int(s) for s in statuses])
+    if mime_prefixes:
+        mime_ok = F.lit(False)
+        for p in mime_prefixes:
+            mime_ok = mime_ok | F.col("mime").startswith(p)
+        cond = cond & mime_ok
+    picked = captures.where(cond).select(
+        "surt", "ts", "url", "digest", "length", "offset", "filename"
+    )
+    if dedup_digest:
+        picked = keep_first(picked, ["digest"], ["ts", "url"])
+    return picked

@@ -73,6 +73,7 @@ def paragraph_dedup(
     threshold: float = 0.5,
     sep: str = "\n\n",
     join_sep: str = "\n\n",
+    pin_canon: bool = True,
 ) -> DataFrame:
     """(doc_id, n_paras, n_kept, dedup_text) per input document.
 
@@ -80,6 +81,15 @@ def paragraph_dedup(
     instances that survived both tiers (kept instances live only in the
     paragraph's FIRST document); ``dedup_text`` re-joins survivors in
     position order with ``join_sep``.  NULL/empty text -> (0, 0, '').
+
+    ``pin_canon`` (default on) lazily localCheckpoints the canonical
+    distinct-text table: it feeds FOUR consumers (band signatures,
+    domination metadata on both pair sides, shingle sets, the kept
+    anti-join) and Spark's exchange reuse does not fire across them
+    (plan-audited), so unpinned the corpus explode+first-winner agg
+    would run 4x.  Same trade and precedent as
+    ``budget.topfrac_per_group(pin_input=)`` — costs canon's
+    materialized size in executor storage.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -99,6 +109,8 @@ def paragraph_dedup(
         F.col("first.doc_id").alias("fd"),
         F.col("first.pos").alias("fp"),
     )
+    if pin_canon:
+        canon = canon.localCheckpoint(eager=False)
 
     # fuzzy tier over DISTINCT texts only
     ctexts = canon.selectExpr("tid AS doc_id", "para AS text")

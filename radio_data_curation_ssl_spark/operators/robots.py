@@ -1,0 +1,152 @@
+"""robots.txt compliance filter — parse per-host robots files and drop
+disallowed URLs before fetching/curating them.
+
+Crawl pipelines are expected to honor robots.txt (RFC 9309); Common
+Crawl itself fetches under these rules, and downstream curators re-check
+them when re-fetching or when the corpus carries robots records (the
+WARC ingest leg surfaces them as ordinary pages).  Semantics implemented
+(the RFC 9309 core, simplified where documented):
+
+- A robots body is ``field: value`` lines; fields (``user-agent``,
+  ``allow``, ``disallow``) are case-insensitive, ``#`` starts a
+  comment, blank/unknown lines are ignored (RFC 9309 ignores blank
+  lines inside groups; the pre-RFC convention that blank lines end
+  groups is NOT applied).
+- One or more CONSECUTIVE ``user-agent`` lines open a group; the
+  following allow/disallow rules belong to every named agent.  Only
+  groups naming ``*`` are evaluated (a specific product token tier is a
+  caller-side re-run with ``agent=`` once an engine needs it).
+- A rule matches a URL when the URL's path starts with the rule's
+  value; the LONGEST matching value wins, and on a length tie ``allow``
+  wins.  No matching rule (or no robots entry for the host) => allowed
+  — fail-open, same contract as every other no-signal filter here.
+- Empty-value rules are skipped (``Disallow:`` with no value = allow
+  all, per the RFC).  ``*``/``$`` wildcards inside values are OUT of
+  scope (prefix-only matching; documented simplification — wildcard
+  rules are treated as literal prefixes and thus effectively inert).
+
+Scale shape: parsing windows partition by HOST — one robots file's
+lines per partition slice (files are <= a few hundred lines, so the
+window is bounded by file size, never corpus size); the rule table is
+|hosts-with-rules| x |rules| (small — broadcast side); the URL filter
+is one equi-join on host + a per-URL max_by over its matching rules
+(bounded by rules-per-host).  The corpus never enters a window.
+
+Reference provenance: ingest-compliance leg next to sources/warc.py /
+sources/cdx.py (beyond-the-reference family, SURVEY §6); the noindex
+meta filter (operators/htmltext.py::filter_noindex) is the page-level
+sibling of this host-level opt-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import url as U
+
+__all__ = ["parse_robots", "filter_robots_disallowed"]
+
+# field name before ':' (letters/dash), case-insensitive via lower()
+_FIELD_RE = r"^\s*([A-Za-z-]+)\s*:"
+# value after the first ':', up to a '#' comment; trimmed
+_VALUE_RE = r"^\s*[A-Za-z-]+\s*:\s*([^#]*)"
+
+
+def parse_robots(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, prefix, allow) rule rows for ``User-agent: *`` groups of
+    per-host robots.txt bodies (one row per host in ``robots``; STRING
+    body — decode bytes upstream, e.g. operators/charset.py)."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "line"),
+    ).select(
+        "host",
+        "pos",
+        F.lower(F.regexp_extract("line", _FIELD_RE, 1)).alias("field"),
+        F.trim(F.regexp_extract("line", _VALUE_RE, 1)).alias("value"),
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    # a group starts at a user-agent line NOT preceded by another
+    # user-agent line; consecutive UA lines share the group id
+    is_ua = (F.col("field") == "user-agent").cast("int")
+    grouped = lines.withColumn(
+        "_start",
+        (
+            (F.col("field") == "user-agent")
+            & (F.coalesce(F.lag("field").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("gid", F.sum("_start").over(w))
+    star = (
+        grouped.where(
+            (F.col("field") == "user-agent") & (F.col("value") == "*")
+        )
+        .select("host", "gid")
+        .distinct()
+    )
+    rules = grouped.where(
+        F.col("field").isin("allow", "disallow") & (F.col("value") != "")
+    ).select(
+        "host",
+        "gid",
+        F.col("value").alias("prefix"),
+        (F.col("field") == "allow").alias("allow"),
+    )
+    return rules.join(star, ["host", "gid"]).drop("gid")
+
+
+def filter_robots_disallowed(
+    pages: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop pages whose URL's longest-matching ``*``-group rule is a
+    Disallow (allow wins length ties; no matching rule / no rules for
+    the host / unparsable URL => KEPT — fail-open).  ``rules`` is
+    :func:`parse_robots` output.
+
+    Scale: the rule table collapses to ONE array row per host (the
+    broadcast side); the corpus pays one broadcast hash join plus a
+    map-side higher-order fold over its host's matching rules — the
+    corpus NEVER shuffles and never enters a window or a groupBy (an
+    earlier draft grouped by every page column to pick the winner,
+    i.e. shuffled the corpus keyed on full rows — this fold replaces
+    it)."""
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(F.struct("prefix", "allow")).alias("_rb_rules")
+    ).withColumnRenamed("host", "_rb_host")
+    keyed = pages.withColumn(
+        "_rb_host", F.expr(U.url_host(url_col).spark)
+    ).withColumn(
+        "_rb_path",
+        F.coalesce(
+            F.nullif(F.expr(U.url_path(url_col).spark), F.lit("")),
+            F.lit("/"),
+        ),
+    )
+    joined = keyed.join(F.broadcast(per_host), "_rb_host", "left")
+    # winner = fold over the matching rules, keeping the max
+    # (length(prefix), allow, prefix) struct: longest prefix wins,
+    # allow beats disallow on ties (true > false), prefix as the
+    # deterministic final key.  NULL fold result = no matching rule.
+    winner = (
+        "aggregate("
+        " filter(_rb_rules, r -> startswith(_rb_path, r.prefix)),"
+        " CAST(NULL AS STRUCT<l: INT, a: BOOLEAN, p: STRING>),"
+        " (acc, r) -> CASE WHEN acc IS NULL"
+        "   OR named_struct('l', length(r.prefix), 'a', r.allow,"
+        "                   'p', r.prefix) > acc"
+        "  THEN named_struct('l', length(r.prefix), 'a', r.allow,"
+        "                    'p', r.prefix)"
+        "  ELSE acc END)"
+    )
+    return (
+        joined.withColumn("_rb_w", F.expr(winner))
+        .where(
+            F.col("_rb_rules").isNull()
+            | F.col("_rb_w").isNull()
+            | F.col("_rb_w.a")
+        )
+        .drop("_rb_host", "_rb_path", "_rb_rules", "_rb_w")
+    )

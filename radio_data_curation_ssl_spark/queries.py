@@ -5157,3 +5157,130 @@ def q_cdx_index_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     captures = lines.selectExpr(*cdx_parse_exprs("value"))
     return cdx_select(captures)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt compliance filter (r5 session 1) — past-window, standing
+# parity gate in tests/test_robots.py.  Seven derived per-host robots
+# bodies exercise the whole grammar — longest-match precedence,
+# allow-wins-ties, consecutive user-agent lines sharing a group,
+# non-star groups ignored, empty Disallow (= allow all), comment/blank
+# lines, a host with NO robots entry (fail-open) — against a doc_id-
+# scheduled URL matrix.  The oracle re-implements the PARSER in SQL
+# (lag/gid windows over exploded lines — files are tiny, the window
+# partitions by host) and the precedence as a rank; the Spark side
+# runs the production operators (parse_robots +
+# filter_robots_disallowed: corpus never shuffles — broadcast per-host
+# rule arrays + a map-side higher-order fold).
+
+_RB_NL = "chr(10)"
+
+
+def _rb_body(dialect: str) -> str:
+    n = _RB_NL
+    # CASE over host index k (doc_id of the robots row); host 5 has no
+    # robots row at all (filtered out of the robots frame)
+    return (
+        "CASE CAST(doc_id AS INT) "
+        f"WHEN 0 THEN concat('User-agent: *', {n}, 'Disallow: /private',"
+        f" {n}, 'Allow: /private/ok') "
+        f"WHEN 1 THEN concat('User-agent: googlebot', {n}, 'Disallow: /',"
+        f" {n}, {n}, 'User-agent: *', {n}, 'Disallow: /tmp') "
+        f"WHEN 2 THEN concat('User-agent: *', {n}, 'Disallow:') "
+        f"WHEN 3 THEN concat('User-agent: *', {n}, 'User-agent: botty',"
+        f" {n}, 'Disallow: /a') "
+        f"WHEN 4 THEN concat('# crawl policy', {n},"
+        f" 'User-agent: googlebot', {n}, 'Disallow: /') "
+        f"ELSE concat('User-agent: *', {n}, 'Allow: /x', {n},"
+        f" 'Disallow: /x', {n}, 'Disallow: /xy') END"
+    )
+
+
+_RB_PATH = (
+    "CASE CAST(doc_id % 6 AS INT) "
+    "WHEN 0 THEN '/private/ok/page' "
+    "WHEN 1 THEN '/private/page' "
+    "WHEN 2 THEN '/tmp/x' "
+    "WHEN 3 THEN '/a/b' "
+    "WHEN 4 THEN '/xy/1' "
+    "ELSE '/x/page' END"
+)
+_RB_URL_S = (
+    "concat('https://h', CAST(doc_id % 7 AS STRING), '.example.com',"
+    f" {_RB_PATH})"
+)
+_RB_URL_D = _RB_URL_S.replace("AS STRING", "AS VARCHAR")
+
+
+@register(
+    "robots_disallow_filter",
+    f"""
+WITH r AS (SELECT doc_id, concat('h', CAST(doc_id AS VARCHAR),
+                  '.example.com') AS host,
+                  {_rb_body('duck')} AS body
+           FROM documents WHERE doc_id < 7 AND doc_id <> 5),
+ln AS (SELECT host,
+              CAST(generate_subscripts(ls, 1) AS INTEGER) AS pos,
+              unnest(ls) AS line
+       FROM (SELECT host, string_split(body, chr(10)) AS ls FROM r)),
+p AS (SELECT host, pos,
+             lower(regexp_extract(line, '^\\s*([A-Za-z-]+)\\s*:', 1)) AS field,
+             trim(regexp_extract(line,
+                  '^\\s*[A-Za-z-]+\\s*:\\s*([^#]*)', 1)) AS value
+      FROM ln),
+st AS (SELECT *, CASE WHEN field = 'user-agent'
+                      AND coalesce(lag(field) OVER
+                          (PARTITION BY host ORDER BY pos), '')
+                          <> 'user-agent'
+                 THEN 1 ELSE 0 END AS _start
+       FROM p),
+g AS (SELECT *, sum(_start) OVER (PARTITION BY host ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS gid
+      FROM st),
+star AS (SELECT DISTINCT host, gid FROM g
+         WHERE field = 'user-agent' AND value = '*'),
+rules AS (SELECT g.host, g.value AS prefix,
+                 g.field = 'allow' AS allow
+          FROM g JOIN star ON g.host = star.host AND g.gid = star.gid
+          WHERE g.field IN ('allow', 'disallow') AND g.value <> ''),
+pg AS (SELECT doc_id, {_RB_URL_D} AS url,
+              concat('h', CAST(doc_id % 7 AS VARCHAR),
+                     '.example.com') AS host,
+              {_RB_PATH} AS path
+       FROM documents),
+m AS (SELECT pg.doc_id, pg.url, rules.prefix, rules.allow
+      FROM pg LEFT JOIN rules
+        ON pg.host = rules.host AND starts_with(pg.path, rules.prefix)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY length(prefix) DESC, allow DESC, prefix DESC) AS rn
+       FROM m)
+SELECT doc_id, url FROM rk
+WHERE rn = 1 AND (prefix IS NULL OR allow)
+""",
+    doc="robots.txt compliance filter (RFC 9309 core): parse per-host "
+    "robots bodies — consecutive User-agent lines share a group, only "
+    "'*' groups apply, '#' comments and blank/unknown lines ignored, "
+    "empty Disallow = allow all — then drop URLs whose LONGEST-prefix "
+    "matching rule is a Disallow (allow wins length ties; no rule / no "
+    "robots entry / unparsable URL = KEPT, fail-open). "
+    "operators/robots.py. Scale: parsing windows partition by HOST "
+    "(one tiny file per partition slice, never corpus-sized); the rule "
+    "table collapses to one array row per host and broadcasts; the "
+    "corpus pays one broadcast join + a map-side higher-order fold — "
+    "it never shuffles. Page-level sibling: the robots-noindex meta "
+    "filter (filter_noindex).",
+)
+def q_robots_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.robots import filter_robots_disallowed, parse_robots
+
+    robots = t(spark, sf_dir, "documents").where(
+        "doc_id < 7 AND doc_id <> 5"
+    ).selectExpr(
+        "concat('h', CAST(doc_id AS STRING), '.example.com') AS host",
+        f"{_rb_body('spark')} AS body",
+    )
+    pages = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_RB_URL_S} AS url"
+    )
+    rules = parse_robots(robots)
+    return filter_robots_disallowed(pages, rules).select("doc_id", "url")

@@ -1,0 +1,105 @@
+"""robots.txt compliance filter (operators/robots.py)."""
+
+from radio_data_curation_ssl_spark.operators.robots import (
+    filter_robots_disallowed,
+    parse_robots,
+)
+
+BODY = (
+    "# policy\n"
+    "User-agent: googlebot\n"
+    "Disallow: /\n"
+    "\n"
+    "User-agent: *\n"
+    "User-agent: botty\n"
+    "Disallow: /private\n"
+    "Allow: /private/ok\n"
+    "Disallow:\n"  # empty value -> skipped
+    "Crawl-delay: 10\n"  # unknown field -> ignored
+)
+
+
+def _rules(spark, rows):
+    return parse_robots(
+        spark.createDataFrame(rows, "host string, body string")
+    )
+
+
+def test_parse_robots_star_groups_only(spark):
+    got = sorted(
+        (r["host"], r["prefix"], r["allow"])
+        for r in _rules(spark, [("h.com", BODY)]).collect()
+    )
+    # only the */botty group's two non-empty rules; googlebot's ignored
+    assert got == [
+        ("h.com", "/private", False),
+        ("h.com", "/private/ok", True),
+    ]
+
+
+def test_parse_robots_rules_before_any_group_ignored(spark):
+    got = _rules(spark, [("h.com", "Disallow: /x\nUser-agent: *\nAllow: /y")])
+    assert [(r["prefix"], r["allow"]) for r in got.collect()] == [("/y", True)]
+
+
+def test_filter_semantics(spark):
+    rules = _rules(
+        spark,
+        [
+            ("a.com", "User-agent: *\nDisallow: /private\nAllow: /private/ok"),
+            ("tie.com", "User-agent: *\nAllow: /x\nDisallow: /x\nDisallow: /xy"),
+        ],
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/public", "kept"),
+            ("https://a.com/private/page", "dropped"),  # prefix disallow
+            ("https://a.com/private/ok/page", "kept"),  # longer allow wins
+            ("https://tie.com/x/p", "kept"),  # equal-length tie -> allow
+            ("https://tie.com/xy/p", "dropped"),  # longer disallow wins
+            ("https://norules.org/p", "kept"),  # host absent -> fail-open
+            ("not a url", "kept"),  # unparsable -> fail-open
+            (None, "kept"),  # NULL url -> fail-open
+        ],
+        "url string, tag string",
+    )
+    out = filter_robots_disallowed(pages, rules).collect()
+    assert all(r["tag"] == "kept" for r in out)
+    assert len(out) == 6
+    assert set(out[0].asDict()) == {"url", "tag"}  # helper cols dropped
+
+
+def test_corpus_side_never_shuffles(spark):
+    rules = _rules(spark, [("a.com", "User-agent: *\nDisallow: /p")])
+    pages = spark.createDataFrame(
+        [(f"https://a.com/q/{i}",) for i in range(100)], "url string"
+    )
+    plan = filter_robots_disallowed(pages, rules)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only Exchanges are broadcast / the tiny rule-table agg — the
+    # pages scan feeds the join with no hash repartition above it
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "host" in line, line  # rule side only
+
+
+def test_registry_robots_oracle_parity(spark):
+    """Standing local gate for the past-window registry row (the driver
+    checks the first 50 oracle entries; this one sits past them)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["robots_disallow_filter"]
+    got = sorted(
+        tuple(r) for r in q.spark(spark, "/root/testdata/sf0.001").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    assert 0 < len(got) < 500  # the rule matrix really dropped pages

@@ -332,6 +332,14 @@ def main(argv: list[str] | None = None) -> int:
         "on them); implies nothing without --generic-extract",
     )
     ap.add_argument(
+        "--robots-filter",
+        action="store_true",
+        help="harvest /robots.txt captures from the input itself and "
+        "drop pages their host's 'User-agent: *' rules disallow "
+        "(RFC 9309 longest-prefix matching, allow wins ties, fail-open "
+        "on hosts without rules; operators/robots.py)",
+    )
+    ap.add_argument(
         "--noindex-filter",
         action="store_true",
         help="drop pages whose html carries a robots-noindex meta tag "
@@ -408,6 +416,13 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             pages = filter_noindex(pages)
+        if args.robots_filter:
+            from radio_data_curation_ssl_spark.operators.robots import (
+                filter_robots_disallowed,
+                rules_from_pages,
+            )
+
+            pages = filter_robots_disallowed(pages, rules_from_pages(pages))
         extractor = "generic" if args.generic_extract else "contract"
         if args.models:
             from jobs.fit_models import load_models

@@ -46,7 +46,7 @@ from pyspark.sql.window import Window
 
 from ..functions import url as U
 
-__all__ = ["parse_robots", "filter_robots_disallowed"]
+__all__ = ["parse_robots", "filter_robots_disallowed", "rules_from_pages"]
 
 # field name before ':' (letters/dash), case-insensitive via lower()
 _FIELD_RE = r"^\s*([A-Za-z-]+)\s*:"
@@ -96,6 +96,33 @@ def parse_robots(
         (F.col("field") == "allow").alias("allow"),
     )
     return rules.join(star, ["host", "gid"]).drop("gid")
+
+
+def rules_from_pages(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Harvest the rule table from a crawled pages frame itself: rows
+    whose URL path is exactly ``/robots.txt`` are per-host robots
+    bodies (Common Crawl captures them like any other URL).  Bytes
+    decode through the charset tier (operators/charset.py — robots
+    files are occasionally latin-1 too); duplicate captures of a host's
+    robots collapse to the lexically-first body (deterministic).  Feed
+    the result to :func:`filter_robots_disallowed`."""
+    from .charset import with_decoded_html
+
+    robots_pages = pages.where(
+        F.expr(U.url_path(url_col).spark) == "/robots.txt"
+    ).select(
+        F.expr(U.url_host(url_col).spark).alias("host"),
+        F.col(html_col).alias("_rb_bytes"),
+    )
+    decoded = with_decoded_html(
+        robots_pages, html_col="_rb_bytes", text_col="body"
+    ).select("host", "body")
+    one_per_host = decoded.groupBy("host").agg(
+        F.min("body").alias("body")
+    )
+    return parse_robots(one_per_host)
 
 
 def filter_robots_disallowed(

@@ -84,6 +84,36 @@ def test_corpus_side_never_shuffles(spark):
             assert "host" in line, line  # rule side only
 
 
+def test_rules_from_pages_self_harvest(spark):
+    """--robots-filter shape: rules harvested from the crawl's own
+    /robots.txt captures (bytes through the charset tier), then applied
+    to the same pages frame."""
+    from radio_data_curation_ssl_spark.operators.robots import (
+        rules_from_pages,
+    )
+
+    body = "User-agent: *\nDisallow: /privé"  # latin-1 robots body
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/robots.txt", body.encode("cp1252")),
+            ("https://a.com/privé/x", b"<p>x</p>"),
+            ("https://a.com/open/x", b"<p>x</p>"),
+            ("https://b.org/anything", b"<p>x</p>"),  # no robots host
+        ],
+        "url string, html binary",
+    )
+    rules = rules_from_pages(pages)
+    assert [(r["host"], r["prefix"], r["allow"]) for r in rules.collect()] == [
+        ("a.com", "/privé", False)
+    ]
+    kept = {r["url"] for r in filter_robots_disallowed(pages, rules).collect()}
+    assert kept == {
+        "https://a.com/robots.txt",
+        "https://a.com/open/x",
+        "https://b.org/anything",
+    }
+
+
 def test_registry_robots_oracle_parity(spark):
     """Standing local gate for the past-window registry row (the driver
     checks the first 50 oracle entries; this one sits past them)."""

@@ -1,0 +1,97 @@
+"""Every opt-in flow stage enabled AT ONCE: the cross-stage integration
+gate (individual stage semantics are each oracle/pytest-proven in their
+own files; what this catches is composition breakage — column
+contracts between stages, ordering assumptions, helper-column leaks)."""
+
+import re
+
+from pyspark.sql import functions as F
+
+
+def test_every_optin_stage_composes(spark, pages_small):
+    from radio_data_curation_ssl_spark.operators.gopherquality import (
+        GOPHER_QUALITY_THRESHOLDS,
+    )
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    out = curate_dedup_sample(
+        pages_small,
+        target=80,
+        # URL tier
+        blocked_domains=["blocked.example.org"],
+        url_hard_words=["casino"],
+        url_soft_words=["free", "bonus"],
+        url_shape=True,
+        # document-quality tier
+        rep_filter=True,
+        gopher_quality=dict(
+            GOPHER_QUALITY_THRESHOLDS,
+            max_bullet_line_frac=1.0,
+            max_ellipsis_line_frac=1.0,
+        ),
+        ppl_bucket_keep=("head", "middle"),
+        # published-text rewriting tier
+        nfc_normalize=True,
+        c4_clean={"require_terminal": False, "min_sentences": 0},
+        paragraph_dedup=True,
+        # shaping tier
+        host_cap=50,
+        sample_alpha=0.7,
+    ).cache()
+    rows = out.collect()
+    assert len(rows) > 0
+    cols = set(rows[0].asDict())
+    # no stage helper column leaked into the published schema
+    assert not {c for c in cols if c.startswith("_")}, cols
+    urls = [r["url"] for r in rows]
+    assert len(urls) == len(set(urls))  # dedup held through composition
+    # paragraph stage invariant survives the full composition: no two
+    # published docs share a (non-empty) line
+    seen = {}
+    for r in rows:
+        for line in r["text_scrubbed"].split("\n"):
+            if line:
+                assert line not in seen, (r["url"], seen[line])
+                seen[line] = r["url"]
+    # c4 line rule (relaxed config) held on the published text
+    for r in rows:
+        for line in r["text_scrubbed"].split("\n"):
+            t = line.strip()
+            if t:
+                assert len(re.split(r"\s+", t)) >= 5
+    # host cap respected
+    host_counts = (
+        out.groupBy(F.expr("parse_url(url, 'HOST')").alias("h"))
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 50 for r in host_counts)
+    out.unpersist()
+
+
+def test_every_optin_stage_composes_token_budget_mode(spark, pages_small):
+    """Same composition under --token-budget shaping instead of
+    sample_alpha (the two shaping modes share the stage chain)."""
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    out = curate_dedup_sample(
+        pages_small,
+        target=0,
+        token_budget=5_000,
+        url_shape=True,
+        rep_filter=True,
+        ppl_bucket_keep=("head", "middle", "tail"),  # pass-through cut
+        nfc_normalize=True,
+        paragraph_dedup=True,
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    n_tokens = sum(
+        len(re.findall(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]", r["text_scrubbed"]))
+        for r in rows
+    )
+    assert n_tokens <= 5_000 * 1.2  # budget honored (boundary doc slack)

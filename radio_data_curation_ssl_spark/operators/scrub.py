@@ -76,6 +76,21 @@ COMBINED = re.compile(
 )
 _REPL = {name: repl for name, _, repl in SCRUB_PATTERNS}
 
+#: groups that can ONLY match a string containing ':' (ipv6), 'AKIA'
+#: (awskey) or '-'/'_' (secret's required separator).  Rows without any
+#: of those characters run COMBINED_LIGHT — the identical alternation
+#: minus branches that provably cannot match there, so the result is
+#: BIT-IDENTICAL to COMBINED on such rows (relative order of the
+#: remaining groups is unchanged; equivalence is property-test-gated).
+_HEAVY_ONLY = {"ipv6", "awskey", "secret"}
+COMBINED_LIGHT = re.compile(
+    "|".join(
+        f"(?P<{name}>{pat})"
+        for name, pat, _ in SCRUB_PATTERNS
+        if name not in _HEAVY_ONLY
+    )
+)
+
 
 def _sub(m: re.Match) -> str:
     return _REPL[m.lastgroup]
@@ -109,17 +124,28 @@ def scrub_series(texts: pd.Series) -> tuple[pd.Series, pd.Series]:
     """Vectorized batch scrub (the Spark hot path): one cheap candidate
     scan, then a single subn pass over candidate rows only (subn returns
     the replacement count, so the former separate str.count scan is
-    free — same non-overlapping-match count by definition)."""
+    free — same non-overlapping-match count by definition).  Candidate
+    rows split into two tiers: rows that cannot contain any
+    ``_HEAVY_ONLY`` match (no ':', '-', '_' or 'AKIA') run the lighter
+    alternation — bit-identical output there, fewer branches tried at
+    every position (the r5 breadth patterns cost ~50% subn time when
+    run where they can never match)."""
     cand = texts.str.contains(_CANDIDATE_CLASS, regex=True, na=False)
-    for _w in (*_CANDIDATE_SUBSTRINGS, *TOX_WORDS):
+    heavy = pd.Series(False, index=texts.index)
+    for _w in _CANDIDATE_SUBSTRINGS:
+        heavy |= texts.str.contains(_w, regex=False, na=False)
+    heavy |= texts.str.contains(":", regex=False, na=False)
+    cand |= heavy
+    for _w in TOX_WORDS:
         cand |= texts.str.contains(_w, regex=False, na=False)
     out = texts.copy()
     redactions = pd.Series(0, index=texts.index, dtype="int64")
-    if cand.any():
-        subn = COMBINED.subn
-        pairs = [subn(_sub, s) for s in texts[cand].tolist()]
-        out[cand] = [p[0] for p in pairs]
-        redactions[cand] = [p[1] for p in pairs]
+    for mask, rx in ((cand & heavy, COMBINED), (cand & ~heavy, COMBINED_LIGHT)):
+        if mask.any():
+            subn = rx.subn
+            pairs = [subn(_sub, s) for s in texts[mask].tolist()]
+            out[mask] = [p[0] for p in pairs]
+            redactions[mask] = [p[1] for p in pairs]
     return out, redactions
 
 

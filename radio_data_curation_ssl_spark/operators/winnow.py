@@ -1,0 +1,286 @@
+"""MOSS-style winnowing document fingerprints + fingerprint-overlap pairing.
+
+Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+Fingerprinting" (SIGMOD 2003) — the classic rolling-hash fingerprint
+scheme plagiarism/clone detectors (MOSS) run: hash every word k-gram,
+slide a window of ``w`` consecutive gram hashes over the document, and
+select the MINIMUM hash of each window (rightmost on ties — "robust
+winnowing").  The selected set is a position-stable fingerprint with the
+guarantee that any shared run of at least ``w + k - 1`` words between
+two documents produces at least one shared fingerprint, while keeping
+only ~``2/(w+1)`` of the gram hashes.  Winnowing therefore catches
+LOCAL overlap (a lifted paragraph inside an otherwise-unique page) that
+whole-document sketches (MinHash/SimHash, which bound GLOBAL
+resemblance) dilute away — the third, order-sensitive member of the
+near-dup family next to operators/minhash.py and operators/simhash.py.
+
+Two hash modes:
+
+- ``"md5"`` — grams hashed with the repo's cross-engine 60-bit md5
+  fragment (functions/text.hash64), giving the registered query an
+  exact DuckDB oracle twin (the parity-checkable DEFINITION).
+- ``"fast"`` — the 100 TB throughput path: word hashes come from the
+  shared byte-stream kernel (functions/textstream.build_stream) and
+  k-grams fold via the shared ``pair_hash_np`` combine — zero python
+  string work, no md5.  A different (but equally uniform) hash family,
+  so the selected POSITIONS differ from md5 mode; the planted-overlap
+  recall property is pytest-gated for both modes.
+
+Scale shape: fingerprinting is ONE map-only Arrow pass (no shuffle);
+selection density is ~2/(w+1) so the exploded fingerprint table is a
+fraction of the gram count; the document-frequency cap (``max_df``,
+MOSS's "ignore fingerprints in too many documents") bounds every
+fingerprint bucket BEFORE the self-join, so the pairing shuffle does
+bounded max_df^2-per-key work — boilerplate grams shared by millions of
+pages are dropped, not joined.  No all-pairs path exists.
+
+Reference analog: beyond-the-reference (SURVEY §6) — the reference's
+near-dup surface is vector-space only; this is the task brief's
+"document fingerprinting (rolling hash)" family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "winnow_select",
+    "winnow_fingerprints",
+    "winnow_similarity_pairs",
+]
+
+
+def winnow_select(h: np.ndarray, w: int) -> np.ndarray:
+    """Selected positions for ONE document's gram-hash sequence.
+
+    Robust winnowing: every length-``w`` window of consecutive gram
+    hashes contributes its minimum, rightmost on ties; a document with
+    ``0 < len(h) < w`` grams is one whole-document window.  Returns the
+    sorted unique selected positions (``int64``).
+    """
+    if w < 1:
+        raise ValueError(f"window w must be >= 1, got {w}")
+    n = h.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n <= w:
+        # single window over the whole doc; rightmost min
+        return np.array([n - 1 - h[::-1].argmin()], dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
+    # argmin over the REVERSED window returns its first minimum, i.e. the
+    # rightmost minimum of the original window (the robust tie rule)
+    arg = (w - 1) - win[:, ::-1].argmin(axis=1)
+    return np.unique(np.arange(win.shape[0], dtype=np.int64) + arg)
+
+
+def _md5_60(grams: list[str]) -> np.ndarray:
+    """60-bit md5 gram hashes — the python twin of functions/text.hash64
+    (CAST(conv(substring(md5(x),1,15),16,10) AS BIGINT)), computed once
+    per UNIQUE gram of the batch."""
+    import hashlib
+
+    import pandas as pd
+
+    codes, uniq = pd.factorize(np.asarray(grams, dtype=object))
+    table = np.fromiter(
+        (
+            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+            for g in uniq
+        ),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    return table[codes]
+
+
+def _fast_gram_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(gram_hashes, grams_per_doc) via the shared byte-stream kernel +
+    pair-combine — the no-string, no-md5 throughput path."""
+    from ..functions.textstream import build_stream, pair_hash_np
+
+    st = build_stream(texts)
+    wh = st.word_hashes
+    wpd = st.words_per_doc
+    gpd = np.maximum(wpd - (k - 1), 0)
+    gpd[wpd == 0] = 0
+    if wh.size == 0 or k < 1:
+        return np.empty(0, dtype=np.uint64), gpd
+    # fold k word hashes left-to-right with the shared combine; then mask
+    # out the k-1 cross-doc straddlers at each doc boundary
+    acc = wh.copy()
+    for off in range(1, k):
+        acc = pair_hash_np(acc[:-1], wh[off:])
+    # gram at flat word position p is valid iff p and p+k-1 are in the
+    # same doc — compute per-doc slices from word offsets
+    starts = st.word_starts
+    keep = np.zeros(acc.shape[0], dtype=bool)
+    for d in range(st.n_docs):
+        if gpd[d] > 0:
+            keep[starts[d] : starts[d] + gpd[d]] = True
+    return acc[keep], gpd
+
+
+_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fp", T.LongType()),
+    ]
+)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """(doc_id, fp) DISTINCT winnowing fingerprints per document.
+
+    Tokenization is the repo's documented contract (lowercase +
+    ASCII-whitespace split, empties dropped — the exact twin of
+    ``functions.text.words``); grams are ``k`` consecutive words; the
+    fingerprint set is the distinct selected gram hashes (positions
+    collapsed, as MOSS matching does).  Docs with < k words emit no
+    fingerprints.  One map-only Arrow pass, no shuffle.
+    """
+    if k < 1:
+        raise ValueError(f"gram size k must be >= 1, got {k}")
+    if w < 1:
+        raise ValueError(f"window w must be >= 1, got {w}")
+    if hash_mode not in ("md5", "fast"):
+        raise ValueError(f"hash_mode must be 'md5' or 'fast', got {hash_mode!r}")
+
+    def run(batches):
+        import pandas as pd
+
+        from ..functions.textstream import split_words_ascii
+
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            out_doc: list[np.ndarray] = []
+            out_fp: list[np.ndarray] = []
+            if hash_mode == "fast":
+                gh, gpd = _fast_gram_hashes(b[text_col], k)
+                gh = gh.astype(np.int64, copy=False)  # wraps; stays a key
+                off = 0
+                for i in range(len(ids)):
+                    n = int(gpd[i])
+                    if n:
+                        sel = winnow_select(gh[off : off + n], w)
+                        fps = np.unique(gh[off : off + n][sel])
+                        out_doc.append(np.full(fps.size, ids[i]))
+                        out_fp.append(fps)
+                    off += n
+            else:
+                grams_flat: list[str] = []
+                counts = np.zeros(len(ids), dtype=np.int64)
+                for i, t in enumerate(b[text_col].fillna("")):
+                    ws = split_words_ascii(t)
+                    if len(ws) >= k:
+                        counts[i] = len(ws) - (k - 1)
+                        grams_flat.extend(
+                            " ".join(ws[j : j + k])
+                            for j in range(counts[i])
+                        )
+                gh = _md5_60(grams_flat) if grams_flat else np.empty(
+                    0, dtype=np.int64
+                )
+                off = 0
+                for i in range(len(ids)):
+                    n = int(counts[i])
+                    if n:
+                        sel = winnow_select(gh[off : off + n], w)
+                        fps = np.unique(gh[off : off + n][sel])
+                        out_doc.append(np.full(fps.size, ids[i]))
+                        out_fp.append(fps)
+                    off += n
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_doc).astype("int64"),
+                        "fp": np.concatenate(out_fp).astype("int64"),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "fp": pd.Series([], dtype="int64"),
+                    }
+                )
+
+    return docs.select(id_col, text_col).mapInPandas(run, _FP_SCHEMA)
+
+
+def winnow_similarity_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    max_df: int = 16,
+    min_shared: int = 2,
+    hash_mode: str = "md5",
+    pin_fps: bool = True,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared, containment) MOSS-style overlap pairs.
+
+    ``n_shared`` counts distinct shared fingerprints AFTER the
+    document-frequency cap (fingerprints present in > ``max_df`` docs
+    are corpus boilerplate and are dropped — MOSS's stop-gram rule and
+    the g^2 skew guard: every fingerprint bucket entering the self-join
+    holds <= max_df docs).  ``containment`` = n_shared / min(kept
+    fingerprint counts of the two docs) — 1.0 means the smaller doc's
+    surviving fingerprints all occur in the other.  Deliberately
+    UNROUNDED: one IEEE division of two exact integers is bit-identical
+    across engines, while round(x, 6) half-cases (1/128 = 0.0078125 is
+    exactly representable) are where Spark and DuckDB round rules
+    diverge — rounding would INTRODUCE the parity hazard here (the
+    inverse of the quality_model_score lesson).
+
+    ``pin_fps`` lazily localCheckpoints the fingerprint table (four
+    consumers: df counts, both join sides, per-doc totals — same trade
+    and precedent as paradedup's ``pin_canon``).
+    """
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2 to pair anything, got {max_df}")
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w, hash_mode)
+    if pin_fps:
+        fps = fps.localCheckpoint(eager=False)
+    dfc = fps.groupBy("fp").agg(F.count("*").alias("ndocs"))
+    kept = (
+        fps.join(dfc, "fp")
+        .where(F.col("ndocs") <= max_df)
+        .select("doc_id", "fp")
+    )
+    nf = kept.groupBy("doc_id").agg(F.count("*").alias("nfp"))
+    a = kept.selectExpr("fp", "doc_id AS doc_a")
+    b = kept.selectExpr("fp", "doc_id AS doc_b")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    na = nf.selectExpr("doc_id AS doc_a", "nfp AS nfp_a")
+    nb = nf.selectExpr("doc_id AS doc_b", "nfp AS nfp_b")
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (F.col("n_shared") / F.least("nfp_a", "nfp_b")).alias(
+                "containment"
+            ),
+        )
+    )

@@ -5284,3 +5284,80 @@ def q_robots_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rules = parse_robots(robots)
     return filter_robots_disallowed(pages, rules).select("doc_id", "url")
+
+
+# ---------------------------------------------------------------------------
+# winnowing rolling-hash fingerprints (r5 session 2) — past-window,
+# standing parity gate in tests/test_winnow.py.  The fingerprint SET per
+# doc equals the distinct window minima (rightmost-tie selection changes
+# POSITIONS only, and positions are collapsed for matching), so the
+# oracle needs no argmin: window starts i cover [0, max(n-w, 0)] with
+# window [i, min(i+w-1, n-1)] — a doc with 0 < n < w is one
+# whole-document window.  containment is deliberately UNROUNDED: one
+# IEEE division of exact integers is bit-identical across engines,
+# while round-to-6 half-cases (1/128 is exactly representable) are
+# where the engines' tie rules diverge.
+
+_WN_K, _WN_W, _WN_MAXDF, _WN_MINSH = 3, 4, 16, 2
+_WN_GRAMS = X.wordgrams("words", _WN_K)
+
+
+@register(
+    "winnow_fingerprint_pairs",
+    f"""
+WITH w0 AS (SELECT doc_id, {_W.duck} AS words FROM documents),
+g0 AS (SELECT doc_id, {_WN_GRAMS.duck} AS grams FROM w0),
+ge AS (SELECT doc_id,
+              CAST(generate_subscripts(grams, 1) - 1 AS BIGINT) AS p,
+              unnest(grams) AS gram
+       FROM g0),
+g AS (SELECT doc_id, p, {X.hash64('gram').duck} AS h FROM ge),
+cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+starts AS (SELECT g.doc_id, g.p AS i,
+                  least(g.p + {_WN_W - 1}, c.n - 1) AS j
+           FROM g JOIN cnt c USING (doc_id)
+           WHERE g.p <= greatest(c.n - {_WN_W}, 0)),
+fps AS (SELECT DISTINCT s.doc_id, min(x.h) AS fp
+        FROM starts s JOIN g x
+          ON x.doc_id = s.doc_id AND x.p BETWEEN s.i AND s.j
+        GROUP BY s.doc_id, s.i),
+dfc AS (SELECT fp, count(*) AS ndocs FROM fps GROUP BY fp),
+f2 AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfc USING (fp)
+       WHERE ndocs <= {_WN_MAXDF}),
+nf AS (SELECT doc_id, count(*) AS nfp FROM f2 GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(count(*) AS BIGINT) AS n_shared
+       FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id
+       HAVING count(*) >= {_WN_MINSH})
+SELECT doc_a, doc_b, n_shared,
+       n_shared / least(na.nfp, nb.nfp) AS containment
+FROM pr JOIN nf na ON na.doc_id = pr.doc_a
+        JOIN nf nb ON nb.doc_id = pr.doc_b
+""",
+    doc="MOSS winnowing fingerprints (Schleimer+ SIGMOD'03): hash every "
+    f"word {_WN_K}-gram, keep each {_WN_W}-window's minimum hash "
+    "(~2/(w+1) density, guaranteed hit on any shared run of w+k-1 "
+    "words), pair docs sharing >= 2 fingerprints after a document-"
+    "frequency cap (MOSS stop-grams = the g^2 skew guard: every "
+    f"fingerprint bucket entering the self-join holds <= {_WN_MAXDF} "
+    "docs). Catches LOCAL order-sensitive overlap (a lifted paragraph "
+    "in an otherwise-unique page) that whole-doc MinHash/SimHash "
+    "resemblance dilutes away. operators/winnow.py; the md5 hash mode "
+    "here is the oracle-paired DEFINITION, the 'fast' mode (shared "
+    "byte-stream word hashes + pair_hash_np fold, zero python string "
+    "work) is the 100 TB path, recall-gated in tests/test_winnow.py. "
+    "Scale: fingerprinting is one map-only Arrow pass; pairing is one "
+    "fp-keyed equi-join with df-capped buckets; no all-pairs path.",
+)
+def q_winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.winnow import winnow_similarity_pairs
+
+    return winnow_similarity_pairs(
+        t(spark, sf_dir, "documents"),
+        k=_WN_K,
+        w=_WN_W,
+        max_df=_WN_MAXDF,
+        min_shared=_WN_MINSH,
+        hash_mode="md5",
+    )

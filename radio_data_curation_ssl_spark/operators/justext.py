@@ -1,0 +1,171 @@
+"""jusText-style paragraph boilerplate classification with context smoothing.
+
+Pomikalek's jusText (2011) — the paragraph-granular content/boilerplate
+classifier real extractors run between raw HTML and document scoring:
+classify each paragraph from its OWN shape (length, stop-word density),
+then reclassify the uncertain ones from their NEIGHBORS — a short
+caption between two content paragraphs is content; the same caption
+floating in a navigation block is boilerplate.  This is the signal tier
+between the per-LINE C4 rules (operators/linefilter.py — context-free)
+and the per-DOCUMENT Gopher battery (operators/gopherquality.py): the
+unit is the paragraph and the decision is context-AWARE.
+
+Rule implemented (deterministic single smoothing pass; jusText's
+iterative edge-propagation is simplified to one neighbor vote against
+INITIAL classes, documented here so the SQL twin is exact):
+
+1. Paragraphs are the non-empty ``sep``-separated blocks, position kept.
+2. Initial class, first match wins:
+   - ``short``    if n_words < ``min_words``
+   - ``good``     if stopword_ratio >= ``sw_hi`` AND n_words >= ``len_words``
+   - ``neargood`` if stopword_ratio >= ``sw_lo``
+   - ``bad``      otherwise.
+   (0-word paragraphs — whitespace-only blocks — have NULL
+   stopword_ratio and land in ``short`` via the first rule.)
+3. Final class: ``good``/``bad`` keep their initial class; ``short`` and
+   ``neargood`` become ``good`` iff an ADJACENT paragraph (prev or next
+   by position within the doc) is initially ``good``, else ``bad``.
+
+Features come from the paired fragment library (functions/text.py:
+``words`` / ``n_words`` / ``stopword_ratio``) so the registered query
+carries a full DuckDB oracle; the smoothing pass is one lag/lead window
+PARTITIONED BY doc_id — partitions are paragraphs-per-document, bounded
+by page size, never corpus-sized.  Everything is built-in expressions:
+codegen'd map + one bounded window, zero Python.
+
+Reference analog: beyond-the-reference (SURVEY §6) — the reference's
+inputs are binary-typed cutouts with no paragraph structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from .paradedup import split_paragraphs
+
+__all__ = ["classify_paragraphs", "justext_keep_text"]
+
+CLASSES = ("short", "good", "neargood", "bad")
+
+
+def _init_class_sql(min_words: int, len_words: int, sw_hi: float, sw_lo: float) -> str:
+    """Initial-class CASE over (n_words, stopword_ratio) — identical
+    syntax both dialects; reused verbatim by the registry oracle."""
+    return (
+        f"CASE WHEN n_words < {min_words} THEN 'short' "
+        f"WHEN stopword_ratio >= {sw_hi} AND n_words >= {len_words} "
+        "THEN 'good' "
+        f"WHEN stopword_ratio >= {sw_lo} THEN 'neargood' "
+        "ELSE 'bad' END"
+    )
+
+
+_FINAL_CLASS_SQL = (
+    "CASE WHEN class_init IN ('good', 'bad') THEN class_init "
+    "WHEN coalesce(prev_init, '') = 'good' "
+    "OR coalesce(next_init, '') = 'good' THEN 'good' "
+    "ELSE 'bad' END"
+)
+
+
+def _validate(min_words: int, len_words: int, sw_hi: float, sw_lo: float) -> None:
+    if min_words < 1:
+        raise ValueError(f"min_words must be >= 1, got {min_words}")
+    if len_words < min_words:
+        raise ValueError(
+            f"len_words ({len_words}) must be >= min_words ({min_words})"
+        )
+    if not 0.0 <= sw_lo <= sw_hi <= 1.0:
+        raise ValueError(
+            f"need 0 <= sw_lo <= sw_hi <= 1, got sw_lo={sw_lo} sw_hi={sw_hi}"
+        )
+
+
+def classify_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_words: int = 3,
+    len_words: int = 15,
+    sw_hi: float = 0.3,
+    sw_lo: float = 0.15,
+) -> DataFrame:
+    """(doc_id, pos, para, n_words, stopword_ratio, class_init,
+    class_final) for every non-empty paragraph."""
+    _validate(min_words, len_words, sw_hi, sw_lo)
+    inst = split_paragraphs(docs, id_col, text_col, sep)
+    feats = inst.selectExpr(
+        "doc_id",
+        "pos",
+        "para",
+        f"{X.words('para').spark} AS words",
+    ).selectExpr(
+        "doc_id",
+        "pos",
+        "para",
+        f"{X.n_words('words').spark} AS n_words",
+        f"{X.stopword_ratio('words').spark} AS stopword_ratio",
+    ).withColumn(
+        "class_init",
+        F.expr(_init_class_sql(min_words, len_words, sw_hi, sw_lo)),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        feats.withColumn("prev_init", F.lag("class_init").over(w))
+        .withColumn("next_init", F.lead("class_init").over(w))
+        .withColumn("class_final", F.expr(_FINAL_CLASS_SQL))
+        .drop("prev_init", "next_init")
+    )
+
+
+def justext_keep_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    join_sep: str = "\n\n",
+    **thresholds,
+) -> DataFrame:
+    """(doc_id, n_paras, n_kept, content_text) per input document —
+    final-``good`` paragraphs re-joined in position order; docs whose
+    every paragraph is boilerplate yield ``content_text = ''`` (same
+    contract as paradedup.paragraph_dedup)."""
+    cls = classify_paragraphs(
+        docs, id_col, text_col, sep, **thresholds
+    )
+    per_doc = (
+        cls.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_paras"),
+            F.count(F.when(F.col("class_final") == "good", 1))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("class_final") == "good",
+                                F.struct("pos", "para"),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                join_sep,
+            ).alias("content_text"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("content_text", F.lit("")).alias("content_text"),
+        )
+    )

@@ -5361,3 +5361,107 @@ def q_winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=_WN_MINSH,
         hash_mode="md5",
     )
+
+
+# ---------------------------------------------------------------------------
+# jusText paragraph classification (r5 session 2) — past-window, standing
+# parity gate in tests/test_justext.py.  Derived 3-paragraph pages cover
+# every class and both smoothing outcomes: a stopword-rich long
+# paragraph (good), a stopword-free one (bad), a 0.2-density one
+# (neargood), an all-stopword 6-worder (neargood via the length gate),
+# and a 2-word caption (short); schedules place the uncertain classes
+# next to good and next to bad so the neighbor vote flips both ways.
+
+from .operators.justext import _FINAL_CLASS_SQL as _JT_FINAL
+from .operators.justext import _init_class_sql as _jt_init
+
+_JT_MINW, _JT_LENW, _JT_HI, _JT_LO = 3, 15, 0.3, 0.15
+_JT_GOOD = (
+    "the cat and the dog are in the house and it is a fine day to be "
+    "out in the sun with a friend"
+)
+_JT_BAD = (
+    "zebra quartz vortex jumble flux crystal nexus prism orbit quantum "
+    "matrix vector"
+)
+_JT_NEAR = "the zebra quartz vortex jumble flux and crystal nexus prism"
+_JT_NEAR2 = "the of and to in is"
+_JT_SHORT = "tiny note"
+
+
+def _jt_text() -> str:
+    # identical syntax both dialects (concat + chr(10))
+    nl2 = "chr(10), chr(10)"
+    return (
+        "CASE CAST(doc_id % 4 AS INT) "
+        f"WHEN 0 THEN concat('{_JT_GOOD}', {nl2}, '{_JT_SHORT}', {nl2}, "
+        f"'{_JT_BAD}') "
+        f"WHEN 1 THEN concat('{_JT_NEAR}', {nl2}, '{_JT_NEAR2}', {nl2}, "
+        f"'{_JT_BAD}') "
+        f"WHEN 2 THEN concat('{_JT_BAD}', {nl2}, '{_JT_NEAR}', {nl2}, "
+        f"'{_JT_GOOD}') "
+        f"ELSE concat('{_JT_SHORT}', {nl2}, '{_JT_GOOD}') END"
+    )
+
+
+_JT_W = X.words("para")
+
+
+@register(
+    "justext_paragraph_classes",
+    f"""
+WITH d AS (SELECT doc_id, {_jt_text()} AS text FROM documents),
+p0 AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts
+       FROM d),
+ex AS (SELECT doc_id,
+              CAST(generate_subscripts(parts, 1) - 1 AS INTEGER) AS pos,
+              unnest(parts) AS para
+       FROM p0),
+inst AS (SELECT * FROM ex WHERE para <> ''),
+w AS (SELECT doc_id, pos, {_JT_W.duck} AS words FROM inst),
+f AS (SELECT doc_id, pos, {X.n_words('words').duck} AS n_words,
+             {X.stopword_ratio('words').duck} AS stopword_ratio
+      FROM w),
+c AS (SELECT *, {_jt_init(_JT_MINW, _JT_LENW, _JT_HI, _JT_LO)} AS class_init
+      FROM f),
+s AS (SELECT *,
+             lag(class_init) OVER
+               (PARTITION BY doc_id ORDER BY pos) AS prev_init,
+             lead(class_init) OVER
+               (PARTITION BY doc_id ORDER BY pos) AS next_init
+      FROM c)
+SELECT doc_id, pos, n_words, stopword_ratio, class_init,
+       {_JT_FINAL} AS class_final
+FROM s
+""",
+    doc="jusText-style paragraph boilerplate classification (Pomikalek "
+    "2011): classify each paragraph from its own shape (short if "
+    f"< {_JT_MINW} words; good if stopword density >= {_JT_HI} and "
+    f">= {_JT_LENW} words; neargood if density >= {_JT_LO}; else bad), "
+    "then ONE deterministic context pass — short/neargood become good "
+    "iff an adjacent paragraph is initially good. The context-AWARE "
+    "tier between the per-line C4 rules and the per-document Gopher "
+    "battery: a caption between two content paragraphs is content, the "
+    "same caption in a nav block is boilerplate. "
+    "operators/justext.py::classify_paragraphs (justext_keep_text "
+    "re-assembles the content text). Scale: codegen'd map + one "
+    "lag/lead window partitioned by doc_id — partitions are "
+    "paragraphs-per-PAGE, bounded by page size, never corpus-sized; "
+    "zero Python.",
+)
+def q_justext_paragraph_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.justext import classify_paragraphs
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_jt_text()} AS text"
+    )
+    return classify_paragraphs(
+        d,
+        min_words=_JT_MINW,
+        len_words=_JT_LENW,
+        sw_hi=_JT_HI,
+        sw_lo=_JT_LO,
+    ).select(
+        "doc_id", "pos", "n_words", "stopword_ratio",
+        "class_init", "class_final",
+    )

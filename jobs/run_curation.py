@@ -232,6 +232,15 @@ def main(argv: list[str] | None = None) -> int:
         "operators/normalize.py)",
     )
     ap.add_argument(
+        "--justext",
+        action="store_true",
+        help="with --sample-target: jusText-style paragraph boilerplate "
+        "removal on the published text BEFORE the C4 pass — paragraphs "
+        "classified by shape (length + stopword density) with one "
+        "neighbor-smoothing vote; only final-good paragraphs are "
+        "re-published (operators/justext.py)",
+    )
+    ap.add_argument(
         "--c4-clean",
         action="store_true",
         help="with --sample-target: additionally apply C4 line-level "
@@ -364,6 +373,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.rep_filter
         or args.gopher_quality
         or args.nfc_normalize
+        or args.justext
         or args.c4_clean
         or args.paragraph_dedup
         or args.ppl_bucket_keep is not None
@@ -377,6 +387,7 @@ def main(argv: list[str] | None = None) -> int:
             "--export-jsonl/--blocked-domains/--url-shape/--host-ranks/"
             "--url-hard-words/"
             "--url-soft-words/--gopher-quality/--nfc-normalize/"
+            "--justext/"
             "--c4-clean/--paragraph-dedup/--ppl-bucket-keep require "
             "--sample-target or "
             "--token-budget"
@@ -538,6 +549,7 @@ def main(argv: list[str] | None = None) -> int:
                     rep_filter=args.rep_filter,
                     gopher_quality=args.gopher_quality,
                     nfc_normalize=args.nfc_normalize,
+                    justext_keep=args.justext,
                     c4_clean=args.c4_clean,
                     paragraph_dedup=args.paragraph_dedup,
                     ppl_bucket_keep=args.ppl_bucket_keep,

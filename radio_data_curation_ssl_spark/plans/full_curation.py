@@ -92,6 +92,7 @@ def curate_dedup_sample(
     gopher_quality: bool | dict = False,
     ppl_bucket_keep: tuple | list | None = None,
     nfc_normalize: bool = False,
+    justext_keep: bool | dict = False,
     c4_clean: bool | dict = False,
     paragraph_dedup: bool | dict = False,
     host_cap: int | None = None,
@@ -253,6 +254,16 @@ def curate_dedup_sample(
     defeating byte-level dedup keys and tokenizer merges downstream.
     OFF by default (byte-identical base contract); one Arrow-batched
     kernel, no shuffle.
+
+    ``justext_keep`` stacks jusText-style paragraph boilerplate removal
+    (operators/justext.py) on the published ``text_scrubbed`` BEFORE
+    the C4 line pass: paragraphs classified by shape (length + stopword
+    density) with one neighbor-smoothing vote; only final-``good``
+    paragraphs are re-published, in position order.  Docs reduced to ''
+    remain in the frame (paradedup's emptiness policy).  ``True`` = the
+    jusText-ish defaults; a dict overrides ``classify_paragraphs``
+    thresholds (``sw_hi=``, ``len_words=``, ...).  OFF by default;
+    codegen'd map + one per-doc window, zero Python.
 
     ``c4_clean`` stacks the C4 line-level cleaning pass
     (operators/linefilter.py) on the published ``text_scrubbed`` of the
@@ -486,6 +497,24 @@ def curate_dedup_sample(
         # canonicalize the PUBLISHED text; the raw `text` kept for the
         # dedup hash keys is untouched (same policy as c4_clean)
         kept = with_nfc_text(kept, text_col="text_scrubbed")
+    if justext_keep:
+        from ..operators.justext import justext_keep_text
+
+        # paragraph-level boilerplate cut on the PUBLISHED text (same
+        # policy as c4_clean: raw `text` keeps feeding the doc-level
+        # dedup hash keys); the contract extractor joins paragraphs
+        # with single newlines, so the flow splits on '\n'
+        jt_kwargs: dict = {"sep": "\n", "join_sep": "\n"}
+        if isinstance(justext_keep, dict):
+            jt_kwargs.update(justext_keep)
+        jt_out = justext_keep_text(
+            kept, id_col="url", text_col="text_scrubbed", **jt_kwargs
+        ).selectExpr("doc_id AS url", "content_text AS _jt_text")
+        kept = (
+            kept.join(jt_out, "url")
+            .withColumn("text_scrubbed", F.col("_jt_text"))
+            .drop("_jt_text")
+        )
     if c4_clean:
         from ..operators.linefilter import filter_c4
 

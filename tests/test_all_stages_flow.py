@@ -34,6 +34,7 @@ def test_every_optin_stage_composes(spark, pages_small):
         ppl_bucket_keep=("head", "middle"),
         # published-text rewriting tier
         nfc_normalize=True,
+        justext_keep=True,
         c4_clean={"require_terminal": False, "min_sentences": 0},
         paragraph_dedup=True,
         # shaping tier

@@ -113,6 +113,41 @@ def test_window_is_per_doc_not_corpus(spark):
     assert "doc_id" in plan.split("Window")[1][:400]
 
 
+def test_flow_stage_justext_keep(spark, pages_small):
+    """Flow wiring: justext_keep rewrites the PUBLISHED text only; kept
+    synthetic pages (stopword density ~0.44, single paragraph) survive
+    intact, and a low-density page's text empties rather than silently
+    dropping the row."""
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    base = {
+        r["url"]: r["text_scrubbed"]
+        for r in curate_dedup_sample(pages_small, target=40).collect()
+    }
+    out = {
+        r["url"]: r["text_scrubbed"]
+        for r in curate_dedup_sample(
+            pages_small, target=40, justext_keep=True
+        ).collect()
+    }
+    assert set(out) == set(base)  # row set unchanged — text-only stage
+    # single-paragraph good pages republish byte-identically
+    assert any(out[u] == base[u] and out[u] != "" for u in out)
+    # a draconian threshold empties every page but drops none
+    harsh = {
+        r["url"]: r["text_scrubbed"]
+        for r in curate_dedup_sample(
+            pages_small,
+            target=40,
+            justext_keep={"sw_hi": 1.0, "sw_lo": 1.0, "len_words": 10_000},
+        ).collect()
+    }
+    assert set(harsh) == set(base)
+    assert all(t == "" for t in harsh.values())
+
+
 def test_registry_justext_oracle_parity(spark):
     """Standing local gate for the past-window registry row (the driver
     checks the first 50 oracle entries; this one sits past them)."""

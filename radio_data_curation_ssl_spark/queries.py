@@ -4988,6 +4988,10 @@ def q_paragraph_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents")
         .selectExpr("doc_id", f"{X.words('text').spark} AS ws")
         .selectExpr("doc_id", f"{_pd_text('spark')} AS text")
+        # pin the derived page synthesis: the operator consumes its input
+        # THREE times (paragraph split, totals, final id join) and this
+        # chain is expression-heavy; production reads storage instead
+        .localCheckpoint(eager=False)
     )
     return paragraph_dedup(d, "doc_id", "text", threshold=_PD_TAU)
 

@@ -586,6 +586,28 @@ def joined_lines(kept: str = "kept_lines") -> P:
     )
 
 
+def dedup_lines_first(lines: str = "lines") -> P:
+    """Keep each line's FIRST occurrence within its own document; blank
+    (empty-after-space-trim) lines always survive — they are paragraph
+    structure, not content (Dolma/RefinedWeb intra-document repeated-line
+    removal; the corpus-GLOBAL first-winner lives in line_dedup_global).
+
+    Operates on a NAMED array column so the split is evaluated once
+    (CollapseProject would otherwise re-split per element).  The inner
+    ``array_position`` scan is O(lines^2) per document — bounded by page
+    size, never by corpus size, so the pass stays a narrow map at any
+    scale.  Index conventions differ: Spark's ``filter`` lambda index is
+    0-based, DuckDB's ``list_filter`` is 1-based; both ``*_position``
+    are 1-based firsts.  NULL array -> NULL.
+    """
+    return P(
+        f"filter({lines}, (x, i) -> trim(x) = ''"
+        f" OR array_position({lines}, x) = i + 1)",
+        f"list_filter({lines}, (x, i) -> trim(x) = ''"
+        f" OR list_position({lines}, x) = i)",
+    )
+
+
 def n_sentences(col: str) -> P:
     """Terminal-punctuation-run count — the deterministic sentence-count
     stand-in both engines agree on (NULL text -> NULL; Spark's legacy

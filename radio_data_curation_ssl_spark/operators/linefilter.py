@@ -26,7 +26,42 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 
-__all__ = ["c4_line_clean", "filter_c4"]
+__all__ = ["c4_line_clean", "filter_c4", "dedup_lines_within_doc"]
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_line_deduped",
+) -> DataFrame:
+    """Intra-document repeated-line removal (Dolma / RefinedWeb): drop
+    every line instance after its first occurrence WITHIN THE SAME page;
+    blank lines always survive (paragraph structure).  The complement of
+    line_dedup_global (corpus-global first-winner, one shuffle): nav
+    menus, cookie banners, and share widgets repeat within one page long
+    before they repeat across the corpus, and this pass removes them
+    with ZERO shuffle — pure built-in array expressions (split / indexed
+    filter / array_join), whole-stage codegen, no Python.
+
+    Adds ``n_lines`` / ``n_lines_kept`` (BIGINT, NULL on NULL text) and
+    ``out_col`` (survivors re-joined with newlines; NULL text -> NULL).
+    """
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists")
+    nl = X._sq("\\n")
+    kept = X.dedup_lines_first("_ld_lines")
+    return (
+        df.selectExpr("*", f"split({text_col}, {nl}) AS _ld_lines")
+        .selectExpr("*", f"{kept.spark} AS _ld_kept")
+        .selectExpr(
+            *df.columns,
+            "CASE WHEN _ld_lines IS NULL THEN NULL"
+            " ELSE CAST(size(_ld_lines) AS BIGINT) END AS n_lines",
+            "CASE WHEN _ld_kept IS NULL THEN NULL"
+            " ELSE CAST(size(_ld_kept) AS BIGINT) END AS n_lines_kept",
+            f"array_join(_ld_kept, '\\n') AS {out_col}",
+        )
+    )
 
 
 def c4_line_clean(

@@ -5469,3 +5469,77 @@ def q_justext_paragraph_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "pos", "n_words", "stopword_ratio",
         "class_init", "class_final",
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document line dedup (r5 session 3) — past-window, standing
+# parity gate in tests/test_linededup.py.  Derived pages plant the
+# real-web shape: a nav line repeated twice on every page, a repeated
+# blank separator (blanks must SURVIVE), a doc_id % 3 schedule repeating
+# the intro line, and doc_id % 17 NULL pages for the NULL path.  The
+# oracle is an INDEPENDENT formulation (row_number window per
+# (doc_id, line), not the engine's indexed array filter).
+
+_LD_NAV = "home | products | contact us"
+
+
+def _ld_text(dialect: str) -> str:
+    cast = "AS STRING" if dialect == "spark" else "AS VARCHAR"
+    did = f"CAST(doc_id {cast})"
+    intro = f"concat('intro line for page ', {did})"
+    l6 = (
+        f"CASE WHEN doc_id % 3 = 0 THEN {intro}"
+        f" ELSE concat('body text ', {did}) END"
+    )
+    return (
+        "CASE WHEN doc_id % 17 = 0 THEN NULL ELSE "
+        f"concat_ws(chr(10), {intro}, '{_LD_NAV}', '', '{_LD_NAV}', '', "
+        f"{l6}, concat('tail ', CAST(doc_id % 7 {cast}))) END"
+    )
+
+
+@register(
+    "line_dedup_within_doc",
+    f"""
+WITH d AS (SELECT doc_id, {_ld_text('duck')} AS text FROM documents),
+l AS (SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             CAST(generate_subscripts(string_split(text, chr(10)), 1)
+                  AS INTEGER) AS pos
+      FROM d WHERE text IS NOT NULL),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, line
+                                   ORDER BY pos) AS rn
+      FROM l),
+k AS (SELECT * FROM r WHERE trim(line) = '' OR rn = 1),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+               coalesce(string_agg(line, chr(10) ORDER BY pos), '')
+                 AS dedup_text
+        FROM k GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        FROM l GROUP BY doc_id)
+SELECT d.doc_id, tot.n_lines, agg.n_lines_kept, agg.dedup_text
+FROM d LEFT JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)
+""",
+    doc="Intra-document repeated-line removal (Dolma / RefinedWeb): drop "
+    "every line instance after its first occurrence WITHIN THE SAME "
+    "page; blank lines always survive (paragraph structure). The "
+    "complement of line_dedup_global's corpus-global first-winner: nav "
+    "menus, cookie banners, and share widgets repeat within one page "
+    "long before they repeat across the corpus "
+    "(operators/linefilter.py::dedup_lines_within_doc). Scale: pure "
+    "built-in array expressions — split / indexed filter / array_join, "
+    "whole-stage codegen, ZERO shuffle and zero Python at any corpus "
+    "size; the O(lines^2) first-occurrence scan is bounded by page "
+    "size, never corpus size. Oracle is an independent row_number-"
+    "window formulation, not the engine's array filter.",
+    bench=True,
+)
+def q_line_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linefilter import dedup_lines_within_doc
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_ld_text('spark')} AS text"
+    )
+    return dedup_lines_within_doc(d, "text", out_col="dedup_text").select(
+        "doc_id", "n_lines", "n_lines_kept", "dedup_text"
+    )

@@ -1,0 +1,94 @@
+"""Intra-document line dedup (operators/linefilter.py::dedup_lines_within_doc)."""
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.linefilter import (
+    dedup_lines_within_doc,
+)
+
+NAV = "home | products | contact us"
+
+
+def _docs(spark):
+    rows = [
+        # nav repeated, blank repeated (blanks survive), tail unique
+        (1, f"intro one\n{NAV}\n\n{NAV}\n\nbody one\ntail"),
+        # the SAME nav line on another page is kept there (intra-doc only)
+        (2, f"{NAV}\nbody two\n{NAV}"),
+        # triple repeat collapses to one
+        (3, "x\nx\nx"),
+        (4, None),
+        (5, ""),  # one blank line, kept
+        (6, "   \n   "),  # whitespace-only lines: blank -> both survive
+        (7, "solo"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _out(spark):
+    return {
+        r["doc_id"]: r for r in dedup_lines_within_doc(_docs(spark)).collect()
+    }
+
+
+def test_first_occurrence_kept_blanks_survive(spark):
+    o = _out(spark)
+    assert o[1]["text_line_deduped"] == f"intro one\n{NAV}\n\n\nbody one\ntail"
+    assert (o[1]["n_lines"], o[1]["n_lines_kept"]) == (7, 6)
+
+
+def test_dedup_is_per_document_not_global(spark):
+    o = _out(spark)
+    # page 2 keeps its own first nav even though page 1 already had it
+    assert o[2]["text_line_deduped"] == f"{NAV}\nbody two"
+    assert o[2]["n_lines_kept"] == 2
+
+
+def test_triple_repeat_and_null_and_empty(spark):
+    o = _out(spark)
+    assert o[3]["text_line_deduped"] == "x"
+    assert o[4]["n_lines"] is None
+    assert o[4]["text_line_deduped"] is None
+    assert o[5]["text_line_deduped"] == ""
+    assert (o[5]["n_lines"], o[5]["n_lines_kept"]) == (1, 1)
+    # whitespace-only lines count as blank -> duplicates survive
+    assert o[6]["text_line_deduped"] == "   \n   "
+    assert o[7]["text_line_deduped"] == "solo"
+
+
+def test_out_col_collision_fails_loud(spark):
+    with pytest.raises(ValueError, match="already exists"):
+        dedup_lines_within_doc(_docs(spark), "text", out_col="text")
+
+
+def test_zero_shuffle_plan(spark):
+    plan = dedup_lines_within_doc(
+        _docs(spark)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF anywhere
+
+
+def test_registry_line_dedup_within_doc_oracle_parity(spark):
+    """Standing local gate for the past-window registry row (the driver
+    checks the first 50 oracle entries; this one sits past them)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["line_dedup_within_doc"]
+    got = sorted(
+        tuple(r) for r in q.spark(spark, "/root/testdata/sf0.001").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    # planted schedule: doc 3 (non-NULL, %3) repeats the intro -> 7 -> 5
+    assert by_id[3][1] == 7 and by_id[3][2] == 5
+    # every non-NULL page drops exactly the nav repeat (+ intro on %3)
+    assert all(r[1] is None or r[2] < r[1] for r in got)

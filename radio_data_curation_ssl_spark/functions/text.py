@@ -586,6 +586,28 @@ def joined_lines(kept: str = "kept_lines") -> P:
     )
 
 
+def syllables(w: str = "words") -> P:
+    """Deterministic syllable proxy: vowel-group runs (``[aeiouy]+``)
+    per word, min 1 per word (consonant-only tokens still count one),
+    summed over the document.  The standard cheap stand-in readability
+    formulas use when no pronunciation dictionary is in play — and the
+    only one two engines can agree on bit-exactly.  Spark's ``aggregate``
+    over an empty array returns the zero accumulator while DuckDB's
+    ``list_sum([])`` is NULL, hence the duck-side coalesce.  NULL words
+    -> NULL."""
+    pat_s, pat_d = _sq("[aeiouy]+"), _dq("[aeiouy]+")
+    return P(
+        f"CASE WHEN {w} IS NULL THEN NULL ELSE"
+        f" aggregate({w}, CAST(0 AS BIGINT), (acc, x) -> acc +"
+        f" greatest(CAST(1 AS BIGINT),"
+        f" CAST(size(regexp_extract_all(x, {pat_s}, 0)) AS BIGINT))) END",
+        f"CASE WHEN {w} IS NULL THEN NULL ELSE"
+        f" CAST(coalesce(list_sum(list_transform({w}, x ->"
+        f" greatest(1, len(regexp_extract_all(x, {pat_d}))))), 0)"
+        f" AS BIGINT) END",
+    )
+
+
 def dedup_lines_first(lines: str = "lines") -> P:
     """Keep each line's FIRST occurrence within its own document; blank
     (empty-after-space-trim) lines always survive — they are paragraph

@@ -1,0 +1,86 @@
+"""Readability scoring (Flesch 1948 / Kincaid 1975) — the classic
+document-shape signal quality-curation recipes report next to the
+Gopher battery (FineWeb's ablation tooling and C4 audits both bin
+corpora by reading ease): Flesch reading ease and the Flesch-Kincaid
+grade level from three deterministic counts — words, sentence-terminal
+punctuation runs, and a vowel-group syllable proxy.
+
+    flesch_ease = 206.835 - 1.015*(W/S) - 84.6*(Syl/W)
+    fk_grade    = 0.39*(W/S) + 11.8*(Syl/W) - 15.59
+
+with S floored at 1 (web text is often punctuation-free; a page with no
+terminal punctuation is ONE long sentence, not a division by zero) and
+zero-word pages yielding NULL scores (shape is undefined, not zero).
+
+The engine's scores are proxies sharing the standard formulas'
+COEFFICIENTS but not a dictionary syllabifier — deterministic and
+identical on both engines, which is what a filter threshold needs.
+
+Scale: pure built-in column expressions (split / regexp_extract_all /
+aggregate fold), whole-stage codegen, zero Python, zero shuffle — a
+narrow map at any corpus size.
+
+Beyond the reference (SURVEY §6): the reference's payload is FITS
+imagery; readability is the web-text analog of its per-cutout quality
+stats (`/root/reference/src/verify_feat_extract_output.py:106-119`
+NaN/range audit — per-row shape numbers gating downstream use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..functions import text as X
+
+__all__ = ["readability_sql", "with_readability"]
+
+# shared dialect-identical score expressions over named count columns —
+# ONE source of truth for the operator and the DuckDB oracle (justext's
+# shared-CASE-string pattern).  int/int `/` is double in both engines;
+# the operand tree is written identically so both evaluate the same
+# IEEE sequence, making the final round-6 deterministic cross-engine.
+_WS = "(n_words / greatest(1, n_sentences))"
+_SW = "(syllables / n_words)"
+
+
+def readability_sql() -> dict[str, str]:
+    """Column-name-keyed score expressions (same string both dialects);
+    expect BIGINT columns n_words / n_sentences / syllables in scope."""
+    guard = "CASE WHEN n_words IS NULL OR n_words = 0 THEN NULL ELSE {e} END"
+    return {
+        "flesch_ease": guard.format(
+            e=f"round(206.835 - 1.015 * {_WS} - 84.6 * {_SW}, 6)"
+        ),
+        "fk_grade": guard.format(
+            e=f"round(0.39 * {_WS} + 11.8 * {_SW} - 15.59, 6)"
+        ),
+    }
+
+
+def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``n_words`` / ``n_sentences`` / ``syllables`` (BIGINT, NULL
+    on NULL text) and ``flesch_ease`` / ``fk_grade`` (round 6; NULL when
+    the page has no words)."""
+    clash = {"n_words", "n_sentences", "syllables", "flesch_ease", "fk_grade"}
+    if clash & set(df.columns):
+        raise ValueError(f"output columns already exist: {clash & set(df.columns)}")
+    scores = readability_sql()
+    return (
+        df.selectExpr("*", f"{X.words(text_col).spark} AS _rd_words")
+        .selectExpr(
+            "*",
+            # Spark's legacy size(NULL) = -1 — guard to NULL explicitly
+            "CASE WHEN _rd_words IS NULL THEN NULL ELSE "
+            f"{X.n_words('_rd_words').spark} END AS n_words",
+            f"{X.n_sentences(text_col).spark} AS n_sentences",
+            f"{X.syllables('_rd_words').spark} AS syllables",
+        )
+        .selectExpr(
+            *df.columns,
+            "n_words",
+            "n_sentences",
+            "syllables",
+            f"{scores['flesch_ease']} AS flesch_ease",
+            f"{scores['fk_grade']} AS fk_grade",
+        )
+    )

@@ -5543,3 +5543,68 @@ def q_line_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_within_doc(d, "text", out_col="dedup_text").select(
         "doc_id", "n_lines", "n_lines_kept", "dedup_text"
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability battery (r5 session 3) — past-window, standing parity gate
+# in tests/test_readability.py.  The derivation appends punctuated
+# sentences on a doc_id % 5 schedule (the base corpus is punctuation-
+# free, so the sentence floor is exercised both ways) plus NULL / empty
+# / whitespace-only pages for the guard paths.  Scores share ONE
+# dialect-identical expression string with the operator
+# (operators/readability.py::readability_sql — the justext shared-CASE
+# pattern), so the oracle proves fragment + formula, not a re-derivation.
+
+_RD_TEXT = (
+    "CASE WHEN doc_id % 5 = 0 THEN NULL "
+    "WHEN doc_id % 5 = 1 THEN '' "
+    "WHEN doc_id % 5 = 2 THEN concat(text, '. it is easy to read! truly?') "
+    "WHEN doc_id % 5 = 3 THEN '   ' "
+    "ELSE text END"
+)
+
+
+def _rd_oracle() -> str:
+    from .operators.readability import readability_sql
+
+    s = readability_sql()
+    return f"""
+WITH d AS (SELECT doc_id, {_RD_TEXT} AS text FROM documents),
+w AS (SELECT doc_id, text, {X.words('text').duck} AS words FROM d),
+c AS (SELECT doc_id, {X.n_words('words').duck} AS n_words,
+             {X.n_sentences('text').duck} AS n_sentences,
+             {X.syllables('words').duck} AS syllables
+      FROM w)
+SELECT doc_id, n_words, n_sentences, syllables,
+       {s['flesch_ease']} AS flesch_ease,
+       {s['fk_grade']} AS fk_grade
+FROM c
+"""
+
+
+@register(
+    "readability_scores",
+    _rd_oracle(),
+    doc="Flesch reading ease + Flesch-Kincaid grade (Flesch 1948 / "
+    "Kincaid 1975) from three deterministic counts: words, sentence-"
+    "terminal punctuation runs (floored at 1 — punctuation-free web "
+    "text is ONE long sentence, not a division by zero), and a vowel-"
+    "group syllable proxy with min 1 per word; zero-word pages yield "
+    "NULL scores. The classic document-shape signal quality recipes "
+    "report next to the Gopher battery "
+    "(operators/readability.py::with_readability). Scale: pure built-in "
+    "column expressions (split / regexp_extract_all / aggregate fold), "
+    "whole-stage codegen, zero Python, ZERO shuffle — a narrow map at "
+    "any corpus size.",
+    bench=True,
+)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.readability import with_readability
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_RD_TEXT} AS text"
+    )
+    return with_readability(d, "text").select(
+        "doc_id", "n_words", "n_sentences", "syllables",
+        "flesch_ease", "fk_grade",
+    )

@@ -774,3 +774,121 @@ def n_distinct_stopwords(col: str) -> P:
         f"CAST(len(list_filter({sl_d}, s -> list_contains({ws.duck}, s)))"
         " AS BIGINT) END",
     )
+
+
+# ---------------------------------------------------------------------------
+# RedPajama-v2 natural-language signals (Together 2023) — the lexical-
+# diversity / template-spam members of the RPv2 signal battery the
+# Gopher-shape and repetition tiers do not cover.  Float literals inside
+# shared expressions use exponent notation ('0.5e0') so BOTH engines
+# parse them as DOUBLE — a bare '0.5' is DECIMAL in both Spark and
+# DuckDB, and decimal/bigint trees widen differently per engine.
+
+
+def frac_unique_words(w: str = "words") -> P:
+    """RPv2 ``rps_doc_frac_unique_words``: distinct words / words.
+    Zero-word (and NULL) docs -> NULL; round 6."""
+    return P(
+        f"CASE WHEN {w} IS NULL OR size({w}) = 0 THEN NULL ELSE"
+        f" round(size(array_distinct({w})) / size({w}), {ROUND}) END",
+        f"CASE WHEN {w} IS NULL OR len({w}) = 0 THEN NULL ELSE"
+        f" round(len(list_distinct({w})) / len({w}), {ROUND}) END",
+    )
+
+
+def unigram_entropy(w: str = "words") -> P:
+    """RPv2 ``rps_doc_unigram_entropy``: Shannon entropy of the in-doc
+    unigram distribution, nats —  ln(n) - (sum_t c_t*ln(c_t)) / n  over
+    distinct words t.  Both engines fold the term list in the SAME
+    order (ascending binary sort of the distinct words, zero
+    accumulator first) so the double additions run the identical IEEE
+    sequence; DuckDB's ``list_reduce`` rejects empty lists, hence the
+    prepended zero element standing in for Spark's ``aggregate`` zero
+    accumulator.  The inner count scan is O(distinct * n) per DOCUMENT
+    — bounded by page size, never corpus size.  Zero-word/NULL -> NULL;
+    round 6."""
+    _c_s = f"size(filter({w}, y -> y = x))"
+    _c_d = f"len(list_filter({w}, y -> y = x))"
+    return P(
+        f"CASE WHEN {w} IS NULL OR size({w}) = 0 THEN NULL ELSE"
+        f" round(ln(size({w})) -"
+        f" aggregate(array_sort(array_distinct({w})), CAST(0 AS DOUBLE),"
+        f" (acc, x) -> acc + {_c_s} * ln({_c_s})) / size({w}), {ROUND})"
+        " END",
+        f"CASE WHEN {w} IS NULL OR len({w}) = 0 THEN NULL ELSE"
+        f" round(ln(len({w})) -"
+        f" list_reduce([CAST(0 AS DOUBLE)] ||"
+        f" list_transform(list_sort(list_distinct({w})),"
+        f" x -> {_c_d} * ln({_c_d})), (acc, x) -> acc + x) / len({w}),"
+        f" {ROUND}) END",
+    )
+
+
+def raw_words(col: str) -> P:
+    """Case-PRESERVING whitespace tokens (``words()`` lowercases, which
+    destroys the all-caps signal)."""
+    return P(
+        f"filter(split({col}, {_sq(WORD_SPLIT_RE)}), x -> x != '')",
+        f"list_filter(regexp_split_to_array({col}, {_dq(WORD_SPLIT_RE)}),"
+        " x -> x != '')",
+    )
+
+
+def all_caps_word_frac(rw: str = "raw_words") -> P:
+    """RPv2 ``rps_doc_frac_all_caps_words``: fraction of (case-
+    preserving) tokens that are entirely A-Z.  Zero-word/NULL -> NULL;
+    round 6."""
+    pat = "^[A-Z]+$"
+    return P(
+        f"CASE WHEN {rw} IS NULL OR size({rw}) = 0 THEN NULL ELSE"
+        f" round(size(filter({rw}, x -> x RLIKE {_sq(pat)}))"
+        f" / size({rw}), {ROUND}) END",
+        f"CASE WHEN {rw} IS NULL OR len({rw}) = 0 THEN NULL ELSE"
+        f" round(len(list_filter({rw}, x -> regexp_matches(x,"
+        f" {_dq(pat)}))) / len({rw}), {ROUND}) END",
+    )
+
+
+def curly_bracket_char_frac(col: str) -> P:
+    """RPv2 ``rps_doc_frac_chars_curly_bracket``: ('{' + '}') chars /
+    total chars — the leaked-template/JSON/JS smell.  Empty/NULL text
+    -> NULL; round 6."""
+    n = (
+        f"(length({col}) - length(replace({col}, '{{', ''))"
+        f" + length({col}) - length(replace({col}, '}}', '')))"
+    )
+    return P(
+        f"CASE WHEN {col} IS NULL OR length({col}) = 0 THEN NULL ELSE"
+        f" round({n} / length({col}), {ROUND}) END",
+        f"CASE WHEN {col} IS NULL OR length({col}) = 0 THEN NULL ELSE"
+        f" round({n} / length({col}), {ROUND}) END",
+    )
+
+
+def lorem_ipsum_count(col: str) -> P:
+    """RPv2 ``rps_doc_lorem_ipsum``-style count: case-insensitive
+    occurrences of 'lorem ipsum' (length-difference trick / 11, exact
+    multiple so the BIGINT cast is lossless in both engines' cast
+    semantics).  NULL -> NULL."""
+    lit = "lorem ipsum"
+    n = (
+        f"(length(lower({col})) - length(replace(lower({col}),"
+        f" '{lit}', '')))"
+    )
+    return P(
+        f"CAST({n} / {len(lit)} AS BIGINT)",
+        f"CAST({n} / {len(lit)} AS BIGINT)",
+    )
+
+
+def term_count(w: str, term: str) -> P:
+    """Occurrences of one exact (lowercase) term in the words array —
+    the BM25 tf primitive.  NULL words -> 0 (an unparsable page is an
+    empty page for retrieval, not a NULL that poisons corpus sums)."""
+    lit = term.replace("'", "''")
+    return P(
+        f"CASE WHEN {w} IS NULL THEN CAST(0 AS BIGINT) ELSE"
+        f" CAST(size(filter({w}, x -> x = '{lit}')) AS BIGINT) END",
+        f"CASE WHEN {w} IS NULL THEN CAST(0 AS BIGINT) ELSE"
+        f" CAST(len(list_filter({w}, x -> x = '{lit}')) AS BIGINT) END",
+    )

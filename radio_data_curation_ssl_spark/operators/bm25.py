@@ -1,0 +1,127 @@
+"""BM25 full-text retrieval (Robertson/Sparck Jones Okapi BM25) — the
+lexical search capability next to the vector ANN family (brute-force /
+LSH / IVF top-k): score every document against a bag-of-terms query
+
+    score(q, d) = sum_t idf(t) * tf(t,d)*(k1+1)
+                           / (tf(t,d) + k1*(1 - b + b*dl/avgdl))
+    idf(t)      = ln((N - df(t) + 0.5) / (df(t) + 0.5) + 1)
+
+(the standard Lucene/ATIRE idf with the +1 keeping it positive), and
+return the top-k by score.  Curation pipelines use exactly this shape
+for corpus QA probes ("show me the docs about X"), decontamination
+audits, and DSIR-style relevance bootstraps.
+
+Execution plan — two narrow passes over the corpus, no corpus shuffle:
+
+1. map: per-doc length ``dl`` and one ``tf_i`` per query term, computed
+   inside the words array (built-in ``filter``/``size`` — the query is
+   a FIXED literal list, so Catalyst sees |q| independent codegen'd
+   expressions, no explode, no (doc x term) blow-up);
+2. one global aggregate to a SINGLE row (N, sum_dl, df_i...) —
+   partial/final combine, bytes to the driver;
+3. map: broadcast that row back (explicit ``F.broadcast`` cross join),
+   score docs matching >= 1 term, top-k via orderBy+limit (Spark plans
+   TakeOrderedAndProject — per-partition heaps, never a global sort).
+
+At 100 TB the corpus is read twice and shuffled never; the only wide
+traffic is one stats row.  Score expressions are ONE dialect-identical
+string shared by the operator and the DuckDB oracle (the justext
+shared-CASE pattern); float constants use exponent literals ('0.5e0')
+so both engines parse DOUBLE, not DECIMAL.  NULL text counts as an
+empty document (dl 0, never matches) — it stays in N like any other
+crawl row.  Ordering is (rounded score DESC, id) so the top-k cut is
+deterministic and engine-agnostic.
+
+Reference provenance: the reference's retrieval leg is embedding top-k
+(`/root/reference/scripts/image_retrieval.py:20-32`); BM25 is its
+lexical twin for the web-text payload (SURVEY §2.3 top-k similarity
+join family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+__all__ = ["bm25_score_sql", "bm25_topk"]
+
+
+def _check_terms(query_terms: list[str]) -> list[str]:
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    if len(set(terms)) != len(terms):
+        raise ValueError(f"duplicate query terms (after lowercasing): {terms}")
+    if any((not t) or any(c.isspace() for c in t) for t in terms):
+        raise ValueError(f"query terms must be single non-empty tokens: {terms}")
+    return terms
+
+
+def bm25_score_sql(n_terms: int, k1: float = 1.2, b: float = 0.75) -> str:
+    """The BM25 sum over columns ``tf_0..tf_{n-1}``, ``df_0..df_{n-1}``,
+    ``dl``, ``n_docs``, ``sum_dl`` — one dialect-identical string (both
+    engines evaluate the same IEEE operand tree; term order fixed by the
+    query, so the double additions sequence identically)."""
+    parts = []
+    for i in range(n_terms):
+        idf = f"ln((n_docs - df_{i} + 0.5e0) / (df_{i} + 0.5e0) + 1e0)"
+        norm = f"(tf_{i} + {k1!r}e0 * (1e0 - {b!r}e0 + {b!r}e0 * dl * n_docs / sum_dl))"
+        parts.append(
+            f"CASE WHEN tf_{i} = 0 THEN CAST(0 AS DOUBLE)"
+            f" ELSE {idf} * (tf_{i} * {k1 + 1!r}e0) / {norm} END"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 against a bag of (distinct, single-
+    token) query terms.  Returns (id_col, dl, bm25) — bm25 rounded to 6,
+    ordered by (bm25 DESC, id); only docs matching >= 1 term appear."""
+    terms = _check_terms(query_terms)
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    n = len(terms)
+    base = docs.selectExpr(
+        id_col, f"{X.words(text_col).spark} AS _w"
+    ).selectExpr(
+        id_col,
+        # NULL words (NULL text) = empty doc; Spark legacy size(NULL)=-1
+        "CASE WHEN _w IS NULL THEN CAST(0 AS BIGINT)"
+        " ELSE CAST(size(_w) AS BIGINT) END AS dl",
+        *[
+            f"{X.term_count('_w', t).spark} AS tf_{i}"
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
+        F.expr("CAST(sum(dl) AS BIGINT) AS sum_dl"),
+        *[
+            F.expr(
+                f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS df_{i}"
+            )
+            for i in range(n)
+        ],
+    )
+    matched = "(" + " + ".join(f"tf_{i}" for i in range(n)) + ") > 0"
+    scored = (
+        base.where(matched)
+        .crossJoin(F.broadcast(stats))
+        .selectExpr(
+            id_col,
+            "dl",
+            f"round({bm25_score_sql(n, k1, b)}, {X.ROUND}) AS bm25",
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), F.col(id_col)).limit(k)

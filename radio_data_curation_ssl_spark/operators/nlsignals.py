@@ -1,0 +1,76 @@
+"""RedPajama-v2 natural-language signals (Together Computer 2023) — the
+lexical-diversity and template-spam members of the RPv2 quality-signal
+battery that the engine's Gopher-shape tier (operators/gopherquality.py),
+repetition tier (operators/repsignals.py), and heuristic tier do not
+already cover:
+
+    frac_unique_words        rps_doc_frac_unique_words
+    unigram_entropy          rps_doc_unigram_entropy (nats)
+    all_caps_word_frac       rps_doc_frac_all_caps_words
+    curly_bracket_char_frac  rps_doc_frac_chars_curly_bracket
+    lorem_ipsum_count        rps_doc_lorem_ipsum (count, not frac)
+
+Low unique-word fraction / low entropy = keyword-stuffed or template
+spam; high all-caps fraction = shouting/boilerplate headers; curly
+brackets = leaked code/JSON/JS; any 'lorem ipsum' = unfinished template
+pages.  These ship as SIGNAL columns (real pipelines threshold them per
+corpus; RPv2 itself publishes signals, not verdicts).
+
+Everything is built-in column expressions over the paired fragments in
+functions/text.py — codegen'd narrow map, zero Python, ZERO shuffle at
+any corpus size (plan-asserted in tests).  The two word splits (the
+lowercasing ``words()`` and the case-preserving ``raw_words()`` the
+all-caps signal needs) are each materialized ONCE as named columns.
+NULL text -> NULL signals; zero-word pages -> NULL ratios (shape
+undefined, not zero) except lorem_ipsum_count, which is a plain count
+(0 on empty).
+
+Reference provenance: no web-text signal battery in the reference
+(radio-astronomy payload); this extends the per-row quality-statistics
+family (`/root/reference/src/verify_feat_extract_output.py:106-119`)
+for the web-text north rule, same policy as operators/gopherquality.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..functions import text as X
+
+__all__ = ["NL_SIGNAL_COLS", "with_nl_signals"]
+
+NL_SIGNAL_COLS = (
+    "n_words",
+    "frac_unique_words",
+    "unigram_entropy",
+    "all_caps_word_frac",
+    "curly_bracket_char_frac",
+    "lorem_ipsum_count",
+)
+
+
+def with_nl_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add the six RPv2 signal columns (see module docstring for NULL
+    semantics).  Fails loud on output-column collisions."""
+    clash = set(NL_SIGNAL_COLS) & set(df.columns)
+    if clash:
+        raise ValueError(f"output columns already exist: {sorted(clash)}")
+    return (
+        df.selectExpr(
+            "*",
+            f"{X.words(text_col).spark} AS _nl_words",
+            f"{X.raw_words(text_col).spark} AS _nl_raw",
+        )
+        .selectExpr(
+            *df.columns,
+            # Spark's legacy size(NULL) = -1 — guard to NULL explicitly
+            "CASE WHEN _nl_words IS NULL THEN NULL ELSE "
+            f"{X.n_words('_nl_words').spark} END AS n_words",
+            f"{X.frac_unique_words('_nl_words').spark} AS frac_unique_words",
+            f"{X.unigram_entropy('_nl_words').spark} AS unigram_entropy",
+            f"{X.all_caps_word_frac('_nl_raw').spark} AS all_caps_word_frac",
+            f"{X.curly_bracket_char_frac(text_col).spark}"
+            " AS curly_bracket_char_frac",
+            f"{X.lorem_ipsum_count(text_col).spark} AS lorem_ipsum_count",
+        )
+    )

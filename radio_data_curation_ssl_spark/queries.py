@@ -5608,3 +5608,138 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "n_sentences", "syllables",
         "flesch_ease", "fk_grade",
     )
+
+
+# ---------------------------------------------------------------------------
+# RPv2 natural-language signals (r5 session 4) — past-window, standing
+# parity gate in tests/test_nlsignals.py.  The doc_id % 7 schedule
+# plants NULL / empty / whitespace-only pages (guard paths), an upper-
+# cased page (the all-caps signal needs the case-preserving split), a
+# curly-bracket injection, and a lorem-ipsum injection (2 planted hits +
+# a case-insensitive one), with the base corpus on the remaining mods.
+
+_NLS_TEXT = (
+    "CASE WHEN doc_id % 7 = 0 THEN NULL "
+    "WHEN doc_id % 7 = 1 THEN '' "
+    "WHEN doc_id % 7 = 2 THEN '   ' "
+    "WHEN doc_id % 7 = 3 THEN upper(text) "
+    "WHEN doc_id % 7 = 4 THEN concat(text, ' {a} {b} {{}}') "
+    "WHEN doc_id % 7 = 5 THEN"
+    " concat('Lorem ipsum dolor. ', text, ' lorem ipsum LOREM IPSUM') "
+    "ELSE text END"
+)
+
+_NLS_FUW = X.frac_unique_words("words")
+_NLS_ENT = X.unigram_entropy("words")
+_NLS_CAPS = X.all_caps_word_frac("raw_words")
+_NLS_CURLY = X.curly_bracket_char_frac("text")
+_NLS_LOREM = X.lorem_ipsum_count("text")
+
+
+@register(
+    "nl_signals_rpv2",
+    f"""
+WITH d AS (SELECT doc_id, {_NLS_TEXT} AS text FROM documents),
+w AS (SELECT doc_id, text, {X.words('text').duck} AS words,
+             {X.raw_words('text').duck} AS raw_words
+      FROM d)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       {_NLS_FUW.duck} AS frac_unique_words,
+       {_NLS_ENT.duck} AS unigram_entropy,
+       {_NLS_CAPS.duck} AS all_caps_word_frac,
+       {_NLS_CURLY.duck} AS curly_bracket_char_frac,
+       {_NLS_LOREM.duck} AS lorem_ipsum_count
+FROM w
+""",
+    doc="RedPajama-v2 natural-language signals the Gopher/repetition "
+    "tiers don't cover: unique-word fraction, unigram entropy (nats; "
+    "both engines fold the identical sorted term sequence so the "
+    "double sum is bit-reproducible), all-caps word fraction over the "
+    "case-preserving split, curly-bracket char fraction, and "
+    "lorem-ipsum count. Signals, not verdicts — RPv2 publishes the "
+    "numbers and lets the corpus owner threshold. Scale: built-in "
+    "column expressions only, codegen'd narrow map, zero Python, ZERO "
+    "shuffle; the entropy inner scan is O(distinct*n) per PAGE, "
+    "bounded by page size, never corpus size.",
+    bench=True,
+)
+def q_nl_signals_rpv2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.nlsignals import NL_SIGNAL_COLS, with_nl_signals
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_NLS_TEXT} AS text"
+    )
+    return with_nl_signals(d, "text").select("doc_id", *NL_SIGNAL_COLS)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (r5 session 4) — past-window, standing parity gate in
+# tests/test_bm25.py.  Terms span the df spectrum of the synthetic
+# vocabulary: 'dup' is rare (~5% of docs), 'customer'/'vector' are
+# common (~76%), 'nosuchterm' has df = 0 (its idf is finite but tf = 0
+# everywhere, so it contributes nothing — the absent-term leg).  The
+# doc_id % 19 NULL schedule exercises the empty-document path (stays in
+# N and sum_dl, never matches).
+
+_BM25_TERMS = ["dup", "customer", "vector", "nosuchterm"]
+_BM25_K = 25
+_BM25_TEXT = "CASE WHEN doc_id % 19 = 0 THEN NULL ELSE text END"
+
+
+def _bm25_oracle() -> str:
+    from .operators.bm25 import bm25_score_sql
+
+    n = len(_BM25_TERMS)
+    tf_cols = ",\n             ".join(
+        f"{X.term_count('_w', t).duck} AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{i}"
+        for i in range(n)
+    )
+    matched = " + ".join(f"tf_{i}" for i in range(n))
+    return f"""
+WITH d AS (SELECT doc_id, {_BM25_TEXT} AS text FROM documents),
+w AS (SELECT doc_id, {X.words('text').duck} AS _w FROM d),
+base AS (SELECT doc_id,
+             CASE WHEN _w IS NULL THEN CAST(0 AS BIGINT)
+                  ELSE CAST(len(_w) AS BIGINT) END AS dl,
+             {tf_cols}
+         FROM w),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl,
+             {df_cols}
+          FROM base)
+SELECT doc_id, dl, round({bm25_score_sql(n)}, {X.ROUND}) AS bm25
+FROM base, stats
+WHERE ({matched}) > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
+@register(
+    "bm25_topk",
+    _bm25_oracle(),
+    doc="Okapi BM25 top-k retrieval (Lucene idf variant) — the lexical "
+    "search twin of the ANN family: per-doc tf for a FIXED literal "
+    "term list computed inside the words array (no explode, no "
+    "doc-x-term blow-up), ONE global aggregate to a single broadcast "
+    "stats row (N, sum_dl, per-term df), then a map-side score and "
+    "TakeOrderedAndProject top-k. Score expression is one "
+    "dialect-identical string (operators/bm25.py::bm25_score_sql) with "
+    "exponent float literals so both engines compute the same DOUBLE "
+    "tree. Scale: corpus read twice, shuffled never; only a stats row "
+    "moves. Deterministic cut: ORDER BY rounded score DESC, doc_id.",
+    bench=True,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bm25 import bm25_topk
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_BM25_TEXT} AS text"
+    )
+    return bm25_topk(d, _BM25_TERMS, k=_BM25_K)

@@ -1,0 +1,119 @@
+"""RPv2 natural-language signals (operators/nlsignals.py)."""
+
+import math
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.nlsignals import (
+    NL_SIGNAL_COLS,
+    with_nl_signals,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "a b b c c c"),
+        (2, "x"),  # single word: fuw 1.0, entropy 0.0
+        (3, None),
+        (4, ""),
+        (5, "   "),
+        (6, "HELLO World FOO {x} {y}"),
+        (7, "Lorem ipsum dolor lorem ipsum"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _out(spark):
+    return {r["doc_id"]: r for r in with_nl_signals(_docs(spark)).collect()}
+
+
+def test_hand_worked_entropy_and_unique_fraction(spark):
+    o = _out(spark)
+    r = o[1]
+    assert r["n_words"] == 6
+    assert r["frac_unique_words"] == pytest.approx(0.5, abs=1e-9)
+    # ln(6) - (1*ln1 + 2*ln2 + 3*ln3)/6
+    want = math.log(6) - (2 * math.log(2) + 3 * math.log(3)) / 6
+    assert r["unigram_entropy"] == pytest.approx(want, abs=1e-6)
+    # one word: zero entropy, fully unique
+    assert o[2]["unigram_entropy"] == 0.0
+    assert o[2]["frac_unique_words"] == 1.0
+
+
+def test_caps_curly_lorem(spark):
+    o = _out(spark)
+    r = o[6]
+    # HELLO and FOO of 5 case-preserving tokens; {x}/{y} fail ^[A-Z]+$
+    assert r["all_caps_word_frac"] == pytest.approx(0.4, abs=1e-9)
+    # 4 bracket chars of 23
+    assert r["curly_bracket_char_frac"] == pytest.approx(
+        round(4 / 23, 6), abs=1e-9
+    )
+    # case-insensitive count, both spellings
+    assert o[7]["lorem_ipsum_count"] == 2
+    assert o[1]["lorem_ipsum_count"] == 0
+
+
+def test_null_empty_whitespace_guards(spark):
+    o = _out(spark)
+    for c in NL_SIGNAL_COLS:
+        assert o[3][c] is None  # NULL text: everything NULL
+    for did in (4, 5):
+        assert o[did]["n_words"] == 0
+        assert o[did]["frac_unique_words"] is None
+        assert o[did]["unigram_entropy"] is None
+        assert o[did]["all_caps_word_frac"] is None
+        assert o[did]["lorem_ipsum_count"] == 0
+    # empty string has zero LENGTH -> NULL frac; whitespace-only has
+    # chars, so the bracket fraction is a real 0.0
+    assert o[4]["curly_bracket_char_frac"] is None
+    assert o[5]["curly_bracket_char_frac"] == 0.0
+
+
+def test_column_collision_fails_loud(spark):
+    df = _docs(spark).selectExpr("doc_id", "text", "1 AS unigram_entropy")
+    with pytest.raises(ValueError, match="already exist"):
+        with_nl_signals(df)
+
+
+def test_zero_shuffle_plan(spark):
+    plan = (
+        with_nl_signals(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_registry_nl_signals_oracle_parity(spark):
+    """Standing local gate for the past-window registry row (the driver
+    checks the first 50 oracle entries; this one sits past them)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["nl_signals_rpv2"]
+    got = sorted(
+        tuple(r) for r in q.spark(spark, "/root/testdata/sf0.001").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    by_mod = {}
+    for r in got:
+        by_mod.setdefault(r[0] % 7, []).append(r)
+    # NULL pages all-NULL; empty/whitespace pages zero words, NULL ratios
+    assert all(r[1] is None for r in by_mod[0])
+    assert all(r[1] == 0 and r[2] is None for r in by_mod[1])
+    # upper-cased branch: all-caps fraction is high, base branch is 0
+    assert all(r[4] is not None and r[4] > 0.9 for r in by_mod[3])
+    assert all(r[4] == 0.0 for r in by_mod[6])
+    # planted injections register
+    assert all(r[5] > 0 for r in by_mod[4])
+    assert all(r[6] == 3 for r in by_mod[5])

@@ -1,0 +1,103 @@
+"""Sharded inverted-index build (posting lists + vocabulary statistics)
+— the batch-path complement of BM25 retrieval (operators/bm25.py): where
+bm25_topk scans the corpus per query, a real search/audit deployment
+precomputes ``term -> [(doc_id, tf), ...]`` once and serves lookups from
+it.  Curation pipelines use the same artifact for contamination audits
+("which documents contain this benchmark phrase's terms"), lexicon
+sweeps, and df/cf vocabulary tables (the BPE fit and DSIR importance
+weights both start from exactly these counts).
+
+Execution plan — two keyed aggregations and one join, nothing else:
+
+1. explode words -> per-(term, doc) tf: ONE shuffle keyed (term, doc),
+   partial-agg combines in-document repeats map-side, so the shuffle
+   volume is bounded by the DISTINCT (term, doc) surface, not token
+   count;
+2. per-term df/cf: second keyed agg (map-side combined);
+3. vocabulary pruning BEFORE any list materialization: min_df floor
+   (hapax noise) and max_df_frac ceiling (stop words — exactly the rows
+   whose posting lists would otherwise be corpus-sized); N arrives as
+   one driver-side count (bounded: a single long);
+4. posting assembly GROUP BY (term, shard) where shard =
+   portable_hash(doc_id) % n_shards: every output row holds <= df /
+   n_shards postings in expectation, so row size is OPERATOR-BOUNDED at
+   any corpus scale — size n_shards to the target shard row budget
+   (a stop-word-free vocabulary at web scale still has df ~ 1e9 terms;
+   unsharded collect_list rows are the classic inverted-index OOM).
+
+Postings serialize as the deterministic string "doc:tf,doc:tf" ordered
+by doc_id — Spark's collect_list is order-nondeterministic, hence the
+explicit array_sort before assembly (DuckDB twin: string_agg ORDER BY).
+The shard hash is the engine's 60-bit md5 fragment (functions/text.py
+``hash64``), bit-identical in both engines.  NULL text explodes to zero
+rows (an unparsable page simply indexes nothing).
+
+Reference provenance: the reference's lookup artifact is the cluster
+index (`/root/reference/src/clusters.py:75-87` cluster->members); the
+inverted index is its lexical analog for the web-text payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+__all__ = ["build_postings"]
+
+
+def build_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df_frac: float = 1.0,
+    n_shards: int = 1,
+) -> DataFrame:
+    """Posting lists per (term, shard) with vocabulary stats.
+
+    Returns (term, shard, df, cf, n_docs_shard, postings) where df =
+    document frequency, cf = collection frequency (both over the FULL
+    corpus, pre-shard), and postings = "doc:tf,..." ordered by doc id.
+    Pruning keeps terms with ``min_df <= df <= max_df_frac * N``.
+    """
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    if not (0.0 < max_df_frac <= 1.0):
+        raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+
+    tf = (
+        docs.selectExpr(id_col, f"{X.words(text_col).spark} AS _w")
+        .selectExpr(id_col, "explode(_w) AS term")
+        .groupBy("term", id_col)
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS df"),
+        F.expr("CAST(sum(tf) AS BIGINT) AS cf"),
+    )
+    n_docs = docs.count()  # bounded driver traffic: one long
+    kept = stats.where(
+        f"df >= {min_df} AND df <= {max_df_frac!r}e0 * {n_docs}"
+    )
+    shard = f"{X.hash64(f'CAST({id_col} AS STRING)').spark} % {n_shards}"
+    return (
+        tf.join(kept, "term")
+        .selectExpr(
+            "term", "df", "cf", f"{shard} AS shard", id_col, "tf"
+        )
+        .groupBy("term", "shard", "df", "cf")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_docs_shard"),
+            F.expr(
+                "concat_ws(',', transform("
+                f"array_sort(collect_list(struct({id_col}, tf))),"
+                f" s -> concat(CAST(s.{id_col} AS STRING), ':',"
+                " CAST(s.tf AS STRING)))) AS postings"
+            ),
+        )
+        .select("term", "shard", "df", "cf", "n_docs_shard", "postings")
+    )

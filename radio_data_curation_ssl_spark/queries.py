@@ -5743,3 +5743,77 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", f"{_BM25_TEXT} AS text"
     )
     return bm25_topk(d, _BM25_TERMS, k=_BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# Sharded inverted index (r5 session 4) — past-window, standing parity
+# gate in tests/test_postings.py.  The doc_id % 23 NULL schedule
+# exercises the index-nothing path; the doc_id % 31 hapax injection
+# plants df = 1 terms for the min_df floor; the synthetic vocabulary's
+# own stop-word band (df ~ 0.8 N) exercises the max_df ceiling.
+
+_PST_TEXT = (
+    "CASE WHEN doc_id % 23 = 0 THEN NULL "
+    "WHEN doc_id % 31 = 0 THEN"
+    " concat(text, ' hapax', CAST(doc_id AS STRING)) "
+    "ELSE text END"
+)
+_PST_MIN_DF, _PST_MAX_DF, _PST_SHARDS = 2, 0.75, 4
+
+
+def _pst_oracle() -> str:
+    sh = X.hash64("CAST(t.doc_id AS STRING)").duck
+    return f"""
+WITH d AS (SELECT doc_id, {_PST_TEXT} AS text FROM documents),
+w AS (SELECT doc_id, {X.words('text').duck} AS words FROM d),
+tok AS (SELECT doc_id, unnest(words) AS term FROM w),
+tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY term, doc_id),
+stats AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                 CAST(sum(tf) AS BIGINT) AS cf
+          FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+kept AS (SELECT term, df, cf FROM stats, n
+         WHERE df >= {_PST_MIN_DF}
+           AND df <= {_PST_MAX_DF!r}e0 * n_docs)
+SELECT t.term AS term, ({sh} % {_PST_SHARDS}) AS shard,
+       k.df AS df, k.cf AS cf,
+       CAST(count(*) AS BIGINT) AS n_docs_shard,
+       string_agg(CAST(t.doc_id AS VARCHAR) || ':' ||
+                  CAST(t.tf AS VARCHAR), ',' ORDER BY t.doc_id)
+         AS postings
+FROM tf t JOIN kept k USING (term)
+GROUP BY t.term, shard, k.df, k.cf
+"""
+
+
+@register(
+    "inverted_index_postings",
+    _pst_oracle(),
+    doc="Sharded inverted-index build: per-(term, doc) tf via ONE "
+    "map-side-combined keyed agg over the exploded words (shuffle "
+    "volume bounded by the distinct term-doc surface, not token "
+    "count), per-term df/cf, vocabulary pruning (min_df floor, "
+    "max_df_frac stop-word ceiling) BEFORE any list materialization, "
+    "then posting assembly grouped by (term, portable_hash(doc) % "
+    "n_shards) so every output row holds <= df/n_shards postings — "
+    "row size is operator-bounded at any corpus scale; unsharded "
+    "stop-word posting rows are the classic inverted-index OOM. "
+    "Postings serialize as 'doc:tf,...' ordered by doc id "
+    "(array_sort before assembly — collect_list order is "
+    "nondeterministic; DuckDB twin: string_agg ORDER BY). The batch "
+    "artifact behind bm25_topk's online path.",
+    bench=True,
+)
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.postings import build_postings
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_PST_TEXT} AS text"
+    )
+    return build_postings(
+        d,
+        min_df=_PST_MIN_DF,
+        max_df_frac=_PST_MAX_DF,
+        n_shards=_PST_SHARDS,
+    )

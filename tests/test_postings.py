@@ -1,0 +1,149 @@
+"""Sharded inverted-index build (operators/postings.py)."""
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.postings import build_postings
+
+
+def _docs(spark):
+    rows = [
+        (1, "a b a"),
+        (2, "a c"),
+        (3, "b b b"),
+        (4, None),
+        (5, "c"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hand_worked_tf_df_cf_and_posting_order(spark):
+    out = {r["term"]: r for r in build_postings(_docs(spark)).collect()}
+    assert set(out) == {"a", "b", "c"}
+    # df counts documents, cf sums term frequencies, postings are
+    # "doc:tf" ordered by doc id regardless of collect_list order
+    assert (out["a"]["df"], out["a"]["cf"]) == (2, 3)
+    assert out["a"]["postings"] == "1:2,2:1"
+    assert (out["b"]["df"], out["b"]["cf"]) == (2, 4)
+    assert out["b"]["postings"] == "1:1,3:3"
+    assert (out["c"]["df"], out["c"]["cf"]) == (2, 2)
+    assert out["c"]["postings"] == "2:1,5:1"
+    # single shard: every row is shard 0 and holds the full posting list
+    assert all(r["shard"] == 0 for r in out.values())
+    assert all(r["n_docs_shard"] == r["df"] for r in out.values())
+    # the NULL page (doc 4) indexes nothing
+    assert all("4:" not in r["postings"] for r in out.values())
+
+
+def test_min_df_floor_and_max_df_ceiling(spark):
+    rows = [
+        (1, "stop rare stop"),
+        (2, "stop mid"),
+        (3, "stop mid"),
+        (4, "stop"),
+        (5, "stop"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    # N=5: df(stop)=5, df(mid)=2, df(rare)=1
+    out = {r["term"] for r in build_postings(d, min_df=2).collect()}
+    assert out == {"stop", "mid"}  # hapax pruned
+    out = {
+        r["term"]
+        for r in build_postings(d, min_df=2, max_df_frac=0.4).collect()
+    }
+    assert out == {"mid"}  # stop-word ceiling: df <= 0.4 * 5 = 2
+    # boundary is inclusive on both sides
+    out = {
+        r["term"]
+        for r in build_postings(d, min_df=1, max_df_frac=1.0).collect()
+    }
+    assert out == {"stop", "mid", "rare"}
+
+
+def test_sharding_partitions_postings(spark):
+    # one term across 40 docs, 4 shards: shards partition the posting
+    # surface, df/cf stay corpus-global on every row
+    rows = [(i, "w extra%d" % i) for i in range(1, 41)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [
+        r
+        for r in build_postings(d, min_df=2, n_shards=4).collect()
+        if r["term"] == "w"
+    ]
+    assert 2 <= len(out) <= 4  # hash spread; never a single mega-row
+    assert {r["shard"] for r in out} <= {0, 1, 2, 3}
+    assert all((r["df"], r["cf"]) == (40, 40) for r in out)
+    assert sum(r["n_docs_shard"] for r in out) == 40
+    seen = []
+    for r in out:
+        entries = r["postings"].split(",")
+        assert len(entries) == r["n_docs_shard"]
+        ids = [int(e.split(":")[0]) for e in entries]
+        assert ids == sorted(ids)  # doc-ordered within every shard row
+        seen += ids
+    assert sorted(seen) == list(range(1, 41))  # disjoint union = df
+
+
+def test_validation_fails_loud(spark):
+    d = _docs(spark)
+    with pytest.raises(ValueError, match="min_df"):
+        build_postings(d, min_df=0)
+    with pytest.raises(ValueError, match="max_df_frac"):
+        build_postings(d, max_df_frac=0.0)
+    with pytest.raises(ValueError, match="max_df_frac"):
+        build_postings(d, max_df_frac=1.5)
+    with pytest.raises(ValueError, match="n_shards"):
+        build_postings(d, n_shards=0)
+
+
+def test_plan_no_python(spark):
+    plan = (
+        build_postings(_docs(spark), min_df=2, n_shards=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # pure JVM pipeline: two keyed aggs + one join, zero Python; both
+    # aggs partial (map-side combine) so shuffle volume is the distinct
+    # (term, doc) surface, not token count
+    assert "Python" not in plan
+    assert "partial_count" in plan
+
+
+def test_registry_postings_oracle_parity(spark):
+    """Standing local gate for the past-window registry row (the driver
+    checks the first 50 oracle entries; this one sits past them)."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import _PST_MAX_DF, REGISTRY
+
+    q = REGISTRY["inverted_index_postings"]
+    got = sorted(
+        tuple(r) for r in q.spark(spark, "/root/testdata/sf0.001").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    assert len(got) > 0
+    # the pruning rails both fired on the planted schedule: hapax
+    # injections (df=1) fell to the min_df floor, and at least one
+    # stop-band term fell to the max_df ceiling
+    terms = {r[0] for r in got}
+    assert not any(t.startswith("hapax") for t in terms)
+    con.execute(
+        "CREATE VIEW d2 AS SELECT doc_id, CASE WHEN doc_id % 23 = 0 THEN "
+        "NULL WHEN doc_id % 31 = 0 THEN text || ' hapax' || doc_id "
+        "ELSE text END AS text FROM documents"
+    )
+    (over,) = con.execute(
+        "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array("
+        r"lower(text), '\s+')) AS term FROM d2 WHERE text IS NOT NULL), "
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+        "WHERE term != '' GROUP BY term) "
+        "SELECT count(*) FILTER (WHERE df > {} * (SELECT count(*) FROM d2))"
+        " FROM df".format(_PST_MAX_DF)
+    ).fetchone()
+    assert over > 0, "schedule no longer exercises the max_df ceiling"

@@ -1,0 +1,197 @@
+"""Soft deduplication — duplicate-aware reweighting instead of dropping —
+plus Efraimidis–Spirakis weighted sampling without replacement.
+
+Hard dedup (firstwin.py / minhash.py / semdedup.py) keeps ONE copy per
+duplicate group and discards the rest.  SoftDeDup (Xue et al. 2024,
+"SoftDedup: an Efficient Data Reweighting Method for Speeding Up Language
+Model Pre-training") keeps every copy but downweights it so a group of c
+near-identical pages contributes ~c^(1-alpha) effective documents
+(alpha=1: exactly one) to the training mix — the information the
+duplicates carry is preserved while their gradient share is capped.  The
+natural consumer is weighted sampling: draw the training subset with
+inclusion probability proportional to the weights.  The distributed
+classic is Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+reservoir"): give row i an exponential key
+
+    es_key_i = -ln(u_i) / w_i,        u_i ~ Uniform(0, 1]
+
+and keep the k SMALLEST keys; the result is exactly a weighted sample
+without replacement.  Keys are independent per row, so the whole draw is
+one narrow map plus a top-k — no shuffle, no state, and trivially
+restartable because u_i here is a deterministic seeded hash, not an RNG.
+
+Execution plans:
+
+- ``soft_dedup_weights``: group by the md5 CONTENT KEY (32 hex chars ride
+  the shuffle, never the page bytes), ONE partial/final count agg, then a
+  null-safe equi-join of the (key, count) table back onto the corpus —
+  AQE sizes/skew-splits both shuffles; the hot key (the cookie banner
+  duplicated 10^9 times) lands on the count table as ONE row and the
+  join-back spreads via AQE skew handling.  No window: a rank/count
+  window over the content key would serialize each duplicate group into
+  a single task (the firstwin.py rationale).
+- ``weighted_sample_es``: per-row key from a portable seeded hash
+  (functions/text.hash64 — md5-derived, identical in Spark and DuckDB),
+  then ``orderBy(key).limit(k)`` which Spark plans as
+  TakeOrderedAndProject — per-partition heaps, never a global sort.  At
+  100 TB the corpus is read once and shuffled never.
+
+Float parity: u = (hash64 + 1) / (2^60 + 1) is an exact-integer cast to
+double in both engines; ln / pow follow the bm25 precedent (one
+dialect-identical expression string, exponent float literals, round-6
+before any ORDER BY so the cut is engine-agnostic).
+
+Reference provenance: the reference's sampling legs are deterministic
+subset selection (/root/reference/src/random_sampling.py:51) and quota
+sampling (/root/reference/src/hierarchical_sampling.py:71-143) — both
+unweighted.  Weighted draw is the webtext-curation upgrade the training
+mix needs once soft-dedup weights exist (SURVEY §2.4 sampling family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+__all__ = [
+    "es_key_sql",
+    "es_u_pair",
+    "soft_dedup_weights",
+    "weight_sql",
+    "weighted_sample_es",
+]
+
+# 2^60 + 1: hash64 yields 60-bit non-negative ints, so (h + 1) / _U_DEN
+# lies in (0, 1] exactly — ln(u) is finite and <= 0, es_key >= 0.
+_U_DEN = (1 << 60) + 1
+
+
+def weight_sql(count_expr: str, alpha: float) -> str:
+    """Dialect-identical weight expression: count^(-alpha).
+
+    alpha = 1 is a single exact IEEE division and alpha = 0.5 goes
+    through sqrt — both operations are correctly rounded by the IEEE 754
+    spec, so the two engines agree bit-for-bit.  Other alphas use pow,
+    which Java only guarantees to 1 ulp (vs C libm) — fine for weights,
+    but keep oracle-compared outputs on the exact alphas.
+    """
+    if not alpha > 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if alpha == 1.0:
+        return f"1e0 / {count_expr}"
+    if alpha == 0.5:
+        return f"1e0 / sqrt(CAST({count_expr} AS DOUBLE))"
+    return f"power(CAST({count_expr} AS DOUBLE), -{alpha!r}e0)"
+
+
+def es_u_pair(seed: str, id_expr_spark: str, id_expr_duck: str | None = None):
+    """Paired fragment for the deterministic uniform u in (0, 1]:
+    (hash64(seed || '#' || id) + 1) / (2^60 + 1).  The seed string is a
+    run parameter — vary it to redraw, pin it to reproduce."""
+    if "'" in seed or "\\" in seed:
+        raise ValueError(f"seed must be quote/backslash-free: {seed!r}")
+    d = id_expr_duck if id_expr_duck is not None else id_expr_spark
+    h = X.hash64(f"concat('{seed}#', {id_expr_spark})", f"'{seed}#' || {d}")
+    return X.P(
+        f"(CAST({h.spark} + 1 AS DOUBLE) / {_U_DEN}e0)",
+        f"(CAST({h.duck} + 1 AS DOUBLE) / {_U_DEN}e0)",
+    )
+
+
+def es_key_sql(u_expr: str, weight_expr: str) -> str:
+    """Dialect-identical Efraimidis–Spirakis key: -ln(u) / w.  Smallest
+    keys win; identical string on both engines so the double tree
+    matches bit-for-bit (bm25 ln precedent)."""
+    return f"(-ln({u_expr}) / ({weight_expr}))"
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    alpha: float = 1.0,
+    out_count: str = "dup_count",
+    out_weight: str = "weight",
+) -> DataFrame:
+    """Annotate every row with its exact-duplicate group size and the
+    SoftDeDup sampling weight count^(-alpha).
+
+    Grouping key is md5(text); NULL text rows form ONE group of their
+    own (a crawl's empty fetches are mutual duplicates) — the count join
+    is null-safe (`<=>`) to match GROUP BY semantics (CLAUDE.md
+    convention).  Output preserves the input schema + the two new
+    columns; ``out_weight`` is an unrounded double (round at the
+    comparison/export layer).
+    """
+    if not alpha > 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    for c in (out_count, out_weight, "_sdd_key"):
+        if c in df.columns and c != text_col:
+            raise ValueError(f"output column {c!r} already exists in input")
+    key = F.md5(F.col(text_col))
+    counts = (
+        df.select(key.alias("_sdd_key"))
+        .groupBy("_sdd_key")
+        .agg(F.count("*").alias(out_count))
+    )
+    keyed = df.withColumn("_sdd_key", key)
+    return (
+        keyed.join(counts, keyed["_sdd_key"].eqNullSafe(counts["_sdd_key"]))
+        .drop("_sdd_key")
+        .withColumn(
+            out_weight, F.expr(weight_sql(f"`{out_count}`", alpha))
+        )
+    )
+
+
+def weighted_sample_es(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "es",
+    on_bad_weight: str = "drop",
+    out_key: str = "es_key",
+) -> DataFrame:
+    """Weighted sample without replacement: the k rows with the smallest
+    Efraimidis–Spirakis keys -ln(u)/w, u a deterministic seeded hash of
+    ``id_col``.  Inclusion is without-replacement weighted sampling
+    exactly (ES 2006, Prop. 2); equal weights reduce to a uniform
+    hash-ordered draw.
+
+    Weights must be finite and > 0.  ``on_bad_weight='drop'`` (default)
+    excludes NULL / NaN / <= 0 rows from the draw — the oracle-twin
+    behavior; ``'fail'`` folds a ``raise_error`` branch into the key
+    expression so the first bad row aborts the job (no extra validation
+    pass; the branch cannot be pruned because the key is what's
+    ordered).
+
+    Ordering (and the k-cut) uses the ROUND-6 key then ``id_col`` so the
+    selection is deterministic and engine-agnostic.  Plan:
+    TakeOrderedAndProject — per-partition heaps, zero shuffle.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    if on_bad_weight not in ("drop", "fail"):
+        raise ValueError(f"on_bad_weight must be drop|fail: {on_bad_weight}")
+    if out_key in df.columns:
+        raise ValueError(f"output column {out_key!r} already exists in input")
+    w = f"`{weight_col}`"
+    bad = f"({w} IS NULL OR isnan({w}) OR {w} <= 0e0)"
+    u = es_u_pair(seed, f"CAST(`{id_col}` AS STRING)").spark
+    key = es_key_sql(u, w)
+    if on_bad_weight == "fail":
+        key = (
+            f"CASE WHEN {bad} THEN CAST(raise_error(concat("
+            f"'weighted_sample_es: bad weight for id ', "
+            f"CAST(`{id_col}` AS STRING))) AS DOUBLE) ELSE {key} END"
+        )
+        src = df
+    else:
+        src = df.where(f"NOT {bad}")
+    return (
+        src.withColumn(out_key, F.expr(f"round({key}, {X.ROUND})"))
+        .orderBy(F.col(out_key).asc(), F.col(id_col).asc())
+        .limit(k)
+    )

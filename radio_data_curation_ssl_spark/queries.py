@@ -5817,3 +5817,134 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df_frac=_PST_MAX_DF,
         n_shards=_PST_SHARDS,
     )
+
+
+# ---------------------------------------------------------------------------
+# SoftDeDup reweighting + Efraimidis–Spirakis weighted sampling (r5
+# session 6) — past-window, standing parity gates in
+# tests/test_softdedup.py.  The text schedule plants one corpus-sized
+# duplicate group (the cookie banner, ~1/7 of rows), a NULL-text group
+# (empty fetches are mutual duplicates), and three medium template
+# groups, with the near-unique base corpus on the remaining mods.  The
+# sampling query additionally plants NULL and negative weights
+# (doc_id % 17 / % 19) so the bad-weight drop guard fires on both
+# engines.
+
+_SDD_TEXT = (
+    "CASE WHEN doc_id % 7 = 0 THEN 'cookie banner accept all cookies' "
+    "WHEN doc_id % 11 = 0 THEN NULL "
+    "WHEN doc_id % 13 = 0 THEN"
+    " concat('nav template ', CAST(doc_id % 3 AS STRING)) "
+    "ELSE text END"
+)
+
+
+def _sdd_oracle() -> str:
+    from .operators.softdedup import weight_sql
+
+    return f"""
+WITH d AS (SELECT doc_id, {_SDD_TEXT} AS text FROM documents),
+c AS (SELECT md5(text) AS k, CAST(count(*) AS BIGINT) AS dup_count
+      FROM d GROUP BY md5(text))
+SELECT d.doc_id AS doc_id, c.dup_count AS dup_count,
+       round({weight_sql('c.dup_count', 1.0)}, {X.ROUND}) AS weight,
+       round({weight_sql('c.dup_count', 0.5)}, {X.ROUND}) AS weight_half
+FROM d JOIN c ON md5(d.text) IS NOT DISTINCT FROM c.k
+"""
+
+
+@register(
+    "softdedup_weights",
+    _sdd_oracle(),
+    doc="SoftDeDup duplicate-aware reweighting (Xue et al. 2024): every "
+    "row annotated with its exact-duplicate group size and the "
+    "sampling weight count^(-alpha) — duplicates are downweighted, "
+    "not dropped, so a group of c copies contributes c^(1-alpha) "
+    "effective documents to the training mix (alpha=1 leg exact "
+    "IEEE division, alpha=0.5 leg the pow path). Grouping key is "
+    "md5(text) — 32 hex chars ride the shuffle, never page bytes; "
+    "NULL pages form one group and the count join-back is null-safe "
+    "(<=>) to match GROUP BY semantics. Scale: one partial/final "
+    "count agg + one AQE-sized equi-join; no window, so the 10^9-copy "
+    "hot group is ONE count row, never one task "
+    "(operators/softdedup.py::soft_dedup_weights).",
+    bench=True,
+)
+def q_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.softdedup import soft_dedup_weights, weight_sql
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_SDD_TEXT} AS text"
+    )
+    return soft_dedup_weights(d, alpha=1.0).selectExpr(
+        "doc_id",
+        "dup_count",
+        f"round(weight, {X.ROUND}) AS weight",
+        f"round({weight_sql('dup_count', 0.5)}, {X.ROUND}) AS weight_half",
+    )
+
+
+_SWS_K = 40
+_SWS_SEED = "r5s6"
+# shared CASE string (both engines see columns doc_id, dup_count)
+_SWS_W = (
+    "CASE WHEN doc_id % 17 = 0 THEN NULL "
+    "WHEN doc_id % 19 = 0 THEN -1e0 "
+    "ELSE 1e0 / dup_count END"
+)
+
+
+def _sws_oracle() -> str:
+    from .operators.softdedup import es_key_sql, es_u_pair
+
+    u = es_u_pair(
+        _SWS_SEED, "CAST(doc_id AS STRING)", "CAST(doc_id AS VARCHAR)"
+    ).duck
+    return f"""
+WITH d AS (SELECT doc_id, {_SDD_TEXT} AS text FROM documents),
+c AS (SELECT md5(text) AS k, CAST(count(*) AS BIGINT) AS dup_count
+      FROM d GROUP BY md5(text)),
+w AS (SELECT d.doc_id AS doc_id, c.dup_count AS dup_count, {_SWS_W} AS weight
+      FROM d JOIN c ON md5(d.text) IS NOT DISTINCT FROM c.k),
+g AS (SELECT * FROM w
+      WHERE NOT (weight IS NULL OR isnan(weight) OR weight <= 0e0))
+SELECT doc_id, dup_count, round(weight, {X.ROUND}) AS weight,
+       round({es_key_sql(u, 'weight')}, {X.ROUND}) AS es_key
+FROM g ORDER BY es_key, doc_id LIMIT {_SWS_K}
+"""
+
+
+@register(
+    "softdedup_weighted_sample",
+    _sws_oracle(),
+    doc="Weighted sample without replacement over the SoftDeDup weights "
+    "— the full soft-dedup pipeline: duplicate groups downweighted "
+    "1/count, then Efraimidis–Spirakis 2006 keys -ln(u)/w with u a "
+    "deterministic seeded portable hash of doc_id, keep the k "
+    "smallest (exactly weighted sampling without replacement; equal "
+    "weights reduce to a uniform hash draw). Planted NULL / negative "
+    "weights exercise the drop guard on both engines. Key expression "
+    "is one dialect-identical string (bm25 ln precedent); ordering is "
+    "(round-6 key, doc_id) so the cut is engine-agnostic. Scale: "
+    "after the weight join the draw is a narrow map + "
+    "TakeOrderedAndProject — per-partition heaps, the corpus is "
+    "never re-shuffled (operators/softdedup.py::weighted_sample_es).",
+    bench=True,
+)
+def q_softdedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.softdedup import soft_dedup_weights, weighted_sample_es
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_SDD_TEXT} AS text"
+    )
+    w = soft_dedup_weights(d, alpha=1.0).withColumn(
+        "weight", F.expr(_SWS_W)
+    )
+    return weighted_sample_es(
+        w, "weight", k=_SWS_K, id_col="doc_id", seed=_SWS_SEED
+    ).selectExpr(
+        "doc_id",
+        "dup_count",
+        f"round(weight, {X.ROUND}) AS weight",
+        "es_key",
+    )

@@ -1,0 +1,216 @@
+"""SoftDeDup reweighting + Efraimidis–Spirakis weighted sampling
+(operators/softdedup.py)."""
+
+import hashlib
+import math
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.softdedup import (
+    soft_dedup_weights,
+    weight_sql,
+    weighted_sample_es,
+)
+
+_U_DEN = (1 << 60) + 1
+
+
+def _py_u(seed: str, ident) -> float:
+    """Python twin of es_u_pair: portable md5 hash -> u in (0, 1]."""
+    h = int(hashlib.md5(f"{seed}#{ident}".encode()).hexdigest()[:15], 16)
+    return (h + 1) / _U_DEN
+
+
+def _py_key(seed: str, ident, w: float) -> float:
+    return -math.log(_py_u(seed, ident)) / w
+
+
+def _docs(spark):
+    rows = [
+        (1, "cookie banner"),
+        (2, "cookie banner"),
+        (3, "cookie banner"),
+        (4, "cookie banner"),
+        (5, "unique page five"),
+        (6, None),
+        (7, None),
+        (8, "unique page eight"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dup_counts_and_weights(spark):
+    out = {r["doc_id"]: r for r in soft_dedup_weights(_docs(spark)).collect()}
+    assert len(out) == 8  # every row survives — reweight, never drop
+    # 4-copy banner group
+    assert all(out[i]["dup_count"] == 4 for i in (1, 2, 3, 4))
+    assert out[1]["weight"] == pytest.approx(0.25)
+    # NULL pages form ONE group of their own
+    assert out[6]["dup_count"] == 2 and out[7]["dup_count"] == 2
+    assert out[6]["weight"] == pytest.approx(0.5)
+    # singletons keep full weight
+    assert out[5]["dup_count"] == 1 and out[5]["weight"] == 1.0
+    # input schema preserved alongside the two new columns
+    assert set(out[1].asDict()) == {"doc_id", "text", "dup_count", "weight"}
+
+
+def test_alpha_legs_and_validation(spark):
+    out = soft_dedup_weights(_docs(spark), alpha=0.5).collect()
+    w = {r["doc_id"]: r["weight"] for r in out}
+    assert w[1] == pytest.approx(0.5)  # 4^-0.5
+    assert w[5] == pytest.approx(1.0)
+    # effective size of a c-group under alpha: c * c^-alpha = c^(1-alpha)
+    assert sum(w[i] for i in (1, 2, 3, 4)) == pytest.approx(2.0)
+    with pytest.raises(ValueError, match="alpha"):
+        soft_dedup_weights(_docs(spark), alpha=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        weight_sql("c", -1.0)
+    d = _docs(spark)
+    with pytest.raises(ValueError, match="already exists"):
+        soft_dedup_weights(d.withColumn("weight", d.text))
+
+
+def test_es_matches_python_twin(spark):
+    # engine selection == exact python replay of the same hash formula,
+    # under both equal and skewed weights
+    rows = [(i, float(w)) for i, w in zip(range(1, 11), [1] * 5 + [5, 2, 1, 3, 1])]
+    df = spark.createDataFrame(rows, "doc_id long, weight double")
+    for seed, k in (("t1", 3), ("t2", 7)):
+        got = weighted_sample_es(df, "weight", k=k, seed=seed).collect()
+        keys = {i: _py_key(seed, i, w) for i, w in rows}
+        want = sorted(keys, key=lambda i: (keys[i], i))[:k]
+        assert [r["doc_id"] for r in got] == want
+        for r in got:
+            assert r["es_key"] == pytest.approx(keys[r["doc_id"]], abs=5e-7)
+    # equal weights reduce to the uniform hash draw (largest u wins)
+    eq = spark.createDataFrame(
+        [(i, 1.0) for i in range(1, 11)], "doc_id long, weight double"
+    )
+    got = [r["doc_id"] for r in weighted_sample_es(eq, "weight", 3, seed="u").collect()]
+    want = sorted(range(1, 11), key=lambda i: (-_py_u("u", i), i))[:3]
+    assert got == want
+
+
+def test_es_inclusion_tracks_weight():
+    # pure-python property of the deterministic construction: across many
+    # seeds the heavy item is drawn far more often than a light one
+    items = {i: (9.0 if i == 0 else 1.0) for i in range(10)}
+    heavy = light = 0
+    for s in range(300):
+        keys = {i: _py_key(f"s{s}", i, w) for i, w in items.items()}
+        top3 = sorted(keys, key=keys.get)[:3]
+        heavy += 0 in top3
+        light += 1 in top3
+    # E[heavy in top-3] ~ 0.93, E[light] ~ 0.23
+    assert heavy / 300 > 0.8
+    assert light / 300 < 0.45
+    assert heavy > 2 * light
+
+
+def test_bad_weight_drop_and_fail(spark):
+    rows = [
+        (1, 1.0),
+        (2, None),
+        (3, -1.0),
+        (4, 0.0),
+        (5, float("nan")),
+        (6, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, weight double")
+    got = {r["doc_id"] for r in weighted_sample_es(df, "weight", 10).collect()}
+    assert got == {1, 6}  # bad-weight rows never enter the draw
+    with pytest.raises(Exception, match="bad weight"):
+        weighted_sample_es(df, "weight", 10, on_bad_weight="fail").collect()
+    # fail mode on clean weights is the same draw as drop mode
+    clean = df.where("doc_id IN (1, 6)")
+    a = weighted_sample_es(clean, "weight", 2).collect()
+    b = weighted_sample_es(clean, "weight", 2, on_bad_weight="fail").collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+
+
+def test_param_validation(spark):
+    df = _docs(spark)
+    with pytest.raises(ValueError, match="k must"):
+        weighted_sample_es(df.withColumn("w", df.doc_id * 1.0), "w", 0)
+    with pytest.raises(ValueError, match="on_bad_weight"):
+        weighted_sample_es(df.withColumn("w", df.doc_id * 1.0), "w", 1, on_bad_weight="x")
+    with pytest.raises(ValueError, match="already exists"):
+        weighted_sample_es(
+            df.withColumn("es_key", df.doc_id * 1.0), "es_key", 1
+        )
+    with pytest.raises(ValueError, match="seed"):
+        weighted_sample_es(df.withColumn("w", df.doc_id * 1.0), "w", 1, seed="a'b")
+
+
+def test_plans(spark):
+    w = soft_dedup_weights(_docs(spark))
+    wplan = w._jdf.queryExecution().executedPlan().toString()
+    # count agg partial/final (map-side combine), zero Python anywhere
+    assert "partial_count" in wplan
+    assert "Python" not in wplan
+    df = spark.createDataFrame(
+        [(i, 1.0 + i) for i in range(20)], "doc_id long, weight double"
+    )
+    s = weighted_sample_es(df, "weight", 5)
+    splan = s._jdf.queryExecution().executedPlan().toString()
+    # the draw is per-partition heaps, never a sort or hash shuffle
+    assert "TakeOrderedAndProject" in splan
+    assert "Exchange hashpartitioning" not in splan
+    assert "Python" not in splan
+
+
+def _duck_views(con, sf):
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'/root/testdata/{sf}/documents.parquet'"
+    )
+
+
+def test_registry_softdedup_weights_oracle_parity(spark):
+    """Standing local gate for the past-window registry row."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["softdedup_weights"]
+    rows = q.spark(spark, "/root/testdata/sf0.001").collect()
+    got = sorted(tuple(r) for r in rows)
+    con = duckdb.connect()
+    _duck_views(con, "sf0.001")
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert [r[:2] for r in got] == [r[:2] for r in want]
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], abs=1e-9)
+        assert g[3] == pytest.approx(w[3], abs=1e-9)
+    # planted rails all fired: the banner mega-group, the NULL-text
+    # group, the medium templates, and untouched singletons
+    counts = {r["doc_id"]: r["dup_count"] for r in rows}
+    assert max(counts.values()) >= 50  # banner group
+    assert any(c == 1 for c in counts.values())
+    assert counts[11] > 1  # NULL-text group (11 % 7 != 0)
+
+
+def test_registry_softdedup_weighted_sample_oracle_parity(spark):
+    """Standing local gate for the past-window registry row."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import _SWS_K, REGISTRY
+
+    q = REGISTRY["softdedup_weighted_sample"]
+    rows = q.spark(spark, "/root/testdata/sf0.001").collect()
+    got = sorted(tuple(r) for r in rows)
+    con = duckdb.connect()
+    _duck_views(con, "sf0.001")
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert len(got) == len(want) == _SWS_K
+    assert [r[:2] for r in got] == [r[:2] for r in want]
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], abs=1e-9)
+        assert g[3] == pytest.approx(w[3], abs=1e-9)
+    # the bad-weight guard fired: no planted NULL/negative-weight row
+    # (doc_id % 17 == 0 or % 19 == 0) can appear in the sample
+    assert all(r[0] % 17 != 0 and r[0] % 19 != 0 for r in got)
+    # heavy dup groups are downweighted: the banner group (weight
+    # ~1/70) should be a small minority of a 40-draw despite being
+    # ~1/7 of the corpus
+    assert sum(1 for r in got if r[1] >= 50) <= 5

@@ -1,0 +1,105 @@
+"""Crawl-snapshot delta: classify every URL across two crawl snapshots
+as added / removed / changed / unchanged.
+
+Incremental crawl maintenance needs exactly this operator: given the
+previous snapshot and the fresh one, which pages are new (must enter the
+curation pipeline), which disappeared (tombstone downstream artifacts),
+which changed content (re-extract, re-score, re-dedup), and which are
+byte-identical (skip — the overwhelming majority between adjacent
+crawls).  It is the page-level complement of the CDXJ fetch-list
+selection (sources/cdx.py picks WHAT to fetch; this classifies what the
+fetch RETURNED) and the producer for the incremental dedup consumers
+(bloomdedup / minhash incremental commit only the added+changed slice).
+
+Execution plan, scale-first:
+
+1. Each side is projected to ``(id, md5(content), ts)`` BEFORE anything
+   wide — page bytes never enter a shuffle; 32 hex chars do.
+2. Duplicate captures per URL within a snapshot (real crawls re-fetch)
+   reduce via ONE ``max_by`` partial/final agg — latest ``ts`` wins,
+   content-hash tiebreak (coalesced to '' so NULL-content captures sort
+   deterministically below any hashed content) — the keep_first idiom
+   pointed at the other end of the ordering, same no-window rationale
+   (firstwin.py): the hot URL partial-aggregates map-side.
+3. ONE full-outer equi-join on the id — the inherent shuffle; AQE sizes
+   it.  Presence is tracked by literal marker columns, NOT hash
+   nullability, so pages with NULL content classify correctly
+   (NULL <=> NULL content is 'unchanged', per null-safe equality).
+
+Rows with a NULL id are dropped on both sides (a crawl row without a
+URL has no identity to diff on) — filtered by a codegen'd scan
+predicate, documented here rather than silently mis-grouped.
+
+Reference analog: the resume anti-join (already-processed cutouts are
+skipped — /root/reference/src/1a_cutouts_sw.py:69-71) generalized to a
+bidirectional snapshot diff; beyond-the-reference (SURVEY §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["snapshot_delta"]
+
+CHANGE_VALUES = ("added", "removed", "changed", "unchanged")
+
+
+def _latest(df: DataFrame, id_col: str, content_col: str, ts_col: str | None):
+    """One (id, h, ts) row per id: the latest capture's content hash.
+
+    Without ``ts_col`` the snapshot must already be one-capture-per-id;
+    duplicate ids then reduce by max content hash alone (deterministic,
+    but prefer passing the timestamp)."""
+    h = F.md5(F.col(content_col))
+    ts = F.col(ts_col) if ts_col else F.lit(0).cast("long")
+    slim = df.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("id"), h.alias("h"), ts.alias("ts")
+    )
+    payload = F.struct("h", "ts")
+    order = F.struct(F.col("ts"), F.coalesce(F.col("h"), F.lit("")))
+    return (
+        slim.groupBy("id")
+        .agg(F.max_by(payload, order).alias("_w"))
+        .select("id", F.col("_w.h").alias("h"), F.col("_w.ts").alias("ts"))
+    )
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "url",
+    content_col: str = "text",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """(id, change, ts_old, ts_new) per URL present in either snapshot.
+
+    ``change`` ∈ {added, removed, changed, unchanged}: added = only in
+    ``new``, removed = only in ``old``, changed/unchanged = in both with
+    differing / null-safe-equal content hash.  ``ts_old`` / ``ts_new``
+    are the winning capture timestamps (NULL on the absent side; 0 when
+    no ``ts_col`` was given).
+    """
+    for c in (id_col, content_col):
+        for side, df in (("old", old), ("new", new)):
+            if c not in df.columns:
+                raise ValueError(f"{side} snapshot lacks column {c!r}")
+    o = _latest(old, id_col, content_col, ts_col).withColumn(
+        "_po", F.lit(True)
+    )
+    n = _latest(new, id_col, content_col, ts_col).withColumn(
+        "_pn", F.lit(True)
+    )
+    j = o.alias("o").join(n.alias("n"), F.col("o.id") == F.col("n.id"), "full")
+    change = (
+        F.when(F.col("o._po").isNull(), F.lit("added"))
+        .when(F.col("n._pn").isNull(), F.lit("removed"))
+        .when(F.col("o.h").eqNullSafe(F.col("n.h")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.coalesce(F.col("o.id"), F.col("n.id")).alias(id_col),
+        change.alias("change"),
+        F.col("o.ts").alias("ts_old"),
+        F.col("n.ts").alias("ts_new"),
+    )

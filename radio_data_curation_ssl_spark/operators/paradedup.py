@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from .minhash import shingle_sets, signature_bands
 
-__all__ = ["split_paragraphs", "paragraph_dedup"]
+__all__ = ["drop_common_paragraphs", "split_paragraphs", "paragraph_dedup"]
 
 
 def split_paragraphs(
@@ -53,13 +53,17 @@ def split_paragraphs(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n\n",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, pos, para) non-empty paragraph instances.  ``sep`` is a
-    Spark split() regex; the default matches the oracle's literal
-    blank-line split (no metacharacters)."""
+    """(doc_id, [keep_cols...,] pos, para) non-empty paragraph
+    instances.  ``sep`` is a Spark split() regex; the default matches
+    the oracle's literal blank-line split (no metacharacters).
+    ``keep_cols`` carries extra per-doc columns (e.g. the host) onto
+    every instance row."""
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in keep_cols],
             F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
         )
         .where(F.col("para") != "")
@@ -182,5 +186,86 @@ def paragraph_dedup(
             F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
             F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )
+
+
+def drop_common_paragraphs(
+    docs: DataFrame,
+    host_col: str,
+    max_hosts: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    join_sep: str = "\n\n",
+) -> DataFrame:
+    """Host-document-frequency boilerplate removal (CCNet / RefinedWeb
+    page cleaning): drop EVERY instance of any paragraph that appears on
+    more than ``max_hosts`` DISTINCT hosts, and re-assemble documents
+    from the survivors.
+
+    This is the third paragraph-granularity rule and differs from both
+    siblings: ``paragraph_dedup`` keeps the FIRST instance of a repeated
+    paragraph (dedup — the content is worth one copy), and
+    ``dedup_lines_within_doc`` scopes to one page; host-DF removal keeps
+    ZERO copies (cookie banners, share widgets, legal footers pasted
+    across the web are boilerplate, not content — no copy belongs in the
+    training mix), while a paragraph syndicated across only a few hosts
+    (quotes, wire-service ledes) survives everywhere.  The host-distinct
+    count — not the raw instance count — is what distinguishes
+    boilerplate from a popular on-site template (inverted-index max_df
+    thinking applied at paragraph granularity, keyed by host).
+
+    Returns (doc_id, n_paras, n_kept, clean_text); NULL/empty text ->
+    (0, 0, '').
+
+    Scale shape: the counting path moves ONLY (xxhash64(para), host)
+    pairs — never paragraph text; distinct-host counting is Spark's
+    two-phase distinct agg with map-side partials.  The common set
+    (df > max_hosts) is small by construction and anti-joins back onto
+    instances (AQE broadcasts it).  Re-assembly is one shuffle on
+    doc_id — the same inherent shuffle paragraph_dedup pays.  An
+    xxhash64 collision (2^-64) could at worst drop one innocent
+    paragraph alongside true boilerplate — the paradedup tid trade,
+    acceptable for a filter (never corrupts surviving text).
+    """
+    if max_hosts < 1:
+        raise ValueError(f"max_hosts must be >= 1, got {max_hosts}")
+    for c in (host_col,):
+        if c not in docs.columns:
+            raise ValueError(f"input lacks host column {c!r}")
+    inst = split_paragraphs(docs, id_col, text_col, sep, keep_cols=(host_col,))
+    common = (
+        inst.select(F.xxhash64("para").alias("tid"), F.col(host_col))
+        .groupBy("tid")
+        .agg(F.count_distinct(F.col(host_col)).alias("n_hosts"))
+        .where(F.col("n_hosts") > max_hosts)
+        .select("tid")
+    )
+    kept = inst.withColumn("tid", F.xxhash64("para")).join(
+        common, "tid", "left_anti"
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            join_sep,
+        ).alias("clean_text"),
+    )
+    totals = inst.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )

@@ -5948,3 +5948,202 @@ def q_softdedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round(weight, {X.ROUND}) AS weight",
         "es_key",
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-snapshot delta (r5 session 6) — past-window, standing parity
+# gate in tests/test_crawldiff.py.  Two snapshots are derived from the
+# documents table: doc_id % 4 = 3 pages exist only in the new snapshot
+# (added), doc_id % 5 = 2 only in the old one (removed), doc_id % 7 = 0
+# pages change content between snapshots, doc_id % 11 = 0 pages have
+# NULL content on BOTH sides (the null-safe 'unchanged' leg).  The old
+# snapshot additionally carries duplicate captures: a STALE lower-ts
+# capture with different content (doc_id % 6 — latest-wins must discard
+# it) and a SAME-ts capture (doc_id % 9 — the deterministic
+# content-hash tiebreak decides, identically on both engines).
+
+_CSD_OLD_TEXT = "CASE WHEN doc_id % 11 = 0 THEN NULL ELSE text END"
+_CSD_NEW_TEXT = (
+    "CASE WHEN doc_id % 11 = 0 THEN NULL "
+    "WHEN doc_id % 7 = 0 THEN concat(text, ' v2') ELSE text END"
+)
+
+
+def _csd_url(cast: str) -> str:
+    return (
+        f"concat('https://h', {cast.format('doc_id % 23')},"
+        f" '.example.com/p', {cast.format('doc_id')})"
+    )
+
+
+def _csd_oracle() -> str:
+    cast = "CAST({} AS VARCHAR)"
+    url = _csd_url(cast)
+    latest = (
+        "SELECT url, md5(text) AS h, ts FROM (SELECT url, text, ts,"
+        " row_number() OVER (PARTITION BY url ORDER BY ts DESC,"
+        " coalesce(md5(text), '') DESC) AS rn FROM {src}) WHERE rn = 1"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, text, {url} AS url FROM documents),
+old_all AS (
+  SELECT url, {_CSD_OLD_TEXT} AS text, CAST(100 AS BIGINT) AS ts
+  FROM d WHERE doc_id % 4 != 3
+  UNION ALL
+  SELECT url, concat('stale ', {cast.format('doc_id')}),
+         CAST(90 AS BIGINT)
+  FROM d WHERE doc_id % 6 = 0 AND doc_id % 4 != 3
+  UNION ALL
+  SELECT url, concat('tie ', {cast.format('doc_id')}),
+         CAST(100 AS BIGINT)
+  FROM d WHERE doc_id % 9 = 0 AND doc_id % 4 != 3),
+new_all AS (
+  SELECT url, {_CSD_NEW_TEXT} AS text, CAST(200 AS BIGINT) AS ts
+  FROM d WHERE doc_id % 5 != 2),
+o AS ({latest.format(src='old_all')}),
+n AS ({latest.format(src='new_all')})
+SELECT coalesce(o.url, n.url) AS url,
+       CASE WHEN o.url IS NULL THEN 'added'
+            WHEN n.url IS NULL THEN 'removed'
+            WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
+            ELSE 'changed' END AS change,
+       o.ts AS ts_old, n.ts AS ts_new
+FROM o FULL OUTER JOIN n ON o.url = n.url
+"""
+
+
+@register(
+    "crawl_snapshot_delta",
+    _csd_oracle(),
+    doc="Crawl-snapshot delta: classify every URL across two crawl "
+    "snapshots as added / removed / changed / unchanged — the "
+    "incremental-crawl maintenance operator (the added+changed slice "
+    "is what feeds the incremental bloom/minhash commits; unchanged "
+    "pages — the overwhelming majority between adjacent crawls — "
+    "skip the pipeline). Duplicate captures per URL reduce via ONE "
+    "max_by partial/final agg (latest ts wins, coalesced "
+    "content-hash tiebreak — the keep_first idiom at the other end "
+    "of the ordering, no window); each side is projected to "
+    "(url, md5(text), ts) BEFORE the one full-outer equi-join, so "
+    "page bytes never shuffle; presence is tracked by literal "
+    "markers, not hash nullability, so NULL-content pages classify "
+    "correctly (operators/crawldiff.py::snapshot_delta).",
+    bench=True,
+)
+def q_crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.crawldiff import snapshot_delta
+
+    cast = "CAST({} AS STRING)"
+    url = _csd_url(cast)
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "text", f"{url} AS url"
+    )
+    old = (
+        d.where("doc_id % 4 != 3")
+        .selectExpr("url", f"{_CSD_OLD_TEXT} AS text", "CAST(100 AS BIGINT) AS ts")
+        .unionAll(
+            d.where("doc_id % 6 = 0 AND doc_id % 4 != 3").selectExpr(
+                "url",
+                f"concat('stale ', {cast.format('doc_id')}) AS text",
+                "CAST(90 AS BIGINT) AS ts",
+            )
+        )
+        .unionAll(
+            d.where("doc_id % 9 = 0 AND doc_id % 4 != 3").selectExpr(
+                "url",
+                f"concat('tie ', {cast.format('doc_id')}) AS text",
+                "CAST(100 AS BIGINT) AS ts",
+            )
+        )
+    )
+    new = d.where("doc_id % 5 != 2").selectExpr(
+        "url", f"{_CSD_NEW_TEXT} AS text", "CAST(200 AS BIGINT) AS ts"
+    )
+    return snapshot_delta(old, new, id_col="url", content_col="text", ts_col="ts")
+
+
+# ---------------------------------------------------------------------------
+# Host-DF paragraph boilerplate removal (r5 session 6) — past-window,
+# standing parity gate in tests/test_boilerdf.py.  Hosts are doc_id % 9;
+# the schedule plants a 3-host global footer (doc_id % 3 — dropped at
+# max_hosts 2), a per-host banner whose TEXT embeds the host (n_hosts=1
+# each — kept, proving the count is host-distinct, not instance-count),
+# an exactly-2-host syndicated paragraph (the inclusive boundary —
+# kept), a NULL-page leg (doc_id % 13), and the unique per-doc body.
+
+_BHD_MAX_HOSTS = 2
+_BHD_HOST = "concat('h', CAST(doc_id % 9 AS STRING))"
+_BHD_NL2 = "chr(10), chr(10)"
+_BHD_TEXT = (
+    f"CASE WHEN doc_id % 13 = 0 THEN NULL ELSE concat("
+    f"CASE WHEN doc_id % 3 = 0 THEN"
+    f" concat('global cookie banner paragraph', {_BHD_NL2}) ELSE '' END, "
+    f"text, "
+    f"CASE WHEN doc_id % 4 = 0 THEN"
+    f" concat({_BHD_NL2}, 'site banner for ', host) ELSE '' END, "
+    f"CASE WHEN doc_id % 2 = 0 AND doc_id % 9 IN (1, 4) THEN"
+    f" concat({_BHD_NL2}, 'two host syndicated paragraph') ELSE '' END"
+    f") END"
+)
+
+
+def _bhd_oracle() -> str:
+    return f"""
+WITH d0 AS (SELECT doc_id, text, {_BHD_HOST} AS host FROM documents),
+d AS (SELECT doc_id, host, {_BHD_TEXT} AS text FROM d0),
+p0 AS (SELECT doc_id, host,
+              string_split(text, chr(10) || chr(10)) AS parts FROM d),
+ex AS (SELECT doc_id, host,
+              CAST(generate_subscripts(parts, 1) - 1 AS INTEGER) AS pos,
+              unnest(parts) AS para
+       FROM p0),
+inst AS (SELECT * FROM ex WHERE para <> ''),
+common AS (SELECT para FROM inst GROUP BY para
+           HAVING count(DISTINCT host) > {_BHD_MAX_HOSTS}),
+kept AS (SELECT i.* FROM inst i LEFT JOIN common c ON i.para = c.para
+         WHERE c.para IS NULL),
+g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(para, chr(10) || chr(10) ORDER BY pos)
+               AS clean_text
+      FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+        FROM inst GROUP BY doc_id)
+SELECT dd.doc_id AS doc_id,
+       coalesce(tot.n_paras, CAST(0 AS BIGINT)) AS n_paras,
+       coalesce(g.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       coalesce(g.clean_text, '') AS clean_text
+FROM documents dd
+LEFT JOIN tot ON dd.doc_id = tot.doc_id
+LEFT JOIN g ON dd.doc_id = g.doc_id
+"""
+
+
+@register(
+    "boilerplate_host_df",
+    _bhd_oracle(),
+    doc="Host-document-frequency paragraph boilerplate removal (CCNet / "
+    "RefinedWeb page cleaning): drop EVERY instance of any paragraph "
+    "seen on more than max_hosts DISTINCT hosts and re-assemble the "
+    "documents — the zero-copies complement of paragraph_dedup's "
+    "first-winner (boilerplate is not content; no copy belongs in "
+    "the mix), with host-distinct counting so a popular on-site "
+    "template survives while the cross-web cookie banner dies "
+    "(inverted-index max_df thinking at paragraph granularity). "
+    "Scale: the counting path moves only (xxhash64(para), host) "
+    "pairs — never text; two-phase distinct agg with map-side "
+    "partials; the small common set anti-joins back (AQE "
+    "broadcasts); re-assembly is the one inherent doc_id shuffle "
+    "(operators/paradedup.py::drop_common_paragraphs).",
+    bench=True,
+)
+def q_boilerplate_host_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.paradedup import drop_common_paragraphs
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "text", f"{_BHD_HOST} AS host")
+        .selectExpr("doc_id", "host", f"{_BHD_TEXT} AS text")
+    )
+    return drop_common_paragraphs(
+        d, host_col="host", max_hosts=_BHD_MAX_HOSTS
+    )

@@ -1,0 +1,125 @@
+"""Host-DF paragraph boilerplate removal
+(operators/paradedup.py::drop_common_paragraphs)."""
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.paradedup import (
+    drop_common_paragraphs,
+    split_paragraphs,
+)
+
+FOOTER = "accept all cookies to continue"
+
+
+def _docs(spark):
+    rows = [
+        # footer on 3 distinct hosts -> boilerplate at max_hosts=2
+        (1, "h1", f"unique body one\n\n{FOOTER}"),
+        (2, "h2", f"{FOOTER}\n\nunique body two"),
+        (3, "h3", f"unique body three\n\n{FOOTER}"),
+        # same paragraph 3x but on ONE host -> NOT boilerplate
+        (4, "h1", "site template\n\nbody four"),
+        (5, "h1", "site template\n\nbody five"),
+        (6, "h1", "site template\n\nbody six"),
+        # exactly-2-host paragraph -> boundary, kept
+        (7, "h1", "syndicated lede\n\nbody seven"),
+        (8, "h2", "syndicated lede\n\nbody eight"),
+        (9, "h4", None),
+        (10, "h4", ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, host string, text string")
+
+
+def test_host_df_semantics(spark):
+    out = {
+        r["doc_id"]: r
+        for r in drop_common_paragraphs(_docs(spark), "host", max_hosts=2).collect()
+    }
+    assert len(out) == 10  # every input doc yields a row
+    # footer dropped EVERYWHERE (zero copies — not first-winner)
+    for i in (1, 2, 3):
+        assert out[i]["n_paras"] == 2 and out[i]["n_kept"] == 1
+        assert FOOTER not in out[i]["clean_text"]
+    assert out[1]["clean_text"] == "unique body one"
+    assert out[2]["clean_text"] == "unique body two"
+    # single-host template survives in all three docs (host-DISTINCT
+    # counting, not instance counting)
+    for i in (4, 5, 6):
+        assert out[i]["n_kept"] == 2
+        assert out[i]["clean_text"].startswith("site template")
+    # boundary: exactly max_hosts distinct hosts is kept (inclusive)
+    assert out[7]["clean_text"] == "syndicated lede\n\nbody seven"
+    assert out[8]["n_kept"] == 2
+    # NULL / empty pages -> (0, 0, '')
+    for i in (9, 10):
+        assert (out[i]["n_paras"], out[i]["n_kept"]) == (0, 0)
+        assert out[i]["clean_text"] == ""
+
+
+def test_position_order_preserved(spark):
+    d = spark.createDataFrame(
+        [(1, "h1", "alpha\n\nbeta\n\ngamma")],
+        "doc_id long, host string, text string",
+    )
+    out = drop_common_paragraphs(d, "host", max_hosts=5).collect()[0]
+    assert out["clean_text"] == "alpha\n\nbeta\n\ngamma"
+    assert out["n_paras"] == out["n_kept"] == 3
+
+
+def test_all_boilerplate_doc_empties(spark):
+    rows = [(i, f"h{i}", FOOTER) for i in range(1, 5)]
+    d = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = drop_common_paragraphs(d, "host", max_hosts=2).collect()
+    assert all(r["n_kept"] == 0 and r["clean_text"] == "" for r in out)
+    assert all(r["n_paras"] == 1 for r in out)
+
+
+def test_keep_cols_and_validation(spark):
+    d = _docs(spark)
+    inst = split_paragraphs(d, keep_cols=("host",))
+    assert inst.columns == ["doc_id", "host", "pos", "para"]
+    with pytest.raises(ValueError, match="max_hosts"):
+        drop_common_paragraphs(d, "host", max_hosts=0)
+    with pytest.raises(ValueError, match="host column"):
+        drop_common_paragraphs(d.drop("host"), "host", max_hosts=2)
+
+
+def test_plan_counting_path_moves_hashes_not_text(spark):
+    plan = (
+        drop_common_paragraphs(_docs(spark), "host", max_hosts=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+    # two-phase distinct-host count with map-side partials
+    assert "partial_count" in plan
+    # the common-set probe is an anti join, never an inner blow-up
+    assert "LeftAnti" in plan
+
+
+def test_registry_boilerplate_host_df_oracle_parity(spark):
+    """Standing local gate for the past-window registry row."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["boilerplate_host_df"]
+    rows = q.spark(spark, "/root/testdata/sf0.001").collect()
+    got = sorted(tuple(r) for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    assert len(got) > 0
+    # planted rails: the 3-host footer died everywhere, the per-host
+    # banners and the 2-host syndicated paragraph survived
+    full = {r["doc_id"]: r["clean_text"] for r in rows}
+    assert not any("global cookie banner" in t for t in full.values())
+    assert any("site banner for h" in t for t in full.values())
+    assert any("two host syndicated paragraph" in t for t in full.values())
+    dropped_docs = [r for r in rows if r["n_kept"] < r["n_paras"]]
+    assert len(dropped_docs) > 0

@@ -1,0 +1,132 @@
+"""Crawl-snapshot delta (operators/crawldiff.py)."""
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.crawldiff import snapshot_delta
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string, ts long")
+
+
+def test_four_way_classification(spark):
+    old = _snap(
+        spark,
+        [
+            ("u/same", "stable content", 10),
+            ("u/edit", "old content", 10),
+            ("u/gone", "bye", 10),
+            ("u/nullboth", None, 10),
+            ("u/nullold", None, 10),
+        ],
+    )
+    new = _snap(
+        spark,
+        [
+            ("u/same", "stable content", 20),
+            ("u/edit", "new content", 20),
+            ("u/new", "hello", 20),
+            ("u/nullboth", None, 20),
+            ("u/nullold", "now has text", 20),
+        ],
+    )
+    out = {
+        r["url"]: r
+        for r in snapshot_delta(old, new, ts_col="ts").collect()
+    }
+    assert len(out) == 6
+    assert out["u/same"]["change"] == "unchanged"
+    assert out["u/edit"]["change"] == "changed"
+    assert out["u/gone"]["change"] == "removed"
+    assert out["u/new"]["change"] == "added"
+    # NULL <=> NULL content is unchanged; NULL vs text is changed
+    assert out["u/nullboth"]["change"] == "unchanged"
+    assert out["u/nullold"]["change"] == "changed"
+    # winning-capture timestamps survive; absent side is NULL
+    assert (out["u/same"]["ts_old"], out["u/same"]["ts_new"]) == (10, 20)
+    assert out["u/gone"]["ts_new"] is None
+    assert out["u/new"]["ts_old"] is None
+
+
+def test_latest_capture_wins_and_tiebreak(spark):
+    import hashlib
+
+    old = _snap(
+        spark,
+        [
+            ("u/a", "v1", 10),
+            ("u/a", "v2", 30),  # latest
+            ("u/a", "v1.5", 20),
+            ("u/t", "alpha", 10),
+            ("u/t", "beta", 10),  # same ts: max md5 wins
+        ],
+    )
+    new = _snap(spark, [("u/a", "v2", 40), ("u/t", "alpha", 40)])
+    out = {r["url"]: r for r in snapshot_delta(old, new, ts_col="ts").collect()}
+    # latest old capture of u/a is 'v2' == new -> unchanged
+    assert out["u/a"]["change"] == "unchanged"
+    assert out["u/a"]["ts_old"] == 30
+    # tie at ts=10 resolves by max content hash, deterministically
+    win = max(["alpha", "beta"], key=lambda s: hashlib.md5(s.encode()).hexdigest())
+    assert out["u/t"]["change"] == ("unchanged" if win == "alpha" else "changed")
+
+
+def test_null_ids_dropped_and_validation(spark):
+    old = _snap(spark, [(None, "x", 1), ("u/1", "x", 1)])
+    new = _snap(spark, [(None, "y", 2), ("u/1", "x", 2)])
+    out = snapshot_delta(old, new, ts_col="ts").collect()
+    assert [r["url"] for r in out] == ["u/1"]
+    with pytest.raises(ValueError, match="lacks column"):
+        snapshot_delta(old.drop("text"), new, ts_col="ts")
+
+
+def test_no_ts_mode(spark):
+    old = spark.createDataFrame([("u/1", "a")], "url string, text string")
+    new = spark.createDataFrame([("u/1", "b")], "url string, text string")
+    out = snapshot_delta(old, new).collect()
+    assert out[0]["change"] == "changed"
+    assert (out[0]["ts_old"], out[0]["ts_new"]) == (0, 0)
+
+
+def test_plan_hashes_before_join(spark):
+    old = _snap(spark, [("u/1", "a", 1)])
+    new = _snap(spark, [("u/1", "b", 2)])
+    plan = (
+        snapshot_delta(old, new, ts_col="ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+    # the capture reduction partial-aggregates map-side
+    assert "partial_max_by" in plan or "partial_finalmerge" in plan or "max_by" in plan
+    # the join is a real full-outer equi-join, never a cartesian
+    assert "Cartesian" not in plan
+    assert "FullOuter" in plan
+
+
+def test_registry_crawl_snapshot_delta_oracle_parity(spark):
+    """Standing local gate for the past-window registry row."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["crawl_snapshot_delta"]
+    rows = q.spark(spark, "/root/testdata/sf0.001").collect()
+    got = sorted(tuple(r) for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    assert len(got) > 0
+    # every class fired on the planted schedule
+    by = {}
+    for r in rows:
+        by.setdefault(r["change"], []).append(r)
+    assert set(by) == {"added", "removed", "changed", "unchanged"}
+    # unchanged dominates (adjacent-crawl reality) and the NULL-both
+    # pages classify as unchanged, not changed
+    assert len(by["unchanged"]) > len(by["changed"])

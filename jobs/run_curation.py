@@ -167,7 +167,7 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="with --sample-target: additionally drop pages whose URL "
         "shape flags machine generation/spam (length > 2048, > 10 path "
-        "segments, > 50% digits, > 8 query params — "
+        "segments, > 50%% digits, > 8 query params — "
         "operators/urlfilter.py::filter_url_shape); runs before any "
         "text work",
     )
@@ -268,6 +268,17 @@ def main(argv: list[str] | None = None) -> int:
         "paragraphs near-duplicating an earlier one (MinHash banding + "
         "trigram-Jaccard >= 0.5) drop too; docs are re-assembled from "
         "survivors (operators/paradedup.py)",
+    )
+    ap.add_argument(
+        "--boilerplate-max-hosts",
+        type=_positive,
+        default=None,
+        help="with --sample-target: host-DF paragraph boilerplate "
+        "removal on the published text — every instance of any "
+        "paragraph seen on more than this many DISTINCT hosts is "
+        "dropped (zero copies; the complement of --paragraph-dedup's "
+        "first-winner, composes with it) "
+        "(operators/paradedup.py::drop_common_paragraphs)",
     )
     ap.add_argument(
         "--token-budget",
@@ -376,6 +387,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.justext
         or args.c4_clean
         or args.paragraph_dedup
+        or args.boilerplate_max_hosts is not None
         or args.ppl_bucket_keep is not None
         or args.url_hard_words is not None
         or args.url_soft_words is not None
@@ -388,7 +400,8 @@ def main(argv: list[str] | None = None) -> int:
             "--url-hard-words/"
             "--url-soft-words/--gopher-quality/--nfc-normalize/"
             "--justext/"
-            "--c4-clean/--paragraph-dedup/--ppl-bucket-keep require "
+            "--c4-clean/--paragraph-dedup/--boilerplate-max-hosts/"
+            "--ppl-bucket-keep require "
             "--sample-target or "
             "--token-budget"
         )
@@ -552,6 +565,7 @@ def main(argv: list[str] | None = None) -> int:
                     justext_keep=args.justext,
                     c4_clean=args.c4_clean,
                     paragraph_dedup=args.paragraph_dedup,
+                    boilerplate_max_hosts=args.boilerplate_max_hosts,
                     ppl_bucket_keep=args.ppl_bucket_keep,
                     line_dedup=args.line_dedup,
                     substring_dedup=args.substring_dedup,

@@ -95,6 +95,7 @@ def curate_dedup_sample(
     justext_keep: bool | dict = False,
     c4_clean: bool | dict = False,
     paragraph_dedup: bool | dict = False,
+    boilerplate_max_hosts: int | None = None,
     host_cap: int | None = None,
     lang_budget_frac: float | None = None,
     sample_alpha: float | None = None,
@@ -281,6 +282,14 @@ def curate_dedup_sample(
     docs reduced to '' remain in the frame (emptiness is a signal, not
     a silent drop).  ``True`` = defaults; a dict overrides
     ``paragraph_dedup`` kwargs (e.g. ``threshold=``).  OFF by default.
+
+    ``boilerplate_max_hosts`` stacks host-DF paragraph boilerplate
+    removal (operators/paradedup.py::drop_common_paragraphs) on the
+    published ``text_scrubbed``: every instance of any paragraph seen
+    on more than that many DISTINCT hosts is dropped (zero copies —
+    the complement of ``paragraph_dedup``'s first-winner; composes
+    with it).  Hosts come from the canonical url; NULL/unparseable
+    hosts group under ''.  OFF by default.
     """
     if target < 0:
         raise ValueError(f"target must be >= 0, got {target}")
@@ -547,6 +556,34 @@ def curate_dedup_sample(
             kept.join(pd_out, "url")
             .withColumn("text_scrubbed", F.col("_pd_text"))
             .drop("_pd_text")
+        )
+    if boilerplate_max_hosts is not None:
+        from ..functions.url import url_host
+        from ..operators.paradedup import drop_common_paragraphs
+
+        # host-DF boilerplate removal on the PUBLISHED text (same policy
+        # as paragraph_dedup: raw `text` keeps feeding the dedup keys).
+        # Zero-copies semantics: a paragraph on > max_hosts distinct
+        # hosts is boilerplate and dies everywhere — runs BEFORE
+        # paragraph/doc dedup sees the published text downstream, and
+        # complements paragraph_dedup (which keeps first copies).
+        # Contract extractor joins paragraphs with single newlines.
+        bp_out = drop_common_paragraphs(
+            kept.withColumn(
+                "_bp_host",
+                F.coalesce(F.expr(url_host("url").spark), F.lit("")),
+            ),
+            host_col="_bp_host",
+            max_hosts=boilerplate_max_hosts,
+            id_col="url",
+            text_col="text_scrubbed",
+            sep="\n",
+            join_sep="\n",
+        ).selectExpr("doc_id AS url", "clean_text AS _bp_text")
+        kept = (
+            kept.join(bp_out, "url")
+            .withColumn("text_scrubbed", F.col("_bp_text"))
+            .drop("_bp_text")
         )
     kept = kept.persist()
     # exact dedup: one row per text hash, min (url, warc_ts) wins — a

@@ -37,6 +37,7 @@ def test_every_optin_stage_composes(spark, pages_small):
         justext_keep=True,
         c4_clean={"require_terminal": False, "min_sentences": 0},
         paragraph_dedup=True,
+        boilerplate_max_hosts=3,
         # shaping tier
         host_cap=50,
         sample_alpha=0.7,
@@ -88,6 +89,7 @@ def test_every_optin_stage_composes_token_budget_mode(spark, pages_small):
         ppl_bucket_keep=("head", "middle", "tail"),  # pass-through cut
         nfc_normalize=True,
         paragraph_dedup=True,
+        boilerplate_max_hosts=3,
     )
     rows = out.collect()
     assert len(rows) > 0

@@ -1,0 +1,98 @@
+"""Shrunk per-host quality prior — empirical-Bayes rate smoothing.
+
+Curation pipelines want a HOST-level quality signal next to the
+link-structure one (operators/hostgraph.py): aggregate a per-document
+binary quality label (a heuristic verdict, a classifier decision, a
+human audit bit) into a per-host keep rate, and use it as a prior for
+pages the doc-level models are unsure about (FineWeb-style host
+curation).  The naive mean is unusable for the web's long tail — a
+host seen twice with one bad page is not a 50%-bad host — so the
+standard fix is shrinkage toward the global rate (Bayesian smoothing
+with a Beta prior of strength ``k`` / the James–Stein idea):
+
+    rate_shrunk(h) = (pos_h + k * rate_global) / (n_h + k)
+
+Small hosts pull to the global rate, big hosts keep their own evidence;
+``k`` is "how many pseudo-documents of global behavior every host
+starts with".
+
+Float parity design: ``pos`` and ``n`` are exact INTEGER sums (order-
+free across partial aggregation — no float accumulation-order drift),
+and the only float work is two divisions sharing one dialect-identical
+expression tree, so Spark and DuckDB agree bit-for-bit before the
+round-6 output.
+
+Scale: ONE partial/final agg to |hosts| rows, one single-row global agg
+broadcast back (explicit ``F.broadcast`` cross join), then a map — the
+corpus is read once and shuffled only by host with map-side combine.
+
+Reference analog: per-cluster statistics + global reduce
+(/root/reference/src/features_analysis.py:27-31,
+/root/reference/src/distributed_kmeans_gpu.py:256-257) re-aimed at the
+host key; the shrinkage is the webtext upgrade (beyond-the-reference,
+SURVEY §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["shrunk_host_rate", "shrunk_rate_sql"]
+
+
+def shrunk_rate_sql(pos: str, n: str, gpos: str, gn: str, k: float) -> str:
+    """Dialect-identical shrunk-rate expression.  ``pos``/``n`` are the
+    group's integer sums, ``gpos``/``gn`` the global ones; ``k`` > 0 is
+    the prior strength (pseudo-count)."""
+    if not k > 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    grate = f"(CAST({gpos} AS DOUBLE) / {gn})"
+    return f"((CAST({pos} AS DOUBLE) + {k!r}e0 * {grate}) / ({n} + {k!r}e0))"
+
+
+def shrunk_host_rate(
+    df: DataFrame,
+    host_col: str,
+    label_col: str,
+    k: float = 10.0,
+) -> DataFrame:
+    """(host, n_docs, n_pos, rate_raw, rate_shrunk) per host.
+
+    ``label_col`` must be integer 0/1 (validated in the plan: any other
+    value fails the agg's range assertion via a raise_error branch —
+    a fractional "label" silently averaged would corrupt the prior).
+    NULL labels count as 0 with the row still in ``n_docs`` (an
+    unlabeled page is evidence of volume, not of quality); NULL hosts
+    group together (one null-safe group).
+    """
+    if not k > 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    lab = (
+        f"CASE WHEN `{label_col}` IS NULL THEN 0 "
+        f"WHEN `{label_col}` IN (0, 1) THEN CAST(`{label_col}` AS INT) "
+        f"ELSE CAST(raise_error(concat('shrunk_host_rate: label must be "
+        f"0/1/NULL, got ', CAST(`{label_col}` AS STRING))) AS INT) END"
+    )
+    per_host = (
+        df.select(F.col(host_col).alias("host"), F.expr(lab).alias("_l"))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_l").cast("long").alias("n_pos"),
+        )
+    )
+    glob = per_host.agg(
+        F.sum("n_docs").alias("_gn"), F.sum("n_pos").alias("_gpos")
+    )
+    return (
+        per_host.join(F.broadcast(glob))
+        .selectExpr(
+            "host",
+            "n_docs",
+            "n_pos",
+            "CAST(n_pos AS DOUBLE) / n_docs AS rate_raw",
+            f"{shrunk_rate_sql('n_pos', 'n_docs', '_gpos', '_gn', k)}"
+            " AS rate_shrunk",
+        )
+    )

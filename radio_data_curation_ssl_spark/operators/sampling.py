@@ -162,3 +162,88 @@ def hierarchical_sample(
         .where(F.col("_rn") <= F.col("_quota"))
         .drop("_rn", "_quota")
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-aware deterministic splitting
+
+
+def hash_split_case(
+    key_spark: str,
+    key_duck: str,
+    fractions: dict[str, float],
+    seed: str = "split",
+    denom: int = 1_000_000,
+):
+    """Paired CASE fragment assigning a split label from a portable hash
+    of the key: bucket = hash64(seed # key) % denom, label by cumulative
+    integer cut points.  Returns a functions.text.P pair."""
+    from ..functions import text as X
+
+    if "'" in seed or "\\" in seed:
+        raise ValueError(f"seed must be quote/backslash-free: {seed!r}")
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    if any(not 0.0 < f <= 1.0 for f in fractions.values()):
+        raise ValueError(f"every fraction must be in (0, 1]: {fractions}")
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1: {fractions}")
+    labels = list(fractions)
+    if any("'" in l for l in labels):
+        raise ValueError(f"labels must be quote-free: {labels}")
+    # integer cut points; the last label absorbs rounding remainder so
+    # the buckets partition [0, denom) exactly
+    cuts, acc = [], 0
+    for l in labels[:-1]:
+        acc += round(fractions[l] * denom)
+        cuts.append(acc)
+    h = X.hash64(f"concat('{seed}#', {key_spark})", f"'{seed}#' || {key_duck}")
+
+    def case(hx: str) -> str:
+        b = f"({hx} % {denom})"
+        whens = " ".join(
+            f"WHEN {b} < {c} THEN '{l}'" for l, c in zip(labels[:-1], cuts)
+        )
+        return f"CASE {whens} ELSE '{labels[-1]}' END"
+
+    return X.P(case(h.spark), case(h.duck))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic, LEAKAGE-AWARE dataset splitting: every row whose
+    ``key_col`` hashes into the same bucket gets the same label, so
+    splitting on the HOST (not the url) guarantees near-duplicate pages
+    from one site can never straddle train/validation/test — the
+    classic contamination vector a uniform row-level split leaves open
+    (same reasoning as dedup-before-split; see also the decontam
+    operator for cross-benchmark leakage).
+
+    ``fractions`` maps label -> fraction (must sum to 1); assignment is
+    hash64(seed # key) % 1e6 against cumulative integer cut points —
+    exact, portable (md5-derived), reproducible across runs and
+    engines.  NULL keys are coalesced to '' (one deterministic bucket —
+    a page without a host still needs exactly one split).
+
+    Scale: a pure codegen'd map — zero shuffle, zero Python; the split
+    frequencies converge to the fractions by the hash's uniformity
+    (binomial concentration), never by counting.
+
+    Reference analog: deterministic subset selection by key hash
+    (/root/reference/src/random_sampling.py:51), upgraded to a
+    partition-of-unity with group-atomicity.
+    """
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
+    frag = hash_split_case(
+        f"coalesce(CAST(`{key_col}` AS STRING), '')",
+        f"coalesce(CAST({key_col} AS VARCHAR), '')",
+        fractions,
+        seed=seed,
+    )
+    return df.withColumn(out_col, F.expr(frag.spark))

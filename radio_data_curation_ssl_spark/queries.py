@@ -6147,3 +6147,135 @@ def q_boilerplate_host_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_common_paragraphs(
         d, host_col="host", max_hosts=_BHD_MAX_HOSTS
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-aware host-hash split (r5 session 6) — past-window, standing
+# parity gate in tests/test_hashsplit.py.  Hosts: 23 regular hosts plus
+# rare singleton hosts (doc_id % 101) and a NULL-host leg (doc_id % 37
+# — coalesced to '' so a hostless page still gets exactly one split).
+# The split must be atomic per host — that's the whole point (near-dup
+# pages of one site can never straddle train/val/test).
+
+_HHS_HOST = (
+    "CASE WHEN doc_id % 37 = 0 THEN NULL "
+    "WHEN doc_id % 101 = 0 THEN concat('rare', CAST(doc_id AS STRING)) "
+    "ELSE concat('h', CAST(doc_id % 23 AS STRING)) END"
+)
+_HHS_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_HHS_SEED = "r5s6split"
+
+
+def _hhs_oracle() -> str:
+    from .operators.sampling import hash_split_case
+
+    host_duck = _HHS_HOST.replace("AS STRING", "AS VARCHAR")
+    frag = hash_split_case(
+        "coalesce(CAST(host AS STRING), '')",
+        "coalesce(CAST(host AS VARCHAR), '')",
+        _HHS_FRACTIONS,
+        seed=_HHS_SEED,
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {host_duck} AS host FROM documents)
+SELECT doc_id, host, {frag.duck} AS split FROM d
+"""
+
+
+@register(
+    "host_hash_split",
+    _hhs_oracle(),
+    doc="Leakage-aware train/val/test splitting: the split label is a "
+    "portable hash of the HOST (not the url), so all pages of one "
+    "site land in the same split by construction — near-duplicate "
+    "pages from one host can never straddle train and test, the "
+    "contamination vector a uniform row split leaves open. "
+    "Assignment is hash64(seed#host) % 1e6 against cumulative "
+    "integer cut points (exact, reproducible, engine-portable); "
+    "NULL hosts coalesce to '' for one deterministic bucket. Scale: "
+    "a pure codegen'd map — ZERO shuffle, zero Python; frequencies "
+    "converge to the fractions by hash uniformity, never by "
+    "counting (operators/sampling.py::hash_split).",
+    bench=True,
+)
+def q_host_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_split
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_HHS_HOST} AS host"
+    )
+    return hash_split(d, "host", _HHS_FRACTIONS, seed=_HHS_SEED)
+
+
+# ---------------------------------------------------------------------------
+# Shrunk per-host quality prior (r5 session 6) — past-window, standing
+# parity gate in tests/test_hostprior.py.  The label is a real derived
+# signal (n_words >= 40) with a NULL-label leg (doc_id % 13 — unlabeled
+# pages count as volume, not quality); hosts mix 23 regular hosts,
+# singleton rare hosts (maximal shrinkage pull), and a NULL-host group.
+
+_HQP_K = 10.0
+_HQP_LABEL = (
+    "CASE WHEN doc_id % 13 = 0 THEN NULL "
+    f"WHEN {{nw}} >= 40 THEN 1 ELSE 0 END"
+)
+
+
+def _hqp_oracle() -> str:
+    from .operators.hostprior import shrunk_rate_sql
+
+    host = _HHS_HOST.replace("AS STRING", "AS VARCHAR")
+    label = _HQP_LABEL.format(nw=X.n_words("words").duck)
+    sr = shrunk_rate_sql("n_pos", "n_docs", "gpos", "gn", _HQP_K)
+    return f"""
+WITH w AS (SELECT doc_id, {X.words('text').duck} AS words FROM documents),
+d AS (SELECT doc_id, {host} AS host,
+             coalesce({label}, 0) AS lab
+      FROM w),
+g AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(lab) AS BIGINT) AS n_pos
+      FROM d GROUP BY host),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS gn,
+             CAST(sum(n_pos) AS BIGINT) AS gpos FROM g)
+SELECT host, n_docs, n_pos,
+       round(CAST(n_pos AS DOUBLE) / n_docs, {X.ROUND}) AS rate_raw,
+       round({sr}, {X.ROUND}) AS rate_shrunk
+FROM g, t
+"""
+
+
+@register(
+    "host_quality_prior_shrunk",
+    _hqp_oracle(),
+    doc="Per-host quality prior with empirical-Bayes shrinkage: "
+    "aggregate a per-document 0/1 quality label into a host keep "
+    "rate smoothed toward the global rate — "
+    "(pos + k*rate_global)/(n + k) — so a 2-page host with one bad "
+    "page is NOT a 50%-bad host (the web's long tail makes the raw "
+    "mean unusable; FineWeb-style host curation). Labels are exact "
+    "INTEGER sums (order-free across partial aggregation — no float "
+    "accumulation drift); the only float work is two divisions in "
+    "one dialect-identical tree. Non-0/1 labels fail loud via a "
+    "raise_error branch; NULL labels count as volume, not quality. "
+    "Scale: ONE map-side-combined agg to |hosts| rows, one "
+    "single-row global agg broadcast back, then a map "
+    "(operators/hostprior.py::shrunk_host_rate).",
+    bench=True,
+)
+def q_host_quality_prior_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.hostprior import shrunk_host_rate
+
+    label = _HQP_LABEL.format(nw=X.n_words("words").spark)
+    d = (
+        t(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "text", f"{_HHS_HOST} AS host")
+        .selectExpr("doc_id", "host", f"{X.words('text').spark} AS words")
+        .selectExpr("doc_id", "host", f"{label} AS label")
+    )
+    return shrunk_host_rate(d, "host", "label", k=_HQP_K).selectExpr(
+        "host",
+        "n_docs",
+        "n_pos",
+        f"round(rate_raw, {X.ROUND}) AS rate_raw",
+        f"round(rate_shrunk, {X.ROUND}) AS rate_shrunk",
+    )

@@ -1,0 +1,119 @@
+"""Leakage-aware host-hash splitting (operators/sampling.py::hash_split)."""
+
+import hashlib
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.sampling import (
+    hash_split,
+    hash_split_case,
+)
+
+FR = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _pages(spark, n=400, hosts=20):
+    rows = [(i, f"h{i % hosts}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, host string")
+
+
+def test_split_is_atomic_per_host(spark):
+    out = hash_split(_pages(spark), "host", FR, seed="s1").collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], set()).add(r["split"])
+    # the leakage guarantee: one host -> exactly one split
+    assert all(len(s) == 1 for s in by_host.values())
+    assert set(r["split"] for r in out) <= set(FR)
+
+
+def test_python_twin_and_frequencies(spark):
+    out = hash_split(_pages(spark, n=2000, hosts=500), "host", FR, seed="s2")
+    rows = out.collect()
+
+    def py_split(host):
+        h = int(hashlib.md5(f"s2#{host}".encode()).hexdigest()[:15], 16)
+        b = h % 1_000_000
+        if b < 800_000:
+            return "train"
+        if b < 900_000:
+            return "val"
+        return "test"
+
+    for r in rows:
+        assert r["split"] == py_split(r["host"])
+    # frequencies concentrate around the fractions (500 hosts)
+    n = len(rows)
+    frac = {s: sum(1 for r in rows if r["split"] == s) / n for s in FR}
+    assert 0.7 < frac["train"] < 0.9
+    assert 0.04 < frac["val"] < 0.17
+    assert 0.04 < frac["test"] < 0.17
+
+
+def test_null_key_and_seed_redraw(spark):
+    d = spark.createDataFrame(
+        [(1, None), (2, None), (3, "h")], "doc_id long, host string"
+    )
+    out = {r["doc_id"]: r["split"] for r in hash_split(d, "host", FR).collect()}
+    assert out[1] == out[2]  # NULL keys share one deterministic bucket
+    # a different seed is an independent draw: over many hosts, labels move
+    big = _pages(spark, n=300, hosts=300)
+    a = {r["host"]: r["split"] for r in hash_split(big, "host", FR, seed="a").collect()}
+    b = {r["host"]: r["split"] for r in hash_split(big, "host", FR, seed="b").collect()}
+    assert any(a[h] != b[h] for h in a)
+
+
+def test_validation(spark):
+    d = _pages(spark)
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(d, "host", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="fraction"):
+        hash_split(d, "host", {"a": 1.5, "b": -0.5})
+    with pytest.raises(ValueError, match="non-empty"):
+        hash_split(d, "host", {})
+    with pytest.raises(ValueError, match="seed"):
+        hash_split(d, "host", FR, seed="x'y")
+    with pytest.raises(ValueError, match="already exists"):
+        hash_split(d.withColumnRenamed("doc_id", "split"), "host", FR)
+    with pytest.raises(ValueError, match="quote-free"):
+        hash_split_case("k", "k", {"a'b": 1.0})
+
+
+def test_plan_zero_shuffle_zero_python(spark):
+    plan = (
+        hash_split(_pages(spark), "host", FR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_registry_host_hash_split_oracle_parity(spark):
+    """Standing local gate for the past-window registry row."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["host_hash_split"]
+    rows = q.spark(spark, "/root/testdata/sf0.001").collect()
+    got = sorted((r[0], r[1] or "", r[2]) for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(
+        (r[0], r[1] or "", r[2]) for r in con.execute(q.oracle).fetchall()
+    )
+    assert got == want
+    # rails: host-atomicity holds, all three labels fired, NULL-host
+    # and rare-host legs are present
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_host.values())
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    assert None in by_host
+    assert any(h and h.startswith("rare") for h in by_host)

@@ -1,0 +1,118 @@
+"""Shrunk per-host quality prior (operators/hostprior.py)."""
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.hostprior import (
+    shrunk_host_rate,
+    shrunk_rate_sql,
+)
+
+
+def _docs(spark):
+    rows = (
+        [("big", 1)] * 80
+        + [("big", 0)] * 20
+        + [("tiny", 0), ("tiny", 1)]
+        + [("unlabeled", None)] * 4
+        + [(None, 1), (None, 1)]
+    )
+    return spark.createDataFrame(
+        [(i, h, l) for i, (h, l) in enumerate(rows)],
+        "doc_id long, host string, label int",
+    )
+
+
+def test_hand_worked_shrinkage(spark):
+    out = {r["host"]: r for r in shrunk_host_rate(_docs(spark), "host", "label", k=10.0).collect()}
+    # global: 108 docs, 83 pos
+    g = 83 / 108
+    big = out["big"]
+    assert (big["n_docs"], big["n_pos"]) == (100, 80)
+    assert big["rate_raw"] == pytest.approx(0.8)
+    assert big["rate_shrunk"] == pytest.approx((80 + 10 * g) / 110)
+    # the tiny host's raw 0.5 pulls hard toward the global rate
+    tiny = out["tiny"]
+    assert tiny["rate_raw"] == pytest.approx(0.5)
+    assert tiny["rate_shrunk"] == pytest.approx((1 + 10 * g) / 12)
+    assert abs(tiny["rate_shrunk"] - g) < abs(tiny["rate_raw"] - g)
+    # big hosts keep their evidence: shrunk big is closer to its raw
+    assert abs(big["rate_shrunk"] - big["rate_raw"]) < abs(
+        tiny["rate_shrunk"] - tiny["rate_raw"]
+    )
+    # NULL labels count as volume (n_docs) with zero positives
+    assert (out["unlabeled"]["n_docs"], out["unlabeled"]["n_pos"]) == (4, 0)
+    # NULL hosts form one group
+    assert (out[None]["n_docs"], out[None]["n_pos"]) == (2, 2)
+
+
+def test_monotone_in_k(spark):
+    g = 83 / 108
+    outs = {
+        k: {r["host"]: r["rate_shrunk"] for r in shrunk_host_rate(_docs(spark), "host", "label", k=k).collect()}
+        for k in (1.0, 10.0, 100.0)
+    }
+    # larger k pulls every host monotonically closer to the global rate
+    for h in ("big", "tiny"):
+        d = [abs(outs[k][h] - g) for k in (1.0, 10.0, 100.0)]
+        assert d[0] > d[1] > d[2]
+
+
+def test_bad_label_fails_loud_and_validation(spark):
+    d = spark.createDataFrame(
+        [(1, "h", 2)], "doc_id long, host string, label int"
+    )
+    with pytest.raises(Exception, match="label must be 0/1"):
+        shrunk_host_rate(d, "host", "label").collect()
+    with pytest.raises(ValueError, match="k must"):
+        shrunk_host_rate(d, "host", "label", k=0.0)
+    with pytest.raises(ValueError, match="k must"):
+        shrunk_rate_sql("p", "n", "gp", "gn", -1.0)
+
+
+def test_plan_partial_agg_broadcast_no_python(spark):
+    plan = (
+        shrunk_host_rate(_docs(spark), "host", "label")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Broadcast" in plan
+    assert "Cartesian" not in plan
+
+
+def test_registry_host_quality_prior_oracle_parity(spark):
+    """Standing local gate for the past-window registry row."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["host_quality_prior_shrunk"]
+    rows = q.spark(spark, "/root/testdata/sf0.001").collect()
+    got = sorted((r[0] or "", *r[1:]) for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(
+        (r[0] or "", *r[1:]) for r in con.execute(q.oracle).fetchall()
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert g[3] == pytest.approx(w[3], abs=1e-9)
+        assert g[4] == pytest.approx(w[4], abs=1e-9)
+    # rails: singleton rare hosts exist and shrink almost to the
+    # global rate; shrinkage moved every host toward the global rate
+    n = sum(r["n_docs"] for r in rows)
+    p = sum(r["n_pos"] for r in rows)
+    g_rate = p / n
+    singles = [r for r in rows if r["n_docs"] == 1 and r["host"] and r["host"].startswith("rare")]
+    assert singles
+    for r in singles:
+        assert abs(r["rate_shrunk"] - g_rate) < abs(r["rate_raw"] - g_rate) or r["rate_raw"] == pytest.approx(g_rate, abs=1e-6)
+    for r in rows:
+        lo, hi = sorted((r["rate_raw"], g_rate))
+        assert lo - 1e-6 <= r["rate_shrunk"] <= hi + 1e-6

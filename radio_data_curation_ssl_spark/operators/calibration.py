@@ -1,0 +1,147 @@
+"""Filter-quality QA: score calibration bins and inter-filter agreement.
+
+A curation pipeline is a stack of scorers and binary filters; before
+trusting one at 10^12 documents you audit it on labeled slices:
+
+- ``calibration_bins`` — the reliability diagram's data: bucket a
+  [0, 1] predicted score into equal-width bins and report the observed
+  positive rate per bin.  A calibrated scorer has rate ~ bin center; a
+  miscalibrated one tells you where its thresholds lie.
+- ``agreement_kappa`` — Cohen's kappa between two binary verdicts
+  (e.g. the C4 rules vs the Gopher battery vs the learned classifier),
+  chance-corrected: po = observed agreement, pe = expected agreement
+  from the marginals, kappa = (po - pe) / (1 - pe).  Raw agreement is
+  inflated when both filters pass almost everything; kappa is the
+  number worth tracking per language/source slice.
+
+Float-parity design (both operators): every input to the float math is
+an exact INTEGER count (order-free across partial aggregation — no
+float accumulation drift); the float expressions are single
+dialect-identical strings shared with the DuckDB oracle, so both
+engines execute the same IEEE tree.  Degenerate kappa (pe = 1: both
+filters constant) is NULL, not a division blow-up.
+
+Scale: each is ONE map-side-combined aggregation to a bounded frame
+(n_bins rows / |groups| rows) — the corpus is read once; nothing
+corpus-sized shuffles (the bin/group key is the only exchange).
+
+Reference analog: column statistics + histogram
+(/root/reference/src/features_analysis.py:27-37) aimed at filter QA;
+beyond-the-reference (SURVEY §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["agreement_kappa", "calibration_bins", "kappa_sql"]
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """(bin, bin_lo, n_docs, n_pos, pos_rate) per score bin.
+
+    ``score_col`` must lie in [0, 1]; out-of-range scores fail loud via
+    a raise_error branch folded into the bin expression (no extra
+    validation pass).  NULL/NaN scores are excluded — an unscored
+    document tells you nothing about calibration (documented; the
+    oracle twin filters identically).  ``label_col`` follows
+    shrunk_host_rate's contract: 0/1 or NULL (NULL counts in n_docs
+    only).  score = 1.0 lands in the top bin.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    s, l = f"`{score_col}`", f"`{label_col}`"
+    bin_expr = (
+        f"CASE WHEN {s} < 0e0 OR {s} > 1e0 THEN "
+        f"CAST(raise_error(concat('calibration_bins: score outside "
+        f"[0,1]: ', CAST({s} AS STRING))) AS INT) "
+        f"ELSE CAST(least(floor({s} * {n_bins}), {n_bins - 1}) AS INT) END"
+    )
+    lab = (
+        f"CASE WHEN {l} IS NULL THEN 0 "
+        f"WHEN {l} IN (0, 1) THEN CAST({l} AS INT) "
+        f"ELSE CAST(raise_error(concat('calibration_bins: label must be "
+        f"0/1/NULL, got ', CAST({l} AS STRING))) AS INT) END"
+    )
+    return (
+        df.where(f"{s} IS NOT NULL AND NOT isnan({s})")
+        .selectExpr(f"{bin_expr} AS bin", f"{lab} AS _l")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_l").cast("long").alias("n_pos"),
+        )
+        .selectExpr(
+            "bin",
+            f"CAST(bin AS DOUBLE) / {n_bins} AS bin_lo",
+            "n_docs",
+            "n_pos",
+            "CAST(n_pos AS DOUBLE) / n_docs AS pos_rate",
+        )
+    )
+
+
+def kappa_sql(n: str, n11: str, n00: str, na1: str, nb1: str) -> str:
+    """Dialect-identical Cohen's kappa from integer counts: total,
+    both-positive, both-negative, and the two positive marginals.
+    NULL when pe = 1 (both verdicts constant — kappa undefined)."""
+    po = f"(CAST({n11} + {n00} AS DOUBLE) / {n})"
+    pe = (
+        f"((CAST({na1} AS DOUBLE) / {n}) * (CAST({nb1} AS DOUBLE) / {n})"
+        f" + (CAST({n} - {na1} AS DOUBLE) / {n})"
+        f" * (CAST({n} - {nb1} AS DOUBLE) / {n}))"
+    )
+    return (
+        f"(CASE WHEN {pe} = 1e0 THEN NULL "
+        f"ELSE ({po} - {pe}) / (1e0 - {pe}) END)"
+    )
+
+
+def agreement_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """([group_cols...,] n_docs, n_both_pos, n_both_neg, po, kappa) —
+    chance-corrected agreement between two boolean/0-1 verdict columns,
+    optionally per group (lang, source...).
+
+    Rows where EITHER verdict is NULL are excluded (a filter that
+    didn't run on a doc can't agree or disagree); the oracle twin
+    filters identically.
+    """
+    a, b = f"`{col_a}`", f"`{col_b}`"
+    agg = (
+        df.where(f"{a} IS NOT NULL AND {b} IS NOT NULL")
+        .selectExpr(
+            *group_cols,
+            f"CAST(CAST({a} AS BOOLEAN) AS INT) AS _a",
+            f"CAST(CAST({b} AS BOOLEAN) AS INT) AS _b",
+        )
+        .groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.expr("_a * _b")).cast("long").alias("n_both_pos"),
+            F.sum(F.expr("(1 - _a) * (1 - _b)")).cast("long").alias(
+                "n_both_neg"
+            ),
+            F.sum("_a").cast("long").alias("_na1"),
+            F.sum("_b").cast("long").alias("_nb1"),
+        )
+    )
+    k = kappa_sql("n_docs", "n_both_pos", "n_both_neg", "_na1", "_nb1")
+    return agg.selectExpr(
+        *group_cols,
+        "n_docs",
+        "n_both_pos",
+        "n_both_neg",
+        "CAST(n_both_pos + n_both_neg AS DOUBLE) / n_docs AS po",
+        f"{k} AS kappa",
+    )

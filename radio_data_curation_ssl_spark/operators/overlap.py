@@ -1,0 +1,75 @@
+"""Cross-source duplicate overlap matrix.
+
+Training mixes are assembled from named sources (crawl snapshots,
+curated dumps, vendor corpora); before weighting them you want the
+overlap matrix: how many DISTINCT documents does each pair of sources
+share byte-for-byte?  A source that is 80% contained in another should
+be down-weighted or dropped, and the mixing stage
+(operators/mixing.py) needs the numbers to avoid double-counting —
+this is the corpus-level complement of the per-document dedup family
+(which removes rows; this MEASURES the redundancy structure between
+sources, the datasheet number reviewers ask for first).
+
+Semantics: a document is identified by md5(text) (NULL text = one
+identity, like soft_dedup_weights); within a source, duplicates
+collapse first, so n_shared counts distinct CONTENTS, not instances.
+The diagonal (a = b) reports each source's distinct-content count —
+the denominator for containment: containment(a in b) =
+n_shared(a,b) / n_distinct(a).
+
+Scale shape: ONE distinct agg over (hash, source) — map-side combine
+collapses instance skew before the shuffle — then a self-equi-join on
+the 32-hex hash.  Join fan-out per hash is bounded by |sources|^2
+(sources are enumerable, never corpus-sized), and the output is at
+most |sources|^2 rows.  Page bytes never shuffle; hashes do.
+
+Reference analog: subset/intersection accounting
+(/root/reference/src/non_overlap_filtering.py:46-58) lifted from row
+level to source-pair level; beyond-the-reference (SURVEY §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["source_overlap_matrix"]
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(src_a, src_b, n_shared) for every ordered pair src_a <= src_b of
+    sources sharing >= 1 distinct content hash; the diagonal row
+    (src_a = src_b) is the source's distinct-content count.
+
+    NULL sources fail loud (a row that belongs to no source cannot
+    enter a source-pair count — upstream must name it); raise_error is
+    folded into the projection, costing no extra pass.
+    """
+    for c in (source_col, text_col):
+        if c not in df.columns:
+            raise ValueError(f"input lacks column {c!r}")
+    src = (
+        f"CASE WHEN `{source_col}` IS NULL THEN "
+        f"raise_error('source_overlap_matrix: NULL source') "
+        f"ELSE `{source_col}` END"
+    )
+    pairs = (
+        df.selectExpr(f"md5(`{text_col}`) AS h", f"{src} AS src")
+        .distinct()
+    )
+    a, b = pairs.alias("a"), pairs.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.h").eqNullSafe(F.col("b.h"))
+            & (F.col("a.src") <= F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )

@@ -6279,3 +6279,216 @@ def q_host_quality_prior_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round(rate_raw, {X.ROUND}) AS rate_raw",
         f"round(rate_shrunk, {X.ROUND}) AS rate_shrunk",
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter-QA battery (r5 session 6): score calibration bins, inter-filter
+# kappa, cross-source overlap matrix — past-window, standing parity
+# gates in tests/test_filterqa.py.
+
+# Calibration: score = stopword_ratio (a real [0,1] signal), label =
+# n_words >= 40.  Planted legs: NULL score (%11 — excluded), NaN score
+# (%41 — excluded), NULL label (%13 — counts as volume only).  The NULL
+# score is planted DIRECTLY rather than via NULL text: size(NULL) is -1
+# under Spark's legacy sizeOfNull while DuckDB's len(NULL) is NULL, so
+# ratio fragments over NULL word arrays diverge by design — queries
+# that need NULL-text legs must guard them explicitly (see
+# softdedup/crawldiff), and this one exercises the operator's
+# score-exclusion contract instead.
+
+_QCB_BINS = 10
+_QCB_SCORE = (
+    "CASE WHEN doc_id % 11 = 0 THEN CAST(NULL AS DOUBLE) "
+    "WHEN doc_id % 41 = 0 THEN CAST('NaN' AS DOUBLE) ELSE swr END"
+)
+_QCB_LABEL = "CASE WHEN doc_id % 13 = 0 THEN NULL WHEN nw >= 40 THEN 1 ELSE 0 END"
+
+
+def _qcb_base(dialect: str) -> str:
+    w = X.words("text")
+    swr = X.stopword_ratio("words")
+    nw = X.n_words("words")
+    if dialect == "spark":
+        return (
+            f"SELECT doc_id, {swr.spark} AS swr, {nw.spark} AS nw FROM "
+            f"(SELECT doc_id, {w.spark} AS words FROM __D__)"
+        )
+    return (
+        f"SELECT doc_id, {swr.duck} AS swr, {nw.duck} AS nw FROM "
+        f"(SELECT doc_id, {w.duck} AS words FROM documents)"
+    )
+
+
+def _qcb_oracle() -> str:
+    return f"""
+WITH base AS ({_qcb_base('duck')}),
+sl AS (SELECT doc_id, {_QCB_SCORE} AS score, {_QCB_LABEL} AS label
+       FROM base),
+f AS (SELECT * FROM sl WHERE score IS NOT NULL AND NOT isnan(score)),
+g AS (SELECT CAST(least(floor(score * {_QCB_BINS}), {_QCB_BINS - 1}) AS INT)
+               AS bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(coalesce(label, 0)) AS BIGINT) AS n_pos
+      FROM f GROUP BY 1)
+SELECT bin, CAST(bin AS DOUBLE) / {_QCB_BINS} AS bin_lo, n_docs, n_pos,
+       round(CAST(n_pos AS DOUBLE) / n_docs, {X.ROUND}) AS pos_rate
+FROM g
+"""
+
+
+@register(
+    "quality_calibration_bins",
+    _qcb_oracle(),
+    doc="Reliability-diagram data for a [0,1] quality scorer: "
+    "equal-width score bins with observed positive rate per bin — "
+    "the audit you run before trusting a scorer at 10^12 docs "
+    "(calibrated scorer: rate ~ bin center). Out-of-range scores "
+    "fail loud via a raise_error branch folded into the bin "
+    "expression; NULL/NaN scores are excluded (an unscored doc says "
+    "nothing about calibration); labels follow the 0/1/NULL volume "
+    "contract. All float inputs are exact integer counts (order-"
+    "free partial aggregation), so parity is exact. Scale: ONE "
+    "map-side-combined agg to n_bins rows "
+    "(operators/calibration.py::calibration_bins).",
+    bench=True,
+)
+def q_quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.calibration import calibration_bins
+
+    base = _qcb_base("spark").replace(
+        "__D__", f"parquet.`{sf_dir}/documents.parquet`"
+    )
+    d = spark.sql(base).selectExpr(
+        "doc_id", f"{_QCB_SCORE} AS score", f"{_QCB_LABEL} AS label"
+    )
+    return calibration_bins(d, "score", "label", n_bins=_QCB_BINS).selectExpr(
+        "bin", "bin_lo", "n_docs", "n_pos",
+        f"round(pos_rate, {X.ROUND}) AS pos_rate",
+    )
+
+
+# Kappa: verdict A = length rule (n_words >= 40), verdict B = stopword
+# rule (stopword_ratio >= 0.02) — correlated but far from identical, so
+# kappa sits strictly inside (0, 1); per-language slices; %17 plants
+# NULL verdicts (filter didn't run -> row excluded).
+
+_FAK_A = "CASE WHEN doc_id % 17 = 0 THEN NULL WHEN nw >= 40 THEN 1 ELSE 0 END"
+_FAK_B = "CASE WHEN swr >= 2e-2 THEN 1 ELSE 0 END"
+
+
+def _fak_base(dialect: str) -> str:
+    w = X.words("text")
+    swr = X.stopword_ratio("words")
+    nw = X.n_words("words")
+    src = "__D__" if dialect == "spark" else "documents"
+    e = w.spark if dialect == "spark" else w.duck
+    s = swr.spark if dialect == "spark" else swr.duck
+    n = nw.spark if dialect == "spark" else nw.duck
+    return (
+        f"SELECT doc_id, lang, {s} AS swr, {n} AS nw FROM "
+        f"(SELECT doc_id, lang, {e} AS words FROM {src})"
+    )
+
+
+def _fak_oracle() -> str:
+    from .operators.calibration import kappa_sql
+
+    k = kappa_sql("n_docs", "n_both_pos", "n_both_neg", "na1", "nb1")
+    return f"""
+WITH base AS ({_fak_base('duck')}),
+v AS (SELECT lang, {_FAK_A} AS a, {_FAK_B} AS b FROM base),
+f AS (SELECT * FROM v WHERE a IS NOT NULL AND b IS NOT NULL),
+g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(a * b) AS BIGINT) AS n_both_pos,
+             CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n_both_neg,
+             CAST(sum(a) AS BIGINT) AS na1,
+             CAST(sum(b) AS BIGINT) AS nb1
+      FROM f GROUP BY lang)
+SELECT lang, n_docs, n_both_pos, n_both_neg,
+       round(CAST(n_both_pos + n_both_neg AS DOUBLE) / n_docs, {X.ROUND})
+         AS po,
+       round({k}, {X.ROUND}) AS kappa
+FROM g
+"""
+
+
+@register(
+    "filter_agreement_kappa",
+    _fak_oracle(),
+    doc="Cohen's kappa between two binary curation filters per "
+    "language slice — chance-corrected agreement (raw agreement is "
+    "inflated when both filters pass almost everything; kappa = "
+    "(po - pe)/(1 - pe) from the marginals is the number worth "
+    "tracking when deciding whether a second filter adds signal). "
+    "Degenerate pe = 1 yields NULL, not a division blow-up; NULL "
+    "verdicts (filter didn't run) are excluded. All float inputs "
+    "are exact integer counts; the kappa expression is one "
+    "dialect-identical string. Scale: ONE map-side-combined agg to "
+    "|groups| rows (operators/calibration.py::agreement_kappa).",
+    bench=True,
+)
+def q_filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.calibration import agreement_kappa
+
+    base = _fak_base("spark").replace(
+        "__D__", f"parquet.`{sf_dir}/documents.parquet`"
+    )
+    d = spark.sql(base).selectExpr(
+        "lang", f"{_FAK_A} AS va", f"{_FAK_B} AS vb"
+    )
+    return agreement_kappa(d, "va", "vb", group_cols=("lang",)).selectExpr(
+        "lang", "n_docs", "n_both_pos", "n_both_neg",
+        f"round(po, {X.ROUND}) AS po",
+        f"round(kappa, {X.ROUND}) AS kappa",
+    )
+
+
+# Overlap matrix: three synthetic sources with planted cross-source
+# shared contents (%10 < 3 — one shared doc across all sources), a
+# NULL-text identity (%11), and per-source duplicate instances that
+# must collapse BEFORE pair counting (%9 re-plants the shared text).
+
+_SOM_SRC = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'web' "
+    "WHEN doc_id % 3 = 1 THEN 'books' ELSE 'code' END"
+)
+_SOM_TEXT = (
+    "CASE WHEN doc_id % 11 = 0 THEN NULL "
+    "WHEN doc_id % 10 < 3 OR doc_id % 9 = 4 THEN 'shared boilerplate doc' "
+    "ELSE text END"
+)
+
+
+def _som_oracle() -> str:
+    return f"""
+WITH d AS (SELECT {_SOM_SRC} AS src, md5({_SOM_TEXT}) AS h FROM documents),
+p AS (SELECT DISTINCT src, h FROM d)
+SELECT a.src AS src_a, b.src AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM p a JOIN p b ON a.h IS NOT DISTINCT FROM b.h AND a.src <= b.src
+GROUP BY a.src, b.src
+"""
+
+
+@register(
+    "source_overlap_matrix",
+    _som_oracle(),
+    doc="Cross-source duplicate overlap matrix: distinct contents "
+    "shared by every source pair (diagonal = per-source distinct "
+    "count, the containment denominator) — the datasheet number the "
+    "mixing stage needs to avoid double-counting a source contained "
+    "in another. Within-source instances collapse via ONE distinct "
+    "agg (map-side combine kills instance skew) BEFORE the "
+    "hash-keyed self-join; fan-out per hash is bounded by "
+    "|sources|^2 and page bytes never shuffle — 32-hex hashes do. "
+    "NULL sources fail loud; NULL texts form one identity "
+    "(operators/overlap.py::source_overlap_matrix).",
+    bench=True,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.overlap import source_overlap_matrix
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        f"{_SOM_SRC} AS source", f"{_SOM_TEXT} AS text"
+    )
+    return source_overlap_matrix(d)

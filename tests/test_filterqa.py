@@ -1,0 +1,180 @@
+"""Filter-QA battery: calibration bins, Cohen's kappa, source overlap
+(operators/calibration.py, operators/overlap.py)."""
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.calibration import (
+    agreement_kappa,
+    calibration_bins,
+)
+from radio_data_curation_ssl_spark.operators.overlap import (
+    source_overlap_matrix,
+)
+
+
+def test_calibration_hand_worked(spark):
+    rows = (
+        [(0.05, 1), (0.08, 0), (0.05, 0), (0.09, 1)]  # bin 0: 2/4
+        + [(0.95, 1), (1.0, 1)]  # 1.0 lands in the TOP bin: 2/2
+        + [(0.55, None)]  # NULL label: volume only
+        + [(None, 1), (float("nan"), 1)]  # excluded
+    )
+    d = spark.createDataFrame(
+        [(i, s, l) for i, (s, l) in enumerate(rows)],
+        "doc_id long, score double, label int",
+    )
+    out = {r["bin"]: r for r in calibration_bins(d, "score", "label").collect()}
+    assert set(out) == {0, 5, 9}
+    assert (out[0]["n_docs"], out[0]["n_pos"]) == (4, 2)
+    assert out[0]["pos_rate"] == pytest.approx(0.5)
+    assert out[0]["bin_lo"] == 0.0
+    assert (out[9]["n_docs"], out[9]["n_pos"]) == (2, 2)
+    assert out[9]["bin_lo"] == pytest.approx(0.9)
+    assert (out[5]["n_docs"], out[5]["n_pos"]) == (1, 0)
+
+
+def test_calibration_fail_loud_and_validation(spark):
+    d = spark.createDataFrame([(1, 1.5, 1)], "doc_id long, score double, label int")
+    with pytest.raises(Exception, match="score outside"):
+        calibration_bins(d, "score", "label").collect()
+    d2 = spark.createDataFrame([(1, 0.5, 7)], "doc_id long, score double, label int")
+    with pytest.raises(Exception, match="label must be 0/1"):
+        calibration_bins(d2, "score", "label").collect()
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_bins(d, "score", "label", n_bins=1)
+
+
+def test_kappa_hand_worked(spark):
+    # perfect agreement -> kappa 1
+    d = spark.createDataFrame(
+        [(1, 1), (0, 0), (1, 1), (0, 0)], "a int, b int"
+    )
+    out = agreement_kappa(d, "a", "b").collect()[0]
+    assert out["kappa"] == pytest.approx(1.0)
+    assert out["po"] == pytest.approx(1.0)
+    # textbook 2x2: n=100, n11=40, n00=30, a1=50, b1=60 -> kappa 0.4
+    rows = (
+        [(1, 1)] * 40 + [(0, 0)] * 30 + [(1, 0)] * 10 + [(0, 1)] * 20
+    )
+    d2 = spark.createDataFrame(rows, "a int, b int")
+    out2 = agreement_kappa(d2, "a", "b").collect()[0]
+    po, pe = 0.7, 0.5 * 0.6 + 0.5 * 0.4
+    assert out2["po"] == pytest.approx(po)
+    assert out2["kappa"] == pytest.approx((po - pe) / (1 - pe))
+    assert (out2["n_both_pos"], out2["n_both_neg"]) == (40, 30)
+    # both verdicts constant -> pe = 1 -> NULL, not a crash
+    d3 = spark.createDataFrame([(1, 1), (1, 1)], "a int, b int")
+    assert agreement_kappa(d3, "a", "b").collect()[0]["kappa"] is None
+
+
+def test_kappa_groups_and_null_exclusion(spark):
+    rows = [
+        ("en", 1, 1), ("en", 0, 0), ("en", None, 1),
+        ("de", 1, 0), ("de", 0, 1),
+    ]
+    d = spark.createDataFrame(rows, "lang string, a int, b int")
+    out = {r["lang"]: r for r in agreement_kappa(d, "a", "b", ("lang",)).collect()}
+    assert out["en"]["n_docs"] == 2  # NULL-verdict row excluded
+    assert out["en"]["kappa"] == pytest.approx(1.0)
+    assert out["de"]["kappa"] == pytest.approx(-1.0)  # total disagreement
+    # boolean columns work through the cast
+    db = spark.createDataFrame([(True, True), (False, False)], "a boolean, b boolean")
+    assert agreement_kappa(db, "a", "b").collect()[0]["po"] == pytest.approx(1.0)
+
+
+def test_overlap_matrix_hand_worked(spark):
+    rows = (
+        [("web", "shared"), ("web", "shared"), ("web", "w-only")]
+        + [("books", "shared"), ("books", "b-only"), ("books", "b2")]
+        + [("code", "c-only"), ("code", None), ("books", None)]
+    )
+    d = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r["src_a"], r["src_b"]): r["n_shared"]
+        for r in source_overlap_matrix(d).collect()
+    }
+    # diagonal = per-source DISTINCT contents (web's duplicate collapses)
+    assert out[("web", "web")] == 2
+    assert out[("books", "books")] == 4  # shared, b-only, b2, NULL
+    assert out[("code", "code")] == 2
+    # off-diagonal: shared text + the NULL identity
+    assert out[("books", "web")] == 1
+    assert out[("books", "code")] == 1  # via the NULL-text identity
+    assert ("code", "web") not in out  # nothing shared
+    # containment is derivable: web is 50% contained in books
+    assert out[("books", "web")] / out[("web", "web")] == pytest.approx(0.5)
+
+
+def test_overlap_null_source_fails_and_validation(spark):
+    d = spark.createDataFrame([(None, "x")], "source string, text string")
+    with pytest.raises(Exception, match="NULL source"):
+        source_overlap_matrix(d).collect()
+    with pytest.raises(ValueError, match="lacks column"):
+        source_overlap_matrix(d.drop("text"))
+
+
+def test_plans(spark):
+    d = spark.createDataFrame(
+        [(0.5, 1, "en", "web", "t")] * 3,
+        "score double, label int, lang string, source string, text string",
+    )
+    for frame in (
+        calibration_bins(d, "score", "label"),
+        agreement_kappa(d.withColumn("b2", d.label), "label", "b2", ("lang",)),
+        source_overlap_matrix(d),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+        assert "Cartesian" not in plan
+        assert "partial_count" in plan or "partial_sum" in plan
+
+
+def _parity(spark, name, float_cols):
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY[name]
+    rows = q.spark(spark, "/root/testdata/sf0.001").collect()
+    got = sorted(tuple("∅" if v is None else v for v in r) for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(
+        tuple("∅" if v is None else v for v in r)
+        for r in con.execute(q.oracle).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        for i, (gv, wv) in enumerate(zip(g, w)):
+            if i in float_cols and gv != "∅":
+                assert gv == pytest.approx(wv, abs=1e-9)
+            else:
+                assert gv == wv
+    return rows
+
+
+def test_registry_calibration_oracle_parity(spark):
+    """Standing local gate for the past-window registry row."""
+    rows = _parity(spark, "quality_calibration_bins", {1, 4})
+    # the exclusion legs shrank the scored population below the corpus
+    assert sum(r["n_docs"] for r in rows) < 500
+
+
+def test_registry_kappa_oracle_parity(spark):
+    """Standing local gate for the past-window registry row."""
+    rows = _parity(spark, "filter_agreement_kappa", {4, 5})
+    # kappa is informative on at least one slice: strictly inside (0,1)
+    ks = [r["kappa"] for r in rows if r["kappa"] is not None]
+    assert any(0.0 < k < 1.0 for k in ks)
+
+
+def test_registry_overlap_oracle_parity(spark):
+    """Standing local gate for the past-window registry row."""
+    rows = _parity(spark, "source_overlap_matrix", set())
+    pairs = {(r["src_a"], r["src_b"]): r["n_shared"] for r in rows}
+    # all three diagonals plus at least one planted off-diagonal overlap
+    assert {("books", "books"), ("code", "code"), ("web", "web")} <= set(pairs)
+    assert any(a != b for a, b in pairs)

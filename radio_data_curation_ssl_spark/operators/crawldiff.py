@@ -57,7 +57,14 @@ def _latest(df: DataFrame, id_col: str, content_col: str, ts_col: str | None):
         F.col(id_col).alias("id"), h.alias("h"), ts.alias("ts")
     )
     payload = F.struct("h", "ts")
-    order = F.struct(F.col("ts"), F.coalesce(F.col("h"), F.lit("")))
+    # NULL-ts captures (a crawler that lost the clock) rank below every
+    # dated capture via the leading is-not-null boolean, then among
+    # themselves by content hash — fully deterministic for any ts type
+    order = F.struct(
+        F.col("ts").isNotNull(),
+        F.col("ts"),
+        F.coalesce(F.col("h"), F.lit("")),
+    )
     return (
         slim.groupBy("id")
         .agg(F.max_by(payload, order).alias("_w"))

@@ -81,6 +81,10 @@ def shrunk_host_rate(
             F.count("*").alias("n_docs"),
             F.sum("_l").cast("long").alias("n_pos"),
         )
+        # |hosts|-bounded table feeds TWO consumers (the global agg and
+        # the join); pin it so the corpus agg runs once — the
+        # paradedup/budget multi-consumer precedent
+        .localCheckpoint(eager=False)
     )
     glob = per_host.agg(
         F.sum("n_docs").alias("_gn"), F.sum("n_pos").alias("_gpos")

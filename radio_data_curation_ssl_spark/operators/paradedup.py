@@ -235,6 +235,11 @@ def drop_common_paragraphs(
         if c not in docs.columns:
             raise ValueError(f"input lacks host column {c!r}")
     inst = split_paragraphs(docs, id_col, text_col, sep, keep_cols=(host_col,))
+    # the instance table feeds THREE consumers (host-DF count, kept
+    # anti-join probe, per-doc totals); pin it so the split — and the
+    # derivation chain that produced ``docs`` — runs once (the
+    # paragraph_dedup pin_canon precedent)
+    inst = inst.localCheckpoint(eager=False)
     common = (
         inst.select(F.xxhash64("para").alias("tid"), F.col(host_col))
         .groupBy("tid")

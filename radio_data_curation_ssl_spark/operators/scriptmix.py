@@ -1,0 +1,124 @@
+"""Unicode script-mix and mojibake signals (CCNet-adjacent page QA).
+
+Language ID answers "which language"; the script mix answers "is this
+page's CHARACTER inventory coherent" — a page claiming English with 30%
+Cyrillic codepoints is keyboard-spoofed spam, a "Chinese" page that is
+90% Latin is a template shell, and script fractions are the standard
+pre-langid confidence feature (CCNet reports them; fastText's langid
+degrades exactly on mixed-script pages).  The mojibake counters catch
+the other inventory failure: bytes decoded with the wrong charset.
+UTF-8 read as windows-1252 stamps 'Ã'/'â€' digraphs over every
+non-ASCII char, and lossy decodes leave U+FFFD replacement chars — both
+are countable artifacts (heuristic by design: rare legitimate 'Ã'
+occurrences exist in e.g. Portuguese; the signal is the COUNT, which
+explodes on genuinely mis-decoded pages).  This operator grades decode
+health downstream of the charset ladder (operators/charset.py) — the
+ladder prevents, this measures what slipped through.
+
+Counting method: count of chars in a class = length(text) -
+length(regexp_replace(text, '[class]', '')) — pure string built-ins,
+exact integers; fractions divide by total length (empty/NULL text ->
+NULL fractions, counts stay 0/NULL-safe).  Script classes are literal
+codepoint ranges embedded in the pattern (portable across Java regex
+and RE2 — no \\p{...} dialect divergence); DuckDB's regexp_replace
+needs the 'g' flag where Spark's is global by default, so the fragment
+is a paired builder (functions/text.py convention).
+
+Scale: pure codegen'd column expressions — zero shuffle, zero Python,
+one narrow map at any corpus size.
+
+Reference analog: NaN/Inf inventory audits over feature columns
+(/root/reference/scripts/verify_feat_extract_output.py:106-119) aimed
+at the text payload; beyond-the-reference (SURVEY §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+__all__ = [
+    "MOJIBAKE_MARKERS",
+    "SCRIPT_CLASSES",
+    "char_class_count",
+    "char_class_frac",
+    "marker_count",
+    "with_script_signals",
+]
+
+# literal codepoint ranges (portable: no \p{...} dialect divergence)
+SCRIPT_CLASSES: dict[str, str] = {
+    "latin": "A-Za-z",
+    "digit": "0-9",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿݐ-ݿ",
+    # kana + CJK unified ideographs + hangul syllables
+    "cjk": "぀-ヿ一-鿿가-힯",
+}
+
+# classic wrong-charset artifacts: utf-8-as-1252 digraph starters and
+# the lossy-decode replacement char
+MOJIBAKE_MARKERS: tuple[str, ...] = ("Ã", "â€", "�")
+
+
+def char_class_count(col: str, cls: str) -> X.P:
+    """Chars of ``col`` inside the literal class ``cls``, as BIGINT.
+    NULL text -> NULL."""
+    pat = f"[{cls}]"
+    return X.P(
+        f"CAST(length({col}) - length(regexp_replace({col}, {X._sq(pat)}, ''))"
+        f" AS BIGINT)",
+        f"CAST(length({col}) - length(regexp_replace({col}, {X._dq(pat)}, '',"
+        f" 'g')) AS BIGINT)",
+    )
+
+
+def char_class_frac(col: str, cls: str) -> X.P:
+    """Fraction of ``col``'s chars inside ``cls``; NULL on NULL/empty
+    text (a zero-length page has no script mix), round-6."""
+    c = char_class_count(col, cls)
+
+    def body(count: str) -> str:
+        return (
+            f"CASE WHEN length({col}) = 0 THEN NULL "
+            f"ELSE round(CAST({count} AS DOUBLE) / length({col}), {X.ROUND})"
+            f" END"
+        )
+
+    return X.P(body(c.spark), body(c.duck))
+
+
+def marker_count(col: str, marker: str) -> X.P:
+    """Occurrences of the literal ``marker`` substring (multi-char
+    markers count whole occurrences via the length diff / marker
+    length).  NULL text -> NULL."""
+    if not marker:
+        raise ValueError("marker must be non-empty")
+    body = (
+        f"CAST((length({col}) - length(replace({col}, '{marker}', '')))"
+        f" / {len(marker)} AS BIGINT)"
+    )
+    return X.P(body, body)
+
+
+def with_script_signals(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Adds one ``<script>_frac`` column per SCRIPT_CLASSES entry plus
+    ``mojibake_count`` (sum over MOJIBAKE_MARKERS) and
+    ``replacement_char_count``."""
+    out = df
+    for name, cls in SCRIPT_CLASSES.items():
+        out = out.withColumn(
+            f"{name}_frac", F.expr(char_class_frac(text_col, cls).spark)
+        )
+    moji = " + ".join(
+        marker_count(text_col, m).spark for m in MOJIBAKE_MARKERS
+    )
+    return out.withColumn("mojibake_count", F.expr(f"CAST({moji} AS BIGINT)")).withColumn(
+        "replacement_char_count",
+        F.expr(marker_count(text_col, "�").spark),
+    )

@@ -6492,3 +6492,77 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_SOM_SRC} AS source", f"{_SOM_TEXT} AS text"
     )
     return source_overlap_matrix(d)
+
+
+# ---------------------------------------------------------------------------
+# Unicode script-mix + mojibake signals (r5 session 6) — past-window,
+# standing parity gate in tests/test_scriptmix.py.  The doc_id % 7
+# schedule injects Cyrillic+Greek, CJK (kana/han/hangul), wrong-charset
+# digraphs + a replacement char, and Arabic onto the Latin base corpus;
+# %11 / %13 plant the NULL and empty pages (NULL vs NULL-fraction
+# guards fire separately).
+
+_SCM_TEXT = (
+    "CASE WHEN doc_id % 13 = 0 THEN '' "
+    "WHEN doc_id % 11 = 0 THEN NULL "
+    "WHEN doc_id % 7 = 2 THEN concat(text, ' Привет мир Ελλάδα') "
+    "WHEN doc_id % 7 = 3 THEN concat(text, ' 日本語テキスト 한국어 中文') "
+    "WHEN doc_id % 7 = 4 THEN concat(text, ' Ã© Ã¨ â€™ �') "
+    "WHEN doc_id % 7 = 5 THEN concat(text, ' العربية') "
+    "ELSE text END"
+)
+
+
+def _scm_oracle() -> str:
+    from .operators.scriptmix import (
+        MOJIBAKE_MARKERS,
+        SCRIPT_CLASSES,
+        char_class_frac,
+        marker_count,
+    )
+
+    fracs = ",\n       ".join(
+        f"{char_class_frac('text', cls).duck} AS {name}_frac"
+        for name, cls in SCRIPT_CLASSES.items()
+    )
+    moji = " + ".join(marker_count("text", m).duck for m in MOJIBAKE_MARKERS)
+    rep = marker_count("text", "�").duck
+    return f"""
+WITH d AS (SELECT doc_id, {_SCM_TEXT} AS text FROM documents)
+SELECT doc_id,
+       {fracs},
+       CAST({moji} AS BIGINT) AS mojibake_count,
+       {rep} AS replacement_char_count
+FROM d
+"""
+
+
+@register(
+    "script_mix_signals",
+    _scm_oracle(),
+    doc="Unicode script-mix fractions (Latin/digit/Cyrillic/Greek/"
+    "Arabic/CJK via literal codepoint-range classes — portable "
+    "across Java regex and RE2, no \\p{...} dialect divergence) plus "
+    "mojibake counters (utf-8-as-1252 'Ã'/'â€' digraphs, U+FFFD "
+    "replacement chars) — the page-inventory QA next to langid: "
+    "mixed-script spam and wrong-charset decodes are exactly where "
+    "langid degrades, and this grades what slipped past the charset "
+    "ladder (operators/charset.py). Counts are exact integers from "
+    "length diffs; empty pages yield NULL fractions, NULL pages "
+    "NULL everything. Scale: pure codegen'd expressions, zero "
+    "shuffle, zero Python "
+    "(operators/scriptmix.py::with_script_signals).",
+    bench=True,
+)
+def q_script_mix_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scriptmix import SCRIPT_CLASSES, with_script_signals
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_SCM_TEXT} AS text"
+    )
+    return with_script_signals(d, "text").select(
+        "doc_id",
+        *[f"{n}_frac" for n in SCRIPT_CLASSES],
+        "mojibake_count",
+        "replacement_char_count",
+    )

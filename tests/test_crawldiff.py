@@ -71,6 +71,27 @@ def test_latest_capture_wins_and_tiebreak(spark):
     assert out["u/t"]["change"] == ("unchanged" if win == "alpha" else "changed")
 
 
+def test_null_ts_captures_rank_below_dated_ones(spark):
+    import hashlib
+
+    old = _snap(
+        spark,
+        [
+            ("u/a", "undated", None),
+            ("u/a", "dated", 5),  # any dated capture beats NULL ts
+            ("u/b", "alpha", None),
+            ("u/b", "beta", None),  # all undated: max content hash wins
+        ],
+    )
+    new = _snap(spark, [("u/a", "dated", 9), ("u/b", "alpha", 9)])
+    out = {r["url"]: r for r in snapshot_delta(old, new, ts_col="ts").collect()}
+    assert out["u/a"]["change"] == "unchanged"
+    assert out["u/a"]["ts_old"] == 5
+    win = max(["alpha", "beta"], key=lambda s: hashlib.md5(s.encode()).hexdigest())
+    assert out["u/b"]["change"] == ("unchanged" if win == "alpha" else "changed")
+    assert out["u/b"]["ts_old"] is None
+
+
 def test_null_ids_dropped_and_validation(spark):
     old = _snap(spark, [(None, "x", 1), ("u/1", "x", 1)])
     new = _snap(spark, [(None, "y", 2), ("u/1", "x", 2)])

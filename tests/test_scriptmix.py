@@ -1,0 +1,114 @@
+"""Unicode script-mix + mojibake signals (operators/scriptmix.py)."""
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.scriptmix import (
+    MOJIBAKE_MARKERS,
+    SCRIPT_CLASSES,
+    marker_count,
+    with_script_signals,
+)
+
+
+def _d(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hand_worked_fracs(spark):
+    rows = [
+        (1, "abcd12"),          # 4/6 latin, 2/6 digit
+        (2, "Привет ok"),       # 6/9 cyrillic, 2/9 latin
+        (3, "日本語テキスト"),   # 7/7 cjk
+        (4, "العربية"),          # 7/7 arabic
+        (5, "Ελλάδα"),          # 6/6 greek
+        (6, ""),                # empty -> NULL fracs
+        (7, None),              # NULL -> NULL
+    ]
+    out = {r["doc_id"]: r for r in with_script_signals(_d(spark, rows)).collect()}
+    assert out[1]["latin_frac"] == pytest.approx(4 / 6, abs=1e-6)
+    assert out[1]["digit_frac"] == pytest.approx(2 / 6, abs=1e-6)
+    assert out[1]["cjk_frac"] == 0.0
+    assert out[2]["cyrillic_frac"] == pytest.approx(6 / 9, abs=1e-6)
+    assert out[2]["latin_frac"] == pytest.approx(2 / 9, abs=1e-6)
+    assert out[3]["cjk_frac"] == 1.0
+    assert out[4]["arabic_frac"] == 1.0
+    assert out[5]["greek_frac"] == 1.0
+    for name in SCRIPT_CLASSES:
+        assert out[6][f"{name}_frac"] is None
+        assert out[7][f"{name}_frac"] is None
+    assert out[6]["mojibake_count"] == 0
+    assert out[7]["mojibake_count"] is None
+
+
+def test_mojibake_counters(spark):
+    rows = [
+        (1, "clean text"),
+        (2, "mÃ©nage Ã  trois"),        # two Ã marks
+        (3, "itâ€™s â€œquotedâ€"),  # three â€ digraphs
+        (4, "lost � chars �"),  # two replacement chars
+    ]
+    out = {r["doc_id"]: r for r in with_script_signals(_d(spark, rows)).collect()}
+    assert out[1]["mojibake_count"] == 0
+    assert out[2]["mojibake_count"] == 2
+    assert out[3]["mojibake_count"] == 3
+    assert out[4]["mojibake_count"] == 2
+    assert out[4]["replacement_char_count"] == 2
+    assert out[2]["replacement_char_count"] == 0
+
+
+def test_multichar_marker_counts_whole_occurrences(spark):
+    # the 2-char digraph counts occurrences, not chars
+    out = with_script_signals(_d(spark, [(1, "â€ x â€")])).collect()[0]
+    assert out["mojibake_count"] == 2
+    with pytest.raises(ValueError, match="non-empty"):
+        marker_count("text", "")
+    assert len(MOJIBAKE_MARKERS) == 3
+
+
+def test_plan_zero_shuffle_zero_python(spark):
+    plan = (
+        with_script_signals(_d(spark, [(1, "x")]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_registry_script_mix_oracle_parity(spark):
+    """Standing local gate for the past-window registry row."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["script_mix_signals"]
+    rows = q.spark(spark, "/root/testdata/sf0.001").collect()
+    got = sorted(tuple("∅" if v is None else v for v in r) for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(
+        tuple("∅" if v is None else v for v in r)
+        for r in con.execute(q.oracle).fetchall()
+    )
+    assert len(got) == len(want) == 500
+    for g, w in zip(got, want):
+        assert g[0] == w[0]
+        for gv, wv in zip(g[1:], w[1:]):
+            if gv == "∅" or wv == "∅":
+                assert gv == wv
+            else:
+                assert gv == pytest.approx(wv, abs=1e-9)
+    # every planted leg fired
+    by = {r["doc_id"]: r for r in rows}
+    assert any(r["cyrillic_frac"] and r["cyrillic_frac"] > 0 for r in rows)
+    assert any(r["cjk_frac"] and r["cjk_frac"] > 0 for r in rows)
+    assert any(r["arabic_frac"] and r["arabic_frac"] > 0 for r in rows)
+    assert any(r["mojibake_count"] and r["mojibake_count"] >= 3 for r in rows)
+    assert any(
+        r["replacement_char_count"] and r["replacement_char_count"] > 0
+        for r in rows
+    )

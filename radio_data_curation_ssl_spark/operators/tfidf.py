@@ -1,0 +1,139 @@
+"""Hashed TF-IDF document vectors — the text → vector bridge.
+
+The engine's vector battery (SemDeDup, IVF/LSH ANN, k-means, the
+two-sample distribution checks) consumes an embedding column.  Real
+pipelines often need those operators BEFORE any neural encoder exists —
+clustering a fresh crawl, semantic-ish dedup on day one, drift checks
+between two crawls.  The classic bridge is the hashing trick (Weinberger
+et al. 2009; sklearn's HashingVectorizer): bucket = hash(term) % dim, so
+the feature space is fixed-width with NO vocabulary state to fit, ship,
+or broadcast — any executor can vectorize any batch independently, which
+is exactly the property a 1000-executor cluster wants.
+
+    weight(doc, b) = Σ_{term: hash(term) % dim = b} tf(doc, term) * idf(term)
+    idf(term)      = ln((N + 1) / (df + 1)) + 1        (sklearn smoothing)
+
+Exact-parity design — the float-sum trap and its fix: a bucket's weight
+sums many tf*idf doubles, and float addition ORDER differs between
+engines (and between Spark partial-agg layouts), so a naive double sum
+drifts in the last ulp.  Instead idf is fixed-point micro-scaled ONCE
+per term — idf_micro = CAST(round(idf * 1e6) AS BIGINT), deterministic
+given ln (the bm25 precedent) — and the bucket aggregation sums
+tf * idf_micro as EXACT INTEGERS (order-free, overflow-safe: corpus-
+scale cf * 2e7 sits far below 2^63).  The double ``weight`` is then one
+exact division, bit-identical everywhere.
+
+Vocabulary pruning (min_df floor, max_df_frac stop ceiling) runs before
+any weighting — the postings-operator rails.  Docs with no surviving
+terms produce no sparse rows (and a zero vector in dense form).
+
+Scale shape: tf agg + df agg with map-side combine (shuffle bounded by
+the distinct term-doc surface), one broadcast-joined pruned-stats table,
+one (doc, bucket)-keyed agg.  ``dense_vectors`` assembles a per-doc
+array from <= dim sparse entries (bounded collect_list per doc, never
+corpus-wide) — pack with functions/vecs before any further shuffle
+(CLAUDE.md vector-transport rule).
+
+Reference analog: the feature-extraction bridge
+(/root/reference/src/3b_feature_extraction_from_path.py) whose payload
+is environment-blocked here; the hashing trick is its state-free
+classical stand-in feeding the same downstream battery (SURVEY §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+__all__ = ["dense_vectors", "hashed_tfidf", "idf_micro_sql"]
+
+MICRO = 1_000_000
+
+
+def idf_micro_sql(df_expr: str, n_docs: int) -> str:
+    """Dialect-identical fixed-point idf: round((ln((N+1)/(df+1)) + 1)
+    * 1e6) as BIGINT.  Deterministic across engines given ln (bm25
+    precedent); all downstream sums are exact integers."""
+    if n_docs < 0:
+        raise ValueError(f"n_docs must be >= 0, got {n_docs}")
+    idf = f"(ln(({n_docs} + 1e0) / ({df_expr} + 1e0)) + 1e0)"
+    return f"CAST(round({idf} * {MICRO}e0) AS BIGINT)"
+
+
+def hashed_tfidf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    min_df: int = 1,
+    max_df_frac: float = 1.0,
+) -> DataFrame:
+    """Sparse hashed TF-IDF rows: (id, bucket, weight_micro, weight).
+
+    ``weight_micro`` is the exact integer Σ tf * idf_micro (the
+    parity-bearing value); ``weight`` = weight_micro / 1e6 is the
+    consumer-facing double (one exact division).  NULL text = empty doc
+    (counts in N, vectorizes to nothing).
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    if not (0.0 < max_df_frac <= 1.0):
+        raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
+    tf = (
+        docs.selectExpr(id_col, f"{X.words(text_col).spark} AS _w")
+        .selectExpr(id_col, "explode(_w) AS term")
+        .groupBy("term", id_col)
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS tf"))
+    )
+    n_docs = docs.count()  # bounded driver traffic: one long (postings)
+    stats = (
+        tf.groupBy("term")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS df"))
+        .where(f"df >= {min_df} AND df <= {max_df_frac!r}e0 * {n_docs}")
+        .selectExpr(
+            "term",
+            f"{idf_micro_sql('df', n_docs)} AS idf_micro",
+            f"({X.hash64('term').spark} % {dim}) AS bucket",
+        )
+    )
+    return (
+        tf.join(stats, "term")
+        .groupBy(id_col, "bucket")
+        .agg(
+            F.expr("CAST(sum(tf * idf_micro) AS BIGINT) AS weight_micro")
+        )
+        .selectExpr(
+            id_col,
+            "CAST(bucket AS INT) AS bucket",
+            "weight_micro",
+            f"CAST(weight_micro AS DOUBLE) / {MICRO}e0 AS weight",
+        )
+    )
+
+
+def dense_vectors(
+    sparse: DataFrame, dim: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, vec: array<double>) from the sparse rows — bucket-ordered,
+    zero-filled.  Per-doc collect_list is bounded by ``dim`` entries.
+    Pack with functions/vecs.pack_rows before shuffling the vectors
+    onward (CLAUDE.md transport rule)."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    return (
+        sparse.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "weight"))
+            ).alias("_m")
+        )
+        .selectExpr(
+            id_col,
+            f"transform(sequence(0, {dim - 1}),"
+            " b -> coalesce(element_at(_m, b), 0e0)) AS vec",
+        )
+    )

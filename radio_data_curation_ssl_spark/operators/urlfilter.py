@@ -289,3 +289,71 @@ def filter_url_shape(
     return kept.drop(
         "url_len", "url_depth", "url_digit_frac", "url_n_params"
     )
+
+
+# ---------------------------------------------------------------------------
+# URL path-template spam detection
+
+
+def url_template(url_col: str):
+    """Paired fragment: the PATH with every digit run collapsed to 'N'
+    — '/product/8231/view' and '/product/97/view' share the template
+    '/product/N/view'.  Machine-generated page families (faceted
+    listings, calendar spam, session-id mills) collapse to ONE template
+    whose page count explodes, which is the detection signal;
+    legitimate hand-written pages spread across many templates.  The
+    host is deliberately NOT part of the template so the host-spread of
+    a template stays measurable (one host = a generated mill, many
+    hosts = a platform pattern).  NULL urls yield a NULL template;
+    pathless urls yield '/'."""
+    from ..functions.text import P
+    from ..functions.url import url_path
+
+    p = url_path(url_col)
+
+    def body(ux: str, px: str, flags: str) -> str:
+        # NULL-or-empty path (no slash after the host) both read as '/'
+        return (
+            f"CASE WHEN {ux} IS NULL THEN NULL ELSE "
+            f"regexp_replace(coalesce(nullif({px}, ''), '/'),"
+            f" '[0-9]+', 'N'{flags}) END"
+        )
+
+    # DuckDB regexp_replace replaces only the FIRST match without 'g';
+    # Spark is global by default (the scriptmix fragment precedent)
+    return P(body(url_col, p.spark, ""), body(url_col, p.duck, ", 'g'"))
+
+
+def url_template_stats(
+    df: DataFrame, url_col: str = "url", min_pages: int = 2
+) -> DataFrame:
+    """(template, n_pages, n_hosts) for every path template with at
+    least ``min_pages`` pages, the template-spam radar: a template with
+    10^6 pages on one host is a generated page mill (cap it via the
+    host budgets); the same template across MANY hosts is a platform
+    pattern (forums, wikis — usually fine).  n_hosts is what separates
+    the two readings.
+
+    Scale: ONE map pass computes the template (codegen'd regex), one
+    two-phase distinct-host count agg keyed by template — shuffle rows
+    are (template, host) pairs, bounded by the distinct surface; NULL
+    templates (unparseable urls) are excluded before the shuffle.
+    """
+    if min_pages < 1:
+        raise ValueError(f"min_pages must be >= 1, got {min_pages}")
+    from ..functions.url import url_host
+
+    t = url_template(url_col)
+    h = url_host(url_col)
+    return (
+        df.selectExpr(
+            f"{t.spark} AS template", f"coalesce({h.spark}, '') AS _h"
+        )
+        .where("template IS NOT NULL")
+        .groupBy("template")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_pages"),
+            F.expr("CAST(count(DISTINCT _h) AS BIGINT) AS n_hosts"),
+        )
+        .where(f"n_pages >= {min_pages}")
+    )

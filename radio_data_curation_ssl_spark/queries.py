@@ -6566,3 +6566,145 @@ def q_script_mix_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mojibake_count",
         "replacement_char_count",
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed TF-IDF bridge (r5 session 6) — past-window, standing parity
+# gate in tests/test_tfidf.py.  Schedule reuses the postings rails:
+# doc_id % 23 NULL pages (count in N, vectorize to nothing), % 31
+# hapax injections (min_df floor), the synthetic stop band (max_df
+# ceiling); dim 16 forces real bucket collisions so the integer-sum
+# aggregation is actually exercised.
+
+_HTF_DIM, _HTF_MIN_DF, _HTF_MAX_DF = 16, 2, 0.75
+_HTF_TEXT = (
+    "CASE WHEN doc_id % 23 = 0 THEN NULL "
+    "WHEN doc_id % 31 = 0 THEN"
+    " concat(text, ' hapax', CAST(doc_id AS STRING)) "
+    "ELSE text END"
+)
+
+
+def _htf_oracle() -> str:
+    from .operators.tfidf import MICRO, idf_micro_sql
+
+    # N is data-dependent but the table is fixed per sf_dir; both the
+    # operator and this oracle count it from the same 500-row table
+    n_docs = 500
+    bucket = f"({X.hash64('term').duck} % {_HTF_DIM})"
+    return f"""
+WITH d AS (SELECT doc_id, {_HTF_TEXT} AS text FROM documents),
+w AS (SELECT doc_id, {X.words('text').duck} AS words FROM d),
+tok AS (SELECT doc_id, unnest(words) AS term FROM w),
+tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY term, doc_id),
+stats AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY term),
+kept AS (SELECT term, {idf_micro_sql('df', n_docs)} AS idf_micro,
+                {bucket} AS bucket
+         FROM stats
+         WHERE df >= {_HTF_MIN_DF} AND df <= {_HTF_MAX_DF!r}e0 * {n_docs}),
+sp AS (SELECT t.doc_id AS doc_id, k.bucket AS bucket,
+              CAST(sum(t.tf * k.idf_micro) AS BIGINT) AS weight_micro
+       FROM tf t JOIN kept k USING (term)
+       GROUP BY t.doc_id, k.bucket)
+SELECT doc_id, CAST(bucket AS INTEGER) AS bucket, weight_micro,
+       CAST(weight_micro AS DOUBLE) / {MICRO}e0 AS weight
+FROM sp
+"""
+
+
+@register(
+    "hashed_tfidf_sparse",
+    _htf_oracle(),
+    doc="Hashed TF-IDF document vectors (Weinberger hashing trick + "
+    "sklearn-smoothed idf) — the text-to-vector bridge feeding the "
+    "SemDeDup/ANN/k-means battery with NO vocabulary state to fit or "
+    "broadcast (any executor vectorizes any batch). Exact parity by "
+    "construction: idf is fixed-point micro-scaled ONCE per term and "
+    "bucket weights sum tf*idf_micro as EXACT INTEGERS — float "
+    "accumulation order (the cross-engine last-ulp trap) never "
+    "enters; the double weight is one exact division. Pruning rails "
+    "(min_df floor, max_df stop ceiling) run before weighting. "
+    "Scale: two map-side-combined aggs bounded by the distinct "
+    "term-doc surface + one (doc, bucket) agg "
+    "(operators/tfidf.py::hashed_tfidf; dense assembly via "
+    "dense_vectors, bounded per-doc collect).",
+    bench=True,
+)
+def q_hashed_tfidf_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.tfidf import hashed_tfidf
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_HTF_TEXT} AS text"
+    )
+    return hashed_tfidf(
+        d,
+        dim=_HTF_DIM,
+        min_df=_HTF_MIN_DF,
+        max_df_frac=_HTF_MAX_DF,
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL path-template spam radar (r5 session 6) — past-window, standing
+# parity gate in tests/test_urltemplate.py.  Synthetic url families:
+# a 3-host product mill (/product/N/view — one template, 3 hosts), a
+# single-host article mill, a 7-host forum platform pattern
+# (/thread/N/page/N), a long tail of per-doc about pages, and a NULL
+# leg (%19 — excluded before the shuffle).
+
+_UTS_MIN_PAGES = 3
+_UTS_URL = (
+    "CASE WHEN doc_id % 19 = 0 THEN NULL "
+    "WHEN doc_id % 4 = 0 THEN concat('https://shop',"
+    " CAST(doc_id % 3 AS STRING), '.example.com/product/',"
+    " CAST(doc_id AS STRING), '/view') "
+    "WHEN doc_id % 4 = 1 THEN concat('https://news.example.com/article/',"
+    " CAST(doc_id AS STRING)) "
+    "WHEN doc_id % 4 = 2 THEN concat('https://forum',"
+    " CAST(doc_id % 7 AS STRING), '.example.org/thread/',"
+    " CAST(doc_id AS STRING), '/page/', CAST(doc_id % 5 AS STRING)) "
+    "ELSE concat('https://h', CAST(doc_id % 23 AS STRING),"
+    " '.example.net/about-', CAST(doc_id AS STRING)) END"
+)
+
+
+def _uts_oracle() -> str:
+    from .functions.url import url_host
+    from .operators.urlfilter import url_template
+
+    tpl = url_template("url").duck
+    h = url_host("url").duck
+    return f"""
+WITH d AS (SELECT {_UTS_URL} AS url FROM documents),
+m AS (SELECT {tpl} AS template, coalesce({h}, '') AS h FROM d),
+f AS (SELECT * FROM m WHERE template IS NOT NULL),
+g AS (SELECT template, CAST(count(*) AS BIGINT) AS n_pages,
+             CAST(count(DISTINCT h) AS BIGINT) AS n_hosts
+      FROM f GROUP BY template)
+SELECT template, n_pages, n_hosts FROM g WHERE n_pages >= {_UTS_MIN_PAGES}
+"""
+
+
+@register(
+    "url_template_spam",
+    _uts_oracle(),
+    doc="URL path-template spam radar: collapse digit runs in the path "
+    "('/product/8231/view' -> '/product/N/view') and count pages and "
+    "DISTINCT hosts per template — a template with explosive page "
+    "count on ONE host is a generated page mill (feed the host "
+    "budgets), the same template across many hosts is a platform "
+    "pattern (forums/wikis, usually fine); n_hosts separates the "
+    "readings, which is why the host is deliberately NOT part of the "
+    "template. Scale: one codegen'd map + one two-phase "
+    "distinct-host agg — shuffle rows are (template, host) pairs "
+    "bounded by the distinct surface; NULL urls excluded before the "
+    "shuffle (operators/urlfilter.py::url_template_stats).",
+    bench=True,
+)
+def q_url_template_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.urlfilter import url_template_stats
+
+    d = t(spark, sf_dir, "documents").selectExpr(f"{_UTS_URL} AS url")
+    return url_template_stats(d, min_pages=_UTS_MIN_PAGES)

@@ -1,0 +1,137 @@
+"""Hashed TF-IDF bridge (operators/tfidf.py)."""
+
+import hashlib
+import math
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.tfidf import (
+    MICRO,
+    dense_vectors,
+    hashed_tfidf,
+    idf_micro_sql,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "apple banana apple"),
+        (2, "apple cherry"),
+        (3, "banana banana durian"),
+        (4, None),
+        (5, "unique"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bucket(term, dim):
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % dim
+
+
+def _idf_micro(df, n):
+    return int(round((math.log((n + 1) / (df + 1)) + 1) * MICRO))
+
+
+def test_hand_worked_weights(spark):
+    # N=5 (NULL doc counts); df: apple 2, banana 2, cherry 1, durian 1,
+    # unique 1
+    out = hashed_tfidf(_docs(spark), dim=1024).collect()
+    got = {(r["doc_id"], r["bucket"]): r for r in out}
+    ia = _idf_micro(2, 5)
+    i1 = _idf_micro(1, 5)
+    ba, bb = _bucket("apple", 1024), _bucket("banana", 1024)
+    assert got[(1, ba)]["weight_micro"] == 2 * ia  # tf=2
+    assert got[(1, bb)]["weight_micro"] == 1 * ia
+    assert got[(3, bb)]["weight_micro"] == 2 * ia
+    assert got[(5, _bucket("unique", 1024))]["weight_micro"] == i1
+    # weight is the exact micro division
+    for r in out:
+        assert r["weight"] == pytest.approx(r["weight_micro"] / MICRO)
+    # NULL doc vectorizes to nothing but counted in N (idf above uses 5)
+    assert not [r for r in out if r["doc_id"] == 4]
+
+
+def test_bucket_collision_sums(spark):
+    # dim=1 forces every term into bucket 0: weight = sum of all tf*idf
+    out = hashed_tfidf(_docs(spark), dim=1).collect()
+    d1 = {r["doc_id"]: r for r in out}
+    ia, i1 = _idf_micro(2, 5), _idf_micro(1, 5)
+    assert d1[1]["weight_micro"] == 2 * ia + 1 * ia  # apple x2, banana
+    assert d1[2]["weight_micro"] == ia + i1
+    assert all(r["bucket"] == 0 for r in out)
+
+
+def test_pruning_rails(spark):
+    # min_df=2 drops the hapax terms entirely
+    out = hashed_tfidf(_docs(spark), dim=1024, min_df=2).collect()
+    buckets = {r["bucket"] for r in out}
+    assert _bucket("cherry", 1024) not in buckets
+    assert _bucket("apple", 1024) in buckets
+    # max_df_frac prunes the stop term (df 2 > 0.3 * 5)
+    out2 = hashed_tfidf(_docs(spark), dim=1024, max_df_frac=0.3).collect()
+    assert _bucket("apple", 1024) not in {r["bucket"] for r in out2}
+
+
+def test_dense_assembly(spark):
+    sp = hashed_tfidf(_docs(spark), dim=8)
+    vecs = {r["doc_id"]: r["vec"] for r in dense_vectors(sp, 8).collect()}
+    rows = {(r["doc_id"], r["bucket"]): r["weight"] for r in sp.collect()}
+    for (doc, b), w in rows.items():
+        assert vecs[doc][b] == pytest.approx(w)
+    for doc, v in vecs.items():
+        assert len(v) == 8
+        nz = {b for b in range(8) if v[b] != 0.0}
+        assert nz == {b for (d, b) in rows if d == doc}
+
+
+def test_validation(spark):
+    d = _docs(spark)
+    with pytest.raises(ValueError, match="dim"):
+        hashed_tfidf(d, dim=0)
+    with pytest.raises(ValueError, match="min_df"):
+        hashed_tfidf(d, min_df=0)
+    with pytest.raises(ValueError, match="max_df_frac"):
+        hashed_tfidf(d, max_df_frac=1.5)
+    with pytest.raises(ValueError, match="n_docs"):
+        idf_micro_sql("df", -1)
+    with pytest.raises(ValueError, match="dim"):
+        dense_vectors(d, 0)
+
+
+def test_plan_no_python_partial_aggs(spark):
+    plan = (
+        hashed_tfidf(_docs(spark), dim=16, min_df=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+    assert "partial_count" in plan
+    assert "Cartesian" not in plan
+
+
+def test_registry_hashed_tfidf_oracle_parity(spark):
+    """Standing local gate for the past-window registry row."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["hashed_tfidf_sparse"]
+    rows = q.spark(spark, "/root/testdata/sf0.001").collect()
+    got = sorted((r[0], r[1], r[2]) for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(
+        (r[0], r[1], r[2]) for r in con.execute(q.oracle).fetchall()
+    )
+    assert got == want  # integer micros: EXACT equality, no approx
+    assert len(got) > 0
+    # rails: NULL pages absent, every bucket inside [0, dim), weights
+    # positive (idf smoothing keeps them > 0)
+    docs = {r[0] for r in got}
+    assert not any(d % 23 == 0 for d in docs)
+    assert all(0 <= r[1] < 16 for r in got)
+    assert all(r[2] > 0 for r in got)

@@ -1,0 +1,93 @@
+"""URL path-template spam radar (operators/urlfilter.py::url_template_stats)."""
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.urlfilter import (
+    url_template,
+    url_template_stats,
+)
+
+
+def _urls(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+def test_template_collapse_and_host_spread(spark):
+    urls = (
+        [f"https://mill.example.com/item/{i}/buy" for i in range(5)]
+        + [f"https://forum{h}.org/t/{i}" for h in range(3) for i in range(2)]
+        + ["https://a.com/unique-page", "https://b.com/unique-page"]
+        + ["https://x.com/no-digits", None]
+    )
+    out = {
+        r["template"]: r
+        for r in url_template_stats(_urls(spark, urls), min_pages=2).collect()
+    }
+    # one-host mill: 5 pages, 1 host
+    assert (out["/item/N/buy"]["n_pages"], out["/item/N/buy"]["n_hosts"]) == (5, 1)
+    # platform pattern: 6 pages across 3 hosts
+    assert (out["/t/N"]["n_pages"], out["/t/N"]["n_hosts"]) == (6, 3)
+    # digit-free paths template as themselves; 2-host spread counted
+    assert (out["/unique-page"]["n_pages"], out["/unique-page"]["n_hosts"]) == (2, 2)
+    # min_pages floor: the single no-digits page is cut
+    assert "/no-digits" not in out
+
+
+def test_multi_digit_runs_and_pathless(spark):
+    urls = [
+        "https://h.com/a/12/b/345/c/6",
+        "https://h.com/a/9/b/9/c/9",
+        "https://h.com",
+        "https://h.com/",
+    ]
+    out = {
+        r["template"]: r["n_pages"]
+        for r in url_template_stats(_urls(spark, urls), min_pages=1).collect()
+    }
+    # EVERY digit run collapses (the DuckDB 'g'-flag regression class)
+    assert out["/a/N/b/N/c/N"] == 2
+    # pathless urls template as '/'
+    assert out["/"] == 2
+
+
+def test_validation_and_fragment_null(spark):
+    with pytest.raises(ValueError, match="min_pages"):
+        url_template_stats(_urls(spark, ["https://h.com/x"]), min_pages=0)
+    frag = url_template("url")
+    assert "'g'" in frag.duck and "'g'" not in frag.spark
+
+
+def test_plan_no_python(spark):
+    plan = (
+        url_template_stats(_urls(spark, ["https://h.com/1"]), min_pages=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+    assert "partial_count" in plan
+
+
+def test_registry_url_template_spam_oracle_parity(spark):
+    """Standing local gate for the past-window registry row."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["url_template_spam"]
+    rows = q.spark(spark, "/root/testdata/sf0.001").collect()
+    got = sorted(tuple(r) for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    by = {r["template"]: r for r in rows}
+    # all digit runs collapsed, incl. the two-run forum template
+    assert "/thread/N/page/N" in by
+    assert by["/thread/N/page/N"]["n_hosts"] == 7  # platform reading
+    assert by["/product/N/view"]["n_hosts"] == 3
+    assert by["/article/N"]["n_hosts"] == 1  # single-host mill reading
+    assert by["/about-N"]["n_hosts"] == 23

@@ -52,11 +52,13 @@ __all__ = ["dense_vectors", "hashed_tfidf", "idf_micro_sql"]
 MICRO = 1_000_000
 
 
-def idf_micro_sql(df_expr: str, n_docs: int) -> str:
+def idf_micro_sql(df_expr: str, n_docs: int | str) -> str:
     """Dialect-identical fixed-point idf: round((ln((N+1)/(df+1)) + 1)
     * 1e6) as BIGINT.  Deterministic across engines given ln (bm25
-    precedent); all downstream sums are exact integers."""
-    if n_docs < 0:
+    precedent); all downstream sums are exact integers.  ``n_docs`` is
+    an integer literal (the operator's driver-counted N) or an SQL
+    expression (an oracle counting the same table inline)."""
+    if isinstance(n_docs, int) and n_docs < 0:
         raise ValueError(f"n_docs must be >= 0, got {n_docs}")
     idf = f"(ln(({n_docs} + 1e0) / ({df_expr} + 1e0)) + 1e0)"
     return f"CAST(round({idf} * {MICRO}e0) AS BIGINT)"

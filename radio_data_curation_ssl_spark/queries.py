@@ -6588,22 +6588,22 @@ _HTF_TEXT = (
 def _htf_oracle() -> str:
     from .operators.tfidf import MICRO, idf_micro_sql
 
-    # N is data-dependent but the table is fixed per sf_dir; both the
-    # operator and this oracle count it from the same 500-row table
-    n_docs = 500
+    # N is counted inline from the same table the operator counts, so
+    # the oracle tracks any sf_dir size
     bucket = f"({X.hash64('term').duck} % {_HTF_DIM})"
     return f"""
 WITH d AS (SELECT doc_id, {_HTF_TEXT} AS text FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
 w AS (SELECT doc_id, {X.words('text').duck} AS words FROM d),
 tok AS (SELECT doc_id, unnest(words) AS term FROM w),
 tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
        FROM tok GROUP BY term, doc_id),
 stats AS (SELECT term, CAST(count(*) AS BIGINT) AS df
           FROM tf GROUP BY term),
-kept AS (SELECT term, {idf_micro_sql('df', n_docs)} AS idf_micro,
+kept AS (SELECT term, {idf_micro_sql('df', 'n.n')} AS idf_micro,
                 {bucket} AS bucket
-         FROM stats
-         WHERE df >= {_HTF_MIN_DF} AND df <= {_HTF_MAX_DF!r}e0 * {n_docs}),
+         FROM stats, n
+         WHERE df >= {_HTF_MIN_DF} AND df <= {_HTF_MAX_DF!r}e0 * n.n),
 sp AS (SELECT t.doc_id AS doc_id, k.bucket AS bucket,
               CAST(sum(t.tf * k.idf_micro) AS BIGINT) AS weight_micro
        FROM tf t JOIN kept k USING (term)

@@ -1,0 +1,118 @@
+"""Cluster job entry: diff two crawl snapshots and route the work.
+
+Classifies every URL across the previous and the fresh snapshot as
+added / removed / changed / unchanged
+(operators/crawldiff.py::snapshot_delta), writes the full delta table,
+and optionally emits the **fetch/curate list** — the added+changed
+slice that actually needs pipeline work (feed it to
+``jobs/run_curation.py``; the unchanged majority skips everything,
+which is the entire economics of incremental crawling).  Runs the same
+way every other cluster job here runs (north_rule: spark-submit
+--py-files)::
+
+    zip -r curation.zip radio_data_curation_ssl_spark
+    spark-submit --py-files curation.zip jobs/crawl_delta.py \
+        --old /data/crawl_2026_07 --new /data/crawl_2026_08 \
+        --output /data/delta_2026_08 --run-root /data/meta \
+        --todo-out /data/todo_2026_08
+
+Inputs are page parquets with (url, text[, ts]) columns; duplicate
+captures per url reduce latest-ts-first inside the operator.  Scale:
+each side projects to (url, md5(text), ts) before the single full-outer
+equi-join — page bytes never shuffle.  Per-class counts land in the
+run's _metrics (drop-reason-histogram convention).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--old", required=True, help="previous snapshot parquet")
+    ap.add_argument("--new", required=True, help="fresh snapshot parquet")
+    ap.add_argument("--output", required=True, help="delta parquet dir")
+    ap.add_argument("--run-root", required=True, help="dir for _runs/_metrics")
+    ap.add_argument(
+        "--todo-out",
+        default=None,
+        help="also write the (url, change) rows needing pipeline work "
+        "(added + changed) to this parquet dir",
+    )
+    ap.add_argument("--url-col", default="url")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument(
+        "--ts-col",
+        default=None,
+        help="capture-timestamp column; when present, duplicate captures "
+        "per url reduce latest-first (content-hash tiebreak)",
+    )
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.operators.crawldiff import snapshot_delta
+    from radio_data_curation_ssl_spark.plans.runmeta import RunLog
+    from radio_data_curation_ssl_spark.session import get_spark
+
+    spark = get_spark("crawl-delta", master=args.master)
+    config = {
+        k: v for k, v in vars(args).items() if k != "master" and v is not None
+    }
+    log = RunLog(spark, args.run_root)
+    run_id = log.start("crawl_delta", config)
+    try:
+        old = spark.read.parquet(args.old)
+        new = spark.read.parquet(args.new)
+        delta = snapshot_delta(
+            old,
+            new,
+            id_col=args.url_col,
+            content_col=args.text_col,
+            ts_col=args.ts_col,
+        )
+        delta.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        # per-class counts ride the drop-reason histogram convention:
+        # 'unchanged' pages need no work (docs_out), the other classes
+        # are the "reasons" work exists
+        stats = log.log_metrics(
+            run_id,
+            "crawl_delta",
+            out.select(
+                F.expr(
+                    "CASE WHEN change = 'unchanged' THEN NULL"
+                    " ELSE change END AS drop_reason"
+                )
+            ),
+        )
+        n_todo = 0
+        if args.todo_out:
+            todo = out.where(F.col("change").isin("added", "changed")).select(
+                args.url_col, "change"
+            )
+            todo.write.mode("overwrite").parquet(args.todo_out)
+            n_todo = spark.read.parquet(args.todo_out).count()
+        log.finish(run_id, "crawl_delta", config, status="done")
+        print(
+            f"crawl_delta run {run_id}: total={stats['docs_in']}"
+            f" unchanged={stats['docs_out']}"
+            + "".join(
+                f" {k}={v}" for k, v in sorted(stats["drop_reasons"].items())
+            )
+            + (f" todo={n_todo}" if args.todo_out else "")
+        )
+        return 0
+    except BaseException:
+        log.finish(run_id, "crawl_delta", config, status="failed")
+        raise
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -6708,3 +6708,45 @@ def q_url_template_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").selectExpr(f"{_UTS_URL} AS url")
     return url_template_stats(d, min_pages=_UTS_MIN_PAGES)
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio signal (r5 session 6) — ROWS-ONLY registry entry
+# (DuckDB has no deflate function, so no SQL twin exists; correctness
+# is carried by the EXACT python-twin pytest in
+# tests/test_compressratio.py — zlib at a pinned level is
+# deterministic byte-for-byte).  Ordered last with the other
+# rows-only entries per the registry contract.
+
+_CPR_TEXT = (
+    "CASE WHEN doc_id % 23 = 0 THEN NULL "
+    "WHEN doc_id % 29 = 0 THEN '' "
+    "WHEN doc_id % 7 = 0 THEN repeat('spam keyword ', 200) "
+    "ELSE text END"
+)
+
+
+@register(
+    "compression_ratio_signal",
+    None,
+    doc="zlib compression ratio per document (bytes-out / utf-8 "
+    "bytes-in, level pinned) — the content-agnostic redundancy "
+    "detector Gopher-family recipes threshold on both tails: "
+    "repetitive machine text compresses far below prose, leaked "
+    "binary junk above ~1; catches sub-word and cross-line "
+    "repetition the word-level battery misses. ONE iterator "
+    "mapInPandas pass, per-row work a single C zlib call (md5 "
+    "batch-kernel shape), zero shuffle. Rows-only: no SQL twin "
+    "exists (no deflate in DuckDB); the exact python twin is the "
+    "standing gate (operators/compressratio.py).",
+    bench=True,
+)
+def q_compression_ratio_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.compressratio import with_compression_ratio
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_CPR_TEXT} AS text"
+    )
+    return with_compression_ratio(d, "text").select(
+        "doc_id", "utf8_len", "compressed_len", "compression_ratio"
+    )

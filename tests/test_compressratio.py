@@ -1,0 +1,101 @@
+"""Compression-ratio signal (operators/compressratio.py) — exact
+python-twin gate (rows-only registry entry; no SQL twin exists)."""
+
+import zlib
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.compressratio import (
+    with_compression_ratio,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_python_twin(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "spam " * 500),
+        (3, "日本語テキストの圧縮"),
+        (4, None),
+        (5, ""),
+        (6, "x"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in with_compression_ratio(_docs(spark, rows)).collect()
+    }
+    for i, t in rows:
+        if t is None:
+            assert out[i]["utf8_len"] is None
+            assert out[i]["compressed_len"] is None
+            assert out[i]["compression_ratio"] is None
+        elif t == "":
+            assert out[i]["utf8_len"] == 0
+            assert out[i]["compressed_len"] is None
+            assert out[i]["compression_ratio"] is None
+        else:
+            b = t.encode("utf-8")
+            c = len(zlib.compress(b, 6))
+            assert out[i]["utf8_len"] == len(b)
+            assert out[i]["compressed_len"] == c
+            assert out[i]["compression_ratio"] == pytest.approx(c / len(b))
+    # the signal separates repetitive from natural text
+    assert out[2]["compression_ratio"] < 0.05 < out[1]["compression_ratio"]
+
+
+def test_level_pinned_and_validation(spark):
+    d = _docs(spark, [(1, "abc " * 100)])
+    r1 = with_compression_ratio(d, level=1).collect()[0]["compressed_len"]
+    r9 = with_compression_ratio(d, level=9).collect()[0]["compressed_len"]
+    assert r1 == len(zlib.compress(("abc " * 100).encode(), 1))
+    assert r9 == len(zlib.compress(("abc " * 100).encode(), 9))
+    assert r9 <= r1
+    with pytest.raises(ValueError, match="level"):
+        with_compression_ratio(d, level=0)
+    with pytest.raises(ValueError, match="already exists"):
+        with_compression_ratio(d.withColumn("utf8_len", d.doc_id))
+
+
+def test_schema_and_prefix(spark):
+    d = _docs(spark, [(1, "x")])
+    out = with_compression_ratio(d, out_prefix="z_")
+    assert out.columns == [
+        "doc_id", "text", "z_utf8_len", "z_compressed_len",
+        "z_compression_ratio",
+    ]
+    assert dict(out.dtypes)["z_compressed_len"] == "bigint"
+    assert dict(out.dtypes)["z_compression_ratio"] == "double"
+
+
+def test_registry_rows_only_twin(spark):
+    """Standing exact-twin gate for the rows-only registry entry."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import _CPR_TEXT, REGISTRY
+
+    rows = REGISTRY["compression_ratio_signal"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 500
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, {_CPR_TEXT} AS t FROM "
+            "'/root/testdata/sf0.001/documents.parquet'"
+        ).fetchall()
+    )
+    for r in rows:
+        t = texts[r["doc_id"]]
+        if t is None or t == "":
+            assert r["compressed_len"] is None
+        else:
+            b = t.encode("utf-8")
+            assert r["utf8_len"] == len(b)
+            assert r["compressed_len"] == len(zlib.compress(b, 6))
+    # the planted spam leg sits in the repetitive tail
+    spam = [r for r in rows if r["doc_id"] % 7 == 0 and r["doc_id"] % 23 != 0
+            and r["doc_id"] % 29 != 0]
+    assert spam and all(r["compression_ratio"] < 0.05 for r in spam)

@@ -151,3 +151,48 @@ def test_registry_crawl_snapshot_delta_oracle_parity(spark):
     # unchanged dominates (adjacent-crawl reality) and the NULL-both
     # pages classify as unchanged, not changed
     assert len(by["unchanged"]) > len(by["changed"])
+
+
+def test_crawl_delta_job_e2e(spark, tmp_path):
+    """Job entry smoke: delta table + todo list + lineage metrics."""
+    from jobs.crawl_delta import main
+
+    old = spark.createDataFrame(
+        [("u/1", "same", 1), ("u/2", "old", 1), ("u/3", "bye", 1)],
+        "url string, text string, ts long",
+    )
+    new = spark.createDataFrame(
+        [("u/1", "same", 2), ("u/2", "new", 2), ("u/4", "hi", 2)],
+        "url string, text string, ts long",
+    )
+    old.write.parquet(str(tmp_path / "old"))
+    new.write.parquet(str(tmp_path / "new"))
+    rc = main(
+        [
+            "--old", str(tmp_path / "old"),
+            "--new", str(tmp_path / "new"),
+            "--output", str(tmp_path / "delta"),
+            "--run-root", str(tmp_path / "meta"),
+            "--todo-out", str(tmp_path / "todo"),
+            "--ts-col", "ts",
+        ]
+    )
+    assert rc == 0
+    delta = {
+        r["url"]: r["change"]
+        for r in spark.read.parquet(str(tmp_path / "delta")).collect()
+    }
+    assert delta == {
+        "u/1": "unchanged", "u/2": "changed", "u/3": "removed", "u/4": "added",
+    }
+    todo = {
+        (r["url"], r["change"])
+        for r in spark.read.parquet(str(tmp_path / "todo")).collect()
+    }
+    assert todo == {("u/2", "changed"), ("u/4", "added")}
+    # lineage: run recorded done, per-class counts in _metrics
+    runs = spark.read.parquet(str(tmp_path / "meta/_runs")).collect()
+    assert any(r["status"] == "done" for r in runs)
+    m = spark.read.parquet(str(tmp_path / "meta/_metrics")).collect()[0]
+    assert m["docs_in"] == 4 and m["docs_out"] == 1
+    assert m["drop_reasons"] == {"added": 1, "removed": 1, "changed": 1}

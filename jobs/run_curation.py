@@ -281,6 +281,22 @@ def main(argv: list[str] | None = None) -> int:
         "(operators/paradedup.py::drop_common_paragraphs)",
     )
     ap.add_argument(
+        "--script-filter",
+        action="store_true",
+        help="with --sample-target: drop pages whose character "
+        "inventory is incoherent — wrong-charset 'Ã'/'â€' digraph "
+        "storms, U+FFFD replacement chars, or majority-unknown-script "
+        "symbol soup (operators/scriptmix.py; fail-open on NULL/empty)",
+    )
+    ap.add_argument(
+        "--compression-filter",
+        action="store_true",
+        help="with --sample-target: drop pages in either zlib "
+        "compression-ratio tail — hyper-repetitive machine text below "
+        "0.10, binary/random leakage above 1.05 "
+        "(operators/compressratio.py; one Arrow pass, fail-open)",
+    )
+    ap.add_argument(
         "--token-budget",
         type=_positive,
         default=None,
@@ -388,6 +404,8 @@ def main(argv: list[str] | None = None) -> int:
         or args.c4_clean
         or args.paragraph_dedup
         or args.boilerplate_max_hosts is not None
+        or args.script_filter
+        or args.compression_filter
         or args.ppl_bucket_keep is not None
         or args.url_hard_words is not None
         or args.url_soft_words is not None
@@ -401,6 +419,7 @@ def main(argv: list[str] | None = None) -> int:
             "--url-soft-words/--gopher-quality/--nfc-normalize/"
             "--justext/"
             "--c4-clean/--paragraph-dedup/--boilerplate-max-hosts/"
+            "--script-filter/--compression-filter/"
             "--ppl-bucket-keep require "
             "--sample-target or "
             "--token-budget"
@@ -566,6 +585,8 @@ def main(argv: list[str] | None = None) -> int:
                     c4_clean=args.c4_clean,
                     paragraph_dedup=args.paragraph_dedup,
                     boilerplate_max_hosts=args.boilerplate_max_hosts,
+                    script_filter=args.script_filter,
+                    compression_filter=args.compression_filter,
                     ppl_bucket_keep=args.ppl_bucket_keep,
                     line_dedup=args.line_dedup,
                     substring_dedup=args.substring_dedup,

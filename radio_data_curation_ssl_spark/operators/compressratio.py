@@ -102,3 +102,40 @@ def with_compression_ratio(
             yield out
 
     return df.mapInPandas(kernel, schema)
+
+
+COMPRESSION_FILTER_THRESHOLDS: dict[str, float] = {
+    # prose sits ~0.3-0.6; far below = machine-repeated text
+    "min_ratio": 0.10,
+    # above ~1 the "text" is already-compressed or random bytes
+    "max_ratio": 1.05,
+}
+
+
+def filter_by_compression(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict | None = None,
+    level: int = 6,
+) -> DataFrame:
+    """Drop pages whose compression ratio falls outside
+    [min_ratio, max_ratio] — both tails are junk (hyper-repetitive
+    machine text below, binary/random leakage above).  NULL/empty
+    pages PASS (no ratio is not a bad ratio — fail-open, the
+    script-filter convention).  Signal columns are computed and
+    dropped inside the stage; the input schema survives."""
+    th = dict(COMPRESSION_FILTER_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown thresholds: {sorted(unknown)}")
+        th.update(thresholds)
+    sig = with_compression_ratio(df, text_col, level=level, out_prefix="_cf_")
+    keep = (
+        "_cf_compression_ratio IS NULL OR "
+        f"(_cf_compression_ratio >= {th['min_ratio']!r} "
+        f"AND _cf_compression_ratio <= {th['max_ratio']!r})"
+    )
+    return sig.where(keep).drop(
+        "_cf_utf8_len", "_cf_compressed_len", "_cf_compression_ratio"
+    )

@@ -122,3 +122,49 @@ def with_script_signals(
         "replacement_char_count",
         F.expr(marker_count(text_col, "�").spark),
     )
+
+
+SCRIPT_FILTER_THRESHOLDS: dict[str, float] = {
+    # > 2 mojibake digraphs = the page decoded under the wrong charset
+    "max_mojibake_count": 2,
+    # any replacement char = bytes were already lost upstream
+    "max_replacement_chars": 0,
+    # chars in NO known script class beyond this = symbol soup
+    "min_known_script_frac": 0.5,
+}
+
+
+def filter_by_script(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """Drop pages whose character inventory is incoherent: too many
+    wrong-charset artifacts, any lossy-decode replacement chars, or a
+    majority of characters outside every known script class (symbol
+    soup).  NULL/empty pages PASS (fail-open — no inventory is not a
+    bad inventory; the length filters own that case).  Signal columns are
+    computed and dropped inside the stage; the input schema survives.
+    """
+    th = dict(SCRIPT_FILTER_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown thresholds: {sorted(unknown)}")
+        th.update(thresholds)
+    sig = with_script_signals(df, text_col)
+    known = " + ".join(f"coalesce({n}_frac, 0e0)" for n in SCRIPT_CLASSES)
+    keep = (
+        f"(mojibake_count IS NULL OR ("
+        f"mojibake_count <= {th['max_mojibake_count']} "
+        f"AND replacement_char_count <= {th['max_replacement_chars']} "
+        f"AND ({known}) >= {th['min_known_script_frac']!r}e0))"
+        # empty page: fracs NULL but counts 0 -> known sum 0 would drop
+        # it; fail open explicitly
+        f" OR length({text_col}) = 0"
+    )
+    drop = [f"{n}_frac" for n in SCRIPT_CLASSES] + [
+        "mojibake_count",
+        "replacement_char_count",
+    ]
+    return sig.where(keep).drop(*drop)

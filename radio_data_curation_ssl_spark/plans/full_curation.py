@@ -90,6 +90,8 @@ def curate_dedup_sample(
     host_rank_drop_frac: float = 0.1,
     rep_filter: bool | dict = False,
     gopher_quality: bool | dict = False,
+    script_filter: bool | dict = False,
+    compression_filter: bool | dict = False,
     ppl_bucket_keep: tuple | list | None = None,
     nfc_normalize: bool = False,
     justext_keep: bool | dict = False,
@@ -283,6 +285,16 @@ def curate_dedup_sample(
     a silent drop).  ``True`` = defaults; a dict overrides
     ``paragraph_dedup`` kwargs (e.g. ``threshold=``).  OFF by default.
 
+    ``script_filter`` / ``compression_filter`` stack the two
+    content-inventory verdicts on the curated keep set: script_filter
+    drops wrong-charset digraph storms, replacement-char pages, and
+    symbol soup (operators/scriptmix.py::filter_by_script);
+    compression_filter drops both zlib-ratio tails — hyper-repetitive
+    machine text and binary leakage
+    (operators/compressratio.py::filter_by_compression, one Arrow pass
+    over kept docs).  ``True`` = defaults; dicts override thresholds;
+    both fail OPEN on NULL/empty text.  OFF by default.
+
     ``boilerplate_max_hosts`` stacks host-DF paragraph boilerplate
     removal (operators/paradedup.py::drop_common_paragraphs) on the
     published ``text_scrubbed``: every instance of any paragraph seen
@@ -474,6 +486,32 @@ def curate_dedup_sample(
             text_col="text",
             thresholds=(
                 gopher_quality if isinstance(gopher_quality, dict) else None
+            ),
+        )
+    if script_filter:
+        from ..operators.scriptmix import filter_by_script
+
+        # character-inventory coherence: wrong-charset digraph storms,
+        # replacement chars, symbol soup — fail-open on NULL/empty
+        kept = filter_by_script(
+            kept,
+            text_col="text",
+            thresholds=(
+                script_filter if isinstance(script_filter, dict) else None
+            ),
+        )
+    if compression_filter:
+        from ..operators.compressratio import filter_by_compression
+
+        # zlib-ratio tails: hyper-repetitive below, binary junk above;
+        # one Arrow pass over the kept set only
+        kept = filter_by_compression(
+            kept,
+            text_col="text",
+            thresholds=(
+                compression_filter
+                if isinstance(compression_filter, dict)
+                else None
             ),
         )
     if ppl_bucket_keep is not None:

@@ -38,6 +38,8 @@ def test_every_optin_stage_composes(spark, pages_small):
         c4_clean={"require_terminal": False, "min_sentences": 0},
         paragraph_dedup=True,
         boilerplate_max_hosts=3,
+        script_filter=True,
+        compression_filter=True,
         # shaping tier
         host_cap=50,
         sample_alpha=0.7,
@@ -90,6 +92,8 @@ def test_every_optin_stage_composes_token_budget_mode(spark, pages_small):
         nfc_normalize=True,
         paragraph_dedup=True,
         boilerplate_max_hosts=3,
+        script_filter=True,
+        compression_filter=True,
     )
     rows = out.collect()
     assert len(rows) > 0

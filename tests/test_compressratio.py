@@ -99,3 +99,30 @@ def test_registry_rows_only_twin(spark):
     spam = [r for r in rows if r["doc_id"] % 7 == 0 and r["doc_id"] % 23 != 0
             and r["doc_id"] % 29 != 0]
     assert spam and all(r["compression_ratio"] < 0.05 for r in spam)
+
+
+def test_filter_by_compression(spark):
+    from radio_data_curation_ssl_spark.operators.compressratio import (
+        filter_by_compression,
+    )
+    import os
+
+    rows = [
+        (1, "a normal english sentence about ordinary things in life"),
+        (2, "spam " * 1000),  # ratio ~0.005 -> dropped (repetitive tail)
+        (3, os.urandom(64).hex()),  # hex of random: ratio ~0.8, kept
+        (4, None),  # fail-open
+        (5, ""),  # fail-open
+    ]
+    d = _docs(spark, rows)
+    kept = {r["doc_id"] for r in filter_by_compression(d).collect()}
+    assert kept == {1, 3, 4, 5}
+    assert filter_by_compression(d).columns == ["doc_id", "text"]
+    # inverted band keeps only the repetitive tail; unknown key fails loud
+    tight = filter_by_compression(
+        d, thresholds={"min_ratio": 0.0, "max_ratio": 0.2}
+    )
+    tk = {r["doc_id"] for r in tight.collect()}
+    assert 1 not in tk and 2 in tk
+    with pytest.raises(ValueError, match="unknown thresholds"):
+        filter_by_compression(d, thresholds={"nope": 1})

@@ -112,3 +112,34 @@ def test_registry_script_mix_oracle_parity(spark):
         r["replacement_char_count"] and r["replacement_char_count"] > 0
         for r in rows
     )
+
+
+def test_filter_by_script(spark):
+    from radio_data_curation_ssl_spark.operators.scriptmix import (
+        filter_by_script,
+    )
+
+    rows = [
+        (1, "a perfectly normal english sentence"),
+        (2, "Ã© Ã¨ Ã¼ itâ€™s broken"),  # digraph storm -> dropped
+        (3, "lost � bytes"),  # replacement char -> dropped
+        (4, "!!! ### $$$ %%% ^^^ &&&"),  # symbol soup -> dropped
+        (5, "Привет мир это нормально"),  # coherent cyrillic -> kept
+        (6, None),  # fail-open
+        (7, ""),  # fail-open
+    ]
+    d = _d(spark, rows)
+    kept = {r["doc_id"] for r in filter_by_script(d).collect()}
+    assert kept == {1, 5, 6, 7}
+    # schema survives, signal columns dropped
+    assert filter_by_script(d).columns == ["doc_id", "text"]
+    # threshold override + unknown key fails loud
+    relaxed = filter_by_script(
+        d,
+        thresholds={"max_mojibake_count": 100, "min_known_script_frac": 0.0},
+    )
+    assert 2 in {r["doc_id"] for r in relaxed.collect()}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown thresholds"):
+        filter_by_script(d, thresholds={"nope": 1})

@@ -135,3 +135,39 @@ def test_registry_hashed_tfidf_oracle_parity(spark):
     assert not any(d % 23 == 0 for d in docs)
     assert all(0 <= r[1] < 16 for r in got)
     assert all(r[2] > 0 for r in got)
+
+
+def test_semantic_dedup_composition(spark):
+    """The bridge in anger: text -> hashed tf-idf -> dense vectors ->
+    SemDeDup prunes near-duplicate TEXTS with no external embeddings —
+    day-one semantic dedup on a fresh crawl."""
+    import numpy as np
+
+    from radio_data_curation_ssl_spark.operators.semdedup import semdedup
+
+    fam = [
+        "the weather report predicts heavy rain across the northern coast tomorrow morning",
+        "the weather report predicts heavy rain across the northern coast tomorrow evening",
+        "quarterly earnings beat analyst expectations driving the stock sharply higher today",
+        "quarterly earnings beat analyst expectations driving the stock sharply lower today",
+    ]
+    uniq = [
+        "recipe for sourdough bread requires patience flour water salt and starter culture",
+        "telescope observations revealed unexpected methane plumes on the distant icy moon",
+        "marathon training schedules alternate long slow runs with short interval sessions",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(fam + uniq)],
+        "doc_id long, text string",
+    )
+    dense = dense_vectors(hashed_tfidf(docs, dim=64), 64)
+    out = {
+        r["id"]: r
+        for r in semdedup(
+            dense, "doc_id", "vec", cents=np.ones((1, 64)), tau=0.8
+        ).collect()
+    }
+    # each near-dup family loses exactly one member; uniques all survive
+    assert [out[0]["keep"], out[1]["keep"]].count(False) == 1
+    assert [out[2]["keep"], out[3]["keep"]].count(False) == 1
+    assert all(out[i]["keep"] for i in (4, 5, 6))

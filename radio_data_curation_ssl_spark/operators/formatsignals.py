@@ -1,0 +1,134 @@
+"""Markup / code-likeness format signals (StarCoder / RPv2 routing tier).
+
+Mixed pretraining corpora route documents by FORMAT before quality
+scoring: code goes to the code pipeline (different filters, different
+tokenizer budget), markdown-heavy pages are docs/readmes, table dumps
+are their own genre.  The standard detectors are line-shape fractions
+(StarCoder's data pipeline, RPv2's code signals):
+
+- ``md_header_line_frac``   lines starting with '#'
+- ``table_line_frac``       lines starting with '|'
+- ``indented_line_frac``    lines starting with 4 spaces or a tab
+- ``code_fence_count``      occurrences of the ``````` fence marker
+- ``code_char_frac``        chars in the {};()=<> code-punctuation set
+
+Signals, not verdicts (the RPv2 design): publish the numbers, let the
+corpus owner route/threshold.  Line fractions divide by the NON-EMPTY
+line count (NULL when a page has none — shape undefined); NULL pages
+yield NULL everywhere.
+
+All fragments are paired Spark/DuckDB strings (one source of truth for
+operator and oracle — functions/text.py convention).  Engine-portable
+spellings handled in the pair: Spark ``startswith`` vs DuckDB
+``starts_with``, Spark ``split`` vs DuckDB ``string_split``.  Scale:
+pure codegen'd column expressions — zero shuffle, zero Python, one
+narrow map at any corpus size.
+
+Reference analog: the per-row shape predicates of the quality battery
+(SURVEY §2.2) aimed at markup; beyond-the-reference (SURVEY §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from .scriptmix import char_class_frac, marker_count
+
+__all__ = [
+    "FORMAT_SIGNAL_COLS",
+    "line_frac",
+    "with_format_signals",
+]
+
+FORMAT_SIGNAL_COLS = (
+    "md_header_line_frac",
+    "table_line_frac",
+    "indented_line_frac",
+    "code_fence_count",
+    "code_char_frac",
+)
+
+# code-punctuation class: literal inside [] in both Java regex and RE2
+_CODE_CLASS = "{};()=<>"
+
+
+def _lines(col: str) -> X.P:
+    return X.P(
+        f"filter(split({col}, '\\n'), x -> x != '')",
+        f"list_filter(string_split({col}, chr(10)), x -> x != '')",
+    )
+
+
+def line_frac(col: str, pred_spark: str, pred_duck: str) -> X.P:
+    """Fraction of NON-EMPTY lines of ``col`` matching a lambda
+    predicate over ``x``; NULL when the page has no non-empty lines.
+    Round-6 (single exact division of two integers at round time)."""
+    ln = _lines(col)
+
+    def body(lines: str, pred: str, size: str, flt: str) -> str:
+        # <= 0, not = 0: Spark's legacy size(NULL) is -1 (DuckDB's
+        # len(NULL) is NULL and falls through to a NULL division) — the
+        # divergence documented at the quality_calibration_bins schedule
+        return (
+            f"CASE WHEN {size}({lines}) <= 0 THEN NULL ELSE "
+            f"round(CAST({size}({flt}({lines}, x -> {pred})) AS DOUBLE)"
+            f" / {size}({lines}), {X.ROUND}) END"
+        )
+
+    return X.P(
+        body(ln.spark, pred_spark, "size", "filter"),
+        body(ln.duck, pred_duck, "len", "list_filter"),
+    )
+
+
+def md_header_line_frac(col: str) -> X.P:
+    return line_frac(
+        col, "startswith(ltrim(x), '#')", "starts_with(ltrim(x), '#')"
+    )
+
+
+def table_line_frac(col: str) -> X.P:
+    return line_frac(
+        col, "startswith(ltrim(x), '|')", "starts_with(ltrim(x), '|')"
+    )
+
+
+def indented_line_frac(col: str) -> X.P:
+    sp = "startswith(x, '    ') OR startswith(x, '\\t')"
+    dk = "starts_with(x, '    ') OR starts_with(x, chr(9))"
+    return line_frac(col, sp, dk)
+
+
+def code_fence_count(col: str) -> X.P:
+    return marker_count(col, "```")
+
+
+def code_char_frac(col: str) -> X.P:
+    return char_class_frac(col, _CODE_CLASS)
+
+
+def with_format_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds the five FORMAT_SIGNAL_COLS columns."""
+    for c in FORMAT_SIGNAL_COLS:
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already exists")
+    return (
+        df.withColumn(
+            "md_header_line_frac",
+            F.expr(md_header_line_frac(text_col).spark),
+        )
+        .withColumn(
+            "table_line_frac", F.expr(table_line_frac(text_col).spark)
+        )
+        .withColumn(
+            "indented_line_frac", F.expr(indented_line_frac(text_col).spark)
+        )
+        .withColumn(
+            "code_fence_count", F.expr(code_fence_count(text_col).spark)
+        )
+        .withColumn(
+            "code_char_frac", F.expr(code_char_frac(text_col).spark)
+        )
+    )

@@ -6750,3 +6750,73 @@ def q_compression_ratio_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_compression_ratio(d, "text").select(
         "doc_id", "utf8_len", "compressed_len", "compression_ratio"
     )
+
+
+# ---------------------------------------------------------------------------
+# Format / code-likeness signals (r5 session 6) — past-window, standing
+# parity gate in tests/test_formatsignals.py.  The doc_id % 7 schedule
+# injects markdown headers, table rows, and a fenced+indented code
+# block onto the prose base corpus; %11 / %13 plant NULL and empty
+# pages (NULL-everything vs no-lines guards fire separately).
+
+_FMS_NL = "chr(10)"
+_FMS_TEXT = (
+    f"CASE WHEN doc_id % 11 = 0 THEN NULL "
+    f"WHEN doc_id % 13 = 0 THEN '' "
+    f"WHEN doc_id % 7 = 1 THEN concat('# Title', {_FMS_NL},"
+    f" '## Section', {_FMS_NL}, text) "
+    f"WHEN doc_id % 7 = 2 THEN concat('| col | val |', {_FMS_NL},"
+    f" '| a | 1 |', {_FMS_NL}, text) "
+    f"WHEN doc_id % 7 = 3 THEN concat('```', {_FMS_NL},"
+    f" '    def f(x):', {_FMS_NL}, '        return {{x}};', {_FMS_NL},"
+    f" '```', {_FMS_NL}, text) "
+    f"ELSE text END"
+)
+
+
+def _fms_oracle() -> str:
+    from .operators.formatsignals import (
+        code_char_frac,
+        code_fence_count,
+        indented_line_frac,
+        md_header_line_frac,
+        table_line_frac,
+    )
+
+    return f"""
+WITH d AS (SELECT doc_id, {_FMS_TEXT} AS text FROM documents)
+SELECT doc_id,
+       {md_header_line_frac('text').duck} AS md_header_line_frac,
+       {table_line_frac('text').duck} AS table_line_frac,
+       {indented_line_frac('text').duck} AS indented_line_frac,
+       {code_fence_count('text').duck} AS code_fence_count,
+       {code_char_frac('text').duck} AS code_char_frac
+FROM d
+"""
+
+
+@register(
+    "format_signals",
+    _fms_oracle(),
+    doc="Markup/code-likeness routing signals (StarCoder/RPv2 tier): "
+    "markdown-header, table-row, and indented line fractions over "
+    "NON-EMPTY lines, code-fence occurrence count, and the "
+    "{};()=<> code-punctuation char fraction — mixed corpora route "
+    "documents by FORMAT before quality scoring (code to the code "
+    "pipeline, tables to their own genre). Signals, not verdicts. "
+    "Paired fragments handle the engine spellings (startswith vs "
+    "starts_with, split vs string_split); pages with no non-empty "
+    "lines yield NULL fractions, NULL pages NULL everything. Scale: "
+    "pure codegen'd expressions, zero shuffle, zero Python "
+    "(operators/formatsignals.py::with_format_signals).",
+    bench=True,
+)
+def q_format_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.formatsignals import FORMAT_SIGNAL_COLS, with_format_signals
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_FMS_TEXT} AS text"
+    )
+    return with_format_signals(d, "text").select(
+        "doc_id", *FORMAT_SIGNAL_COLS
+    )

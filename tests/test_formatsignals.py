@@ -1,0 +1,97 @@
+"""Format / code-likeness signals (operators/formatsignals.py)."""
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.formatsignals import (
+    FORMAT_SIGNAL_COLS,
+    with_format_signals,
+)
+
+
+def _d(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hand_worked_fractions(spark):
+    rows = [
+        (1, "# Title\nprose line here\n## Section\nmore prose"),
+        (2, "| a | b |\n| 1 | 2 |\nprose"),
+        (3, "```\n    def f(x):\n        return {x};\n```\nprose"),
+        (4, "plain prose line one\nplain prose line two"),
+        (5, "\n\n\n"),  # only empty lines -> NULL fracs
+        (6, None),
+        (7, ""),
+    ]
+    out = {r["doc_id"]: r for r in with_format_signals(_d(spark, rows)).collect()}
+    assert out[1]["md_header_line_frac"] == pytest.approx(2 / 4)
+    assert out[1]["table_line_frac"] == 0.0
+    assert out[2]["table_line_frac"] == pytest.approx(2 / 3)
+    # code block: 2 indented of 5 non-empty lines, one fence pair
+    assert out[3]["indented_line_frac"] == pytest.approx(2 / 5)
+    assert out[3]["code_fence_count"] == 2
+    assert out[3]["code_char_frac"] > 0.05
+    assert out[4]["code_fence_count"] == 0
+    assert out[4]["md_header_line_frac"] == 0.0
+    for i in (5, 6, 7):
+        for c in ("md_header_line_frac", "table_line_frac", "indented_line_frac"):
+            assert out[i][c] is None, (i, c)
+    # empty-string page still has exact counts; NULL page has none
+    assert out[7]["code_fence_count"] == 0
+    assert out[6]["code_fence_count"] is None
+
+
+def test_indent_tab_and_leading_ws_headers(spark):
+    rows = [
+        (1, "\tindented by tab\nnot indented"),
+        (2, "   # header after spaces\nplain"),
+    ]
+    out = {r["doc_id"]: r for r in with_format_signals(_d(spark, rows)).collect()}
+    assert out[1]["indented_line_frac"] == pytest.approx(0.5)
+    # header detection is ltrim'd (markdown allows leading spaces)
+    assert out[2]["md_header_line_frac"] == pytest.approx(0.5)
+
+
+def test_collision_fails_loud_and_plan(spark):
+    d = _d(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="already exists"):
+        with_format_signals(d.withColumn("code_fence_count", d.doc_id))
+    plan = (
+        with_format_signals(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_registry_format_signals_oracle_parity(spark):
+    """Standing local gate for the past-window registry row."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["format_signals"]
+    rows = q.spark(spark, "/root/testdata/sf0.001").collect()
+    got = sorted(tuple("∅" if v is None else v for v in r) for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(
+        tuple("∅" if v is None else v for v in r)
+        for r in con.execute(q.oracle).fetchall()
+    )
+    assert len(got) == len(want) == 500
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if gv == "∅" or wv == "∅":
+                assert gv == wv
+            elif isinstance(gv, float):
+                assert gv == pytest.approx(wv, abs=1e-9)
+            else:
+                assert gv == wv
+    # every planted leg fired
+    by_sig = {c: [r[c] for r in rows if r[c] is not None] for c in FORMAT_SIGNAL_COLS}
+    assert any(v > 0 for v in by_sig["md_header_line_frac"])
+    assert any(v > 0 for v in by_sig["table_line_frac"])
+    assert any(v > 0 for v in by_sig["indented_line_frac"])
+    assert any(v >= 2 for v in by_sig["code_fence_count"])

@@ -126,7 +126,10 @@ def rules_from_pages(
 
 
 def filter_robots_disallowed(
-    pages: DataFrame, rules: DataFrame, url_col: str = "url"
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    broadcast_rules: bool = True,
 ) -> DataFrame:
     """Drop pages whose URL's longest-matching ``*``-group rule is a
     Disallow (allow wins length ties; no matching rule / no rules for
@@ -139,7 +142,17 @@ def filter_robots_disallowed(
     corpus NEVER shuffles and never enters a window or a groupBy (an
     earlier draft grouped by every page column to pick the winner,
     i.e. shuffled the corpus keyed on full rows — this fold replaces
-    it)."""
+    it).
+
+    ``broadcast_rules`` bounds the hint, not the semantics: the default
+    forced broadcast is right when the rule table is operator-input
+    sized (a harvested slice, a curated policy list).  The table grows
+    with |hosts that publish robots.txt| — corpus-shaped, NOT bounded by
+    any parameter of this operator — so a full-crawl harvest at 10^12-doc
+    scale can reach multi-GB and a forced broadcast would OOM the driver
+    and every executor.  Pass ``broadcast_rules=False`` there: the plain
+    equi-join lets AQE broadcast when the table is actually small and
+    fall back to a shuffle join (with skew handling) when it is not."""
     per_host = rules.groupBy("host").agg(
         F.collect_list(F.struct("prefix", "allow")).alias("_rb_rules")
     ).withColumnRenamed("host", "_rb_host")
@@ -152,7 +165,9 @@ def filter_robots_disallowed(
             F.lit("/"),
         ),
     )
-    joined = keyed.join(F.broadcast(per_host), "_rb_host", "left")
+    if broadcast_rules:
+        per_host = F.broadcast(per_host)
+    joined = keyed.join(per_host, "_rb_host", "left")
     # winner = fold over the matching rules, keeping the max
     # (length(prefix), allow, prefix) struct: longest prefix wins,
     # allow beats disallow on ties (true > false), prefix as the

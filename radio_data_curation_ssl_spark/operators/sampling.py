@@ -191,6 +191,12 @@ def hash_split_case(
     labels = list(fractions)
     if any("'" in l for l in labels):
         raise ValueError(f"labels must be quote-free: {labels}")
+    if len(labels) == 1:
+        # one label (fraction 1.0): a searched CASE with zero WHEN
+        # clauses is invalid SQL in both engines — the split is the
+        # constant label
+        lit = f"'{labels[0]}'"
+        return X.P(lit, lit)
     # integer cut points; the last label absorbs rounding remainder so
     # the buckets partition [0, denom) exactly
     cuts, acc = [], 0

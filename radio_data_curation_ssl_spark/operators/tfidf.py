@@ -25,7 +25,10 @@ exact division, bit-identical everywhere.
 
 Vocabulary pruning (min_df floor, max_df_frac stop ceiling) runs before
 any weighting — the postings-operator rails.  Docs with no surviving
-terms produce no sparse rows (and a zero vector in dense form).
+terms produce no sparse rows, so they are ABSENT from the default dense
+output too; pass the doc universe to ``dense_vectors(ids=...)`` when
+every doc must come back (as a zero vector) — a consumer joining
+vectors onto docs would otherwise silently lose termless pages.
 
 Scale shape: tf agg + df agg with map-side combine (shuffle bounded by
 the distinct term-doc surface), one broadcast-joined pruned-stats table,
@@ -118,24 +121,33 @@ def hashed_tfidf(
 
 
 def dense_vectors(
-    sparse: DataFrame, dim: int, id_col: str = "doc_id"
+    sparse: DataFrame,
+    dim: int,
+    id_col: str = "doc_id",
+    ids: DataFrame | None = None,
 ) -> DataFrame:
     """(id, vec: array<double>) from the sparse rows — bucket-ordered,
     zero-filled.  Per-doc collect_list is bounded by ``dim`` entries.
-    Pack with functions/vecs.pack_rows before shuffling the vectors
-    onward (CLAUDE.md transport rule)."""
+    Docs with NO sparse rows (every term pruned, NULL/empty page) have
+    no group and are absent; pass ``ids`` (a one-column-per-``id_col``
+    doc-universe frame, e.g. ``docs.select("doc_id")``) to left-join
+    them back as zero vectors instead.  Pack with
+    functions/vecs.pack_rows before shuffling the vectors onward
+    (CLAUDE.md transport rule)."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
-    return (
-        sparse.groupBy(id_col)
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("bucket", "weight"))
-            ).alias("_m")
-        )
-        .selectExpr(
-            id_col,
-            f"transform(sequence(0, {dim - 1}),"
-            " b -> coalesce(element_at(_m, b), 0e0)) AS vec",
-        )
+    maps = sparse.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "weight"))
+        ).alias("_m")
+    )
+    if ids is not None:
+        # distinct defends against a duplicated universe frame; the
+        # left join keys on the same id the agg grouped on, so AQE
+        # plans it beside the existing shuffle
+        maps = ids.select(id_col).distinct().join(maps, id_col, "left")
+    return maps.selectExpr(
+        id_col,
+        f"transform(sequence(0, {dim - 1}),"
+        " b -> coalesce(element_at(_m, b), 0e0)) AS vec",
     )

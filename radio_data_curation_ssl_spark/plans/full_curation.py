@@ -544,6 +544,28 @@ def curate_dedup_sample(
         # canonicalize the PUBLISHED text; the raw `text` kept for the
         # dedup hash keys is untouched (same policy as c4_clean)
         kept = with_nfc_text(kept, text_col="text_scrubbed")
+    _para_stages = bool(justext_keep) or bool(paragraph_dedup) or (
+        boilerplate_max_hosts is not None
+    )
+    if _para_stages:
+        # The three paragraph-granularity stages group paragraphs by a
+        # CAPTURE id, not by url: url_dedup defaults off and exact dedup
+        # runs only later, so a same-url recapture (two warc_ts rows)
+        # must stay two documents here — grouping by url alone would
+        # merge both captures' paragraphs into one group and publish
+        # doubled/interleaved text on both rows.  (url, warc_ts) is the
+        # capture identity of the input contract (equal pairs are one
+        # capture); '\x01' sorts below every printable char, so the
+        # first-winner id ordering stays url-major, earliest capture
+        # first.
+        kept = kept.withColumn(
+            "_cap_id",
+            F.concat_ws(
+                "\x01",
+                F.col("url"),
+                F.coalesce(F.col("warc_ts").cast("string"), F.lit("\x02")),
+            ),
+        )
     if justext_keep:
         from ..operators.justext import justext_keep_text
 
@@ -555,10 +577,10 @@ def curate_dedup_sample(
         if isinstance(justext_keep, dict):
             jt_kwargs.update(justext_keep)
         jt_out = justext_keep_text(
-            kept, id_col="url", text_col="text_scrubbed", **jt_kwargs
-        ).selectExpr("doc_id AS url", "content_text AS _jt_text")
+            kept, id_col="_cap_id", text_col="text_scrubbed", **jt_kwargs
+        ).selectExpr("doc_id AS _cap_id", "content_text AS _jt_text")
         kept = (
-            kept.join(jt_out, "url")
+            kept.join(jt_out, "_cap_id")
             .withColumn("text_scrubbed", F.col("_jt_text"))
             .drop("_jt_text")
         )
@@ -572,6 +594,37 @@ def curate_dedup_sample(
             kept,
             text_col="text_scrubbed",
             **(c4_clean if isinstance(c4_clean, dict) else {}),
+        )
+    if boilerplate_max_hosts is not None:
+        from ..functions.url import url_host
+        from ..operators.paradedup import drop_common_paragraphs
+
+        # host-DF boilerplate removal on the PUBLISHED text (same policy
+        # as paragraph_dedup: raw `text` keeps feeding the dedup keys).
+        # Zero-copies semantics: a paragraph on > max_hosts distinct
+        # hosts is boilerplate and dies everywhere.  MUST run before
+        # paragraph_dedup: the corpus-global first-winner leaves every
+        # surviving paragraph on exactly one document (n_hosts = 1), so
+        # running after it the > max_hosts test could never fire and the
+        # stage would be a silent no-op.  Complements paragraph_dedup
+        # (which keeps first copies of what survives this cut).
+        # Contract extractor joins paragraphs with single newlines.
+        bp_out = drop_common_paragraphs(
+            kept.withColumn(
+                "_bp_host",
+                F.coalesce(F.expr(url_host("url").spark), F.lit("")),
+            ),
+            host_col="_bp_host",
+            max_hosts=boilerplate_max_hosts,
+            id_col="_cap_id",
+            text_col="text_scrubbed",
+            sep="\n",
+            join_sep="\n",
+        ).selectExpr("doc_id AS _cap_id", "clean_text AS _bp_text")
+        kept = (
+            kept.join(bp_out, "_cap_id")
+            .withColumn("text_scrubbed", F.col("_bp_text"))
+            .drop("_bp_text")
         )
     if paragraph_dedup:
         from ..operators.paradedup import paragraph_dedup as _para_dedup
@@ -588,41 +641,15 @@ def curate_dedup_sample(
         if isinstance(paragraph_dedup, dict):
             pd_kwargs.update(paragraph_dedup)
         pd_out = _para_dedup(
-            kept, id_col="url", text_col="text_scrubbed", **pd_kwargs
-        ).selectExpr("doc_id AS url", "dedup_text AS _pd_text")
+            kept, id_col="_cap_id", text_col="text_scrubbed", **pd_kwargs
+        ).selectExpr("doc_id AS _cap_id", "dedup_text AS _pd_text")
         kept = (
-            kept.join(pd_out, "url")
+            kept.join(pd_out, "_cap_id")
             .withColumn("text_scrubbed", F.col("_pd_text"))
             .drop("_pd_text")
         )
-    if boilerplate_max_hosts is not None:
-        from ..functions.url import url_host
-        from ..operators.paradedup import drop_common_paragraphs
-
-        # host-DF boilerplate removal on the PUBLISHED text (same policy
-        # as paragraph_dedup: raw `text` keeps feeding the dedup keys).
-        # Zero-copies semantics: a paragraph on > max_hosts distinct
-        # hosts is boilerplate and dies everywhere — runs BEFORE
-        # paragraph/doc dedup sees the published text downstream, and
-        # complements paragraph_dedup (which keeps first copies).
-        # Contract extractor joins paragraphs with single newlines.
-        bp_out = drop_common_paragraphs(
-            kept.withColumn(
-                "_bp_host",
-                F.coalesce(F.expr(url_host("url").spark), F.lit("")),
-            ),
-            host_col="_bp_host",
-            max_hosts=boilerplate_max_hosts,
-            id_col="url",
-            text_col="text_scrubbed",
-            sep="\n",
-            join_sep="\n",
-        ).selectExpr("doc_id AS url", "clean_text AS _bp_text")
-        kept = (
-            kept.join(bp_out, "url")
-            .withColumn("text_scrubbed", F.col("_bp_text"))
-            .drop("_bp_text")
-        )
+    if _para_stages:
+        kept = kept.drop("_cap_id")
     kept = kept.persist()
     # exact dedup: one row per text hash, min (url, warc_ts) wins — a
     # same-url recapture (identical text, two warc_ts rows) collapses to

@@ -102,3 +102,74 @@ def test_every_optin_stage_composes_token_budget_mode(spark, pages_small):
         for r in rows
     )
     assert n_tokens <= 5_000 * 1.2  # budget honored (boundary doc slack)
+
+
+BANNER = "we value your privacy so please accept all our cookies now"
+
+
+def test_boilerplate_fires_composed_with_paragraph_dedup(
+    spark, pages_small
+):
+    """Ordering regression: host-DF removal must run BEFORE
+    paragraph_dedup — after the corpus-global first-winner every
+    surviving paragraph lives on one doc (n_hosts = 1), so the stage
+    could never fire and the cross-host banner would be published once
+    instead of zero times."""
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    planted = pages_small.withColumn(
+        "html",
+        F.encode(
+            F.replace(
+                F.decode("html", "UTF-8"),
+                F.lit("</main>"),
+                F.lit(f"<p>{BANNER}</p></main>"),
+            ),
+            "UTF-8",
+        ),
+    )
+    out = curate_dedup_sample(
+        planted,
+        target=80,
+        paragraph_dedup=True,
+        boilerplate_max_hosts=3,
+    )
+    rows = out.select("url", "text_scrubbed").collect()
+    assert len(rows) > 0
+    # zero-copies semantics: the banner rides every host, so NO
+    # published doc may carry it — not even a first copy
+    assert all(BANNER not in r["text_scrubbed"] for r in rows)
+
+
+def test_same_url_recapture_not_merged(spark, pages_small):
+    """Capture-id regression: the paragraph stages group by the
+    (url, warc_ts) capture, not by url — url_dedup defaults off and
+    exact dedup runs later, so a same-url recapture grouped by url
+    alone would merge both captures' paragraphs and publish every line
+    twice.  An identical-text recapture must leave the published output
+    byte-identical to the single-capture run."""
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    dup = pages_small.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    kwargs = dict(target=80, justext_keep=True, paragraph_dedup=True)
+    base = {
+        r["url"]: r["text_scrubbed"]
+        for r in curate_dedup_sample(pages_small, **kwargs)
+        .select("url", "text_scrubbed")
+        .collect()
+    }
+    got = {
+        r["url"]: r["text_scrubbed"]
+        for r in curate_dedup_sample(
+            pages_small.unionByName(dup), **kwargs
+        )
+        .select("url", "text_scrubbed")
+        .collect()
+    }
+    assert got == base

@@ -117,3 +117,14 @@ def test_registry_host_hash_split_oracle_parity(spark):
     assert {r["split"] for r in rows} == {"train", "val", "test"}
     assert None in by_host
     assert any(h and h.startswith("rare") for h in by_host)
+
+
+def test_single_label_split(spark):
+    # one label with fraction 1.0: a searched CASE with zero WHEN
+    # clauses is invalid SQL in both engines — regression for the
+    # short-circuit that labels every row directly
+    out = hash_split(_pages(spark), "host", {"all": 1.0}).collect()
+    assert len(out) == 400
+    assert all(r["split"] == "all" for r in out)
+    p = hash_split_case("host", "host", {"all": 1.0})
+    assert p.spark == "'all'" and p.duck == "'all'"

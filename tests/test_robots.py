@@ -133,3 +133,34 @@ def test_registry_robots_oracle_parity(spark):
     want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
     assert got == want
     assert 0 < len(got) < 500  # the rule matrix really dropped pages
+
+
+def test_broadcast_rules_off_same_verdicts(spark):
+    # corpus-shaped rule tables (a full-crawl harvest) must not be
+    # force-broadcast — broadcast_rules=False hands the join to AQE;
+    # verdicts are identical either way
+    rules = _rules(
+        spark,
+        [("a.com", "User-agent: *\nDisallow: /private")],
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/public",),
+            ("https://a.com/private/page",),
+            ("https://other.org/p",),
+        ],
+        "url string",
+    )
+    on = sorted(
+        r["url"] for r in filter_robots_disallowed(pages, rules).collect()
+    )
+    off = sorted(
+        r["url"]
+        for r in filter_robots_disallowed(
+            pages, rules, broadcast_rules=False
+        ).collect()
+    )
+    assert on == off == [
+        "https://a.com/public",
+        "https://other.org/p",
+    ]

@@ -171,3 +171,24 @@ def test_semantic_dedup_composition(spark):
     assert [out[0]["keep"], out[1]["keep"]].count(False) == 1
     assert [out[2]["keep"], out[3]["keep"]].count(False) == 1
     assert all(out[i]["keep"] for i in (4, 5, 6))
+
+
+def test_dense_universe_zero_vectors(spark):
+    # docs with no surviving terms (NULL doc 4; doc 5 pruned by min_df)
+    # are absent by default but come back as ZERO vectors when the doc
+    # universe is passed — the contract a vectors-onto-docs join needs
+    sp = hashed_tfidf(_docs(spark), dim=8, min_df=2)
+    ids = _docs(spark).select("doc_id")
+    vecs = {
+        r["doc_id"]: r["vec"]
+        for r in dense_vectors(sp, 8, ids=ids).collect()
+    }
+    assert set(vecs) == {1, 2, 3, 4, 5}  # full universe
+    assert vecs[4] == [0.0] * 8 and vecs[5] == [0.0] * 8
+    assert any(v != 0.0 for v in vecs[1])
+    # default (no ids): termless docs absent, present docs identical
+    dflt = {
+        r["doc_id"]: r["vec"] for r in dense_vectors(sp, 8).collect()
+    }
+    assert 4 not in dflt and 5 not in dflt
+    assert dflt[1] == vecs[1]

@@ -281,6 +281,15 @@ def main(argv: list[str] | None = None) -> int:
         "(operators/paradedup.py::drop_common_paragraphs)",
     )
     ap.add_argument(
+        "--fuse-paragraph-stages",
+        action="store_true",
+        help="route the enabled paragraph stages (--justext/--c4-clean/"
+        "--paragraph-dedup/--boilerplate-max-hosts) through the fused "
+        "one-split one-re-assembly pipeline (operators/parapipe.py) — "
+        "identical output, about half the corpus exchanges when several "
+        "stages are on",
+    )
+    ap.add_argument(
         "--script-filter",
         action="store_true",
         help="with --sample-target: drop pages whose character "
@@ -585,6 +594,7 @@ def main(argv: list[str] | None = None) -> int:
                     c4_clean=args.c4_clean,
                     paragraph_dedup=args.paragraph_dedup,
                     boilerplate_max_hosts=args.boilerplate_max_hosts,
+                    fuse_paragraph_stages=args.fuse_paragraph_stages,
                     script_filter=args.script_filter,
                     compression_filter=args.compression_filter,
                     ppl_bucket_keep=args.ppl_bucket_keep,

@@ -540,6 +540,36 @@ C4_PAGE_MARKERS = ("lorem ipsum", "{")
 C4_MIN_SENTENCES = 3
 
 
+def c4_line_ok(
+    var: str,
+    min_words: int = C4_LINE_MIN_WORDS,
+    require_terminal: bool = True,
+    line_markers: tuple[str, ...] = C4_LINE_MARKERS,
+) -> P:
+    """Boolean C4 line predicate over ``var`` (a line/paragraph string
+    expression — a lambda variable inside c4_kept_lines, a column name in
+    the fused paragraph pipeline).  Evaluated on the trimmed value; the
+    ONE source of truth for the line rule on both engines."""
+    if min_words < 0:
+        raise ValueError(f"min_words must be >= 0, got {min_words}")
+    s_conds = [
+        f"size(filter(split(trim({var}), {_sq(WORD_SPLIT_RE)}), w -> w != ''))"
+        f" >= {min_words}"
+    ]
+    d_conds = [
+        f"len(list_filter(regexp_split_to_array(trim({var}), {_dq(WORD_SPLIT_RE)}),"
+        f" w -> w != '')) >= {min_words}"
+    ]
+    if require_terminal:
+        s_conds.append(f"trim({var}) RLIKE {_sq(C4_TERMINAL_RE)}")
+        d_conds.append(f"regexp_matches(trim({var}), {_dq(C4_TERMINAL_RE)})")
+    for m in line_markers:
+        lit = m.lower().replace("'", "''")
+        s_conds.append(f"NOT contains(lower({var}), '{lit}')")
+        d_conds.append(f"NOT contains(lower({var}), '{lit}')")
+    return P(" AND ".join(s_conds), " AND ".join(d_conds))
+
+
 def c4_kept_lines(
     col: str,
     min_words: int = C4_LINE_MIN_WORDS,
@@ -549,29 +579,16 @@ def c4_kept_lines(
     """array<string> of the lines of ``col`` that survive the C4 line
     rules (evaluated on the trimmed line; the ORIGINAL line is kept).
     NULL text -> NULL array (callers decide page fate separately)."""
-    if min_words < 0:
-        raise ValueError(f"min_words must be >= 0, got {min_words}")
-    s_conds = [
-        f"size(filter(split(trim(x), {_sq(WORD_SPLIT_RE)}), w -> w != ''))"
-        f" >= {min_words}"
-    ]
-    d_conds = [
-        f"len(list_filter(regexp_split_to_array(trim(x), {_dq(WORD_SPLIT_RE)}),"
-        f" w -> w != '')) >= {min_words}"
-    ]
-    if require_terminal:
-        s_conds.append(f"trim(x) RLIKE {_sq(C4_TERMINAL_RE)}")
-        d_conds.append(f"regexp_matches(trim(x), {_dq(C4_TERMINAL_RE)})")
-    for m in line_markers:
-        lit = m.lower().replace("'", "''")
-        s_conds.append(f"NOT contains(lower(x), '{lit}')")
-        d_conds.append(f"NOT contains(lower(x), '{lit}')")
+    ok = c4_line_ok(
+        "x",
+        min_words=min_words,
+        require_terminal=require_terminal,
+        line_markers=line_markers,
+    )
     return P(
-        f"filter(split({col}, {_sq(chr(92) + 'n')}), x -> "
-        + " AND ".join(s_conds)
-        + ")",
+        f"filter(split({col}, {_sq(chr(92) + 'n')}), x -> " + ok.spark + ")",
         f"list_filter(regexp_split_to_array({col}, {_dq(chr(92) + 'n')}),"
-        " x -> " + " AND ".join(d_conds) + ")",
+        " x -> " + ok.duck + ")",
     )
 
 

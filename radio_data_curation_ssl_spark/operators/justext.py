@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from ..functions import text as X
 from .paradedup import split_paragraphs
 
-__all__ = ["classify_paragraphs", "justext_keep_text"]
+__all__ = ["classify_instances", "classify_paragraphs", "justext_keep_text"]
 
 CLASSES = ("short", "good", "neargood", "bad")
 
@@ -83,27 +83,28 @@ def _validate(min_words: int, len_words: int, sw_hi: float, sw_lo: float) -> Non
         )
 
 
-def classify_paragraphs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    sep: str = "\n\n",
+def classify_instances(
+    inst: DataFrame,
     min_words: int = 3,
     len_words: int = 15,
     sw_hi: float = 0.3,
     sw_lo: float = 0.15,
 ) -> DataFrame:
-    """(doc_id, pos, para, n_words, stopword_ratio, class_init,
-    class_final) for every non-empty paragraph."""
+    """The instance-table form: classifies an already-split
+    (doc_id, [...,] pos, para) frame (split_paragraphs output), adding
+    n_words / stopword_ratio / class_init / class_final.  Extra columns
+    ride through untouched — the fused paragraph pipeline's entry."""
     _validate(min_words, len_words, sw_hi, sw_lo)
-    inst = split_paragraphs(docs, id_col, text_col, sep)
+    extra = [c for c in inst.columns if c not in ("doc_id", "pos", "para")]
     feats = inst.selectExpr(
         "doc_id",
+        *extra,
         "pos",
         "para",
         f"{X.words('para').spark} AS words",
     ).selectExpr(
         "doc_id",
+        *extra,
         "pos",
         "para",
         f"{X.n_words('words').spark} AS n_words",
@@ -118,6 +119,28 @@ def classify_paragraphs(
         .withColumn("next_init", F.lead("class_init").over(w))
         .withColumn("class_final", F.expr(_FINAL_CLASS_SQL))
         .drop("prev_init", "next_init")
+    )
+
+
+def classify_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_words: int = 3,
+    len_words: int = 15,
+    sw_hi: float = 0.3,
+    sw_lo: float = 0.15,
+) -> DataFrame:
+    """(doc_id, pos, para, n_words, stopword_ratio, class_init,
+    class_final) for every non-empty paragraph."""
+    _validate(min_words, len_words, sw_hi, sw_lo)  # before any plan work
+    return classify_instances(
+        split_paragraphs(docs, id_col, text_col, sep),
+        min_words=min_words,
+        len_words=len_words,
+        sw_hi=sw_hi,
+        sw_lo=sw_lo,
     )
 
 

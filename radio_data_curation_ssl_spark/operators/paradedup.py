@@ -45,7 +45,12 @@ from pyspark.sql import functions as F
 
 from .minhash import shingle_sets, signature_bands
 
-__all__ = ["drop_common_paragraphs", "split_paragraphs", "paragraph_dedup"]
+__all__ = [
+    "drop_common_paragraphs",
+    "fuzzy_dropped_tids",
+    "split_paragraphs",
+    "paragraph_dedup",
+]
 
 
 def split_paragraphs(
@@ -67,6 +72,49 @@ def split_paragraphs(
             F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
         )
         .where(F.col("para") != "")
+    )
+
+
+def fuzzy_dropped_tids(canon: DataFrame, threshold: float) -> DataFrame:
+    """The fuzzy tier over DISTINCT paragraph texts: one-column frame of
+    the ``tid``s dominated by an earlier-first-instance near-duplicate.
+    ``canon`` is (tid, para, fd, fp) — one row per distinct text with its
+    corpus-first (doc, pos).  Production 64-perm 16x4 MinHash banding ->
+    exact trigram-Jaccard rerank >= ``threshold``; domination is ordered
+    by (fd, fp) so the rule is a pure function of the data.  Shared by
+    paragraph_dedup and the fused paragraph pipeline (parapipe.py)."""
+    ctexts = canon.selectExpr("tid AS doc_id", "para AS text")
+    bands = signature_bands(ctexts, "text").repartition("band", "band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("tid_a"), F.col("b.doc_id").alias("tid_b")
+        )
+        .distinct()
+    )
+    meta_a = canon.selectExpr("tid AS tid_a", "fd AS fd_a", "fp AS fp_a")
+    meta_b = canon.selectExpr("tid AS tid_b", "fd AS fd_b", "fp AS fp_b")
+    directed = (
+        cand.join(meta_a, "tid_a")
+        .join(meta_b, "tid_b")
+        .where("(fd_a < fd_b) OR (fd_a = fd_b AND fp_a < fp_b)")
+    )
+    sets = shingle_sets(ctexts, "text")
+    sa = sets.selectExpr("doc_id AS tid_a", "sh AS sh_a")
+    sb = sets.selectExpr("doc_id AS tid_b", "sh AS sh_b")
+    inter = "size(array_intersect(sh_a, sh_b))"
+    return (
+        directed.join(sa, "tid_a")
+        .join(sb, "tid_b")
+        .where(f"{inter} / (size(sh_a) + size(sh_b) - {inter}) >= {threshold}")
+        .select(F.col("tid_b").alias("tid"))
+        .distinct()
     )
 
 
@@ -123,41 +171,7 @@ def paragraph_dedup(
     if pin_canon:
         canon = canon.localCheckpoint(eager=False)
 
-    # fuzzy tier over DISTINCT texts only
-    ctexts = canon.selectExpr("tid AS doc_id", "para AS text")
-    bands = signature_bands(ctexts, "text").repartition("band", "band_key")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("tid_a"), F.col("b.doc_id").alias("tid_b")
-        )
-        .distinct()
-    )
-    meta_a = canon.selectExpr("tid AS tid_a", "fd AS fd_a", "fp AS fp_a")
-    meta_b = canon.selectExpr("tid AS tid_b", "fd AS fd_b", "fp AS fp_b")
-    directed = (
-        cand.join(meta_a, "tid_a")
-        .join(meta_b, "tid_b")
-        .where("(fd_a < fd_b) OR (fd_a = fd_b AND fp_a < fp_b)")
-    )
-    sets = shingle_sets(ctexts, "text")
-    sa = sets.selectExpr("doc_id AS tid_a", "sh AS sh_a")
-    sb = sets.selectExpr("doc_id AS tid_b", "sh AS sh_b")
-    inter = "size(array_intersect(sh_a, sh_b))"
-    dropped = (
-        directed.join(sa, "tid_a")
-        .join(sb, "tid_b")
-        .where(f"{inter} / (size(sh_a) + size(sh_b) - {inter}) >= {threshold}")
-        .select(F.col("tid_b").alias("tid"))
-        .distinct()
-    )
-    kept = canon.join(dropped, "tid", "left_anti")
+    kept = canon.join(fuzzy_dropped_tids(canon, threshold), "tid", "left_anti")
 
     # re-assembly: kept instances are exactly the kept texts' first
     # instances — group them by their first document

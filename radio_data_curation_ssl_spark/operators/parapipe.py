@@ -1,0 +1,251 @@
+"""Fused paragraph-granularity pipeline — one split, one re-assembly.
+
+The flow's paragraph tier chains up to four stages over the published
+text: jusText classification (operators/justext.py), C4 line/page rules
+(operators/linefilter.py), host-DF boilerplate removal and corpus-global
+paragraph dedup (operators/paradedup.py).  Staged, each stage pays its
+own split -> aggregate -> re-assemble -> join-back round: with all four
+on, the corpus text crosses ~6 exchanges and the document table is
+re-joined four times.  At 10^12-doc scale those re-assembly rounds are
+the dominant cost of the tier.
+
+This operator fuses the chain on ONE shared instance table:
+
+1.  split once -> (doc_id, [host,] pos, para), repartitioned by doc and
+    sorted by (doc, pos) — the jusText smoothing window and the final
+    re-assembly agg both reuse this single corpus shuffle (exchange
+    elided), and the table is pinned (lazy localCheckpoint) for its
+    multiple consumers.
+2.  each enabled stage narrows the live instance set IN PLACE:
+    - jusText: classify_instances + keep final-``good`` (the window
+      rides the existing partitioning);
+    - C4: the line predicate filters instances; the PAGE verdict
+      aggregates per-doc flags (marker / bad-word bool_or, kept-line
+      sentence sum) — only 1-bit/8-byte flags shuffle, never text.
+      Per-paragraph evaluation is exact because no page marker, bad
+      word, or sentence-terminal run can straddle a '\\n' boundary;
+    - host-DF: (xxhash64(para), host) distinct-count > max_hosts ->
+      anti-join, text never moves through the count;
+    - dedup: first-winner agg + the shared fuzzy tier
+      (paradedup.fuzzy_dropped_tids).
+3.  ONE final position-ordered re-assembly, ONE join back onto ``docs``.
+
+Equality contract: output rows and text are byte-identical to running
+the staged operators in the same order (justext -> c4 -> host-DF ->
+dedup; the gate is tests/test_parapipe.py's differential suite).  The
+later stages see original positions instead of the staged path's
+renumbered ones — order-isomorphic within every document, so the
+first-winner ordering, domination, and re-assembly order are unchanged.
+
+Precondition: ``c4.min_words >= 1`` (default 5) — the instance table
+carries only non-empty paragraphs, so a degenerate C4 config that KEEPS
+empty lines (min_words=0 with require_terminal off) cannot be fused;
+validated fail-loud.
+
+Reference analog: the fused per-row transform pipeline
+(/root/reference/src/3b_feature_extraction_from_path.py:137-155) applied
+to the paragraph tier; beyond-the-reference (SURVEY §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from .justext import classify_instances
+from .paradedup import fuzzy_dropped_tids, split_paragraphs
+
+__all__ = ["paragraph_pipeline"]
+
+
+def paragraph_pipeline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    host_col: str | None = None,
+    justext: bool | dict = False,
+    c4: bool | dict = False,
+    max_hosts: int | None = None,
+    dedup: bool | dict = False,
+    sep: str = "\n",
+    join_sep: str = "\n",
+    pin_input: bool = True,
+) -> DataFrame:
+    """``docs`` with ``text_col`` replaced by the fused paragraph-tier
+    output and rows dropped per the C4 page rules (when ``c4`` is on) —
+    byte-identical to the staged composition.  Stage configs: ``justext``
+    / ``c4`` take the same threshold dicts as the staged operators
+    (sep/join_sep ignored — the pipeline's own apply); ``dedup`` takes
+    ``{"threshold": ...}``.  ``pin_input`` lazily localCheckpoints
+    ``docs`` — it feeds the split, the C4 doc-universe probe, and the
+    final join (the paradedup pin_canon precedent)."""
+    jt_on = bool(justext)
+    c4_on = bool(c4)
+    hd_on = max_hosts is not None
+    dd_on = bool(dedup)
+    if not (jt_on or c4_on or hd_on or dd_on):
+        return docs
+    if hd_on:
+        if host_col is None:
+            raise ValueError("max_hosts requires host_col")
+        if host_col not in docs.columns:
+            raise ValueError(f"input lacks host column {host_col!r}")
+        if max_hosts < 1:
+            raise ValueError(f"max_hosts must be >= 1, got {max_hosts}")
+    dd_threshold = 0.5
+    if isinstance(dedup, dict):
+        dd_threshold = dedup.get("threshold", 0.5)
+    if dd_on and not 0.0 < dd_threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {dd_threshold}")
+
+    if pin_input:
+        docs = docs.localCheckpoint(eager=False)
+
+    keep_cols = (host_col,) if hd_on else ()
+    inst = split_paragraphs(docs, id_col, text_col, sep, keep_cols=keep_cols)
+    # the tier's ONE corpus shuffle: the justext window and the final
+    # re-assembly groupBy both satisfy their distribution from this
+    # partitioning; pinned for its multiple consumers
+    inst = (
+        inst.repartition("doc_id")
+        .sortWithinPartitions("doc_id", "pos")
+        .localCheckpoint(eager=False)
+    )
+    alive = inst
+
+    if jt_on:
+        jt_kwargs = {
+            k: v
+            for k, v in (justext if isinstance(justext, dict) else {}).items()
+            if k not in ("sep", "join_sep")
+        }
+        alive = (
+            classify_instances(alive, **jt_kwargs)
+            .where("class_final = 'good'")
+            .select(*alive.columns)
+        )
+
+    dockeep = None
+    if c4_on:
+        ck = dict(c4) if isinstance(c4, dict) else {}
+        min_words = ck.get("min_words", X.C4_LINE_MIN_WORDS)
+        require_terminal = ck.get("require_terminal", True)
+        line_markers = tuple(ck.get("line_markers", X.C4_LINE_MARKERS))
+        page_markers = tuple(ck.get("page_markers", X.C4_PAGE_MARKERS))
+        min_sentences = ck.get("min_sentences", X.C4_MIN_SENTENCES)
+        bad_words = ck.get("bad_words") or []
+        if min_sentences < 0:
+            raise ValueError(
+                f"min_sentences must be >= 0, got {min_sentences}"
+            )
+        if min_words < 1:
+            raise ValueError(
+                "the fused pipeline needs c4 min_words >= 1 (empty lines "
+                f"are pre-dropped at split), got {min_words}"
+            )
+        ok = X.c4_line_ok(
+            "para",
+            min_words=min_words,
+            require_terminal=require_terminal,
+            line_markers=line_markers,
+        ).spark
+        flags = (
+            alive.selectExpr(
+                "doc_id",
+                f"coalesce({X.contains_any('para', page_markers).spark},"
+                " false) AS _mk",
+                f"coalesce({X.matches_bad_word('para', bad_words).spark},"
+                " false) AS _bd",
+                f"CASE WHEN ({ok}) THEN {X.n_sentences('para').spark}"
+                " ELSE CAST(0 AS BIGINT) END AS _ns",
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.expr("bool_or(_mk)").alias("_mk"),
+                F.expr("bool_or(_bd)").alias("_bd"),
+                F.sum("_ns").alias("_ns"),
+            )
+        )
+        # page fate over the WHOLE doc universe (zero-instance docs have
+        # no flag row): NULL text fail-closed; '' keeps iff
+        # min_sentences == 0 — the staged filter_c4 contract.  With
+        # justext ahead of c4 the staged c4 input is the justext output,
+        # which is NEVER NULL (NULL docs re-join as '') — so the
+        # fail-closed check applies only when justext is off.
+        dockeep = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                (
+                    F.lit(True)
+                    if jt_on
+                    else F.col(text_col).isNotNull()
+                ).alias("_has_text"),
+            )
+            .join(flags, "doc_id", "left")
+            .where(
+                F.col("_has_text")
+                & ~F.coalesce(F.col("_mk"), F.lit(False))
+                & ~F.coalesce(F.col("_bd"), F.lit(False))
+                & (F.coalesce(F.col("_ns"), F.lit(0)) >= min_sentences)
+            )
+            .select("doc_id")
+        )
+        alive = alive.where(F.expr(ok)).join(dockeep, "doc_id", "left_semi")
+
+    if hd_on:
+        common = (
+            alive.select(F.xxhash64("para").alias("_tid"), F.col(host_col))
+            .groupBy("_tid")
+            .agg(F.count_distinct(F.col(host_col)).alias("_nh"))
+            .where(F.col("_nh") > max_hosts)
+            .select("_tid")
+        )
+        alive = (
+            alive.withColumn("_tid", F.xxhash64("para"))
+            .join(common, "_tid", "left_anti")
+            .drop("_tid")
+        )
+
+    if dd_on:
+        canon = (
+            alive.groupBy("para")
+            .agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+            .select(
+                F.xxhash64("para").alias("tid"),
+                "para",
+                F.col("first.doc_id").alias("fd"),
+                F.col("first.pos").alias("fp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        final_inst = (
+            canon.join(fuzzy_dropped_tids(canon, dd_threshold), "tid", "left_anti")
+            .select(
+                F.col("fd").alias("doc_id"),
+                F.col("fp").alias("pos"),
+                "para",
+            )
+        )
+    else:
+        final_inst = alive.select("doc_id", "pos", "para")
+
+    per_doc = final_inst.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            join_sep,
+        ).alias("_new_text")
+    )
+    out = (
+        docs.join(per_doc.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .withColumn(text_col, F.coalesce("_new_text", F.lit("")))
+        .drop("_new_text")
+    )
+    if dockeep is not None:
+        out = out.join(
+            dockeep.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+        )
+    return out

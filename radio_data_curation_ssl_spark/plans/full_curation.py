@@ -98,6 +98,7 @@ def curate_dedup_sample(
     c4_clean: bool | dict = False,
     paragraph_dedup: bool | dict = False,
     boilerplate_max_hosts: int | None = None,
+    fuse_paragraph_stages: bool = False,
     host_cap: int | None = None,
     lang_budget_frac: float | None = None,
     sample_alpha: float | None = None,
@@ -302,6 +303,15 @@ def curate_dedup_sample(
     the complement of ``paragraph_dedup``'s first-winner; composes
     with it).  Hosts come from the canonical url; NULL/unparseable
     hosts group under ''.  OFF by default.
+
+    ``fuse_paragraph_stages`` routes whichever of the four paragraph
+    stages (justext / c4 / host-DF / paragraph dedup) are enabled
+    through the fused one-split one-re-assembly pipeline
+    (operators/parapipe.py) instead of the staged chain — byte-identical
+    output (differential-gated), roughly half the corpus exchanges when
+    several stages are on.  Stage dicts keep their meanings except
+    sep/join_sep overrides, which the fused tier fixes at '\\n' (the
+    contract extractor's separator).  OFF by default.
     """
     if target < 0:
         raise ValueError(f"target must be >= 0, got {target}")
@@ -544,8 +554,17 @@ def curate_dedup_sample(
         # canonicalize the PUBLISHED text; the raw `text` kept for the
         # dedup hash keys is untouched (same policy as c4_clean)
         kept = with_nfc_text(kept, text_col="text_scrubbed")
-    _para_stages = bool(justext_keep) or bool(paragraph_dedup) or (
-        boilerplate_max_hosts is not None
+    _fused = fuse_paragraph_stages and (
+        bool(justext_keep)
+        or bool(c4_clean)
+        or bool(paragraph_dedup)
+        or (boilerplate_max_hosts is not None)
+    )
+    _para_stages = (
+        bool(justext_keep)
+        or bool(paragraph_dedup)
+        or (boilerplate_max_hosts is not None)
+        or (_fused and bool(c4_clean))
     )
     if _para_stages:
         # The three paragraph-granularity stages group paragraphs by a
@@ -566,7 +585,36 @@ def curate_dedup_sample(
                 F.coalesce(F.col("warc_ts").cast("string"), F.lit("\x02")),
             ),
         )
-    if justext_keep:
+    if _fused:
+        from ..functions.url import url_host
+        from ..operators.parapipe import paragraph_pipeline
+
+        # the fused tier: byte-identical to the staged chain below
+        # (gated by tests/test_parapipe.py's differential suite) but one
+        # split + one re-assembly instead of one round per stage —
+        # operators/parapipe.py documents the exchange economics
+        host_col = None
+        if boilerplate_max_hosts is not None:
+            kept = kept.withColumn(
+                "_bp_host",
+                F.coalesce(F.expr(url_host("url").spark), F.lit("")),
+            )
+            host_col = "_bp_host"
+        kept = paragraph_pipeline(
+            kept,
+            id_col="_cap_id",
+            text_col="text_scrubbed",
+            host_col=host_col,
+            justext=justext_keep,
+            c4=c4_clean,
+            max_hosts=boilerplate_max_hosts,
+            dedup=paragraph_dedup,
+            sep="\n",
+            join_sep="\n",
+        )
+        if host_col:
+            kept = kept.drop("_bp_host")
+    if justext_keep and not _fused:
         from ..operators.justext import justext_keep_text
 
         # paragraph-level boilerplate cut on the PUBLISHED text (same
@@ -584,7 +632,7 @@ def curate_dedup_sample(
             .withColumn("text_scrubbed", F.col("_jt_text"))
             .drop("_jt_text")
         )
-    if c4_clean:
+    if c4_clean and not _fused:
         from ..operators.linefilter import filter_c4
 
         # cleans the PUBLISHED text (text_scrubbed); the raw `text` kept
@@ -595,7 +643,7 @@ def curate_dedup_sample(
             text_col="text_scrubbed",
             **(c4_clean if isinstance(c4_clean, dict) else {}),
         )
-    if boilerplate_max_hosts is not None:
+    if boilerplate_max_hosts is not None and not _fused:
         from ..functions.url import url_host
         from ..operators.paradedup import drop_common_paragraphs
 
@@ -626,7 +674,7 @@ def curate_dedup_sample(
             .withColumn("text_scrubbed", F.col("_bp_text"))
             .drop("_bp_text")
         )
-    if paragraph_dedup:
+    if paragraph_dedup and not _fused:
         from ..operators.paradedup import paragraph_dedup as _para_dedup
 
         # corpus-global paragraph dedup on the PUBLISHED text (same

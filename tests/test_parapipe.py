@@ -1,0 +1,239 @@
+"""Fused paragraph pipeline (operators/parapipe.py) — the differential
+gate: every config must be BYTE-IDENTICAL to running the staged
+operators (justext -> c4 -> host-DF -> paragraph dedup) in sequence."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from radio_data_curation_ssl_spark.operators.parapipe import (
+    paragraph_pipeline,
+)
+
+# jusText-calibrated paragraphs (test_justext.py's worked values): GOODs
+# are final-good (survive), BAD is final-bad, SHORT flips on a good
+# neighbor.  Every GOOD ends in '.', >= 5 words -> passes the C4 line
+# rule; one sentence each, so C4 page fate is driven by min_sentences.
+G1 = (
+    "the cat and the dog are in the house and it is a fine day to be "
+    "out in the sun with a friend."
+)
+G2 = (
+    "it was the best of times and it was the worst of times for all "
+    "of us in the old town that year."
+)
+G3 = (
+    "there is a river and a mountain and the road between them is long "
+    "but we have walked it with joy."
+)
+BANNER = (
+    "we have set all of the cookies for you and you have to accept "
+    "them to be able to use the site."
+)
+NEAR_A = (
+    "the quick brown fox jumps over the lazy dog near the old river "
+    "bank and it is happy about that today."
+)
+NEAR_B = (
+    "the quick brown fox jumps over the lazy dog near the old river "
+    "bank and it is happy about that tonight."
+)
+BAD = "zebra quartz vortex jumble flux crystal nexus prism orbit quantum."
+SHORT = "tiny note."
+NOTERM = "this line has plenty of words but no terminal punctuation mark"
+JSLINE = "please enable javascript to view all of the content here."
+BRACE = "function f() { return 0; } is a code sample left in the page."
+
+
+def _docs(spark):
+    rows = [
+        ("d01", "h1", f"{G1}\n{BANNER}\n{G2}"),
+        ("d02", "h2", f"{BANNER}\n{G3}"),
+        ("d03", "h3", f"{BANNER}\n{NEAR_A}"),
+        ("d04", "h1", f"{NEAR_B}\n{G1}"),  # NEAR_B loses to d03's NEAR_A
+        ("d05", "h2", f"{G2}\n{BAD}\n{SHORT}"),  # G2 exact-dups d01's
+        ("d06", "h3", f"{NOTERM}\n{JSLINE}\n{G3}"),
+        ("d07", "h1", f"{BRACE}\n{G1}"),  # '{' page marker
+        ("d08", "h2", None),
+        ("d09", "h3", ""),
+        ("d10", "h1", f"{SHORT}\n{G3}\n{SHORT}"),  # shorts flip good
+    ]
+    return spark.createDataFrame(rows, "doc_id string, host string, text string")
+
+
+def _staged(docs, justext=False, c4=False, max_hosts=None, dedup=False):
+    """The staged composition exactly as plans/full_curation.py chains
+    it (same order, same join-back shape)."""
+    from radio_data_curation_ssl_spark.operators.justext import (
+        justext_keep_text,
+    )
+    from radio_data_curation_ssl_spark.operators.linefilter import filter_c4
+    from radio_data_curation_ssl_spark.operators.paradedup import (
+        drop_common_paragraphs,
+        paragraph_dedup,
+    )
+
+    out = docs
+    if justext:
+        jt = justext if isinstance(justext, dict) else {}
+        r = justext_keep_text(
+            out, id_col="doc_id", text_col="text", sep="\n", join_sep="\n", **jt
+        ).selectExpr("doc_id", "content_text AS _t")
+        out = out.join(r, "doc_id").withColumn("text", F.col("_t")).drop("_t")
+    if c4:
+        ck = c4 if isinstance(c4, dict) else {}
+        out = filter_c4(out, text_col="text", **ck)
+    if max_hosts is not None:
+        r = drop_common_paragraphs(
+            out,
+            "host",
+            max_hosts,
+            id_col="doc_id",
+            text_col="text",
+            sep="\n",
+            join_sep="\n",
+        ).selectExpr("doc_id", "clean_text AS _t")
+        out = out.join(r, "doc_id").withColumn("text", F.col("_t")).drop("_t")
+    if dedup:
+        th = dedup.get("threshold", 0.5) if isinstance(dedup, dict) else 0.5
+        r = paragraph_dedup(
+            out,
+            id_col="doc_id",
+            text_col="text",
+            threshold=th,
+            sep="\n",
+            join_sep="\n",
+        ).selectExpr("doc_id", "dedup_text AS _t")
+        out = out.join(r, "doc_id").withColumn("text", F.col("_t")).drop("_t")
+    return out
+
+
+def _both(spark, **cfg):
+    docs = _docs(spark)
+    staged = sorted(tuple(r) for r in _staged(docs, **cfg).collect())
+    fused = sorted(
+        tuple(r)
+        for r in paragraph_pipeline(
+            docs,
+            id_col="doc_id",
+            text_col="text",
+            host_col="host",
+            justext=cfg.get("justext", False),
+            c4=cfg.get("c4", False),
+            max_hosts=cfg.get("max_hosts"),
+            dedup=cfg.get("dedup", False),
+            sep="\n",
+            join_sep="\n",
+        ).collect()
+    )
+    return staged, fused
+
+
+CONFIGS = [
+    dict(justext=True),
+    dict(c4={"min_sentences": 1}),
+    dict(c4=True),  # default min_sentences=3: pages with < 3 sentences die
+    dict(max_hosts=2),
+    dict(dedup=True),
+    dict(justext=True, dedup=True),
+    dict(c4={"min_sentences": 1}, max_hosts=2),
+    dict(
+        justext=True,
+        c4={"min_sentences": 1},
+        max_hosts=2,
+        dedup={"threshold": 0.5},
+    ),
+    dict(
+        justext=True,
+        c4={"require_terminal": False, "min_sentences": 0},
+        max_hosts=2,
+        dedup=True,
+    ),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS)
+def test_fused_equals_staged(spark, cfg):
+    staged, fused = _both(spark, **cfg)
+    assert fused == staged
+
+
+def test_all_on_semantics(spark):
+    """Sanity on top of the differential: the all-on config actually
+    exercised every stage."""
+    staged, fused = _both(
+        spark,
+        justext=True,
+        c4={"min_sentences": 1},
+        max_hosts=2,
+        dedup=True,
+    )
+    assert fused == staged
+    texts = {r[0]: r[2] for r in fused}
+    # host-DF: BANNER rides 3 hosts > 2 -> zero copies anywhere
+    assert all(BANNER not in t for t in texts.values() if t is not None)
+    # justext: BAD paragraph never published
+    assert all(BAD not in t for t in texts.values() if t is not None)
+    # c4 page marker: d07 dropped entirely; NULL-text d08 dropped
+    assert "d07" not in texts and "d08" not in texts
+    # dedup exact tier: d05 lost its G2 copy to d01
+    assert G2 in texts["d01"] and G2 not in texts["d05"]
+    # dedup fuzzy tier: d04's NEAR_B lost to d03's NEAR_A
+    assert NEAR_A in texts["d03"] and NEAR_B not in texts["d04"]
+    # survivors keep position order
+    assert texts["d01"].startswith(G1)
+
+
+def test_noop_and_validation(spark):
+    docs = _docs(spark)
+    # no stage enabled: identity
+    assert paragraph_pipeline(docs, id_col="doc_id", text_col="text") is docs
+    with pytest.raises(ValueError, match="host_col"):
+        paragraph_pipeline(docs, id_col="doc_id", text_col="text", max_hosts=2)
+    with pytest.raises(ValueError, match="max_hosts"):
+        paragraph_pipeline(
+            docs, id_col="doc_id", text_col="text", host_col="host", max_hosts=0
+        )
+    with pytest.raises(ValueError, match="min_words"):
+        paragraph_pipeline(
+            docs,
+            id_col="doc_id",
+            text_col="text",
+            c4={"min_words": 0, "require_terminal": False},
+        )
+    with pytest.raises(ValueError, match="threshold"):
+        paragraph_pipeline(
+            docs, id_col="doc_id", text_col="text", dedup={"threshold": 0.0}
+        )
+
+
+def test_flow_fused_equals_staged(spark, pages_small):
+    """Flow-level differential: fuse_paragraph_stages=True publishes the
+    identical (url -> text_scrubbed) corpus as the staged chain, with
+    every paragraph stage enabled."""
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    kwargs = dict(
+        target=80,
+        justext_keep=True,
+        c4_clean={"require_terminal": False, "min_sentences": 0},
+        paragraph_dedup=True,
+        boilerplate_max_hosts=3,
+    )
+    staged = {
+        r["url"]: r["text_scrubbed"]
+        for r in curate_dedup_sample(pages_small, **kwargs)
+        .select("url", "text_scrubbed")
+        .collect()
+    }
+    fused = {
+        r["url"]: r["text_scrubbed"]
+        for r in curate_dedup_sample(
+            pages_small, fuse_paragraph_stages=True, **kwargs
+        )
+        .select("url", "text_scrubbed")
+        .collect()
+    }
+    assert fused == staged

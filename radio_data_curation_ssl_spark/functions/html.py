@@ -234,3 +234,88 @@ def link_text_ratio(col: str) -> P:
         f"round({a.duck} / greatest(CAST(length({t.duck}) AS BIGINT),"
         " 1), 6)",
     )
+
+
+# ---------------------------------------------------------------------------
+# page metadata attributes (operators/pagemeta.py): publication-time
+# markers and the rel=canonical declaration.  Attribute values are
+# matched HREF_RE-style — optional opening quote, then a run free of
+# quotes / whitespace / '>' — which handles quoted and unquoted
+# attributes alike and, for quoted values containing spaces (e.g.
+# '2021-05-12 10:00'), yields the leading token, exactly the prefix
+# the ISO parse consumes.  RE2-safe: no backreferences, explicit
+# whitespace classes, both attribute orders spelled out.
+
+_WS = "[ \t\r\n]*"
+_VAL = "[\"']?([^\"'  \t\r\n>]+)"  # opt quote, then value token
+
+
+def _first_nonempty(col: str, pats: list[str]) -> P:
+    """coalesce of group-1 extracts over ``pats`` ('' -> NULL), both
+    dialects; NULL input -> NULL."""
+    sp = ", ".join(
+        f"nullif(regexp_extract({col}, {_sq(p)}, 1), '')" for p in pats
+    )
+    du = ", ".join(
+        f"nullif(regexp_extract({col}, {_dq(p)}, 1), '')" for p in pats
+    )
+    return P(f"coalesce({sp})", f"coalesce({du})")
+
+
+def meta_content(col: str, key: str) -> P:
+    """``content=`` value of a ``<meta property|name=key ...>`` tag
+    (either attribute order, any quote style, case-insensitive); NULL
+    when absent or empty.  ``key`` must be a plain literal (no regex
+    metacharacters beyond ':', '-', '_')."""
+    key_end = "[\"' \t\r\n/>]"  # delimiter so key never prefix-matches
+    key_first = (
+        rf"(?is)<meta\b[^>]*\b(?:property|name){_WS}={_WS}"
+        rf"[\"']?{key}{key_end}[^>]*\bcontent{_WS}={_WS}{_VAL}"
+    )
+    content_first = (
+        rf"(?is)<meta\b[^>]*\bcontent{_WS}={_WS}{_VAL}"
+        rf"[^>]*\b(?:property|name){_WS}={_WS}[\"']?{key}{key_end}"
+    )
+    return _first_nonempty(col, [key_first, content_first])
+
+
+def time_datetime(col: str) -> P:
+    """``datetime=`` value of the first ``<time ...>`` element; NULL
+    when absent or empty."""
+    return _first_nonempty(
+        col, [rf"(?is)<time\b[^>]*\bdatetime{_WS}={_WS}{_VAL}"]
+    )
+
+
+def canonical_href(col: str) -> P:
+    """``href=`` value of a ``<link rel=canonical ...>`` tag (either
+    attribute order, any quote style); NULL when absent or empty.  The
+    raw declared value — resolve against the page URL with
+    functions/url.py::resolve_href before using it as a dedup key."""
+    rel_end = "[\"' \t\r\n/>]"
+    rel_first = (
+        rf"(?is)<link\b[^>]*\brel{_WS}={_WS}[\"']?canonical{rel_end}"
+        rf"[^>]*\bhref{_WS}={_WS}{_VAL}"
+    )
+    href_first = (
+        rf"(?is)<link\b[^>]*\bhref{_WS}={_WS}{_VAL}"
+        rf"[^>]*\brel{_WS}={_WS}[\"']?canonical{rel_end}"
+    )
+    return _first_nonempty(col, [rel_first, href_first])
+
+
+def iso_ymd_part(col: str, part: int) -> P:
+    """Group ``part`` (1=year, 2=month, 3=day) of a leading
+    ``YYYY-M[M]-D[D]`` prefix in a raw date-ish string (ISO timestamps
+    like '2021-05-12T10:11:12Z' parse by prefix), as INTEGER; NULL when
+    the prefix is absent.  Range/calendar validity is the caller's job
+    (operators/pagemeta.py::pagedate_sql)."""
+    if part not in (1, 2, 3):
+        raise ValueError("part must be 1 (year), 2 (month) or 3 (day)")
+    pat = r"^(\d{4})-(\d{1,2})-(\d{1,2})"
+    return P(
+        f"CAST(nullif(regexp_extract({col}, {_sq(pat)}, {part}), '')"
+        " AS INTEGER)",
+        f"CAST(nullif(regexp_extract({col}, {_dq(pat)}, {part}), '')"
+        " AS INTEGER)",
+    )

@@ -112,9 +112,12 @@ def url_canonical(col: str) -> P:
         url_query_canon(col),
     )
 
-    def body(sch_x, host_x, path_x, q_x) -> str:
+    def body(col_x, sch_x, host_x, path_x, q_x) -> str:
+        # outer CASE pins NULL-url behavior: DuckDB concat SKIPS NULL
+        # args (Spark returns NULL) — same trap as surt's
         return (
-            f"CASE WHEN {sch_x} = '' THEN '' ELSE"
+            f"CASE WHEN {col_x} IS NULL THEN NULL"
+            f" WHEN {sch_x} = '' THEN '' ELSE"
             f" concat({sch_x}, '://', {host_x},"
             f" CASE WHEN {path_x} = '' THEN '/' ELSE {path_x} END,"
             f" CASE WHEN {q_x} = '' THEN '' ELSE concat('?', {q_x}) END)"
@@ -122,8 +125,8 @@ def url_canonical(col: str) -> P:
         )
 
     return P(
-        body(sch.spark, host.spark, path.spark, q.spark),
-        body(sch.duck, host.duck, path.duck, q.duck),
+        body(col, sch.spark, host.spark, path.spark, q.spark),
+        body(col, sch.duck, host.duck, path.duck, q.duck),
     )
 
 
@@ -186,23 +189,41 @@ def resolve_href(href: str, page_url: str) -> P:
     sch = url_scheme(page_url)
     host = url_host(page_url)
 
-    def body(h: str, sch_x: str, host_x: str, rlike: str) -> str:
+    def body(h: str, sch_x: str, host_x: str, rlike: str, cc) -> str:
+        # cc = NULL-PROPAGATING concat: a NULL page scheme/host (NULL
+        # or unparsable page_url) must yield NULL for relative hrefs on
+        # BOTH dialects; DuckDB's concat() skips NULL args, its '||'
+        # propagates them (Spark's concat already propagates)
+        colon, sep = "':'", "'://'"
         return (
             f"CASE WHEN {rlike} THEN {h}"
-            f" WHEN {h} LIKE '//%' THEN concat({sch_x}, ':', {h})"
-            f" WHEN {h} LIKE '/%' THEN concat({sch_x}, '://', {host_x}, {h})"
+            f" WHEN {h} LIKE '//%' THEN {cc(sch_x, colon, h)}"
+            f" WHEN {h} LIKE '/%' THEN {cc(sch_x, sep, host_x, h)}"
             f" ELSE NULL END"
         )
+
+    def cc_spark(*parts: str) -> str:
+        return "concat(" + ", ".join(parts) + ")"
+
+    def cc_duck(*parts: str) -> str:
+        return "(" + " || ".join(parts) + ")"
 
     h_sp = f"regexp_replace({href}, '#.*$', '')"
     h_du = f"regexp_replace({href}, '#.*$', '')"
     return P(
-        body(h_sp, sch.spark, host.spark, f"{h_sp} rlike {_sq(abs_re)}"),
+        body(
+            h_sp,
+            sch.spark,
+            host.spark,
+            f"{h_sp} rlike {_sq(abs_re)}",
+            cc_spark,
+        ),
         body(
             h_du,
             sch.duck,
             host.duck,
             f"regexp_matches({h_du}, {_dq(abs_re)})",
+            cc_duck,
         ),
     )
 
@@ -244,6 +265,39 @@ def url_digit_frac(col: str) -> P:
         f"round((length({col}) - length({stripped_d})) /"
         f" greatest(length({col}), 1), 6)",
     )
+
+
+def url_date_ymd(col: str) -> P:
+    """Raw 'Y-M-D' date string carried by the URL path, or NULL.
+
+    Two layouts cover the overwhelming majority of dated web URLs:
+    blog-archive segments (``/2021/05/12/post``, segment-terminated so
+    ``/v2/0001/22/x`` product codes don't half-match) and dashed slug
+    prefixes (``/2021-05-12-title``).  Year/month/day are returned
+    UNVALIDATED (digits as found, e.g. '2021-5-12'); range + calendar
+    validity (incl. leap years) is applied downstream by
+    operators/pagemeta.py::pagedate_sql so the rails live in one place.
+    NULL / hostless URLs -> NULL."""
+    seg_pat = r"/(\d{4})/(\d{1,2})/(\d{1,2})(?:/|$)"
+    slug_pat = r"(\d{4})-(\d{1,2})-(\d{1,2})"
+    p = url_path(col)
+
+    def body(path: str, lit) -> str:
+        def g(pat: str, i: int) -> str:
+            return f"nullif(regexp_extract({path}, {lit(pat)}, {i}), '')"
+
+        def ymd(pat: str) -> str:
+            return (
+                f"concat({g(pat, 1)}, '-', {g(pat, 2)}, '-', {g(pat, 3)})"
+            )
+
+        return (
+            f"CASE WHEN {g(seg_pat, 1)} IS NOT NULL THEN {ymd(seg_pat)}"
+            f" WHEN {g(slug_pat, 1)} IS NOT NULL THEN {ymd(slug_pat)}"
+            " ELSE NULL END"
+        )
+
+    return P(body(p.spark, _sq), body(p.duck, _dq))
 
 
 def url_n_params(col: str) -> P:

@@ -1,0 +1,216 @@
+"""Page temporal metadata + canonical-URL dedup — the two page-level
+metadata signals every production crawl pipeline extracts before
+document scoring:
+
+* **Publication date.**  C4 and Dolma both record a per-document date;
+  temporal filtering / freshness weighting / time-sliced corpus splits
+  all need it.  Three markers cover the overwhelming majority of dated
+  pages, in decreasing trust order: the Open Graph / schema.org
+  ``<meta property="article:published_time">`` tag, the first
+  ``<time datetime=...>`` element, and a date carried by the URL path
+  (``/2021/05/12/post`` or ``/2021-05-12-title``).  The FIRST candidate
+  that parses AND passes the validity rails (year window, month 1-12,
+  day-in-month with the Gregorian leap rule) wins; an invalid
+  higher-trust marker falls through to the next (a meta tag claiming
+  2021-02-30 never shadows a perfectly good <time> stamp).
+
+* **rel=canonical dedup.**  Pages declaring the same
+  ``<link rel=canonical>`` target are duplicates by the SITE'S OWN
+  admission (print views, session-id variants, pagination of one
+  article) — search engines have honored this since 2009.  Dedup keys
+  on the declared canonical when present, falling back to the page's
+  own canonicalized URL, through the shared skew-proof first-winner
+  aggregate (operators/firstwin.py).
+
+Scale: date extraction is a pure codegen'd regexp chain — map-only,
+zero Python, zero shuffle at any corpus size.  Canonical dedup pays
+exactly ONE declarative aggregate (map-side combine, AQE-sized
+shuffle); rows with no usable key (NULL url and no canonical) pass
+through untouched — fail-open, "no signal" is not "duplicate".
+
+Dialect parity: raw markers come from paired fragments
+(functions/html.py::meta_content/time_datetime/canonical_href/
+iso_ymd_part, functions/url.py::url_date_ymd); the validity +
+precedence + formatting tier is ONE dialect-identical expression string
+shared by the operator and the DuckDB oracle (:func:`pagedate_sql` —
+the readability/justext shared-string pattern), so the oracle proves
+the rails, not a re-derivation.  Integer-only arithmetic: no float
+rounding hazards anywhere.
+
+Beyond the reference (SURVEY §6): the reference's payload carries its
+observation epoch in FITS headers (`/root/reference/src/1a_cutouts_sw.py:62`
+reads the mosaic header wholesale); publication time is the web-text
+analog of that per-record acquisition timestamp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import html as H
+from ..functions import url as U
+from .firstwin import keep_first
+
+__all__ = [
+    "pagedate_sql",
+    "with_page_dates",
+    "with_canonical_url",
+    "dedup_by_canonical",
+]
+
+#: candidate markers in decreasing trust order; the parsed-part columns
+#: are named y_<cand> / m_<cand> / d_<cand>
+CANDIDATES = ("meta", "time", "url")
+
+#: plausible publication-year window — outside it the marker is noise
+#: (a ``/1492/`` path segment is a product code, not a crawl date)
+YEAR_MIN, YEAR_MAX = 1990, 2035
+
+PAGEDATE_COLS = [
+    "pub_year",
+    "pub_month",
+    "pub_day",
+    "pub_date",
+    "pub_date_source",
+]
+
+
+def _valid(c: str) -> str:
+    """Dialect-identical validity predicate over y_<c>/m_<c>/d_<c>:
+    year window, month 1-12, day within the month's true length
+    (Gregorian leap rule)."""
+    y, m, d = f"y_{c}", f"m_{c}", f"d_{c}"
+    days = (
+        f"CASE WHEN {m} IN (1,3,5,7,8,10,12) THEN 31"
+        f" WHEN {m} IN (4,6,9,11) THEN 30"
+        f" WHEN ({y} % 4 = 0 AND {y} % 100 <> 0) OR {y} % 400 = 0 THEN 29"
+        " ELSE 28 END"
+    )
+    return (
+        f"({y} IS NOT NULL AND {m} IS NOT NULL AND {d} IS NOT NULL"
+        f" AND {y} BETWEEN {YEAR_MIN} AND {YEAR_MAX}"
+        f" AND {m} BETWEEN 1 AND 12"
+        f" AND {d} BETWEEN 1 AND {days})"
+    )
+
+
+def pagedate_sql() -> dict[str, str]:
+    """Shared dialect-identical expressions (same string both engines).
+
+    Keys ``pub_date_source`` / ``pub_year`` / ``pub_month`` / ``pub_day``
+    expect the nine INTEGER parsed-part columns ``y_meta .. d_url`` in
+    scope (functions/html.py::iso_ymd_part over the raw markers);
+    ``pub_date`` expects the final ``pub_year``/``pub_month``/``pub_day``
+    and formats the zero-padded ISO string."""
+
+    def pick(out) -> str:
+        whens = " ".join(
+            f"WHEN {_valid(c)} THEN {out(c)}" for c in CANDIDATES
+        )
+        return f"CASE {whens} ELSE NULL END"
+
+    return {
+        "pub_date_source": pick(lambda c: f"'{c}'"),
+        "pub_year": pick(lambda c: f"y_{c}"),
+        "pub_month": pick(lambda c: f"m_{c}"),
+        "pub_day": pick(lambda c: f"d_{c}"),
+        "pub_date": (
+            "CASE WHEN pub_year IS NULL THEN NULL ELSE concat("
+            "lpad(CAST(pub_year AS STRING), 4, '0'), '-', "
+            "lpad(CAST(pub_month AS STRING), 2, '0'), '-', "
+            "lpad(CAST(pub_day AS STRING), 2, '0')) END"
+        ),
+    }
+
+
+def with_page_dates(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    decoded: bool = False,
+) -> DataFrame:
+    """Adds ``pub_year``/``pub_month``/``pub_day`` (INT), ``pub_date``
+    ('YYYY-MM-DD' string) and ``pub_date_source`` ('meta'|'time'|'url'),
+    all NULL when no marker parses valid.  ``html_col`` is binary by
+    default (strict-UTF-8 decode, the htmltext idiom); ``decoded=True``
+    means it is already a string (the charset-aware path ran first).
+    Map-only codegen, zero shuffle."""
+    clash = set(PAGEDATE_COLS) & set(df.columns)
+    if clash:
+        raise ValueError(f"output columns already exist: {sorted(clash)}")
+    s = html_col if decoded else f"decode({html_col}, 'UTF-8')"
+    raw = {
+        "meta": H.meta_content(s, "article:published_time").spark,
+        "time": H.time_datetime(s).spark,
+        "url": U.url_date_ymd(url_col).spark,
+    }
+    staged = df.selectExpr(
+        "*", *(f"{e} AS _pd_{c}" for c, e in raw.items())
+    ).selectExpr(
+        "*",
+        *(
+            f"{H.iso_ymd_part(f'_pd_{c}', i).spark} AS {p}_{c}"
+            for c in CANDIDATES
+            for i, p in ((1, "y"), (2, "m"), (3, "d"))
+        ),
+    )
+    sql = pagedate_sql()
+    return staged.selectExpr(
+        *df.columns,
+        f"{sql['pub_year']} AS pub_year",
+        f"{sql['pub_month']} AS pub_month",
+        f"{sql['pub_day']} AS pub_day",
+        f"{sql['pub_date_source']} AS pub_date_source",
+    ).selectExpr("*", f"{sql['pub_date']} AS pub_date")
+
+
+def with_canonical_url(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    decoded: bool = False,
+) -> DataFrame:
+    """Adds ``canonical_url``: the page's declared ``<link rel=canonical>``
+    target resolved to an absolute URL against the page's own URL
+    (functions/url.py::resolve_href — absolute / protocol-relative /
+    root-relative forms; relative and opaque hrefs resolve to NULL).
+    NULL when the page declares none.  Map-only codegen."""
+    if "canonical_url" in df.columns:
+        raise ValueError("output column already exists: canonical_url")
+    s = html_col if decoded else f"decode({html_col}, 'UTF-8')"
+    raw = H.canonical_href(s).spark
+    return df.withColumn(
+        "canonical_url", F.expr(U.resolve_href(f"({raw})", url_col).spark)
+    )
+
+
+def dedup_by_canonical(
+    df: DataFrame,
+    url_col: str = "url",
+    canonical_col: str = "canonical_url",
+    order_cols: list[str] | None = None,
+    key_out: str = "canon_key",
+) -> DataFrame:
+    """One surviving row per canonical identity: the dedup key is the
+    declared canonical target when present, else the page's own
+    canonicalized URL (functions/url.py::url_canonical — tracking
+    params stripped, fragment dropped), exposed as ``key_out``.  The
+    winner is minimal under ``order_cols`` (default: ``url_col`` — the
+    lexicographically-first variant, deterministic without requiring an
+    id column) via the shared first-winner aggregate.  Rows with no
+    usable key (NULL url AND no canonical) pass through untouched —
+    fail-open.  Cost: ONE map-side-combined aggregate."""
+    if key_out in df.columns:
+        raise ValueError(f"output column already exists: {key_out}")
+    order_cols = list(order_cols) if order_cols else [url_col]
+    keyed = df.withColumn(
+        key_out,
+        F.expr(
+            f"coalesce({canonical_col}, {U.url_canonical(url_col).spark})"
+        ),
+    )
+    kept = keep_first(
+        keyed.filter(F.col(key_out).isNotNull()), [key_out], order_cols
+    )
+    return kept.unionByName(keyed.filter(F.col(key_out).isNull()))

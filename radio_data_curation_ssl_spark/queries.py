@@ -6820,3 +6820,207 @@ def q_format_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_format_signals(d, "text").select(
         "doc_id", *FORMAT_SIGNAL_COLS
     )
+
+
+# ---------------------------------------------------------------------------
+# Page temporal metadata (r5 session 8) — past-window, standing parity
+# gate in tests/test_pagemeta.py.  The derivation is dialect-identical
+# (concat/CAST only): the URL schedule (doc_id % 4) plants segment
+# dates (/Y/M/D/), slug dates (Y-M-D-title), a /0001/22/ product-code
+# trap, and undated paths, with Y/M/D moduli running PAST the valid
+# ranges (years to 2039 > YEAR_MAX, month 0 and 13, day 31 in short
+# months) so the rails fire both ways; the html schedule (doc_id % 6)
+# plants NULL pages, both meta attribute orders (quoted property-first
+# and content-first), unquoted attributes, a <time> element, an
+# invalid-meta + valid-leap-time page (2021-02-29 falls through to
+# 2020-02-29 — precedence AND the Gregorian rule in one row), and a
+# marker-free page that falls to the URL candidate.
+
+_PGD_HOST = "concat('https://s', CAST(doc_id % 5 AS STRING), '.com')"
+_PGD_Y = "CAST(1990 + doc_id % 50 AS STRING)"
+_PGD_M = "CAST(doc_id % 14 AS STRING)"
+_PGD_D = "CAST(1 + doc_id % 31 AS STRING)"
+_PGD_URL = (
+    f"CASE WHEN doc_id % 4 = 0 THEN concat({_PGD_HOST}, '/', {_PGD_Y},"
+    f" '/', {_PGD_M}, '/', {_PGD_D}, '/post-', CAST(doc_id AS STRING)) "
+    f"WHEN doc_id % 4 = 1 THEN concat({_PGD_HOST}, '/blog/', {_PGD_Y},"
+    f" '-', {_PGD_M}, '-', {_PGD_D}, '-title') "
+    f"WHEN doc_id % 4 = 2 THEN concat({_PGD_HOST}, '/v2/0001/22/x-',"
+    " CAST(doc_id AS STRING)) "
+    f"ELSE concat({_PGD_HOST}, '/plain/page-', CAST(doc_id AS STRING))"
+    " END"
+)
+_PGD_MY = "CAST(1995 + doc_id % 45 AS STRING)"
+_PGD_MM = "CAST(doc_id % 13 AS STRING)"
+_PGD_MD = "CAST(1 + doc_id % 30 AS STRING)"
+_PGD_ISO = f"concat({_PGD_MY}, '-', {_PGD_MM}, '-', {_PGD_MD})"
+_PGD_HTML = (
+    "CASE WHEN doc_id % 6 = 0 THEN NULL "
+    "WHEN doc_id % 6 = 1 THEN concat('<html><head><meta"
+    ' property="article:published_time" content="\', '
+    f"{_PGD_ISO}, 'T08:30:00Z\"/></head><body>x</body></html>') "
+    "WHEN doc_id % 6 = 2 THEN concat('<meta content=\"', "
+    f"{_PGD_ISO}, '\" name=\"article:published_time\">') "
+    "WHEN doc_id % 6 = 3 THEN concat('<body><time datetime=', "
+    "CAST(2000 + doc_id % 20 AS STRING), '-', "
+    "CAST(1 + doc_id % 12 AS STRING), '-', "
+    "CAST(1 + doc_id % 28 AS STRING), '>x</time></body>') "
+    "WHEN doc_id % 6 = 4 THEN '<meta property=article:published_time"
+    " content=2021-02-29T00:00:00Z>"
+    '<time datetime="2020-02-29T10:00">\' '
+    "ELSE '<p>no markers</p>' END"
+)
+
+
+def _pgd_oracle() -> str:
+    from .functions import html as H
+    from .functions import url as U
+    from .operators.pagemeta import CANDIDATES, pagedate_sql
+
+    raw = {
+        "meta": H.meta_content("html", "article:published_time").duck,
+        "time": H.time_datetime("html").duck,
+        "url": U.url_date_ymd("url").duck,
+    }
+    parts = ", ".join(
+        f"{H.iso_ymd_part(f'_pd_{c}', i).duck} AS {p}_{c}"
+        for c in CANDIDATES
+        for i, p in ((1, "y"), (2, "m"), (3, "d"))
+    )
+    s = pagedate_sql()
+    return f"""
+WITH base AS (SELECT doc_id, {_PGD_URL} AS url, {_PGD_HTML} AS html
+              FROM documents),
+raw AS (SELECT doc_id,
+               {raw['meta']} AS _pd_meta,
+               {raw['time']} AS _pd_time,
+               {raw['url']} AS _pd_url
+        FROM base),
+parts AS (SELECT doc_id, {parts} FROM raw),
+fin AS (SELECT doc_id,
+               {s['pub_year']} AS pub_year,
+               {s['pub_month']} AS pub_month,
+               {s['pub_day']} AS pub_day,
+               {s['pub_date_source']} AS pub_date_source
+        FROM parts)
+SELECT doc_id, pub_year, pub_month, pub_day,
+       {s['pub_date']} AS pub_date, pub_date_source
+FROM fin
+"""
+
+
+@register(
+    "page_date_extract",
+    _pgd_oracle(),
+    doc="Publication-date extraction — the temporal metadata C4/Dolma "
+    "record per document (freshness weighting, time-sliced splits): "
+    "meta article:published_time (both attribute orders, any quote "
+    "style) > first <time datetime> > URL-path date (/Y/M/D/ segments "
+    "or Y-M-D slugs), first VALID candidate wins; validity = year "
+    "window + month 1-12 + day-in-month with the Gregorian leap rule, "
+    "so an invalid high-trust marker falls through instead of "
+    "shadowing a good one (operators/pagemeta.py::with_page_dates). "
+    "The rails tier is ONE dialect-identical expression string shared "
+    "with the oracle; integer-only arithmetic, no float hazards. "
+    "Scale: codegen'd regexp chain, map-only, zero Python, ZERO "
+    "shuffle at any corpus size.",
+    bench=True,
+)
+def q_page_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pagemeta import with_page_dates
+
+    pages = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_PGD_URL} AS url",
+        f"CAST({_PGD_HTML} AS BINARY) AS html",
+    )
+    return with_page_dates(pages).select(
+        "doc_id", "pub_year", "pub_month", "pub_day",
+        "pub_date", "pub_date_source",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-URL dedup (r5 session 8) — past-window, standing parity
+# gate in tests/test_pagemeta.py.  The derivation groups pages three
+# ways: absolute cross-host canonical targets (doc_id % 3 = 0, shared
+# target per doc_id % 25 slot), root-relative canonicals resolved
+# against the page's own host (doc_id % 3 = 1 — same slot only groups
+# within a host), and canonical-less pages whose fallback key is their
+# own canonicalized URL (tracking params stripped, so docs sharing
+# (host, path slot) collapse).  doc_id % 17 plants NULL urls: with an
+# absolute canonical they still dedup (the key needs no page URL);
+# with a relative/no canonical they have no key and pass through
+# fail-open.
+
+_CAN_URL = (
+    "CASE WHEN doc_id % 17 = 0 THEN NULL ELSE "
+    "concat('https://site', CAST(doc_id % 7 AS STRING), '.com/p/', "
+    "CAST(doc_id % 30 AS STRING), '?utm_campaign=c', "
+    "CAST(doc_id AS STRING)) END"
+)
+_CAN_HTML = (
+    "CASE WHEN doc_id % 3 = 0 THEN concat('<head><link rel=\"canonical\""
+    " href=\"https://canon.example.com/a/', CAST(doc_id % 25 AS STRING),"
+    " '\"></head>') "
+    "WHEN doc_id % 3 = 1 THEN concat('<link href=/canon/', "
+    "CAST(doc_id % 25 AS STRING), ' rel=canonical>') "
+    "ELSE '<p>plain</p>' END"
+)
+
+
+def _can_oracle() -> str:
+    from .functions import html as H
+    from .functions import url as U
+
+    canon = U.resolve_href(
+        f"({H.canonical_href('html').duck})", "url"
+    ).duck
+    key = f"coalesce(canonical_url, {U.url_canonical('url').duck})"
+    return f"""
+WITH base AS (SELECT doc_id, {_CAN_URL} AS url, {_CAN_HTML} AS html
+              FROM documents),
+feat AS (SELECT doc_id, url, {canon} AS canonical_url FROM base),
+keyed AS (SELECT doc_id, url, canonical_url, {key} AS canon_key
+          FROM feat),
+kept AS (SELECT doc_id, url, canonical_url, canon_key,
+                row_number() OVER (PARTITION BY canon_key
+                                   ORDER BY doc_id) AS _rn
+         FROM keyed WHERE canon_key IS NOT NULL)
+SELECT doc_id, url, canonical_url, canon_key
+FROM kept WHERE _rn = 1
+UNION ALL
+SELECT doc_id, url, canonical_url, canon_key
+FROM keyed WHERE canon_key IS NULL
+"""
+
+
+@register(
+    "canonical_url_dedup",
+    _can_oracle(),
+    doc="rel=canonical dedup — pages declaring the same <link "
+    "rel=canonical> target are duplicates by the site's own admission "
+    "(print views, session variants, pagination; honored by search "
+    "engines since 2009). Key = declared canonical resolved absolute "
+    "against the page URL (both attribute orders, root-relative "
+    "handled), falling back to the page's own canonicalized URL; "
+    "winner = min doc_id per key via the shared skew-proof first-"
+    "winner aggregate (operators/pagemeta.py::dedup_by_canonical + "
+    "operators/firstwin.py); keyless rows (NULL url, no canonical) "
+    "pass through fail-open. Scale: ONE map-side-combined aggregate, "
+    "AQE-sized shuffle, no window over the corpus, map-only "
+    "extraction.",
+    bench=True,
+)
+def q_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pagemeta import dedup_by_canonical, with_canonical_url
+
+    pages = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_CAN_URL} AS url",
+        f"CAST({_CAN_HTML} AS BINARY) AS html",
+    )
+    out = dedup_by_canonical(
+        with_canonical_url(pages), order_cols=["doc_id"]
+    )
+    return out.select("doc_id", "url", "canonical_url", "canon_key")

@@ -1,0 +1,225 @@
+"""Page temporal metadata + canonical-URL dedup (operators/pagemeta.py)."""
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.pagemeta import (
+    dedup_by_canonical,
+    with_canonical_url,
+    with_page_dates,
+)
+
+
+def _pages(spark):
+    rows = [
+        # meta property-first, quoted, full ISO timestamp
+        (1, '<meta property="article:published_time" '
+            'content="2021-05-12T10:11:12Z">', "https://a.com/x"),
+        # meta content-first, name= spelling, unquoted single-digit date
+        (2, "<meta content=2019-2-3 name=article:published_time>",
+         "https://a.com/y"),
+        # invalid meta (Feb 30) falls through to a valid <time>
+        (3, '<meta property="article:published_time" content="2021-02-30">'
+            '<time datetime="1999-12-31T23:59">x</time>',
+         "https://a.com/z"),
+        # leap rules: meta 2021-02-29 invalid, time 2020-02-29 valid
+        (4, "<meta property=article:published_time content=2021-02-29>"
+            '<time datetime="2020-02-29T10:00">', "https://a.com/w"),
+        # no markers -> URL segment date
+        (5, "<p>x</p>", "https://a.com/2021/05/12/post"),
+        # NULL html -> URL slug date (single-digit parts)
+        (6, None, "https://a.com/blog/2018-7-4-title"),
+        # product-code path never half-matches the segment pattern
+        (7, "<p>x</p>", "https://a.com/v2/0001/22/x"),
+        # year outside the window on every candidate -> all NULL
+        (8, '<time datetime="1971-01-01">', "https://a.com/2052/01/01/"),
+        # month 0 / month 13 invalid
+        (9, '<time datetime="2020-0-5">', "https://a.com/p/2020-13-05-x"),
+        # nothing anywhere
+        (10, "<p>x</p>", "https://a.com/plain"),
+        # NULL url, meta still wins
+        (11, '<meta property="article:published_time" content="2001-01-31">',
+         None),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, html_s string, url string"
+    ).selectExpr("doc_id", "CAST(html_s AS BINARY) AS html", "url")
+
+
+def _dates(spark):
+    return {
+        r["doc_id"]: (
+            r["pub_date"],
+            r["pub_date_source"],
+            r["pub_year"],
+            r["pub_month"],
+            r["pub_day"],
+        )
+        for r in with_page_dates(_pages(spark)).collect()
+    }
+
+
+def test_extraction_matrix(spark):
+    o = _dates(spark)
+    assert o[1] == ("2021-05-12", "meta", 2021, 5, 12)
+    assert o[2] == ("2019-02-03", "meta", 2019, 2, 3)  # zero-padded out
+    assert o[3] == ("1999-12-31", "time", 1999, 12, 31)
+    assert o[4] == ("2020-02-29", "time", 2020, 2, 29)  # leap Feb 29 OK
+    assert o[5] == ("2021-05-12", "url", 2021, 5, 12)
+    assert o[6] == ("2018-07-04", "url", 2018, 7, 4)
+    assert o[11] == ("2001-01-31", "meta", 2001, 1, 31)
+
+
+def test_invalid_candidates_yield_null(spark):
+    o = _dates(spark)
+    for did in (7, 8, 9, 10):
+        assert o[did] == (None, None, None, None, None), did
+
+
+def test_column_collision_fails_loud(spark):
+    df = _pages(spark).selectExpr("*", "1 AS pub_year")
+    with pytest.raises(ValueError, match="already exist"):
+        with_page_dates(df)
+    df2 = _pages(spark).selectExpr("*", "'x' AS canonical_url")
+    with pytest.raises(ValueError, match="already exist"):
+        with_canonical_url(df2)
+
+
+def test_dates_zero_shuffle_zero_python_plan(spark):
+    plan = (
+        with_page_dates(_pages(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def _canon_pages(spark):
+    rows = [
+        # absolute canonical, rel-first: group A
+        (1, '<link rel="canonical" href="https://c.com/a">',
+         "https://s1.com/p1?utm_source=x"),
+        # same target, href-first + unquoted: still group A
+        (2, "<link href=https://c.com/a rel=canonical>",
+         "https://s2.com/p2"),
+        # root-relative canonical resolves against the page host
+        (3, "<link rel=canonical href=/art>", "https://s1.com/p3"),
+        (4, "<link rel=canonical href=/art>", "https://s1.com/p4"),
+        # same relative target, DIFFERENT host -> different key
+        (5, "<link rel=canonical href=/art>", "https://s2.com/p5"),
+        # no canonical: fallback key strips tracking params -> group B
+        (6, "<p>x</p>", "https://s3.com/b?utm_campaign=1"),
+        (7, "<p>x</p>", "https://s3.com/b?utm_campaign=2"),
+        # rel=stylesheet never matches
+        (8, '<link rel="stylesheet" href="/s.css">', "https://s3.com/c"),
+        # NULL url + absolute canonical still dedups into group A
+        (9, '<link rel="canonical" href="https://c.com/a">', None),
+        # NULL url + no canonical: keyless, passes through fail-open
+        (10, "<p>x</p>", None),
+        (11, "<link rel=canonical href=/rel>", None),  # unresolvable
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, html_s string, url string"
+    ).selectExpr("doc_id", "CAST(html_s AS BINARY) AS html", "url")
+
+
+def test_canonical_resolution(spark):
+    out = {
+        r["doc_id"]: r["canonical_url"]
+        for r in with_canonical_url(_canon_pages(spark)).collect()
+    }
+    assert out[1] == "https://c.com/a"
+    assert out[2] == "https://c.com/a"
+    assert out[3] == "https://s1.com/art"
+    assert out[5] == "https://s2.com/art"
+    assert out[8] is None
+    assert out[9] == "https://c.com/a"
+    assert out[11] is None  # relative href + NULL url: unresolvable
+
+
+def test_dedup_semantics(spark):
+    out = dedup_by_canonical(
+        with_canonical_url(_canon_pages(spark)), order_cols=["doc_id"]
+    )
+    kept = {r["doc_id"]: r["canon_key"] for r in out.collect()}
+    # group A (1,2,9) -> doc 1; relative groups: (3,4) -> 3, (5) alone;
+    # fallback group B (6,7) -> 6; 8 alone; keyless 10,11 pass through
+    assert set(kept) == {1, 3, 5, 6, 8, 10, 11}
+    assert kept[1] == "https://c.com/a"
+    assert kept[3] == "https://s1.com/art"
+    assert kept[6] == "https://s3.com/b"
+    assert kept[10] is None and kept[11] is None
+
+
+def test_dedup_key_collision_fails_loud(spark):
+    df = with_canonical_url(_canon_pages(spark)).selectExpr(
+        "*", "'x' AS canon_key"
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        dedup_by_canonical(df)
+
+
+def test_dedup_single_aggregate_plan(spark):
+    plan = (
+        dedup_by_canonical(
+            with_canonical_url(_canon_pages(spark)), order_cols=["doc_id"]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+    assert "min_by" in plan or "partial_min_by" in plan.lower()
+    assert "Window" not in plan  # first-winner agg, not a rank window
+
+
+def _duck(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    return con
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_registry_page_date_oracle_parity(spark, sf):
+    """Standing local gate for the past-window registry row."""
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["page_date_extract"]
+    sf_dir = f"/root/testdata/{sf}"
+    got = sorted(tuple(r) for r in q.spark(spark, sf_dir).collect())
+    want = sorted(tuple(r) for r in _duck(sf_dir).execute(q.oracle).fetchall())
+    assert got == want
+    # schedule sanity: every source fires and the NULL leg is populated
+    srcs = {r[5] for r in got}
+    assert srcs == {"meta", "time", "url", None}
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_registry_canonical_dedup_oracle_parity(spark, sf):
+    """Standing local gate for the past-window registry row."""
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["canonical_url_dedup"]
+    sf_dir = f"/root/testdata/{sf}"
+    got = sorted(
+        tuple("" if v is None else v for v in r)
+        for r in q.spark(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple("" if v is None else v for v in r)
+        for r in _duck(sf_dir).execute(q.oracle).fetchall()
+    )
+    assert got == want
+    # schedule sanity: dedup actually collapsed something, and the
+    # fail-open keyless leg is present
+    n_docs = _duck(sf_dir).execute(
+        "SELECT count(*) FROM documents"
+    ).fetchone()[0]
+    assert len(got) < n_docs
+    assert any(r[3] == "" for r in got)

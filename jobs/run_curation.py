@@ -70,6 +70,13 @@ def main(argv: list[str] | None = None) -> int:
         "to one page per canonical URL before curation",
     )
     ap.add_argument(
+        "--canonical-dedup",
+        action="store_true",
+        help="with --sample-target: collapse pages declaring the same "
+        "<link rel=canonical> target before curation (fallback key: the "
+        "canonicalized own url — subsumes --url-dedup)",
+    )
+    ap.add_argument(
         "--line-dedup",
         action="store_true",
         help="with --sample-target: remove globally-duplicated 10-word "
@@ -393,6 +400,7 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if (
         args.url_dedup
+        or args.canonical_dedup
         or args.line_dedup
         or args.substring_dedup
         or args.seen_urls
@@ -420,7 +428,8 @@ def main(argv: list[str] | None = None) -> int:
         or args.url_soft_words is not None
     ) and args.sample_target is None and args.token_budget is None:
         ap.error(
-            "--url-dedup/--line-dedup/--substring-dedup/--seen-urls/"
+            "--url-dedup/--canonical-dedup/--line-dedup/"
+            "--substring-dedup/--seen-urls/"
             "--seen-texts/--seen-near-texts/"
             "--host-cap/--lang-budget/--sample-alpha/--decontaminate/"
             "--export-jsonl/--blocked-domains/--url-shape/--host-ranks/"
@@ -565,6 +574,7 @@ def main(argv: list[str] | None = None) -> int:
                         None
                         if (
                             args.url_dedup
+                            or args.canonical_dedup
                             or seen is not None
                             or args.seen_texts
                             or args.seen_near_texts
@@ -574,6 +584,7 @@ def main(argv: list[str] | None = None) -> int:
                     ),
                     work_dir=f"{args.output}/_work",
                     url_dedup=args.url_dedup,
+                    canonical_dedup=args.canonical_dedup,
                     blocked_domains=blocked,
                     url_hard_words=_csv(args.url_hard_words),
                     url_soft_words=_csv(args.url_soft_words),

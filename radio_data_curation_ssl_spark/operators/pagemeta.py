@@ -198,16 +198,20 @@ def dedup_by_canonical(
     params stripped, fragment dropped), exposed as ``key_out``.  The
     winner is minimal under ``order_cols`` (default: ``url_col`` — the
     lexicographically-first variant, deterministic without requiring an
-    id column) via the shared first-winner aggregate.  Rows with no
-    usable key (NULL url AND no canonical) pass through untouched —
-    fail-open.  Cost: ONE map-side-combined aggregate."""
+    id column) via the shared first-winner aggregate.  Unparseable urls
+    canonicalize to '' — those fall back to the RAW url as their own
+    group (no mass-collapse of scheme-less pages into one key; the same
+    rail as the flow's url_dedup stage).  Rows with no usable key (NULL
+    url AND no canonical) pass through untouched — fail-open.  Cost:
+    ONE map-side-combined aggregate."""
     if key_out in df.columns:
         raise ValueError(f"output column already exists: {key_out}")
     order_cols = list(order_cols) if order_cols else [url_col]
     keyed = df.withColumn(
         key_out,
         F.expr(
-            f"coalesce({canonical_col}, {U.url_canonical(url_col).spark})"
+            f"coalesce({canonical_col}, "
+            f"nullif({U.url_canonical(url_col).spark}, ''), {url_col})"
         ),
     )
     kept = keep_first(

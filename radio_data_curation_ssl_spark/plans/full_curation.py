@@ -74,6 +74,7 @@ def curate_dedup_sample(
     near_dup: str = "minhash",
     simhash_max_hamming: int = 3,
     url_dedup: bool = False,
+    canonical_dedup: bool = False,
     line_dedup: bool = False,
     substring_dedup: bool = False,
     substring_min_len: int = 8,
@@ -125,7 +126,13 @@ def curate_dedup_sample(
     largest scales), or ``"none"`` to skip.
 
     ``url_dedup`` collapses tracking-variant recaptures to one page per
-    canonical URL before curation (functions/url.py).  ``line_dedup``
+    canonical URL before curation (functions/url.py).
+    ``canonical_dedup`` additionally honors the page's OWN
+    ``<link rel=canonical>`` declaration (operators/pagemeta.py): pages
+    declaring the same canonical target collapse to one even when their
+    urls differ beyond tracking params (print views, session-id paths,
+    pagination); pages without one fall back to the canonicalized-url
+    key, so it subsumes ``url_dedup`` when enabled.  ``line_dedup``
     additionally removes globally-duplicated 10-word spans from the
     published ``text_scrubbed`` (C4's line-level dedup, case-preserving);
     surviving text is whitespace-normalized, docs whose spans all lose
@@ -461,6 +468,24 @@ def curate_dedup_sample(
             ),
         )
         pages = keep_first(cu, ["_cu"], ["url", "warc_ts"]).drop("_cu")
+    if canonical_dedup:
+        if curated is not None:
+            raise ValueError(
+                "canonical_dedup applies before curation; pass pages "
+                "only, not a precomputed curated frame"
+            )
+        # site-declared duplicate collapse: one page per <link
+        # rel=canonical> target (fallback: the canonicalized own url —
+        # subsumes url_dedup), min (url, warc_ts) wins; keyless rows
+        # (NULL url, no canonical) pass through fail-open.
+        from ..operators.pagemeta import (
+            dedup_by_canonical,
+            with_canonical_url,
+        )
+
+        pages = dedup_by_canonical(
+            with_canonical_url(pages), order_cols=["url", "warc_ts"]
+        ).drop("canonical_url", "canon_key")
     full = (
         curated
         if curated is not None

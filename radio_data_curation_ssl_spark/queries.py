@@ -6976,7 +6976,10 @@ def _can_oracle() -> str:
     canon = U.resolve_href(
         f"({H.canonical_href('html').duck})", "url"
     ).duck
-    key = f"coalesce(canonical_url, {U.url_canonical('url').duck})"
+    key = (
+        f"coalesce(canonical_url, "
+        f"nullif({U.url_canonical('url').duck}, ''), url)"
+    )
     return f"""
 WITH base AS (SELECT doc_id, {_CAN_URL} AS url, {_CAN_HTML} AS html
               FROM documents),

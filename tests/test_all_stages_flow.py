@@ -20,6 +20,7 @@ def test_every_optin_stage_composes(spark, pages_small):
         pages_small,
         target=80,
         # URL tier
+        canonical_dedup=True,
         blocked_domains=["blocked.example.org"],
         url_hard_words=["casino"],
         url_soft_words=["free", "bonus"],

@@ -118,6 +118,10 @@ def _canon_pages(spark):
         # NULL url + no canonical: keyless, passes through fail-open
         (10, "<p>x</p>", None),
         (11, "<link rel=canonical href=/rel>", None),  # unresolvable
+        # scheme-less urls canonicalize to '' -> raw-url fallback keys,
+        # NO mass-collapse into one group
+        (12, "<p>x</p>", "not-a-url-12"),
+        (13, "<p>x</p>", "not-a-url-13"),
     ]
     return spark.createDataFrame(
         rows, "doc_id long, html_s string, url string"
@@ -144,12 +148,14 @@ def test_dedup_semantics(spark):
     )
     kept = {r["doc_id"]: r["canon_key"] for r in out.collect()}
     # group A (1,2,9) -> doc 1; relative groups: (3,4) -> 3, (5) alone;
-    # fallback group B (6,7) -> 6; 8 alone; keyless 10,11 pass through
-    assert set(kept) == {1, 3, 5, 6, 8, 10, 11}
+    # fallback group B (6,7) -> 6; 8 alone; keyless 10,11 pass through;
+    # scheme-less 12,13 each their own raw-url group (no mass-collapse)
+    assert set(kept) == {1, 3, 5, 6, 8, 10, 11, 12, 13}
     assert kept[1] == "https://c.com/a"
     assert kept[3] == "https://s1.com/art"
     assert kept[6] == "https://s3.com/b"
     assert kept[10] is None and kept[11] is None
+    assert kept[12] == "not-a-url-12" and kept[13] == "not-a-url-13"
 
 
 def test_dedup_key_collision_fails_loud(spark):
@@ -172,6 +178,72 @@ def test_dedup_single_aggregate_plan(spark):
     assert "Python" not in plan
     assert "min_by" in plan or "partial_min_by" in plan.lower()
     assert "Window" not in plan  # first-winner agg, not a rank window
+
+
+def test_flow_canonical_dedup_collapses_declared_twins(spark, pages_small):
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    # a print-view twin of every page at a DIFFERENT path (url_dedup
+    # could never collapse it) with slightly different content INSIDE
+    # the extracted region (so exact text dedup alone would not either),
+    # declaring the base page's url as its canonical
+    twin = (
+        pages_small.withColumn(
+            "html",
+            F.concat(
+                F.encode(
+                    F.regexp_replace(
+                        F.decode("html", "utf-8"),
+                        "</p></main>",
+                        " padfiller</p></main>",
+                    ),
+                    "utf-8",
+                ),
+                F.encode(
+                    F.concat(
+                        F.lit('<link rel="canonical" href="'),
+                        F.col("url"),
+                        F.lit('">'),
+                    ),
+                    "utf-8",
+                ),
+            ),
+        ).withColumn("url", F.concat("url", F.lit("/print")))
+    )
+    doubled = pages_small.unionByName(twin)
+
+    base = curate_dedup_sample(pages_small, target=10**9, near_dup="none")
+    on = curate_dedup_sample(
+        doubled, target=10**9, near_dup="none", canonical_dedup=True
+    )
+    off = curate_dedup_sample(doubled, target=10**9, near_dup="none")
+    n_base, n_on, n_off = base.count(), on.count(), off.count()
+    # declared canonical == base url == the base page's fallback key,
+    # min (url, warc_ts) keeps the base capture
+    assert n_on == n_base
+    assert n_off > n_base
+    assert on.where(F.col("url").contains("/print")).count() == 0
+
+
+def test_flow_canonical_dedup_rejects_precomputed_curated(
+    spark, pages_small
+):
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+
+    with pytest.raises(ValueError, match="canonical_dedup"):
+        curate_dedup_sample(
+            pages_small,
+            target=10,
+            curated=curate(pages_small),
+            canonical_dedup=True,
+        )
 
 
 def _duck(sf_dir):

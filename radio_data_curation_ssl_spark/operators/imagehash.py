@@ -1,0 +1,132 @@
+"""Perceptual image hashing (dHash) + near-duplicate pairing over
+opaque binary payloads — the image-level analog of the text tier's
+simhash: LAION-scale image corpora dedup on a 64-bit perceptual sketch
+(resize to a tiny grid, compare neighboring pixels, pair sketches
+within a small hamming radius), not on raw bytes.
+
+dHash (difference hash): resample the image to a ``grid_w x grid_h``
+luminance grid (9x8 default), set bit ``r*8+c`` iff
+``grid[r][c] > grid[r][c+1]`` — 8 comparisons per row over 8 rows =
+64 bits.  Robust to recompression/rescaling because only the SIGN of
+neighbor differences survives, which is exactly what those transforms
+preserve.
+
+Codec reality: the container has no image decoder, so the pixel grid
+comes from the SAME deterministic fake-resize the multimodal tier uses
+(operators/multimodal.py::fake_resize — the strided byte gather a
+nearest-neighbor resize of a 1-byte-per-pixel image performs;
+``decode="real"`` raises NotImplementedError like every multimodal
+op).  The dHash math, the Arrow batching, and the pairing plan are all
+real and oracle-paired; swapping a real decoder in changes one
+function.
+
+Pairing reuses the text simhash machinery VERBATIM
+(operators/simhash.py::simhash_neardup_pairs): pigeonhole segment
+buckets (perfect recall for hamming <= max_hamming), exact
+bit_count(xor) verify on candidates only, identical-sketch collapse to
+a min-key representative so byte-identical images are exact-dup
+output, not O(g^2) pair spam.
+
+Scale: hashing is ONE map-only Arrow pass (no shuffle); pairing pays
+the segment-bucket exchange only — the proven simhash plan.
+
+Reference analog (SURVEY §6): the reference embeds cutouts and
+near-dups in embedding space (`/root/reference/src/
+3b_feature_extraction_from_path.py`); dHash is the cheap pre-embedding
+sketch real image pipelines run first.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .multimodal import fake_resize, real_decode_features
+from .simhash import simhash_neardup_pairs
+
+__all__ = ["dhash_np", "dhash_images", "image_neardup_pairs"]
+
+#: dHash grid: grid_w columns x grid_h rows, one comparison per
+#: adjacent column pair -> (grid_w - 1) * grid_h bits
+GRID_W, GRID_H = 9, 8
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def dhash_np(blob: bytes | None) -> int | None:
+    """64-bit dHash of one payload via the deterministic fake-resize
+    grid; NULL payload -> None.  Bit ``r*8+c`` (weight ``2**(r*8+c)``)
+    is set iff row r's pixel c exceeds pixel c+1; the uint64 pattern is
+    returned as its two's-complement int64 (the engine-wide 64-bit
+    sketch convention — simhash stores sketches the same way)."""
+    if blob is None:
+        return None
+    g = np.frombuffer(
+        fake_resize(blob, GRID_W, GRID_H), dtype=np.uint8
+    ).reshape(GRID_H, GRID_W)
+    bits = (g[:, :-1] > g[:, 1:]).flatten()  # row-major, k = r*8+c
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    h = (bits.astype(np.uint64) * weights).sum(dtype=np.uint64)
+    return int(h.astype(np.int64))
+
+
+def dhash_images(
+    df: DataFrame,
+    key_col: str = "key",
+    binary_col: str = "payload",
+    decode: str = "fake",
+) -> DataFrame:
+    """(key, binary) -> (key, n_bytes, dhash) in ONE map-only Arrow
+    pass; NULL payloads hash to NULL.  ``decode="real"`` raises (no
+    codecs in this container — the multimodal contract)."""
+    if decode != "fake":
+        real_decode_features(None)  # raises NotImplementedError
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            yield pd.DataFrame(
+                {
+                    "key": b[key_col].astype(str),
+                    "n_bytes": b[binary_col].str.len().astype("Int64"),
+                    "dhash": pd.array(
+                        [dhash_np(x) for x in b[binary_col]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return df.select(key_col, binary_col).mapInPandas(run, DHASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    key_col: str = "key",
+    binary_col: str = "payload",
+    max_hamming: int = 4,
+    decode: str = "fake",
+) -> DataFrame:
+    """(key_a, key_b, hamming) pairs of perceptually-near payloads:
+    dHash + the shared pigeonhole pairing (perfect recall for
+    hamming <= ``max_hamming``, identical sketches collapsed to their
+    min-key representative).  NULL payloads never pair."""
+    sk = dhash_images(df, key_col, binary_col, decode=decode).where(
+        "dhash IS NOT NULL"
+    )
+    return simhash_neardup_pairs(
+        sk,
+        id_col="key",
+        sketch_col="dhash",
+        bits=64,
+        max_hamming=max_hamming,
+    ).selectExpr("doc_a AS key_a", "doc_b AS key_b", "hamming")

@@ -7027,3 +7027,98 @@ def q_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_canonical_url(pages), order_cols=["doc_id"]
     )
     return out.select("doc_id", "url", "canonical_url", "canon_key")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup (r5 session 8) — past-window, standing
+# parity gate in tests/test_imagehash.py.  dHash over the deterministic
+# fake-resize grid (the multimodal_byte_ops ASCII-payload technique:
+# the oracle slices VARCHAR, so comparison is defined over ASCII rows
+# where byte offset == char offset; the operator handles arbitrary
+# bytes, pytest-gated).  The doc_id % 7 = 0 slot plants four same-
+# length template variants differing at ONE byte each (positions
+# 10/30/50/70 of a 130-char digit ramp) — pairwise 2-byte differences
+# -> dHash hamming <= 4 > 0, so the pigeonhole pairing has real work;
+# each variant class is internally byte-identical and collapses to its
+# min-key representative (pairs are BETWEEN classes, never within).
+# doc_id % 11 plants NULL payloads (never hash, never pair).
+
+_IDH_TPL = "repeat('0123456789', 13)"
+_IDH_POS = "(10 + (doc_id % 4) * 20)"
+_IDH_PAYLOAD = (
+    "CASE WHEN doc_id % 11 = 0 THEN NULL "
+    f"WHEN doc_id % 7 = 0 THEN concat("
+    f"substring({_IDH_TPL}, 1, {_IDH_POS}), 'Z', "
+    f"substring({_IDH_TPL}, {_IDH_POS} + 2)) "
+    "ELSE text END"
+)
+_IDH_MAXHAM = 4
+
+
+def _idh_oracle() -> str:
+    ncell = "72"  # GRID_W * GRID_H
+    return f"""
+WITH d AS (SELECT doc_id, {_IDH_PAYLOAD} AS ptxt FROM documents),
+p AS (SELECT CAST(doc_id AS VARCHAR) AS key, ptxt,
+             octet_length(encode(ptxt)) AS n
+      FROM d
+      WHERE ptxt IS NOT NULL AND length(ptxt) > 0
+        AND length(ptxt) = octet_length(encode(ptxt))),
+px AS (SELECT key, pidx,
+              ascii(substring(ptxt,
+                    CAST((pidx * n) // {ncell} + 1 AS INTEGER), 1)) AS v
+       FROM p CROSS JOIN (SELECT unnest(range(0, {ncell})) AS pidx)),
+bits AS (SELECT a.key,
+                CAST((a.pidx // 9) * 8 + (a.pidx % 9) AS INTEGER) AS k,
+                CASE WHEN a.v > b.v THEN '1' ELSE '0' END AS bit
+         FROM px a JOIN px b ON a.key = b.key AND b.pidx = a.pidx + 1
+         WHERE a.pidx % 9 < 8),
+sk AS (SELECT key, string_agg(bit, '' ORDER BY k) AS bs
+       FROM bits GROUP BY key),
+canon AS (SELECT key, bs FROM (
+    SELECT key, bs, row_number() OVER (PARTITION BY bs ORDER BY key) AS rn
+    FROM sk) WHERE rn = 1),
+pairs AS (SELECT a.key AS key_a, b.key AS key_b,
+                 bit_count(xor(a.bs::BIT, b.bs::BIT)) AS hamming
+          FROM canon a JOIN canon b ON a.key < b.key)
+SELECT key_a, key_b, CAST(hamming AS INTEGER) AS hamming
+FROM pairs WHERE hamming <= {_IDH_MAXHAM}
+"""
+
+
+@register(
+    "image_dhash_neardup",
+    _idh_oracle(),
+    doc="Perceptual image near-dup (dHash): resize each binary payload "
+    "to a 9x8 grid, set bit r*8+c iff grid[r][c] > grid[r][c+1] (only "
+    "the SIGN of neighbor differences survives recompression/rescaling "
+    "— the standard 64-bit perceptual sketch LAION-scale image dedup "
+    "runs before any embedding work), then pair sketches within "
+    "hamming <= 4 via the SHARED text-simhash pigeonhole machinery "
+    "(perfect recall, exact bit_count(xor) verify, identical sketches "
+    "collapsed to a min-key representative) "
+    "(operators/imagehash.py::image_neardup_pairs; grid from the same "
+    "deterministic fake-resize as multimodal_byte_ops — no codec in "
+    "the container, decode='real' raises). Oracle recomputes grid, "
+    "comparisons, collapse, and all-pairs BITSTRING hamming in pure "
+    "SQL. Scale: hashing is ONE map-only Arrow pass; pairing pays the "
+    "segment-bucket exchange only — the proven simhash plan, never "
+    "all-pairs.",
+    bench=True,
+)
+def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.imagehash import image_neardup_pairs
+
+    p = (
+        t(spark, sf_dir, "documents")
+        .selectExpr(
+            "CAST(doc_id AS STRING) AS key", f"{_IDH_PAYLOAD} AS ptxt"
+        )
+        .where(
+            "ptxt IS NOT NULL AND length(ptxt) > 0"
+            " AND length(ptxt) = octet_length(ptxt)"
+        )
+        .selectExpr("key", "CAST(ptxt AS BINARY) AS payload")
+    )
+    out = image_neardup_pairs(p, max_hamming=_IDH_MAXHAM)
+    return out.selectExpr("key_a", "key_b", "CAST(hamming AS INT) AS hamming")

@@ -1,0 +1,113 @@
+"""Perceptual dHash + image near-dup pairing (operators/imagehash.py)."""
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.imagehash import (
+    dhash_images,
+    dhash_np,
+    image_neardup_pairs,
+)
+
+
+def _popcount64(x: int) -> int:
+    return bin(x & ((1 << 64) - 1)).count("1")
+
+
+def test_hand_worked_ramps():
+    # identity resize (72 bytes -> 72 cells): increasing ramp means
+    # every neighbor comparison g[c] > g[c+1] is False -> hash 0;
+    # decreasing ramp sets all 64 bits -> int64 two's complement -1
+    inc = bytes(range(72))
+    dec = bytes(range(72))[::-1]
+    assert dhash_np(inc) == 0
+    assert dhash_np(dec) == -1
+
+
+def test_single_byte_flip_is_local():
+    base = bytes(range(72))
+    # spike one interior byte: only the two comparisons touching that
+    # cell can flip -> hamming 1..2, never more
+    flipped = bytearray(base)
+    flipped[40] = 255
+    h = _popcount64(dhash_np(base) ^ dhash_np(bytes(flipped)))
+    assert 1 <= h <= 2
+
+
+def test_null_and_empty():
+    assert dhash_np(None) is None
+    assert dhash_np(b"") == 0  # zero grid: no comparison fires
+
+
+def test_first_bit_weight():
+    # grid cell 0 > cell 1, everything else flat -> exactly bit 0
+    blob = bytes([5] + [1] * 71)
+    assert dhash_np(blob) == 1
+
+
+def test_dhash_images_and_real_decode(spark):
+    rows = [("a", bytes(range(72))), ("b", None)]
+    df = spark.createDataFrame(rows, "key string, payload binary")
+    out = {r["key"]: (r["n_bytes"], r["dhash"]) for r in dhash_images(df).collect()}
+    assert out["a"] == (72, 0)
+    assert out["b"] == (None, None)
+    with pytest.raises(NotImplementedError):
+        dhash_images(df, decode="real")
+
+
+def test_dhash_map_only_plan(spark):
+    df = spark.createDataFrame(
+        [("a", b"xyz")], "key string, payload binary"
+    )
+    plan = (
+        dhash_images(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_neardup_pairs_semantics(spark):
+    base = bytes(range(72))
+    near = bytearray(base)
+    near[40] = 255  # hamming 1..2 to base
+    far = bytes(72)  # flat zero grid: hash 0 vs base's 0 ... careful
+    # base is an increasing ramp -> hash 0 too; make far actually far:
+    far = bytes(range(72))[::-1]  # hash -1, hamming 64 to base
+    rows = [
+        ("a1", base),
+        ("a2", base),  # byte-identical: collapses, never pairs
+        ("b", bytes(near)),
+        ("c", far),
+        ("n", None),
+    ]
+    df = spark.createDataFrame(rows, "key string, payload binary")
+    pairs = {
+        (r["key_a"], r["key_b"]): r["hamming"]
+        for r in image_neardup_pairs(df, max_hamming=4).collect()
+    }
+    assert ("a1", "b") in pairs and 1 <= pairs[("a1", "b")] <= 2
+    # a2 collapsed into a1's sketch class: no (a1, a2) or (a2, b) pair
+    assert all("a2" not in k for k in pairs)
+    assert all("c" not in k for k in pairs)  # hamming 64 >> 4
+    assert all("n" not in k for k in pairs)  # NULL never pairs
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_registry_image_dhash_oracle_parity(spark, sf):
+    """Standing local gate for the past-window registry row."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["image_dhash_neardup"]
+    sf_dir = f"/root/testdata/{sf}"
+    got = sorted(tuple(r) for r in q.spark(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    # schedule sanity: the four planted template classes pair C(4,2)
+    # ways with hamming in (0, 4]
+    assert len(got) >= 6
+    assert all(0 < r[2] <= 4 for r in got)

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 
-__all__ = ["bm25_score_sql", "bm25_topk"]
+__all__ = ["bm25_score_sql", "bm25_topk", "rrf_fuse"]
 
 
 def _check_terms(query_terms: list[str]) -> list[str]:
@@ -125,3 +125,58 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.desc("bm25"), F.col(id_col)).limit(k)
+
+
+def rrf_fuse(
+    legs: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rn",
+    k_rrf: int = 60,
+    k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the
+    standard way hybrid search combines a lexical and a dense leg
+    without score calibration:
+
+        rrf(d) = sum_legs 1 / (k_rrf + rank_leg(d))
+
+    with absent-from-leg contributing 0.  ``legs`` are ALREADY-ranked,
+    BOUNDED frames (a top-k output each: unique ``id_col``, 1-based
+    ``rank_col``) in a FIXED caller-chosen order — the fusion sum is an
+    explicit left-to-right addition chain over that order (full-outer
+    join per leg, never union + SUM), so the double sequence is
+    deterministic and oracle-matchable.  Returns (id_col, rrf round 6,
+    n_legs, rn) ranked by (rrf DESC, id); ``k`` limits the output.
+
+    Scale: every input is a top-k frame (|leg| <= k rows), so the
+    joins and the single-partition rank window touch O(sum k) rows —
+    never the corpus; the corpus-sized work happened inside each leg."""
+    if not legs:
+        raise ValueError("legs must be non-empty")
+    if k_rrf <= 0:
+        raise ValueError(f"k_rrf must be positive, got {k_rrf}")
+    if k is not None and k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    fused = None
+    for i, leg in enumerate(legs):
+        li = leg.select(
+            F.col(id_col), F.col(rank_col).alias(f"_r{i}")
+        )
+        fused = li if fused is None else fused.join(li, id_col, "full_outer")
+    n = len(legs)
+    contrib = " + ".join(
+        f"coalesce(1e0 / ({k_rrf} + _r{i}), 0e0)" for i in range(n)
+    )
+    n_legs = " + ".join(
+        f"(CASE WHEN _r{i} IS NULL THEN 0 ELSE 1 END)" for i in range(n)
+    )
+    out = fused.selectExpr(
+        id_col,
+        f"round({contrib}, {X.ROUND}) AS rrf",
+        f"CAST({n_legs} AS INT) AS n_legs",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("rrf"), F.col(id_col))
+    out = out.withColumn("rn", F.row_number().over(w).cast("long"))
+    return out.where(f"rn <= {k}") if k is not None else out

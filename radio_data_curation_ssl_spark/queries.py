@@ -7122,3 +7122,123 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = image_neardup_pairs(p, max_hamming=_IDH_MAXHAM)
     return out.selectExpr("key_a", "key_b", "CAST(hamming AS INT) AS hamming")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval fusion (r5 session 8) — past-window, standing parity
+# gate in tests/test_bm25.py.  One query, two legs over the SAME id
+# space (documents.doc_id == embeddings.vec_id by construction): the
+# bm25_topk lexical leg (same term list / NULL schedule as that query)
+# and a dense cosine leg against vec 0's embedding (self excluded, the
+# retrieval convention); both legs rank on ROUNDED scores with id
+# tiebreak, fusion is the explicit two-term RRF addition — no SUM, so
+# the double sequence is identical cross-engine.
+
+_HYB_LEG_K = 25
+_HYB_K = 10
+_HYB_KRRF = 60
+
+
+def _hyb_oracle() -> str:
+    from .operators.bm25 import bm25_score_sql
+
+    n = len(_BM25_TERMS)
+    tf_cols = ",\n             ".join(
+        f"{X.term_count('_w', t).duck} AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{i}"
+        for i in range(n)
+    )
+    matched = " + ".join(f"tf_{i}" for i in range(n))
+    cos = X.cosine("q.qe", "b.embedding").duck
+    return f"""
+WITH d AS (SELECT doc_id, {_BM25_TEXT} AS text FROM documents),
+w AS (SELECT doc_id, {X.words('text').duck} AS _w FROM d),
+base AS (SELECT doc_id,
+             CASE WHEN _w IS NULL THEN CAST(0 AS BIGINT)
+                  ELSE CAST(len(_w) AS BIGINT) END AS dl,
+             {tf_cols}
+         FROM w),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl,
+             {df_cols}
+          FROM base),
+bmk AS (SELECT doc_id, round({bm25_score_sql(n)}, {X.ROUND}) AS bm25
+        FROM base, stats
+        WHERE ({matched}) > 0
+        ORDER BY bm25 DESC, doc_id LIMIT {_HYB_LEG_K}),
+bmr AS (SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM bmk),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cosk AS (SELECT b.vec_id AS doc_id, {cos} AS cs
+         FROM embeddings b, q WHERE b.vec_id <> 0
+         ORDER BY cs DESC, doc_id LIMIT {_HYB_LEG_K}),
+cosr AS (SELECT doc_id,
+                row_number() OVER (ORDER BY cs DESC, doc_id) AS r
+         FROM cosk),
+f AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             round(coalesce(1e0 / ({_HYB_KRRF} + b.r), 0e0)
+                   + coalesce(1e0 / ({_HYB_KRRF} + c.r), 0e0),
+                   {X.ROUND}) AS rrf,
+             CAST((CASE WHEN b.r IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN c.r IS NULL THEN 0 ELSE 1 END)
+                  AS INT) AS n_legs
+      FROM bmr b FULL OUTER JOIN cosr c ON b.doc_id = c.doc_id)
+SELECT doc_id, rrf, n_legs,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rn
+FROM f QUALIFY rn <= {_HYB_K}
+"""
+
+
+@register(
+    "hybrid_rrf_topk",
+    _hyb_oracle(),
+    doc="Hybrid retrieval via reciprocal-rank fusion (Cormack et al. "
+    "2009 — the calibration-free way every modern hybrid-search stack "
+    "combines lexical and dense legs): BM25 top-25 (the bm25_topk "
+    "machinery verbatim) fused with a cosine top-25 against a fixed "
+    "query embedding, rrf = 1/(60+r_lex) + 1/(60+r_dense) as an "
+    "EXPLICIT two-term addition (full-outer join of the two bounded "
+    "leg frames, never union+SUM — deterministic double sequence), "
+    "top-10 by (rrf DESC, id) "
+    "(operators/bm25.py::rrf_fuse). Scale: each leg does its own "
+    "corpus-safe plan (BM25: corpus read twice shuffled never; dense: "
+    "broadcast query x corpus map); fusion touches only the <= 50 "
+    "leg rows — joins and the rank window are bounded by k, never "
+    "corpus-sized.",
+    bench=True,
+)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bm25 import bm25_topk, rrf_fuse
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_BM25_TEXT} AS text"
+    )
+    bmk = bm25_topk(d, _BM25_TERMS, k=_HYB_LEG_K)
+    w_bm = Window.orderBy(F.desc("bm25"), F.col("doc_id"))
+    bmr = bmk.withColumn("rn", F.row_number().over(w_bm)).select(
+        "doc_id", "rn"
+    )
+    e = t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.where("vec_id = 0").select(F.col("embedding").alias("qe"))
+    )
+    cos = X.cosine("qe", "embedding").spark
+    cosk = (
+        e.where("vec_id <> 0")
+        .crossJoin(q)
+        .selectExpr("vec_id AS doc_id", f"{cos} AS cs")
+        .orderBy(F.desc("cs"), F.col("doc_id"))
+        .limit(_HYB_LEG_K)
+    )
+    w_cos = Window.orderBy(F.desc("cs"), F.col("doc_id"))
+    cosr = cosk.withColumn("rn", F.row_number().over(w_cos)).select(
+        "doc_id", "rn"
+    )
+    return rrf_fuse(
+        [bmr, cosr], k_rrf=_HYB_KRRF, k=_HYB_K
+    ).selectExpr("doc_id", "rrf", "n_legs", "rn")

@@ -113,3 +113,75 @@ def test_registry_bm25_oracle_parity(spark):
     # pages (idf at work)
     scores = [r[2] for r in got]
     assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion (operators/bm25.py::rrf_fuse)
+
+
+def _leg(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, rn long")
+
+
+def test_rrf_hand_worked(spark):
+    from radio_data_curation_ssl_spark.operators.bm25 import rrf_fuse
+
+    lex = _leg(spark, [(1, 1), (2, 2), (3, 3)])
+    den = _leg(spark, [(2, 1), (4, 2)])
+    out = {
+        r["doc_id"]: (r["rrf"], r["n_legs"], r["rn"])
+        for r in rrf_fuse([lex, den]).collect()
+    }
+    # doc 2 in both legs: 1/62 + 1/61
+    assert out[2] == (round(1 / 62 + 1 / 61, 6), 2, 1)
+    assert out[1] == (round(1 / 61, 6), 1, 2)
+    assert out[4] == (round(1 / 62, 6), 1, 3)
+    assert out[3] == (round(1 / 63, 6), 1, 4)
+
+
+def test_rrf_k_cut_and_tiebreak(spark):
+    from radio_data_curation_ssl_spark.operators.bm25 import rrf_fuse
+
+    # identical ranks in separate legs tie on rrf -> id breaks the tie
+    a = _leg(spark, [(7, 1)])
+    b = _leg(spark, [(5, 1)])
+    out = rrf_fuse([a, b], k=1).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 5
+
+
+def test_rrf_validation(spark):
+    import pytest as _pytest
+
+    from radio_data_curation_ssl_spark.operators.bm25 import rrf_fuse
+
+    with _pytest.raises(ValueError, match="legs"):
+        rrf_fuse([])
+    with _pytest.raises(ValueError, match="k_rrf"):
+        rrf_fuse([_leg(spark, [(1, 1)])], k_rrf=0)
+    with _pytest.raises(ValueError, match="k must"):
+        rrf_fuse([_leg(spark, [(1, 1)])], k=0)
+
+
+def test_registry_hybrid_rrf_oracle_parity(spark):
+    """Standing local gate for the past-window registry row."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["hybrid_rrf_topk"]
+    got = [
+        tuple(r) for r in q.spark(spark, "/root/testdata/sf0.001").collect()
+    ]
+    con = duckdb.connect()
+    for tbl in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{tbl}.parquet'"
+        )
+    want = [tuple(r) for r in con.execute(q.oracle).fetchall()]
+    # ordered comparison: fused ranking and cut must both match
+    assert got == want
+    assert len(got) == 10
+    assert [r[3] for r in got] == list(range(1, 11))
+    # both legs contribute to the fused top-10
+    assert any(r[2] == 1 for r in got)

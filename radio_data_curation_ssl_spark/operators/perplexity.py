@@ -213,3 +213,161 @@ def fit_table(
     if calibrate_to is not None and total > 0:
         lp += calibrate_to - float((counts * lp).sum() / total)
     return np.clip(np.round(lp * _SCALE), -32768, 32767).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff (Brants et al. 2007, "Large Language Models in Machine
+# Translation") — the web-scale backoff scheme: no discounting, no
+# normalization, just
+#
+#     S(w2 | w1) = c(w1 w2) / c(w1)            if the bigram was seen
+#                = 0.4 * c(w2) / N             else (unigram backoff)
+#                = 0.4 / (N + 1)               else (OOV floor)
+#
+# which is exactly what CCNet-style LM filtering needs (scores are
+# compared against a percentile cutoff, so the missing normalization is
+# irrelevant).  This closes the backoff gap of the flat bigram table
+# above: an unseen bigram of two COMMON words no longer scores like
+# gibberish.
+
+BACKOFF = 0.4
+
+
+def backoff_score_sql(backoff: float = BACKOFF) -> str:
+    """The per-bigram Stupid-Backoff log-score — ONE dialect-identical
+    string over named columns ``bn`` (bigram-bucket count, NULL if
+    unseen), ``un1``/``un2`` (head/tail unigram-bucket counts, NULL if
+    unseen) and ``n_total`` (corpus word count).  Both engines evaluate
+    the same IEEE tree (ln precedent: bm25_score_sql is hash-green)."""
+    return (
+        "CASE WHEN bn IS NOT NULL AND un1 IS NOT NULL"
+        " THEN ln(CAST(bn AS DOUBLE) / un1)"
+        f" WHEN un2 IS NOT NULL THEN ln({backoff!r}e0 * un2 / n_total)"
+        f" ELSE ln({backoff!r}e0 / (n_total + 1)) END"
+    )
+
+
+def stupid_backoff_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = TABLE_SIZE,
+    backoff: float = BACKOFF,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """(id, n_bigrams, lp_backoff) — fully-distributed hashed-bucket
+    Stupid Backoff: FIT the count tables on ``train`` (the CCNet shape:
+    a clean reference corpus — defaults to ``docs`` itself, the
+    self-scoring diagnostic, where every observed bigram is trivially
+    seen and only collisions differentiate), SCORE ``docs``.  Backoff
+    branches fire exactly when the scored corpus contains grams absent
+    from ``train``.
+
+    ``lp_backoff`` is the mean per-bigram log-score (round 6; NULL for
+    docs with < 2 words), summed in ARRAY ORDER via a sequential fold
+    over the idx-sorted score list — the _vec_fold precedent — so the
+    double sequence is deterministic and oracle-matchable.  ppl is
+    exp(-lp_backoff) if a caller wants the exponential scale.
+
+    Hashes are the shared 60-bit md5 fragment (functions/text.py::
+    hash64) modulo ``buckets`` — hashed-LM semantics: colliding grams
+    share a count (S may exceed 1; ln stays finite), the price every
+    hashed KenLM pays.  The Arrow-kernel scorer above stays the fast
+    path for a PRE-FITTED table; this plan is the oracle-matched
+    distributed formulation.
+
+    Scale: the corpus is exploded once into word pairs; both count
+    tables are map-side-combined aggregates bounded by ``buckets`` rows
+    (2^16 default) and BROADCAST back; scoring is three broadcast hash
+    joins plus ONE corpus-keyed shuffle (the per-doc re-agg).  No
+    corpus-sized window, no driver traffic beyond the bounded tables.
+    """
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    if not 0 < backoff <= 1:
+        raise ValueError(f"backoff must be in (0, 1], got {backoff}")
+    from pyspark.sql import functions as F
+
+    from ..functions import text as X
+
+    def _prep(frame: DataFrame) -> tuple[DataFrame, DataFrame]:
+        w = frame.selectExpr(
+            id_col, f"{X.words(text_col).spark} AS _words"
+        )
+        tok = w.selectExpr(
+            id_col,
+            "_words",
+            "posexplode(CASE WHEN _words IS NULL OR size(_words) < 2"
+            " THEN array() ELSE slice(_words, 1, size(_words) - 1) END)"
+            " AS (idx, w1)",
+        ).selectExpr(
+            id_col,
+            "idx",
+            "w1",
+            "element_at(_words, idx + 2) AS w2",
+        )
+        return w, tok
+
+    w, tok = _prep(docs)
+    tw, ttok = (w, tok) if train is None else _prep(train)
+    ub = f"({X.hash64('x').spark} % {buckets})"
+    uni = (
+        tw.selectExpr("explode(coalesce(_words, array())) AS x")
+        .selectExpr(f"{ub} AS ub")
+        .groupBy("ub")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    n_total = uni.agg(
+        F.expr("coalesce(CAST(sum(n) AS BIGINT), 0) AS n_total")
+    )
+    bigram_expr = "concat(w1, ' ', w2)"
+    bb = f"({X.hash64(bigram_expr).spark} % {buckets})"
+    big = (
+        ttok.selectExpr(f"{bb} AS bb")
+        .groupBy("bb")
+        .agg(F.count("*").cast("long").alias("bn"))
+    )
+    u1 = f"({X.hash64('w1').spark} % {buckets})"
+    u2 = f"({X.hash64('w2').spark} % {buckets})"
+    scored = (
+        tok.selectExpr(
+            id_col, "idx", f"{bb} AS bb", f"{u1} AS ub1", f"{u2} AS ub2"
+        )
+        .join(F.broadcast(big), "bb", "left")
+        .join(
+            F.broadcast(uni.selectExpr("ub AS ub1", "n AS un1")),
+            "ub1",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.selectExpr("ub AS ub2", "n AS un2")),
+            "ub2",
+            "left",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .selectExpr(id_col, "idx", f"{backoff_score_sql(backoff)} AS s")
+    )
+    per_doc = (
+        scored.groupBy(id_col)
+        .agg(
+            F.expr("sort_array(collect_list(struct(idx, s)))").alias("_a"),
+            F.count("*").cast("long").alias("n_bigrams"),
+        )
+        .selectExpr(
+            id_col,
+            "n_bigrams",
+            # sequential fold in idx order (the _vec_fold precedent)
+            "round(aggregate(transform(_a, x -> x.s),"
+            f" CAST(0.0 AS DOUBLE), (a, v) -> a + v) / n_bigrams,"
+            f" {X.ROUND}) AS lp_backoff",
+        )
+    )
+    return (
+        docs.selectExpr(id_col)
+        .join(per_doc, id_col, "left")
+        .selectExpr(
+            id_col,
+            "coalesce(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams",
+            "lp_backoff",
+        )
+    )

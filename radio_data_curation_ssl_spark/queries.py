@@ -7242,3 +7242,100 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(
         [bmr, cosr], k_rrf=_HYB_KRRF, k=_HYB_K
     ).selectExpr("doc_id", "rrf", "n_legs", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Stupid-Backoff LM scoring (r5 session 8) — past-window, standing
+# parity gate in tests/test_perplexity_backoff.py.  Fit on the
+# doc_id % 3 <> 0 split, score EVERYONE — held-out docs carry grams the
+# tables never saw, so every branch fires deterministically: the % 3 = 1
+# train docs plant the bigram 'qleft qright'; the % 3 = 0 held-out docs
+# plant its REVERSE (both words seen, bigram unseen -> unigram-backoff
+# branch) plus a per-doc-unique 'zzqx<id>' token (word unseen -> OOV
+# floor branch); NULL / empty / one-word legs exercise the
+# no-bigram path (n_bigrams 0, NULL score).
+
+_SBK_TEXT = (
+    "CASE WHEN doc_id % 19 = 0 THEN NULL "
+    "WHEN doc_id % 23 = 0 THEN '' "
+    "WHEN doc_id % 29 = 0 THEN 'solo' "
+    "WHEN doc_id % 3 = 0 THEN"
+    " concat(text, ' qright qleft zzqx', CAST(doc_id AS STRING)) "
+    "WHEN doc_id % 3 = 1 THEN concat(text, ' qleft qright') "
+    "ELSE text END"
+)
+_SBK_B = 65536
+
+
+def _sbk_oracle() -> str:
+    from .operators.perplexity import backoff_score_sql
+
+    h = lambda e: f"({X.hash64(e).duck} % {_SBK_B})"  # noqa: E731
+    return f"""
+WITH d AS (SELECT doc_id, {_SBK_TEXT} AS text FROM documents),
+w AS (SELECT doc_id, {X.words('text').duck} AS words FROM d),
+tw AS (SELECT * FROM w WHERE doc_id % 3 <> 0),
+toki AS (SELECT doc_id, words,
+                unnest(range(0, greatest(coalesce(len(words), 0) - 1, 0)))
+                  AS idx
+         FROM w),
+tok AS (SELECT doc_id, idx, words[idx + 1] AS w1, words[idx + 2] AS w2
+        FROM toki),
+ttoki AS (SELECT doc_id, words,
+                 unnest(range(0, greatest(coalesce(len(words), 0) - 1, 0)))
+                   AS idx
+          FROM tw),
+ttok AS (SELECT words[idx + 1] AS w1, words[idx + 2] AS w2 FROM ttoki),
+allw AS (SELECT unnest(words) AS x FROM tw WHERE words IS NOT NULL),
+uni AS (SELECT {h('x')} AS ub, CAST(count(*) AS BIGINT) AS n
+        FROM allw GROUP BY 1),
+tot AS (SELECT coalesce(CAST(sum(n) AS BIGINT), 0) AS n_total FROM uni),
+big AS (SELECT {h("concat(w1, ' ', w2)")} AS bb,
+               CAST(count(*) AS BIGINT) AS bn
+        FROM ttok GROUP BY 1),
+sc0 AS (SELECT t.doc_id, t.idx, big.bn AS bn, u1.n AS un1, u2.n AS un2,
+               tot.n_total
+        FROM tok t
+        LEFT JOIN big ON {h("concat(t.w1, ' ', t.w2)")} = big.bb
+        LEFT JOIN uni u1 ON {h('t.w1')} = u1.ub
+        LEFT JOIN uni u2 ON {h('t.w2')} = u2.ub
+        CROSS JOIN tot),
+sc AS (SELECT doc_id, idx, {backoff_score_sql()} AS s FROM sc0),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               list_aggregate(list(s ORDER BY idx), 'sum') AS ssum
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+       round(p.ssum / p.n_bigrams, {X.ROUND}) AS lp_backoff
+FROM d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+
+@register(
+    "ppl_stupid_backoff",
+    _sbk_oracle(),
+    doc="Stupid-Backoff LM scoring (Brants et al. 2007 — the web-scale "
+    "backoff scheme: S(w2|w1) = c(w1w2)/c(w1) if seen, else "
+    "0.4*c(w2)/N, else the 0.4/(N+1) OOV floor; no discounting or "
+    "normalization, exactly right for CCNet-style percentile "
+    "filtering). Closes the backoff gap of the flat hashed-bigram "
+    "table: an unseen bigram of two common words no longer scores "
+    "like gibberish. FIT on the doc_id%3<>0 split, SCORE all "
+    "(operators/perplexity.py::stupid_backoff_scores; the per-bigram "
+    "log-score is ONE dialect-identical string, per-doc sums fold in "
+    "idx order — the _vec_fold precedent). Scale: corpus exploded "
+    "once; both count tables are map-side-combined aggs bounded by "
+    "2^16 rows and BROADCAST back; three broadcast hash joins + ONE "
+    "corpus-keyed shuffle (the per-doc re-agg). No corpus window, "
+    "driver sees nothing.",
+    bench=True,
+)
+def q_ppl_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.perplexity import stupid_backoff_scores
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_SBK_TEXT} AS text"
+    )
+    return stupid_backoff_scores(
+        d, buckets=_SBK_B, train=d.where("doc_id % 3 <> 0")
+    )

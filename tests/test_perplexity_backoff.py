@@ -1,0 +1,130 @@
+"""Stupid-Backoff LM scoring (operators/perplexity.py::stupid_backoff_scores)."""
+
+import math
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.perplexity import (
+    BACKOFF,
+    backoff_score_sql,
+    stupid_backoff_scores,
+)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hand_worked_branches(spark):
+    # train corpus: 'a b a b' -> unigrams {a:2, b:2}, N=4,
+    # bigrams {'a b':2, 'b a':1}
+    train = _frame(spark, [(100, "a b a b")])
+    docs = _frame(
+        spark,
+        [
+            (1, "a b"),      # seen bigram: ln(c(ab)/c(a)) = ln(2/2) = 0
+            (2, "b a"),      # seen bigram: ln(1/2)
+            (3, "b b"),      # unseen bigram, b seen: ln(0.4 * 2/4)
+            (4, "a zz"),     # zz unseen: floor ln(0.4/5)
+            (5, None),       # NULL: 0 bigrams, NULL score
+            (6, "solo"),     # 1 word: 0 bigrams, NULL score
+            (7, ""),         # empty: 0 bigrams, NULL score
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["lp_backoff"])
+        for r in stupid_backoff_scores(docs, train=train).collect()
+    }
+    assert out[1] == (1, round(math.log(2 / 2), 6))
+    assert out[2] == (1, round(math.log(1 / 2), 6))
+    assert out[3] == (1, round(math.log(0.4 * 2 / 4), 6))
+    assert out[4] == (1, round(math.log(0.4 / 5), 6))
+    for did in (5, 6, 7):
+        assert out[did] == (0, None), did
+
+
+def test_mean_over_multiple_bigrams(spark):
+    train = _frame(spark, [(100, "a b a b")])
+    docs = _frame(spark, [(1, "a b a")])  # 'a b' then 'b a'
+    r = stupid_backoff_scores(docs, train=train).collect()[0]
+    want = round((math.log(1.0) + math.log(0.5)) / 2, 6)
+    assert (r["n_bigrams"], r["lp_backoff"]) == (2, want)
+
+
+def test_self_scoring_default_train(spark):
+    # train defaults to docs: every bigram is seen, scores finite
+    docs = _frame(spark, [(1, "x y x"), (2, "y x y")])
+    out = stupid_backoff_scores(docs).collect()
+    assert all(r["lp_backoff"] is not None for r in out)
+    assert all(r["n_bigrams"] == 2 for r in out)
+
+
+def test_ordering_beats_gibberish(spark):
+    # the whole point of backoff: an unseen bigram of two COMMON words
+    # outscores an OOV-word bigram
+    train = _frame(spark, [(100, "the cat sat on the mat")])
+    docs = _frame(spark, [(1, "mat cat"), (2, "zz qq")])
+    out = {
+        r["doc_id"]: r["lp_backoff"]
+        for r in stupid_backoff_scores(docs, train=train).collect()
+    }
+    assert out[1] > out[2]
+
+
+def test_validation_fails_loud(spark):
+    d = _frame(spark, [(1, "a b")])
+    with pytest.raises(ValueError, match="buckets"):
+        stupid_backoff_scores(d, buckets=0)
+    with pytest.raises(ValueError, match="backoff"):
+        stupid_backoff_scores(d, backoff=0.0)
+    with pytest.raises(ValueError, match="backoff"):
+        stupid_backoff_scores(d, backoff=1.5)
+
+
+def test_backoff_score_sql_is_one_string():
+    # shared-string contract: no dialect-specific spellings inside
+    s = backoff_score_sql()
+    assert "0.4e0" in s and "ln(" in s
+    assert BACKOFF == 0.4
+
+
+def test_plan_broadcast_tables_one_shuffle(spark):
+    train = _frame(spark, [(100, "a b a b c d")])
+    docs = _frame(spark, [(1, "a b"), (2, "c d")])
+    plan = (
+        stupid_backoff_scores(docs, train=train)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_registry_backoff_oracle_parity(spark, sf):
+    """Standing local gate for the past-window registry row."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["ppl_stupid_backoff"]
+    sf_dir = f"/root/testdata/{sf}"
+    got = sorted(tuple(r) for r in q.spark(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    # schedule sanity: the no-bigram legs produced NULL scores and the
+    # held-out OOV plants scored strictly below the train-split median
+    nulls = [r for r in got if r[2] is None]
+    assert nulls and all(r[1] == 0 for r in nulls)
+    scored = [r for r in got if r[2] is not None]
+    held = [r[2] for r in scored if r[0] % 3 == 0]
+    trained = sorted(r[2] for r in scored if r[0] % 3 != 0)
+    assert held and trained
+    assert sum(h < trained[len(trained) // 2] for h in held) > len(held) / 2

@@ -41,6 +41,13 @@ def main(argv: list[str] | None = None) -> int:
         "per-member gzip) from this dir instead of a parquet pages table "
         "(sources/warc.py)",
     )
+    src.add_argument(
+        "--input-wet",
+        help="ingest Common Crawl WET archives (extracted-text "
+        "conversion records; same three gzip layouts) from this dir — "
+        "the html->text stage is skipped (extractor='pretext'), "
+        "everything downstream runs unchanged (sources/warc.py)",
+    )
     src.add_argument("--synth", type=int, help="generate N synthetic pages instead")
     ap.add_argument("--output", required=True)
     ap.add_argument("--run-root", required=True, help="dir for _runs/_metrics")
@@ -469,8 +476,15 @@ def main(argv: list[str] | None = None) -> int:
             from radio_data_curation_ssl_spark.sources.warc import read_warc
 
             pages = read_warc(spark, args.input_warc)
+        elif args.input_wet:
+            from radio_data_curation_ssl_spark.sources.warc import read_wet
+
+            pages = read_wet(spark, args.input_wet)
         else:
-            ap.error("one of --input / --input-warc / --synth required")
+            ap.error(
+                "one of --input / --input-warc / --input-wet / --synth "
+                "required"
+            )
         if args.noindex_filter:
             from radio_data_curation_ssl_spark.operators.htmltext import (
                 filter_noindex,
@@ -484,7 +498,15 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             pages = filter_robots_disallowed(pages, rules_from_pages(pages))
-        extractor = "generic" if args.generic_extract else "contract"
+        if args.input_wet:
+            if args.generic_extract:
+                ap.error(
+                    "--generic-extract extracts from html; WET input "
+                    "carries pre-extracted text (extractor='pretext')"
+                )
+            extractor = "pretext"
+        else:
+            extractor = "generic" if args.generic_extract else "contract"
         if args.models:
             from jobs.fit_models import load_models
 

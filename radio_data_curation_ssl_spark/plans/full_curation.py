@@ -234,7 +234,9 @@ def curate_dedup_sample(
     ``extractor`` is passed through to :func:`..plans.pipeline.curate`:
     ``"generic"`` scores real-crawl html via the tag-strip extraction
     (operators/htmltext.py) instead of the synthetic-skeleton contract
-    parse.  Ignored when ``curated`` is supplied.
+    parse; ``"pretext"`` skips extraction for pages whose ``text`` is
+    already populated (WET archives, existing text datasets).  Ignored
+    when ``curated`` is supplied.
 
     ``rep_filter`` stacks the Gopher repetition-signals battery
     (operators/repsignals.py) on the curated keep set: documents whose
@@ -329,7 +331,7 @@ def curate_dedup_sample(
             raise ValueError("token_budget and sample_alpha are exclusive")
     if near_dup not in ("minhash", "simhash", "none"):
         raise ValueError(f"unknown near_dup mode {near_dup!r}")
-    if extractor not in ("contract", "generic"):
+    if extractor not in ("contract", "generic", "pretext"):
         raise ValueError(f"unknown extractor {extractor!r}")
     if host_cap is not None and host_cap < 1:
         raise ValueError(f"host_cap must be >= 1, got {host_cap}")

@@ -53,12 +53,15 @@ def curate(
 
     ``extractor`` picks the html -> text stage: ``"contract"`` (the
     byte-exact synthetic-skeleton parse, operators/extract.py — the
-    BASELINE byte-identity contract) or ``"generic"`` (the tag-strip /
+    BASELINE byte-identity contract), ``"generic"`` (the tag-strip /
     entity-decode chain for ARBITRARY crawl html,
     operators/htmltext.py::extract_docs_generic — codegen'd column
-    expressions, zero Python).  Generic extraction scores through the
-    modular chain (its text never enters the fused kernel, which
-    re-extracts from html by contract).
+    expressions, zero Python), or ``"pretext"`` (pages arrive with
+    ``text`` already extracted — WET archives via
+    sources/warc.py::read_wet, or existing text datasets — the stage is
+    a pure projection).  Generic/pretext score through the modular
+    chain (their text never enters the fused kernel, which re-extracts
+    from html by contract).
 
     ``charset_aware=True`` (generic extractor only) runs the BOM /
     <meta charset> / windows-1252-fallback decode tier
@@ -71,7 +74,7 @@ def curate(
     mean_word_len, stopword_ratio, symbol_word_ratio, rep_bigram_frac,
     drop_reason, keep (order differs slightly between modes).
     """
-    if extractor not in ("contract", "generic"):
+    if extractor not in ("contract", "generic", "pretext"):
         raise ValueError(f"unknown extractor {extractor!r}")
     if fused and extractor == "contract":
         # everything in one python pass
@@ -81,6 +84,18 @@ def curate(
             from ..operators.htmltext import extract_docs_generic
 
             docs = extract_docs_generic(pages, charset_aware=charset_aware)
+        elif extractor == "pretext":
+            # pages arrive with text ALREADY extracted (WET archives,
+            # existing text datasets — sources/warc.py::read_wet): skip
+            # the html->text stage, pass text through unchanged; html is
+            # typically NULL so n_bytes_html is NULL, not 0
+            docs = pages.selectExpr(
+                "url",
+                "warc_ts",
+                "text",
+                "lang AS lang_claimed",
+                "CAST(length(html) AS BIGINT) AS n_bytes_html",
+            )
         else:
             docs = extract_docs(pages)
         if models is None:

@@ -46,7 +46,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["parse_warc_bytes", "read_warc", "write_warc"]
+__all__ = [
+    "parse_warc_bytes",
+    "parse_wet_bytes",
+    "read_warc",
+    "read_wet",
+    "write_warc",
+    "write_wet",
+]
 
 PAGES_SCHEMA = T.StructType(
     [
@@ -153,14 +160,13 @@ def _http_body(payload: bytes) -> bytes:
     return body
 
 
-def parse_warc_bytes(data: bytes) -> list[dict]:
-    """All ``response`` records of one WARC buffer as dicts
-    ``{url, warc_ts, html}``.  Pure bytes scanning; tolerant of
-    truncation, garbage, corrupt gzip members, negative/invalid lengths
-    (stops cleanly, keeps everything parsed so far)."""
+def _iter_records(data: bytes):
+    """(headers, body) for every record of one WARC buffer.  Pure bytes
+    scanning; tolerant of truncation, garbage, corrupt gzip members,
+    negative/invalid lengths (stops cleanly, keeps everything parsed so
+    far)."""
     if data[:2] == b"\x1f\x8b":  # whole-file OR per-member gzip
         data = _gunzip_tolerant(data)
-    out: list[dict] = []
     pos = 0
     n = len(data)
     while pos < n:
@@ -184,14 +190,48 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
         # records are separated by two CRLFs
         while data[pos : pos + 2] == b"\r\n":
             pos += 2
+        yield headers, body
+
+
+def _record_meta(headers: dict) -> tuple[str, object]:
+    url = headers.get(b"warc-target-uri", b"").decode(
+        "utf-8", errors="replace"
+    )
+    raw_ts = headers.get(b"warc-date")
+    return url, (_parse_ts(raw_ts) if raw_ts else None)
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """All ``response`` records of one WARC buffer as dicts
+    ``{url, warc_ts, html}`` (warcinfo/request/metadata records are
+    skipped)."""
+    out: list[dict] = []
+    for headers, body in _iter_records(data):
         if headers.get(b"warc-type") != b"response":
             continue
-        url = headers.get(b"warc-target-uri", b"").decode(
-            "utf-8", errors="replace"
-        )
-        raw_ts = headers.get(b"warc-date")
-        ts = _parse_ts(raw_ts) if raw_ts else None
+        url, ts = _record_meta(headers)
         out.append({"url": url, "warc_ts": ts, "html": _http_body(body)})
+    return out
+
+
+def parse_wet_bytes(data: bytes) -> list[dict]:
+    """All ``conversion`` records of one WET buffer as dicts
+    ``{url, warc_ts, text}`` — the Common Crawl WET layout: the same
+    WARC record grammar, but the payload is the ALREADY-EXTRACTED plain
+    text (no HTTP envelope), and each file leads with a ``warcinfo``
+    record (skipped here, like every non-conversion type)."""
+    out: list[dict] = []
+    for headers, body in _iter_records(data):
+        if headers.get(b"warc-type") != b"conversion":
+            continue
+        url, ts = _record_meta(headers)
+        out.append(
+            {
+                "url": url,
+                "warc_ts": ts,
+                "text": body.decode("utf-8", errors="replace"),
+            }
+        )
     return out
 
 
@@ -221,6 +261,41 @@ def read_warc(
                     "warc_ts": [r["warc_ts"] for r in rows],
                     "html": [r["html"] for r in rows],
                     "text": pd.array([None] * len(rows), dtype=object),
+                    "lang": pd.array([None] * len(rows), dtype=object),
+                }
+            )
+
+    return files.mapInPandas(parse, PAGES_SCHEMA)
+
+
+def read_wet(
+    spark: SparkSession, path: str, pattern: str = "*.wet*"
+) -> DataFrame:
+    """WET files under ``path`` -> the pages table with ``text`` ALREADY
+    populated (``html``/``lang`` NULL) — the Common Crawl extracted-text
+    layout most text pipelines consume.  Curate these with
+    ``extractor="pretext"`` (plans/pipeline.py): the html->text stage is
+    skipped, everything downstream (langid, ppl, heuristics, scrub,
+    dedup) runs unchanged.  Same Spark shape as :func:`read_warc`: one
+    binaryFile row per archive, pure-bytes record scanning per task."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            rows = []
+            for blob in b["content"]:
+                rows.extend(parse_wet_bytes(bytes(blob)))
+            yield pd.DataFrame(
+                {
+                    "url": [r["url"] for r in rows],
+                    "warc_ts": [r["warc_ts"] for r in rows],
+                    "html": pd.array([None] * len(rows), dtype=object),
+                    "text": [r["text"] for r in rows],
                     "lang": pd.array([None] * len(rows), dtype=object),
                 }
             )
@@ -280,6 +355,75 @@ def write_warc(
         if not blob:
             continue
         name = f"{path}/part-{i:05d}.warc" + (".gz" if compress else "")
+        with open(name, "wb") as f:
+            f.write(blob)
+        n += 1
+    return n
+
+
+def _wet_record(url: str, ts, text: str) -> bytes:
+    """One WET conversion record (scalar twin of what parse_wet_bytes
+    reads): the WARC grammar with a raw utf-8 text payload, no HTTP
+    envelope."""
+    body = (text or "").encode("utf-8")
+    when = (ts or datetime.now(timezone.utc)).astimezone(timezone.utc)
+    when = when.strftime("%Y-%m-%dT%H:%M:%SZ")
+    hdr = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + f"WARC-Date: {when}\r\n".encode()
+        + b"Content-Type: text/plain\r\n"
+        + f"Content-Length: {len(body)}\r\n".encode()
+    )
+    return hdr + b"\r\n" + body + _CRLF2
+
+
+_WET_INFO = (
+    b"WARC/1.0\r\n"
+    b"WARC-Type: warcinfo\r\n"
+    b"Content-Type: application/warc-fields\r\n"
+    b"Content-Length: 24\r\n"
+    b"\r\n"
+    b"format: WARC File v1.0\r\n"
+    + _CRLF2
+)
+
+
+def write_wet(
+    pages: DataFrame, path: str, compress: bool | str = False
+) -> int:
+    """Pages -> one WET file per partition under ``path`` (round-trip
+    fixture writer, :func:`write_warc`'s extracted-text twin).  Each
+    file leads with a ``warcinfo`` record exactly like Common Crawl's
+    production WET layout, so readers must prove they skip it.
+    ``compress``: False / True (whole-file gzip) / ``"member"`` (one
+    gzip member per record).  Returns the file count."""
+    import os
+
+    if compress not in (False, True, "member"):
+        raise ValueError(f"compress must be False/True/'member', got {compress!r}")
+    os.makedirs(path, exist_ok=True)
+
+    def build(i, it):
+        recs = [_WET_INFO] + [
+            _wet_record(r.url, r.warc_ts, r.text) for r in it
+        ]
+        if len(recs) == 1:  # empty partition: no file
+            return []
+        if compress == "member":
+            return [(i, b"".join(gzip.compress(r) for r in recs))]
+        blob = b"".join(recs)
+        return [(i, gzip.compress(blob) if compress else blob)]
+
+    parts = pages.select("url", "warc_ts", "text").rdd.mapPartitionsWithIndex(
+        build
+    )
+    n = 0
+    for i, blob in parts.toLocalIterator():
+        if not blob:
+            continue
+        name = f"{path}/part-{i:05d}.warc.wet" + (".gz" if compress else "")
         with open(name, "wb") as f:
             f.write(blob)
         n += 1

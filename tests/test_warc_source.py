@@ -185,3 +185,135 @@ def test_chunked_and_content_encoded_bodies_decode():
     )
     got = {r["url"]: r["html"] for r in parse_warc_bytes(recs)}
     assert got == {"https://ex.org/c": html, "https://ex.org/g": html}
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text conversion records, sources/warc.py::read_wet)
+
+
+def test_parse_wet_skips_warcinfo_and_response():
+    from datetime import datetime, timezone
+
+    from radio_data_curation_ssl_spark.sources.warc import (
+        _record,
+        _wet_record,
+        _WET_INFO,
+        parse_wet_bytes,
+    )
+
+    ts = datetime(2021, 5, 12, 10, 0, 0, tzinfo=timezone.utc)
+    blob = (
+        _WET_INFO
+        + _wet_record("https://a.com/x", ts, "hello world\nline two")
+        + _record("https://h.com/z", ts, b"<html>x</html>")  # response rec
+        + _wet_record("https://b.com/y", ts, "déjà vu")
+    )
+    rows = parse_wet_bytes(blob)
+    assert [r["url"] for r in rows] == ["https://a.com/x", "https://b.com/y"]
+    assert rows[0]["text"] == "hello world\nline two"
+    assert rows[1]["text"] == "déjà vu"  # utf-8 payload decode
+    assert all(r["warc_ts"] is not None for r in rows)
+
+
+def test_wet_roundtrip_all_layouts(spark, pages_small, tmp_path):
+    from radio_data_curation_ssl_spark.operators.extract import extract_docs
+    from radio_data_curation_ssl_spark.sources.warc import (
+        read_wet,
+        write_wet,
+    )
+
+    wet_pages = (
+        extract_docs(pages_small.limit(120))
+        .where("text IS NOT NULL")
+        .selectExpr("url", "warc_ts", "text")
+    )
+    orig = {
+        r["url"]: (r["text"], r["warc_ts"]) for r in wet_pages.collect()
+    }
+    for compress, sub in [(False, "plain"), (True, "gz"), ("member", "cc")]:
+        path = str(tmp_path / sub)
+        n = write_wet(wet_pages, path, compress=compress)
+        assert n >= 1
+        back = read_wet(spark, path)
+        got = {
+            r["url"]: (r["text"], r["warc_ts"]) for r in back.collect()
+        }
+        assert got == orig  # text AND timestamps identical
+        # html / lang are NULL through WET
+        assert back.where("html IS NOT NULL OR lang IS NOT NULL").count() == 0
+
+
+def test_wet_pages_curate_identically_via_pretext(
+    spark, pages_small, tmp_path
+):
+    """keep/drop per url is the same whether text comes from the html
+    extraction or rides in pre-extracted through a WET archive."""
+    from radio_data_curation_ssl_spark.operators.extract import extract_docs
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+    from radio_data_curation_ssl_spark.sources.warc import (
+        read_wet,
+        write_wet,
+    )
+
+    pages = pages_small.limit(200)
+    extracted = extract_docs(pages).where("text IS NOT NULL")
+    path = str(tmp_path / "wet")
+    write_wet(
+        extracted.selectExpr("url", "warc_ts", "text"), path,
+        compress="member",
+    )
+    direct = {
+        r["url"]: (r["keep"], r["drop_reason"])
+        for r in curate(pages).collect()
+        if r["url"] in {x["url"] for x in extracted.select("url").collect()}
+    }
+    via_wet = {
+        r["url"]: (r["keep"], r["drop_reason"])
+        for r in curate(read_wet(spark, path), extractor="pretext").collect()
+    }
+    assert via_wet == direct
+    assert sum(1 for k, _ in via_wet.values() if k) > 0
+
+
+def test_wet_job_e2e(spark, tmp_path):
+    """--input-wet end to end: WET archive -> pretext curation ->
+    published sample; --generic-extract is rejected for WET input."""
+    from radio_data_curation_ssl_spark.operators.extract import extract_docs
+    from radio_data_curation_ssl_spark.plans import snapshots
+    from radio_data_curation_ssl_spark.sources.warc import write_wet
+    from radio_data_curation_ssl_spark.synth import synth_pages
+
+    from jobs.run_curation import main
+
+    wet_dir = str(tmp_path / "crawl")
+    write_wet(
+        extract_docs(synth_pages(spark, 400, seed=7, partitions=4))
+        .where("text IS NOT NULL")
+        .selectExpr("url", "warc_ts", "text"),
+        wet_dir,
+        compress="member",
+    )
+    out = str(tmp_path / "out")
+    rc = main(
+        [
+            "--input-wet", wet_dir,
+            "--sample-target", "50",
+            "--output", out,
+            "--run-root", str(tmp_path / "meta"),
+        ]
+    )
+    assert rc == 0
+    rows = snapshots.read(spark, f"{out}/sample").collect()
+    assert rows and all(r["text_scrubbed"].strip() for r in rows)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(
+            [
+                "--input-wet", wet_dir,
+                "--generic-extract",
+                "--sample-target", "10",
+                "--output", str(tmp_path / "out2"),
+                "--run-root", str(tmp_path / "meta2"),
+            ]
+        )

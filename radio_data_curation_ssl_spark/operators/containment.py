@@ -1,0 +1,111 @@
+"""Jaccard-containment partial-duplicate detection — the asymmetric
+near-dup signal the symmetric family (minhash / simhash / winnowing)
+structurally misses: a short document QUOTED INSIDE a long one has
+tiny Jaccard similarity (the union is dominated by the long side) but
+containment
+
+    C(A -> B) = |S(A) intersect S(B)| / |S(A)|
+
+near 1.  Reposts-with-commentary, quote farms, and excerpt spam are
+exactly this shape; Gopher-class pipelines measure containment next to
+Jaccard for that reason, and MinHash banding CANNOT surface these
+pairs (banding recall is calibrated on Jaccard, which is low here).
+
+Detection plan (the inverted-index join, df-pruned):
+
+1. distinct word-``k``-shingle hashes per doc (one explode + distinct);
+2. shingle document frequencies; shingles with ``df > max_df`` are
+   PRUNED — the skew guard: a boilerplate shingle shared by 10^6 docs
+   would emit 10^12 candidate pairs, and a pair whose only shared
+   shingles are that common is not a partial dup.  Pruned shingles
+   leave the DENOMINATOR too (containment is measured over the pruned
+   sets, consistently on both sides); a doc whose shingles are all
+   pruned simply pairs with nothing — fail-open;
+3. self-join on the surviving shingles (``id_a < id_b``), count shared
+   shingles per pair — fan-out bounded by ``max_df`` per shingle;
+4. join the per-doc pruned set sizes back, emit both directions
+   ``c_ab`` / ``c_ba`` (round 6) and keep pairs whose LARGER direction
+   reaches ``tau``.
+
+Scale: no all-pairs anywhere — the pair volume is
+``sum_shingles df^2 <= max_df * sum df``, linear in corpus shingle
+volume with a ``max_df`` constant; shuffles are the explode-distinct,
+the df count + join-back (same key, exchange reusable), the pair
+aggregate, and two bounded joins for the sizes.
+
+Reference analog (SURVEY §6): the reference's near-dup legs are
+embedding-space (`/root/reference/scripts/NNs_statistic.py`); shingle
+containment is the lexical partial-overlap twin for the web-text
+payload, composing the same fragments as the n-gram Jaccard query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+__all__ = ["containment_pairs"]
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    tau: float = 0.8,
+    max_df: int = 32,
+) -> DataFrame:
+    """(id_a, id_b, n_shared, c_ab, c_ba) for pairs with
+    ``max(c_ab, c_ba) >= tau`` over distinct word-``k``-shingle hashes
+    (the shared 31-bit shingle fragment — hash collisions merge
+    shingles, the documented hashed-sketch semantics).  Docs with fewer
+    than ``k`` words have no shingles and never pair."""
+    if k != 3:
+        # the paired shingle fragment family is trigram-based; other k
+        # would silently diverge from the oracle fragments
+        raise ValueError("only k=3 (trigram shingles) is supported")
+    if not 0 < tau <= 1:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2, got {max_df}")
+    sh = (
+        docs.selectExpr(id_col, f"{X.words(text_col).spark} AS words")
+        .selectExpr(id_col, f"{X.trigrams('words').spark} AS trigrams")
+        .selectExpr(id_col, f"explode({X.shingle_hashes('trigrams').spark}) AS h")
+        .distinct()
+    )
+    df_keep = (
+        sh.groupBy("h")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("h")
+    )
+    kept = sh.join(df_keep, "h")
+    sizes = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    a = kept.selectExpr(f"{id_col} AS id_a", "h")
+    b = kept.selectExpr(f"{id_col} AS id_b", "h")
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    out = (
+        pairs.join(
+            sizes.selectExpr(f"{id_col} AS id_a", "sz AS sz_a"), "id_a"
+        )
+        .join(sizes.selectExpr(f"{id_col} AS id_b", "sz AS sz_b"), "id_b")
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "n_shared",
+            f"round(n_shared / sz_a, {X.ROUND}) AS c_ab",
+            f"round(n_shared / sz_b, {X.ROUND}) AS c_ba",
+        )
+        .where(f"greatest(c_ab, c_ba) >= {tau!r}")
+    )
+    return out

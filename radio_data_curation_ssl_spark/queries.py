@@ -7339,3 +7339,95 @@ def q_ppl_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stupid_backoff_scores(
         d, buckets=_SBK_B, train=d.where("doc_id % 3 <> 0")
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment partial-dup (r5 session 8) — past-window, standing parity
+# gate in tests/test_containment.py.  Families keyed by doc_id % 25: a
+# 12-word family template is planted verbatim as an 'excerpt' doc
+# (doc_id % 11, plus a unique tail word) and as the PREFIX of a long
+# 'superset' doc (doc_id % 7, template + full base text) — the excerpt
+# is contained in every same-family superset (C near 1) while their
+# JACCARD is tiny (the superset's own text dominates the union), the
+# exact pair class banding misses.  Superset-superset same-family pairs
+# share only the 10 interior template shingles against 100+-word sets —
+# below tau both ways.  doc_id % 19 NULL pages and the doc_id % 13
+# hot-shingle plant ('hot0 hot1 ... repeated verbatim in EVERY such
+# doc' -> df >> max_df, pruned by the skew guard) never pair.
+
+_CNT_S = "CAST(doc_id % 25 AS STRING)"
+_CNT_FAMILY = (
+    "concat('fa', s, ' fb', s, ' fc', s, ' fd', s, ' fe', s, ' ff', s,"
+    " ' fg', s, ' fh', s, ' fi', s, ' fj', s, ' fk', s, ' fl', s)"
+)
+_CNT_TEXT = (
+    f"CASE WHEN doc_id % 19 = 0 THEN NULL "
+    f"WHEN doc_id % 13 = 0 THEN"
+    f" concat('hot0 hot1 hot2 hot3 hot4 tail', CAST(doc_id AS STRING)) "
+    f"WHEN doc_id % 11 = 0 THEN"
+    f" concat({_CNT_FAMILY}, ' tail', CAST(doc_id AS STRING)) "
+    f"WHEN doc_id % 7 = 0 THEN concat({_CNT_FAMILY}, ' ', text) "
+    f"ELSE text END"
+)
+_CNT_TAU = 0.8
+_CNT_MAXDF = 32
+
+
+def _cnt_oracle() -> str:
+    w = X.words("text")
+    tg = X.trigrams("words")
+    shl = X.shingle_hashes("trigrams")
+    return f"""
+WITH d0 AS (SELECT doc_id, {_CNT_S} AS s, text FROM documents),
+d AS (SELECT doc_id, {_CNT_TEXT} AS text FROM d0),
+w AS (SELECT doc_id, {w.duck} AS words FROM d),
+tg AS (SELECT doc_id, {tg.duck} AS trigrams FROM w),
+sh AS (SELECT DISTINCT doc_id, unnest({shl.duck}) AS h FROM tg),
+keeph AS (SELECT h FROM (SELECT h, count(*) AS df FROM sh GROUP BY h)
+          WHERE df <= {_CNT_MAXDF}),
+kept AS (SELECT sh.doc_id, sh.h FROM sh JOIN keeph ON sh.h = keeph.h),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+       FROM kept GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared,
+       round(n_shared / sa.sz, {X.ROUND}) AS c_ab,
+       round(n_shared / sb.sz, {X.ROUND}) AS c_ba
+FROM pairs
+JOIN sz sa ON pairs.id_a = sa.doc_id
+JOIN sz sb ON pairs.id_b = sb.doc_id
+WHERE greatest(round(n_shared / sa.sz, {X.ROUND}),
+               round(n_shared / sb.sz, {X.ROUND})) >= {_CNT_TAU!r}
+"""
+
+
+@register(
+    "containment_partial_dup",
+    _cnt_oracle(),
+    doc="Jaccard-CONTAINMENT partial-dup pairs — the asymmetric signal "
+    "the symmetric near-dup family structurally misses: a short doc "
+    "quoted inside a long one has tiny Jaccard (union dominated by "
+    "the long side) but |A∩B|/|A| near 1; reposts-with-commentary and "
+    "excerpt spam are exactly this shape, and MinHash banding cannot "
+    "surface them (banding recall is calibrated on Jaccard). "
+    "Inverted-index join over distinct trigram-shingle hashes with a "
+    "df <= 32 skew guard: a boilerplate shingle in 10^6 docs would "
+    "emit 10^12 candidates, and pairs sharing only such shingles are "
+    "not partial dups — pruned shingles leave numerator AND "
+    "denominator, docs with nothing left pair with nothing, fail-open "
+    "(operators/containment.py::containment_pairs). Scale: pair "
+    "volume bounded by max_df per shingle (never all-pairs); explode-"
+    "distinct + df count/join-back + pair agg + two bounded joins.",
+    bench=True,
+)
+def q_containment_partial_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.containment import containment_pairs
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_CNT_S} AS s", "text"
+    ).selectExpr("doc_id", f"{_CNT_TEXT} AS text")
+    return containment_pairs(
+        d, tau=_CNT_TAU, max_df=_CNT_MAXDF
+    ).selectExpr("id_a", "id_b", "n_shared", "c_ab", "c_ba")

@@ -1,0 +1,110 @@
+"""Containment partial-dup detection (operators/containment.py)."""
+
+import pytest
+
+from radio_data_curation_ssl_spark.operators.containment import (
+    containment_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hand_worked_excerpt(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "p q r s t"),                      # 3 trigrams
+            (2, "p q r s t u v w x y"),            # 8 trigrams, contains 1
+            (3, "z1 z2 z3"),                       # disjoint
+            (4, None),                             # NULL: no shingles
+            (5, "a b"),                            # < 3 words: no shingles
+        ],
+    )
+    out = {(r["id_a"], r["id_b"]): r for r in containment_pairs(d).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert r["n_shared"] == 3
+    assert r["c_ab"] == 1.0
+    assert r["c_ba"] == pytest.approx(3 / 8, abs=1e-6)
+
+
+def test_low_jaccard_high_containment(spark):
+    # the pair class MinHash banding misses: Jaccard tiny, containment 1
+    long_tail = " ".join(f"w{i}" for i in range(60))
+    d = _docs(spark, [(1, "p q r s t"), (2, f"p q r s t {long_tail}")])
+    r = containment_pairs(d).collect()[0]
+    jacc = r["n_shared"] / (5 - 2 + 63 - 2 - r["n_shared"] + r["n_shared"])
+    assert r["c_ab"] == 1.0
+    assert jacc < 0.2
+
+
+def test_hot_shingle_skew_guard(spark):
+    # 40 docs all sharing one 7-word template (5 shared trigrams of 6
+    # per doc -> c = 0.833): df 40 > max_df 32 -> template shingles
+    # pruned, nothing pairs; raising max_df pairs them
+    rows = [(i, f"h0 h1 h2 h3 h4 h5 h6 tail{i}") for i in range(40)]
+    d = _docs(spark, rows)
+    assert containment_pairs(d, max_df=32).count() == 0
+    assert containment_pairs(d, max_df=64).count() > 0
+
+
+def test_tau_filters_weak_overlap(spark):
+    # 3 shared trigrams vs a 20-trigram doc on BOTH sides: max
+    # containment 0.6 < 0.8 -> dropped; tau=0.5 keeps it
+    mid_a = " ".join(f"a{i}" for i in range(17))
+    mid_b = " ".join(f"b{i}" for i in range(17))
+    d = _docs(
+        spark,
+        [(1, f"p q r s t {mid_a}"), (2, f"p q r s t {mid_b}")],
+    )
+    assert containment_pairs(d, tau=0.8).count() == 0
+    assert containment_pairs(d, tau=0.15).count() == 1
+
+
+def test_validation_fails_loud(spark):
+    d = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="k=3"):
+        containment_pairs(d, k=5)
+    with pytest.raises(ValueError, match="tau"):
+        containment_pairs(d, tau=0.0)
+    with pytest.raises(ValueError, match="max_df"):
+        containment_pairs(d, max_df=1)
+
+
+def test_no_cartesian_plan(spark):
+    d = _docs(spark, [(1, "a b c d"), (2, "b c d e")])
+    plan = (
+        containment_pairs(d)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_registry_containment_oracle_parity(spark, sf):
+    """Standing local gate for the past-window registry row."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["containment_partial_dup"]
+    sf_dir = f"/root/testdata/{sf}"
+    got = sorted(tuple(r) for r in q.spark(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    # schedule sanity: excerpt->superset pairs present (one direction
+    # high, the other low — the asymmetric signature), and no pair is
+    # driven by the pruned hot-shingle plant (doc_id % 13 docs)
+    assert got
+    assert any(max(r[3], r[4]) >= 0.8 and min(r[3], r[4]) < 0.5 for r in got)
+    assert not any(r[0] % 13 == 0 and r[1] % 13 == 0 for r in got)

@@ -1,0 +1,93 @@
+"""Property fuzz for the byte-level parsers (WARC/WET record walker,
+charset sniffing, dHash) — pure scalar paths, no SparkSession.
+
+The tolerance contracts these prove are load-bearing at crawl scale:
+one malformed record in a 100 TB archive must cost at most that
+record, never a task (crash) or an executor (infinite loop)."""
+
+from datetime import datetime, timezone
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from radio_data_curation_ssl_spark.operators.charset import sniff_charset
+from radio_data_curation_ssl_spark.operators.imagehash import dhash_np
+from radio_data_curation_ssl_spark.sources.warc import (
+    _record,
+    _wet_record,
+    parse_warc_bytes,
+    parse_wet_bytes,
+)
+
+_TS = datetime(2021, 5, 12, 10, 0, 0, tzinfo=timezone.utc)
+
+# header values are CRLF-delimited and whitespace-stripped by the
+# header grammar, so URLs are drawn from the URL-legal alphabet
+URLS = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "0123456789/._~?=&%+-#@!$'()*,;:[]",
+    min_size=0,
+    max_size=80,
+).map(lambda s: "https://h.example/" + s)
+
+# arbitrary unicode text INCLUDING CRLF pairs and the record separator
+# sequence — Content-Length delimits the payload, so these must survive
+TEXTS = st.text(min_size=0, max_size=300) | st.just(
+    "line\r\n\r\nWARC/1.0\r\nlooks-like-a-header: yes\r\n\r\n"
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=2000))
+def test_parsers_never_crash_or_hang_on_garbage(data):
+    assert isinstance(parse_warc_bytes(data), list)
+    assert isinstance(parse_wet_bytes(data), list)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_garbage_suffix_keeps_valid_prefix(tail):
+    rec = _wet_record("https://a.com/x", _TS, "hello world")
+    rows = parse_wet_bytes(rec + b"WARC/" + tail)
+    assert [r["text"] for r in rows] == ["hello world"]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(URLS, TEXTS), min_size=1, max_size=8))
+def test_wet_roundtrip_arbitrary_text(pairs):
+    blob = b"".join(_wet_record(u, _TS, t) for u, t in pairs)
+    rows = parse_wet_bytes(blob)
+    assert [(r["url"], r["text"]) for r in rows] == list(pairs)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(URLS, st.binary(max_size=300)), min_size=1, max_size=8))
+def test_warc_roundtrip_arbitrary_html_bytes(pairs):
+    # html bytes may contain gzip magic, CRLFCRLF, WARC/ headers —
+    # the HTTP envelope's Content-Length delimits them all
+    blob = b"".join(_record(u, _TS, h) for u, h in pairs)
+    rows = parse_warc_bytes(blob)
+    assert [(r["url"], bytes(r["html"])) for r in rows] == list(pairs)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=1000))
+def test_sniff_charset_total(data):
+    codec, source = sniff_charset(data)
+    assert codec in ("utf-8", "windows-1252", "utf-16-le", "utf-16-be")
+    assert source in ("bom", "meta", "valid-utf8", "fallback")
+    # the decision must be actionable: decoding with the chosen codec
+    # plus errors='replace' can never raise
+    data.decode(codec, errors="replace")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=72, max_size=500), st.data())
+def test_dhash_single_byte_flip_is_local(blob, data):
+    # for payloads >= 72 bytes every grid cell samples a DISTINCT byte,
+    # so one flipped byte can move at most two neighbor comparisons
+    pos = data.draw(st.integers(0, len(blob) - 1))
+    flipped = bytearray(blob)
+    flipped[pos] ^= 0xFF
+    h = dhash_np(blob) ^ dhash_np(bytes(flipped))
+    assert bin(h & ((1 << 64) - 1)).count("1") <= 2

@@ -267,6 +267,52 @@ def url_digit_frac(col: str) -> P:
     )
 
 
+_IP_HOST_RE = (
+    r"^(\d{1,3}(\.\d{1,3}){3}|\[[0-9a-fA-F:]+\])(:\d+)?$"
+)
+
+
+def url_host_is_ip(col: str) -> P:
+    """TRUE when the URL's host is a raw IP literal (dotted-quad IPv4
+    or bracketed IPv6, optional port) — overwhelmingly machine/spam
+    endpoints, not quality web hosts.  NULL url -> NULL."""
+    h = url_host(col)
+    return P(
+        f"CASE WHEN {col} IS NULL THEN NULL"
+        f" ELSE {h.spark} rlike {_sq(_IP_HOST_RE)} END",
+        f"CASE WHEN {col} IS NULL THEN NULL"
+        f" ELSE regexp_matches({h.duck}, {_dq(_IP_HOST_RE)}) END",
+    )
+
+
+def url_host_is_punycode(col: str) -> P:
+    """TRUE when any host label is punycode-encoded (``xn--`` prefix,
+    the IDN homograph-spoof surface) — a routing signal, not a verdict
+    (plenty of legitimate IDN hosts exist).  NULL url -> NULL."""
+    pat = r"(^|\.)xn--"
+    h = url_host(col)
+    return P(
+        f"CASE WHEN {col} IS NULL THEN NULL"
+        f" ELSE {h.spark} rlike {_sq(pat)} END",
+        f"CASE WHEN {col} IS NULL THEN NULL"
+        f" ELSE regexp_matches({h.duck}, {_dq(pat)}) END",
+    )
+
+
+def url_port(col: str) -> P:
+    """Explicit NON-DEFAULT port as INTEGER, NULL when absent
+    (``url_host`` already strips the scheme-default :80/:443, so any
+    surviving port is non-default — session/dev/proxy endpoints)."""
+    pat = r":(\d+)$"
+    h = url_host(col)
+    return P(
+        f"CAST(nullif(regexp_extract({h.spark}, {_sq(pat)}, 1), '')"
+        " AS INTEGER)",
+        f"CAST(nullif(regexp_extract({h.duck}, {_dq(pat)}, 1), '')"
+        " AS INTEGER)",
+    )
+
+
 def url_date_ymd(col: str) -> P:
     """Raw 'Y-M-D' date string carried by the URL path, or NULL.
 

@@ -246,20 +246,38 @@ URL_SHAPE_THRESHOLDS: dict[str, float] = {
 
 
 def url_shape_keep_condition(th: dict[str, float]) -> str:
-    """Keep predicate over the four shape COLUMNS (shared by operator
-    and oracle).  NULL url -> NULL signals -> kept (fail-open: no
-    signal is not spam; a NULL url dies downstream anyway)."""
+    """Keep predicate over the shape COLUMNS (shared by operator and
+    oracle).  Raw-IP hosts are dropped unconditionally (overwhelmingly
+    machine endpoints, not quality web hosts); punycode and explicit
+    ports stay SIGNALS only — legitimate IDN hosts and dev ports
+    exist.  NULL url -> NULL signals -> kept (fail-open: no signal is
+    not spam; a NULL url dies downstream anyway)."""
     return (
         f"coalesce(url_len <= {th['max_len']}"
         f" AND url_depth <= {th['max_depth']}"
         f" AND url_digit_frac <= {th['max_digit_frac']}"
-        f" AND url_n_params <= {th['max_params']}, true)"
+        f" AND url_n_params <= {th['max_params']}"
+        f" AND NOT url_is_ip_host, true)"
     )
+
+
+URL_SHAPE_COLS = [
+    "url_len",
+    "url_depth",
+    "url_digit_frac",
+    "url_n_params",
+    "url_is_ip_host",
+    "url_is_punycode",
+    "url_port",
+]
 
 
 def with_url_shape(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Add ``url_len``, ``url_depth`` (non-empty path segments),
-    ``url_digit_frac``, ``url_n_params``.  Map-only codegen."""
+    ``url_digit_frac``, ``url_n_params``, plus the host-shape tier:
+    ``url_is_ip_host`` (raw IPv4/bracketed-IPv6 literal),
+    ``url_is_punycode`` (any xn-- label), ``url_port`` (explicit
+    non-default port, NULL when absent).  Map-only codegen."""
     from ..functions import url as U
 
     return df.withColumns(
@@ -268,6 +286,11 @@ def with_url_shape(df: DataFrame, url_col: str = "url") -> DataFrame:
             "url_depth": F.expr(U.url_depth(url_col).spark),
             "url_digit_frac": F.expr(U.url_digit_frac(url_col).spark),
             "url_n_params": F.expr(U.url_n_params(url_col).spark),
+            "url_is_ip_host": F.expr(U.url_host_is_ip(url_col).spark),
+            "url_is_punycode": F.expr(
+                U.url_host_is_punycode(url_col).spark
+            ),
+            "url_port": F.expr(U.url_port(url_col).spark),
         }
     )
 
@@ -286,9 +309,7 @@ def filter_url_shape(
     kept = with_url_shape(df, url_col).where(
         url_shape_keep_condition(th)
     )
-    return kept.drop(
-        "url_len", "url_depth", "url_digit_frac", "url_n_params"
-    )
+    return kept.drop(*URL_SHAPE_COLS)
 
 
 # ---------------------------------------------------------------------------

@@ -4689,6 +4689,10 @@ def q_gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _US_URL = (
     "CASE WHEN doc_id % 17 = 0 THEN NULL "
+    "WHEN doc_id % 13 = 0 THEN concat('http://93.184.216.34:8080/p-',"
+    " CAST(doc_id AS STRING)) "  # raw-IP host + non-default port
+    "WHEN doc_id % 19 = 0 THEN concat('https://xn--nxasmq6b.example/i-',"
+    " CAST(doc_id AS STRING)) "  # punycode label
     "WHEN doc_id % 11 = 0 THEN concat('https://spam.example.com/',"
     " repeat('x', 2100)) "  # over max_len
     "WHEN doc_id % 7 = 0 THEN concat('https://id.example.com/s/',"
@@ -4715,9 +4719,13 @@ s AS (SELECT doc_id,
              {U.url_len("url").duck} AS url_len,
              {U.url_depth("url").duck} AS url_depth,
              {U.url_digit_frac("url").duck} AS url_digit_frac,
-             {U.url_n_params("url").duck} AS url_n_params
+             {U.url_n_params("url").duck} AS url_n_params,
+             {U.url_host_is_ip("url").duck} AS url_is_ip_host,
+             {U.url_host_is_punycode("url").duck} AS url_is_punycode,
+             {U.url_port("url").duck} AS url_port
       FROM pg)
 SELECT doc_id, url_len, url_depth, url_digit_frac, url_n_params,
+       url_is_ip_host, url_is_punycode, url_port,
        {url_shape_keep_condition(URL_SHAPE_THRESHOLDS)} AS shape_keep
 FROM s
 """
@@ -4730,7 +4738,10 @@ FROM s
     "next to the blocklist and word lists (operators/urlfilter.py::"
     "with_url_shape / filter_url_shape): machine-generated and spam "
     "URLs are long (> 2048 chars), digit-heavy (> 50%), deeply nested "
-    "(> 10 path segments), or parameter-stuffed (> 8). The Spark side "
+    "(> 10 path segments), parameter-stuffed (> 8), or served off a "
+    "raw IP literal (dropped unconditionally — machine endpoints); "
+    "punycode xn-- labels (IDN homograph surface) and explicit "
+    "non-default ports are emitted as SIGNALS only. The Spark side "
     "runs the PRODUCTION operator over derived urls exercising every "
     "shape + NULL (fail-open — no signal is not spam); the oracle "
     "computes the same paired fragments (functions/url.py) and the "
@@ -4739,6 +4750,7 @@ FROM s
 )
 def q_url_shape_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.urlfilter import (
+        URL_SHAPE_COLS,
         URL_SHAPE_THRESHOLDS,
         url_shape_keep_condition,
         with_url_shape,
@@ -4750,10 +4762,7 @@ def q_url_shape_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = with_url_shape(pages)
     return out.selectExpr(
         "doc_id",
-        "url_len",
-        "url_depth",
-        "url_digit_frac",
-        "url_n_params",
+        *URL_SHAPE_COLS,
         f"{url_shape_keep_condition(URL_SHAPE_THRESHOLDS)} AS shape_keep",
     )
 

@@ -369,6 +369,29 @@ def test_url_shape_feature_values(spark):
     )
 
 
+def test_url_host_shape_signals(spark):
+    urls = [
+        "http://93.184.216.34:8080/x",           # IPv4 + port
+        "https://[2001:db8::1]/y",               # bracketed IPv6
+        "https://xn--nxasmq6b.example/z",        # punycode label
+        "https://ok.example.com:8443/a",         # named host, odd port
+        "https://ok.example.com/a",              # clean
+        "https://ok.example.com:443/a",          # default port stripped
+        None,
+    ]
+    rows = {r["id"]: r for r in with_url_shape(_shape_df(spark, urls)).collect()}
+    assert rows[0]["url_is_ip_host"] and rows[0]["url_port"] == 8080
+    assert rows[1]["url_is_ip_host"] and rows[1]["url_port"] is None
+    assert rows[2]["url_is_punycode"] and not rows[2]["url_is_ip_host"]
+    assert not rows[3]["url_is_ip_host"] and rows[3]["url_port"] == 8443
+    assert not rows[4]["url_is_ip_host"] and rows[4]["url_port"] is None
+    assert rows[5]["url_port"] is None  # :443 is default for https
+    assert rows[6]["url_is_ip_host"] is None  # NULL url -> NULL signal
+    # keep semantics: raw-IP hosts drop; punycode / odd ports stay
+    kept = {r["id"] for r in filter_url_shape(_shape_df(spark, urls)).collect()}
+    assert kept == {2, 3, 4, 5, 6}
+
+
 def test_filter_url_shape_semantics(spark):
     urls = [
         "https://ok.example.com/a/b",  # kept

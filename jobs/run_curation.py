@@ -84,6 +84,13 @@ def main(argv: list[str] | None = None) -> int:
         "canonicalized own url — subsumes --url-dedup)",
     )
     ap.add_argument(
+        "--attach-pub-dates",
+        action="store_true",
+        help="with --sample-target: join publication metadata "
+        "(meta/time/URL-path date, validity-railed) onto the published "
+        "sample by url (operators/pagemeta.py)",
+    )
+    ap.add_argument(
         "--line-dedup",
         action="store_true",
         help="with --sample-target: remove globally-duplicated 10-word "
@@ -408,6 +415,7 @@ def main(argv: list[str] | None = None) -> int:
     if (
         args.url_dedup
         or args.canonical_dedup
+        or args.attach_pub_dates
         or args.line_dedup
         or args.substring_dedup
         or args.seen_urls
@@ -607,6 +615,7 @@ def main(argv: list[str] | None = None) -> int:
                     work_dir=f"{args.output}/_work",
                     url_dedup=args.url_dedup,
                     canonical_dedup=args.canonical_dedup,
+                    attach_pub_dates=args.attach_pub_dates,
                     blocked_domains=blocked,
                     url_hard_words=_csv(args.url_hard_words),
                     url_soft_words=_csv(args.url_soft_words),

@@ -75,6 +75,7 @@ def curate_dedup_sample(
     simhash_max_hamming: int = 3,
     url_dedup: bool = False,
     canonical_dedup: bool = False,
+    attach_pub_dates: bool = False,
     line_dedup: bool = False,
     substring_dedup: bool = False,
     substring_min_len: int = 8,
@@ -132,7 +133,12 @@ def curate_dedup_sample(
     declaring the same canonical target collapse to one even when their
     urls differ beyond tracking params (print views, session-id paths,
     pagination); pages without one fall back to the canonicalized-url
-    key, so it subsumes ``url_dedup`` when enabled.  ``line_dedup``
+    key, so it subsumes ``url_dedup`` when enabled.
+    ``attach_pub_dates`` joins the publication metadata
+    (operators/pagemeta.py: pub_year/month/day, pub_date,
+    pub_date_source — NULL when no marker parses valid) onto the
+    published sample by url, one min-warc_ts capture per url — the
+    temporal columns C4/Dolma-style corpora publish.  ``line_dedup``
     additionally removes globally-duplicated 10-word spans from the
     published ``text_scrubbed`` (C4's line-level dedup, case-preserving);
     surviving text is whitespace-normalized, docs whose spans all lose
@@ -941,11 +947,32 @@ def curate_dedup_sample(
             if capped_m is not None:
                 capped_m.unpersist()
         neat = shaped
+    def _maybe_dates(sample: DataFrame) -> DataFrame:
+        # attach_pub_dates: publication metadata joined back by url —
+        # ONE capture per url (min warc_ts, the first-capture
+        # convention) so recaptured urls never multiply the sample
+        if not attach_pub_dates:
+            return sample
+        from ..operators.pagemeta import PAGEDATE_COLS, with_page_dates
+
+        dates = keep_first(
+            with_page_dates(pages).select(
+                "url", "warc_ts", *PAGEDATE_COLS
+            ),
+            ["url"],
+            ["warc_ts"],
+        ).drop("warc_ts")
+        return sample.join(dates, "url", "left")
+
     # balanced sample across predicted languages (water-fill quota);
     # clamp target to the surviving population
     n = neat.count()
     if n == 0 or (target == 0 and token_budget is None):
-        return neat.select("url", "warc_ts", "text_scrubbed", "lang_pred").limit(0)
+        return _maybe_dates(
+            neat.select(
+                "url", "warc_ts", "text_scrubbed", "lang_pred"
+            ).limit(0)
+        )
     if token_budget is not None:
         from ..functions import text as X
         from ..operators.budget import take_weight_budget
@@ -980,7 +1007,9 @@ def curate_dedup_sample(
         out = stratified_sample(
             neat, "lang_pred", "url", min(target, n), exact=True
         )
-    return out.select("url", "warc_ts", "text_scrubbed", "lang_pred")
+    return _maybe_dates(
+        out.select("url", "warc_ts", "text_scrubbed", "lang_pred")
+    )
 
 
 def publish_sample(sample: DataFrame, root: str, tag: str = "current") -> int:

@@ -7440,3 +7440,86 @@ def q_containment_partial_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         d, tau=_CNT_TAU, max_df=_CNT_MAXDF
     ).selectExpr("id_a", "id_b", "n_shared", "c_ab", "c_ba")
+
+
+# ---------------------------------------------------------------------------
+# Corpus freshness histogram (r5 session 8) — past-window, standing
+# parity gate in tests/test_pagemeta.py.  The data-card statistic a
+# temporal-metadata extractor feeds: per-(pub_year, source) document
+# counts plus each bucket's corpus fraction, with the undated mass as
+# its own NULL bucket.  Reuses the page_date_extract derivation
+# verbatim, so the histogram is over the SAME planted schedule.
+
+
+def _cfh_oracle() -> str:
+    from .functions import html as H
+    from .functions import url as U
+    from .operators.pagemeta import CANDIDATES, pagedate_sql
+
+    raw = {
+        "meta": H.meta_content("html", "article:published_time").duck,
+        "time": H.time_datetime("html").duck,
+        "url": U.url_date_ymd("url").duck,
+    }
+    parts = ", ".join(
+        f"{H.iso_ymd_part(f'_pd_{c}', i).duck} AS {p}_{c}"
+        for c in CANDIDATES
+        for i, p in ((1, "y"), (2, "m"), (3, "d"))
+    )
+    s = pagedate_sql()
+    return f"""
+WITH base AS (SELECT doc_id, {_PGD_URL} AS url, {_PGD_HTML} AS html
+              FROM documents),
+raw AS (SELECT doc_id,
+               {raw['meta']} AS _pd_meta,
+               {raw['time']} AS _pd_time,
+               {raw['url']} AS _pd_url
+        FROM base),
+parts AS (SELECT doc_id, {parts} FROM raw),
+fin AS (SELECT doc_id,
+               {s['pub_year']} AS pub_year,
+               {s['pub_date_source']} AS pub_date_source
+        FROM parts),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM fin)
+SELECT pub_year, pub_date_source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) / tot.n_total, {X.ROUND}) AS frac
+FROM fin CROSS JOIN tot
+GROUP BY pub_year, pub_date_source, tot.n_total
+"""
+
+
+@register(
+    "corpus_date_histogram",
+    _cfh_oracle(),
+    doc="Corpus freshness histogram — the data-card statistic the "
+    "temporal-metadata extractor feeds (C4/Dolma-style corpora report "
+    "date coverage and year mix): per-(pub_year, pub_date_source) "
+    "document counts + corpus fractions, undated mass as the NULL "
+    "bucket. Composes page_date_extract's map-only extraction with "
+    "ONE bounded aggregate (<= year-window x 3 sources + 1 groups) "
+    "and a broadcast single-row total. Scale: one map-side-combined "
+    "shuffle to a few dozen rows; the corpus is read once.",
+    bench=True,
+)
+def q_corpus_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pagemeta import with_page_dates
+
+    pages = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_PGD_URL} AS url",
+        f"CAST({_PGD_HTML} AS BINARY) AS html",
+    )
+    dated = with_page_dates(pages)
+    tot = dated.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        dated.groupBy("pub_year", "pub_date_source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "pub_year",
+            "pub_date_source",
+            "n_docs",
+            f"round(n_docs / n_total, {X.ROUND}) AS frac",
+        )
+    )

@@ -229,6 +229,64 @@ def test_flow_canonical_dedup_collapses_declared_twins(spark, pages_small):
     assert on.where(F.col("url").contains("/print")).count() == 0
 
 
+def test_flow_attach_pub_dates(spark, pages_small):
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    # plant an article:published_time meta tag into every page's html
+    dated = pages_small.withColumn(
+        "html",
+        F.concat(
+            F.encode(
+                F.lit(
+                    '<meta property="article:published_time"'
+                    ' content="2021-05-12T08:00:00Z">'
+                ),
+                "utf-8",
+            ),
+            "html",
+        ),
+    )
+    out = curate_dedup_sample(
+        dated, target=40, near_dup="none", attach_pub_dates=True
+    )
+    rows = out.collect()
+    assert rows
+    assert {"pub_year", "pub_month", "pub_day", "pub_date",
+            "pub_date_source"} <= set(out.columns)
+    assert all(r["pub_date"] == "2021-05-12" for r in rows)
+    assert all(r["pub_date_source"] == "meta" for r in rows)
+    # without the flag the schema is unchanged
+    plain = curate_dedup_sample(pages_small, target=40, near_dup="none")
+    assert "pub_date" not in plain.columns
+    # undated pages carry NULLs, and sample size never multiplies
+    undated = curate_dedup_sample(
+        pages_small, target=40, near_dup="none", attach_pub_dates=True
+    )
+    urows = undated.collect()
+    assert len(urows) == len(
+        curate_dedup_sample(pages_small, target=40, near_dup="none").collect()
+    )
+    assert all(r["pub_date"] is None for r in urows)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_registry_date_histogram_oracle_parity(spark, sf):
+    """Standing local gate for the past-window registry row."""
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["corpus_date_histogram"]
+    sf_dir = f"/root/testdata/{sf}"
+    got = {tuple(r) for r in q.spark(spark, sf_dir).collect()}
+    want = {tuple(r) for r in _duck(sf_dir).execute(q.oracle).fetchall()}
+    assert got == want
+    # fractions over ALL buckets (incl. the undated NULL bucket) sum to 1
+    assert sum(r[3] for r in got) == pytest.approx(1.0, abs=1e-4)
+
+
 def test_flow_canonical_dedup_rejects_precomputed_curated(
     spark, pages_small
 ):

@@ -7523,3 +7523,123 @@ def q_corpus_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"round(n_docs / n_total, {X.ROUND}) AS frac",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mirror-host clusters (r5 session 8) — past-window, standing parity
+# gate in tests/test_hostgraph.py.  The derivation builds 9 mirror
+# groups of 3 hosts each: with i = doc_id, group g = i % 9, mirror
+# m = (i DIV 9) % 3, content slot c = (i DIV 27) % 20 — for fixed g the
+# three js {3a, 3a+1, 3a+2} share slot a % 20 across DIFFERENT mirrors,
+# so each group's hosts share ~20 contents (>> min_shared) while groups
+# share nothing (content text is namespaced by g).  The doc_id % 13
+# override plants ONE boilerplate text on EVERY host — 27 distinct
+# hosts > max_hosts_per_content, pruned by the cap, proving boilerplate
+# never welds the groups into one component.  doc_id % 19 NULL urls
+# never participate.  Integer division is spelled per dialect
+# (Spark DIV vs DuckDB //), values are paired by construction.
+
+_MIR_MIN_SHARED = 3
+_MIR_CAP = 20
+
+
+def _mir_div(dialect: str, a: str, b: int) -> str:
+    return f"({a} DIV {b})" if dialect == "spark" else f"({a} // {b})"
+
+
+def _mir_host(dialect: str) -> str:
+    m = _mir_div(dialect, "doc_id", 9)
+    return (
+        "concat('g', CAST(doc_id % 9 AS STRING), 'm', "
+        f"CAST({m} % 3 AS STRING), '.ex.com')"
+    )
+
+
+def _mir_url(dialect: str) -> str:
+    return (
+        "CASE WHEN doc_id % 19 = 0 THEN NULL ELSE "
+        f"concat('https://', {_mir_host(dialect)}, '/p', "
+        "CAST(doc_id AS STRING)) END"
+    )
+
+
+def _mir_text(dialect: str) -> str:
+    c = _mir_div(dialect, "doc_id", 27)
+    return (
+        "CASE WHEN doc_id % 13 = 0 THEN 'boilerplate cookie wall' "
+        "ELSE concat('g', CAST(doc_id % 9 AS STRING), '-c', "
+        f"CAST({c} % 20 AS STRING), ' mirrored article body') END"
+    )
+
+
+def _mir_oracle() -> str:
+    from .functions import url as U
+
+    return f"""
+WITH RECURSIVE
+pg AS (SELECT doc_id, {_mir_url('duck')} AS url,
+              {_mir_text('duck')} AS text
+       FROM documents),
+hc AS (SELECT DISTINCT {U.url_host('url').duck} AS host,
+                       md5(text) AS content
+       FROM pg
+       WHERE url IS NOT NULL AND text IS NOT NULL),
+hc2 AS (SELECT host, content FROM hc WHERE host IS NOT NULL AND host != ''),
+capk AS (SELECT content FROM (SELECT content, count(*) AS nh
+                              FROM hc2 GROUP BY content)
+         WHERE nh <= {_MIR_CAP}),
+kept AS (SELECT hc2.host, hc2.content FROM hc2
+         JOIN capk ON hc2.content = capk.content),
+p AS (SELECT a.host AS h1, b.host AS h2
+      FROM kept a JOIN kept b ON a.content = b.content AND a.host < b.host
+      GROUP BY 1, 2 HAVING count(*) >= {_MIR_MIN_SHARED}),
+e AS (SELECT h1 AS a, h2 AS b FROM p
+      UNION SELECT h2, h1 FROM p
+      UNION SELECT h1, h1 FROM p
+      UNION SELECT h2, h2 FROM p),
+r AS (SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+comp AS (SELECT a AS host, min(b) AS mirror_group FROM r GROUP BY a),
+sz AS (SELECT mirror_group, CAST(count(*) AS BIGINT) AS n_hosts
+       FROM comp GROUP BY 1)
+SELECT comp.host, comp.mirror_group, sz.n_hosts
+FROM comp JOIN sz ON comp.mirror_group = sz.mirror_group
+"""
+
+
+@register(
+    "mirror_host_clusters",
+    _mir_oracle(),
+    doc="Mirror-host clusters — hosts serving the SAME content "
+    "(mirrors, scraper farms, parked-domain duplicates): dedup removes "
+    "the duplicate documents, but budget/sampling stages also need to "
+    "know the HOSTS are one property (a per-host cap over-represents a "
+    "40-mirror site 40x). Distinct (host, md5(text)) pairs; contents "
+    "on more than the cap's distinct hosts are DROPPED (skew guard "
+    "doubling as semantics: cookie-wall boilerplate on 10^5 hosts is "
+    "boilerplate, not mirror evidence, and would emit 10^10 pairs); "
+    "host pairs sharing >= min_shared surviving contents are edges; "
+    "components via the shared bipartite min-label propagation "
+    "(operators/hostgraph.py::mirror_host_clusters + "
+    "operators/components.py). The oracle recomputes the closure with "
+    "a RECURSIVE CTE on explicit host-host edges (the "
+    "dedup_components pattern — the iterative distributed algorithm "
+    "gets a full hash oracle). Scale: pair fan-out bounded by the "
+    "cap, never all-pairs; two partial-aggregable shuffles + one "
+    "scalar per iteration, mirror cliques have diameter ~2.",
+    bench=True,
+)
+def q_mirror_host_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.hostgraph import mirror_host_clusters
+
+    pages = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_mir_url('spark')} AS url",
+        f"{_mir_text('spark')} AS text",
+    )
+    return mirror_host_clusters(
+        pages,
+        min_shared=_MIR_MIN_SHARED,
+        max_hosts_per_content=_MIR_CAP,
+    )

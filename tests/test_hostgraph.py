@@ -374,3 +374,106 @@ def test_host_rank_job_synth_smoke(spark, tmp_path):
     log = RunLog(spark, str(tmp_path / "meta"))
     statuses = [r["status"] for r in log.runs().collect()]
     assert "done" in statuses and "failed" not in statuses
+
+
+# ---------------------------------------------------------------------------
+# Mirror-host clusters (hostgraph.mirror_host_clusters)
+
+
+def _mirror_docs(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_mirror_clusters_hand_worked(spark):
+    from radio_data_curation_ssl_spark.operators.hostgraph import (
+        mirror_host_clusters,
+    )
+
+    rows = [
+        # a.com and b.com share 3 contents -> one cluster
+        ("https://a.com/1", "x1"), ("https://b.com/1", "x1"),
+        ("https://a.com/2", "x2"), ("https://b.com/2", "x2"),
+        ("https://a.com/3", "x3"), ("https://b.com/3", "x3"),
+        # c.com shares only 2 with a.com -> below min_shared, no edge
+        ("https://c.com/1", "x1"), ("https://c.com/2", "x2"),
+        # d.com is unrelated -> absent from output
+        ("https://d.com/1", "y1"),
+        # NULLs never participate
+        (None, "x1"), ("https://a.com/9", None),
+    ]
+    out = {
+        r["host"]: (r["mirror_group"], r["n_hosts"])
+        for r in mirror_host_clusters(
+            _mirror_docs(spark, rows), min_shared=3
+        ).collect()
+    }
+    assert set(out) == {"a.com", "b.com"}
+    assert out["a.com"] == ("a.com", 2)
+    assert out["b.com"] == ("a.com", 2)
+
+
+def test_mirror_transitive_and_cap(spark):
+    from radio_data_curation_ssl_spark.operators.hostgraph import (
+        mirror_host_clusters,
+    )
+
+    # chain: a-b share s1..s3, b-c share t1..t3 (a and c share nothing
+    # directly) -> ONE component via b
+    rows = []
+    for i in range(3):
+        rows += [(f"https://a.com/s{i}", f"s{i}"),
+                 (f"https://b.com/s{i}", f"s{i}"),
+                 (f"https://b.com/t{i}", f"t{i}"),
+                 (f"https://c.com/t{i}", f"t{i}")]
+    # boilerplate on 40 hosts: above the cap, welds nothing
+    for h in range(40):
+        rows.append((f"https://z{h}.com/cw", "cookie wall"))
+    out = {
+        r["host"]: r["mirror_group"]
+        for r in mirror_host_clusters(
+            _mirror_docs(spark, rows), min_shared=3,
+            max_hosts_per_content=32,
+        ).collect()
+    }
+    assert set(out) == {"a.com", "b.com", "c.com"}
+    assert len(set(out.values())) == 1  # transitive closure via b
+
+
+def test_mirror_validation(spark):
+    import pytest as _pytest
+
+    from radio_data_curation_ssl_spark.operators.hostgraph import (
+        mirror_host_clusters,
+    )
+
+    d = _mirror_docs(spark, [("https://a.com/1", "x")])
+    with _pytest.raises(ValueError, match="min_shared"):
+        mirror_host_clusters(d, min_shared=0)
+    with _pytest.raises(ValueError, match="max_hosts_per_content"):
+        mirror_host_clusters(d, max_hosts_per_content=1)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_registry_mirror_clusters_oracle_parity(spark, sf):
+    """Standing local gate for the past-window registry row."""
+    import duckdb
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["mirror_host_clusters"]
+    sf_dir = f"/root/testdata/{sf}"
+    got = sorted(tuple(r) for r in q.spark(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    # schedule sanity: exactly 9 groups of 3 mirrors, no boilerplate weld
+    groups = {}
+    for host, grp, n in got:
+        groups.setdefault(grp, set()).add(host)
+        assert n == 3
+    assert len(groups) == 9
+    assert all(len(hs) == 3 for hs in groups.values())

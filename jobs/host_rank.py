@@ -59,6 +59,27 @@ def main(argv: list[str] | None = None) -> int:
         "(operators/anchors.py); same pages scan",
     )
     ap.add_argument(
+        "--mirrors-out",
+        default=None,
+        help="also write (host, mirror_group, n_hosts) mirror clusters "
+        "from the same pages scan (operators/hostgraph.py::"
+        "mirror_host_clusters over generically-extracted text) — feeds "
+        "run_curation --mirror-hosts for a mirror-aware host cap",
+    )
+    ap.add_argument(
+        "--mirror-min-shared",
+        type=int,
+        default=3,
+        help="shared contents required for a mirror edge (default 3)",
+    )
+    ap.add_argument(
+        "--mirror-cap",
+        type=int,
+        default=32,
+        help="max distinct hosts a content may appear on before it is "
+        "boilerplate, not mirror evidence (default 32)",
+    )
+    ap.add_argument(
         "--anchor-topk",
         type=int,
         default=10,
@@ -140,6 +161,22 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 k=args.anchor_topk,
             ).write.mode("overwrite").parquet(args.anchor_terms_out)
+        if args.mirrors_out:
+            from radio_data_curation_ssl_spark.operators.hostgraph import (
+                mirror_host_clusters,
+            )
+            from radio_data_curation_ssl_spark.operators.htmltext import (
+                with_html_features,
+            )
+
+            mirror_host_clusters(
+                with_html_features(
+                    pages, html_col=args.html_col
+                ).selectExpr(args.url_col, "text_extracted AS text"),
+                url_col=args.url_col,
+                min_shared=args.mirror_min_shared,
+                max_hosts_per_content=args.mirror_cap,
+            ).write.mode("overwrite").parquet(args.mirrors_out)
         log.finish(run_id, "host_rank", config, status="done")
         print(f"host_rank: {n_hosts} hosts -> {args.output}")
         return 0

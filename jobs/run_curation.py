@@ -209,6 +209,14 @@ def main(argv: list[str] | None = None) -> int:
         "dropped by --host-ranks (default 0.1)",
     )
     ap.add_argument(
+        "--mirror-hosts",
+        default=None,
+        help="with --host-cap: mirror-cluster parquet (host, "
+        "mirror_group, ...) — jobs/host_rank.py --mirrors-out output; "
+        "hosts of one mirror cluster share ONE host-cap budget group "
+        "(a 40-mirror site cannot collect 40x the cap)",
+    )
+    ap.add_argument(
         "--url-hard-words",
         default=None,
         help="with --sample-target: comma-separated words; a page whose "
@@ -412,6 +420,8 @@ def main(argv: list[str] | None = None) -> int:
         "before any curation work (fail-open on NULL html)",
     )
     args = ap.parse_args(argv)
+    if args.mirror_hosts and args.host_cap is None:
+        ap.error("--mirror-hosts groups the --host-cap budget; pass both")
     if (
         args.url_dedup
         or args.canonical_dedup
@@ -629,6 +639,13 @@ def main(argv: list[str] | None = None) -> int:
                         else None
                     ),
                     host_rank_drop_frac=args.host_rank_drop_frac,
+                    mirror_hosts=(
+                        spark.read.parquet(args.mirror_hosts).select(
+                            "host", "mirror_group"
+                        )
+                        if args.mirror_hosts
+                        else None
+                    ),
                     rep_filter=args.rep_filter,
                     gopher_quality=args.gopher_quality,
                     nfc_normalize=args.nfc_normalize,

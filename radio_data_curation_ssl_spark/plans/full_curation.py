@@ -102,6 +102,7 @@ def curate_dedup_sample(
     boilerplate_max_hosts: int | None = None,
     fuse_paragraph_stages: bool = False,
     host_cap: int | None = None,
+    mirror_hosts: DataFrame | None = None,
     lang_budget_frac: float | None = None,
     sample_alpha: float | None = None,
     token_budget: int | None = None,
@@ -185,7 +186,12 @@ def curate_dedup_sample(
     ``lang_budget_frac`` of each predicted language by ppl
     (operators/budget.py::topfrac_per_group — exact histogram selection,
     no full-group window).  Both rank on the curate stage's ppl score,
-    which rides the flow when either is set.
+    which rides the flow when either is set.  ``mirror_hosts`` (a
+    ``(host, mirror_group, ...)`` artifact —
+    operators/hostgraph.py::mirror_host_clusters output) makes the cap
+    MIRROR-AWARE: hosts of one mirror cluster share one budget group,
+    so a 40-mirror site cannot collect 40x the cap; non-mirror hosts
+    keep their own group.
 
     ``models`` = (langid_weights, ppl_table, langid_langs) scores the
     internal curate stage with corpus-fitted artifacts (see
@@ -914,21 +920,35 @@ def curate_dedup_sample(
         shaped = neat
         capped_m = None
         if host_cap is not None:
-            shaped = (
-                shaped.withColumn(
-                    "_host",
-                    F.coalesce(
-                        F.nullif(F.expr(url_host("url").spark), F.lit("")),
-                        F.col("url"),
-                    ),
-                )
-                .transform(
-                    lambda d: topk_per_group_salted(
-                        d, "_host", "ppl", "url", host_cap
+            shaped = shaped.withColumn(
+                "_host",
+                F.coalesce(
+                    F.nullif(F.expr(url_host("url").spark), F.lit("")),
+                    F.col("url"),
+                ),
+            )
+            if mirror_hosts is not None:
+                # mirror-aware cap: hosts of one mirror cluster share
+                # ONE budget group (a 40-mirror site must not get 40x
+                # the cap).  The mirror table holds ONLY mirror hosts
+                # (operators/hostgraph.py::mirror_host_clusters output,
+                # tiny vs the corpus) — broadcast left join, coalesce
+                # to the own host for everyone else.
+                mg = F.broadcast(
+                    mirror_hosts.selectExpr(
+                        "host AS _host", "mirror_group AS _mg"
                     )
                 )
-                .drop("_host")
-            )
+                shaped = (
+                    shaped.join(mg, "_host", "left")
+                    .withColumn("_host", F.coalesce("_mg", "_host"))
+                    .drop("_mg")
+                )
+            shaped = shaped.transform(
+                lambda d: topk_per_group_salted(
+                    d, "_host", "ppl", "url", host_cap
+                )
+            ).drop("_host")
             if lang_budget_frac is not None:
                 # materialize between the stages: the language budget
                 # reads its input three times (stats+histogram pass +

@@ -356,11 +356,13 @@ def test_host_rank_job_synth_smoke(spark, tmp_path):
     from jobs.host_rank import main
 
     out = str(tmp_path / "host_pr")
+    mirrors = str(tmp_path / "mirrors")
     rc = main(
         [
             "--synth", "300",
             "--iterations", "3",
             "--output", out,
+            "--mirrors-out", mirrors,
             "--run-root", str(tmp_path / "meta"),
         ]
     )
@@ -369,6 +371,11 @@ def test_host_rank_job_synth_smoke(spark, tmp_path):
     got = {r["host"]: r["pr"] for r in ranks.collect()}
     assert len(got) == 10  # 7 h-hosts + 3 sinks
     assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    # the mirror artifact has the right shape (the synth scaffold's
+    # pages carry near-unique texts, so clusters may be empty — shape,
+    # not content, is the contract here)
+    mrows = spark.read.parquet(mirrors)
+    assert set(mrows.columns) == {"host", "mirror_group", "n_hosts"}
     from radio_data_curation_ssl_spark.plans.runmeta import RunLog
 
     log = RunLog(spark, str(tmp_path / "meta"))
@@ -477,3 +484,38 @@ def test_registry_mirror_clusters_oracle_parity(spark, sf):
         assert n == 3
     assert len(groups) == 9
     assert all(len(hs) == 3 for hs in groups.values())
+
+
+def test_flow_mirror_aware_host_cap(spark, pages_small):
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.plans.full_curation import (
+        curate_dedup_sample,
+    )
+
+    # rewrite every page onto one of THREE hosts that mirror each other
+    pages = pages_small.limit(300).withColumn(
+        "url",
+        F.expr(
+            "concat('https://m', pmod(xxhash64(url), 3), '.ex.com/p',"
+            " pmod(xxhash64(url), 100000))"
+        ),
+    )
+    mirrors = spark.createDataFrame(
+        [
+            ("m0.ex.com", "m0.ex.com", 3),
+            ("m1.ex.com", "m0.ex.com", 3),
+            ("m2.ex.com", "m0.ex.com", 3),
+        ],
+        "host string, mirror_group string, n_hosts long",
+    )
+    off = curate_dedup_sample(
+        pages, 10**9, near_dup="none", host_cap=5
+    ).count()
+    on = curate_dedup_sample(
+        pages, 10**9, near_dup="none", host_cap=5, mirror_hosts=mirrors
+    ).count()
+    # per-host cap lets each mirror keep 5; the mirror-aware cap
+    # budgets the CLUSTER once
+    assert 5 < off <= 15
+    assert on == 5

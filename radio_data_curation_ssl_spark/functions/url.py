@@ -267,8 +267,9 @@ def url_digit_frac(col: str) -> P:
     )
 
 
+# the IPv6 class includes '.' for IPv4-mapped literals ([::ffff:1.2.3.4])
 _IP_HOST_RE = (
-    r"^(\d{1,3}(\.\d{1,3}){3}|\[[0-9a-fA-F:]+\])(:\d+)?$"
+    r"^(\d{1,3}(\.\d{1,3}){3}|\[[0-9a-fA-F:.]+\])(:\d+)?$"
 )
 
 
@@ -319,13 +320,15 @@ def url_date_ymd(col: str) -> P:
     Two layouts cover the overwhelming majority of dated web URLs:
     blog-archive segments (``/2021/05/12/post``, segment-terminated so
     ``/v2/0001/22/x`` product codes don't half-match) and dashed slug
-    prefixes (``/2021-05-12-title``).  Year/month/day are returned
+    prefixes (``/2021-05-12-title``, digit-terminated on BOTH sides so
+    serial codes like ``/sku-2021-05-129`` or ``/x12021-05-12`` never
+    half-match a false date).  Year/month/day are returned
     UNVALIDATED (digits as found, e.g. '2021-5-12'); range + calendar
     validity (incl. leap years) is applied downstream by
     operators/pagemeta.py::pagedate_sql so the rails live in one place.
     NULL / hostless URLs -> NULL."""
     seg_pat = r"/(\d{4})/(\d{1,2})/(\d{1,2})(?:/|$)"
-    slug_pat = r"(\d{4})-(\d{1,2})-(\d{1,2})"
+    slug_pat = r"(?:^|[^0-9])(\d{4})-(\d{1,2})-(\d{1,2})(?:[^0-9]|$)"
     p = url_path(col)
 
     def body(path: str, lit) -> str:

@@ -933,11 +933,22 @@ def curate_dedup_sample(
                 # the cap).  The mirror table holds ONLY mirror hosts
                 # (operators/hostgraph.py::mirror_host_clusters output,
                 # tiny vs the corpus) — broadcast left join, coalesce
-                # to the own host for everyone else.
-                mg = F.broadcast(
-                    mirror_hosts.selectExpr(
-                        "host AS _host", "mirror_group AS _mg"
+                # to the own host for everyone else.  FAIL LOUD on a
+                # non-unique artifact: a duplicate host row would
+                # multiply that host's pages through the left join and
+                # leak duplicate urls into the published sample
+                # (bounded driver counts — the artifact is tiny by
+                # construction).
+                mh = mirror_hosts.select("host", "mirror_group")
+                n_rows = mh.count()
+                n_hosts = mh.select("host").distinct().count()
+                if n_rows != n_hosts:
+                    raise ValueError(
+                        "mirror_hosts must be unique per host: "
+                        f"{n_rows} rows over {n_hosts} hosts"
                     )
+                mg = F.broadcast(
+                    mh.selectExpr("host AS _host", "mirror_group AS _mg")
                 )
                 shaped = (
                     shaped.join(mg, "_host", "left")
@@ -970,13 +981,22 @@ def curate_dedup_sample(
     def _maybe_dates(sample: DataFrame) -> DataFrame:
         # attach_pub_dates: publication metadata joined back by url —
         # ONE capture per url (min warc_ts, the first-capture
-        # convention) so recaptured urls never multiply the sample
+        # convention) so recaptured urls never multiply the sample.
+        # The sample is bounded (<= target rows), so its url set is
+        # broadcast into a semi-join FIRST — date extraction and the
+        # first-capture aggregate run over sample-many pages, never a
+        # corpus-sized exchange for metadata on a few thousand rows.
         if not attach_pub_dates:
             return sample
         from ..operators.pagemeta import PAGEDATE_COLS, with_page_dates
 
+        wanted = pages.join(
+            F.broadcast(sample.select("url").distinct()),
+            "url",
+            "left_semi",
+        )
         dates = keep_first(
-            with_page_dates(pages).select(
+            with_page_dates(wanted).select(
                 "url", "warc_ts", *PAGEDATE_COLS
             ),
             ["url"],

@@ -87,14 +87,22 @@ def curate(
         elif extractor == "pretext":
             # pages arrive with text ALREADY extracted (WET archives,
             # existing text datasets — sources/warc.py::read_wet): skip
-            # the html->text stage, pass text through unchanged; html is
-            # typically NULL so n_bytes_html is NULL, not 0
+            # the html->text stage, pass text through unchanged.  An
+            # existing text dataset naturally lacks html/lang/warc_ts —
+            # absent columns become NULL instead of an
+            # unresolved-column error; html is typically NULL anyway so
+            # n_bytes_html is NULL, not 0
+            have = set(pages.columns)
             docs = pages.selectExpr(
                 "url",
-                "warc_ts",
+                "warc_ts" if "warc_ts" in have
+                else "CAST(NULL AS TIMESTAMP) AS warc_ts",
                 "text",
-                "lang AS lang_claimed",
-                "CAST(length(html) AS BIGINT) AS n_bytes_html",
+                "lang AS lang_claimed" if "lang" in have
+                else "CAST(NULL AS STRING) AS lang_claimed",
+                "CAST(length(html) AS BIGINT) AS n_bytes_html"
+                if "html" in have
+                else "CAST(NULL AS BIGINT) AS n_bytes_html",
             )
         else:
             docs = extract_docs(pages)

@@ -423,7 +423,9 @@ def write_wet(
     for i, blob in parts.toLocalIterator():
         if not blob:
             continue
-        name = f"{path}/part-{i:05d}.warc.wet" + (".gz" if compress else "")
+        # '.wet', NOT '.warc.wet': read_warc's default '*.warc*' glob
+        # must never silently scan a WET fixture dir for zero pages
+        name = f"{path}/part-{i:05d}.wet" + (".gz" if compress else "")
         with open(name, "wb") as f:
             f.write(blob)
         n += 1

@@ -519,3 +519,17 @@ def test_flow_mirror_aware_host_cap(spark, pages_small):
     # budgets the CLUSTER once
     assert 5 < off <= 15
     assert on == 5
+    # a non-unique mirror artifact would multiply pages through the
+    # join — fail loud instead
+    import pytest as _pytest
+
+    dup = mirrors.unionByName(
+        spark.createDataFrame(
+            [("m1.ex.com", "other.group", 2)],
+            "host string, mirror_group string, n_hosts long",
+        )
+    )
+    with _pytest.raises(ValueError, match="unique per host"):
+        curate_dedup_sample(
+            pages, 10**9, near_dup="none", host_cap=5, mirror_hosts=dup
+        )

@@ -36,6 +36,10 @@ def _pages(spark):
         (9, '<time datetime="2020-0-5">', "https://a.com/p/2020-13-05-x"),
         # nothing anywhere
         (10, "<p>x</p>", "https://a.com/plain"),
+        # serial codes must NEVER half-match the slug pattern (digit
+        # terminators on both sides)
+        (12, "<p>x</p>", "https://a.com/sku-2021-05-129"),
+        (13, "<p>x</p>", "https://a.com/x12021-05-12"),
         # NULL url, meta still wins
         (11, '<meta property="article:published_time" content="2001-01-31">',
          None),
@@ -71,7 +75,7 @@ def test_extraction_matrix(spark):
 
 def test_invalid_candidates_yield_null(spark):
     o = _dates(spark)
-    for did in (7, 8, 9, 10):
+    for did in (7, 8, 9, 10, 12, 13):
         assert o[did] == (None, None, None, None, None), did
 
 

@@ -378,6 +378,7 @@ def test_url_host_shape_signals(spark):
         "https://ok.example.com/a",              # clean
         "https://ok.example.com:443/a",          # default port stripped
         None,
+        "http://[::ffff:93.184.216.34]/m",       # IPv4-mapped IPv6
     ]
     rows = {r["id"]: r for r in with_url_shape(_shape_df(spark, urls)).collect()}
     assert rows[0]["url_is_ip_host"] and rows[0]["url_port"] == 8080
@@ -387,6 +388,7 @@ def test_url_host_shape_signals(spark):
     assert not rows[4]["url_is_ip_host"] and rows[4]["url_port"] is None
     assert rows[5]["url_port"] is None  # :443 is default for https
     assert rows[6]["url_is_ip_host"] is None  # NULL url -> NULL signal
+    assert rows[7]["url_is_ip_host"]  # v4-mapped v6 is still a raw IP
     # keep semantics: raw-IP hosts drop; punycode / odd ports stay
     kept = {r["id"] for r in filter_url_shape(_shape_df(spark, urls)).collect()}
     assert kept == {2, 3, 4, 5, 6}

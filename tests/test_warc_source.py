@@ -241,6 +241,11 @@ def test_wet_roundtrip_all_layouts(spark, pages_small, tmp_path):
         assert got == orig  # text AND timestamps identical
         # html / lang are NULL through WET
         assert back.where("html IS NOT NULL OR lang IS NOT NULL").count() == 0
+        # the WARC reader's '*.warc*' glob must NOT scan WET files for
+        # zero pages (filenames are '.wet', never '.warc.wet')
+        from radio_data_curation_ssl_spark.sources.warc import read_warc
+
+        assert read_warc(spark, path).count() == 0
 
 
 def test_wet_pages_curate_identically_via_pretext(
@@ -317,3 +322,25 @@ def test_wet_job_e2e(spark, tmp_path):
                 "--run-root", str(tmp_path / "meta2"),
             ]
         )
+
+
+def test_pretext_tolerates_minimal_text_dataset(spark):
+    """An existing text dataset (url, text only — no html/lang/warc_ts
+    columns) curates through extractor='pretext' with NULLs for the
+    absent metadata."""
+    from radio_data_curation_ssl_spark.plans.pipeline import curate
+
+    d = spark.createDataFrame(
+        [
+            ("https://a.com/1", "the quick brown fox jumps over the "
+                               "lazy dog again and again today"),
+            ("https://a.com/2", None),
+        ],
+        "url string, text string",
+    )
+    out = {r["url"]: r for r in curate(d, extractor="pretext").collect()}
+    assert len(out) == 2
+    r = out["https://a.com/1"]
+    assert r["warc_ts"] is None and r["lang_claimed"] is None
+    assert r["n_bytes_html"] is None
+    assert r["text"].startswith("the quick")

@@ -7643,3 +7643,90 @@ def q_mirror_host_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=_MIR_MIN_SHARED,
         max_hosts_per_content=_MIR_CAP,
     )
+
+
+# ---------------------------------------------------------------------------
+# Token fertility by language (r5 session 8) — past-window, standing
+# parity gate in tests/test_pagemeta.py (rides the pagemeta gate file —
+# both are data-card aggregates).  Tokenizer-budget planning for
+# multilingual corpora needs tokens-per-word and bytes-per-token per
+# language (a language tokenizing at 3x the fertility of English eats
+# 3x the context window for the same text); the doc_id % 19 / % 23
+# schedule plants NULL and empty pages whose zero contributions must
+# not skew the ratios.
+
+_TFL_TEXT = (
+    "CASE WHEN doc_id % 19 = 0 THEN NULL "
+    "WHEN doc_id % 23 = 0 THEN '' "
+    "ELSE text END"
+)
+
+
+def _tfl_oracle() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, lang, {_TFL_TEXT} AS text FROM documents),
+m AS (SELECT lang,
+             CASE WHEN text IS NULL THEN CAST(NULL AS BIGINT)
+                  ELSE {X.token_count('text').duck} END AS toks,
+             CASE WHEN {X.words('text').duck} IS NULL
+                  THEN CAST(0 AS BIGINT)
+                  ELSE CAST(len({X.words('text').duck}) AS BIGINT) END
+               AS wrds,
+             CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT)
+               AS byts
+      FROM d)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(toks), 0) AS BIGINT) AS sum_tokens,
+       CAST(sum(wrds) AS BIGINT) AS sum_words,
+       CAST(sum(byts) AS BIGINT) AS sum_bytes,
+       round(coalesce(sum(toks), 0) / greatest(sum(wrds), 1),
+             {X.ROUND}) AS tokens_per_word,
+       round(sum(byts) / greatest(coalesce(sum(toks), 0), 1),
+             {X.ROUND}) AS bytes_per_token
+FROM m GROUP BY lang
+"""
+
+
+@register(
+    "token_fertility_by_lang",
+    _tfl_oracle(),
+    doc="Token fertility by language — the tokenizer-budget statistic "
+    "multilingual data cards report: tokens-per-word and "
+    "bytes-per-token per language (a language tokenizing at 3x English "
+    "fertility eats 3x the context window for the same text; mixing "
+    "weights and token budgets must account for it). Integer-exact "
+    "sums (order-free across partial aggregation), two rounded ratios "
+    "at the end; NULL/empty pages contribute zero mass, never NULL "
+    "poison. Scale: ONE map-side-combined aggregate to |langs| rows — "
+    "map-only otherwise, zero Python.",
+    bench=True,
+)
+def q_token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", f"{_TFL_TEXT} AS text"
+    )
+    m = d.selectExpr(
+        "lang",
+        # guard: legacy size(NULL) = -1 would subtract from the sum
+        "CASE WHEN text IS NULL THEN CAST(NULL AS BIGINT)"
+        f" ELSE {X.token_count('text').spark} END AS toks",
+        f"CASE WHEN {X.words('text').spark} IS NULL"
+        " THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST(size({X.words('text').spark}) AS BIGINT) END AS wrds",
+        "CAST(coalesce(octet_length(text), 0) AS BIGINT) AS byts",
+    )
+    return m.groupBy("lang").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
+        F.expr("CAST(coalesce(sum(toks), 0) AS BIGINT) AS sum_tokens"),
+        F.expr("CAST(sum(wrds) AS BIGINT) AS sum_words"),
+        F.expr("CAST(sum(byts) AS BIGINT) AS sum_bytes"),
+        F.expr(
+            "round(coalesce(sum(toks), 0) / greatest(sum(wrds), 1),"
+            f" {X.ROUND}) AS tokens_per_word"
+        ),
+        F.expr(
+            "round(sum(byts) / greatest(coalesce(sum(toks), 0), 1),"
+            f" {X.ROUND}) AS bytes_per_token"
+        ),
+    )

@@ -357,3 +357,22 @@ def test_registry_canonical_dedup_oracle_parity(spark, sf):
     ).fetchone()[0]
     assert len(got) < n_docs
     assert any(r[3] == "" for r in got)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_registry_token_fertility_oracle_parity(spark, sf):
+    """Standing local gate for the past-window registry row."""
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+
+    q = REGISTRY["token_fertility_by_lang"]
+    sf_dir = f"/root/testdata/{sf}"
+    got = sorted(tuple(r) for r in q.spark(spark, sf_dir).collect())
+    want = sorted(tuple(r) for r in _duck(sf_dir).execute(q.oracle).fetchall())
+    assert got == want
+    # sanity: every language has mass, ratios are positive and finite,
+    # and the BPE-ish tokenizer is at least as fine as the word split
+    assert got
+    for lang, n, toks, wrds, byts, tpw, bpt in got:
+        assert n > 0 and toks > 0 and wrds > 0
+        assert tpw >= 1.0
+        assert 0 < bpt < 20

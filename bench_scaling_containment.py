@@ -1,0 +1,157 @@
+"""Two-parallelism scaling gate for the containment partial-dup operator.
+
+Same methodology as bench_scaling.py / bench_scaling_paradedup.py (the
+north-rule evidence harness): the IDENTICAL job at two local
+parallelism levels, fresh JVM per run, whole process tree CPU-pinned
+via taskset, interleaved best-of-k so a host-disturbance window never
+hits one side of the ratio.  The timed job is containment_pairs() —
+distinct trigram-shingle explode, df count + join-back prune, shingle
+self-join pair aggregate, two size joins — over synth_pages, whose
+limited vocabulary produces a realistic population of df in [2, 32]
+shared shingles, so the pair join does real work.
+
+Context: the operator is this session's heaviest new query at both
+scale points (2.0 s sf0.1, 7.1 s sf1 — sub-linear at 10x rows because
+the df cap bounds pair fan-out).  This gate evidences the
+complementary claim: at FIXED input it parallelizes with >= 0.8
+efficiency from N to 4N cores.
+
+Usage: python bench_scaling_containment.py [n_pages] [lo] [hi] [best_of] [passes]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+WORKER = r"""
+import json, sys, time
+from radio_data_curation_ssl_spark.session import get_spark
+from radio_data_curation_ssl_spark.operators.containment import (
+    containment_pairs,
+)
+
+cpus, n, pages_dir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+n_passes = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+spark = get_spark(
+    "scaling-containment",
+    master=f"local[{cpus}]",
+    shuffle_partitions=32,
+    extra_conf={
+        # sizing rule from the first semdedup gate FAIL (BENCH/BASELINE.md):
+        # scan partitions ~ 4x highest core count, shuffle ~ 2-4x cores;
+        # AQE coalescing off so the HIGH level keeps reduce parallelism.
+        # The 60k fixture is ~17 MB over 32 files — 1 MB partitions /
+        # 0.5 MB open cost land ~32 scan tasks so the explode stage
+        # saturates the 8-core level (8 MB sizing gave ~10 tasks and
+        # measured 0.705 FAIL on exactly this shape)
+        "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
+        "spark.sql.files.openCostInBytes": str(512 * 1024),
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    },
+)
+spark.sparkContext.setLogLevel("ERROR")
+pages = spark.read.parquet(pages_dir)
+df = containment_pairs(pages, id_col="url", text_col="text")
+df.write.format("noop").mode("overwrite").save()  # warmup (JIT, Arrow)
+best = float("inf")
+for _ in range(n_passes):
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    best = min(best, time.perf_counter() - t0)
+print(json.dumps({"cpus": cpus, "sec": round(best, 3),
+                  "docs_per_sec": round(n / best, 1)}))
+spark.stop()
+"""
+
+GEN = r"""
+import sys
+from radio_data_curation_ssl_spark.session import get_spark
+from radio_data_curation_ssl_spark.synth import synth_pages
+n, pages_dir = int(sys.argv[1]), sys.argv[2]
+spark = get_spark("gen", master="local[32]")
+spark.sparkContext.setLogLevel("ERROR")
+synth_pages(spark, n, seed=42, partitions=32).select(
+    "url", "text").write.mode("overwrite").parquet(pages_dir)
+spark.stop()
+"""
+
+
+def _sub(code: str, *args: str, pin_cpus: int | None = None) -> str:
+    cmd = [sys.executable, "-c", code, *args]
+    if pin_cpus is not None:
+        cmd = ["taskset", "-c", f"0-{pin_cpus - 1}"] + cmd
+    out = subprocess.run(
+        cmd, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)), timeout=1800,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return out.stdout
+
+
+def run_level(cpus: int, n: int, pages_dir: str, n_passes: int) -> dict:
+    return json.loads(
+        _sub(WORKER, str(cpus), str(n), pages_dir, str(n_passes),
+             pin_cpus=cpus).strip().splitlines()[-1]
+    )
+
+
+def main() -> None:
+    import tempfile
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
+    lo_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    hi_cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    best_of = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    n_passes = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+    pages_dir = os.path.join(
+        tempfile.gettempdir(), f"scaling_containment_{n}"
+    )
+    if not os.path.isdir(pages_dir):
+        _sub(GEN, str(n), pages_dir)
+    runs = []
+    for _ in range(best_of):
+        for c in (lo_cpus, hi_cpus):
+            try:
+                runs.append(run_level(c, n, pages_dir, n_passes))
+            except RuntimeError:
+                runs.append(run_level(c, n, pages_dir, n_passes))  # one retry
+    lo = min((r for r in runs if r["cpus"] == lo_cpus), key=lambda r: r["sec"])
+    hi = min((r for r in runs if r["cpus"] == hi_cpus), key=lambda r: r["sec"])
+    factor = hi_cpus / lo_cpus
+    eff = round(hi["docs_per_sec"] / (factor * lo["docs_per_sec"]), 3)
+    result = {
+        "metric": f"containment_pairs scaling efficiency local[{lo_cpus}]"
+                  f" -> local[{hi_cpus}]",
+        "value": eff, "unit": "ratio", "n_pages": n,
+        "low": lo, "high": hi, "best_of": best_of,
+        "passes_per_level": n_passes, "passes_0.8_gate": eff >= 0.8,
+    }
+    print(json.dumps(result), flush=True)
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(f"""
+## containment_pairs scaling run {stamp}
+
+containment_pairs() (distinct shingle explode + df prune + pair join +
+size joins, noop sink) over {n:,} synth_pages (limited synthetic
+vocabulary -> realistic df-in-[2,32] shared-shingle population),
+interleaved best-of-{best_of} fresh-JVM runs per level, process tree
+CPU-pinned to the level's core count:
+
+| level | wall sec | pages/sec |
+|---|---|---|
+| local[{lo_cpus}] | {lo['sec']} | {lo['docs_per_sec']:,} |
+| local[{hi_cpus}] | {hi['sec']} | {hi['docs_per_sec']:,} |
+
+**Scaling efficiency ({lo_cpus} -> {hi_cpus} cores): {eff}**
+(gate: >= 0.8 -> {"PASS" if eff >= 0.8 else "FAIL"})
+""")
+
+
+if __name__ == "__main__":
+    main()

@@ -56,12 +56,21 @@ def containment_pairs(
     k: int = 3,
     tau: float = 0.8,
     max_df: int = 32,
+    pin: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, n_shared, c_ab, c_ba) for pairs with
     ``max(c_ab, c_ba) >= tau`` over distinct word-``k``-shingle hashes
     (the shared 31-bit shingle fragment — hash collisions merge
     shingles, the documented hashed-sketch semantics).  Docs with fewer
-    than ``k`` words have no shingles and never pair."""
+    than ``k`` words have no shingles and never pair.
+
+    ``pin`` (default on) lazily localCheckpoints the two multi-consumer
+    frames — the shingle table (df branch + prune join) and the pruned
+    table (sizes + both self-join sides): Catalyst inlines them
+    otherwise and exchange reuse does not fire across the branches
+    (plan-audited: 8 Generate nodes / 21 exchanges unpinned, i.e. the
+    corpus-shingle explode ran EIGHT times — the paradedup pin_canon
+    precedent)."""
     if k != 3:
         # the paired shingle fragment family is trigram-based; other k
         # would silently diverge from the oracle fragments
@@ -76,6 +85,8 @@ def containment_pairs(
         .selectExpr(id_col, f"explode({X.shingle_hashes('trigrams').spark}) AS h")
         .distinct()
     )
+    if pin:
+        sh = sh.localCheckpoint(eager=False)
     df_keep = (
         sh.groupBy("h")
         .agg(F.count("*").cast("long").alias("df"))
@@ -83,9 +94,16 @@ def containment_pairs(
         .select("h")
     )
     kept = sh.join(df_keep, "h")
+    if pin:
+        kept = kept.localCheckpoint(eager=False)
     sizes = kept.groupBy(id_col).agg(
         F.count("*").cast("long").alias("sz")
     )
+    # NOTE: no explicit repartition("h") before the self-join — measured
+    # 0.745 vs 0.79-0.82 efficiency WITH it at 240k/2->8: over a PINNED
+    # source the extra exchange wave costs more than the one-sided
+    # reuse saves (unlike simhash/minhash, whose sides are unpinned
+    # subplans)
     a = kept.selectExpr(f"{id_col} AS id_a", "h")
     b = kept.selectExpr(f"{id_col} AS id_b", "h")
     pairs = (

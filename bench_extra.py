@@ -1,0 +1,91 @@
+"""Per-query isolation harness for the optimization rounds (guide §1.4).
+
+NOT the driver's bench — ``bench.py`` is frozen for measurement.  This
+file exists so individual registry queries can be timed with the noop
+sink at any scale directory, and so their ``explain("formatted")`` plans
+can be dumped for the plans/r06/ evidence files.
+
+Usage:
+    python bench_extra.py SF_DIR QUERY [QUERY ...] [--explain OUT_DIR]
+        [--runs N] [--suffix TAG]
+
+Prints one JSON line {"sf_dir": ..., "queries": {name: best_sec}} and,
+with --explain, writes ``OUT_DIR/<query>_<TAG>.txt`` containing the
+formatted plan (TAG defaults to "plan").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    explain_dir = None
+    runs = 3
+    suffix = "plan"
+    if "--explain" in args:
+        i = args.index("--explain")
+        explain_dir = args[i + 1]
+        del args[i : i + 2]
+    if "--runs" in args:
+        i = args.index("--runs")
+        runs = int(args[i + 1])
+        del args[i : i + 2]
+    if "--suffix" in args:
+        i = args.index("--suffix")
+        suffix = args[i + 1]
+        del args[i : i + 2]
+    no_run = "--no-run" in args
+    if no_run:
+        args.remove("--no-run")
+    sf_dir = args[0]
+    names = args[1:]
+
+    from radio_data_curation_ssl_spark.queries import REGISTRY
+    from radio_data_curation_ssl_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        "bench_extra", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in names:
+        q = REGISTRY[name]
+        df = q.spark(spark, sf_dir)
+        if explain_dir:
+            os.makedirs(explain_dir, exist_ok=True)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            with open(
+                os.path.join(explain_dir, f"{name}_{suffix}.txt"), "w"
+            ) as f:
+                f.write(plan)
+        if no_run:
+            continue
+        spark.sparkContext.setJobDescription(f"{name}: warmup")
+        df.write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for r in range(runs):
+            spark.sparkContext.setJobDescription(f"{name}: timed {r}")
+            start = time.perf_counter()
+            REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - start)
+        spark.sparkContext.setJobDescription(None)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    print(json.dumps({"sf_dir": sf_dir, "queries": timings}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

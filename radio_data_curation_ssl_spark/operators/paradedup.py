@@ -40,10 +40,18 @@ near-dup family; beyond-the-reference (SURVEY §6).
 
 from __future__ import annotations
 
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from .minhash import shingle_sets, signature_bands
+from ..functions import text as X
+from .minhash import N_BANDS, band_keys_batch
 
 __all__ = [
     "drop_common_paragraphs",
@@ -75,6 +83,196 @@ def split_paragraphs(
     )
 
 
+def _btok_schema(canon: DataFrame) -> T.StructType:
+    """Band-row schema; fd/fp keep ``canon``'s own types — the operator
+    API admits string doc ids, and the kernel orders them exactly as
+    Spark's ``<`` does (Python tuple comparison; UTF-8 code-point order
+    == Spark's binary string order)."""
+    return T.StructType(
+        [
+            T.StructField("tid", T.LongType()),
+            T.StructField("fd", canon.schema["fd"].dataType),
+            T.StructField("fp", canon.schema["fp"].dataType),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("band_key", T.LongType()),
+            T.StructField("tok", T.BinaryType()),
+        ]
+    )
+
+
+def _explode_band_tokens(it):
+    """(tid, fd, fp, sh_hashes, toks) batches -> one row per (text,
+    band) carrying the packed sorted 64-bit token set.  Unshingleable
+    texts (zero trigrams) emit nothing — same contract as
+    minhash.signature_bands."""
+    band_ids = np.arange(N_BANDS, dtype=np.int32)
+    for b in it:
+        sh = b["sh_hashes"].tolist()
+        keep = [i for i, x in enumerate(sh) if len(x) > 0]
+        if not keep:
+            continue
+        keys = band_keys_batch([sh[i] for i in keep])
+        toks = b["toks"].tolist()
+        packed = np.empty(len(keep), dtype=object)
+        for n, i in enumerate(keep):
+            packed[n] = np.sort(
+                np.asarray(toks[i], dtype=np.int64)
+            ).tobytes()
+        tid = b["tid"].to_numpy()[keep]
+        fd = b["fd"].to_numpy()[keep]
+        fp = b["fp"].to_numpy()[keep]
+        yield pd.DataFrame(
+            {
+                "tid": np.repeat(tid, N_BANDS),
+                "fd": np.repeat(fd, N_BANDS),
+                "fp": np.repeat(fp, N_BANDS),
+                "band": np.tile(band_ids, len(keep)),
+                "band_key": np.concatenate(keys).astype(np.int64),
+                "tok": np.repeat(packed, N_BANDS),
+            }
+        )
+
+
+def _safe_ceil(x: float) -> int:
+    """ceil() that rounds an epsilon-above-integer float DOWN: the value
+    feeds a prefix-length subtraction where a too-small ceil only makes
+    the prefix longer (more candidates — still exact), while float noise
+    pushing a true integer up would SHORTEN the prefix and break the
+    completeness lemma."""
+    f = math.floor(x)
+    return int(f) + (1 if x - f > 1e-9 else 0)
+
+
+def _bucket_dominated(tids, fds, fps, toks, threshold, out) -> None:
+    """One band bucket: append to ``out`` every tid that has an
+    earlier-(fd, fp) member of THIS bucket with exact token-set Jaccard
+    >= ``threshold``.  Exact, never all-pairs:
+
+    1. identical sets collapse to classes — every member except the
+       class-(fd, fp)-minimum is dominated by it (J = 1), and the class
+       minimum stands in for the class in step 2 (any same-set sibling
+       that could dominate an outside text is itself preceded by the
+       minimum, which has the same Jaccard to everything);
+    2. among the distinct sets, candidate pairs come from a PPJoin-style
+       prefix-filter index (Xiao et al., WWW'08): tokens ordered by
+       (bucket-local df, token), sets processed in increasing size, each
+       probing with its (k - ceil(t*k) + 1)-prefix against an index of
+       the (k - ceil(2t/(1+t)*k) + 1)-prefixes of smaller sets — every
+       pair with true Jaccard >= t provably shares an indexed prefix
+       token, while hub tokens shared by hundreds of mutually-dissimilar
+       sets (the hot-bucket pathology) never enter the index;
+    3. candidates are verified with the EXACT |A&B| / (|A|+|B|-|A&B|)
+       — the same integer-size double division as the SQL rerank — and
+       the later-(fd, fp) side of each passing pair is dominated.
+    """
+    order = sorted(range(len(tids)), key=lambda i: (fds[i], fps[i]))
+    classes: dict[bytes, int] = {}
+    for idx in order:
+        key = toks[idx]
+        if key in classes:
+            out.append(tids[idx])
+        else:
+            classes[key] = idx
+    rep_idx = list(classes.values())
+    if len(rep_idx) < 2:
+        return
+    arrs = [np.frombuffer(toks[i], dtype=np.int64) for i in rep_idx]
+    sizes = [len(a) for a in arrs]
+    cnt: Counter = Counter()
+    for a in arrs:
+        cnt.update(a.tolist())
+    keyed = [
+        sorted(a.tolist(), key=lambda tk: (cnt[tk], tk)) for a in arrs
+    ]
+    pysets = [frozenset(k) for k in keyed]
+    c_probe = threshold
+    c_index = 2.0 * threshold / (1.0 + threshold)
+    index: dict[int, list[int]] = {}
+    for i in sorted(range(len(rep_idx)), key=lambda r: sizes[r]):
+        k = sizes[i]
+        toks_i = keyed[i]
+        cands: set[int] = set()
+        for tk in toks_i[: k - _safe_ceil(c_probe * k) + 1]:
+            lst = index.get(tk)
+            if lst:
+                cands.update(lst)
+        for j in cands:
+            inter = len(pysets[i] & pysets[j])
+            if inter and inter / (k + sizes[j] - inter) >= threshold:
+                ii, jj = rep_idx[i], rep_idx[j]
+                later = (
+                    ii
+                    if (fds[ii], fps[ii]) > (fds[jj], fps[jj])
+                    else jj
+                )
+                out.append(tids[later])
+        for tk in toks_i[: k - _safe_ceil(c_index * k) + 1]:
+            index.setdefault(tk, []).append(i)
+
+
+def _dominated_region(b: pd.DataFrame, threshold: float):
+    """Complete (band, band_key) groups only: run the bucket kernel on
+    each multi-member group sliced from the contiguous batch arrays."""
+    bd = b["band"].to_numpy()
+    bk = b["band_key"].to_numpy()
+    tids = b["tid"].to_numpy()
+    fds = b["fd"].to_numpy()
+    fps = b["fp"].to_numpy()
+    toks = b["tok"].to_numpy()
+    n = len(b)
+    change = np.flatnonzero((np.diff(bd) != 0) | (np.diff(bk) != 0))
+    starts = np.concatenate(([0], change + 1))
+    ends = np.concatenate((change + 1, [n]))
+    out: list = []
+    for s, e_ in zip(starts, ends):
+        if e_ - s >= 2:
+            _bucket_dominated(
+                tids[s:e_],
+                fds[s:e_],
+                fps[s:e_],
+                toks[s:e_],
+                threshold,
+                out,
+            )
+    if not out:
+        return None
+    return pd.DataFrame({"tid": np.asarray(out, dtype=np.int64)})
+
+
+def _dominated_stream(threshold: float):
+    """One partition pass over (band, band_key)-sorted bucket rows,
+    carrying the trailing (possibly batch-straddling) group — the
+    lshpairs._pair_stream template."""
+
+    def run(it):
+        pend: pd.DataFrame | None = None
+        for b in it:
+            if pend is not None:
+                b = pd.concat((pend, b), ignore_index=True)
+                pend = None
+            if not len(b):
+                continue
+            bd = b["band"].to_numpy()
+            bk = b["band_key"].to_numpy()
+            same_last = (bd == bd[-1]) & (bk == bk[-1])
+            cut = (
+                len(b) - int(same_last[::-1].argmin())
+                if not same_last.all()
+                else 0
+            )
+            pend = b.iloc[cut:]
+            if cut:
+                df = _dominated_region(b.iloc[:cut], threshold)
+                if df is not None:
+                    yield df
+        if pend is not None and len(pend):
+            df = _dominated_region(pend, threshold)
+            if df is not None:
+                yield df
+
+    return run
+
+
 def fuzzy_dropped_tids(canon: DataFrame, threshold: float) -> DataFrame:
     """The fuzzy tier over DISTINCT paragraph texts: one-column frame of
     the ``tid``s dominated by an earlier-first-instance near-duplicate.
@@ -82,38 +280,42 @@ def fuzzy_dropped_tids(canon: DataFrame, threshold: float) -> DataFrame:
     corpus-first (doc, pos).  Production 64-perm 16x4 MinHash banding ->
     exact trigram-Jaccard rerank >= ``threshold``; domination is ordered
     by (fd, fp) so the rule is a pure function of the data.  Shared by
-    paragraph_dedup and the fused paragraph pipeline (parapipe.py)."""
-    ctexts = canon.selectExpr("tid AS doc_id", "para AS text")
-    bands = signature_bands(ctexts, "text").repartition("band", "band_key")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+    paragraph_dedup and the fused paragraph pipeline (parapipe.py).
+
+    Plan shape (r6 rewrite — guide §2.3/§2.4 "shuffle keys and metadata,
+    decide locally"): the old pair-enumerating band self-join emitted
+    O(sum m^2) candidate rows (370M at the sf1 bench — hub trigrams pack
+    thousands of mutually-DISSIMILAR texts into one band bucket) and
+    dragged every pair through a distinct + four joins carrying full
+    shingle arrays.  Now each text ships its 16 band rows ONCE with a
+    packed 8-byte/token sorted set; ONE exchange on (band, band_key) +
+    sortWithinPartitions makes buckets contiguous, and a mapInPandas
+    kernel decides domination inside each bucket with an exact
+    prefix-filter set-similarity join (see ``_bucket_dominated``) — the
+    only other exchange is the final distinct on the (tiny) dropped-tid
+    set.  Token identity is xxhash64(trigram) rather than the trigram
+    string (the established tid trade: a 2^-64 accident could at worst
+    merge two trigrams; the string sets themselves never cross the
+    wire)."""
+    w = X.words("para")
+    tg = X.trigrams("words")
+    shh = X.shingle_hashes("trigrams")
+    hashed = (
+        canon.selectExpr("tid", "fd", "fp", f"{w.spark} AS words")
+        .selectExpr("tid", "fd", "fp", f"{tg.spark} AS trigrams")
+        .selectExpr(
+            "tid",
+            "fd",
+            "fp",
+            f"{shh.spark} AS sh_hashes",
+            "transform(array_distinct(trigrams), x -> xxhash64(x)) AS toks",
         )
-        .select(
-            F.col("a.doc_id").alias("tid_a"), F.col("b.doc_id").alias("tid_b")
-        )
-        .distinct()
     )
-    meta_a = canon.selectExpr("tid AS tid_a", "fd AS fd_a", "fp AS fp_a")
-    meta_b = canon.selectExpr("tid AS tid_b", "fd AS fd_b", "fp AS fp_b")
-    directed = (
-        cand.join(meta_a, "tid_a")
-        .join(meta_b, "tid_b")
-        .where("(fd_a < fd_b) OR (fd_a = fd_b AND fp_a < fp_b)")
-    )
-    sets = shingle_sets(ctexts, "text")
-    sa = sets.selectExpr("doc_id AS tid_a", "sh AS sh_a")
-    sb = sets.selectExpr("doc_id AS tid_b", "sh AS sh_b")
-    inter = "size(array_intersect(sh_a, sh_b))"
     return (
-        directed.join(sa, "tid_a")
-        .join(sb, "tid_b")
-        .where(f"{inter} / (size(sh_a) + size(sh_b) - {inter}) >= {threshold}")
-        .select(F.col("tid_b").alias("tid"))
+        hashed.mapInPandas(_explode_band_tokens, _btok_schema(canon))
+        .repartition("band", "band_key")
+        .sortWithinPartitions("band", "band_key", "fd", "fp")
+        .mapInPandas(_dominated_stream(threshold), "tid long")
         .distinct()
     )
 

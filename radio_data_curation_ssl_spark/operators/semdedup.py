@@ -100,44 +100,67 @@ def _grid_threshold(tau: float) -> float:
     return math.ceil(round(tau * 1e6, 6)) / 1e6 - 5e-7
 
 
+#: half-width of the GEMM-vs-fold disagreement window.  Both the BLAS
+#: reduction and the sequential fold are within (d-1)*u*sum|terms| ~
+#: 7e-15 of the exact dot (u = 2^-53, unit terms after normalization),
+#: so they differ by < 2e-14 plus ~1e-15 of norm-division noise; 1e-9
+#: over-covers that by ~4 orders of magnitude while still selecting
+#: essentially zero cells for the exact rerank.
+_FOLD_EPS = 1e-9
+
+
 def _prune_mask(
     v: np.ndarray, tau: float, fold_exact: bool, chunk: int
 ) -> np.ndarray:
     """keep[j] = no row i<j has round6(cos(i, j)) >= tau.  Rows are
     already in rank order.  Column-chunked: peak extra memory is
     O(c * chunk) floats regardless of cluster size, and only the
-    triangular half (rows below the block's last column) is computed."""
+    triangular half (rows below the block's last column) is computed.
+
+    Both paths now run the GEMM block kernel (r6 — the old
+    ``fold_exact`` kernel ran one O(j*d) python-level accumulate per
+    COLUMN, ~d times the flops at interpreted speed); ``fold_exact``
+    keeps its bit-exact contract by reranking the rare cells whose raw
+    GEMM cosine lands within ``_FOLD_EPS`` of the round-6 decision
+    boundary with the sequential-fold kernel — outside that window the
+    round-6 comparison provably cannot depend on reduction order."""
     c = len(v)
     keep = np.ones(c, dtype=bool)
     if c < 2:
         return keep
     with np.errstate(invalid="ignore", divide="ignore"):
-        if fold_exact:
-            norms = np.sqrt(_fold_dot(v, v))
-        else:
-            # normalize once: cosine blocks become one plain GEMM with
-            # no per-cell divide (zero-norm rows -> nan -> never >=)
-            vn = v / np.sqrt((v * v).sum(axis=1))[:, None]
-            tau_eff = _grid_threshold(tau)
+        # normalize once: cosine blocks become one plain GEMM with
+        # no per-cell divide (zero-norm rows -> nan -> never >=)
+        norms = (
+            np.sqrt(_fold_dot(v, v))
+            if fold_exact
+            else np.sqrt((v * v).sum(axis=1))
+        )
+        vn = v / norms[:, None]
+        tau_eff = _grid_threshold(tau)
         for j0 in range(1, c, chunk):
             cols = np.arange(j0, min(j0 + chunk, c))
+            # one (rows-below-last-column x chunk) GEMM block; column j
+            # is condemned iff the FIRST True in its column sits at a
+            # row ranked before j (argmax scans once — no c x chunk
+            # cumsum materialization)
+            g = vn[: cols[-1]] @ vn[cols].T
+            m = g >= tau_eff
             if fold_exact:
-                # exact per-pair sequential folds (parity path): one
-                # (rows<j, d) accumulate per column
-                hit = np.zeros(len(cols), dtype=bool)
-                for t, j in enumerate(cols):
-                    cos = _fold_dot(v[:j], np.broadcast_to(v[j], (j, v.shape[1]))) / (
-                        norms[:j] * norms[j]
-                    )
-                    hit[t] = bool((_round6(cos) >= tau).any())
-            else:
-                # production path: one (rows-below-last-column x chunk)
-                # GEMM block; column j is condemned iff the FIRST True in
-                # its column sits at a row ranked before j (argmax scans
-                # once — no c x chunk cumsum materialization)
-                m = vn[: cols[-1]] @ vn[cols].T >= tau_eff
-                first = m.argmax(axis=0)
-                hit = m[first, np.arange(len(cols))] & (first < cols)
+                near = np.abs(g - tau_eff) < _FOLD_EPS
+                if near.any():
+                    for i, t in zip(*np.nonzero(near)):
+                        j = int(cols[t])
+                        if i >= j:
+                            continue
+                        cos = _fold_dot(v[i : i + 1], v[j : j + 1])[0] / (
+                            norms[i] * norms[j]
+                        )
+                        m[i, t] = bool(
+                            _round6(np.array([cos]))[0] >= tau
+                        )
+            first = m.argmax(axis=0)
+            hit = m[first, np.arange(len(cols))] & (first < cols)
             keep[cols[hit]] = False
     return keep
 

@@ -290,49 +290,144 @@ def stupid_backoff_scores(
 
     from ..functions import text as X
 
-    def _prep(frame: DataFrame) -> tuple[DataFrame, DataFrame]:
-        w = frame.selectExpr(
-            id_col, f"{X.words(text_col).spark} AS _words"
-        )
-        tok = w.selectExpr(
-            id_col,
-            "_words",
-            "posexplode(CASE WHEN _words IS NULL OR size(_words) < 2"
-            " THEN array() ELSE slice(_words, 1, size(_words) - 1) END)"
-            " AS (idx, w1)",
-        ).selectExpr(
-            id_col,
-            "idx",
-            "w1",
-            "element_at(_words, idx + 2) AS w2",
-        )
-        return w, tok
+    # r6 layout (guide §4.2 — do the per-row hashing in native code):
+    # the md5-based hash64 SQL chain (md5 -> substring -> conv -> cast)
+    # measured ~30us of core time PER EVALUATION, and the old plan paid
+    # ~5 evaluations per corpus word (3 per bigram row + 1 per word + a
+    # full per-bigram refit for the count table at self-scoring).  One
+    # Arrow kernel now computes each doc's word/bigram bucket arrays
+    # with hashlib.md5 (~1us each, bit-identical integers: md5 of the
+    # same UTF-8 bytes, first 15 hex digits, same modulo; word split via
+    # the pytest-gated split_words_ascii twin of functions.text.words),
+    # each hash exactly ONCE; the bounded count tables and the scoring
+    # joins run on the arrays' explosions.  The kernel frame is pinned
+    # (multi-consumer: unigram table + bigram table + scoring pass).
+    import hashlib
 
-    w, tok = _prep(docs)
-    tw, ttok = (w, tok) if train is None else _prep(train)
-    ub = f"({X.hash64('x').spark} % {buckets})"
+    from ..functions.textstream import split_words_ascii
+
+    bigram_schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType),
+            T.StructField("idx", T.IntegerType()),
+            T.StructField("bb", T.LongType()),
+            T.StructField("ub1", T.LongType()),
+            T.StructField("ub2", T.LongType()),
+        ]
+    )
+
+    def bigram_rows(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Exploded bigram rows as FLAT numpy columns — a list-of-list
+        arrays layout measured 7s of Arrow ListArray conversion for a
+        0.2s hashing payload at the sf1 bench."""
+        md5 = hashlib.md5
+        for b in it:
+            ids = b[id_col].to_numpy()
+            reps = np.zeros(len(b), dtype=np.int64)
+            idxs, bbs, u1s, u2s = [], [], [], []
+            for r, txt in enumerate(b[text_col]):
+                if txt is None:
+                    continue
+                ws = split_words_ascii(txt)
+                n = len(ws)
+                if n < 2:
+                    continue
+                wh = np.fromiter(
+                    (
+                        int(md5(w.encode()).hexdigest()[:15], 16) % buckets
+                        for w in ws
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+                bb = np.fromiter(
+                    (
+                        int(
+                            md5((ws[i] + " " + ws[i + 1]).encode())
+                            .hexdigest()[:15],
+                            16,
+                        )
+                        % buckets
+                        for i in range(n - 1)
+                    ),
+                    dtype=np.int64,
+                    count=n - 1,
+                )
+                reps[r] = n - 1
+                idxs.append(np.arange(n - 1, dtype=np.int32))
+                bbs.append(bb)
+                u1s.append(wh[:-1])
+                u2s.append(wh[1:])
+            if not idxs:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, reps),
+                    "idx": np.concatenate(idxs),
+                    "bb": np.concatenate(bbs),
+                    "ub1": np.concatenate(u1s),
+                    "ub2": np.concatenate(u2s),
+                }
+            )
+
+    def word_bucket_counts(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Per-task partial unigram-bucket counts — the map-side combine
+        done in-kernel (output <= buckets rows per task)."""
+        md5 = hashlib.md5
+        parts = []
+        for b in it:
+            for txt in b[text_col]:
+                if txt is None:
+                    continue
+                ws = split_words_ascii(txt)
+                if ws:
+                    parts.append(
+                        np.fromiter(
+                            (
+                                int(md5(w.encode()).hexdigest()[:15], 16)
+                                % buckets
+                                for w in ws
+                            ),
+                            dtype=np.int64,
+                            count=len(ws),
+                        )
+                    )
+        if parts:
+            u, c = np.unique(np.concatenate(parts), return_counts=True)
+            yield pd.DataFrame({"ub": u, "pn": c.astype(np.int64)})
+
+    def _prep(frame: DataFrame) -> tuple[DataFrame, DataFrame]:
+        sel = frame.select(id_col, text_col)
+        return (
+            sel.mapInPandas(word_bucket_counts, "ub long, pn long"),
+            sel.mapInPandas(bigram_rows, bigram_schema),
+        )
+
+    wcounts, hashed = _prep(docs)
+    if train is None:
+        # the bigram frame feeds both the count-table fit and the
+        # scoring joins at self-scoring — pin so the kernel runs once
+        hashed = hashed.localCheckpoint(eager=False)
+        twcounts, thashed = wcounts, hashed
+    else:
+        twcounts, thashed = _prep(train)
     uni = (
-        tw.selectExpr("explode(coalesce(_words, array())) AS x")
-        .selectExpr(f"{ub} AS ub")
-        .groupBy("ub")
-        .agg(F.count("*").cast("long").alias("n"))
+        twcounts.groupBy("ub")
+        .agg(F.sum("pn").cast("long").alias("n"))
+        # bounded (<= buckets rows) but with THREE consumers (n_total +
+        # both unigram broadcast sides) — pin so the kernel and count
+        # shuffle run once
+        .localCheckpoint(eager=False)
     )
     n_total = uni.agg(
         F.expr("coalesce(CAST(sum(n) AS BIGINT), 0) AS n_total")
     )
-    bigram_expr = "concat(w1, ' ', w2)"
-    bb = f"({X.hash64(bigram_expr).spark} % {buckets})"
     big = (
-        ttok.selectExpr(f"{bb} AS bb")
-        .groupBy("bb")
+        thashed.groupBy("bb")
         .agg(F.count("*").cast("long").alias("bn"))
     )
-    u1 = f"({X.hash64('w1').spark} % {buckets})"
-    u2 = f"({X.hash64('w2').spark} % {buckets})"
     scored = (
-        tok.selectExpr(
-            id_col, "idx", f"{bb} AS bb", f"{u1} AS ub1", f"{u2} AS ub2"
-        )
+        hashed
         .join(F.broadcast(big), "bb", "left")
         .join(
             F.broadcast(uni.selectExpr("ub AS ub1", "n AS un1")),

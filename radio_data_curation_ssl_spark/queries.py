@@ -31,8 +31,28 @@ TABLES = (
 ).split()
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# The text/vector payload tables whose consumers run expensive per-row
+# work (kernels, md5 chains, explodes) in the SCAN stage.  The fixture
+# parquet files are single-row-group at every scale factor, and a
+# parquet scan cannot split a row group — so without an explicit
+# repartition the whole pre-shuffle stage of every such query runs as
+# ONE task regardless of core count (guide §2.5 "input skew: one huge
+# unsplittable file ... repartition immediately after the read";
+# measured at sf1.0: quality_scores 5.7->2.4s, nl_signals 9.0->1.1s,
+# dedup_simhash 5.2->1.6s, semdedup 5.3->2.6s).  Cheap-scan tables
+# (events, lineitem, dimensions) stay unpartitioned: for them the extra
+# exchange is pure overhead (windowed_event_counts 0.47->1.49s when
+# events was included).  Sized by defaultParallelism, never a constant.
+_SPLIT_SCAN_TABLES = frozenset({"documents", "embeddings"})
+
+
+def t(
+    spark: SparkSession, sf_dir: str, name: str, wide: bool = True
+) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if wide and name in _SPLIT_SCAN_TABLES:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 @dataclass
@@ -285,7 +305,7 @@ FROM h
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("text_hash").orderBy("doc_id")
     return (
-        t(spark, sf_dir, "documents")
+        t(spark, sf_dir, "documents", wide=False)
         .select("doc_id", F.md5("text").alias("text_hash"))
         .withColumn("is_duplicate", F.row_number().over(w) > 1)
     )
@@ -395,7 +415,7 @@ def q_minhash_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.minhash import minhash_neardup_pairs
 
     return minhash_neardup_pairs(
-        t(spark, sf_dir, "documents"), text_col="text", threshold=0.5
+        t(spark, sf_dir, "documents", wide=False), text_col="text", threshold=0.5
     )
 
 
@@ -2290,7 +2310,7 @@ FROM x GROUP BY dim ORDER BY dim
 def q_two_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.distcheck import two_sample_dim_stats
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", wide=False)
     return two_sample_dim_stats(
         e.where(F.pmod("vec_id", F.lit(2)) == 0),
         e.where(F.pmod("vec_id", F.lit(2)) == 1),
@@ -5882,7 +5902,7 @@ FROM d JOIN c ON md5(d.text) IS NOT DISTINCT FROM c.k
 def q_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.softdedup import soft_dedup_weights, weight_sql
 
-    d = t(spark, sf_dir, "documents").selectExpr(
+    d = t(spark, sf_dir, "documents", wide=False).selectExpr(
         "doc_id", f"{_SDD_TEXT} AS text"
     )
     return soft_dedup_weights(d, alpha=1.0).selectExpr(
@@ -5943,7 +5963,7 @@ FROM g ORDER BY es_key, doc_id LIMIT {_SWS_K}
 def q_softdedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.softdedup import soft_dedup_weights, weighted_sample_es
 
-    d = t(spark, sf_dir, "documents").selectExpr(
+    d = t(spark, sf_dir, "documents", wide=False).selectExpr(
         "doc_id", f"{_SDD_TEXT} AS text"
     )
     w = soft_dedup_weights(d, alpha=1.0).withColumn(
@@ -6044,7 +6064,7 @@ def q_crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cast = "CAST({} AS STRING)"
     url = _csd_url(cast)
-    d = t(spark, sf_dir, "documents").selectExpr(
+    d = t(spark, sf_dir, "documents", wide=False).selectExpr(
         "doc_id", "text", f"{url} AS url"
     )
     old = (
@@ -6149,7 +6169,7 @@ def q_boilerplate_host_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.paradedup import drop_common_paragraphs
 
     d = (
-        t(spark, sf_dir, "documents")
+        t(spark, sf_dir, "documents", wide=False)
         .selectExpr("doc_id", "text", f"{_BHD_HOST} AS host")
         .selectExpr("doc_id", "host", f"{_BHD_TEXT} AS text")
     )
@@ -6497,7 +6517,7 @@ GROUP BY a.src, b.src
 def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.overlap import source_overlap_matrix
 
-    d = t(spark, sf_dir, "documents").selectExpr(
+    d = t(spark, sf_dir, "documents", wide=False).selectExpr(
         f"{_SOM_SRC} AS source", f"{_SOM_TEXT} AS text"
     )
     return source_overlap_matrix(d)
@@ -6715,7 +6735,7 @@ SELECT template, n_pages, n_hosts FROM g WHERE n_pages >= {_UTS_MIN_PAGES}
 def q_url_template_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.urlfilter import url_template_stats
 
-    d = t(spark, sf_dir, "documents").selectExpr(f"{_UTS_URL} AS url")
+    d = t(spark, sf_dir, "documents", wide=False).selectExpr(f"{_UTS_URL} AS url")
     return url_template_stats(d, min_pages=_UTS_MIN_PAGES)
 
 

@@ -2800,6 +2800,11 @@ def q_line_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents")
         .selectExpr("doc_id", f"{X.words('text').spark} AS words")
         .selectExpr("doc_id", f"{_SPANS.spark} AS spans")
+        # pin: the spans chain otherwise collapses INTO the Generate and
+        # is re-evaluated per exploded OUTPUT row (the bind1-docstring
+        # trap — measured 9.5 s for a 0.5 s chain at sf1.0), and base
+        # feeds two consumers (explode + n_spans totals)
+        .localCheckpoint(eager=False)
     )
     exploded = base.select(
         "doc_id", F.posexplode("spans").alias("pos", "span")
@@ -6384,11 +6389,26 @@ FROM g
 def q_quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.calibration import calibration_bins
 
-    base = _qcb_base("spark").replace(
-        "__D__", f"parquet.`{sf_dir}/documents.parquet`"
-    )
-    d = spark.sql(base).selectExpr(
-        "doc_id", f"{_QCB_SCORE} AS score", f"{_QCB_LABEL} AS label"
+    # same expressions as _qcb_base('spark'), but through t() so the
+    # single-row-group scan is split (the raw-SQL parquet.`...` read
+    # bypassed the repartition and ran the stopword scan on one core —
+    # 6.9 s at sf1.0)
+    d = (
+        t(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{X.words('text').spark} AS words")
+        .selectExpr(
+            "doc_id",
+            f"{X.stopword_ratio('words').spark} AS swr",
+            f"{X.n_words('words').spark} AS nw",
+        )
+        .selectExpr(
+            "doc_id", f"{_QCB_SCORE} AS score", f"{_QCB_LABEL} AS label"
+        )
+        # pin: the operator's filter + bin/label CASE expressions
+        # reference `score` ~6 times, and CollapseProject re-inlines
+        # the full stopword-scan chain into every reference (measured
+        # 5.7 s -> ~1 s at sf1.0 with the 50k-row frame materialized)
+        .localCheckpoint(eager=False)
     )
     return calibration_bins(d, "score", "label", n_bins=_QCB_BINS).selectExpr(
         "bin", "bin_lo", "n_docs", "n_pos",
@@ -6459,11 +6479,17 @@ FROM g
 def q_filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.calibration import agreement_kappa
 
-    base = _fak_base("spark").replace(
-        "__D__", f"parquet.`{sf_dir}/documents.parquet`"
-    )
-    d = spark.sql(base).selectExpr(
-        "lang", f"{_FAK_A} AS va", f"{_FAK_B} AS vb"
+    # through t() for the split scan — see q_quality_calibration_bins
+    d = (
+        t(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "lang", f"{X.words('text').spark} AS words")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            f"{X.stopword_ratio('words').spark} AS swr",
+            f"{X.n_words('words').spark} AS nw",
+        )
+        .selectExpr("lang", f"{_FAK_A} AS va", f"{_FAK_B} AS vb")
     )
     return agreement_kappa(d, "va", "vb", group_cols=("lang",)).selectExpr(
         "lang", "n_docs", "n_both_pos", "n_both_neg",

@@ -103,6 +103,12 @@ def bm25_topk(
             for i, t in enumerate(terms)
         ],
     )
+    # pin: base feeds the stats aggregate AND the scoring pass, and the
+    # score/filter expressions reference each tf_i several times —
+    # CollapseProject re-inlines the words+term_count chain into every
+    # reference (measured ~2x at sf1.0); the materialized frame is
+    # (id, dl, n_terms ints) per doc — narrow by construction
+    base = base.localCheckpoint(eager=False)
     stats = base.agg(
         F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
         F.expr("CAST(sum(dl) AS BIGINT) AS sum_dl"),

@@ -93,6 +93,9 @@ def hashed_tfidf(
         .selectExpr(id_col, "explode(_w) AS term")
         .groupBy("term", id_col)
         .agg(F.expr("CAST(count(*) AS BIGINT) AS tf"))
+        # pin: tf feeds the df/idf stats AND the weight join — without
+        # it the token explode + (term, id) shuffle runs twice
+        .localCheckpoint(eager=False)
     )
     n_docs = docs.count()  # bounded driver traffic: one long (postings)
     stats = (

@@ -7679,7 +7679,7 @@ FROM comp JOIN sz ON comp.mirror_group = sz.mirror_group
 def q_mirror_host_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.hostgraph import mirror_host_clusters
 
-    pages = t(spark, sf_dir, "documents").selectExpr(
+    pages = t(spark, sf_dir, "documents", wide=False).selectExpr(
         "doc_id",
         f"{_mir_url('spark')} AS url",
         f"{_mir_text('spark')} AS text",

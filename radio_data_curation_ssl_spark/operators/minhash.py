@@ -63,6 +63,26 @@ def minhash_sigs_batch(lists, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return out
 
 
+def band_keys_flat(flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """(total,) int64 flat shingle-hash stream + per-row lens (all > 0)
+    -> (N_BANDS, n) packed band keys — the zero-copy twin of
+    ``band_keys_batch`` for callers that already hold the concatenated
+    stream (an Arrow ListArray's values buffer; paradedup's fuzzy
+    tier).  Same integer math, same pair-pack/rotate-XOR packing,
+    bit-for-bit."""
+    assert BAND_R == 4, "pair-pack/rotate-xor packing assumes 4 rows per band"
+    n = len(lens)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    sigs = np.empty((N_PERMS, n), dtype=np.int64)
+    for lo in range(0, N_PERMS, 8):
+        vals = (_A[lo : lo + 8, None] * flat[None, :] + _B[lo : lo + 8, None]) % _M31
+        sigs[lo : lo + 8] = np.minimum.reduceat(vals, starts, axis=1)
+    sigs = sigs.reshape(N_BANDS, BAND_R, n)
+    p0 = sigs[:, 0, :] * _M31 + sigs[:, 1, :]
+    p1 = sigs[:, 2, :] * _M31 + sigs[:, 3, :]
+    return p0 ^ (p1 >> 31) ^ ((p1 & np.int64(0x7FFFFFFF)) << 31)
+
+
 def band_keys_batch(lists) -> list[list[int]]:
     """(n,) ragged NON-EMPTY int31 shingle-hash lists -> per-row N_BANDS
     band keys.

@@ -74,6 +74,10 @@ def build_postings(
         .selectExpr(id_col, "explode(_w) AS term")
         .groupBy("term", id_col)
         .agg(F.expr("CAST(count(*) AS BIGINT) AS tf"))
+        # pin: tf feeds the df/cf stats AND the posting assembly join —
+        # without it the token explode + (term, id) shuffle runs twice
+        # (the hashed_tfidf precedent)
+        .localCheckpoint(eager=False)
     )
     stats = tf.groupBy("term").agg(
         F.expr("CAST(count(*) AS BIGINT) AS df"),

@@ -121,3 +121,84 @@ def test_registry_paragraph_dedup_oracle_parity(spark):
     # the planted schedule exercised both tiers: some docs lost paragraphs
     assert any(r[2] < r[1] for r in got)
     assert all(r[2] <= r[1] for r in got)
+
+
+def test_fuzzy_bucket_kernel_matches_bruteforce(spark):
+    """r6 internals gate: the bucket-local prefix-filter kernel
+    (fuzzy_dropped_tids) must reproduce the declared rule exactly —
+    a text is dropped iff some earlier-(fd, fp) text collides with it
+    in >= 1 MinHash band AND has exact trigram-set Jaccard >= tau.
+    Brute-force reference: enumerate every band-colliding pair from
+    signature_bands and verify with python set Jaccard."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from radio_data_curation_ssl_spark.functions.textstream import (
+        split_words_ascii,
+    )
+    from radio_data_curation_ssl_spark.operators.minhash import (
+        signature_bands,
+    )
+    from radio_data_curation_ssl_spark.operators.paradedup import (
+        fuzzy_dropped_tids,
+    )
+
+    vocab = [f"w{i}" for i in range(30)]
+    rng = random.Random(42)
+    base = [rng.choices(vocab, k=rng.randint(3, 10)) for _ in range(12)]
+    texts = []
+    for i in range(80):
+        if rng.random() < 0.5:
+            w = list(rng.choice(base))
+            for _ in range(rng.randint(0, 2)):
+                if rng.random() < 0.5 and len(w) > 3:
+                    del w[rng.randrange(len(w))]
+                else:
+                    w.insert(rng.randrange(len(w) + 1), rng.choice(vocab))
+        else:
+            w = rng.choices(vocab, k=rng.randint(2, 10))
+        texts.append(" ".join(w))
+    texts = sorted(set(texts))
+    canon = spark.createDataFrame(
+        [(t, i, i % 5) for i, t in enumerate(texts)],
+        "para string, fd long, fp int",
+    ).withColumn("tid", F.xxhash64("para")).select("tid", "para", "fd", "fp")
+
+    for tau in (0.35, 0.5, 0.75, 1.0):
+        got = {r["tid"] for r in fuzzy_dropped_tids(canon, tau).collect()}
+
+        # brute force: band collisions from the production banding, exact
+        # string-trigram Jaccard, domination by (fd, fp)
+        bands = signature_bands(
+            canon.selectExpr("tid AS doc_id", "para AS text"), "text"
+        ).collect()
+        buckets: dict = {}
+        for r in bands:
+            buckets.setdefault((r["band"], r["band_key"]), []).append(
+                r["doc_id"]
+            )
+        meta = {
+            r["tid"]: (r["fd"], r["fp"], r["para"])
+            for r in canon.collect()
+        }
+
+        def triset(text):
+            ws = split_words_ascii(text)
+            return {
+                " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+            }
+
+        want = set()
+        for members in buckets.values():
+            for x in members:
+                for y in members:
+                    if x == y:
+                        continue
+                    fx, fy = meta[x][:2], meta[y][:2]
+                    if fx < fy:
+                        sa, sb = triset(meta[x][2]), triset(meta[y][2])
+                        inter = len(sa & sb)
+                        if inter and inter / (len(sa) + len(sb) - inter) >= tau:
+                            want.add(y)
+        assert got == want, f"tau={tau}: {got ^ want}"

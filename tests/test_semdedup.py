@@ -232,3 +232,74 @@ def test_job_synth_end_to_end(spark, tmp_path):
     log = RunLog(spark, str(tmp_path / "meta"))
     statuses = [r["status"] for r in log.runs().collect()]
     assert "done" in statuses and "failed" not in statuses
+
+
+def test_prune_exact_at_round6_boundary(spark):
+    """r6 internals gate: fold_exact now runs a GEMM prescreen with a
+    sequential-fold rerank of cells within _FOLD_EPS of the round-6
+    decision boundary.  Plant pairwise cosines exactly AT and within
+    float-ulps of the boundary for tau=0.35 (grid point 0.35, boundary
+    0.3499995) and require decisions identical to the brute-force
+    sequential-fold reference."""
+    import numpy as np
+
+    from radio_data_curation_ssl_spark.operators.semdedup import (
+        _fold_dot,
+        _round6,
+        semdedup,
+    )
+
+    tau = 0.35
+    B = 0.3499995
+    cos_targets = [
+        B,
+        B - 1e-10,
+        B + 1e-10,
+        B - 5e-7,
+        B + 5e-7,
+        0.3499994999999999,
+        0.35000050000000004,
+        0.2,
+        0.9,
+    ]
+    d = 4
+    rows = [(0, [1.0, 0.0, 0.0, 0.0])]
+    for i, c in enumerate(cos_targets, start=1):
+        rows.append((i, [c, float(np.sqrt(1.0 - c * c)), 0.0, 0.0]))
+    cents = np.zeros((1, d))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["id"]: r["keep"]
+        for r in semdedup(
+            df,
+            "vec_id",
+            "embedding",
+            cents,
+            tau,
+            keep_order="far",
+            order_round=6,
+            fold_exact=True,
+        ).collect()
+    }
+
+    # brute-force reference: the declared rule with the sequential fold
+    v = np.array([r[1] for r in rows], dtype=np.float64)
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    d2 = ((v - cents[0]) ** 2).sum(axis=1)
+    key = np.copysign(np.floor(np.abs(d2) * 1e6 + 0.5) / 1e6, d2)
+    order = np.lexsort((ids, -key))
+    vv = v[order]
+    norms = np.sqrt(_fold_dot(vv, vv))
+    keep = np.ones(len(vv), dtype=bool)
+    for j in range(1, len(vv)):
+        for i in range(j):
+            cos = _fold_dot(vv[i : i + 1], vv[j : j + 1])[0] / (
+                norms[i] * norms[j]
+            )
+            if _round6(np.array([cos]))[0] >= tau:
+                keep[j] = False
+                break
+    want = {int(ids[order][k]): bool(keep[k]) for k in range(len(vv))}
+    assert got == want
+    # the planting must actually straddle the boundary (both outcomes)
+    assert any(got.values()) and not all(got.values())

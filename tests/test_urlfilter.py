@@ -226,7 +226,12 @@ def test_plan_zero_shuffle_broadcast_joins(spark):
     )
     assert details, "formatted explain layout changed?"
     for args in details:
-        assert "hashpartitioning(domain" in args, args
+        # the r6 round-robin scan split of the documents fixture is the
+        # only other exchange allowed; the corpus never shuffles BY KEY
+        assert (
+            "hashpartitioning(domain" in args
+            or "RoundRobinPartitioning" in args
+        ), args
 
 
 def test_registry_query_oracle_parity(spark):

@@ -1,0 +1,68 @@
+"""r6 optimization gates: the Spark-side rewrites of the symbol-count
+and token-count fragments must stay bit-identical to the regex forms
+the frozen DuckDB oracles mirror.
+
+- ``symbol_word_ratio``'s count leg became ``length(translate(...))``
+  (SYMBOL_RE is a single-char class, so match count == surviving-char
+  count); the allowed set enters via ``char(n)`` because Spark SQL
+  string literals have no ``\\x0B`` escape and silently drop the
+  backslash of ``\\f`` (both measured — the chars would otherwise leak
+  into the symbol count).
+- ``token_count`` became ``regexp_count`` (same pattern, same
+  non-overlapping match walk, no per-match string allocations).
+
+Both must preserve the legacy ``size(NULL) = -1`` the regex forms had.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from radio_data_curation_ssl_spark.functions import text as X
+
+EDGE_CASES = [
+    "aéb 中\U0001F600! x\x0by",  # multibyte + astral + raw VT
+    "",
+    "   ",
+    "tab\there\nnew",
+    "\x0c\r\x0b",  # the three control chars with no/broken SQL escape
+    "\t\n \x0b\x0c\r",  # full Java \s set
+    "mixed123!@#",
+    None,
+    "abc123def!!",
+    "back\\slash",
+    "quote'inside",
+    # non-ASCII whitespace (NEL, NBSP, LS, ideographic space) is NOT in
+    # Java's default \s — every one must count as a symbol
+    "nel\x85 nbsp\xa0 ls  ideo　end",
+]
+
+
+def _frame(spark):
+    return spark.createDataFrame(pd.DataFrame({"t": EDGE_CASES}))
+
+
+def test_symbol_count_translate_matches_regex(spark):
+    legacy = f"size(regexp_extract_all(t, {X._sq(X.SYMBOL_RE)}, 0))"
+    rows = (
+        _frame(spark)
+        .selectExpr(f"{legacy} AS a", f"{X._n_symbols_spark('t')} AS b", "t")
+        .collect()
+    )
+    assert rows, "edge-case frame came back empty"
+    for r in rows:
+        assert r["a"] == r["b"], (ascii(r["t"]), r["a"], r["b"])
+
+
+def test_token_count_regexp_count_matches_regex(spark):
+    legacy = (
+        f"CAST(size(regexp_extract_all(t, {X._sq(X.TOKEN_RE)}, 0)) AS BIGINT)"
+    )
+    rows = (
+        _frame(spark)
+        .selectExpr(f"{legacy} AS a", f"{X.token_count('t').spark} AS b", "t")
+        .collect()
+    )
+    assert rows, "edge-case frame came back empty"
+    for r in rows:
+        assert r["a"] == r["b"], (ascii(r["t"]), r["a"], r["b"])

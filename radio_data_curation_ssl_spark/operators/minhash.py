@@ -268,7 +268,16 @@ def minhash_neardup_pairs(
     ALREADY exact-deduped pass ``skip_exact_collapse=True`` to save the
     md5-window shuffle (the collapse would be a pure no-op pass)."""
     if not skip_exact_collapse:
-        docs = collapse_exact_dups(docs, text_col)
+        # pin: the collapsed canon frame feeds THREE consumers (the band
+        # signature pass and both rerank set sides) — without it the
+        # md5-window filter + doc scan re-run per subtree (measured
+        # 3.69 -> 3.28 s at the 10x bench scale, r6).  Exact-dedup
+        # output is exactly the frame real pipelines materialize between
+        # the exact and near-dup tiers.  Pinning the derived SETS frame
+        # instead was measured SLOWER (4.30 s — the wide-array-pin trap).
+        docs = collapse_exact_dups(docs, text_col).localCheckpoint(
+            eager=False
+        )
     # explicit repartition on the join key makes BOTH self-join sides the
     # identical shuffle: AQE materializes it once and reuses it, so the
     # signature pass runs ONCE (measured 3.5x on sf0.1 vs letting the

@@ -3108,6 +3108,13 @@ def q_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{URL.url_host('url').spark} AS host",
             f"{URL.url_registrable_domain('url').spark} AS domain",
         )
+        # pin: the canonicalized frame feeds FOUR consumers (bloom
+        # build, the flagged batch twice — cand_keys + final anti —
+        # and the seen-side verify scan), so the regex-heavy
+        # canonicalization chain ran ~2x over the corpus; narrow frame
+        # (id + 3 strings), materialized by the bloom build's own
+        # collect (r6: median 2.72 -> 2.33 s at the 10x bench scale)
+        .localCheckpoint(eager=False)
     )
     seen = c.where("doc_id % 3 <> 0").select("url_canon")
     batch = c.where("doc_id % 3 = 0")

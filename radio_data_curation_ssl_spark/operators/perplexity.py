@@ -254,6 +254,7 @@ def stupid_backoff_scores(
     buckets: int = TABLE_SIZE,
     backoff: float = BACKOFF,
     train: DataFrame | None = None,
+    train_filter: str | None = None,
 ) -> DataFrame:
     """(id, n_bigrams, lp_backoff) — fully-distributed hashed-bucket
     Stupid Backoff: FIT the count tables on ``train`` (the CCNet shape:
@@ -262,6 +263,15 @@ def stupid_backoff_scores(
     seen and only collisions differentiate), SCORE ``docs``.  Backoff
     branches fire exactly when the scored corpus contains grams absent
     from ``train``.
+
+    When the training corpus is a row-subset of ``docs``, pass the
+    predicate as ``train_filter`` instead of a filtered ``train``
+    frame: the bigram kernel then runs ONCE over ``docs`` (pinned) and
+    the fit reads the pinned rows under the filter — a per-row kernel
+    over a filtered frame is identical to filtering the kernel's
+    output, so the results are bit-identical while the second
+    full-kernel pass disappears (r6: the sf1 bench paid 0.8 s re-hashing
+    the 2/3 train subset).  Mutually exclusive with ``train``.
 
     ``lp_backoff`` is the mean per-bigram log-score (round 6; NULL for
     docs with < 2 words), summed in ARRAY ORDER via a sequential fold
@@ -403,12 +413,24 @@ def stupid_backoff_scores(
             sel.mapInPandas(bigram_rows, bigram_schema),
         )
 
+    if train is not None and train_filter is not None:
+        raise ValueError("pass train OR train_filter, not both")
     wcounts, hashed = _prep(docs)
-    if train is None:
+    if train is None and train_filter is None:
         # the bigram frame feeds both the count-table fit and the
         # scoring joins at self-scoring — pin so the kernel runs once
         hashed = hashed.localCheckpoint(eager=False)
         twcounts, thashed = wcounts, hashed
+    elif train_filter is not None:
+        # subset fit: pin the scoring kernel's output and filter IT for
+        # the bigram table (identical rows — the kernel is per-row);
+        # only the word-count kernel still walks the subset (unigram
+        # mass of 1-word docs never reaches a bigram row, so it cannot
+        # be derived from ``hashed``)
+        hashed = hashed.localCheckpoint(eager=False)
+        sel = docs.select(id_col, text_col).where(train_filter)
+        twcounts = sel.mapInPandas(word_bucket_counts, "ub long, pn long")
+        thashed = hashed.where(train_filter)
     else:
         twcounts, thashed = _prep(train)
     uni = (

@@ -7399,7 +7399,10 @@ def q_ppl_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", f"{_SBK_TEXT} AS text"
     )
     return stupid_backoff_scores(
-        d, buckets=_SBK_B, train=d.where("doc_id % 3 <> 0")
+        # r6: the train corpus is a row-subset of d — hand the operator
+        # the predicate so the bigram kernel runs once (pinned) instead
+        # of re-hashing the 2/3 subset in a second full kernel pass
+        d, buckets=_SBK_B, train_filter="doc_id % 3 <> 0"
     )
 
 

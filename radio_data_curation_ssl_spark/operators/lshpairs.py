@@ -103,8 +103,22 @@ def lsh_neardup_pairs(
         ]
     )
 
+    # flat (L*R, dim) plane matrix for the one-GEMM sign test (r6): the
+    # old layout ran L*R separate sequential accumulates, each
+    # materializing an (m, dim) running-sum temp just for its last
+    # column.  The sign decision only flips when the dot sits at 0, so
+    # the GEMM result decides everywhere except the |dot| <= eps *
+    # sum|terms| band, which the exact fold re-tests (the semdedup
+    # _FOLD_EPS argument: both reductions sit within ~(d-1)*u*sum|terms|
+    # of the true dot, and 1e-9 over-covers that by ~4 orders).
+    planes_flat = planes.reshape(n_tables * n_planes, dim)
+    bit_weights = (
+        np.int64(1) << np.arange(n_planes, dtype=np.int64)
+    )
+
     def explode(it):
         tbl_ids = np.arange(n_tables, dtype=np.int32)
+        abs_planes_t = np.abs(planes_flat).T
         for b in it:
             m = len(b)
             if not m:
@@ -120,21 +134,24 @@ def lsh_neardup_pairs(
                     f"lsh_neardup_pairs: vectors of width != plane dim "
                     f"{dim}: {err}"
                 ) from err
-            buckets = np.zeros((n_tables, m), dtype=np.int64)
-            for tb in range(n_tables):
-                for k in range(n_planes):
-                    acc = np.add.accumulate(
-                        x * planes[tb, k][None, :], axis=1
-                    )[:, -1]
-                    bit = (acc >= 0) | np.isnan(acc)
-                    buckets[tb] += bit.astype(np.int64) << k
+            g = x @ planes_flat.T  # (m, L*R)
+            bits = (g >= 0) | np.isnan(g)
+            near = np.abs(g) <= 1e-9 * (np.abs(x) @ abs_planes_t)
+            if near.any():
+                for r, p in zip(*np.nonzero(near)):
+                    acc = np.add.accumulate(x[r] * planes_flat[p])[-1]
+                    bits[r, p] = bool(acc >= 0 or np.isnan(acc))
+            buckets = (
+                bits.reshape(m, n_tables, n_planes).astype(np.int64)
+                @ bit_weights
+            )  # (m, L)
             packed = np.empty(m, dtype=object)
             packed[:] = _pack_rows(x)
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(ids, n_tables),
                     "tbl": np.tile(tbl_ids, m),
-                    "bucket": buckets.T.ravel(),
+                    "bucket": buckets.ravel(),
                     "vec": np.repeat(packed, n_tables),
                 }
             )
@@ -164,12 +181,43 @@ def lsh_neardup_pairs(
 
 def _group_pairs(ids, mat, norms, threshold, out):
     """Pairs of one bucket's rows (sorted by id) passing the threshold,
-    appended to ``out`` — chunked so temporaries stay bounded."""
-    m = len(ids)
+    appended to ``out`` — GEMM prescreen + exact-fold verify (r6).
 
-    def flush(ii_parts, jj_parts):
-        ii = np.concatenate(ii_parts)
-        jj = np.concatenate(jj_parts)
+    The old kernel ran the sequential-fold cosine on EVERY in-bucket
+    pair (~15% of all pairs collide under typical sizing — hundreds of
+    millions of fold rows at the 10x bench).  Since only ~well-under-1%
+    pass the threshold, one normalized-GEMM block per column chunk now
+    prescreens: cells below ``threshold - _EPS`` provably cannot pass
+    (GEMM and fold both sit within ~(d-1)*u of the true cosine — the
+    semdedup ``_FOLD_EPS`` argument), and every surviving candidate is
+    re-verified AND re-valued with the exact fold, so emitted rows are
+    bit-identical to the old kernel.  NaN cells (NaN/inf inputs)
+    survive the prescreen by construction; zero-norm rows are masked
+    exactly as the old ``denom != 0`` test.  Column chunks keep the
+    GEMM block at ~``_CHUNK_PAIRS`` cells."""
+    m = len(ids)
+    _EPS = 1e-9
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vn = mat / norms[:, None]
+    # no zero/NaN prescreen here: zero-norm rows become NaN in vn (0/0)
+    # and land in the candidate set, where the exact verify applies the
+    # true ``denom != 0`` test — the test is NOT row-separable (NaN * 0
+    # is NaN != 0, so a zero-norm x NaN-norm pair SURVIVES).  inf norms
+    # are the one case vn hides (x/inf folds to 0, not NaN) — force
+    # those rows to the exact verify.
+    odd = ~np.isfinite(norms)
+    col_chunk = max(1, _CHUNK_PAIRS // m)
+    for j0 in range(1, m, col_chunk):
+        cols = np.arange(j0, min(j0 + col_chunk, m))
+        hi = cols[-1]
+        g = vn[:hi] @ vn[cols].T  # (hi, chunk); only i < j cells used
+        cand = (g >= threshold - _EPS) | np.isnan(g)
+        cand |= odd[:hi, None] | odd[cols][None, :]
+        cand &= np.arange(hi)[:, None] < cols[None, :]
+        ii, jt = np.nonzero(cand)
+        if not len(ii):
+            continue
+        jj = cols[jt]
         dot = np.add.accumulate(mat[ii] * mat[jj], axis=1)[:, -1]
         denom = norms[ii] * norms[jj]
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -178,17 +226,6 @@ def _group_pairs(ids, mat, norms, threshold, out):
         keep &= ids[ii] != ids[jj]  # defensive: duplicate id in a table
         if keep.any():
             out.append((ids[ii[keep]], ids[jj[keep]], vals[keep]))
-
-    ii_parts, jj_parts, buffered = [], [], 0
-    for i in range(m - 1):
-        ii_parts.append(np.full(m - 1 - i, i))
-        jj_parts.append(np.arange(i + 1, m))
-        buffered += m - 1 - i
-        if buffered >= _CHUNK_PAIRS:
-            flush(ii_parts, jj_parts)
-            ii_parts, jj_parts, buffered = [], [], 0
-    if buffered:
-        flush(ii_parts, jj_parts)
 
 
 def _pair_stream(threshold: float, dim: int):

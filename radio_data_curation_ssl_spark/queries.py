@@ -943,20 +943,34 @@ def _bucket_rows_numpy(e: DataFrame, planes) -> DataFrame:
         ]
     )
 
+    # one flat (L*R, dim) GEMM decides every sign test (r6 — the old
+    # loop ran L*R sequential accumulates per batch); cells within
+    # eps * sum|terms| of the 0 boundary are re-tested with the exact
+    # fold, outside it the sign provably cannot depend on reduction
+    # order (the semdedup _FOLD_EPS argument)
+    planes_flat = planes.reshape(n_tables * n_planes, -1)
+    bit_weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+
     def run(it):
         tbl_ids = np.arange(n_tables, dtype=np.int32)
+        abs_planes_t = np.abs(planes_flat).T
         for b in it:
             lists = b["embedding"].tolist()
             if not lists:
                 continue
             x = np.array(lists, dtype=np.float64)
             m = len(x)
-            buckets = np.zeros((n_tables, m), dtype=np.int64)
-            for tb in range(n_tables):
-                for k in range(n_planes):
-                    acc = np.add.accumulate(x * planes[tb, k][None, :], axis=1)[:, -1]
-                    bit = (acc >= 0) | np.isnan(acc)
-                    buckets[tb] += bit.astype(np.int64) << k
+            g = x @ planes_flat.T  # (m, L*R)
+            bits = (g >= 0) | np.isnan(g)
+            near = np.abs(g) <= 1e-9 * (np.abs(x) @ abs_planes_t)
+            if near.any():
+                for r, p in zip(*np.nonzero(near)):
+                    acc = np.add.accumulate(x[r] * planes_flat[p])[-1]
+                    bits[r, p] = bool(acc >= 0 or np.isnan(acc))
+            buckets = (
+                bits.reshape(m, n_tables, n_planes).astype(np.int64)
+                @ bit_weights
+            ).T  # (L, m)
             # a NULL array element poisons the whole SQL fold -> every
             # plane dot is NULL -> CASE false -> ALL bits 0 (unlike NaN,
             # which both engines compare as >= 0).  tolist() turned None

@@ -195,10 +195,12 @@ def symbol_word_ratio(col: str, w: str = "words") -> P:
 def token_count(col: str) -> P:
     """BPE-ish token count: letter runs + digit runs + single symbols.
 
-    Spark side counts matches with ``regexp_count`` instead of
-    materializing the match array (same regex, same non-overlapping
-    match walk — only the per-match string allocations go away);
-    ``coalesce(.., -1)`` preserves the legacy ``size(NULL) = -1``."""
+    Spark side spells the count ``regexp_count`` (NOTE: Catalyst
+    expands it right back to ``size(regexp_extract_all(..))`` — the
+    physical plan is unchanged, measured r6; the run-count regex
+    itself, unlike the single-char SYMBOL_RE, has no translate()
+    shortcut).  ``coalesce(.., -1)`` preserves the legacy
+    ``size(NULL) = -1`` the un-expanded form had."""
     return P(
         f"CAST(coalesce(regexp_count({col}, {_sq(TOKEN_RE)}), -1) AS BIGINT)",
         f"CAST(len(regexp_extract_all({col}, {_dq(TOKEN_RE)})) AS BIGINT)",

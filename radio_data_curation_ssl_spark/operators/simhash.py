@@ -113,7 +113,15 @@ def simhash_neardup_pairs(
         F.col(id_col).alias("_id"), F.col(sketch_col).cast("long").alias("_sk")
     )
     if collapse_exact:
-        base = collapse_exact_sketches(base, "_id", "_sk")
+        # pin the collapsed (_id, _sk) frame (16 bytes/row): the
+        # exchange-reuse bet below loses whenever AQE
+        # broadcast-converts one self-join side — the broadcast side
+        # then re-runs the WHOLE upstream chain (sketch kernel + the
+        # collapse window ran twice in the r6 sf1 plan); pinned, both
+        # sides read one materialization regardless of join strategy
+        base = collapse_exact_sketches(base, "_id", "_sk").localCheckpoint(
+            eager=False
+        )
     # explicit repartition on the join keys -> both self-join sides are
     # the identical exchange; AQE materializes it once (the minhash.py
     # pattern, measured 1.9-3.5x there)

@@ -155,6 +155,14 @@ def signature_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def shingle_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """docs -> (doc_id, sh) distinct-trigram sets for the exact rerank.
 
+    Token identity is xxhash64 of the trigram, not the string — the
+    established 2^-64 trade (paradedup's fuzzy-tier ``toks``; the tid
+    key itself): set and intersection sizes are identical unless two
+    distinct trigrams collide in 64 bits, and the rerank joins then
+    move 8-byte longs with long-compare intersections instead of
+    ~30-byte strings (r6s2: minhash pairs med 2.85 -> 2.14 s at the
+    10x bench, output identical over all 248,729 pairs).
+
     No emptiness filter needed: candidates only name docs that emitted
     band rows, i.e. docs with >= 1 shingle — the rerank join never touches
     the empty ones (and a ``where size(sh) > 0`` would re-inline the whole
@@ -163,7 +171,10 @@ def shingle_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     tg = X.trigrams("words")
     return (
         docs.selectExpr("doc_id", f"{w.spark} AS words")
-        .selectExpr("doc_id", f"array_distinct({tg.spark}) AS sh")
+        .selectExpr(
+            "doc_id",
+            f"transform(array_distinct({tg.spark}), x -> xxhash64(x)) AS sh",
+        )
     )
 
 
